@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY §2.2–§2.6 operator inventory as oracle-checked queries.
+  *
+  * Projections / partition-offset-time filters / LAST / TAIL / SCAN FULL
+  * (reference `sql-processor/internal/sql/parser.go:142-258`,
+  * `server.go:1316-1487`), json_value/json_query/json_exists
+  * (`server.go:1686-1729`), COUNT/SUM/AVG/MIN/MAX + GROUP BY
+  * (`server.go:1762-2011`), the bounded two-topic WITHIN join
+  * (`server.go:2281-2464`), and ORDER BY _ts / LIMIT (`server.go:1461-1476`).
+  *
+  * Scale notes: all event-topic plans are narrow scans + hash aggregates on
+  * low-cardinality keys (map-side partial agg, no skew); the WITHIN join is
+  * an equi-join on `_key` with a residual |Δts| band — Spark shuffles both
+  * sides by key once and evaluates the band as a post-join filter, which is
+  * the right plan at 100 TB when neither side is broadcastable. TPC-H shapes
+  * broadcast the dimension sides explicitly.
+  */
+object RelationalPack extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTopic(s, dir)
+
+  private def oracle(body: String): Option[String] =
+    Some(Tables.withEventsTopic(body))
+
+  override def entries: Seq[QueryDef] = Seq(
+
+    // ---- P1 projection + aliasing ------------------------------------
+    QueryDef(
+      "p1_projection",
+      (s, dir) => ev(s, dir)
+        .filter(col("_partition") === 2)
+        .select(
+          col("_topic"), col("_partition"), col("_offset"),
+          col("_key").as("k"), col("_segment"))
+        .orderBy(col("_offset"))
+        .limit(50),
+      oracle(
+        """SELECT _topic, _partition, _offset, _key AS k, _segment
+          |FROM events_topic WHERE _partition = 2
+          |ORDER BY _offset LIMIT 50""".stripMargin)),
+
+    // ---- P2 partition filter (equality only in reference) ------------
+    QueryDef(
+      "p2_partition_filter",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("_partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("_offset")).as("min_off"),
+          max(col("_offset")).as("max_off"))
+        .orderBy(col("_partition")),
+      oracle(
+        """SELECT _partition, count(*) AS cnt, min(_offset) AS min_off,
+          |       max(_offset) AS max_off
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // ---- P3 offset range (>= / <= only in reference) ------------------
+    QueryDef(
+      "p3_offset_range",
+      (s, dir) => ev(s, dir)
+        .filter(col("_offset") >= 100 && col("_offset") <= 199)
+        .select(col("_partition"), col("_offset"), col("_key"))
+        .orderBy(col("_partition"), col("_offset")),
+      oracle(
+        """SELECT _partition, _offset, _key
+          |FROM events_topic WHERE _offset >= 100 AND _offset <= 199
+          |ORDER BY _partition, _offset""".stripMargin)),
+
+    // ---- P4 timestamp BETWEEN -----------------------------------------
+    QueryDef(
+      "p4_ts_filter",
+      (s, dir) => ev(s, dir)
+        .filter(col("_ts_ms").between(1704844800000L, 1705708800000L)) // 2024-01-10..2024-01-20
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), min(col("_ts_ms")).as("min_ts_ms"),
+          max(col("_ts_ms")).as("max_ts_ms"))
+        .orderBy(col("event_type")),
+      oracle(
+        """SELECT event_type, count(*) AS cnt, min(_ts_ms) AS min_ts_ms,
+          |       max(_ts_ms) AS max_ts_ms
+          |FROM events_topic
+          |WHERE _ts_ms >= 1704844800000 AND _ts_ms <= 1705708800000
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- P5 LAST <dur> (sliding lower bound; fixed now for determinism)
+    QueryDef(
+      "p5_last_window",
+      (s, dir) => ev(s, dir)
+        .filter(col("_ts_ms") >= Tables.FixedNowMs - 7L * 86400000L)
+        .groupBy(col("_partition"))
+        .agg(count(lit(1)).as("cnt"), max(col("_offset")).as("max_off"))
+        .orderBy(col("_partition")),
+      oracle(
+        s"""SELECT _partition, count(*) AS cnt, max(_offset) AS max_off
+           |FROM events_topic
+           |WHERE _ts_ms >= ${Tables.FixedNowMs} - 7 * 86400000
+           |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // ---- P6 TAIL n (last n in partition-major scan order) --------------
+    QueryDef(
+      "p6_tail",
+      (s, dir) => ev(s, dir)
+        .orderBy(col("_partition").desc, col("_offset").desc)
+        .limit(10)
+        .select(col("_partition"), col("_offset"), col("_key"))
+        .orderBy(col("_partition"), col("_offset")),
+      oracle(
+        """SELECT _partition, _offset, _key FROM (
+          |  SELECT _partition, _offset, _key FROM events_topic
+          |  ORDER BY _partition DESC, _offset DESC LIMIT 10
+          |) ORDER BY _partition, _offset""".stripMargin)),
+
+    // ---- P7 SCAN FULL (explicit unbounded scan) ------------------------
+    QueryDef(
+      "p7_scan_full",
+      (s, dir) => ev(s, dir)
+        .agg(count(lit(1)).as("n"), countDistinct(col("_key")).as("n_keys")),
+      oracle(
+        """SELECT count(*) AS n, count(DISTINCT _key) AS n_keys
+          |FROM events_topic""".stripMargin)),
+
+    // ---- F1 json_value -------------------------------------------------
+    QueryDef(
+      "f1_json_value",
+      (s, dir) => ev(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("_value"), "$.k").cast("int").as("k_val"))
+        .filter(col("k_val").isNotNull)
+        .orderBy(col("event_id"))
+        .limit(200),
+      oracle(
+        """SELECT event_id, CAST(json_extract_string(_value, '$.k') AS INTEGER) AS k_val
+          |FROM events_topic
+          |WHERE json_extract_string(_value, '$.k') IS NOT NULL
+          |ORDER BY event_id LIMIT 200""".stripMargin)),
+
+    // ---- F3 json_exists ------------------------------------------------
+    QueryDef(
+      "f3_json_exists",
+      (s, dir) => ev(s, dir)
+        .select(
+          get_json_object(col("_value"), "$.k").isNotNull.as("has_k"),
+          get_json_object(col("_value"), "$.zz").isNotNull.as("has_zz"))
+        .groupBy(col("has_k"), col("has_zz"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("has_k"), col("has_zz")),
+      oracle(
+        """SELECT json_extract_string(_value, '$.k') IS NOT NULL AS has_k,
+          |       json_extract_string(_value, '$.zz') IS NOT NULL AS has_zz,
+          |       count(*) AS cnt
+          |FROM events_topic GROUP BY 1, 2 ORDER BY has_k, has_zz""".stripMargin)),
+
+    // ---- F5 timestamp format (reference renders ms precision, UTC) -----
+    QueryDef(
+      "f5_ts_format",
+      (s, dir) => ev(s, dir)
+        .filter(col("_partition") === 0 && col("_offset") < 25)
+        .select(col("_offset"),
+          date_format(col("_ts"), "yyyy-MM-dd HH:mm:ss.SSS").as("ts_txt"))
+        .orderBy(col("_offset")),
+      oracle(
+        """SELECT _offset, strftime(_ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_txt
+          |FROM events_topic WHERE _partition = 0 AND _offset < 25
+          |ORDER BY _offset""".stripMargin)),
+
+    // ---- F6 bytea hex rendering (reference: \x prefix, server.go:2799) -
+    QueryDef(
+      "f6_hex_key",
+      (s, dir) => ev(s, dir)
+        .filter(col("_partition") === 1 && col("_offset") < 25)
+        .select(col("_offset"),
+          concat(lit("\\x"), lower(hex(col("_key").cast("binary")))).as("key_hex"))
+        .orderBy(col("_offset")),
+      oracle(
+        """SELECT _offset, '\x' || lower(hex(CAST(_key AS BLOB))) AS key_hex
+          |FROM events_topic WHERE _partition = 1 AND _offset < 25
+          |ORDER BY _offset""".stripMargin)),
+
+    // ---- F7 headers rendered as JSON object ----------------------------
+    QueryDef(
+      "f7_headers_json",
+      (s, dir) => ev(s, dir)
+        .select(to_json(col("_headers")).as("headers_json"))
+        .groupBy(col("headers_json"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("headers_json")),
+      oracle(
+        """SELECT '{"src":"' || event_type || '"}' AS headers_json, count(*) AS cnt
+          |FROM events_topic GROUP BY 1 ORDER BY headers_json""".stripMargin)),
+
+    // ---- A1 flagship aggregate (user-guide.md:236-238) ------------------
+    QueryDef(
+      "a1_group_agg",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("_partition"))
+        .agg(count(lit(1)).as("cnt"), max(col("_ts_ms")).as("latest_ms"))
+        .orderBy(col("_partition")),
+      oracle(
+        """SELECT _partition, count(*) AS cnt, max(_ts_ms) AS latest_ms
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // ---- A2 COUNT(*) vs COUNT(col) null-skipping ------------------------
+    QueryDef(
+      "a2_count_null_skip",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(get_json_object(col("_value"), "$.k")).as("n_k"),
+          count(get_json_object(col("_value"), "$.zz")).as("n_zz"))
+        .orderBy(col("event_type")),
+      oracle(
+        """SELECT event_type, count(*) AS n_rows,
+          |       count(json_extract_string(_value, '$.k')) AS n_k,
+          |       count(json_extract_string(_value, '$.zz')) AS n_zz
+          |FROM events_topic GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- A3 SUM over json-extracted numerics (reference sums as float64)
+    QueryDef(
+      "a3_sum_json",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("_value"), "$.k").cast("double")).as("sum_k"))
+        .orderBy(col("event_type")),
+      oracle(
+        """SELECT event_type,
+          |       SUM(CAST(json_extract_string(_value, '$.k') AS DOUBLE)) AS sum_k
+          |FROM events_topic GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- A4 AVG --------------------------------------------------------
+    QueryDef(
+      "a4_avg",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("_partition"))
+        .agg(round(avg(get_json_object(col("_value"), "$.k").cast("double")), 4).as("avg_k"))
+        .orderBy(col("_partition")),
+      oracle(
+        """SELECT _partition,
+          |       round(AVG(CAST(json_extract_string(_value, '$.k') AS DOUBLE)), 4) AS avg_k
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // ---- A5 MIN/MAX over string / timestamp kinds -----------------------
+    QueryDef(
+      "a5_minmax",
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("_key")).as("min_key"), max(col("_key")).as("max_key"),
+          min(col("_ts_ms")).as("min_ts"), max(col("_ts_ms")).as("max_ts"))
+        .orderBy(col("event_type")),
+      oracle(
+        """SELECT event_type, min(_key) AS min_key, max(_key) AS max_key,
+          |       min(_ts_ms) AS min_ts, max(_ts_ms) AS max_ts
+          |FROM events_topic GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- A6 aggregate over json_value group key -------------------------
+    QueryDef(
+      "a6_agg_json_group",
+      (s, dir) => ev(s, dir)
+        .withColumn("k_bucket",
+          (get_json_object(col("_value"), "$.k").cast("int") % 10).as("k_bucket"))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("_offset")).as("sum_off"))
+        .orderBy(col("k_bucket")),
+      oracle(
+        """SELECT CAST(json_extract_string(_value, '$.k') AS INTEGER) % 10 AS k_bucket,
+          |       count(*) AS cnt, CAST(SUM(_offset) AS BIGINT) AS sum_off
+          |FROM events_topic GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
+
+    // ---- J1 inner JOIN ... WITHIN <dur> LAST <dur> ----------------------
+    // purchase-events joined to error-events of the same user within 6h,
+    // left scan bounded to the last 14 days (fixed now).
+    QueryDef(
+      "j1_join_within",
+      (s, dir) => {
+        val base = ev(s, dir)
+        val lo = Tables.FixedNowMs - 14L * 86400000L
+        val l = base.filter(col("event_type") === "purchase" && col("_ts_ms") >= lo)
+          .select(col("_key").as("l_k"), col("_offset").as("l_off"),
+            col("_ts_ms").as("l_ts"))
+        val r = base.filter(col("event_type") === "error")
+          .select(col("_key").as("r_k"), col("_offset").as("r_off"),
+            col("_ts_ms").as("r_ts"))
+        l.join(r, col("l_k") === col("r_k") &&
+            abs(col("l_ts") - col("r_ts")) <= 6L * 3600000L, "inner")
+          .select(col("l_k").as("u_key"), col("l_off"), col("r_off"),
+            (col("l_ts") - col("r_ts")).as("dt_ms"))
+          .orderBy(col("u_key"), col("l_off"), col("r_off"))
+      },
+      oracle(
+        s"""SELECT l._key AS u_key, l._offset AS l_off, r._offset AS r_off,
+           |       l._ts_ms - r._ts_ms AS dt_ms
+           |FROM (SELECT * FROM events_topic
+           |      WHERE event_type = 'purchase'
+           |        AND _ts_ms >= ${Tables.FixedNowMs} - 14 * 86400000) l
+           |JOIN (SELECT * FROM events_topic WHERE event_type = 'error') r
+           |  ON l._key = r._key AND abs(l._ts_ms - r._ts_ms) <= 6 * 3600000
+           |ORDER BY u_key, l_off, r_off""".stripMargin)),
+
+    // ---- J2 LEFT JOIN ... WITHIN, unmatched rows keep NULL right side ---
+    // (J5: unaliased right-side columns carry the _right_ prefix)
+    QueryDef(
+      "j2_left_join_within",
+      (s, dir) => {
+        val base = ev(s, dir)
+        val lo = Tables.FixedNowMs - 3L * 86400000L
+        val l = base.filter(col("event_type") === "signup" && col("_ts_ms") >= lo)
+          .select(col("_key").as("u_key"), col("_offset").as("l_off"),
+            col("_ts_ms").as("l_ts"))
+        val r = base.filter(col("event_type") === "purchase")
+          .select(col("_key").as("r_k"), col("_offset").as("_right_offset"),
+            col("_ts_ms").as("_right_ts_ms"))
+        l.join(r, col("u_key") === col("r_k") &&
+            abs(col("l_ts") - col("_right_ts_ms")) <= 12L * 3600000L, "left_outer")
+          .select(col("u_key"), col("l_off"), col("_right_offset"),
+            col("_right_ts_ms"))
+          .orderBy(col("u_key"), col("l_off"),
+            col("_right_offset").asc_nulls_first)
+      },
+      oracle(
+        s"""SELECT l._key AS u_key, l._offset AS l_off,
+           |       r._offset AS _right_offset, r._ts_ms AS _right_ts_ms
+           |FROM (SELECT * FROM events_topic
+           |      WHERE event_type = 'signup'
+           |        AND _ts_ms >= ${Tables.FixedNowMs} - 3 * 86400000) l
+           |LEFT JOIN (SELECT * FROM events_topic WHERE event_type = 'purchase') r
+           |  ON l._key = r._key AND abs(l._ts_ms - r._ts_ms) <= 12 * 3600000
+           |ORDER BY u_key, l_off, _right_offset NULLS FIRST""".stripMargin)),
+
+    // ---- O1 ORDER BY _ts DESC LIMIT (top-k) -----------------------------
+    QueryDef(
+      "o1_orderby_ts_limit",
+      (s, dir) => ev(s, dir)
+        .orderBy(col("_ts_ms").desc, col("event_id").desc)
+        .limit(20)
+        .select(col("event_id"), col("_ts_ms"), col("_partition"), col("_offset")),
+      oracle(
+        """SELECT event_id, _ts_ms, _partition, _offset FROM events_topic
+          |ORDER BY _ts_ms DESC, event_id DESC LIMIT 20""".stripMargin)),
+
+    // ---- C1 SHOW TOPICS --------------------------------------------------
+    QueryDef(
+      "c1_show_topics",
+      (s, _) => {
+        import s.implicits._
+        Seq("events").toDF("topic")
+      },
+      Some("SELECT 'events' AS topic")),
+
+    // ---- C2 SHOW PARTITIONS FROM events ---------------------------------
+    QueryDef(
+      "c2_show_partitions",
+      (s, dir) => ev(s, dir)
+        .select(col("_partition")).distinct().orderBy(col("_partition")),
+      oracle(
+        "SELECT DISTINCT _partition FROM events_topic ORDER BY _partition")),
+
+    // ---- TPC-H-shaped corpus (exact decimal arithmetic) -----------------
+    // q1: pricing summary — partial-agg-friendly, 6 groups, no skew.
+    QueryDef(
+      "q1_pricing_summary",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       SUM(l_quantity) AS sum_qty,
+          |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+          |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                AS DECIMAL(18,4))) AS sum_disc_price,
+          |       round(AVG(l_quantity), 4) AS avg_qty,
+          |       round(AVG(l_discount), 6) AS avg_disc,
+          |       count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // q3: shipping-priority top-10 — dim side (customer) broadcast.
+    QueryDef(
+      "q3_top_orders",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(
+        """SELECT l_orderkey, o_orderdate,
+          |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                AS DECIMAL(18,4))) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // q5-shaped: revenue per nation via customer→orders→lineitem,
+    // dims (region/nation/customer) broadcast; one shuffle on orderkey.
+    QueryDef(
+      "q5_nation_revenue",
+      (s, dir) => {
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region")
+        val cust = Tables.load(s, dir, "customer")
+        val ord = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum((col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(18,4)")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(
+        """SELECT r_name, n_name,
+          |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                AS DECIMAL(18,4))) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name
+          |ORDER BY r_name, n_name""".stripMargin))
+  )
+}
