@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalPack
+    RelationalPack,
+    KfsPack
   )
 
   private lazy val defs: Seq[QueryDef] = packs.flatMap(_.entries)

@@ -1,0 +1,245 @@
+package graft.kfs
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{CRC32, CRC32C}
+import scala.collection.mutable.ArrayBuffer
+
+/** KFS segment codec — a clean-room implementation of the segment layout the
+  * reference documents (`kafscale-spec.md:85-163` in /root/reference; SURVEY
+  * §1.1): a 32-byte segment header (magic `KAFS`), standard Apache Kafka v2
+  * record batches (61-byte batch header + zigzag-varint records — a public
+  * format, see kafka.apache.org/documentation/#recordbatch), and a 16-byte
+  * footer (CRC32, last offset, magic `END!`). Compressed batches are
+  * rejected, mirroring the reference decoder (`decoder.go:198-201`).
+  *
+  * Pure byte-array ↔ record functions: no Spark types here, so the decoder
+  * can run inside any executor task (binaryFile scan, DSv2 partition reader,
+  * or a streaming source) without serialization surprises.
+  */
+object KfsCodec {
+
+  val SegmentMagic = 0x4B414653 // "KAFS"
+  val FooterMagic = 0x454E4421  // "END!"
+  val SegmentHeaderLen = 32
+  val FooterLen = 16
+  val BatchHeaderLen = 61
+
+  final case class Header(k: String, v: Array[Byte])
+
+  /** One decoded record with its log coordinates. */
+  final case class Record(
+      offset: Long,
+      timestampMs: Long,
+      key: Array[Byte], // null = absent
+      value: Array[Byte],
+      headers: Seq[Header])
+
+  final case class SegmentInfo(
+      baseOffset: Long,
+      messageCount: Int,
+      createdTsMs: Long,
+      lastOffset: Long)
+
+  // ---- varint (zigzag, little-endian base-128 — Kafka wire encoding) ----
+
+  def zigzag(n: Long): Long = (n << 1) ^ (n >> 63)
+  def unzigzag(n: Long): Long = (n >>> 1) ^ -(n & 1)
+
+  def writeVarlong(out: ArrayBuffer[Byte], value: Long): Unit = {
+    var v = zigzag(value)
+    while ((v & ~0x7fL) != 0) {
+      out += ((v & 0x7f) | 0x80).toByte
+      v >>>= 7
+    }
+    out += (v & 0x7f).toByte
+  }
+
+  final class ByteReader(buf: Array[Byte], var pos: Int) {
+    def remaining: Int = buf.length - pos
+    def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+    def i8(): Byte = { val b = buf(pos); pos += 1; b }
+    def i16(): Short = { val v = ByteBuffer.wrap(buf, pos, 2).order(ByteOrder.BIG_ENDIAN).getShort; pos += 2; v }
+    def i32(): Int = { val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.BIG_ENDIAN).getInt; pos += 4; v }
+    def i64(): Long = { val v = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.BIG_ENDIAN).getLong; pos += 8; v }
+    def varlong(): Long = {
+      var value = 0L; var shift = 0; var b = 0
+      do {
+        b = u8()
+        value |= (b & 0x7fL) << shift
+        shift += 7
+        if (shift > 70) throw new KfsFormatException("varint too long")
+      } while ((b & 0x80) != 0)
+      unzigzag(value)
+    }
+    def varint(): Int = varlong().toInt
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || n > remaining) throw new KfsFormatException(s"bad length $n (remaining $remaining)")
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
+    }
+  }
+
+  final class KfsFormatException(msg: String) extends RuntimeException(msg)
+
+  // ---- segment encode ---------------------------------------------------
+
+  /** Build a complete segment (header + one or more v2 batches + footer).
+    * Records must be offset-ordered; batches of `batchSize` records each. */
+  def buildSegment(records: Seq[Record], batchSize: Int = 500): Array[Byte] = {
+    require(records.nonEmpty, "empty segment")
+    val base = records.head.offset
+    val out = new ArrayBuffer[Byte](records.length * 64)
+
+    // 32-byte header: magic, version u16, flags u16, baseOffset i64,
+    // messageCount i32, createdTs i64, reserved i32
+    val hdr = ByteBuffer.allocate(SegmentHeaderLen).order(ByteOrder.BIG_ENDIAN)
+    hdr.putInt(SegmentMagic).putShort(1).putShort(0).putLong(base)
+      .putInt(records.length).putLong(System.currentTimeMillis()).putInt(0)
+    out ++= hdr.array()
+
+    records.grouped(batchSize).foreach(b => out ++= buildBatch(b))
+
+    val crc = new CRC32
+    crc.update(out.toArray)
+    val foot = ByteBuffer.allocate(FooterLen).order(ByteOrder.BIG_ENDIAN)
+    foot.putInt(crc.getValue.toInt).putLong(records.last.offset).putInt(FooterMagic)
+    out ++= foot.array()
+    out.toArray
+  }
+
+  /** One Kafka-v2 record batch. */
+  def buildBatch(records: Seq[Record]): Array[Byte] = {
+    val base = records.head.offset
+    val firstTs = records.map(_.timestampMs).min
+    val maxTs = records.map(_.timestampMs).max
+
+    val body = new ArrayBuffer[Byte](records.length * 48)
+    records.foreach { r =>
+      val rec = new ArrayBuffer[Byte](48)
+      rec += 0.toByte // record attributes
+      writeVarlong(rec, r.timestampMs - firstTs)
+      writeVarlong(rec, r.offset - base)
+      if (r.key == null) writeVarlong(rec, -1)
+      else { writeVarlong(rec, r.key.length); rec ++= r.key }
+      if (r.value == null) writeVarlong(rec, -1)
+      else { writeVarlong(rec, r.value.length); rec ++= r.value }
+      writeVarlong(rec, r.headers.size)
+      r.headers.foreach { h =>
+        val kb = h.k.getBytes("UTF-8")
+        writeVarlong(rec, kb.length); rec ++= kb
+        if (h.v == null) writeVarlong(rec, -1)
+        else { writeVarlong(rec, h.v.length); rec ++= h.v }
+      }
+      writeVarlong(body, rec.length) // record length prefix
+      body ++= rec
+    }
+
+    // 61-byte header; crc (CRC32C, Kafka semantics) covers attributes..end
+    val afterCrc = ByteBuffer.allocate(BatchHeaderLen - 21).order(ByteOrder.BIG_ENDIAN)
+    afterCrc.putShort(0) // attributes: no compression
+      .putInt(records.length - 1) // lastOffsetDelta
+      .putLong(firstTs).putLong(maxTs)
+      .putLong(-1L).putShort(-1).putInt(-1) // producer id/epoch/baseSequence
+      .putInt(records.length)
+    val crcInput = afterCrc.array() ++ body
+    val crc = new CRC32C
+    crc.update(crcInput)
+
+    val head = ByteBuffer.allocate(21).order(ByteOrder.BIG_ENDIAN)
+    head.putLong(base)
+      .putInt(crcInput.length + 9) // batchLength: bytes after baseOffset+length
+      .putInt(-1) // partitionLeaderEpoch
+      .put(2.toByte) // magic v2
+      .putInt(crc.getValue.toInt)
+    head.array() ++ crcInput
+  }
+
+  // ---- segment decode ---------------------------------------------------
+
+  /** Parse the 32-byte header + 16-byte footer; verifies magics + CRC. */
+  def segmentInfo(buf: Array[Byte]): SegmentInfo = {
+    if (buf.length < SegmentHeaderLen + FooterLen)
+      throw new KfsFormatException(s"segment too short: ${buf.length}")
+    val r = new ByteReader(buf, 0)
+    if (r.i32() != SegmentMagic) throw new KfsFormatException("bad segment magic")
+    val _version = r.i16()
+    val _flags = r.i16()
+    val base = r.i64()
+    val count = r.i32()
+    val created = r.i64()
+    val f = new ByteReader(buf, buf.length - FooterLen)
+    val crcStored = f.i32()
+    val lastOffset = f.i64()
+    if (f.i32() != FooterMagic) throw new KfsFormatException("bad footer magic")
+    val crc = new CRC32
+    crc.update(buf, 0, buf.length - FooterLen)
+    if (crc.getValue.toInt != crcStored) throw new KfsFormatException("segment CRC mismatch")
+    SegmentInfo(base, count, created, lastOffset)
+  }
+
+  /** Footer-only completeness check — the reference gates discovery on the
+    * trailing `END!` magic via a 4-byte ranged read (`discovery.go:202-228`). */
+  def isComplete(lastFourBytes: Array[Byte]): Boolean =
+    lastFourBytes.length == 4 &&
+      ByteBuffer.wrap(lastFourBytes).getInt == FooterMagic
+
+  /** Decode every record in a segment. Lazy per-batch so a scan with a
+    * pushed LIMIT stops early. */
+  def decodeSegment(buf: Array[Byte]): Iterator[Record] = {
+    segmentInfo(buf) // validates magics + crc
+    val end = buf.length - FooterLen
+    new Iterator[Record] {
+      private var pos = SegmentHeaderLen
+      private var batch: Iterator[Record] = Iterator.empty
+      private def advance(): Unit = {
+        while (!batch.hasNext && pos < end) {
+          val (records, next) = decodeBatch(buf, pos)
+          batch = records
+          pos = next
+        }
+      }
+      def hasNext: Boolean = { advance(); batch.hasNext }
+      def next(): Record = { advance(); batch.next() }
+    }
+  }
+
+  /** Decode one v2 batch at `pos`; returns records + next batch position. */
+  def decodeBatch(buf: Array[Byte], pos: Int): (Iterator[Record], Int) = {
+    val r = new ByteReader(buf, pos)
+    val baseOffset = r.i64()
+    val batchLength = r.i32()
+    val _leaderEpoch = r.i32()
+    val magic = r.i8()
+    if (magic != 2) throw new KfsFormatException(s"unsupported batch magic $magic")
+    val _crc = r.i32()
+    val attributes = r.i16()
+    if ((attributes & 0x07) != 0)
+      throw new KfsFormatException("compressed batches not supported") // decoder.go:198-201
+    val _lastOffsetDelta = r.i32()
+    val firstTs = r.i64()
+    val _maxTs = r.i64()
+    r.i64(); r.i16(); r.i32() // producer id / epoch / base sequence
+    val recordCount = r.i32()
+    val batchEnd = pos + 12 + batchLength
+    val records = (0 until recordCount).iterator.map { _ =>
+      val len = r.varint()
+      val recEnd = r.pos + len
+      r.i8() // record attributes
+      val tsDelta = r.varlong()
+      val offDelta = r.varint()
+      val keyLen = r.varint()
+      val key = if (keyLen < 0) null else r.bytes(keyLen)
+      val valLen = r.varint()
+      val value = if (valLen < 0) null else r.bytes(valLen)
+      val nHeaders = r.varint()
+      val headers = (0 until nHeaders).map { _ =>
+        val k = new String(r.bytes(r.varint()), "UTF-8")
+        val vl = r.varint()
+        Header(k, if (vl < 0) null else r.bytes(vl))
+      }
+      if (r.pos != recEnd) throw new KfsFormatException(
+        s"record length mismatch: read ${r.pos} expected $recEnd")
+      Record(baseOffset + offDelta, firstTs + tsDelta, key, value, headers)
+    }
+    (records, batchEnd)
+  }
+}

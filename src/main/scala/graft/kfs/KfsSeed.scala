@@ -1,0 +1,57 @@
+package graft.kfs
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deterministic KFS fixture: materializes the driver's `events` table as a
+  * real segment log (same implicit-column mapping as
+  * [[graft.core.Tables.eventsTopic]]), so the KFS scan path is exercised
+  * end-to-end against the same DuckDB oracle. Seeding is a test-harness
+  * concern — the engine under test is the decode/scan path, which runs
+  * distributed. 1000 records/segment → multiple segments per partition.
+  */
+object KfsSeed {
+
+  def seededRoot(spark: SparkSession, sfDir: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = s"/tmp/graft_kfs/$sfName"
+    this.synchronized {
+      val marker = Paths.get(root, "_SEEDED")
+      if (!Files.exists(marker)) {
+        seed(spark, sfDir, root)
+        Files.createDirectories(marker.getParent)
+        Files.write(marker, Array.emptyByteArray)
+      }
+    }
+    root
+  }
+
+  private def seed(spark: SparkSession, sfDir: String, root: String): Unit = {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts_ms"), col("user_id"),
+        col("event_type"), col("props"))
+      .collect()
+      .sortBy(_.getAs[Long]("event_id"))
+
+    val byPartition = rows.groupBy(r => (r.getAs[Long]("event_id") % Tables.TopicPartitions).toInt)
+    byPartition.foreach { case (partition, rs) =>
+      val records = rs.sortBy(_.getAs[Long]("event_id")).zipWithIndex.map {
+        case (r, idx) =>
+          KfsCodec.Record(
+            offset = idx.toLong,
+            timestampMs = r.getAs[Long]("ts_ms"),
+            key = s"user-${r.getAs[Long]("user_id")}".getBytes("UTF-8"),
+            value = r.getAs[String]("props").getBytes("UTF-8"),
+            headers = Seq(KfsCodec.Header("src",
+              r.getAs[String]("event_type").getBytes("UTF-8"))))
+      }
+      val refs = records.grouped(1000).map { group =>
+        KfsLayout.writeSegment(root, "events", partition, group.toSeq)
+      }.toSeq
+      KfsLayout.writeManifest(root, "events", partition, refs)
+    }
+  }
+}

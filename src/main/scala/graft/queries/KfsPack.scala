@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.kfs.{KfsLayout, KfsSeed, KfsSource}
+
+/** SURVEY §2.1 storage operators, oracle-checked: S1 segment scan (decode
+  * Kafka-v2 batches), S2 discovery + completeness, S3 manifest discovery,
+  * S4 time-index pruning, S5 sidecar builders. The fixture seeds the driver's
+  * `events` table into a real KFS log, so every scan result is comparable to
+  * the same `events_topic` DuckDB CTE used by the relational pack.
+  */
+object KfsPack extends QueryPack {
+
+  private def oracle(body: String): Option[String] =
+    Some(Tables.withEventsTopic(body))
+
+  private def scanAll(s: SparkSession, dir: String): DataFrame = {
+    val root = KfsSeed.seededRoot(s, dir)
+    KfsSource.read(s, root)
+  }
+
+  override def entries: Seq[QueryDef] = Seq(
+
+    // S1: full segment scan — decode header/batches/varint records
+    QueryDef(
+      "s1_kfs_scan",
+      (s, dir) => scanAll(s, dir)
+        .select(col("_partition"), col("_offset"),
+          col("_key").cast("string").as("key_str"),
+          col("_ts_ms"),
+          get_json_object(col("_value").cast("string"), "$.k").cast("int").as("k_val"),
+          element_at(col("_headers"), "src").as("src"))
+        .orderBy(col("_partition"), col("_offset")),
+      oracle(
+        """SELECT _partition, _offset, _key AS key_str, _ts_ms,
+          |       CAST(json_extract_string(_value, '$.k') AS INTEGER) AS k_val,
+          |       event_type AS src
+          |FROM events_topic ORDER BY _partition, _offset""".stripMargin)),
+
+    // S2+X1/X2: partition + offset-range pruned scan (segment-level prune
+    // from refs, record-level residual)
+    QueryDef(
+      "s2_kfs_pruned_scan",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        KfsSource.read(s, root,
+          partitions = Some(Set(1, 3)),
+          offsetRange = Some((100L, 1199L)))
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("cnt"), min(col("_offset")).as("min_off"),
+            max(col("_offset")).as("max_off"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt, min(_offset) AS min_off,
+          |       max(_offset) AS max_off
+          |FROM events_topic
+          |WHERE _partition IN (1, 3) AND _offset >= 100 AND _offset <= 1199
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // S4+X3: time-index pruned scan (.kfst sidecar stats gate the file list)
+    QueryDef(
+      "s4_kfs_time_pruned",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        KfsSource.read(s, root,
+          tsRangeMs = Some((1704844800000L, 1705708800000L))) // Jan 10..20
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("cnt"), min(col("_ts_ms")).as("min_ts"),
+            max(col("_ts_ms")).as("max_ts"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt, min(_ts_ms) AS min_ts,
+          |       max(_ts_ms) AS max_ts
+          |FROM events_topic
+          |WHERE _ts_ms >= 1704844800000 AND _ts_ms <= 1705708800000
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // S3/S5: manifest-based discovery — per-segment stats without opening
+    // any segment file
+    QueryDef(
+      "s3_kfs_manifest",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        import s.implicits._
+        val refs = (0 until Tables.TopicPartitions).flatMap(p =>
+          KfsLayout.listFromManifest(root, "events", p))
+        refs.map(r => (r.partition, r.baseOffset, r.lastOffset, r.minTsMs, r.maxTsMs))
+          .toDF("_partition", "base_offset", "last_offset", "min_ts", "max_ts")
+          .orderBy(col("_partition"), col("base_offset"))
+      },
+      oracle(
+        """SELECT _partition, min(_offset) AS base_offset, max(_offset) AS last_offset,
+          |       min(_ts_ms) AS min_ts, max(_ts_ms) AS max_ts
+          |FROM events_topic
+          |GROUP BY _partition, _offset // 1000
+          |ORDER BY _partition, base_offset""".stripMargin))
+  )
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kfs._
+
+/** Codec round-trips plus the reference's e2e acceptance fixture
+  * (`minio_e2e_test.go:46-150`, FIXTURES.md §1): orders=200, payments=50,
+  * count/TAIL/join assertions. */
+class KfsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def mkRecords(n: Int, keyFmt: String = "order-%03d",
+      baseTs: Long = 1706000000000L): Seq[KfsCodec.Record] =
+    (0 until n).map { i =>
+      KfsCodec.Record(i.toLong, baseTs + i * 1000L,
+        keyFmt.format(i).getBytes("UTF-8"),
+        s"""{"id":$i,"amount":${i * 10}}""".getBytes("UTF-8"),
+        Seq(KfsCodec.Header("h1", "v1".getBytes("UTF-8"))))
+    }
+
+  test("segment round-trip preserves offsets, timestamps, keys, values, headers") {
+    val recs = mkRecords(200)
+    val seg = KfsCodec.buildSegment(recs, batchSize = 64)
+    val out = KfsCodec.decodeSegment(seg).toSeq
+    assert(out.length == 200)
+    out.zip(recs).foreach { case (a, b) =>
+      assert(a.offset == b.offset)
+      assert(a.timestampMs == b.timestampMs)
+      assert(new String(a.key, "UTF-8") == new String(b.key, "UTF-8"))
+      assert(new String(a.value, "UTF-8") == new String(b.value, "UTF-8"))
+      assert(a.headers.map(_.k) == b.headers.map(_.k))
+    }
+    val info = KfsCodec.segmentInfo(seg)
+    assert(info.baseOffset == 0 && info.lastOffset == 199 && info.messageCount == 200)
+  }
+
+  test("null keys and empty headers survive the round trip") {
+    val recs = Seq(
+      KfsCodec.Record(5, 1L, null, "v".getBytes, Nil),
+      KfsCodec.Record(6, 2L, Array.emptyByteArray, null, Nil))
+    val out = KfsCodec.decodeSegment(KfsCodec.buildSegment(recs)).toSeq
+    assert(out(0).key == null && out(0).value.length == 1)
+    assert(out(1).key.length == 0 && out(1).value == null)
+  }
+
+  test("corrupted segment CRC is rejected") {
+    val seg = KfsCodec.buildSegment(mkRecords(10))
+    seg(40) = (seg(40) ^ 0xff).toByte
+    intercept[KfsCodec.KfsFormatException] {
+      KfsCodec.decodeSegment(seg).toSeq
+    }
+  }
+
+  test("compressed batch attribute is rejected (decoder.go:198-201 parity)") {
+    val seg = KfsCodec.buildSegment(mkRecords(4))
+    // attributes i16 sits at segmentHeader + 21 in the first batch
+    seg(KfsCodec.SegmentHeaderLen + 22) = 1 // gzip bit
+    // fix the footer CRC so we reach the batch check
+    val crc = new java.util.zip.CRC32
+    crc.update(seg, 0, seg.length - KfsCodec.FooterLen)
+    val bb = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt)
+    System.arraycopy(bb.array(), 0, seg, seg.length - KfsCodec.FooterLen, 4)
+    val ex = intercept[KfsCodec.KfsFormatException] {
+      KfsCodec.decodeSegment(seg).toSeq
+    }
+    assert(ex.getMessage.contains("compressed"))
+  }
+
+  test("discovery skips segments without the END! footer") {
+    val root = Files.createTempDirectory("kfs_disc").toString
+    KfsLayout.writeSegment(root, "t", 0, mkRecords(10))
+    // truncated upload: no footer magic
+    val bad = KfsCodec.buildSegment(mkRecords(5)).dropRight(4)
+    Files.write(Paths.get(root, "t", "0", "segment-00000000000000000100.kfs"), bad)
+    val refs = KfsLayout.listCompleted(root)
+    assert(refs.map(_.baseOffset) == Seq(0L))
+  }
+
+  test("manifest discovery matches list discovery") {
+    val root = Files.createTempDirectory("kfs_manifest").toString
+    val refs = Seq(
+      KfsLayout.writeSegment(root, "t", 0, mkRecords(10)),
+      KfsLayout.writeSegment(root, "t", 0, mkRecords(10).map(r => r.copy(offset = r.offset + 10))))
+    KfsLayout.writeManifest(root, "t", 0, refs)
+    val fromManifest = KfsLayout.listFromManifest(root, "t", 0)
+    val fromList = KfsLayout.listCompleted(root)
+    assert(fromManifest.map(r => (r.baseOffset, r.lastOffset)) ==
+      fromList.map(r => (r.baseOffset, r.lastOffset)))
+  }
+
+  test("segment pruning by offset/time range intersects stats windows") {
+    val refs = Seq(
+      KfsLayout.SegmentRef("t", 0, "a", 0, 99, 1000, 1999, 1),
+      KfsLayout.SegmentRef("t", 0, "b", 100, 199, 2000, 2999, 1),
+      KfsLayout.SegmentRef("t", 0, "c", 200, 299, 3000, 3999, 1))
+    assert(KfsLayout.prune(refs, offsetMin = Some(150)).map(_.path) == Seq("b", "c"))
+    assert(KfsLayout.prune(refs, offsetMax = Some(150)).map(_.path) == Seq("a", "b"))
+    assert(KfsLayout.prune(refs, tsMinMs = Some(2500), tsMaxMs = Some(3500)).map(_.path) == Seq("b", "c"))
+  }
+
+  test("e2e acceptance fixture: count=200, TAIL 1 -> offset 199, WITHIN join -> 50 rows") {
+    val root = Files.createTempDirectory("kfs_e2e").toString
+    val t0 = System.currentTimeMillis() - 5 * 60 * 1000
+    KfsLayout.writeSegment(root, "orders", 0, mkRecords(200, baseTs = t0))
+    KfsLayout.writeSegment(root, "payments", 0, mkRecords(50, baseTs = t0))
+
+    val orders = KfsSource.read(spark, root, topics = Some(Set("orders")))
+    assert(orders.count() == 200) // SELECT count(*) FROM orders LAST 1h
+
+    val tail1 = orders.orderBy(col("_partition").desc, col("_offset").desc)
+      .limit(1).select(col("_offset")).collect()
+    assert(tail1.head.getLong(0) == 199) // SELECT _offset FROM orders TAIL 1
+
+    val payments = KfsSource.read(spark, root, topics = Some(Set("payments")))
+    val joined = orders.alias("o").join(payments.alias("p"),
+      col("o._key") === col("p._key") &&
+        abs(col("o._ts_ms") - col("p._ts_ms")) <= 10 * 60 * 1000, "inner")
+    assert(joined.count() == 50) // JOIN ... WITHIN 10m LAST 1h -> 50 rows
+  }
+}
