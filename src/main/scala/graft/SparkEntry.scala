@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     RelationalPack,
-    KfsPack
+    KfsPack,
+    KafsqlPack
   )
 
   private lazy val defs: Seq[QueryDef] = packs.flatMap(_.entries)

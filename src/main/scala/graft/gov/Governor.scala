@@ -1,0 +1,115 @@
+package graft.gov
+
+import java.util.concurrent.{Semaphore, TimeUnit}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Session-level governance the reference bakes into its executor and that
+  * Catalyst does not provide (SURVEY §4 X10–X12):
+  *
+  *   - TTL+LRU result cache keyed by normalized query text + resolved time
+  *     bounds; TAIL/SCAN FULL/unbounded queries skip it
+  *     (`server.go:557-598`, `result_cache.go:26-110`)
+  *   - concurrency token bucket with a bounded wait queue
+  *     (`query_limiter.go:28-87`)
+  *   - per-query timeout via Spark job-group cancellation
+  *     (`server.go:2847-2852`)
+  *
+  * The cache stores collected rows (≤ resultCacheMaxRows), like the
+  * reference's rowCollector (`row_collector.go:24-67`). At cluster scale the
+  * cache is a driver-memory concern only — it never holds more than
+  * `maxRows` small rows per entry.
+  */
+final class Governor(rails: Guardrails = Guardrails()) {
+
+  // ---- result cache -----------------------------------------------------
+
+  private final case class CacheEntry(schema: StructType, rows: Array[Row],
+      insertedAtMs: Long)
+  private val cache = new mutable.LinkedHashMap[String, CacheEntry]
+
+  def normalize(sql: String): String = sql.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  def cacheKey(sql: String, boundsMs: (Option[Long], Option[Long])): String =
+    s"${normalize(sql)}|${boundsMs._1.getOrElse(-1L)}|${boundsMs._2.getOrElse(-1L)}"
+
+  def cachedOrRun(spark: SparkSession, key: String, cacheable: Boolean)(
+      run: => DataFrame): DataFrame = {
+    val nowMs = System.currentTimeMillis()
+    if (cacheable) {
+      cache.synchronized {
+        cache.get(key).filter(nowMs - _.insertedAtMs <= rails.resultCacheTtlMs)
+          .foreach { e =>
+            hits += 1
+            return spark.createDataFrame(
+              new java.util.ArrayList[Row](java.util.Arrays.asList(e.rows: _*)),
+              e.schema)
+          }
+      }
+    }
+    val df = run
+    if (cacheable) {
+      val rows = df.limit(rails.resultCacheMaxRows + 1).collect()
+      if (rows.length <= rails.resultCacheMaxRows) {
+        cache.synchronized {
+          cache.put(key, CacheEntry(df.schema, rows, nowMs))
+          while (cache.size > rails.resultCacheMaxEntries) cache.remove(cache.head._1)
+        }
+        return spark.createDataFrame(
+          new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), df.schema)
+      }
+    }
+    df
+  }
+
+  @volatile var hits: Long = 0
+  def cacheSize: Int = cache.synchronized(cache.size)
+
+  // ---- concurrency limiter ---------------------------------------------
+
+  private val tokens = new Semaphore(rails.maxConcurrent, true)
+  private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  final class QueryQueueFullException
+    extends RuntimeException("query queue full")
+  final class QueryTimeoutException(ms: Long)
+    extends RuntimeException(s"query exceeded timeout ${ms}ms")
+
+  /** Acquire a token (bounded queue + wait timeout), run, release. */
+  def withAdmission[T](waitMs: Long = rails.queryTimeoutMs)(body: => T): T = {
+    if (queued.incrementAndGet() > rails.maxConcurrent + rails.queueSize) {
+      queued.decrementAndGet()
+      throw new QueryQueueFullException
+    }
+    try {
+      if (!tokens.tryAcquire(waitMs, TimeUnit.MILLISECONDS)) {
+        throw new QueryTimeoutException(waitMs)
+      }
+      try body finally tokens.release()
+    } finally queued.decrementAndGet()
+  }
+
+  /** Run an action under a job group cancelled after the timeout. */
+  def withTimeout[T](spark: SparkSession, timeoutMs: Long = rails.queryTimeoutMs)(
+      body: => T): T = {
+    val group = s"graft-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "governed query", interruptOnCancel = true)
+    val timer = new java.util.Timer(true)
+    @volatile var timedOut = false
+    timer.schedule(new java.util.TimerTask {
+      override def run(): Unit = {
+        timedOut = true
+        spark.sparkContext.cancelJobGroup(group)
+      }
+    }, timeoutMs)
+    try body
+    catch {
+      case e: Exception if timedOut => throw new QueryTimeoutException(timeoutMs)
+    } finally {
+      timer.cancel()
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+}

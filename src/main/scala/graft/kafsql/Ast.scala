@@ -1,0 +1,61 @@
+package graft.kafsql
+
+/** KAFSQL AST — mirrors the reference's clause grammar (`sql/parser.go:
+  * 26-146`): SELECT with Kafka-native LAST/TAIL/SCAN FULL/WITHIN extensions,
+  * SHOW/DESCRIBE/EXPLAIN. The reference's parser is a single-pass
+  * keyword/regex scanner with the AST as its only IR; ours is a hand-rolled
+  * tokenizer + recursive descent producing this typed AST, which the
+  * [[Planner]] lowers onto DataFrames (Catalyst is the optimizer — the
+  * reference has none, SURVEY §4).
+  */
+sealed trait Statement
+
+case object ShowTopics extends Statement
+final case class ShowPartitions(topic: String) extends Statement
+final case class DescribeTopic(topic: String) extends Statement
+final case class Explain(select: Select) extends Statement
+
+final case class Select(
+    star: Boolean,
+    projections: Seq[Projection],
+    from: TableRef,
+    join: Option[JoinClause],
+    where: Seq[Predicate],
+    groupBy: Seq[ColRef],
+    orderBy: Option[OrderBy],
+    limit: Option[Int],
+    window: Option[WindowClause]) extends Statement
+
+final case class TableRef(topic: String, alias: Option[String])
+
+/** `[LEFT] JOIN t2 [ON expr = expr] WITHIN dur` — bounded two-topic join;
+  * ON omitted → `_key = _key` (server.go:2326-2333). */
+final case class JoinClause(
+    left: Boolean,
+    table: TableRef,
+    on: Option[(Expr, Expr)],
+    withinMs: Long)
+
+sealed trait Expr
+final case class ColRef(qualifier: Option[String], name: String) extends Expr
+/** kind: value | query | exists (server.go:1686-1729). */
+final case class JsonFunc(kind: String, target: ColRef, path: String) extends Expr
+/** kind: count | sum | avg | min | max; arg None = `COUNT(*)`. */
+final case class AggFunc(kind: String, arg: Option[Expr]) extends Expr
+
+final case class Projection(expr: Expr, alias: Option[String])
+
+sealed trait Predicate
+final case class PartitionEq(value: Int) extends Predicate           // parser.go:231-240
+final case class OffsetCmp(gte: Boolean, value: Long) extends Predicate // parser.go:241-258
+final case class TsCmp(gte: Boolean, epochMs: Long) extends Predicate   // parser.go:370-424
+final case class TsBetween(loMs: Long, hiMs: Long) extends Predicate
+
+sealed trait WindowClause
+final case class Last(durMs: Long) extends WindowClause // parser.go:142-143
+final case class Tail(n: Int) extends WindowClause      // parser.go:144
+case object ScanFull extends WindowClause               // parser.go:145
+
+final case class OrderBy(column: String, asc: Boolean)
+
+final class KafsqlException(msg: String) extends RuntimeException(msg)

@@ -1,0 +1,340 @@
+package graft.kafsql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gov.Guardrails
+
+/** Lowers the KAFSQL AST onto DataFrame operations, enforcing the
+  * reference's validation rules and guardrails:
+  *
+  *   - unbounded-query rejection without LAST/TAIL/SCAN FULL/_ts bounds
+  *     (`server.go:1316-1319`)
+  *   - default/max LIMIT, SCAN FULL cap (`server.go:1321-1346`)
+  *   - ORDER BY `_ts` only; not with TAIL or aggregates
+  *     (`server.go:1347-1352,1391-1397`)
+  *   - aggregate validation: group cols required, no `*`, no json group
+  *     outputs, none of it in joins (`server.go:1852-1918,2297-2299`)
+  *   - joins: exactly two topics, mandatory WITHIN + LAST, inner/left only,
+  *     no partition/offset filters, `_right_` output prefix
+  *     (`server.go:2281-2464,2581-2589`)
+  *   - aggregate output ordered by stringified group key, NULL → `<nil>`,
+  *     groups joined with 0x1f (`server.go:1968-1981`)
+  *
+  * Everything below is declarative DataFrame code — Catalyst handles
+  * pushdown, join strategy (broadcast/SMJ by size + AQE), partial
+  * aggregation, and top-k (`TakeOrderedAndProject`), which is the
+  * scale story the single-node reference lacks.
+  */
+object Planner {
+
+  final case class Env(nowMs: Long, rails: Guardrails = Guardrails())
+
+  def plan(spark: SparkSession, reg: TopicRegistry, stmt: Statement,
+      env: Env): DataFrame = stmt match {
+    case ShowTopics =>
+      import spark.implicits._
+      reg.topicNames.toDF("topic")
+
+    case ShowPartitions(t) =>
+      import spark.implicits._
+      reg.get(t).partitions.sorted.toDF("partition")
+
+    case DescribeTopic(t) =>
+      import spark.implicits._
+      val d = reg.get(t)
+      val rows = TopicRegistry.implicitColumns.map { case (n, ty) => (n, ty, "") } ++
+        d.schemaCols.map(sc => (sc.name, TopicRegistry.pgType(sc.typ), sc.path))
+      rows.toDF("column", "type", "path")
+
+    case Explain(sel) =>
+      import spark.implicits._
+      val df = planSelect(spark, reg, sel, env)
+      val lines =
+        Seq(s"scan topic ${sel.from.topic}" +
+          sel.join.map(j => s" join ${j.table.topic} within ${j.withinMs}ms").getOrElse("")) ++
+          df.queryExecution.executedPlan.toString.linesIterator.take(30).toSeq
+      lines.toDF("plan")
+
+    case sel: Select => planSelect(spark, reg, sel, env)
+  }
+
+  // ---- SELECT -----------------------------------------------------------
+
+  def planSelect(spark: SparkSession, reg: TopicRegistry, sel: Select,
+      env: Env): DataFrame = {
+    validate(sel, env)
+    val limit = effectiveLimit(sel, env)
+    sel.join match {
+      case Some(j) => planJoin(spark, reg, sel, j, limit, env)
+      case None => planSingle(spark, reg, sel, limit, env)
+    }
+  }
+
+  private def validate(sel: Select, env: Env): Unit = {
+    val hasAgg = sel.projections.exists(_.expr.isInstanceOf[AggFunc])
+    val isTail = sel.window.exists(_.isInstanceOf[Tail])
+    val hasTsBound = sel.where.exists {
+      case _: TsCmp | _: TsBetween => true
+      case _ => false
+    }
+    // join-specific requirements first: their errors are more specific than
+    // the generic unbounded rejection
+    sel.join.foreach { _ =>
+      if (sel.window.isEmpty)
+        throw new KafsqlException("join requires LAST to bound the left scan") // server.go:2291-2293
+    }
+    if (env.rails.requireTimeBound && sel.window.isEmpty && !hasTsBound)
+      throw new KafsqlException(
+        "unbounded query: add LAST, TAIL, or SCAN FULL") // server.go:1316-1319
+    sel.limit.foreach { l =>
+      if (l > env.rails.maxRows)
+        throw new KafsqlException(s"limit $l exceeds max_rows ${env.rails.maxRows}")
+    }
+    sel.orderBy.foreach { o =>
+      if (o.column != "_ts")
+        throw new KafsqlException("order by supports _ts only") // server.go:1347-1352
+      if (hasAgg)
+        throw new KafsqlException("ORDER BY is not supported with aggregates")
+      if (isTail)
+        throw new KafsqlException("TAIL cannot be combined with ORDER BY")
+    }
+    if (isTail && hasAgg)
+      throw new KafsqlException("TAIL cannot be combined with aggregates")
+    if (hasAgg) {
+      if (sel.star)
+        throw new KafsqlException("SELECT * cannot be combined with aggregates")
+      // every non-aggregate projection must be in GROUP BY; json helpers are
+      // not valid group outputs (server.go:1852-1918)
+      val groupNames = sel.groupBy.map(_.name).toSet
+      sel.projections.foreach {
+        case Projection(c: ColRef, _) if !groupNames(c.name) =>
+          throw new KafsqlException(s"column ${c.name} must appear in GROUP BY")
+        case Projection(_: JsonFunc, _) =>
+          throw new KafsqlException("json functions are not valid group outputs")
+        case _ =>
+      }
+    } else if (sel.groupBy.nonEmpty)
+      throw new KafsqlException("GROUP BY requires aggregate projections")
+    sel.join.foreach { _ =>
+      if (hasAgg) throw new KafsqlException("aggregates are not supported in joins") // server.go:2297-2299
+      if (isTail || sel.window.contains(ScanFull))
+        throw new KafsqlException("TAIL/SCAN FULL are not supported in joins")
+      if (sel.window.isEmpty)
+        throw new KafsqlException("join requires LAST to bound the left scan") // server.go:2291-2293
+      if (sel.where.exists { case _: PartitionEq | _: OffsetCmp => true; case _ => false })
+        throw new KafsqlException("partition/offset filters are not supported in joins")
+      if (sel.groupBy.nonEmpty)
+        throw new KafsqlException("GROUP BY is not supported in joins")
+    }
+  }
+
+  private def effectiveLimit(sel: Select, env: Env): Int = {
+    val base = sel.limit.getOrElse(env.rails.defaultLimit)
+    if (sel.window.contains(ScanFull)) math.min(base, env.rails.maxUnboundedScan)
+    else base
+  }
+
+  /** Resolved _ts_ms bounds: explicit predicates merged with LAST
+    * ([now-dur, now], lower via max, upper defaulting to now —
+    * server.go:1368-1384). Returns (lo, hi) epoch-ms options. */
+  def tsBounds(sel: Select, nowMs: Long): (Option[Long], Option[Long]) = {
+    val los = sel.where.collect {
+      case TsCmp(true, v) => v
+      case TsBetween(lo, _) => lo
+    }
+    val his = sel.where.collect {
+      case TsCmp(false, v) => v
+      case TsBetween(_, hi) => hi
+    }
+    sel.window match {
+      case Some(Last(d)) =>
+        (Some((los :+ (nowMs - d)).max), Some(his.foldLeft(nowMs)(math.min)))
+      case _ =>
+        (los.reduceOption(_ max _), his.reduceOption(_ min _))
+    }
+  }
+
+  private def planSingle(spark: SparkSession, reg: TopicRegistry, sel: Select,
+      limit: Int, env: Env): DataFrame = {
+    var df = reg.frame(spark, sel.from.topic)
+
+    sel.where.foreach {
+      case PartitionEq(p) => df = df.filter(col("_partition") === p)
+      case OffsetCmp(true, v) => df = df.filter(col("_offset") >= v)
+      case OffsetCmp(false, v) => df = df.filter(col("_offset") <= v)
+      case _ => // ts handled via bounds below
+    }
+    val (lo, hi) = tsBounds(sel, env.nowMs)
+    lo.foreach(v => df = df.filter(col("_ts_ms") >= v))
+    hi.foreach(v => df = df.filter(col("_ts_ms") <= v))
+
+    val hasAgg = sel.projections.exists(_.expr.isInstanceOf[AggFunc])
+    if (hasAgg) return planAggregate(df, sel, limit)
+
+    // sort/limit before projection so ORDER BY _ts / TAIL work even when
+    // _ts is not projected; ORDER BY+LIMIT lowers to TakeOrderedAndProject
+    df = (sel.window, sel.orderBy) match {
+      case (Some(Tail(n)), _) =>
+        // last n in scan order: partition-major, offset asc (ring buffer,
+        // server.go:1600-1610); output restored to scan order
+        df.orderBy(col("_partition").desc, col("_offset").desc)
+          .limit(math.min(n, limit))
+          .orderBy(col("_partition"), col("_offset"))
+      case (_, Some(OrderBy(_, asc))) =>
+        df.orderBy(if (asc) col("_ts").asc else col("_ts").desc).limit(limit)
+      case _ => df.limit(limit)
+    }
+    projectSingle(reg, df, sel)
+  }
+
+  private def projectSingle(reg: TopicRegistry, df: DataFrame, sel: Select): DataFrame =
+    if (sel.star) {
+      // star = 8 implicit + declared schema cols (server.go:1503-1512);
+      // natural parquet columns and _ts_ms stay internal
+      val implicitCols = TopicRegistry.implicitColumns.map(_._1)
+      val declared = reg.get(sel.from.topic).schemaCols.map(_.name)
+      df.select((implicitCols ++ declared).map(col): _*)
+    } else {
+      val cols = sel.projections.map(p => resolveExpr(df, p.expr, p.alias))
+      df.select(cols: _*)
+    }
+
+  private def resolveExpr(df: DataFrame, e: Expr, alias: Option[String]): Column = {
+    val c = e match {
+      case ColRef(_, name) => df(name)
+      case JsonFunc(kind, target, path) => jsonCol(df(target.name), kind, path)
+      case AggFunc(_, _) => throw new KafsqlException("unexpected aggregate")
+    }
+    alias.fold(c)(c.as(_))
+  }
+
+  private def jsonCol(target: Column, kind: String, path: String): Column = kind match {
+    case "value" | "query" => get_json_object(target.cast("string"), path)
+    case "exists" => get_json_object(target.cast("string"), path).isNotNull
+  }
+
+  // ---- aggregates -------------------------------------------------------
+
+  private def planAggregate(df: DataFrame, sel: Select, limit: Int): DataFrame = {
+    val groupCols = sel.groupBy.map(g => df(g.name))
+    val aggPairs = sel.projections.collect {
+      case Projection(AggFunc(kind, arg), alias) =>
+        val name = alias.getOrElse(defaultAggName(kind, arg))
+        name -> aggCol(df, kind, arg).as(name)
+    }
+    val aggCols = aggPairs.map(_._2)
+    val plainCols = sel.projections.collect {
+      case Projection(cr: ColRef, alias) => df(cr.name).as(alias.getOrElse(cr.name))
+    }
+    val grouped =
+      if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(groupCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(plainCols ++ aggPairs.map(p => col(p._1)): _*)
+    if (groupCols.isEmpty) grouped.limit(limit)
+    else {
+      // output ordered by stringified group key, groups joined with 0x1f,
+      // NULL → "<nil>" (server.go:1968-1981); LIMIT after sort
+      val keyCols = sel.groupBy.map(g =>
+        coalesce(col(groupAlias(sel, g)).cast("string"), lit("<nil>")))
+      grouped.orderBy(concat_ws("", keyCols: _*)).limit(limit)
+    }
+  }
+
+  private def groupAlias(sel: Select, g: ColRef): String =
+    sel.projections.collectFirst {
+      case Projection(cr: ColRef, Some(a)) if cr.name == g.name => a
+    }.getOrElse(g.name)
+
+  private def aggCol(df: DataFrame, kind: String, arg: Option[Expr]): Column = {
+    def target: Column = arg.get match {
+      case ColRef(_, n) => df(n)
+      case JsonFunc(k, t, p) => jsonCol(df(t.name), k, p)
+      case _ => throw new KafsqlException("invalid aggregate argument")
+    }
+    kind match {
+      case "count" => arg.fold(count(lit(1)))(_ => count(target))
+      // reference sums/averages as float64 over numeric-coercible values,
+      // numeric strings included (server.go:1993-2002,2237-2246)
+      case "sum" => sum(target.cast("double"))
+      case "avg" => avg(target.cast("double"))
+      case "min" => min(target)
+      case "max" => max(target)
+    }
+  }
+
+  private def defaultAggName(kind: String, arg: Option[Expr]): String =
+    arg match {
+      case None => kind
+      case Some(ColRef(_, n)) => s"${kind}_$n"
+      case Some(JsonFunc(_, _, p)) => s"${kind}_${p.stripPrefix("$.").replace('.', '_')}"
+      case _ => kind
+    }
+
+  // ---- joins ------------------------------------------------------------
+
+  private def planJoin(spark: SparkSession, reg: TopicRegistry, sel: Select,
+      j: JoinClause, limit: Int, env: Env): DataFrame = {
+    val leftName = sel.from.alias.getOrElse(sel.from.topic)
+    val rightName = j.table.alias.getOrElse(j.table.topic)
+
+    var left = reg.frame(spark, sel.from.topic)
+    val (lo, hi) = tsBounds(sel, env.nowMs)
+    lo.foreach(v => left = left.filter(col("_ts_ms") >= v))
+    hi.foreach(v => left = left.filter(col("_ts_ms") <= v))
+    // right side deliberately NOT time-pruned (server.go:2644-2650):
+    // stream-history join — history must stay fully visible
+    val right = reg.frame(spark, j.table.topic)
+
+    val l = left.alias("l")
+    val r = right.alias("r")
+
+    def sideCol(side: String, e: Expr): Column = e match {
+      case ColRef(_, n) => col(s"$side.$n")
+      case JsonFunc(kind, t, p) => jsonCol(col(s"$side.${t.name}").cast("string"), kind, p)
+      case _ => throw new KafsqlException("invalid join key expression")
+    }
+    // normalize sides: an expr qualified by the right topic/alias binds right
+    val (lkExpr, rkExpr) = j.on match {
+      case None => (ColRef(None, "_key"), ColRef(None, "_key")) // default key join
+      case Some((a, b)) =>
+        def qualifierOf(e: Expr): Option[String] = e match {
+          case ColRef(q, _) => q
+          case JsonFunc(_, t, _) => t.qualifier
+          case _ => None
+        }
+        val aq = qualifierOf(a)
+        if (aq.contains(rightName)) (b, a) else (a, b)
+    }
+    val cond = sideCol("l", lkExpr) === sideCol("r", rkExpr) &&
+      abs(col("l._ts_ms") - col("r._ts_ms")) <= j.withinMs // inclusive band, server.go:2358-2384
+    val joined = l.join(r, cond, if (j.left) "left_outer" else "inner")
+
+    val out =
+      if (sel.star) {
+        // default join projection: 8 left + 8 right `_right_`-prefixed
+        // (server.go:2581-2589,2652-2671)
+        val names = TopicRegistry.implicitColumns.map(_._1)
+        val cols = names.map(n => col(s"l.$n").as(n)) ++
+          names.map(n => col(s"r.$n").as(s"_right${n}"))
+        joined.select(cols: _*)
+      } else {
+        val cols = sel.projections.map { p =>
+          val c = p.expr match {
+            case ColRef(Some(q), n) =>
+              val side = if (q == rightName) "r" else "l"
+              col(s"$side.$n")
+            case ColRef(None, n) => col(s"l.$n")
+            case JsonFunc(kind, t, path) =>
+              val side = if (t.qualifier.contains(rightName)) "r" else "l"
+              jsonCol(col(s"$side.${t.name}"), kind, path)
+            case _: AggFunc => throw new KafsqlException("aggregates in join")
+          }
+          p.alias.fold(c)(c.as(_))
+        }
+        joined.select(cols: _*)
+      }
+    out.limit(limit)
+  }
+}

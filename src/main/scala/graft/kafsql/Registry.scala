@@ -1,0 +1,79 @@
+package graft.kafsql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Topic metadata + schema-on-read config (reference
+  * `internal/config/config.go:141-155`, user-guide.md:199-217): per-topic
+  * declared columns mapped onto JSON dot-paths inside `_value`, with scalar
+  * types string|int|long|double|boolean|timestamp; extraction failures yield
+  * SQL NULL (`server.go:2784-2787`).
+  */
+final case class SchemaCol(name: String, typ: String, path: String) {
+  require(Set("string", "int", "long", "double", "boolean", "timestamp")(typ),
+    s"unsupported schema type: $typ") // config.go:346-353
+}
+
+/** One queryable topic: a frame supplier exposing the 8 implicit columns
+  * (+ `_ts_ms`), declared schema columns, and known partitions. */
+final case class TopicDef(
+    name: String,
+    frame: SparkSession => DataFrame,
+    schemaCols: Seq[SchemaCol] = Nil,
+    partitions: Seq[Int] = Nil)
+
+final class TopicRegistry(defs: Seq[TopicDef]) {
+  private val byName = defs.map(d => d.name -> d).toMap
+
+  def topicNames: Seq[String] = defs.map(_.name).sorted
+
+  def get(name: String): TopicDef =
+    byName.getOrElse(name,
+      throw new KafsqlException(s"unknown topic: $name"))
+
+  /** Topic frame with schema-on-read columns materialized. Extraction =
+    * JSON dot-path walk + per-type coercion, NULL on miss/parse failure
+    * (`server.go:2721-2792`). */
+  def frame(spark: SparkSession, name: String): DataFrame = {
+    val d = get(name)
+    val base = d.frame(spark)
+    d.schemaCols.foldLeft(base) { (df, sc) =>
+      df.withColumn(sc.name, TopicRegistry.extract(col("_value"), sc))
+    }
+  }
+}
+
+object TopicRegistry {
+  /** Typed JSON-path extraction over the value column. */
+  def extract(value: Column, sc: SchemaCol): Column = {
+    val js = get_json_object(value.cast("string"), sc.path)
+    sc.typ match {
+      case "string" => js
+      case "int" => js.cast("int")
+      case "long" => js.cast("long")
+      case "double" => js.cast("double")
+      case "boolean" => js.cast("boolean")
+      case "timestamp" =>
+        // epoch-ms integers or formatted strings (server.go:2111-2130)
+        when(js.rlike("^-?\\d+$"), timestamp_millis(js.cast("long")).cast("timestamp_ntz"))
+          .otherwise(to_timestamp(js).cast("timestamp_ntz"))
+    }
+  }
+
+  /** pg type names the reference's DESCRIBE reports (server.go:2704-2719). */
+  def pgType(typ: String): String = typ match {
+    case "string" => "text"
+    case "int" => "integer"
+    case "long" => "bigint"
+    case "double" => "double precision"
+    case "boolean" => "boolean"
+    case "timestamp" => "timestamp"
+  }
+
+  /** The 8 implicit columns in DESCRIBE order with pg types
+    * (server.go:829-841, 1624-1669). */
+  val implicitColumns: Seq[(String, String)] = Seq(
+    "_topic" -> "text", "_partition" -> "integer", "_offset" -> "bigint",
+    "_ts" -> "timestamp", "_key" -> "bytea", "_value" -> "bytea",
+    "_headers" -> "jsonb", "_segment" -> "text")
+}

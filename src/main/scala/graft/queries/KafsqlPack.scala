@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.Tables
+import graft.kafsql._
+
+/** The KAFSQL dialect exercised end-to-end — text → lexer → parser →
+  * planner → DataFrame — against the same DuckDB oracles. This is the §7.1
+  * front-end on top of the topic layer: every query here goes through
+  * `Kafsql.sql(...)`, not hand-built DataFrames, so grammar parity
+  * (LAST/TAIL/SCAN FULL/WITHIN/json_value/aggregate ordering) is what's
+  * actually checked. `now` is pinned (LAST is wall-clock-relative,
+  * server.go:1368-1384).
+  */
+object KafsqlPack extends QueryPack {
+
+  /** events + two derived topics (purchases/errors) for the two-topic join —
+    * all expose the 8 implicit columns; `events` declares a schema-on-read
+    * column `k` ($.k int). */
+  def registry(dir: String): TopicRegistry = new TopicRegistry(Seq(
+    TopicDef("events", s => Tables.eventsTopic(s, dir),
+      schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+      partitions = 0 until Tables.TopicPartitions),
+    TopicDef("purchases",
+      s => Tables.eventsTopic(s, dir).filter(col("event_type") === "purchase"),
+      partitions = 0 until Tables.TopicPartitions),
+    TopicDef("errors",
+      s => Tables.eventsTopic(s, dir).filter(col("event_type") === "error"),
+      partitions = 0 until Tables.TopicPartitions)))
+
+  private def run(q: String)(s: SparkSession, dir: String): DataFrame =
+    Kafsql.sql(s, registry(dir), q, nowMs = Tables.FixedNowMs)
+
+  private def oracle(body: String): Option[String] =
+    Some(Tables.withEventsTopic(body))
+
+  override def entries: Seq[QueryDef] = Seq(
+
+    // flagship (user-guide.md:236-238) through the dialect; output ordering
+    // = stringified group key (reference A1 semantics)
+    QueryDef(
+      "k1_kafsql_flagship",
+      run("SELECT _partition, COUNT(*) AS cnt, MAX(_ts) AS latest " +
+        "FROM events GROUP BY _partition LAST 30d"),
+      oracle(
+        s"""SELECT _partition, count(*) AS cnt, max(_ts) AS latest
+           |FROM events_topic
+           |WHERE _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}
+           |GROUP BY _partition ORDER BY CAST(_partition AS VARCHAR)""".stripMargin)),
+
+    QueryDef(
+      "k2_kafsql_filtered_select",
+      run("SELECT _offset, _key, json_value(_value, '$.k') AS k_txt " +
+        "FROM events WHERE _partition = 2 AND _offset >= 10 AND _offset <= 60 " +
+        "SCAN FULL"),
+      oracle(
+        """SELECT _offset, _key, json_extract_string(_value, '$.k') AS k_txt
+          |FROM events_topic
+          |WHERE _partition = 2 AND _offset >= 10 AND _offset <= 60
+          |ORDER BY _offset""".stripMargin)),
+
+    QueryDef(
+      "k3_kafsql_orderby",
+      run("SELECT _partition, _offset, _ts FROM events " +
+        "WHERE _ts BETWEEN '2024-01-10 00:00:00' AND '2024-01-20 00:00:00' " +
+        "ORDER BY _ts DESC LIMIT 15"),
+      oracle(
+        """SELECT _partition, _offset, _ts FROM events_topic
+          |WHERE _ts_ms >= 1704844800000 AND _ts_ms <= 1705708800000
+          |ORDER BY _ts DESC LIMIT 15""".stripMargin)),
+
+    QueryDef(
+      "k4_kafsql_tail",
+      run("SELECT _partition, _offset, _key FROM events TAIL 12"),
+      oracle(
+        """SELECT _partition, _offset, _key FROM (
+          |  SELECT _partition, _offset, _key FROM events_topic
+          |  ORDER BY _partition DESC, _offset DESC LIMIT 12
+          |) ORDER BY _partition, _offset""".stripMargin)),
+
+    QueryDef(
+      "k5_kafsql_join_within",
+      run("SELECT o._key AS u_key, o._offset AS l_off, p._offset AS r_off " +
+        "FROM purchases o JOIN errors p ON o._key = p._key " +
+        "WITHIN 6h LIMIT 100000 LAST 14d"),
+      oracle(
+        s"""SELECT l._key AS u_key, l._offset AS l_off, r._offset AS r_off
+           |FROM (SELECT * FROM events_topic
+           |      WHERE event_type = 'purchase'
+           |        AND _ts_ms >= ${Tables.FixedNowMs} - ${14L * 86400000L}) l
+           |JOIN (SELECT * FROM events_topic WHERE event_type = 'error') r
+           |  ON l._key = r._key AND abs(l._ts_ms - r._ts_ms) <= ${6L * 3600000L}
+           |ORDER BY u_key, l_off, r_off""".stripMargin)),
+
+    QueryDef(
+      "k6_kafsql_left_join",
+      run("SELECT o._key AS u_key, o._offset AS l_off, p._offset AS r_off " +
+        "FROM errors o LEFT JOIN purchases p ON o._key = p._key " +
+        "WITHIN 1h LIMIT 100000 LAST 7d"),
+      oracle(
+        s"""SELECT l._key AS u_key, l._offset AS l_off, r._offset AS r_off
+           |FROM (SELECT * FROM events_topic
+           |      WHERE event_type = 'error'
+           |        AND _ts_ms >= ${Tables.FixedNowMs} - ${7L * 86400000L}) l
+           |LEFT JOIN (SELECT * FROM events_topic WHERE event_type = 'purchase') r
+           |  ON l._key = r._key AND abs(l._ts_ms - r._ts_ms) <= ${3600000L}
+           |ORDER BY u_key, l_off, r_off NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "k7_kafsql_describe",
+      (s, dir) => Kafsql.sql(s, registry(dir), "DESCRIBE events",
+        nowMs = Tables.FixedNowMs),
+      Some(
+        """SELECT * FROM (VALUES
+          |  ('_topic','text',''), ('_partition','integer',''),
+          |  ('_offset','bigint',''), ('_ts','timestamp',''),
+          |  ('_key','bytea',''), ('_value','bytea',''),
+          |  ('_headers','jsonb',''), ('_segment','text',''),
+          |  ('k','integer','$.k')) AS t("column", "type", "path")""".stripMargin)),
+
+    QueryDef(
+      "k8_kafsql_schema_read",
+      run("SELECT _offset, k FROM events WHERE _partition = 0 LIMIT 100000 LAST 30d"),
+      oracle(
+        s"""SELECT _offset, CAST(json_extract_string(_value, '$$.k') AS INTEGER) AS k
+           |FROM events_topic
+           |WHERE _partition = 0
+           |  AND _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}
+           |ORDER BY _offset""".stripMargin)),
+
+    // aggregates over json_value; MIN/MAX here are lexicographic string
+    // compares, matching the reference's string-kind minmax (server.go:2132-2182)
+    QueryDef(
+      "k9_kafsql_agg_json",
+      run("SELECT COUNT(*) AS n, COUNT(json_value(_value, '$.zz')) AS n_zz, " +
+        "SUM(json_value(_value, '$.k')) AS sum_k, " +
+        "AVG(json_value(_value, '$.k')) AS avg_k, " +
+        "MIN(json_value(_value, '$.k')) AS min_k_txt, " +
+        "MAX(json_value(_value, '$.k')) AS max_k_txt " +
+        "FROM events LAST 30d"),
+      oracle(
+        s"""SELECT count(*) AS n,
+           |       count(json_extract_string(_value, '$$.zz')) AS n_zz,
+           |       SUM(CAST(json_extract_string(_value, '$$.k') AS DOUBLE)) AS sum_k,
+           |       AVG(CAST(json_extract_string(_value, '$$.k') AS DOUBLE)) AS avg_k,
+           |       MIN(json_extract_string(_value, '$$.k')) AS min_k_txt,
+           |       MAX(json_extract_string(_value, '$$.k')) AS max_k_txt
+           |FROM events_topic
+           |WHERE _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}""".stripMargin))
+  )
+}

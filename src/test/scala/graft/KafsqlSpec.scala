@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.kafsql._
+import graft.queries.KafsqlPack
+
+/** Parser forms + the reference's validation-rule parity
+  * (mirrors `server_test.go` cases: unbounded rejection, TAIL restrictions,
+  * join-window requirements, aggregate validation). */
+class KafsqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def reg = KafsqlPack.registry(sf)
+  private def q(s: String) =
+    Kafsql.sql(spark, reg, s, nowMs = Tables.FixedNowMs)
+  private def err(s: String): String =
+    intercept[KafsqlException](q(s).collect()).getMessage
+
+  // ---- parser -----------------------------------------------------------
+
+  test("durations: Go units plus Nd days") {
+    assert(Parser.parseDurationMs("300ms") == 300)
+    assert(Parser.parseDurationMs("5s") == 5000)
+    assert(Parser.parseDurationMs("10m") == 600000)
+    assert(Parser.parseDurationMs("2h") == 7200000)
+    assert(Parser.parseDurationMs("7d") == 604800000)
+    assert(Parser.parseDurationMs("1h30m") == 5400000)
+    intercept[KafsqlException](Parser.parseDurationMs("5x"))
+  }
+
+  test("timestamp literals: epoch ms, datetime layouts, RFC3339") {
+    assert(Parser.parseTsLiteralMs("1704067200000") == 1704067200000L)
+    assert(Parser.parseTsLiteralMs("2024-01-01 00:00:00") == 1704067200000L)
+    assert(Parser.parseTsLiteralMs("2024-01-01 00:00:00.500") == 1704067200500L)
+    assert(Parser.parseTsLiteralMs("2024-01-01") == 1704067200000L)
+    assert(Parser.parseTsLiteralMs("2024-01-01T00:00:00Z") == 1704067200000L)
+    intercept[KafsqlException](Parser.parseTsLiteralMs("bogus"))
+  }
+
+  test("statement dispatch parses show/describe/explain/select") {
+    assert(Parser.parse("SHOW TOPICS") == ShowTopics)
+    assert(Parser.parse("SHOW PARTITIONS FROM events") == ShowPartitions("events"))
+    assert(Parser.parse("DESCRIBE events") == DescribeTopic("events"))
+    assert(Parser.parse("EXPLAIN SELECT * FROM events LAST 5m").isInstanceOf[Explain])
+    val sel = Parser.parse(
+      "SELECT _partition, COUNT(*) AS cnt FROM events GROUP BY _partition LAST 5m")
+      .asInstanceOf[Select]
+    assert(sel.groupBy == Seq(ColRef(None, "_partition")))
+    assert(sel.window.contains(Last(300000)))
+  }
+
+  test("join clause parses sides, window, left flag") {
+    val sel = Parser.parse(
+      "SELECT o._key FROM orders o LEFT JOIN payments p " +
+        "ON json_value(o._value, '$.id') = p._key WITHIN 10m LAST 1h")
+      .asInstanceOf[Select]
+    val j = sel.join.get
+    assert(j.left && j.withinMs == 600000)
+    assert(j.on.get._1 == JsonFunc("value", ColRef(Some("o"), "_value"), "$.id"))
+  }
+
+  // ---- validation parity -------------------------------------------------
+
+  test("unbounded query rejection (server.go:1316-1319)") {
+    assert(err("SELECT _offset FROM events")
+      .contains("unbounded query: add LAST, TAIL, or SCAN FULL"))
+  }
+
+  test("order by supports _ts only (server.go:1347-1352)") {
+    assert(err("SELECT _offset FROM events ORDER BY _offset LAST 5m")
+      .contains("order by supports _ts only"))
+  }
+
+  test("TAIL cannot combine with ORDER BY or aggregates") {
+    assert(err("SELECT _offset FROM events ORDER BY _ts TAIL 5")
+      .contains("TAIL"))
+    assert(err("SELECT COUNT(*) AS c FROM events TAIL 5")
+      .contains("TAIL"))
+  }
+
+  test("join requires WITHIN (parse) and LAST (plan) — server.go:2291-2293") {
+    intercept[KafsqlException](
+      Parser.parse("SELECT _key FROM a JOIN b ON a._key = b._key LAST 1h"))
+    assert(err("SELECT o._key FROM purchases o JOIN errors p WITHIN 5m")
+      .contains("join requires LAST"))
+  }
+
+  test("aggregate validation: star, non-grouped column, joins") {
+    assert(err("SELECT * FROM events GROUP BY _partition LAST 5m") // needs agg
+      .contains("GROUP BY requires aggregate"))
+    assert(err("SELECT _offset, COUNT(*) AS c FROM events GROUP BY _partition LAST 5m")
+      .contains("must appear in GROUP BY"))
+    assert(err("SELECT COUNT(*) AS c FROM purchases o JOIN errors p WITHIN 5m LAST 1h")
+      .contains("aggregates are not supported in joins"))
+  }
+
+  test("partition/offset filters rejected in joins (server.go:2311-2324)") {
+    assert(err("SELECT o._key FROM purchases o JOIN errors p WITHIN 5m " +
+      "WHERE _partition = 1 LAST 1h")
+      .contains("partition/offset filters are not supported in joins"))
+  }
+
+  test("limit cap (config max_rows)") {
+    assert(err("SELECT _offset FROM events LIMIT 999999 LAST 5m")
+      .contains("exceeds max_rows"))
+  }
+
+  test("unsupported WHERE columns are rejected (only _partition/_offset/_ts)") {
+    intercept[KafsqlException](
+      Parser.parse("SELECT _offset FROM events WHERE value = 3 LAST 5m"))
+  }
+
+  // ---- planner behavior ---------------------------------------------------
+
+  test("LAST merges with explicit _ts lower bound via max (server.go:1368-1384)") {
+    val sel = Parser.parse(
+      s"SELECT _offset FROM events WHERE _ts >= '2024-01-25 00:00:00' LAST 30d")
+      .asInstanceOf[Select]
+    val (lo, hi) = Planner.tsBounds(sel, Tables.FixedNowMs)
+    assert(lo.contains(Parser.parseTsLiteralMs("2024-01-25 00:00:00")))
+    assert(hi.contains(Tables.FixedNowMs))
+  }
+
+  test("default limit 1000 applies to plain selects (config default_limit)") {
+    val n = q("SELECT _offset FROM events SCAN FULL").count()
+    assert(n == 1000) // sf0.001 has 1000 rows; SCAN FULL caps at 1000 too
+    val n2 = q("SELECT _offset FROM events WHERE _partition = 1 LAST 30d").count()
+    assert(n2 == 250)
+  }
+
+  test("SELECT * expands to 8 implicit + declared schema columns") {
+    val df = q("SELECT * FROM events LAST 1d")
+    assert(df.columns.toSeq ==
+      TopicRegistry.implicitColumns.map(_._1) ++ Seq("k"))
+  }
+
+  test("star join projection emits 8 left + 8 _right_-prefixed columns") {
+    val df = q("SELECT * FROM purchases o JOIN errors p WITHIN 6h LAST 14d")
+    assert(df.columns.length == 16)
+    assert(df.columns.count(_.startsWith("_right_")) == 8)
+  }
+
+  test("EXPLAIN returns a plan description") {
+    val rows = q("EXPLAIN SELECT _offset FROM events LAST 5m")
+      .collect().map(_.getString(0))
+    assert(rows.head.contains("scan topic events"))
+  }
+
+  test("SHOW TOPICS lists registry topics") {
+    val topics = q("SHOW TOPICS").collect().map(_.getString(0)).toSeq
+    assert(topics == Seq("errors", "events", "purchases"))
+  }
+
+  test("schema-on-read extraction failures yield NULL (server.go:2784-2787)") {
+    val reg2 = new TopicRegistry(Seq(TopicDef("events",
+      s => Tables.eventsTopic(s, sf),
+      schemaCols = Seq(SchemaCol("nope", "int", "$.missing"),
+        SchemaCol("k", "int", "$.k")))))
+    val df = Kafsql.sql(spark, reg2,
+      "SELECT _offset, nope, k FROM events WHERE _partition = 0 LAST 30d",
+      nowMs = Tables.FixedNowMs)
+    val rows = df.collect()
+    assert(rows.forall(_.isNullAt(1)))
+    assert(rows.forall(!_.isNullAt(2)))
+  }
+}
