@@ -16,7 +16,9 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     RelationalPack,
     KfsPack,
-    KafsqlPack
+    KafsqlPack,
+    DedupPack,
+    OpsPack
   )
 
   private lazy val defs: Seq[QueryDef] = packs.flatMap(_.entries)

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines — the
+  * beyond-reference superset (SURVEY §7.3). All are DataFrame-in/out and
+  * avoid O(n²) work:
+  *
+  *   - exact: content-hash groupBy — one shuffle on md5(text)
+  *   - MinHash+LSH: shingle → k-permutation signature → banded buckets →
+  *     candidate join → exact-Jaccard verify. Work is O(docs × shingles)
+  *     plus a join keyed on (band, bucket) that only materializes candidate
+  *     pairs, never the full cross product (the classic MMDS ch.3 scheme).
+  *   - SimHash: 60-bit vote vector over word hashes, near-dups via
+  *     bit_count(xor) under a banded pre-filter (pigeonhole on 4 chunks).
+  *   - n-gram Jaccard: inverted-index self-join with per-shingle postings.
+  *
+  * Determinism note: every hash is md5-hex (lowercase, same in DuckDB), so
+  * all of these are oracle-checkable; min() over hex strings is a valid
+  * uniform minhash because md5 is uniform and hex compare is bytewise.
+  *
+  * 100 TB notes: the shingle explode is the dominant shuffle; salt-free
+  * because shingle keys are near-uniform. Hot shingles (stopword runs)
+  * should be document-frequency-capped — see `maxShinglePostings` — which
+  * bounds any posting list and hence the candidate-pair blowup.
+  */
+object Dedup {
+
+  /** Word n-gram shingles, distinct per doc. (Guarded sequence: Spark's
+    * sequence(1, 0) would *descend*, so short docs get an empty array.) */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val words = split(col(textCol), " ")
+    val cnt = size(words) - (n - 1)
+    val grams = when(cnt >= 1,
+      transform(sequence(lit(1), greatest(cnt, lit(1))),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc"), explode(array_distinct(grams)).as("sh"))
+      .where(col("sh") =!= "")
+  }
+
+  /** Exact duplicate groups by content hash (optionally normalized). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+      normalized: Boolean = true): DataFrame = {
+    val t = if (normalized) lower(trim(col(textCol))) else col(textCol)
+    docs.groupBy(md5(t).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+  }
+
+  /** k-permutation MinHash signature: m_i = min(md5(i || ':' || shingle)).
+    * One aggregate over the shingle explode — no extra shuffle beyond the
+    * groupBy(doc). */
+  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame =
+    sh.groupBy(col("doc"))
+      .agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("m0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i")): _*)
+
+  /** LSH banding: band hash = md5 of its row minhashes; docs sharing any
+    * (band, hash) bucket become candidates. */
+  def lshBands(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    sigs.select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs (a < b) sharing any LSH bucket. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val l = bandsDf.select(col("doc").as("a"), col("band"), col("bucket"))
+    val r = bandsDf.select(col("doc").as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact Jaccard for given pairs from the shingle postings. */
+  def jaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
+      .where(col("sh") === col("sh_b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc").as("a"), col("n").as("na")), "a")
+      .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+  }
+
+  /** End-to-end MinHash-LSH near-dup detection with exact verify. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, k), bands, k / bands))
+    jaccard(sh, cands).where(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** Inverted-index exact n-gram Jaccard over all pairs sharing a shingle.
+    * `maxShinglePostings` drops shingles whose posting list exceeds the cap
+    * (document-frequency pruning — a shingle present in thousands of docs
+    * carries no dedup signal but quadratic join cost). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxShinglePostings: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol, n)
+    val sh = maxShinglePostings match {
+      case Some(cap) =>
+        val df = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("sh")
+        sh0.join(df, "sh")
+      case None => sh0
+    }
+    val pairs = sh.select(col("doc").as("a"), col("sh"))
+      .join(sh.select(col("doc").as("b"), col("sh")), Seq("sh"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    jaccard(sh0, pairs).where(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        round(col("jac"), 4).as("jac"))
+  }
+
+  /** 60-bit word hash from md5 (identical in DuckDB via hex cast). */
+  def wordHash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** Per-doc 60-bit SimHash over distinct words: bit j set when the sum of
+    * votes sign(bit_j(h)·2−1) is positive. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .where(col("w") =!= "")
+      .withColumn("h", wordHash60(col("w")))
+    val votes = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    val agg = words.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val hash = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a + b)
+    agg.select(col("doc"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded pre-filter (4 chunks of 15 bits —
+    * hamming ≤ 3 guarantees an equal chunk), then exact hamming ≤ maxDist. */
+  def simhashNearDups(sim: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 15).bitwiseAND((1L << 15) - 1).as("ck")))
+    val banded = sim.select(col("doc"), col("simhash"),
+      explode(array(chunks: _*)).as("cb"))
+      .select(col("doc"), col("simhash"), col("cb.chunk").as("chunk"), col("cb.ck").as("ck"))
+    val l = banded.select(col("doc").as("a"), col("simhash").as("sa"), col("chunk"), col("ck"))
+    val r = banded.select(col("doc").as("b"), col("simhash").as("sb"), col("chunk"), col("ck"))
+    l.join(r, Seq("chunk", "ck")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY §7.3): media as opaque `binary`
+  * columns with typed metadata, features extracted via `mapPartitions`
+  * (connection/codec-heavy work belongs in a partition-scoped loop — the
+  * Scala analogue of `mapInPandas` batches; one decoder instance per
+  * partition, rows streamed through it).
+  *
+  * The actual image/audio decode is STUBBED (`FakeDecoder`) — this container
+  * has no codec libraries — but the Spark-side plumbing is real: schema,
+  * encoder shapes, per-partition batching, and deterministic features that
+  * an oracle can recompute.
+  */
+object Multimodal {
+
+  /** One media record: id + raw bytes + declared content type. */
+  final case class MediaRow(id: Long, media: Array[Byte], content_type: String)
+
+  /** Extracted features. `brightness` stands in for a decoded-image metric
+    * (mean byte value) so determinism is testable end to end. */
+  final case class MediaFeatures(
+      id: Long,
+      n_bytes: Long,
+      digest: String,
+      head_hex: String,
+      brightness: Double,
+      content_type: String)
+
+  /** The decode seam: swap for a real codec (javacv / ffmpeg / PIL-equiv)
+    * in production. Deterministic fake keeps tests honest. */
+  trait Decoder extends Serializable {
+    def decode(media: Array[Byte]): Array[Byte]
+  }
+  object FakeDecoder extends Decoder {
+    override def decode(media: Array[Byte]): Array[Byte] = media // identity stub
+  }
+
+  /** Build a media frame from any (id, bytes) source. */
+  def asMedia(df: DataFrame, idCol: String, bytesCol: String,
+      contentType: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      col(bytesCol).cast("binary").as("media"),
+      lit(contentType).as("content_type"))
+
+  /** Per-partition feature extraction: one MessageDigest per partition,
+    * rows streamed — the mapPartitions batch shape. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      decoder: Decoder = FakeDecoder): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val decoded = decoder.decode(row.media)
+        md.reset()
+        val digest = md.digest(decoded).map("%02x".format(_)).mkString
+        val head = decoded.take(8).map("%02x".format(_)).mkString
+        val brightness =
+          if (decoded.isEmpty) 0.0
+          else decoded.map(b => (b & 0xff).toLong).sum.toDouble / decoded.length
+        MediaFeatures(row.id, decoded.length.toLong, digest, head,
+          brightness, row.content_type)
+      }
+    }.toDF()
+  }
+}

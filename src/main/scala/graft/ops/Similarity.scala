@@ -1,0 +1,88 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — SURVEY §7.3.
+  *
+  * Everything is built from codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), no UDFs: the fold is sequential left-to-right in index
+  * order, which makes the doubles bit-reproducible across engines (the
+  * DuckDB oracle uses `list_reduce` with the same order).
+  *
+  * 100 TB path: brute force is a broadcast of the (small) query set against
+  * a partitioned corpus — linear scan, embarrassingly parallel, no shuffle
+  * on the corpus side; the ranked top-k per query is a partial top-k inside
+  * each partition via window + filter (Catalyst runs rank-filter windows
+  * with a partial sort, not a global one). The LSH variant buckets the
+  * corpus once (deterministic hyperplanes), so each query probes ~1/2^p of
+  * the data; at petabyte scale you persist the bucketed table and the probe
+  * is a bucket-pruned join.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute-force baseline).
+    * Ranking key is the cosine rounded to 6 dp with the id as tiebreak, so
+    * the ordering is stable under float noise. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = queries.select(col("vec_id").as("q"), col("embedding").as("qe"))
+      .crossJoin(corpus.select(col("vec_id").as("v"), col("embedding").as("ve")))
+      .where(col("q") =!= col("v"))
+      .withColumn("c", cosine(col("qe"), col("ve")))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(round(col("c"), 6).desc, col("v"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("v"), round(col("c"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic hyperplane weights: w(p,d) = nibble(md5("p|d")) − 7.5,
+    * p 0-based plane, d 1-based dimension. Reproducible anywhere md5 exists. */
+  def planeWeights(plane: Int, dims: Int): Array[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    (1 to dims).map { d =>
+      val hex = md.digest(s"$plane|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) - 7.5
+    }.toArray
+  }
+
+  /** Sign-concatenated LSH bucket signature over `planes` hyperplanes. */
+  def lshSignature(v: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val w = typedLit(planeWeights(p, dims))
+      when(dot(v, w) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Bucketed approximate top-k: candidates share the query's LSH bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4, dims: Int = 64): DataFrame = {
+    val bucketed = corpus.select(col("vec_id").as("v"), col("embedding").as("ve"),
+      lshSignature(col("embedding"), planes, dims).as("bucket"))
+    val q = queries.select(col("vec_id").as("q"), col("embedding").as("qe"),
+      lshSignature(col("embedding"), planes, dims).as("bucket"))
+    val joined = q.join(bucketed, Seq("bucket"))
+      .where(col("q") =!= col("v"))
+      .withColumn("c", cosine(col("qe"), col("ve")))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(round(col("c"), 6).desc, col("v"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("v"), round(col("c"), 4).as("cos_sim"))
+  }
+}

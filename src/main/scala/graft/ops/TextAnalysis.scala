@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY §7.3):
+  * token counting, quality metrics, n-gram/stopword language heuristic, and
+  * bag-of-words document fingerprinting. Pure column expressions — codegen
+  * end to end, no UDFs, trivially distributed (narrow per-row work).
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = split(text, " ")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token estimate: ~4 chars/token heuristic, integer math. */
+  def estBpeTokens(text: Column): Column =
+    ((length(text) + 3) / 4).cast("int")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(words(text),
+      w => Stopwords.map(s => w === s).reduce(_ || _)))
+
+  /** Quality metrics frame: token/char/distinct counts, average token
+    * length, stopword ratio. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    docs.select(
+      col(idCol).as("doc"),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(words(t))).as("n_distinct"),
+      round(length(regexp_replace(t, " ", "")).cast("double") / nTok, 4)
+        .as("avg_token_len"),
+      round(stopwordCount(t).cast("double") / nTok, 4).as("stopword_ratio"),
+      estBpeTokens(t).as("est_bpe_tokens"))
+  }
+
+  /** Stopword-hit language heuristic: en-like when the stopword ratio
+    * clears the threshold. (Heuristic shape mirrors n-gram language-ID:
+    * score fixed marker features, argmax/threshold.) */
+  def languageGuess(text: Column, threshold: Double = 0.04): Column =
+    when(stopwordCount(text).cast("double") / tokenCount(text) >= threshold,
+      lit("en")).otherwise(lit("und"))
+
+  /** Canonical bag-of-words fingerprint: md5 over the sorted distinct word
+    * set — robust to word order, the classic "fingerprint" dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Dedup
+
+/** Deduplication operators over `documents`, each mirrored by a DuckDB
+  * oracle that re-implements the identical hash pipeline in SQL (md5-hex is
+  * the shared deterministic hash).
+  */
+object DedupPack extends QueryPack {
+
+  /** Shared shingle CTE (distinct word 3-grams per doc) for oracle SQL. */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id AS doc, s AS sh FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(generate_series(1, len(w) - 2),
+      |                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |  WHERE s <> ''
+      |)""".stripMargin
+
+  private val k = 16
+  private val nBands = 4
+
+  private def sigsCte: String = {
+    val mins = (0 until k).map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(", ")
+    s"sigs AS (SELECT doc, $mins FROM sh GROUP BY doc)"
+  }
+
+  private def bandsCte: String = {
+    val rows = (0 until nBands).map { b =>
+      val ms = (0 until k / nBands).map(r => s"m${b * (k / nBands) + r}").mkString(" || '|' || ")
+      s"SELECT doc, $b AS band, md5($ms) AS bucket FROM sigs"
+    }
+    s"bands AS (${rows.mkString(" UNION ALL ")})"
+  }
+
+  private val jaccardCtes =
+    """counts AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+      |inter AS (
+      |  SELECT c.a, c.b, count(*) AS inter
+      |  FROM cands c
+      |  JOIN sh sa ON sa.doc = c.a
+      |  JOIN sh sb ON sb.doc = c.b AND sb.sh = sa.sh
+      |  GROUP BY c.a, c.b)""".stripMargin
+
+  override def entries: Seq[QueryDef] = Seq(
+
+    // exact dedup: content hash (normalized) — one shuffle on md5
+    QueryDef(
+      "d1_exact_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val g = Dedup.exactGroups(docs, "doc_id", "text")
+        g.agg(count(lit(1)).as("n_groups"),
+          sum(col("n_docs")).as("n_docs"),
+          count(when(col("n_docs") > 1, 1)).as("n_dup_groups"),
+          min(col("content_hash")).as("min_hash"))
+      },
+      Some(
+        """SELECT count(*) AS n_groups,
+          |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          |       count(*) FILTER (n_docs > 1) AS n_dup_groups,
+          |       min(content_hash) AS min_hash
+          |FROM (SELECT md5(lower(trim(text))) AS content_hash, count(*) AS n_docs
+          |      FROM documents GROUP BY 1)""".stripMargin)),
+
+    // MinHash + LSH banding + exact-Jaccard verify (threshold 0.5)
+    QueryDef(
+      "d2_minhash_lsh",
+      (s, dir) => Dedup.nearDuplicates(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, k = k, bands = nBands)
+        .orderBy(col("a"), col("b")),
+      Some(
+        s"""WITH $shinglesCte,
+           |$sigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT l.doc AS a, r.doc AS b
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc),
+           |$jaccardCtes
+           |SELECT i.a, i.b, round(i.inter / (ca.n + cb.n - i.inter), 4) AS jac
+           |FROM inter i
+           |JOIN counts ca ON ca.doc = i.a
+           |JOIN counts cb ON cb.doc = i.b
+           |WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5
+           |ORDER BY a, b""".stripMargin)),
+
+    // exhaustive n-gram Jaccard via inverted-index join (threshold 0.5)
+    QueryDef(
+      "d3_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy(col("a"), col("b")),
+      Some(
+        s"""WITH $shinglesCte,
+           |cands AS (
+           |  SELECT DISTINCT l.doc AS a, r.doc AS b
+           |  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc < r.doc),
+           |$jaccardCtes
+           |SELECT i.a, i.b, i.inter, ca.n AS na, cb.n AS nb,
+           |       round(i.inter / (ca.n + cb.n - i.inter), 4) AS jac
+           |FROM inter i
+           |JOIN counts ca ON ca.doc = i.a
+           |JOIN counts cb ON cb.doc = i.b
+           |WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5
+           |ORDER BY a, b""".stripMargin)),
+
+    // SimHash: 60-bit vote-vector fingerprint per doc (first 25 docs shown)
+    QueryDef(
+      "d4_simhash",
+      (s, dir) => Dedup.simhash(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .where(col("doc") < 25)
+        .orderBy(col("doc")),
+      Some {
+        val votes = (0 until 60).map(j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+        val bits = (0 until 60).map(j =>
+          s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH words AS (
+           |  SELECT DISTINCT doc_id AS doc, w FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE w <> ''),
+           |hashed AS (
+           |  SELECT doc, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),
+           |votes AS (SELECT doc, $votes FROM hashed GROUP BY doc)
+           |SELECT doc, CAST($bits AS BIGINT) AS simhash
+           |FROM votes WHERE doc < 25 ORDER BY doc""".stripMargin
+      }),
+
+    // embedding-cosine near-dup pairs (double-precision sequential fold on
+    // both sides -> bit-identical cosines)
+    QueryDef(
+      "d5_embed_cosine_dup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        a.join(b, col("a") < col("b"))
+          .withColumn("c", graft.ops.Similarity.cosine(col("ea"), col("eb")))
+          .where(col("c") >= 0.4)
+          .select(col("a"), col("b"), round(col("c"), 4).as("cos_sim"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |pairs AS (
+          |  SELECT a.vec_id AS a, b.vec_id AS b,
+          |         list_reduce(list_transform(generate_series(1, len(a.embedding)),
+          |                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+          |         / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+          |                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) *
+          |            sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+          |                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS c
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT a, b, round(c, 4) AS cos_sim
+          |FROM pairs WHERE c >= 0.4 ORDER BY a, b""".stripMargin))
+  )
+}

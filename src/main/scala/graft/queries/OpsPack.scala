@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Multimodal, Similarity, TextAnalysis}
+
+/** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
+object OpsPack extends QueryPack {
+
+  /** DuckDB sequential-fold dot product (mirrors Similarity.dot exactly:
+    * same index order, same double ops). */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+       |            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |            (x, y) -> x + y)""".stripMargin
+
+  private def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** DuckDB hyperplane bit: same md5-nibble weights as
+    * Similarity.planeWeights (w(p,d) = nibble(md5('p|d')) − 7.5). */
+  private def duckPlaneBit(p: Int, v: String): String =
+    s"""CASE WHEN list_reduce(list_transform(generate_series(1, len($v)),
+       |  i -> CAST($v[i] AS DOUBLE) *
+       |       (CAST('0x' || substr(md5($p || '|' || i), 1, 1) AS INTEGER) - 7.5)),
+       |  (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END""".stripMargin
+
+  private def duckSignature(v: String, planes: Int): String =
+    (0 until planes).map(p => duckPlaneBit(p, v)).mkString(" || ")
+
+  override def entries: Seq[QueryDef] = Seq(
+
+    // ---- similarity search ---------------------------------------------
+    QueryDef(
+      "s5_ann_bruteforce",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(
+        s"""WITH j AS (
+           |  SELECT q.vec_id AS q, v.vec_id AS v,
+           |         ${duckCosine("q.embedding", "v.embedding")} AS c
+           |  FROM embeddings q JOIN embeddings v ON q.vec_id < 5 AND q.vec_id <> v.vec_id),
+           |r AS (
+           |  SELECT q, v, c,
+           |         row_number() OVER (PARTITION BY q ORDER BY round(c, 6) DESC, v) AS rank
+           |  FROM j)
+           |SELECT q, rank, v, round(c, 4) AS cos_sim
+           |FROM r WHERE rank <= 10 ORDER BY q, rank""".stripMargin)),
+
+    QueryDef(
+      "s6_ann_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.lshTopK(e, e.where(col("vec_id") < 5), k = 5, planes = 4)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${duckSignature("embedding", 4)} AS bucket
+           |  FROM embeddings),
+           |j AS (
+           |  SELECT q.vec_id AS q, v.vec_id AS v,
+           |         ${duckCosine("q.embedding", "v.embedding")} AS c
+           |  FROM b q JOIN b v ON q.bucket = v.bucket
+           |   AND q.vec_id < 5 AND q.vec_id <> v.vec_id),
+           |r AS (
+           |  SELECT q, v, c,
+           |         row_number() OVER (PARTITION BY q ORDER BY round(c, 6) DESC, v) AS rank
+           |  FROM j)
+           |SELECT q, rank, v, round(c, 4) AS cos_sim
+           |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
+
+    // bucket histogram — shows the LSH partitioning is balanced enough to
+    // cut each probe to ~1/2^planes of the corpus
+    QueryDef(
+      "s7_lsh_buckets",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(Similarity.lshSignature(col("embedding"), 4, 64).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      Some(
+        s"""SELECT ${duckSignature("embedding", 4)} AS bucket, count(*) AS n
+           |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- text analysis --------------------------------------------------
+    QueryDef(
+      "t1_langid",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.languageGuess(col("text")).as("guess"))
+        .groupBy(col("guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("guess")),
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id,
+          |         CASE WHEN len(list_filter(string_split(text, ' '),
+          |                w -> w IN ('the','a','of','and','in','to'))) * 1.0
+          |              / len(string_split(text, ' ')) >= 0.04
+          |         THEN 'en' ELSE 'und' END AS guess
+          |  FROM documents)
+          |SELECT guess, count(*) AS n FROM g GROUP BY guess ORDER BY guess""".stripMargin)),
+
+    QueryDef(
+      "t2_quality",
+      (s, dir) => TextAnalysis.quality(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .where(col("doc") < 50)
+        .orderBy(col("doc")),
+      Some(
+        """SELECT doc_id AS doc,
+          |       CAST(length(text) AS INTEGER) AS n_chars,
+          |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+          |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+          |       round(length(replace(text, ' ', '')) * 1.0
+          |             / len(string_split(text, ' ')), 4) AS avg_token_len,
+          |       round(len(list_filter(string_split(text, ' '),
+          |               w -> w IN ('the','a','of','and','in','to'))) * 1.0
+          |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+          |       CAST((length(text) + 3) // 4 AS INTEGER) AS est_bpe_tokens
+          |FROM documents WHERE doc_id < 50 ORDER BY doc""".stripMargin)),
+
+    QueryDef(
+      "t3_token_stats",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            sum(TextAnalysis.estBpeTokens(col("text")).cast("long")).as("total_bpe"),
+            max(length(col("text"))).as("max_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+          |       CAST(SUM((length(text) + 3) // 4) AS BIGINT) AS total_bpe,
+          |       CAST(MAX(length(text)) AS INTEGER) AS max_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "t4_fingerprint",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val fp = docs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+          .where(col("n_docs") >= 1)
+          .agg(count(lit(1)).as("n_fingerprints"),
+            sum(col("n_docs")).as("n_docs"),
+            count(when(col("n_docs") > 1, 1)).as("n_collisions"),
+            min(col("fp")).as("min_fp"))
+      },
+      Some(
+        """SELECT count(*) AS n_fingerprints,
+          |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          |       count(*) FILTER (n_docs > 1) AS n_collisions,
+          |       min(fp) AS min_fp
+          |FROM (SELECT md5(array_to_string(list_sort(list_distinct(
+          |               string_split(text, ' '))), ' ')) AS fp,
+          |             count(*) AS n_docs
+          |      FROM documents GROUP BY 1)""".stripMargin)),
+
+    // ---- multimodal plumbing (stubbed decode, real Spark shape) ---------
+    QueryDef(
+      "m1_media_features",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "text/plain")
+        Multimodal.extractFeatures(s, media)
+          .where(col("id") < 40)
+          .select(col("id"), col("n_bytes"), col("digest"),
+            upper(col("head_hex")).as("head_hex"),
+            round(col("brightness"), 4).as("brightness"),
+            col("content_type"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """SELECT doc_id AS id,
+          |       CAST(length(text) AS BIGINT) AS n_bytes,
+          |       md5(text) AS digest,
+          |       hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex,
+          |       round(list_reduce(list_transform(generate_series(1, length(text)),
+          |               i -> ascii(substr(text, i, 1)) * 1.0), (x, y) -> x + y)
+          |             / length(text), 4) AS brightness,
+          |       'text/plain' AS content_type
+          |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin))
+  )
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops._
+
+/** Dedup / similarity / text / multimodal operator behavior. */
+class OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def emb = Tables.load(spark, sf, "embeddings")
+
+  test("minhash-LSH candidates recall every true high-Jaccard pair") {
+    // exact pairs >= 0.7 must all be produced by the LSH path (16 perms,
+    // 4 bands of 4: P(candidate | j=0.7) = 1-(1-0.7^4)^4 ≈ 0.87 per band
+    // set; at 0.7+ on this data recall should be total)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact == lsh)
+  }
+
+  test("jaccard is exact: inter <= min(na, nb), 0 < jac <= 1") {
+    val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, na, nb, jac) = (r.getAs[Long]("inter"), r.getAs[Long]("na"),
+        r.getAs[Long]("nb"), r.getAs[Double]("jac"))
+      assert(inter <= math.min(na, nb))
+      assert(jac > 0 && jac <= 1)
+    }
+  }
+
+  test("simhash of identical texts collide; near-dups have low hamming") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val sim = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim(1L) == sim(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sim(1L), sim(3L)) < ham(sim(1L), sim(4L)))
+    val pairs = Dedup.simhashNearDups(
+      Dedup.simhash(d, "doc_id", "text"), maxDist = 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("brute-force top-k: ranks are 1..k, self excluded, cosine in [-1,1]") {
+    val top = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), 5)
+      .collect()
+    assert(top.length == 15)
+    top.foreach { r =>
+      assert(r.getAs[Long]("q") != r.getAs[Long]("v"))
+      assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0001)
+    }
+    val ranks = top.groupBy(_.getAs[Long]("q")).values
+    ranks.foreach(rs => assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5)))
+  }
+
+  test("LSH top-k is a subset-ranking consistent with brute force") {
+    val bf = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 100)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Double]("cos_sim")).toMap
+    val lsh = Similarity.lshTopK(emb, emb.where(col("vec_id") === 0), 5)
+      .collect()
+    // every LSH result's cosine must equal the brute-force cosine for that id
+    lsh.foreach { r =>
+      val v = r.getAs[Long]("v")
+      bf.get(v).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+    }
+  }
+
+  test("LSH buckets partition the corpus (sum of buckets = corpus size)") {
+    val total = emb.count()
+    val bucketed = emb.select(
+      Similarity.lshSignature(col("embedding"), 4, 64).as("b"))
+      .groupBy("b").count().collect()
+    assert(bucketed.map(_.getAs[Long]("count")).sum == total)
+    assert(bucketed.length > 4) // actually spreads across buckets
+  }
+
+  test("text quality metrics are self-consistent") {
+    val q = TextAnalysis.quality(docs, "doc_id", "text").collect()
+    q.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_tokens"))
+      assert(r.getAs[Double]("stopword_ratio") >= 0 &&
+        r.getAs[Double]("stopword_ratio") <= 1)
+      assert(r.getAs[Int]("est_bpe_tokens") >= r.getAs[Int]("n_chars") / 4)
+    }
+  }
+
+  test("fingerprint is word-order-invariant") {
+    import spark.implicits._
+    val d = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = d.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal feature extraction round-trips deterministic features") {
+    val media = Multimodal.asMedia(docs.limit(20), "doc_id", "text", "text/plain")
+    val f = Multimodal.extractFeatures(spark, media).collect()
+    assert(f.length == 20)
+    f.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(r.getAs[String]("digest").length == 32)
+      assert(r.getAs[Double]("brightness") > 0)
+    }
+    // digest matches Spark's own md5 of the same bytes
+    val expect = docs.limit(20).select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    f.foreach(r => assert(expect(r.getAs[Long]("id")) == r.getAs[String]("digest")))
+  }
+}
