@@ -18,7 +18,8 @@ object SparkEntry {
     KfsPack,
     KafsqlPack,
     DedupPack,
-    OpsPack
+    OpsPack,
+    EtlPack
   )
 
   private lazy val defs: Seq[QueryDef] = packs.flatMap(_.entries)

@@ -1,0 +1,101 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LFS claim-check resolution (reference `pkg/lfs/consumer.go:59-91`,
+  * envelope `pkg/lfs/envelope.go:25-66`): values carrying a
+  * `{"kfs_lfs":1,...}` envelope are replaced by the blob they point at,
+  * after SHA-256 verification; non-envelope values pass through.
+  *
+  * Runs as `mapPartitions`: one blob-store client + one digest instance per
+  * partition (connection-heavy work never goes in a per-row UDF). At 100 TB
+  * the fetches are the bottleneck — they parallelize with the partition
+  * count and hit the object store directly from executors, no driver hop.
+  */
+object LfsResolver {
+
+  final case class Envelope(bucket: String, key: String, size: Long,
+      sha256: String, contentType: String)
+
+  final class LfsChecksumException(msg: String) extends RuntimeException(msg)
+
+  /** Pluggable blob store; the test/local impl reads `root/bucket/key`. */
+  trait BlobStore extends Serializable {
+    def fetch(bucket: String, key: String): Array[Byte]
+  }
+  final case class LocalFsBlobStore(root: String) extends BlobStore {
+    override def fetch(bucket: String, key: String): Array[Byte] =
+      Files.readAllBytes(Paths.get(root, bucket, key))
+  }
+
+  /** Detect + parse an envelope; None for ordinary payloads. */
+  def parse(value: Array[Byte]): Option[Envelope] = {
+    if (value == null || value.isEmpty || value(0) != '{') return None
+    val s = new String(value, "UTF-8")
+    if (!s.contains("\"kfs_lfs\"")) return None
+    try {
+      val node = new ObjectMapper().readTree(s)
+      if (node.path("kfs_lfs").asInt() != 1) None
+      else Some(Envelope(
+        node.path("bucket").asText(), node.path("key").asText(),
+        node.path("size").asLong(), node.path("sha256").asText(),
+        node.path("content_type").asText()))
+    } catch { case _: Exception => None }
+  }
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Resolve envelopes in `_value`; adds `_lfs_resolved` (bool) and the six
+    * LFS metadata columns the sink appends when LFS is on
+    * (iceberg.go:682-691). Checksum mismatch fails the task (strict mode —
+    * matches the reference consumer's error path). */
+  def resolve(spark: SparkSession, df: DataFrame, store: BlobStore): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+    val valueIdx = schema.fieldIndex("_value")
+    val encoder = org.apache.spark.sql.Encoders.row(
+      StructType(schema.fields ++ Seq(
+        StructField("_lfs_resolved", BooleanType),
+        StructField("lfs_blob_size", LongType),
+        StructField("lfs_checksum", StringType),
+        StructField("lfs_bucket", StringType),
+        StructField("lfs_key", StringType),
+        StructField("lfs_content_type", StringType))))
+    df.mapPartitions { it =>
+      it.map { row =>
+        val raw = row.get(valueIdx) match {
+          case b: Array[Byte] => b
+          case s: String => if (s == null) null else s.getBytes("UTF-8")
+          case null => null
+        }
+        parse(raw) match {
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq ++
+              Seq(false, null, null, null, null, null))
+          case Some(env) =>
+            val blob = store.fetch(env.bucket, env.key)
+            val digest = sha256Hex(blob)
+            if (digest != env.sha256)
+              throw new LfsChecksumException(
+                s"sha256 mismatch for ${env.bucket}/${env.key}: got $digest")
+            val seq = row.toSeq.updated(valueIdx,
+              row.get(valueIdx) match {
+                case _: String => new String(blob, "UTF-8")
+                case _ => blob
+              })
+            org.apache.spark.sql.Row.fromSeq(seq ++
+              Seq(true, blob.length.toLong, digest, env.bucket, env.key,
+                env.contentType))
+        }
+      }
+    }(encoder)
+  }
+}

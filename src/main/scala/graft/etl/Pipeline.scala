@@ -1,0 +1,124 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.kafsql.{SchemaCol, TopicRegistry}
+import graft.kfs.{KfsCodec, KfsSource}
+
+/** Continuous ETL pipeline — the iceberg-processor equivalent (SURVEY §3.3)
+  * on Structured Streaming:
+  *
+  *   segments → decode → validate (off/lenient/strict) → schema-on-read
+  *   extraction → table sink, with exactly-once-ish progress from the file
+  *   source checkpoint (replaces the reference's etcd offsets+leases,
+  *   `processor.go:109-250`) plus offset-dedup in the sink for idempotent
+  *   replay (`processor.go:252-264`).
+  *
+  * Source is the KFS segment log via a `binaryFile` stream (only completed
+  * `.kfs` files are listed — the END! gate ran at write time; the stream
+  * only ever sees whole files, matching St2). `Trigger.AvailableNow`
+  * reproduces the poll-drain cadence; swap for `ProcessingTime(5s)` for the
+  * reference's default loop. Work distribution: Spark task scheduling
+  * replaces per-partition etcd leases (St4).
+  */
+object Pipeline {
+
+  /** Validation modes (processor.go:283-301 + schema/schema.go:34-120):
+    * off = passthrough; lenient = drop invalid records; strict = abort the
+    * batch on any invalid record. A record is valid when every required
+    * schema column extracts non-NULL with its declared type. */
+  sealed trait Validation
+  case object Off extends Validation
+  case object Lenient extends Validation
+  case object Strict extends Validation
+
+  final class ValidationException(n: Long)
+    extends RuntimeException(s"strict validation failed: $n invalid records")
+
+  def validityColumn(schemaCols: Seq[SchemaCol]): Column =
+    if (schemaCols.isEmpty) lit(true)
+    else schemaCols.map(sc => TopicRegistry.extract(col("_value"), sc).isNotNull)
+      .reduce(_ && _)
+
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType), StructField("modificationTime", TimestampType),
+    StructField("length", LongType), StructField("content", BinaryType)))
+
+  /** Run the pipeline over a KFS root until all currently-available
+    * segments are drained; returns the streaming query's final state.
+    * Re-running with the same checkpoint reprocesses nothing. */
+  def run(
+      spark: SparkSession,
+      kfsRoot: String,
+      tablePath: String,
+      checkpointDir: String,
+      schemaCols: Seq[SchemaCol] = Nil,
+      validation: Validation = Off): Unit = {
+
+    import spark.implicits._
+    val stream = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.kfs")
+      .load(s"$kfsRoot/*/*")
+
+    val decoded = stream
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val (topic, partition) = KfsSource.topicPartitionOf(path)
+        KfsCodec.decodeSegment(content).map { r =>
+          (topic, partition, r.offset, r.timestampMs,
+            r.key, r.value,
+            r.headers.map(h => h.k ->
+              (if (h.v == null) null else new String(h.v, "UTF-8"))).toMap)
+        }
+      }
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
+
+    val query = decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sinkBatch(batch.sparkSession, batch, tablePath, schemaCols, validation)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** One micro-batch: validate → extract → offset-dedup → append. */
+  def sinkBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
+      schemaCols: Seq[SchemaCol], validation: Validation): Unit = {
+    val withValid = batch.withColumn("_valid", validityColumn(schemaCols))
+    val valid = validation match {
+      case Off => withValid
+      case Lenient => withValid.filter(col("_valid"))
+      case Strict =>
+        val bad = withValid.filter(!col("_valid")).count()
+        if (bad > 0) throw new ValidationException(bad)
+        withValid
+    }
+    val rows = TableSink.withBaseFields(valid.drop("_valid"))
+    // extracted columns appended after the base fields (iceberg.go:889-900)
+    val withExtras = schemaCols.foldLeft(rows) { (df, sc) =>
+      df.withColumn(sc.name, TopicRegistry.extract(col("value"), sc))
+    }
+
+    // idempotent replay: drop records at or below the committed offset
+    // (processor.go:252-264) — committed = max offset already in the table
+    val existing = TableSink.read(spark, tablePath)
+    val deduped =
+      if (existing.isEmpty) withExtras
+      else {
+        val committed = existing.groupBy(col("topic"), col("partition"))
+          .agg(max(col("offset")).as("_committed"))
+        withExtras.join(committed, Seq("topic", "partition"), "left_outer")
+          .filter(col("_committed").isNull || col("offset") > col("_committed"))
+          .drop("_committed")
+      }
+    if (!deduped.isEmpty) TableSink.append(spark, tablePath, deduped)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg-style table sink with schema evolution — the reference's
+  * destination model (`iceberg-processor/internal/sink/iceberg.go:146-203`
+  * write, `:490-553` ensureSchema, `:855-883` widening rules): new columns
+  * are allowed, type changes only if widening (`int32→int64`,
+  * `float32→float64`); anything else errors.
+  *
+  * The container ships no Iceberg runtime, so this is the documented Parquet
+  * fallback: a directory of parquet files plus a JSON schema sidecar that
+  * plays the role of Iceberg's table metadata. On a widening change the
+  * fallback rewrites existing files to the widened type (Iceberg would do a
+  * metadata-only promotion — swap `append` for `df.writeTo(t).append()` when
+  * the runtime is present; the validation logic is sink-agnostic).
+  */
+object TableSink {
+
+  final class SchemaEvolutionException(msg: String) extends RuntimeException(msg)
+
+  /** Base fields every sunk record carries (iceberg.go:889-900). */
+  val BaseFields: Seq[(String, DataType)] = Seq(
+    "record_id" -> StringType, "topic" -> StringType,
+    "partition" -> IntegerType, "offset" -> LongType,
+    "timestamp_ms" -> LongType, "key" -> BinaryType,
+    "value" -> BinaryType, "headers" -> StringType)
+
+  def withBaseFields(df: DataFrame): DataFrame =
+    df.select(
+      // deterministic record id (reference uses uuid; uuid breaks replay
+      // idempotence tests, so: content-address on coordinates)
+      md5(concat_ws("|", col("_topic"), col("_partition"), col("_offset"))).as("record_id"),
+      col("_topic").as("topic"), col("_partition").as("partition"),
+      col("_offset").as("offset"), col("_ts_ms").as("timestamp_ms"),
+      col("_key").cast("binary").as("key"), col("_value").cast("binary").as("value"),
+      to_json(col("_headers")).as("headers"))
+
+  /** Widening-only merge of an incoming schema into the table schema.
+    * Returns the evolved schema; throws on incompatible change. */
+  def evolve(table: StructType, incoming: StructType): StructType = {
+    val existing = table.fields.map(f => f.name -> f).toMap
+    val evolved = table.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(in) if in.dataType == f.dataType => f
+        case Some(in) => StructField(f.name, widen(f.name, f.dataType, in.dataType), nullable = true)
+        case None => f
+      }
+    }
+    val added = incoming.fields.filterNot(f => existing.contains(f.name))
+      .map(f => f.copy(nullable = true)) // new columns append as optional
+    StructType(evolved ++ added)
+  }
+
+  private def widen(name: String, from: DataType, to: DataType): DataType =
+    (from, to) match {
+      case (IntegerType, LongType) => LongType
+      case (FloatType, DoubleType) => DoubleType
+      case (LongType, IntegerType) => LongType   // narrower writes upcast
+      case (DoubleType, FloatType) => DoubleType
+      case _ => throw new SchemaEvolutionException(
+        s"incompatible type change for column $name: $from -> $to") // iceberg.go:875-882
+    }
+
+  private def schemaPath(table: String) = Paths.get(table, "_schema.json")
+
+  def tableSchema(table: String): Option[StructType] = {
+    val p = schemaPath(table)
+    if (!Files.exists(p)) None
+    else Some(DataType.fromJson(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  /** Append a batch, evolving the table schema when needed. */
+  def append(spark: SparkSession, table: String, df: DataFrame): Unit = this.synchronized {
+    val current = tableSchema(table)
+    val target = current match {
+      case None => df.schema
+      case Some(t) => evolve(t, df.schema)
+    }
+    // type promotion changed stored columns -> rewrite (Iceberg: metadata-only)
+    val promoted = current.exists(t =>
+      t.fields.exists(f => target.find(_.name == f.name).exists(_.dataType != f.dataType)))
+    if (promoted) {
+      val old = spark.read.schema(current.get).parquet(s"$table/data")
+      val recast = conform(old, target)
+      val tmp = s"$table/data_rewrite"
+      recast.write.mode("overwrite").parquet(tmp)
+      val dataDir = Paths.get(s"$table/data")
+      deleteRecursive(dataDir)
+      Files.move(Paths.get(tmp), dataDir)
+    }
+    Files.createDirectories(Paths.get(table))
+    conform(df, target).write.mode("append").parquet(s"$table/data")
+    Files.write(schemaPath(table), target.json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Project/cast a frame onto the target schema (missing cols → NULL). */
+  private def conform(df: DataFrame, target: StructType): DataFrame = {
+    val cols = target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    tableSchema(table) match {
+      case Some(s) => spark.read.schema(s).parquet(s"$table/data")
+      case None => spark.emptyDataFrame
+    }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+}

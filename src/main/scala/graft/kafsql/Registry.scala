@@ -44,19 +44,21 @@ final class TopicRegistry(defs: Seq[TopicDef]) {
 }
 
 object TopicRegistry {
-  /** Typed JSON-path extraction over the value column. */
+  /** Typed JSON-path extraction over the value column. try_cast, not cast:
+    * coercion failure must yield SQL NULL (server.go:2784-2787), and Spark 4
+    * runs ANSI mode where plain cast throws on malformed input. */
   def extract(value: Column, sc: SchemaCol): Column = {
     val js = get_json_object(value.cast("string"), sc.path)
     sc.typ match {
       case "string" => js
-      case "int" => js.cast("int")
-      case "long" => js.cast("long")
-      case "double" => js.cast("double")
-      case "boolean" => js.cast("boolean")
+      case "int" => js.try_cast("int")
+      case "long" => js.try_cast("long")
+      case "double" => js.try_cast("double")
+      case "boolean" => js.try_cast("boolean")
       case "timestamp" =>
         // epoch-ms integers or formatted strings (server.go:2111-2130)
-        when(js.rlike("^-?\\d+$"), timestamp_millis(js.cast("long")).cast("timestamp_ntz"))
-          .otherwise(to_timestamp(js).cast("timestamp_ntz"))
+        when(js.rlike("^-?\\d+$"), timestamp_millis(js.try_cast("long")).cast("timestamp_ntz"))
+          .otherwise(js.try_cast("timestamp").cast("timestamp_ntz"))
     }
   }
 

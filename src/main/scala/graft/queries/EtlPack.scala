@@ -1,0 +1,164 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.etl._
+import graft.kafsql.SchemaCol
+import graft.kfs.KfsSeed
+
+/** ETL-side operators, oracle-checked end to end: the streaming pipeline
+  * (S9/St1-St5), LFS claim-check resolve (S10), IDoc explode (S12), and the
+  * evolving table sink (S8). Each query builds its fixture deterministically
+  * from driver testdata, runs the real machinery, and exposes a result the
+  * DuckDB oracle recomputes from the raw tables.
+  */
+object EtlPack extends QueryPack {
+
+  private def tmp(sfDir: String, name: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    s"/tmp/graft_etl/$sfName/$name"
+  }
+
+  override def entries: Seq[QueryDef] = Seq(
+
+    // S9/St2/St3: KFS → streaming decode → validated extraction → table
+    // sink with checkpointed exactly-once-ish progress
+    QueryDef(
+      "e1_stream_etl",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "etl_table")
+        val ckpt = tmp(dir, "etl_ckpt")
+        Pipeline.run(s, root, table, ckpt,
+          schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+          validation = Pipeline.Lenient)
+        TableSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"),
+            max(col("offset")).as("max_off"),
+            sum(col("k").cast("long")).as("sum_k"),
+            max(col("timestamp_ms")).as("max_ts"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       max(_offset) AS max_off,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+          |       max(_ts_ms) AS max_ts
+          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // S10: LFS claim-check resolution with SHA-256 verification
+    QueryDef(
+      "e2_lfs_resolve",
+      (s, dir) => {
+        val blobRoot = tmp(dir, "lfs_blobs")
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).collect()
+        // seed: every 5th doc becomes a claim-check envelope + blob file
+        val bucket = "graft-lfs"
+        Files.createDirectories(Paths.get(blobRoot, bucket, "docs"))
+        val rows = docs.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          if (id % 5 == 0) {
+            val bytes = text.getBytes("UTF-8")
+            Files.write(Paths.get(blobRoot, bucket, "docs", s"doc-$id"), bytes)
+            (id, s"""{"kfs_lfs":1,"bucket":"$bucket","key":"docs/doc-$id",""" +
+              s""""size":${bytes.length},"sha256":"${LfsResolver.sha256Hex(bytes)}",""" +
+              s""""content_type":"text/plain"}""")
+          } else (id, text)
+        }
+        import s.implicits._
+        val df = rows.toSeq.toDF("id", "_value")
+        LfsResolver.resolve(s, df, LfsResolver.LocalFsBlobStore(blobRoot))
+          .select(col("id"), col("_lfs_resolved"),
+            length(col("_value")).as("n_chars"), col("lfs_checksum"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """SELECT doc_id AS id,
+          |       doc_id % 5 = 0 AS _lfs_resolved,
+          |       CAST(length(text) AS INTEGER) AS n_chars,
+          |       CASE WHEN doc_id % 5 = 0 THEN sha256(text) ELSE NULL END AS lfs_checksum
+          |FROM documents ORDER BY id""".stripMargin)),
+
+    // S12: IDoc XML explode — header + routed segment groups, UDTF shape
+    QueryDef(
+      "e3_idoc_explode",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders").filter(col("o_orderkey") < 100)
+        val li = Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        val items = li.groupBy(col("l_orderkey")).agg(
+          concat_ws("", sort_array(collect_list(
+            concat(lit("<ITEM><LINE>"), col("l_linenumber").cast("string"),
+              lit("</LINE><QTY>"), col("l_quantity").cast("int").cast("string"),
+              lit("</QTY></ITEM>"))))).as("items_xml"))
+        val xml = orders.join(items, col("o_orderkey") === col("l_orderkey"), "left_outer")
+          .select(concat(
+            lit("<IDOC><DOCNUM>"), col("o_orderkey").cast("string"), lit("</DOCNUM>"),
+            lit("<STATUS>"), col("o_orderstatus"), lit("</STATUS>"),
+            lit("<PARTNER><CUST>"), col("o_custkey").cast("string"), lit("</CUST></PARTNER>"),
+            lit("<DATE><ORDERED>"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            lit("</ORDERED></DATE>"),
+            coalesce(col("items_xml"), lit("")),
+            lit("</IDOC>")).as("xml"))
+        IdocExplode.explode(s, xml, "xml")
+          .groupBy(col("entity"))
+          .agg(count(lit(1)).as("n_records"),
+            countDistinct(col("docnum")).as("n_docs"))
+          .orderBy(col("entity"))
+      },
+      Some(
+        """WITH o AS (SELECT * FROM orders WHERE o_orderkey < 100),
+          |     l AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+          |SELECT * FROM (
+          |  SELECT 'dates' AS entity, count(*) AS n_records,
+          |         count(DISTINCT o_orderkey) AS n_docs FROM o
+          |  UNION ALL
+          |  SELECT 'header', count(*), count(DISTINCT o_orderkey) FROM o
+          |  UNION ALL
+          |  SELECT 'items', count(*), count(DISTINCT l_orderkey) FROM l
+          |  UNION ALL
+          |  SELECT 'partners', count(*), count(DISTINCT o_orderkey) FROM o
+          |  UNION ALL
+          |  SELECT 'statuses', count(*), count(DISTINCT o_orderkey) FROM o)
+          |ORDER BY entity""".stripMargin)),
+
+    // S8: evolving table sink — second batch widens int->long and adds a
+    // column; widening rewrite + union read-back must reconcile
+    QueryDef(
+      "e4_sink_evolution",
+      (s, dir) => {
+        val table = tmp(dir, "evo_table")
+        val dataDir = Paths.get(table)
+        if (Files.exists(dataDir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        val ev = Tables.eventsTopic(s, dir)
+        val b1 = ev.filter(col("_partition") === 0)
+          .select(col("_offset").as("offset"), lit(0).as("partition"),
+            get_json_object(col("_value"), "$.k").cast("int").as("x"))
+        val b2 = ev.filter(col("_partition") === 1)
+          .select(col("_offset").as("offset"), lit(1).as("partition"),
+            get_json_object(col("_value"), "$.k").cast("long").as("x"),
+            col("value").as("y"))
+        TableSink.append(s, table, b1)
+        TableSink.append(s, table, b2)
+        TableSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"),
+            count(col("y")).as("n_y"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_x,
+          |       count(CASE WHEN _partition = 1 THEN 1 END) AS n_y
+          |FROM events_topic WHERE _partition IN (0, 1)
+          |GROUP BY _partition ORDER BY partition""".stripMargin)))
+  )
+}

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+import graft.kafsql.SchemaCol
+import graft.kfs.{KfsCodec, KfsLayout}
+
+class EtlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---- schema evolution (iceberg.go:855-883 parity) ----------------------
+
+  test("evolve: widening int->long and float->double allowed, new cols appended") {
+    import org.apache.spark.sql.types._
+    val t = StructType(Seq(StructField("a", IntegerType), StructField("b", FloatType)))
+    val in = StructType(Seq(StructField("a", LongType), StructField("b", DoubleType),
+      StructField("c", StringType)))
+    val out = TableSink.evolve(t, in)
+    assert(out.fields.map(f => f.name -> f.dataType).toSeq ==
+      Seq("a" -> LongType, "b" -> DoubleType, "c" -> StringType))
+  }
+
+  test("evolve: incompatible change rejected") {
+    import org.apache.spark.sql.types._
+    val t = StructType(Seq(StructField("a", StringType)))
+    val in = StructType(Seq(StructField("a", IntegerType)))
+    intercept[TableSink.SchemaEvolutionException](TableSink.evolve(t, in))
+  }
+
+  test("sink append + widening rewrite reconciles old files") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("sink").toString + "/t"
+    TableSink.append(spark, table, Seq((1, 10)).toDF("id", "x"))
+    TableSink.append(spark, table, Seq((2L, 20L)).toDF("id", "x"))
+    val rows = TableSink.read(spark, table).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 20L))
+  }
+
+  // ---- validation modes (processor.go:283-301) ---------------------------
+
+  test("lenient drops invalid records, strict aborts") {
+    import spark.implicits._
+    val batch = Seq(
+      ("t", 0, 0L, 1L, "k", """{"n":1}""", Map.empty[String, String]),
+      ("t", 0, 1L, 2L, "k", """{"n":"not-an-int"}""", Map.empty[String, String]))
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
+    val cols = Seq(SchemaCol("n", "int", "$.n"))
+
+    val lenientTable = Files.createTempDirectory("etl_l").toString + "/t"
+    Pipeline.sinkBatch(spark, batch, lenientTable, cols, Pipeline.Lenient)
+    assert(TableSink.read(spark, lenientTable).count() == 1)
+
+    val strictTable = Files.createTempDirectory("etl_s").toString + "/t"
+    intercept[Pipeline.ValidationException] {
+      Pipeline.sinkBatch(spark, batch, strictTable, cols, Pipeline.Strict)
+    }
+  }
+
+  // ---- streaming pipeline: checkpointed + idempotent ---------------------
+
+  test("pipeline drains KFS once; rerun with same checkpoint adds nothing") {
+    val root = Files.createTempDirectory("etl_kfs").toString
+    val records = (0 until 100).map(i => KfsCodec.Record(i.toLong,
+      1706000000000L + i, s"k$i".getBytes, s"""{"n":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, records)
+    val table = Files.createTempDirectory("etl_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("etl_ck").toString
+
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")))
+    assert(TableSink.read(spark, table).count() == 100)
+
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")))
+    assert(TableSink.read(spark, table).count() == 100) // no duplicates
+
+    // new segment appears -> only its records flow (incremental progress)
+    val more = (100 until 150).map(i => KfsCodec.Record(i.toLong,
+      1706000100000L + i, s"k$i".getBytes, s"""{"n":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, more)
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")))
+    val out = TableSink.read(spark, table)
+    assert(out.count() == 150)
+    assert(out.agg(sum(col("n"))).collect().head.getLong(0) == (0 until 150).sum)
+  }
+
+  // ---- LFS (consumer.go:59-91) -------------------------------------------
+
+  test("lfs envelope parse detects claim checks only") {
+    val env = """{"kfs_lfs":1,"bucket":"b","key":"k/1","size":3,"sha256":"x","content_type":"t"}"""
+    assert(LfsResolver.parse(env.getBytes).exists(_.bucket == "b"))
+    assert(LfsResolver.parse("""{"kfs_lfs":2}""".getBytes).isEmpty)
+    assert(LfsResolver.parse("plain text".getBytes).isEmpty)
+    assert(LfsResolver.parse("""{"other":1}""".getBytes).isEmpty)
+  }
+
+  test("lfs checksum mismatch fails the resolve") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lfs").toString
+    Files.createDirectories(java.nio.file.Paths.get(root, "b"))
+    Files.write(java.nio.file.Paths.get(root, "b", "blob1"), "hello".getBytes)
+    val badEnv = """{"kfs_lfs":1,"bucket":"b","key":"blob1","size":5,""" +
+      """"sha256":"deadbeef","content_type":"t"}"""
+    val df = Seq((1L, badEnv)).toDF("id", "_value")
+    val ex = intercept[org.apache.spark.SparkException] {
+      LfsResolver.resolve(spark, df, LfsResolver.LocalFsBlobStore(root)).collect()
+    }
+    assert(ex.getCause.getMessage.contains("sha256 mismatch") ||
+      ex.getMessage.contains("sha256 mismatch"))
+  }
+
+  // ---- IDoc (explode.go:27-200) ------------------------------------------
+
+  test("idoc explode routes segments and keeps header scalars") {
+    val xml =
+      """<IDOC><DOCNUM>42</DOCNUM><STATUS>F</STATUS>
+        |<PARTNER><CUST>7</CUST></PARTNER>
+        |<ITEM><LINE>1</LINE><QTY>5</QTY></ITEM>
+        |<ITEM><LINE>2</LINE><QTY>3</QTY></ITEM>
+        |<DATE><ORDERED>2024-01-01</ORDERED></DATE>
+        |<UNROUTED><X>1</X></UNROUTED></IDOC>""".stripMargin
+    val out = IdocExplode.explodeXml(xml)
+    assert(out.count(_.entity == "header") == 1)
+    assert(out.count(_.entity == "items") == 2)
+    assert(out.count(_.entity == "partners") == 1)
+    assert(out.count(_.entity == "dates") == 1)
+    assert(!out.exists(_.entity == "UNROUTED"))
+    assert(out.forall(_.docnum == "42"))
+    val header = out.find(_.entity == "header").get
+    assert(header.payload.contains("\"DOCNUM\":\"42\"") &&
+      header.payload.contains("\"STATUS\":\"F\""))
+    val item = out.filter(_.entity == "items").head
+    assert(item.payload.contains("\"LINE\":\"1\"") &&
+      item.payload.contains("\"DOCNUM\":\"42\""))
+  }
+}
