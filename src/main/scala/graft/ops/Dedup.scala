@@ -48,21 +48,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
   }
 
-  /** k-permutation MinHash signature: m_i = min(md5(i || ':' || shingle)).
-    * One aggregate over the shingle explode — no extra shuffle beyond the
-    * groupBy(doc). */
-  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame =
-    sh.groupBy(col("doc"))
-      .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("m0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i")): _*)
+  /** MinHash permutation family: one 28-bit base hash per shingle
+    * (md5-derived, so the DuckDB oracle reproduces it via hex cast), then k
+    * cheap linear permutations m_i = min((a_i·h + b_i) mod p). One md5 per
+    * shingle instead of k — at 100 TB the hash is the dominant CPU cost of
+    * the signature stage. All values fit well inside int64 (32·2^28 < 2^34),
+    * so the arithmetic is overflow-free and engine-portable. */
+  val MinhashPrime = 268435399L // largest prime < 2^28
+  def minhashA(i: Int): Long = 2L * i + 1
+  def minhashB(i: Int): Long = 12582917L * i + 1
+
+  def shingleHash28(sh: Column): Column =
+    conv(substring(md5(sh), 1, 7), 16, 10).cast("long")
+
+  /** k-permutation MinHash signature — one aggregate over the shingle
+    * explode, no extra shuffle beyond the groupBy(doc). */
+  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
+    val withH = sh.withColumn("h", shingleHash28(col("sh")))
+    def perm(i: Int) =
+      min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % MinhashPrime).as(s"m$i")
+    withH.groupBy(col("doc")).agg(perm(0), (1 until k).map(perm): _*)
+  }
 
   /** LSH banding: band hash = md5 of its row minhashes; docs sharing any
     * (band, hash) bucket become candidates. */
   def lshBands(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand)
+        .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
     }
     sigs.select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
@@ -101,6 +114,8 @@ object Dedup {
   }
 
   /** Inverted-index exact n-gram Jaccard over all pairs sharing a shingle.
+    * Single pass: the posting-list self-join *is* the intersection count
+    * (groupBy pair), so no candidate materialization or second shingle join.
     * `maxShinglePostings` drops shingles whose posting list exceeds the cap
     * (document-frequency pruning — a shingle present in thousands of docs
     * carries no dedup signal but quadratic join cost). */
@@ -115,11 +130,16 @@ object Dedup {
         sh0.join(df, "sh")
       case None => sh0
     }
-    val pairs = sh.select(col("doc").as("a"), col("sh"))
+    val counts = sh0.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc").as("a"), col("sh"))
       .join(sh.select(col("doc").as("b"), col("sh")), Seq("sh"))
       .where(col("a") < col("b"))
-      .select("a", "b").distinct()
-    jaccard(sh0, pairs).where(col("jac") >= threshold)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc").as("a"), col("n").as("na")), "a")
+      .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
         round(col("jac"), 4).as("jac"))
   }

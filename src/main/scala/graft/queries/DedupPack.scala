@@ -26,13 +26,18 @@ object DedupPack extends QueryPack {
   private val nBands = 4
 
   private def sigsCte: String = {
-    val mins = (0 until k).map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(", ")
-    s"sigs AS (SELECT doc, $mins FROM sh GROUP BY doc)"
+    import graft.ops.Dedup.{minhashA, minhashB, MinhashPrime}
+    val mins = (0 until k).map(i =>
+      s"min((${minhashA(i)} * h + ${minhashB(i)}) % $MinhashPrime) AS m$i").mkString(", ")
+    s"""sigs AS (SELECT doc, $mins FROM (
+       |  SELECT doc, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h FROM sh)
+       |GROUP BY doc)""".stripMargin
   }
 
   private def bandsCte: String = {
     val rows = (0 until nBands).map { b =>
-      val ms = (0 until k / nBands).map(r => s"m${b * (k / nBands) + r}").mkString(" || '|' || ")
+      val ms = (0 until k / nBands).map(r =>
+        s"CAST(m${b * (k / nBands) + r} AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc, $b AS band, md5($ms) AS bucket FROM sigs"
     }
     s"bands AS (${rows.mkString(" UNION ALL ")})"
@@ -100,10 +105,11 @@ object DedupPack extends QueryPack {
         .orderBy(col("a"), col("b")),
       Some(
         s"""WITH $shinglesCte,
-           |cands AS (
-           |  SELECT DISTINCT l.doc AS a, r.doc AS b
-           |  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc < r.doc),
-           |$jaccardCtes
+           |counts AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+           |inter AS (
+           |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+           |  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc < r.doc
+           |  GROUP BY 1, 2)
            |SELECT i.a, i.b, i.inter, ca.n AS na, cb.n AS nb,
            |       round(i.inter / (ca.n + cb.n - i.inter), 4) AS jac
            |FROM inter i
@@ -141,10 +147,13 @@ object DedupPack extends QueryPack {
       "d5_embed_cosine_dup",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        val sim = graft.ops.Similarity
+        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+          sim.norm(col("embedding")).as("na"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          sim.norm(col("embedding")).as("nb"))
         a.join(b, col("a") < col("b"))
-          .withColumn("c", graft.ops.Similarity.cosine(col("ea"), col("eb")))
+          .withColumn("c", sim.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
           .where(col("c") >= 0.4)
           .select(col("a"), col("b"), round(col("c"), 4).as("cos_sim"))
           .orderBy(col("a"), col("b"))
