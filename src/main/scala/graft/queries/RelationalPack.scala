@@ -138,6 +138,29 @@ object RelationalPack extends QueryPack {
           |WHERE json_extract_string(_value, '$.k') IS NOT NULL
           |ORDER BY event_id LIMIT 200""".stripMargin)),
 
+    // ---- F2 json_query (node extraction re-marshalled as JSON) ----------
+    QueryDef(
+      "f2_json_query",
+      (s, dir) => ev(s, dir)
+        .withColumn("nested",
+          concat(lit("{\"inner\":{\"k\":"),
+            get_json_object(col("_value"), "$.k"), lit("}}")))
+        .filter(col("_partition") === 3 && col("_offset") < 50)
+        .select(col("_offset"),
+          get_json_object(col("nested"), "$.inner").as("inner_json"),
+          get_json_object(col("nested"), "$.inner.k").cast("int").as("inner_k"))
+        .orderBy(col("_offset")),
+      oracle(
+        """SELECT _offset,
+          |       json_extract_string(
+          |         '{"inner":{"k":' || json_extract_string(_value, '$.k') || '}}',
+          |         '$.inner') AS inner_json,
+          |       CAST(json_extract_string(
+          |         '{"inner":{"k":' || json_extract_string(_value, '$.k') || '}}',
+          |         '$.inner.k') AS INTEGER) AS inner_k
+          |FROM events_topic WHERE _partition = 3 AND _offset < 50
+          |ORDER BY _offset""".stripMargin)),
+
     // ---- F3 json_exists ------------------------------------------------
     QueryDef(
       "f3_json_exists",

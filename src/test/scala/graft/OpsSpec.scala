@@ -106,6 +106,21 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("dot_product registers as a SQL function via GraftFunctions/extensions") {
+    graft.plans.GraftFunctions.register(spark)
+    emb.limit(10).createOrReplaceTempView("emb_t")
+    val rows = spark.sql(
+      """SELECT a.vec_id, dot_product(a.embedding, a.embedding) AS d
+        |FROM emb_t a ORDER BY a.vec_id""".stripMargin).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getDouble(1) > 0))
+    // matches the Column-API expression exactly
+    val viaApi = emb.limit(10)
+      .select(col("vec_id"), Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(viaApi(r.getLong(0)) == r.getDouble(1)))
+  }
+
   test("multimodal feature extraction round-trips deterministic features") {
     val media = Multimodal.asMedia(docs.limit(20), "doc_id", "text", "text/plain")
     val f = Multimodal.extractFeatures(spark, media).collect()
