@@ -80,6 +80,47 @@ object KfsPack extends QueryPack {
           |WHERE _ts_ms >= 1704844800000 AND _ts_ms <= 1705708800000
           |GROUP BY _partition ORDER BY _partition""".stripMargin)),
 
+    // DataSource V2 path: full scan through format("kfs") — planner-level
+    // column pruning + the same implicit-column schema
+    QueryDef(
+      "s8_kfs_dsv2_scan",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.read.format("kfs").option("path", root).load()
+          .select(col("_partition"), col("_offset"),
+            col("_key").cast("string").as("key_str"),
+            col("_ts_ms"),
+            get_json_object(col("_value").cast("string"), "$.k").cast("int").as("k_val"),
+            element_at(col("_headers"), "src").as("src"))
+          .orderBy(col("_partition"), col("_offset"))
+      },
+      oracle(
+        """SELECT _partition, _offset, _key AS key_str, _ts_ms,
+          |       CAST(json_extract_string(_value, '$.k') AS INTEGER) AS k_val,
+          |       event_type AS src
+          |FROM events_topic ORDER BY _partition, _offset""".stripMargin)),
+
+    // DataSource V2 pushdown: partition/offset predicates prune segments at
+    // plan time (X1/X2 as source pushdown), residuals re-checked per record
+    QueryDef(
+      "s9_kfs_dsv2_pushdown",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.read.format("kfs").option("path", root).load()
+          .where(col("_partition") === 2 && col("_offset") >= 100 &&
+            col("_offset") <= 1199)
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("cnt"), min(col("_offset")).as("min_off"),
+            max(col("_offset")).as("max_off"), max(col("_ts_ms")).as("max_ts"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt, min(_offset) AS min_off,
+          |       max(_offset) AS max_off, max(_ts_ms) AS max_ts
+          |FROM events_topic
+          |WHERE _partition = 2 AND _offset >= 100 AND _offset <= 1199
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
     // S3/S5: manifest-based discovery — per-segment stats without opening
     // any segment file
     QueryDef(

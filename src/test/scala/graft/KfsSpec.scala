@@ -101,6 +101,32 @@ class KfsSpec extends AnyFunSuite {
     assert(KfsLayout.prune(refs, tsMinMs = Some(2500), tsMaxMs = Some(3500)).map(_.path) == Seq("b", "c"))
   }
 
+  test("DSv2: pushdown prunes segments at plan time; ntz timestamps correct") {
+    val root = Files.createTempDirectory("kfs_v2").toString
+    // 3 segments, 100 records each, distinct offset ranges
+    (0 until 3).foreach { seg =>
+      KfsLayout.writeSegment(root, "t", 0,
+        mkRecords(100).map(r => r.copy(offset = r.offset + seg * 100,
+          timestampMs = 1706000000000L + (r.offset + seg * 100) * 1000)))
+    }
+    val df = spark.read.format("kfs").option("path", root).load()
+    assert(df.count() == 300)
+    // offset predicate prunes to 1 of 3 segments
+    val pruned = df.where(col("_offset") >= 100 && col("_offset") <= 150)
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("segments=1"), s"expected 1 segment in:\n$scanDesc")
+    assert(pruned.count() == 51)
+    // ntz timestamp round-trips the ms value
+    val r0 = df.where(col("_offset") === 0)
+      .select(col("_ts").cast("string"), col("_ts_ms")).collect().head
+    assert(r0.getString(0).startsWith("2024-01-23"))
+    // scan admission via options (X8)
+    intercept[Exception] {
+      spark.read.format("kfs").option("path", root)
+        .option("max_scan_segments", "1").load().count()
+    }
+  }
+
   test("e2e acceptance fixture: count=200, TAIL 1 -> offset 199, WITHIN join -> 50 rows") {
     val root = Files.createTempDirectory("kfs_e2e").toString
     val t0 = System.currentTimeMillis() - 5 * 60 * 1000
