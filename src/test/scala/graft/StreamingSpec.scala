@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CompatMinMax
+import graft.streaming.StreamJoins
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("continuous WITHIN join matches only pairs inside the band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(String, Timestamp, String)]
+    val rIn = MemoryStream[(String, Timestamp, String)]
+    val t0 = 1706000000000L
+    def ts(ms: Long) = new Timestamp(ms)
+
+    val joined = StreamJoins.within(
+      lIn.toDF().toDF("key", "ts", "value"),
+      rIn.toDF().toDF("key", "ts", "value"),
+      withinMs = 5000)
+
+    val q = joined.writeStream.format("memory").queryName("wj")
+      .outputMode("append").start()
+    try {
+      lIn.addData(("u1", ts(t0), "l1"), ("u2", ts(t0), "l2"))
+      rIn.addData(
+        ("u1", ts(t0 + 3000), "r-in-band"),
+        ("u1", ts(t0 + 60000), "r-out-of-band"),
+        ("u3", ts(t0 + 1000), "r-wrong-key"))
+      q.processAllAvailable()
+      // push watermarks forward so state can evict (behavioral smoke)
+      lIn.addData(("w", ts(t0 + 120000), "wm"))
+      rIn.addData(("w2", ts(t0 + 120000), "wm"))
+      q.processAllAvailable()
+      val rows = spark.table("wj").collect()
+      assert(rows.map(r => (r.getAs[String]("l_key"), r.getAs[String]("r_value"))).toSet ==
+        Set(("u1", "r-in-band")))
+    } finally q.stop()
+  }
+
+  test("compat MIN/MAX: first-kind-wins over mixed untyped values") {
+    import spark.implicits._
+    // number first -> strings ignored; numeric strings compare numerically
+    val numsFirst = Seq("10", "9", "banana", "100", "2").toDS()
+    val minCol = CompatMinMax.compatMin.toColumn
+    val maxCol = CompatMinMax.compatMax.toColumn
+    val r1 = numsFirst.select(minCol.name("mn"), maxCol.name("mx")).collect().head
+    assert(r1 == ("2", "100")) // numeric compare, not lexicographic
+
+    // string first -> later numbers ignored, lexicographic compare
+    val strFirst = Seq("pear", "apple", "42", "zebra").toDS()
+    val r2 = strFirst.select(minCol.name("mn"), maxCol.name("mx")).collect().head
+    assert(r2 == ("apple", "zebra"))
+
+    // timestamps recognized as their own kind
+    val tsFirst = Seq("2024-01-02 00:00:00", "2024-01-01 00:00:00", "zzz").toDS()
+    val r3 = tsFirst.select(minCol.name("mn"), maxCol.name("mx")).collect().head
+    assert(r3 == ("2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+  }
+}
