@@ -95,6 +95,27 @@ object KfsLayout {
 
   // ---- discovery --------------------------------------------------------
 
+  /** TTL discovery cache (X13, `discovery.go:243-286`): listing an
+    * object-store prefix per query is the reference's known hot spot; a
+    * short TTL amortizes it across queries without hiding new segments for
+    * long. Keyed by (root, topics, partitions). */
+  @volatile var discoveryTtlMs: Long = 5000
+  private val discoveryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[SegmentRef])]()
+
+  def listCompletedCached(root: String, topics: Option[Set[String]] = None,
+      partitions: Option[Set[Int]] = None): Seq[SegmentRef] = {
+    val key = s"$root|${topics.map(_.toSeq.sorted)}|${partitions.map(_.toSeq.sorted)}"
+    val now = System.currentTimeMillis()
+    val hit = discoveryCache.get(key)
+    if (hit != null && now - hit._1 <= discoveryTtlMs) hit._2
+    else {
+      val refs = listCompleted(root, topics, partitions)
+      discoveryCache.put(key, (now, refs))
+      refs
+    }
+  }
+
   /** List completed segments under root, newest metadata from `.kfst`
     * sidecars when present. Completeness = footer magic via 4-byte tail read.
     * Ordered (topic, partition, baseOffset) — the reference's scan order

@@ -28,6 +28,13 @@ object KafsqlPack extends QueryPack {
       partitions = 0 until Tables.TopicPartitions),
     TopicDef("errors",
       s => Tables.eventsTopic(s, dir).filter(col("event_type") === "error"),
+      partitions = 0 until Tables.TopicPartitions),
+    // the same events log served storage-natively: KAFSQL over the DSv2 KFS
+    // source, so LAST/WHERE bounds push into segment pruning at plan time
+    TopicDef("kevents",
+      s => s.read.format("kfs")
+        .option("path", graft.kfs.KfsSeed.seededRoot(s, dir)).load(),
+      schemaCols = Seq(SchemaCol("k", "int", "$.k")),
       partitions = 0 until Tables.TopicPartitions)))
 
   private def run(q: String)(s: SparkSession, dir: String): DataFrame =
@@ -129,6 +136,19 @@ object KafsqlPack extends QueryPack {
            |WHERE _partition = 0
            |  AND _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}
            |ORDER BY _offset""".stripMargin)),
+
+    // full stack storage-natively: KAFSQL text -> parse -> plan -> DSv2 KFS
+    // scan with LAST/partition bounds pushed into segment pruning
+    QueryDef(
+      "k10_kafsql_over_kfs",
+      run("SELECT _partition, COUNT(*) AS cnt, MAX(_offset) AS max_off, " +
+        "SUM(k) AS sum_k FROM kevents GROUP BY _partition LAST 30d"),
+      oracle(
+        s"""SELECT _partition, count(*) AS cnt, max(_offset) AS max_off,
+           |       SUM(CAST(json_extract_string(_value, '$$.k') AS DOUBLE)) AS sum_k
+           |FROM events_topic
+           |WHERE _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}
+           |GROUP BY _partition ORDER BY CAST(_partition AS VARCHAR)""".stripMargin)),
 
     // aggregates over json_value; MIN/MAX here are lexicographic string
     // compares, matching the reference's string-kind minmax (server.go:2132-2182)

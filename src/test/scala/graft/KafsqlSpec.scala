@@ -150,7 +150,17 @@ class KafsqlSpec extends AnyFunSuite {
 
   test("SHOW TOPICS lists registry topics") {
     val topics = q("SHOW TOPICS").collect().map(_.getString(0)).toSeq
-    assert(topics == Seq("errors", "events", "purchases"))
+    assert(topics == Seq("errors", "events", "kevents", "purchases"))
+  }
+
+  test("KAFSQL over the DSv2 KFS topic pushes LAST/partition into the scan") {
+    val df = q("SELECT _offset, k FROM kevents WHERE _partition = 1 " +
+      "LIMIT 100000 LAST 30d")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("KfsScan"), s"expected KfsScan in plan:\n$plan")
+    // partition pushdown: only partition-1 segments survive planning
+    assert(plan.contains("segments=1"), s"expected pruned scan in:\n$plan")
+    assert(df.count() == 250) // sf0.001: 250 records in partition 1
   }
 
   test("schema-on-read extraction failures yield NULL (server.go:2784-2787)") {

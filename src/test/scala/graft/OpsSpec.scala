@@ -106,6 +106,22 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("salted join returns exactly the plain-join result on skewed keys") {
+    import spark.implicits._
+    // hot key: 5000 of 5050 fact rows share key 1
+    val fact = ((1 to 5000).map(_ => (1L, "hot")) ++
+      (1 to 50).map(i => (i.toLong + 1, s"cold$i"))).toDF("k", "payload")
+    val dim = (1L to 60L).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k")).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, Seq("k"), salt = 8)
+      .groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    val hist = graft.ops.Skew.keyHistogram(fact, col("k"), 3).collect()
+    assert(hist.head.getAs[Long]("n") == 5000)
+  }
+
   test("dot_product registers as a SQL function via GraftFunctions/extensions") {
     graft.plans.GraftFunctions.register(spark)
     emb.limit(10).createOrReplaceTempView("emb_t")
