@@ -28,10 +28,35 @@ object LfsResolver {
   /** Pluggable blob store; the test/local impl reads `root/bucket/key`. */
   trait BlobStore extends Serializable {
     def fetch(bucket: String, key: String): Array[Byte]
+    def put(bucket: String, key: String, bytes: Array[Byte]): Unit =
+      throw new UnsupportedOperationException("read-only blob store")
   }
   final case class LocalFsBlobStore(root: String) extends BlobStore {
     override def fetch(bucket: String, key: String): Array[Byte] =
       Files.readAllBytes(Paths.get(root, bucket, key))
+    override def put(bucket: String, key: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(root, bucket, key)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+  }
+
+  /** Produce side (reference `pkg/lfs/producer.go:126-291`): payloads over
+    * the threshold are uploaded and replaced by a claim-check envelope;
+    * small payloads pass through. The inverse of [[resolve]]. */
+  def envelopeJson(bucket: String, key: String, bytes: Array[Byte],
+      contentType: String): String =
+    s"""{"kfs_lfs":1,"bucket":"$bucket","key":"$key","size":${bytes.length},""" +
+      s""""sha256":"${sha256Hex(bytes)}","content_type":"$contentType"}"""
+
+  def produce(store: BlobStore, bucket: String, key: String,
+      payload: Array[Byte], thresholdBytes: Int,
+      contentType: String = "application/octet-stream"): Array[Byte] = {
+    if (payload == null || payload.length <= thresholdBytes) payload
+    else {
+      store.put(bucket, key, payload)
+      envelopeJson(bucket, key, payload, contentType).getBytes("UTF-8")
+    }
   }
 
   /** Detect + parse an envelope; None for ordinary payloads. */

@@ -112,6 +112,25 @@ class EtlSpec extends AnyFunSuite {
       ex.getMessage.contains("sha256 mismatch"))
   }
 
+  test("lfs produce/resolve round-trip: large payloads envelope, small pass through") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lfs_rt").toString
+    val store = LfsResolver.LocalFsBlobStore(root)
+    val big = ("x" * 1000).getBytes("UTF-8")
+    val small = "tiny".getBytes("UTF-8")
+    val vBig = LfsResolver.produce(store, "b", "k/big", big, thresholdBytes = 100)
+    val vSmall = LfsResolver.produce(store, "b", "k/small", small, thresholdBytes = 100)
+    assert(LfsResolver.parse(vBig).nonEmpty)   // enveloped
+    assert(vSmall eq small)                    // passthrough
+    val df = Seq((1L, new String(vBig, "UTF-8")), (2L, new String(vSmall, "UTF-8")))
+      .toDF("id", "_value")
+    val out = LfsResolver.resolve(spark, df, store)
+      .select("id", "_value", "_lfs_resolved").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (new String(big, "UTF-8"), true))
+    assert(out(2L) == ("tiny", false))
+  }
+
   // ---- IDoc (explode.go:27-200) ------------------------------------------
 
   test("idoc explode routes segments and keeps header scalars") {

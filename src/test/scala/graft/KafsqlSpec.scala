@@ -163,6 +163,43 @@ class KafsqlSpec extends AnyFunSuite {
     assert(df.count() == 250) // sf0.001: 250 records in partition 1
   }
 
+  test("join: null/missing keys never match; LEFT JOIN still emits the left row " +
+    "with NULL right side (server.go:2606-2642)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    def topic(withNullKey: Boolean) = Tables.eventsTopic(spark, sf)
+      .filter(col("_partition") === 0 && col("_offset") < 4)
+      .withColumn("_key",
+        if (withNullKey) when(col("_offset") === 0, lit(null)).otherwise(lit("shared"))
+        else lit("shared"))
+    val reg2 = new TopicRegistry(Seq(
+      TopicDef("l", _ => topic(withNullKey = true)),
+      TopicDef("r", _ => topic(withNullKey = false))))
+    val inner = Kafsql.sql(spark, reg2,
+      "SELECT a._offset AS lo, b._offset AS ro FROM l a JOIN r b WITHIN 30d LAST 60d",
+      nowMs = Tables.FixedNowMs).collect()
+    assert(inner.forall(_.getLong(0) != 0L)) // null-key left rows match nothing
+    val left = Kafsql.sql(spark, reg2,
+      "SELECT a._offset AS lo, b._offset AS ro FROM l a LEFT JOIN r b WITHIN 30d LAST 60d",
+      nowMs = Tables.FixedNowMs).collect()
+    val nullKeyRows = left.filter(_.getLong(0) == 0L)
+    assert(nullKeyRows.length == 1 && nullKeyRows.head.isNullAt(1))
+  }
+
+  test("aggregate output ordering: NULL group key sorts via <nil> sentinel " +
+    "(server.go:1968-1981)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val reg2 = new TopicRegistry(Seq(TopicDef("t",
+      _ => Tables.eventsTopic(spark, sf)
+        .withColumn("_key",
+          when(col("_offset") % 2 === 0, lit(null)).otherwise(lit("a"))))))
+    val rows = Kafsql.sql(spark, reg2,
+      "SELECT _key, COUNT(*) AS c FROM t GROUP BY _key LAST 60d",
+      nowMs = Tables.FixedNowMs).collect()
+    // "<nil>" < "a" lexicographically -> NULL group first
+    assert(rows.length == 2)
+    assert(rows.head.isNullAt(0) && rows(1).getString(0) == "a")
+  }
+
   test("schema-on-read extraction failures yield NULL (server.go:2784-2787)") {
     val reg2 = new TopicRegistry(Seq(TopicDef("events",
       s => Tables.eventsTopic(s, sf),
