@@ -32,6 +32,16 @@ class GovSpec extends AnyFunSuite {
     assert(gov.cacheSize == 0)
   }
 
+  test("result cache entries expire after the TTL") {
+    val gov = new Governor(Guardrails(resultCacheTtlMs = 1))
+    val reg = KafsqlPack.registry(sf)
+    val sql = "SELECT COUNT(*) AS c FROM events LAST 30d"
+    Kafsql.governed(spark, reg, gov, sql, nowMs = Tables.FixedNowMs).collect()
+    Thread.sleep(10)
+    Kafsql.governed(spark, reg, gov, sql, nowMs = Tables.FixedNowMs).collect()
+    assert(gov.hits == 0) // expired, never served from cache
+  }
+
   test("cache key normalizes whitespace/case but separates time bounds") {
     val gov = new Governor(Guardrails())
     val a = gov.cacheKey("SELECT  *  FROM t LAST 5m", (Some(1L), Some(2L)))
