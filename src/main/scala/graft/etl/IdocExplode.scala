@@ -65,4 +65,14 @@ object IdocExplode {
       .flatMap(x => explodeXml(x, cfg))
       .toDF()
   }
+
+  /** Per-entity multi-sink fan-out (the reference emits one topic per
+    * entity group): one parquet table per entity under `baseDir`. Shape
+    * matches a `foreachBatch` body — call it per micro-batch for streaming.
+    * Single-pass: partitionBy writes every entity in one job. */
+  def fanOut(exploded: DataFrame, baseDir: String): Unit =
+    exploded.write
+      .mode("append")
+      .partitionBy("entity")
+      .parquet(baseDir)
 }

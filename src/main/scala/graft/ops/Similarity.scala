@@ -73,6 +73,50 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** IVF-style approximate search: a coarse quantizer (k-means over a
+    * deterministic seed) partitions the corpus into cells; each query probes
+    * only the `nProbe` nearest cells. Classic FAISS-IVF shape on Spark: the
+    * assignment is one narrow pass, the probe a cell-pruned join. Train on
+    * a sample at 100 TB — centroids are tiny and broadcast everywhere.
+    * Not oracle-checkable (iterative float training), covered by recall
+    * tests against brute force. */
+  def ivfIndex(corpus: DataFrame, nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = corpus.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id").as("v"), col("embedding").as("ve"),
+        norm(col("embedding")).as("vn"), col("prediction").as("cell"))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  def ivfTopK(indexed: DataFrame, centers: Array[Array[Double]],
+      queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val centerCols = centers.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), dot(col("qe"), typedLit(c)).as("sim"))
+    }
+    // per query: the nProbe cells whose centroid dot-product is highest
+    val q = queries.select(col("vec_id").as("q"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+      .withColumn("cells",
+        slice(reverse(array_sort(array(centerCols.toIndexedSeq: _*),
+          (a, b) => when(a("sim") < b("sim"), -1).when(a("sim") > b("sim"), 1).otherwise(0))),
+          1, nProbe))
+      .select(col("q"), col("qe"), col("qn"),
+        explode(col("cells.cell")).as("cell"))
+    val joined = q.join(indexed, Seq("cell"))
+      .where(col("q") =!= col("v"))
+      .withColumn("c", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(round(col("c"), 6).desc, col("v"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("v"), round(col("c"), 4).as("cos_sim"))
+  }
+
   /** Bucketed approximate top-k: candidates share the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, dims: Int = 64): DataFrame = {

@@ -150,6 +150,23 @@ object KafsqlPack extends QueryPack {
            |WHERE _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}
            |GROUP BY _partition ORDER BY CAST(_partition AS VARCHAR)""".stripMargin)),
 
+    // fully governed execution path: admission token -> result cache ->
+    // job-group timeout around the planned query (X10-X12 live in Verify)
+    QueryDef(
+      "k11_kafsql_governed",
+      (s, dir) => {
+        val gov = new graft.gov.Governor()
+        Kafsql.governed(s, registry(dir), gov,
+          "SELECT COUNT(*) AS n, MIN(_offset) AS min_off, MAX(_offset) AS max_off " +
+            "FROM events WHERE _partition = 3 LAST 30d",
+          nowMs = Tables.FixedNowMs)
+      },
+      oracle(
+        s"""SELECT count(*) AS n, min(_offset) AS min_off, max(_offset) AS max_off
+           |FROM events_topic
+           |WHERE _partition = 3
+           |  AND _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}""".stripMargin)),
+
     // aggregates over json_value; MIN/MAX here are lexicographic string
     // compares, matching the reference's string-kind minmax (server.go:2132-2182)
     QueryDef(

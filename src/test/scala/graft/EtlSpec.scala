@@ -133,6 +133,22 @@ class EtlSpec extends AnyFunSuite {
 
   // ---- IDoc (explode.go:27-200) ------------------------------------------
 
+  test("idoc fan-out writes one partition per entity, readable per-topic") {
+    import spark.implicits._
+    val xml =
+      """<IDOC><DOCNUM>7</DOCNUM>
+        |<ITEM><LINE>1</LINE></ITEM><ITEM><LINE>2</LINE></ITEM>
+        |<PARTNER><CUST>9</CUST></PARTNER></IDOC>""".stripMargin
+    val exploded = IdocExplode.explode(spark, Seq(xml).toDF("xml"), "xml")
+    val base = Files.createTempDirectory("idoc_sink").toString
+    IdocExplode.fanOut(exploded, base)
+    val items = spark.read.parquet(base).where(col("entity") === "items")
+    assert(items.count() == 2)
+    val all = spark.read.parquet(base).groupBy("entity").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("header" -> 1L, "items" -> 2L, "partners" -> 1L))
+  }
+
   test("idoc explode routes segments and keeps header scalars") {
     val xml =
       """<IDOC><DOCNUM>42</DOCNUM><STATUS>F</STATUS>

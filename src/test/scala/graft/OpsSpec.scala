@@ -79,6 +79,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF search: high recall vs brute force at a fraction of the candidates") {
+    val (indexed, centers) = Similarity.ivfIndex(emb, nCells = 8)
+    indexed.cache()
+    val queries = emb.where(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(indexed, centers, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("v"))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("v"))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    indexed.unpersist()
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // 3/8 cells probed
+    // candidates per probe are cell-bounded, not the whole corpus
+    val cellSizes = indexed.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cellSizes.sum == emb.count() && cellSizes.length == 8)
+  }
+
   test("LSH buckets partition the corpus (sum of buckets = corpus size)") {
     val total = emb.count()
     val bucketed = emb.select(
