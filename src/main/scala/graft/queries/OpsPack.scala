@@ -74,6 +74,37 @@ object OpsPack extends QueryPack {
            |SELECT q, rank, v, round(c, 4) AS cos_sim
            |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
 
+    // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
+    // cross product (d5) — only same-bucket pairs are scored
+    QueryDef(
+      "d6_embed_lsh_dup",
+      (s, dir) => {
+        val sim = Similarity
+        val e = Tables.load(s, dir, "embeddings")
+        val b = e.select(col("vec_id"), col("embedding"),
+          sim.norm(col("embedding")).as("nrm"),
+          sim.lshSignature(col("embedding"), 4, 64).as("bucket"))
+        val l = b.select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("nrm").as("na"), col("bucket"))
+        val r = b.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("bucket"))
+        l.join(r, Seq("bucket")).where(col("a") < col("b"))
+          .withColumn("c", sim.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .where(col("c") >= 0.2)
+          .select(col("a"), col("b"), round(col("c"), 4).as("cos_sim"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${duckSignature("embedding", 4)} AS bucket
+           |  FROM embeddings),
+           |pairs AS (
+           |  SELECT l.vec_id AS a, r.vec_id AS b,
+           |         ${duckCosine("l.embedding", "r.embedding")} AS c
+           |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+           |SELECT a, b, round(c, 4) AS cos_sim
+           |FROM pairs WHERE c >= 0.2 ORDER BY a, b""".stripMargin)),
+
     // bucket histogram — shows the LSH partitioning is balanced enough to
     // cut each probe to ~1/2^planes of the corpus
     QueryDef(

@@ -444,6 +444,32 @@ object RelationalPack extends QueryPack {
           |GROUP BY l_orderkey, o_orderdate
           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // q6: pure scan + filter + global aggregate — the shape that proves
+    // pushdown (PushedFilters on shipdate/discount/quantity, 4-col read)
+    QueryDef(
+      "q6_forecast_revenue",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("l_discount").cast("decimal(18,2)").between(
+            lit(0.05).cast("decimal(18,2)"), lit(0.07).cast("decimal(18,2)")) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)"))
+            .as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some(
+        """SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)),
+
     // q5-shaped: revenue per nation via customer→orders→lineitem,
     // dims (region/nation/customer) broadcast; one shuffle on orderkey.
     QueryDef(
