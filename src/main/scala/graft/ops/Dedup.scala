@@ -123,18 +123,30 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxShinglePostings: Option[Int] = None): DataFrame = {
     val sh0 = shingles(docs, idCol, textCol, n)
-    val sh = maxShinglePostings match {
+    val inter = maxShinglePostings match {
       case Some(cap) =>
-        val df = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        // DF pruning: candidates come from the capped postings (bounded
+        // join), but the intersection is verified exactly on the full sets
+        val keep = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .where(col("df") <= cap).select("sh")
-        sh0.join(df, "sh")
-      case None => sh0
+        val sh = sh0.join(keep, "sh")
+        val pairs = sh.select(col("doc").as("a"), col("sh"))
+          .join(sh.select(col("doc").as("b"), col("sh")), Seq("sh"))
+          .where(col("a") < col("b"))
+          .select("a", "b").distinct()
+        pairs
+          .join(sh0.select(col("doc").as("a"), col("sh")), "a")
+          .join(sh0.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
+          .where(col("sh") === col("sh_b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      case None =>
+        // single pass: the posting-list self-join is the intersection count
+        sh0.select(col("doc").as("a"), col("sh"))
+          .join(sh0.select(col("doc").as("b"), col("sh")), Seq("sh"))
+          .where(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     }
     val counts = sh0.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc").as("a"), col("sh"))
-      .join(sh.select(col("doc").as("b"), col("sh")), Seq("sh"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter
       .join(counts.select(col("doc").as("a"), col("n").as("na")), "a")
       .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")

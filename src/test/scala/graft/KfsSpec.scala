@@ -101,6 +101,16 @@ class KfsSpec extends AnyFunSuite {
     assert(KfsLayout.prune(refs, tsMinMs = Some(2500), tsMaxMs = Some(3500)).map(_.path) == Seq("b", "c"))
   }
 
+  test("DSv2 edges: missing path errors, empty root yields empty frame") {
+    intercept[Exception] {
+      spark.read.format("kfs").load().count()
+    }
+    val empty = Files.createTempDirectory("kfs_empty").toString
+    val df = spark.read.format("kfs").option("path", empty).load()
+    assert(df.count() == 0)
+    assert(df.columns.contains("_offset"))
+  }
+
   test("DSv2: pushdown prunes segments at plan time; ntz timestamps correct") {
     val root = Files.createTempDirectory("kfs_v2").toString
     // 3 segments, 100 records each, distinct offset ranges

@@ -37,6 +37,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("posting-list cap prunes hot shingles but keeps Jaccard exact for survivors") {
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+      maxShinglePostings = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    // capped candidates are a subset; any surviving pair keeps its exact
+    // jaccard (counts come from the uncapped postings)
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, j) => assert(uncapped(k) == j) }
+  }
+
   test("simhash of identical texts collide; near-dups have low hamming") {
     import spark.implicits._
     val d = Seq(
