@@ -47,6 +47,36 @@ object Multimodal {
       col(bytesCol).cast("binary").as("media"),
       lit(contentType).as("content_type"))
 
+  final case class FrameRow(
+      id: Long, frame_idx: Int, frame: Array[Byte], frame_digest: String)
+
+  /** Frame sampling: one media row → n evenly-spaced "frames" (UDTF shape,
+    * 1→N row explosion inside one narrow stage). The frame *extraction* is
+    * the stubbed decode — here a deterministic byte slice standing in for a
+    * video keyframe decoder — but the row-explosion plumbing, schema, and
+    * per-partition batching are exactly what a real codec plugs into. */
+  def frameSample(spark: SparkSession, media: DataFrame, n: Int,
+      decoder: Decoder = FakeDecoder): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val decoded = decoder.decode(row.media)
+        if (decoded == null || decoded.isEmpty) Iterator.empty
+        else {
+          val span = math.max(1, decoded.length / n)
+          (0 until math.min(n, decoded.length)).iterator.map { i =>
+            val from = i * span
+            val frame = java.util.Arrays.copyOfRange(decoded, from,
+              math.min(from + span, decoded.length))
+            md.reset()
+            FrameRow(row.id, i, frame, md.digest(frame).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** Per-partition feature extraction: one MessageDigest per partition,
     * rows streamed — the mapPartitions batch shape. */
   def extractFeatures(spark: SparkSession, media: DataFrame,

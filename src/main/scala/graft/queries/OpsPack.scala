@@ -220,6 +220,31 @@ object OpsPack extends QueryPack {
           |               i -> ascii(substr(text, i, 1)) * 1.0), (x, y) -> x + y)
           |             / length(text), 4) AS brightness,
           |       'text/plain' AS content_type
-          |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin))
+          |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin)),
+
+    // multimodal frame sampling: 1 media row -> n deterministic "frames"
+    // (stubbed keyframe decode, real UDTF-shaped explosion)
+    QueryDef(
+      "m2_frame_sample",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 30),
+          "doc_id", "text", "video/fake")
+        Multimodal.frameSample(s, media, n = 4)
+          .select(col("id"), col("frame_idx"),
+            length(col("frame")).as("n_bytes"), col("frame_digest"))
+          .orderBy(col("id"), col("frame_idx"))
+      },
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id AS id, i AS frame_idx,
+          |         substr(text, CAST(i * (length(text) // 4) + 1 AS INTEGER),
+          |                CAST(length(text) // 4 AS INTEGER)) AS frame_txt
+          |  FROM documents, unnest(generate_series(0, 3)) AS t(i)
+          |  WHERE doc_id < 30)
+          |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          |       CAST(length(frame_txt) AS INTEGER) AS n_bytes,
+          |       md5(frame_txt) AS frame_digest
+          |FROM f ORDER BY id, frame_idx""".stripMargin))
   )
 }
