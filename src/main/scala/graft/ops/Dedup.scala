@@ -104,10 +104,16 @@ object Dedup {
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
   }
 
-  /** End-to-end MinHash-LSH near-dup detection with exact verify. */
+  /** End-to-end MinHash-LSH near-dup detection with exact verify.
+    * The shingle explode feeds three consumers (signatures, intersection
+    * join ×2, counts) — caching it turns four scans+explodes into one.
+    * MEMORY_AND_DISK: at 100 TB the explode is larger than RAM; disk spill
+    * beats recomputation. Evicted entries just recompute (correctness
+    * unaffected). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(lshBands(minhashSignatures(sh, k), bands, k / bands))
     jaccard(sh, cands).where(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
@@ -123,6 +129,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxShinglePostings: Option[Int] = None): DataFrame = {
     val sh0 = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = maxShinglePostings match {
       case Some(cap) =>
         // DF pruning: candidates come from the capped postings (bounded
