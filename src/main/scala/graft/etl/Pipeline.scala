@@ -56,14 +56,18 @@ object Pipeline {
       tablePath: String,
       checkpointDir: String,
       schemaCols: Seq[SchemaCol] = Nil,
-      validation: Validation = Off): Unit = {
+      validation: Validation = Off,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
 
     import spark.implicits._
-    val stream = spark.readStream
+    val reader = spark.readStream
       .format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.kfs")
-      .load(s"$kfsRoot/*/*")
+    // bound micro-batch size (the reference drains per poll tick; this is
+    // the Spark-native backpressure knob for the same effect)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.load(s"$kfsRoot/*/*")
 
     val decoded = stream
       .select(col("path"), col("content"))
@@ -107,17 +111,26 @@ object Pipeline {
       df.withColumn(sc.name, TopicRegistry.extract(col("value"), sc))
     }
 
-    // idempotent replay: drop records at or below the committed offset
-    // (processor.go:252-264) — committed = max offset already in the table
+    // idempotent replay: drop records already in the table. The reference
+    // drops `offset <= committed` (processor.go:252-264), which assumes
+    // in-order segment consumption per partition; Spark's file stream gives
+    // no such ordering, so the exact form is an anti-join on the log
+    // coordinates. Scale note: the probe side is bounded to the batch's
+    // offset range first, so the parquet scan prunes to the overlapping
+    // files instead of reading the whole table.
     val existing = TableSink.read(spark, tablePath)
     val deduped =
       if (existing.isEmpty) withExtras
       else {
-        val committed = existing.groupBy(col("topic"), col("partition"))
-          .agg(max(col("offset")).as("_committed"))
-        withExtras.join(committed, Seq("topic", "partition"), "left_outer")
-          .filter(col("_committed").isNull || col("offset") > col("_committed"))
-          .drop("_committed")
+        val range = withExtras.agg(
+          min(col("offset")).as("lo"), max(col("offset")).as("hi")).collect().head
+        if (range.isNullAt(0)) withExtras
+        else {
+          val seen = existing
+            .filter(col("offset") >= range.getLong(0) && col("offset") <= range.getLong(1))
+            .select(col("topic"), col("partition"), col("offset"))
+          withExtras.join(seen, Seq("topic", "partition", "offset"), "left_anti")
+        }
       }
     if (!deduped.isEmpty) TableSink.append(spark, tablePath, deduped)
   }

@@ -87,6 +87,24 @@ class EtlSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n"))).collect().head.getLong(0) == (0 until 150).sum)
   }
 
+  test("pipeline with bounded micro-batches (maxFilesPerTrigger=1) drains all segments") {
+    val root = Files.createTempDirectory("etl_mb").toString
+    (0 until 3).foreach { seg =>
+      val recs = (0 until 50).map(i => KfsCodec.Record((seg * 50 + i).toLong,
+        1706000000000L + seg * 50 + i, s"k$i".getBytes,
+        s"""{"n":${seg * 50 + i}}""".getBytes, Nil))
+      KfsLayout.writeSegment(root, "t1", 0, recs)
+    }
+    val table = Files.createTempDirectory("etl_mb_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("etl_mb_ck").toString
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")),
+      maxFilesPerTrigger = Some(1)) // 3 separate micro-batches
+    val out = TableSink.read(spark, table)
+    assert(out.count() == 150)
+    assert(out.agg(org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("offset"))).collect().head.getLong(0) == 150)
+  }
+
   // ---- LFS (consumer.go:59-91) -------------------------------------------
 
   test("lfs envelope parse detects claim checks only") {

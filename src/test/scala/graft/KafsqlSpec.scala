@@ -142,6 +142,12 @@ class KafsqlSpec extends AnyFunSuite {
     assert(df.columns.count(_.startsWith("_right_")) == 8)
   }
 
+  test("single-table alias-qualified references resolve") {
+    val rows = q("SELECT e._offset, e._key FROM events e WHERE _partition = 0 " +
+      "LIMIT 5 LAST 30d").collect()
+    assert(rows.length == 5)
+  }
+
   test("EXPLAIN returns a plan description") {
     val rows = q("EXPLAIN SELECT _offset FROM events LAST 5m")
       .collect().map(_.getString(0))
