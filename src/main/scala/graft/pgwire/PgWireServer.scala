@@ -1,0 +1,250 @@
+package graft.pgwire
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.gov.Governor
+import graft.kafsql.{Kafsql, KafsqlException, TopicRegistry}
+
+/** Minimal PostgreSQL wire-protocol (v3) endpoint fronting KAFSQL — the
+  * reference's primary entry point (SURVEY §3.1: psql/JDBC → :5432 →
+  * AuthenticationOk → simple Query → DataRows). Clean-room implementation
+  * from the public protocol documentation
+  * (postgresql.org/docs/current/protocol-message-formats.html): supports
+  * SSLRequest refusal, startup, simple Query, per-statement errors, and
+  * Terminate — enough for psql / BI simple-query traffic. Extended protocol
+  * (Parse/Bind) and pg_catalog emulation are out of scope (Spark
+  * Thrift/Connect is the JDBC story at cluster scale; this endpoint exists
+  * for wire parity with the reference).
+  *
+  * One thread per connection (the reference is one goroutine per
+  * connection, `server.go:112-117`); every query runs through the
+  * [[Governor]] (admission, result cache, timeout).
+  */
+class PgWireServer(
+    spark: SparkSession,
+    registry: TopicRegistry,
+    gov: Governor = new Governor(),
+    port: Int = 0,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  private val server = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+  @volatile private var acceptThread: Thread = _
+
+  def boundPort: Int = server.getLocalPort
+
+  def start(): PgWireServer = {
+    acceptThread = new Thread(() => {
+      while (running.get()) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => handle(sock))
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case _: Exception if !running.get() => // closing
+          case e: Exception => // keep accepting
+        }
+      }
+    })
+    acceptThread.setDaemon(true)
+    acceptThread.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    server.close()
+  }
+
+  // ---- connection ----------------------------------------------------------
+
+  private val SslRequestCode = 80877103
+  private val CancelRequestCode = 80877102
+  private val ProtocolV3 = 196608
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try {
+      if (!startup(in, out)) return
+      sendAuthOk(out)
+      var open = true
+      while (open) {
+        val msgType = try in.readByte() catch { case _: EOFException => return }
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        msgType.toChar match {
+          case 'Q' =>
+            val sql = new String(body, 0, body.length - 1, StandardCharsets.UTF_8)
+            runQuery(sql.trim, out)
+            readyForQuery(out)
+          case 'X' => open = false
+          case _ => // ignore extended-protocol and unknown messages
+        }
+      }
+    } catch {
+      case _: EOFException =>
+      case _: java.net.SocketException =>
+    } finally sock.close()
+  }
+
+  /** Handles SSLRequest ('N') then the real StartupMessage. */
+  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      val code = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+        ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+      code match {
+        case SslRequestCode =>
+          out.writeByte('N'); out.flush() // no TLS, retry plaintext
+        case CancelRequestCode => return false
+        case ProtocolV3 => return true
+        case other => return false
+      }
+    }
+    false
+  }
+
+  private def sendAuthOk(out: DataOutputStream): Unit = {
+    out.writeByte('R'); out.writeInt(8); out.writeInt(0) // AuthenticationOk
+    paramStatus(out, "server_version", "15.0 (graft)")
+    paramStatus(out, "client_encoding", "UTF8")
+    paramStatus(out, "DateStyle", "ISO")
+    // BackendKeyData
+    out.writeByte('K'); out.writeInt(12); out.writeInt(1); out.writeInt(1)
+    readyForQuery(out)
+  }
+
+  private def paramStatus(out: DataOutputStream, k: String, v: String): Unit = {
+    val kb = k.getBytes(StandardCharsets.UTF_8)
+    val vb = v.getBytes(StandardCharsets.UTF_8)
+    out.writeByte('S'); out.writeInt(4 + kb.length + 1 + vb.length + 1)
+    out.write(kb); out.writeByte(0); out.write(vb); out.writeByte(0)
+  }
+
+  private def readyForQuery(out: DataOutputStream): Unit = {
+    out.writeByte('Z'); out.writeInt(5); out.writeByte('I'); out.flush()
+  }
+
+  // ---- query execution -----------------------------------------------------
+
+  private def runQuery(sql: String, out: DataOutputStream): Unit = {
+    if (sql.isEmpty || sql == ";") {
+      out.writeByte('I'); out.writeInt(4) // EmptyQueryResponse
+      return
+    }
+    // SET/RESET accepted as no-ops for BI-tool compatibility (server.go:637-657)
+    val lower = sql.toLowerCase
+    if (lower.startsWith("set ") || lower.startsWith("reset ")) {
+      commandComplete(out, "SET")
+      return
+    }
+    try {
+      val df = Kafsql.governed(spark, registry, gov, sql, nowMs = nowMs())
+      val schema = df.schema
+      val rows = df.collect()
+      rowDescription(out, schema)
+      rows.foreach(r => dataRow(out, schema, r))
+      commandComplete(out, s"SELECT ${rows.length}")
+    } catch {
+      case e: KafsqlException => errorResponse(out, "42601", e.getMessage)
+      case e: Exception =>
+        errorResponse(out, "XX000",
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(500))
+    }
+  }
+
+  /** pg type OIDs per the reference's column mapping (server.go:1624-1669,
+    * 2704-2719). */
+  private def pgOid(dt: DataType): Int = dt match {
+    case StringType => 25
+    case IntegerType => 23
+    case LongType => 20
+    case DoubleType | FloatType => 701
+    case BooleanType => 16
+    case TimestampType | TimestampNTZType => 1114
+    case BinaryType => 17
+    case _: MapType => 3802
+    case _ => 25
+  }
+
+  private def rowDescription(out: DataOutputStream, schema: StructType): Unit = {
+    val fields = schema.fields
+    val payload = new java.io.ByteArrayOutputStream()
+    val p = new DataOutputStream(payload)
+    p.writeShort(fields.length)
+    fields.foreach { f =>
+      p.write(f.name.getBytes(StandardCharsets.UTF_8)); p.writeByte(0)
+      p.writeInt(0) // table oid
+      p.writeShort(0) // column attr
+      p.writeInt(pgOid(f.dataType))
+      p.writeShort(-1) // typlen
+      p.writeInt(-1) // typmod
+      p.writeShort(0) // text format
+    }
+    out.writeByte('T'); out.writeInt(4 + payload.size()); payload.writeTo(out)
+  }
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+
+  /** Text rendering per the reference: ts ms-precision UTC
+    * (server.go:2794-2797), bytea `\x`-hex (:2799-2808), headers as a JSON
+    * object (:2810-2828), booleans t/f (pg text convention). */
+  private def render(dt: DataType, v: Any): String = v match {
+    case null => null
+    case b: Array[Byte] => "\\x" + b.map("%02x".format(_)).mkString
+    case t: java.time.LocalDateTime => tsFmt.format(t)
+    case t: java.sql.Timestamp => tsFmt.format(t.toLocalDateTime)
+    case b: Boolean => if (b) "t" else "f"
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, vv) =>
+        "\"" + k.toString + "\":" + (if (vv == null) "null" else "\"" + vv.toString + "\"")
+      }.mkString("{", ",", "}")
+    case other => other.toString
+  }
+
+  private def dataRow(out: DataOutputStream, schema: StructType, row: Row): Unit = {
+    val payload = new java.io.ByteArrayOutputStream()
+    val p = new DataOutputStream(payload)
+    p.writeShort(schema.fields.length)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val s = render(f.dataType, row.get(i))
+      if (s == null) p.writeInt(-1)
+      else {
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        p.writeInt(b.length); p.write(b)
+      }
+    }
+    out.writeByte('D'); out.writeInt(4 + payload.size()); payload.writeTo(out)
+  }
+
+  private def commandComplete(out: DataOutputStream, tag: String): Unit = {
+    val b = tag.getBytes(StandardCharsets.UTF_8)
+    out.writeByte('C'); out.writeInt(4 + b.length + 1); out.write(b); out.writeByte(0)
+  }
+
+  private def errorResponse(out: DataOutputStream, code: String, msg: String): Unit = {
+    val payload = new java.io.ByteArrayOutputStream()
+    val p = new DataOutputStream(payload)
+    def field(t: Char, s: String): Unit = {
+      p.writeByte(t)
+      p.write(s.getBytes(StandardCharsets.UTF_8)); p.writeByte(0)
+    }
+    field('S', "ERROR"); field('V', "ERROR"); field('C', code); field('M', msg)
+    p.writeByte(0)
+    out.writeByte('E'); out.writeInt(4 + payload.size()); payload.writeTo(out)
+  }
+}
