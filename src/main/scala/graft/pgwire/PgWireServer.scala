@@ -151,6 +151,16 @@ class PgWireServer(
       commandComplete(out, "SET")
       return
     }
+    catalogFrame(sql, lower) match {
+      case Some(df) =>
+        val schema = df.schema
+        val rows = df.collect()
+        rowDescription(out, schema)
+        rows.foreach(r => dataRow(out, schema, r))
+        commandComplete(out, s"SELECT ${rows.length}")
+        return
+      case None =>
+    }
     try {
       val df = Kafsql.governed(spark, registry, gov, sql, nowMs = nowMs())
       val schema = df.schema
@@ -163,6 +173,51 @@ class PgWireServer(
       case e: Exception =>
         errorResponse(out, "XX000",
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(500))
+    }
+  }
+
+  /** Synthesized pg_catalog / information_schema relations so BI tools can
+    * introspect (server.go:600-657,1012-1253): any query referencing one of
+    * the emulated relations is answered from the topic registry instead of
+    * the KAFSQL engine. Pattern dispatch on the relation name, like the
+    * reference's catalog short-circuit. */
+  private def catalogFrame(sql: String, lowerSql: String): Option[DataFrame] = {
+    import spark.implicits._
+    def topics = registry.topicNames
+    // emulated relation -> synthesized frame; the user's own SQL (their
+    // projections/filters/order) then runs against it via Spark SQL with
+    // the qualified name rewritten to a temp view
+    val frames: Map[String, () => DataFrame] = Map(
+      "information_schema.tables" -> (() =>
+        topics.map(t => ("graft", "public", t, "BASE TABLE"))
+          .toDF("table_catalog", "table_schema", "table_name", "table_type")),
+      "pg_catalog.pg_tables" -> (() =>
+        topics.map(t => ("public", t, "graft")).toDF("schemaname", "tablename", "tableowner")),
+      "information_schema.columns" -> (() =>
+        topics.flatMap { t =>
+          val d = registry.get(t)
+          val cols = TopicRegistry.implicitColumns ++
+            d.schemaCols.map(sc => sc.name -> TopicRegistry.pgType(sc.typ))
+          cols.zipWithIndex.map { case ((n, ty), i) =>
+            ("graft", "public", t, n, i + 1, ty)
+          }
+        }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+          "ordinal_position", "data_type")),
+      "pg_catalog.pg_namespace" -> (() =>
+        Seq(("public", 2200), ("pg_catalog", 11)).toDF("nspname", "oid")),
+      "pg_catalog.pg_database" -> (() => Seq(("graft", 1)).toDF("datname", "oid")))
+
+    val hits = frames.keys.filter(lowerSql.contains).toSeq
+    if (hits.isEmpty) None
+    else {
+      var rewritten = sql
+      hits.foreach { rel =>
+        val view = "graft_catalog_" + rel.replace('.', '_')
+        frames(rel)().createOrReplaceTempView(view)
+        rewritten = rewritten.replaceAll(
+          "(?i)" + java.util.regex.Pattern.quote(rel), view)
+      }
+      Some(spark.sql(rewritten))
     }
   }
 

@@ -74,6 +74,26 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code2 == 0 && out2.trim == "1000")
   }
 
+  test("information_schema/pg_catalog emulation serves BI introspection") {
+    val (c1, tables, _) = psql("SELECT table_name FROM information_schema.tables")
+    assert(c1 == 0)
+    assert(tables.trim.linesIterator.toSet ==
+      Set("errors", "events", "kevents", "purchases"))
+    val (c2, cols, _) = psql(
+      "SELECT column_name, data_type FROM information_schema.columns")
+    assert(c2 == 0)
+    assert(cols.contains("_offset|bigint"))
+    assert(cols.contains("k|integer"))
+    val (c3, ns, _) = psql("SELECT nspname FROM pg_catalog.pg_namespace")
+    assert(c3 == 0 && ns.contains("public"))
+  }
+
+  test("EXPLAIN over the wire returns plan text") {
+    val (code, out, err) = psql("EXPLAIN SELECT _offset FROM events LAST 5m")
+    assert(code == 0, err)
+    assert(out.contains("scan topic events"))
+  }
+
   test("SET is accepted as a no-op for BI compatibility (server.go:637-657)") {
     val (code, _, err) = psql("SET search_path TO public")
     assert(code == 0, err)
