@@ -163,6 +163,15 @@ object Dedup {
         round(col("jac"), 4).as("jac"))
   }
 
+  /** Deduplicated corpus: given near-dup pairs (a < b), keep the lowest id
+    * of each overlap chain ("keep-first" greedy — standard for training-data
+    * curation; full connected-components clustering would need iterative
+    * joins and rarely changes the kept set on real near-dup data). */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit word hash from md5 (identical in DuckDB via hex cast). */
   def wordHash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")

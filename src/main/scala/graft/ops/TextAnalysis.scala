@@ -51,4 +51,22 @@ object TextAnalysis {
     * set — robust to word order, the classic "fingerprint" dedup key. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** Rabin-Karp-style rolling hash over the character stream:
+    * h = Σ c_i · B^(n−i) mod P, computed as a strict left fold
+    * h ← (h·B + c) mod P — order-sensitive (unlike [[fingerprint]]), cheap
+    * to maintain incrementally, and exactly reproducible in any engine with
+    * the same fold (the DuckDB oracle mirrors it). B=257, P=2^31−1 keeps
+    * every intermediate below 2^40 — overflow-free int64 math. */
+  val RollB = 257L
+  val RollP = 2147483647L // 2^31 - 1
+
+  def rollingFingerprint(text: Column): Column =
+    when(length(text) > 0,
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(text.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * RollB + c) % RollP))
+      .otherwise(lit(0L))
 }

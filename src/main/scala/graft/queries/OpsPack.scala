@@ -197,6 +197,21 @@ object OpsPack extends QueryPack {
           |             count(*) AS n_docs
           |      FROM documents GROUP BY 1)""".stripMargin)),
 
+    // rolling-hash fingerprint (Rabin-Karp fold; order-sensitive, unlike t4)
+    QueryDef(
+      "t5_rolling_fingerprint",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy(col("doc_id")),
+      Some(
+        s"""SELECT doc_id,
+           |       list_reduce(list_transform(generate_series(1, length(text)),
+           |                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+           |                   (a, c) -> (a * ${TextAnalysis.RollB} + c) % ${TextAnalysis.RollP}) AS rfp
+           |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal plumbing (stubbed decode, real Spark shape) ---------
     QueryDef(
       "m1_media_features",

@@ -116,6 +116,25 @@ class OpsSpec extends AnyFunSuite {
     assert(bucketed.length > 4) // actually spreads across buckets
   }
 
+  test("dropNearDuplicates keeps the lowest id of each near-dup pair") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+    val losers = pairs.select("b").collect().map(_.getLong(0)).toSet
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(losers.nonEmpty)
+    assert(keptIds.intersect(losers).isEmpty)
+    assert(keptIds.size == docs.count() - losers.size)
+  }
+
+  test("rolling fingerprint is order-sensitive, bag fingerprint is not") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val r = d.select(TextAnalysis.rollingFingerprint(col("text"))).collect()
+    assert(r(0).getLong(0) != r(1).getLong(0))
+    val f = d.select(TextAnalysis.fingerprint(col("text"))).collect()
+    assert(f(0).getString(0) == f(1).getString(0))
+  }
+
   test("text quality metrics are self-consistent") {
     val q = TextAnalysis.quality(docs, "doc_id", "text").collect()
     q.foreach { r =>
