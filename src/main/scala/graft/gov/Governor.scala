@@ -67,6 +67,17 @@ final class Governor(rails: Guardrails = Guardrails()) {
   @volatile var hits: Long = 0
   def cacheSize: Int = cache.synchronized(cache.size)
 
+  // ---- ops metrics (reference exposes these via MCP/console, C6) --------
+  val queriesServed = new java.util.concurrent.atomic.AtomicLong(0)
+  val queryErrors = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def metrics: Seq[(String, Long)] = Seq(
+    "queries_served" -> queriesServed.get(),
+    "query_errors" -> queryErrors.get(),
+    "result_cache_hits" -> hits,
+    "result_cache_entries" -> cacheSize.toLong,
+    "queued" -> queued.get().toLong)
+
   // ---- concurrency limiter ---------------------------------------------
 
   private val tokens = new Semaphore(rails.maxConcurrent, true)

@@ -151,6 +151,15 @@ class PgWireServer(
       commandComplete(out, "SET")
       return
     }
+    // ops introspection (reference exposes metrics via its console/MCP, C6)
+    if (lower == "show metrics") {
+      import spark.implicits._
+      val df = gov.metrics.toDF("metric", "value")
+      rowDescription(out, df.schema)
+      df.collect().foreach(r => dataRow(out, df.schema, r))
+      commandComplete(out, s"SELECT ${gov.metrics.size}")
+      return
+    }
     catalogFrame(sql, lower) match {
       case Some(df) =>
         val schema = df.schema
@@ -168,9 +177,13 @@ class PgWireServer(
       rowDescription(out, schema)
       rows.foreach(r => dataRow(out, schema, r))
       commandComplete(out, s"SELECT ${rows.length}")
+      gov.queriesServed.incrementAndGet()
     } catch {
-      case e: KafsqlException => errorResponse(out, "42601", e.getMessage)
+      case e: KafsqlException =>
+        gov.queryErrors.incrementAndGet()
+        errorResponse(out, "42601", e.getMessage)
       case e: Exception =>
+        gov.queryErrors.incrementAndGet()
         errorResponse(out, "XX000",
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(500))
     }

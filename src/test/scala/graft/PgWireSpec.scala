@@ -98,4 +98,13 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (code, _, err) = psql("SET search_path TO public")
     assert(code == 0, err)
   }
+
+  test("SHOW METRICS exposes ops counters over the wire") {
+    psql("SELECT COUNT(*) AS n FROM events LAST 30d") // ensure >= 1 served
+    val (code, out, err) = psql("SHOW METRICS")
+    assert(code == 0, err)
+    val m = out.trim.linesIterator.map(_.split('|')).map(r => r(0) -> r(1).toLong).toMap
+    assert(m("queries_served") >= 1)
+    assert(m.contains("result_cache_hits") && m.contains("query_errors"))
+  }
 }
