@@ -90,23 +90,29 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
-  /** Exact Jaccard for given pairs from the shingle postings. */
+  /** Exact Jaccard for given pairs from the shingle postings. Verification
+    * is array-side: pack each doc's (distinct) shingles into one array, hash
+    * join the pairs to the two arrays, and count `array_intersect` — two
+    * narrow joins keyed on doc id instead of re-joining pairs against the
+    * full shingle explode. At 100 TB candidate pairs ≪ shingle instances,
+    * so shuffling pair×array rows is far cheaper than pair×posting rows,
+    * and the intersect itself is a map-side hash-set probe per row.
+    * Zero-intersection pairs are emitted with jac=0 (callers threshold). */
   def jaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc").as("a"), col("sh")), "a")
-      .join(sh.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
-      .where(col("sh") === col("sh_b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("doc").as("a"), col("n").as("na")), "a")
-      .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")
+    val docSets = sh.groupBy(col("doc")).agg(collect_list(col("sh")).as("shs"))
+    pairs
+      .join(docSets.select(col("doc").as("a"), col("shs").as("sha")), "a")
+      .join(docSets.select(col("doc").as("b"), col("shs").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("na", size(col("sha")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jac"))
   }
 
   /** End-to-end MinHash-LSH near-dup detection with exact verify.
-    * The shingle explode feeds three consumers (signatures, intersection
-    * join ×2, counts) — caching it turns four scans+explodes into one.
+    * The shingle explode feeds two consumers (signatures, per-doc shingle
+    * arrays for the verify) — caching it halves the scans+explodes.
     * MEMORY_AND_DISK: at 100 TB the explode is larger than RAM; disk spill
     * beats recomputation. Evicted entries just recompute (correctness
     * unaffected). */
