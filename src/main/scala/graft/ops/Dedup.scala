@@ -178,6 +178,64 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over near-dup pairs (a < b): transitive duplicate
+    * clusters, labelled by the minimum doc id reachable. The greedy
+    * [[dropNearDuplicates]] can over-keep on chains (a~b, b~c keeps a and c
+    * even though all three are one dup cluster); this resolves the closure.
+    *
+    * Algorithm: min-label propagation with path halving (Pregel-style
+    * supersteps as DataFrame joins). Each round every node takes the min of
+    * its own label, its neighbours' labels, AND its label's label — the
+    * pointer-doubling hop that turns O(diameter) convergence into
+    * O(log diameter) (the MapReduce-CC trick of Kiveris et al.). Per round:
+    * two shuffle joins keyed on doc id + one groupBy(node) min-aggregate;
+    * labels are persisted per round and `localCheckpoint`ed every few rounds
+    * so the plan lineage stays flat at 100 TB instead of growing per
+    * superstep. Convergence is one scalar aggregate per round — labels only
+    * ever decrease, so an unchanged sum(label) is a fixpoint — never a
+    * per-round join or a data collect.
+    *
+    * Returns (node, cluster) for every node that appears in a pair;
+    * singletons are absent (their cluster is trivially themselves). */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the pair list BEFORE mirroring it: edges scans it twice, and
+    // upstream is typically a whole LSH+verify pipeline we must not re-run
+    val p = pairs.select(col("a"), col("b")).persist(MEMORY_AND_DISK)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaEdges = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .select(col("dst").as("node"), col("label"))
+      val viaHop = labels.select(col("node"), col("label").as("l"))
+        .join(labels.select(col("node").as("l"), col("label")), "l")
+        .select(col("node"), col("label"))
+      val next = viaEdges.union(viaHop).union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val flat = if ((i + 1) % 3 == 0) next.localCheckpoint() else next
+      val s = labelSum(flat)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = flat
+      i += 1
+    }
+    edges.unpersist()
+    p.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
   /** 60-bit word hash from md5 (identical in DuckDB via hex cast). */
   def wordHash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")

@@ -170,6 +170,43 @@ object DedupPack extends QueryPack {
           |                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS c
           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
           |SELECT a, b, round(c, 4) AS cos_sim
-          |FROM pairs WHERE c >= 0.4 ORDER BY a, b""".stripMargin))
+          |FROM pairs WHERE c >= 0.4 ORDER BY a, b""".stripMargin)),
+
+    // transitive duplicate clusters: connected components over the MinHash-
+    // LSH near-dup pairs (min-label propagation ≙ recursive CTE closure)
+    QueryDef(
+      "d7_dup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.nearDuplicates(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, k = k, bands = nBands)
+        Dedup.duplicateClusters(pairs)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+          .orderBy(col("cluster"))
+      },
+      Some(
+        s"""WITH RECURSIVE $shinglesCte,
+           |$sigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT l.doc AS a, r.doc AS b
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc),
+           |$jaccardCtes,
+           |pairs AS (
+           |  SELECT i.a, i.b FROM inter i
+           |  JOIN counts ca ON ca.doc = i.a
+           |  JOIN counts cb ON cb.doc = i.b
+           |  WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION ALL SELECT b, a FROM pairs),
+           |cc AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+           |labels AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)
+           |SELECT cluster, count(*) AS n_docs, max(node) AS max_doc
+           |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
   )
 }

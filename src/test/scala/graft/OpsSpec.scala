@@ -126,6 +126,29 @@ class OpsSpec extends AnyFunSuite {
     assert(keptIds.size == docs.count() - losers.size)
   }
 
+  test("duplicateClusters resolves transitive chains to one min-labelled component") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 = one cluster labelled 1; isolated pair 10-11;
+    // greedy dropNearDuplicates would over-keep on the chain (keeps 1 and 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters agrees with per-pair reachability on real near-dups") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired doc is labelled, labels are component members, and both
+    // ends of every pair land in the same cluster
+    pairs.select("a", "b").collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(clusters(a) == clusters(b))
+      assert(clusters(a) <= math.min(a, b))
+    }
+  }
+
   test("rolling fingerprint is order-sensitive, bag fingerprint is not") {
     import spark.implicits._
     val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
