@@ -236,6 +236,17 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster"))
   }
 
+  /** Deduplicated corpus via transitive clusters: keep exactly the cluster
+    * label (= min doc id) of every component. Unlike [[dropNearDuplicates]]
+    * this never over-keeps on chains: a~b, b~c keeps only a. One left-anti
+    * join against the non-representative members. */
+  def dropDuplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = duplicateClusters(pairs)
+      .where(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit word hash from md5 (identical in DuckDB via hex cast). */
   def wordHash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")

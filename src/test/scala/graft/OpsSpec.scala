@@ -136,6 +136,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dropDuplicateClusters keeps exactly one representative per chain") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.dropDuplicateClusters(d, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // chain 1-2-3-4 -> keep 1 (greedy would keep 1 AND 3); pair -> keep 10;
+    // untouched singleton 99 stays
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
   test("duplicateClusters agrees with per-pair reachability on real near-dups") {
     val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
     val clusters = Dedup.duplicateClusters(pairs).collect()
