@@ -23,15 +23,28 @@ object Bench {
 
     try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warmup
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop persisted intermediates so queries don't contend for storage
+        // memory with later ones (r1: d7 was 65s in-suite vs 24s standalone
+        // purely from leaked shingle-explode caches)
+        spark.catalog.clearCache()
+        name -> dt
+      }
+    // Keep this line COMPACT (3-decimal secs): the harvester parses it from
+    // a bounded tail of the sbt log — a long line gets front-truncated and
+    // fails to parse (round-1 BENCH had parsed:null for exactly this reason).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

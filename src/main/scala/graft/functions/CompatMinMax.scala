@@ -36,6 +36,21 @@ object CompatMinMax {
     else if (tsPattern.matches(v)) KindTimestamp
     else KindString
 
+  /** Epoch ms of a timestamp-kind display value — the reference compares
+    * timestamps NUMERICALLY on parsed epoch ms (updateAggMin/Max on
+    * state.TS), not lexicographically; mixed-format values ('T' vs space,
+    * varying fractional digits) must order by instant. */
+  def tsMs(v: String): Double = {
+    val normalized = v.replace(' ', 'T')
+    try {
+      if (normalized.endsWith("Z"))
+        java.time.Instant.parse(normalized).toEpochMilli.toDouble
+      else
+        java.time.LocalDateTime.parse(normalized)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble
+    } catch { case _: java.time.format.DateTimeParseException => Double.NaN }
+  }
+
   final class MinMaxAgg(isMin: Boolean) extends Aggregator[String, Buf, String] {
     override def zero: Buf = Buf(KindNone, 0.0, null)
 
@@ -44,15 +59,21 @@ object CompatMinMax {
     private def betterStr(a: String, b: String): Boolean =
       if (isMin) b < a else b > a
 
+    // numbers AND timestamps carry a numeric sort key in `num`;
+    // only the string kind compares lexicographically
+    private def numericKind(k: Int): Boolean =
+      k == KindNumber || k == KindTimestamp
+
+    private def sortKey(k: Int, v: String): Double =
+      if (k == KindNumber) v.toDouble else if (k == KindTimestamp) tsMs(v) else 0.0
+
     override def reduce(b: Buf, v: String): Buf = {
       val k = kindOf(v)
       if (k == KindNone) return b
-      if (b.kind == KindNone) {
-        if (k == KindNumber) Buf(k, v.toDouble, v)
-        else Buf(k, 0.0, v)
-      } else if (k != b.kind) b // first kind wins; mismatches ignored
-      else if (b.kind == KindNumber) {
-        val d = v.toDouble
+      if (b.kind == KindNone) Buf(k, sortKey(k, v), v)
+      else if (k != b.kind) b // first kind wins; mismatches ignored
+      else if (numericKind(b.kind)) {
+        val d = sortKey(k, v)
         if (better(b.num, d)) Buf(b.kind, d, v) else b
       } else if (betterStr(b.str, v)) Buf(b.kind, b.num, v)
       else b
@@ -62,8 +83,8 @@ object CompatMinMax {
       if (a.kind == KindNone) b
       else if (b.kind == KindNone) a
       else if (a.kind != b.kind) a
-      else if (a.kind == KindNumber)
-        if (better(a.num, b.num)) Buf(a.kind, b.num, b.str) else a
+      else if (numericKind(a.kind))
+        if (better(a.num, b.num)) b else a
       else if (betterStr(a.str, b.str)) b
       else a
 

@@ -1,7 +1,6 @@
 package graft.gov
 
 import java.util.concurrent.{Semaphore, TimeUnit}
-import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
@@ -28,43 +27,57 @@ final class Governor(rails: Guardrails = Guardrails()) {
 
   private final case class CacheEntry(schema: StructType, rows: Array[Row],
       insertedAtMs: Long)
-  private val cache = new mutable.LinkedHashMap[String, CacheEntry]
+  // Access-order LinkedHashMap -> true LRU (a hit bumps the entry), matching
+  // the reference's TTL+LRU result cache (result_cache.go:26-110).
+  private val cache =
+    new java.util.LinkedHashMap[String, CacheEntry](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CacheEntry]): Boolean =
+        size() > rails.resultCacheMaxEntries
+    }
 
   def normalize(sql: String): String = sql.trim.toLowerCase.replaceAll("\\s+", " ")
 
   def cacheKey(sql: String, boundsMs: (Option[Long], Option[Long])): String =
     s"${normalize(sql)}|${boundsMs._1.getOrElse(-1L)}|${boundsMs._2.getOrElse(-1L)}"
 
-  def cachedOrRun(spark: SparkSession, key: String, cacheable: Boolean)(
-      run: => DataFrame): DataFrame = {
+  /** Serve collected rows from the cache, or materialize via `run` (which
+    * must COLLECT inside — so admission/timeout wrap real work, not just
+    * lazy plan construction). */
+  def cachedOrRunRows(key: String, cacheable: Boolean)(
+      run: => (StructType, Array[Row])): (StructType, Array[Row]) = {
     val nowMs = System.currentTimeMillis()
     if (cacheable) {
       cache.synchronized {
-        cache.get(key).filter(nowMs - _.insertedAtMs <= rails.resultCacheTtlMs)
-          .foreach { e =>
-            hits += 1
-            return spark.createDataFrame(
-              new java.util.ArrayList[Row](java.util.Arrays.asList(e.rows: _*)),
-              e.schema)
-          }
-      }
-    }
-    val df = run
-    if (cacheable) {
-      val rows = df.limit(rails.resultCacheMaxRows + 1).collect()
-      if (rows.length <= rails.resultCacheMaxRows) {
-        cache.synchronized {
-          cache.put(key, CacheEntry(df.schema, rows, nowMs))
-          while (cache.size > rails.resultCacheMaxEntries) cache.remove(cache.head._1)
+        val e = cache.get(key) // access-order read bumps recency
+        if (e != null) {
+          if (nowMs - e.insertedAtMs <= rails.resultCacheTtlMs) {
+            hitCounter.incrementAndGet()
+            return (e.schema, e.rows)
+          } else cache.remove(key)
         }
-        return spark.createDataFrame(
-          new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), df.schema)
       }
     }
-    df
+    val (schema, rows) = run
+    if (cacheable && rows.length <= rails.resultCacheMaxRows) {
+      cache.synchronized { cache.put(key, CacheEntry(schema, rows, nowMs)) }
+    }
+    (schema, rows)
   }
 
-  @volatile var hits: Long = 0
+  /** DataFrame convenience over [[cachedOrRunRows]]. */
+  def cachedOrRun(spark: SparkSession, key: String, cacheable: Boolean)(
+      run: => DataFrame): DataFrame = {
+    val (schema, rows) = cachedOrRunRows(key, cacheable) {
+      val df = run
+      (df.schema, df.collect())
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  private val hitCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def hits: Long = hitCounter.get()
   def cacheSize: Int = cache.synchronized(cache.size)
 
   // ---- ops metrics (reference exposes these via MCP/console, C6) --------

@@ -22,10 +22,27 @@ object Kafsql {
       rails: Guardrails = Guardrails()): DataFrame =
     Planner.plan(spark, reg, parse(query), Planner.Env(nowMs, rails))
 
-  /** Fully governed execution: admission → result cache → timeout. */
+  /** Fully governed execution: admission → result cache → timeout, with the
+    * MATERIALIZATION (collect) inside all three — a lazily returned
+    * DataFrame would escape the job-group timeout and the admission token
+    * (the reference scopes its query context around row streaming,
+    * `server.go:468-478,2847-2852`). Every KAFSQL plan is LIMIT-bounded
+    * (≤ max_rows guardrail), so collecting in the driver is the reference's
+    * own row-streaming envelope. */
   def governed(spark: SparkSession, reg: TopicRegistry, gov: Governor,
       query: String, nowMs: Long = System.currentTimeMillis(),
       rails: Guardrails = Guardrails()): DataFrame = {
+    val (schema, rows) = governedRows(spark, reg, gov, query, nowMs, rails)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  /** Collected form of [[governed]] — what pg-wire streams to the client. */
+  def governedRows(spark: SparkSession, reg: TopicRegistry, gov: Governor,
+      query: String, nowMs: Long = System.currentTimeMillis(),
+      rails: Guardrails = Guardrails())
+      : (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row]) = {
     val stmt = parse(query)
     val cacheable = stmt match {
       case s: Select => s.window match {
@@ -43,9 +60,10 @@ object Kafsql {
       case _ => (None, None)
     }
     gov.withAdmission() {
-      gov.cachedOrRun(spark, gov.cacheKey(query, bounds), cacheable) {
+      gov.cachedOrRunRows(gov.cacheKey(query, bounds), cacheable) {
         gov.withTimeout(spark) {
-          Planner.plan(spark, reg, stmt, Planner.Env(nowMs, rails))
+          val df = Planner.plan(spark, reg, stmt, Planner.Env(nowMs, rails))
+          (df.schema, df.collect())
         }
       }
     }

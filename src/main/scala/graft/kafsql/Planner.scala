@@ -238,7 +238,7 @@ object Planner {
       // NULL → "<nil>" (server.go:1968-1981); LIMIT after sort
       val keyCols = sel.groupBy.map(g =>
         coalesce(col(groupAlias(sel, g)).cast("string"), lit("<nil>")))
-      grouped.orderBy(concat_ws("", keyCols: _*)).limit(limit)
+      grouped.orderBy(concat_ws("\u001f", keyCols: _*)).limit(limit)
     }
   }
 

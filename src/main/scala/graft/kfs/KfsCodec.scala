@@ -1,7 +1,7 @@
 package graft.kfs
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.util.zip.{CRC32, CRC32C}
+import java.util.zip.CRC32C
 import scala.collection.mutable.ArrayBuffer
 
 /** KFS segment codec — a clean-room implementation of the segment layout the
@@ -98,12 +98,15 @@ object KfsCodec {
 
     records.grouped(batchSize).foreach(b => out ++= buildBatch(b))
 
-    val crc = new CRC32
-    crc.update(out.toArray)
+    // Footer CRC is CRC32C (Castagnoli) over the batch body only — the bytes
+    // between segment header and footer — matching the reference writer
+    // (pkg/storage/segment.go:33,61: crc32.Checksum(bodyBytes, Castagnoli)).
+    val crc = new CRC32C
+    val all = out.toArray
+    crc.update(all, SegmentHeaderLen, all.length - SegmentHeaderLen)
     val foot = ByteBuffer.allocate(FooterLen).order(ByteOrder.BIG_ENDIAN)
     foot.putInt(crc.getValue.toInt).putLong(records.last.offset).putInt(FooterMagic)
-    out ++= foot.array()
-    out.toArray
+    all ++ foot.array()
   }
 
   /** One Kafka-v2 record batch. */
@@ -170,8 +173,9 @@ object KfsCodec {
     val crcStored = f.i32()
     val lastOffset = f.i64()
     if (f.i32() != FooterMagic) throw new KfsFormatException("bad footer magic")
-    val crc = new CRC32
-    crc.update(buf, 0, buf.length - FooterLen)
+    // Reference semantics: CRC32C over the batch body only (segment.go:61).
+    val crc = new CRC32C
+    crc.update(buf, SegmentHeaderLen, buf.length - FooterLen - SegmentHeaderLen)
     if (crc.getValue.toInt != crcStored) throw new KfsFormatException("segment CRC mismatch")
     SegmentInfo(base, count, created, lastOffset)
   }

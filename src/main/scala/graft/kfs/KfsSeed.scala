@@ -17,7 +17,9 @@ object KfsSeed {
 
   def seededRoot(spark: SparkSession, sfDir: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
-    val root = s"/tmp/graft_kfs/$sfName"
+    // v2: footer CRC switched to CRC32C-over-body (reference semantics) —
+    // versioned path so stale v1 fixtures can never be picked up
+    val root = s"/tmp/graft_kfs/v2/$sfName"
     this.synchronized {
       val marker = Paths.get(root, "_SEEDED")
       if (!Files.exists(marker)) {

@@ -188,12 +188,17 @@ object Dedup {
     * its own label, its neighbours' labels, AND its label's label — the
     * pointer-doubling hop that turns O(diameter) convergence into
     * O(log diameter) (the MapReduce-CC trick of Kiveris et al.). Per round:
-    * two shuffle joins keyed on doc id + one groupBy(node) min-aggregate;
-    * labels are persisted per round and `localCheckpoint`ed every few rounds
-    * so the plan lineage stays flat at 100 TB instead of growing per
-    * superstep. Convergence is one scalar aggregate per round — labels only
-    * ever decrease, so an unchanged sum(label) is a fixpoint — never a
-    * per-round join or a data collect.
+    * two shuffle joins keyed on doc id + one groupBy(node) min-aggregate.
+    *
+    * Every round is EAGERLY `localCheckpoint`ed: iterative DataFrame jobs
+    * otherwise accumulate lineage, and one evicted/unpersisted ancestor
+    * recomputes the entire upstream pipeline (the LSH candidate generation)
+    * once per remaining round — that, not the propagation itself, dominated
+    * the round-1 bench. Checkpointing makes each round read exactly one
+    * materialized RDD; convergence is one scalar aggregate per round
+    * (labels only ever decrease, so an unchanged sum(label) is a fixpoint).
+    * On a real cluster swap localCheckpoint for reliable `checkpoint` —
+    * same structure, executor-loss-safe.
     *
     * Returns (node, cluster) for every node that appears in a pair;
     * singletons are absent (their cluster is trivially themselves). */
@@ -202,18 +207,24 @@ object Dedup {
     // persist the pair list BEFORE mirroring it: edges scans it twice, and
     // upstream is typically a whole LSH+verify pipeline we must not re-run
     val p = pairs.select(col("a"), col("b")).persist(MEMORY_AND_DISK)
+    // eager checkpoint cuts the whole upstream lineage out of the loop
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint()
+    p.unpersist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
     var prevSum = labelSum(labels)
+    if (debug) println(f"[cc] init ${(System.nanoTime() - t0) / 1e9}%.2fs")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      t0 = System.nanoTime()
       val viaEdges = edges
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .select(col("dst").as("node"), col("label"))
@@ -222,17 +233,14 @@ object Dedup {
         .select(col("node"), col("label"))
       val next = viaEdges.union(viaHop).union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist(MEMORY_AND_DISK)
-      val flat = if ((i + 1) % 3 == 0) next.localCheckpoint() else next
-      val s = labelSum(flat)
+        .localCheckpoint() // eager: one materialization, zero lineage
+      val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
-      labels = flat
+      labels = next
       i += 1
+      if (debug) println(f"[cc] round $i ${(System.nanoTime() - t0) / 1e9}%.2fs sum=$s")
     }
-    edges.unpersist()
-    p.unpersist()
     labels.select(col("node"), col("label").as("cluster"))
   }
 

@@ -171,9 +171,8 @@ class PgWireServer(
       case None =>
     }
     try {
-      val df = Kafsql.governed(spark, registry, gov, sql, nowMs = nowMs())
-      val schema = df.schema
-      val rows = df.collect()
+      val (schema, rows) =
+        Kafsql.governedRows(spark, registry, gov, sql, nowMs = nowMs())
       rowDescription(out, schema)
       rows.foreach(r => dataRow(out, schema, r))
       commandComplete(out, s"SELECT ${rows.length}")

@@ -19,7 +19,9 @@ object EtlPack extends QueryPack {
 
   private def tmp(sfDir: String, name: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
-    s"/tmp/graft_etl/$sfName/$name"
+    // v2 matches KfsSeed's fixture version: the stream checkpoint embeds
+    // absolute source paths, so it must roll when the fixture root rolls
+    s"/tmp/graft_etl/v2/$sfName/$name"
   }
 
   override def entries: Seq[QueryDef] = Seq(

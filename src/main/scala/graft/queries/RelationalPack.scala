@@ -392,10 +392,15 @@ object RelationalPack extends QueryPack {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // exact decimal arithmetic inside; final cast to double so the
+          // output value has one canonical rendering (a decimal with a
+          // trailing zero in its scale, e.g. …6690, stringifies differently
+          // from the float the oracle side may surface — hash mismatch)
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -403,10 +408,10 @@ object RelationalPack extends QueryPack {
       Some(
         """SELECT l_returnflag, l_linestatus,
           |       SUM(l_quantity) AS sum_qty,
-          |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-          |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-          |                AS DECIMAL(18,4))) AS sum_disc_price,
+          |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
           |       round(AVG(l_quantity), 4) AS avg_qty,
           |       round(AVG(l_discount), 6) AS avg_disc,
           |       count(*) AS count_order
@@ -428,15 +433,15 @@ object RelationalPack extends QueryPack {
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(18,4)")).as("revenue"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       Some(
         """SELECT l_orderkey, o_orderdate,
-          |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-          |                AS DECIMAL(18,4))) AS revenue
+          |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
@@ -458,11 +463,11 @@ object RelationalPack extends QueryPack {
         .agg(
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)"))
-            .as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items")),
       Some(
-        """SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-          |                CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue,
+        """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
           |       count(*) AS n_items
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -488,15 +493,15 @@ object RelationalPack extends QueryPack {
           .agg(
             sum((col("l_extendedprice").cast("decimal(18,2)") *
               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-              .cast("decimal(18,4)")).as("revenue"),
+              .cast("decimal(18,4)")).cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some(
         """SELECT r_name, n_name,
-          |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
           |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-          |                AS DECIMAL(18,4))) AS revenue,
+          |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
           |       count(*) AS n_items
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey

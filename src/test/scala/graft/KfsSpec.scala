@@ -58,15 +58,31 @@ class KfsSpec extends AnyFunSuite {
     val seg = KfsCodec.buildSegment(mkRecords(4))
     // attributes i16 sits at segmentHeader + 21 in the first batch
     seg(KfsCodec.SegmentHeaderLen + 22) = 1 // gzip bit
-    // fix the footer CRC so we reach the batch check
-    val crc = new java.util.zip.CRC32
-    crc.update(seg, 0, seg.length - KfsCodec.FooterLen)
+    // fix the footer CRC (CRC32C over the batch body, reference semantics)
+    // so we reach the batch check
+    val crc = new java.util.zip.CRC32C
+    crc.update(seg, KfsCodec.SegmentHeaderLen,
+      seg.length - KfsCodec.FooterLen - KfsCodec.SegmentHeaderLen)
     val bb = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt)
     System.arraycopy(bb.array(), 0, seg, seg.length - KfsCodec.FooterLen, 4)
     val ex = intercept[KfsCodec.KfsFormatException] {
       KfsCodec.decodeSegment(seg).toSeq
     }
     assert(ex.getMessage.contains("compressed"))
+  }
+
+  test("footer CRC is CRC32C over the batch body only (segment.go:33,61 parity)") {
+    val seg = KfsCodec.buildSegment(mkRecords(7))
+    val stored = java.nio.ByteBuffer
+      .wrap(seg, seg.length - KfsCodec.FooterLen, 4).getInt
+    val crc = new java.util.zip.CRC32C
+    crc.update(seg, KfsCodec.SegmentHeaderLen,
+      seg.length - KfsCodec.FooterLen - KfsCodec.SegmentHeaderLen)
+    assert(stored == crc.getValue.toInt)
+    // header bytes are NOT covered: flipping one must still verify
+    val seg2 = seg.clone()
+    seg2(20) = (seg2(20) ^ 0x01).toByte // inside createdTs field
+    KfsCodec.segmentInfo(seg2) // no CRC exception
   }
 
   test("discovery skips segments without the END! footer") {
