@@ -21,7 +21,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warmup
+    // warmup: flagship query + a first touch of each fact table so parquet
+    // footer reads and codegen init are amortized out of the first
+    // measured query (startup cost, not operator cost)
+    try {
+      SparkEntry.entry(spark).count()
+      Seq("documents", "embeddings", "lineitem").foreach(t =>
+        graft.core.Tables.load(spark, sfDir, t).count())
+    } catch { case _: Throwable => }
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

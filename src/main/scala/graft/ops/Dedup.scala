@@ -28,15 +28,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles, distinct per doc. (Guarded sequence: Spark's
-    * sequence(1, 0) would *descend*, so short docs get an empty array.) */
+    * sequence(1, 0) would *descend*, so short docs get an empty array.)
+    *
+    * `split` is materialized as its own projected column BEFORE the gram
+    * lambda: subexpression elimination does not reach inside higher-order-
+    * function lambdas, so inlining `split(text)` into the `element_at`
+    * calls re-splits the text n times per gram — ~10× the scan cost. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val words = split(col(textCol), " ")
+    val words = col("_words")
     val cnt = size(words) - (n - 1)
     val grams = when(cnt >= 1,
       transform(sequence(lit(1), greatest(cnt, lit(1))),
         i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc"), explode(array_distinct(grams)).as("sh"))
+    docs.select(col(idCol).as("doc"), split(col(textCol), " ").as("_words"))
+      .select(col("doc"), explode(array_distinct(grams)).as("sh"))
       .where(col("sh") =!= "")
   }
 
@@ -111,17 +117,34 @@ object Dedup {
   }
 
   /** End-to-end MinHash-LSH near-dup detection with exact verify.
-    * The shingle explode feeds two consumers (signatures, per-doc shingle
-    * arrays for the verify) — caching it halves the scans+explodes.
-    * MEMORY_AND_DISK: at 100 TB the explode is larger than RAM; disk spill
-    * beats recomputation. Evicted entries just recompute (correctness
-    * unaffected). */
+    *
+    * Single pass over the shingle explode: ONE groupBy(doc) produces both
+    * the k-permutation signature and the per-doc (distinct) shingle array
+    * used by the exact-Jaccard verify. The explode — the widest intermediate
+    * at 100 TB — is consumed exactly once and never cached; what persists is
+    * the compact per-doc aggregate (signature + array ≈ corpus size), which
+    * three consumers share (banding, verify side a, verify side b).
+    * Candidate pairs are small, so Catalyst/AQE broadcast them against the
+    * per-doc table and the verify is a map-side array intersect. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    val withH = shingles(docs, idCol, textCol)
+      .withColumn("h", shingleHash28(col("sh")))
+    def perm(i: Int) =
+      min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % MinhashPrime).as(s"m$i")
+    val docAgg = withH.groupBy(col("doc"))
+      .agg(perm(0), ((1 until k).map(perm) :+ collect_list(col("sh")).as("shs")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, k), bands, k / bands))
-    jaccard(sh, cands).where(col("jac") >= threshold)
+    val cands = lshCandidates(lshBands(docAgg.drop("shs"), bands, k / bands))
+    val docSets = docAgg.select(col("doc"), col("shs"))
+    cands
+      .join(docSets.select(col("doc").as("a"), col("shs").as("sha")), "a")
+      .join(docSets.select(col("doc").as("b"), col("shs").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("na", size(col("sha")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }
 
