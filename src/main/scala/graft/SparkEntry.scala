@@ -19,7 +19,8 @@ object SparkEntry {
     KafsqlPack,
     DedupPack,
     OpsPack,
-    EtlPack
+    EtlPack,
+    StreamPack
   )
 
   private lazy val defs: Seq[QueryDef] = packs.flatMap(_.entries)

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-time window operators (SURVEY §2.9 superset, St5): the reference
+  * has no event-time windows at all — `LAST` is wall-clock at query time —
+  * so Spark's `window`/`session_window` aggregates are the rebuild's upgrade
+  * path for continuous queries. The same expressions run in Structured
+  * Streaming with a watermark (see `streaming/StreamAggs` + StreamAggSpec);
+  * here they run in batch mode against the driver testdata so the DuckDB
+  * oracle can hash-check them (time_bucket / gaps-and-islands equivalents).
+  *
+  * Scale notes: both are single-shuffle hash aggregates keyed on
+  * (key, window); session_window's merge phase is per-key ordered within the
+  * shuffle partition, so skew follows key skew (salt the groupBy key if one
+  * user dominates). State in the streaming variant is bounded by the
+  * watermark horizon, not stream age.
+  */
+object StreamPack extends QueryPack {
+
+  private def oracle(body: String): Option[String] =
+    Some(Tables.withEventsTopic(body))
+
+  override def entries: Seq[QueryDef] = Seq(
+
+    // session_window: events of one user within a 30-min gap merge into one
+    // session (half-open [ts, ts+gap) windows — a gap of exactly 30 min
+    // starts a new session on both sides)
+    QueryDef(
+      "e5_session_window",
+      (s, dir) => {
+        val ev = Tables.eventsTopic(s, dir)
+        ev.groupBy(col("_key"), session_window(col("_ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("_key"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy(col("_key"))
+      },
+      oracle(
+        """, x AS (
+          |  SELECT _key, _ts_ms,
+          |         CASE WHEN lag(_ts_ms) OVER w IS NULL
+          |                OR _ts_ms - lag(_ts_ms) OVER w >= 1800000
+          |              THEN 1 ELSE 0 END AS brk
+          |  FROM events_topic
+          |  WINDOW w AS (PARTITION BY _key ORDER BY _ts_ms)),
+          |s AS (
+          |  SELECT _key, _ts_ms,
+          |         SUM(brk) OVER (PARTITION BY _key ORDER BY _ts_ms
+          |                        ROWS UNBOUNDED PRECEDING) AS sess
+          |  FROM x),
+          |g AS (SELECT _key, sess, count(*) AS n_events FROM s GROUP BY 1, 2)
+          |SELECT _key, count(*) AS n_sessions,
+          |       CAST(max(n_events) AS BIGINT) AS max_session_events,
+          |       CAST(SUM(n_events) AS BIGINT) AS n_events
+          |FROM g GROUP BY _key ORDER BY _key""".stripMargin)),
+
+    // tumbling 1-day event-time windows per event type (epoch-aligned UTC
+    // midnights on both sides)
+    QueryDef(
+      "e6_tumbling_window",
+      (s, dir) => {
+        val ev = Tables.eventsTopic(s, dir)
+        ev.groupBy(col("event_type"), window(col("_ts"), "1 day"))
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("_key")).as("n_users"))
+          .select(col("event_type"),
+            date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+            col("cnt"), col("n_users"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      oracle(
+        """SELECT event_type, strftime(date_trunc('day', _ts), '%Y-%m-%d') AS day,
+          |       count(*) AS cnt, count(DISTINCT _key) AS n_users
+          |FROM events_topic
+          |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
+  )
+}
