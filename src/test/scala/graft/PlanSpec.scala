@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the headline query shapes — the "is this
+  * the plan you'd want at 100 TB" contract (SURVEY §4): filters and column
+  * pruning reach the parquet scan, dimension sides broadcast, aggregates
+  * run map-side partials, and the top-k sort never global-sorts.
+  *
+  * These lock the plan shape so a future refactor that silently drops a
+  * broadcast hint or blocks pushdown fails fast, not at the next bench.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q6: filters and projection are pushed into the parquet scan") {
+    val plan = planOf("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("l_shipdate") && plan.contains("l_quantity"),
+      s"expected shipdate/quantity in PushedFilters:\n$plan")
+    // projection pruning: the scan must not read the join keys it doesn't use
+    assert(!plan.contains("l_orderkey"),
+      s"q6 reads only 4 columns; l_orderkey must be pruned:\n$plan")
+  }
+
+  test("q3/q5: dimension sides broadcast — no shuffle on customer/nation/region") {
+    val q3 = planOf("q3_top_orders")
+    assert(q3.contains("BroadcastHashJoin"), s"q3 should broadcast customer:\n$q3")
+    val q5 = planOf("q5_nation_revenue")
+    assert(q5.contains("BroadcastHashJoin"), s"q5 should broadcast dims:\n$q5")
+    // the only Exchange below the aggregate should be the fact-side shuffle
+    assert(!q5.contains("SortMergeJoin"),
+      s"q5 dims must broadcast, not sort-merge:\n$q5")
+  }
+
+  test("q1: aggregate runs map-side partials (two-phase HashAggregate)") {
+    val plan = planOf("q1_pricing_summary")
+    val n = "HashAggregate".r.findAllIn(plan).length
+    assert(n >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("o1: ORDER BY + LIMIT plans as TakeOrderedAndProject (top-k, no global sort)") {
+    val plan = planOf("o1_orderby_ts_limit")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
+  }
+
+  test("p1: projection pruning reaches the events scan") {
+    val plan = planOf("p1_projection")
+    // p1 selects topic/partition/offset/key/segment — value must not be read
+    assert(!plan.toLowerCase.contains("props"),
+      s"p1 must not read the props/_value column:\n$plan")
+  }
+}
