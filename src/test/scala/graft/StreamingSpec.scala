@@ -62,5 +62,16 @@ class StreamingSpec extends AnyFunSuite {
     val tsFirst = Seq("2024-01-02 00:00:00", "2024-01-01 00:00:00", "zzz").toDS()
     val r3 = tsFirst.select(minCol.name("mn"), maxCol.name("mx")).collect().head
     assert(r3 == ("2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+
+    // timestamps compare by INSTANT (parsed epoch ms), not lexicographically:
+    // 'T'-separated RFC3339 vs space layout, and fewer fractional digits,
+    // must still order by time (reference updateAggMin/Max on state.TS)
+    val mixed = Seq(
+      "2024-01-02T00:00:00", // later instant, lexicographically SMALLER than
+      "2024-01-01 23:59:59.9", // this one ('T' < ' ' is false: ' ' < 'T')
+      "2024-01-01 00:00:00.100").toDS()
+    val r4 = mixed.select(minCol.name("mn"), maxCol.name("mx")).collect().head
+    assert(r4 == ("2024-01-01 00:00:00.100", "2024-01-02T00:00:00"),
+      s"instant ordering expected, got $r4")
   }
 }
