@@ -176,10 +176,21 @@ object Dedup {
           .where(col("sh") === col("sh_b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
       case None =>
-        // single pass: the posting-list self-join is the intersection count
-        sh0.select(col("doc").as("a"), col("sh"))
-          .join(sh0.select(col("doc").as("b"), col("sh")), Seq("sh"))
-          .where(col("a") < col("b"))
+        // grouped pair explosion: ONE shuffle builds each shingle's sorted
+        // posting array, pairs are generated in-array (no self-join /
+        // sort-merge materialization), then one groupBy(a,b) counts the
+        // intersections. Same m(m-1)/2 output per posting list, one fewer
+        // wide exchange + no join sort.
+        val postings = sh0.groupBy(col("sh"))
+          .agg(array_sort(collect_list(col("doc"))).as("ds"))
+        val ds = col("ds")
+        val pairsArr = flatten(transform(ds, (x, i) =>
+          transform(
+            slice(ds, i + lit(2), greatest(size(ds) - i - lit(1), lit(0))),
+            y => struct(x.as("a"), y.as("b")))))
+        postings.where(size(ds) > 1)
+          .select(explode(pairsArr).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     }
     val counts = sh0.groupBy(col("doc")).agg(count(lit(1)).as("n"))

@@ -162,12 +162,14 @@ object RelationalPack extends QueryPack {
           |ORDER BY _offset""".stripMargin)),
 
     // ---- F3 json_exists ------------------------------------------------
+    // json_tuple: ONE JSON parse yields both paths (two get_json_object
+    // calls parse the value twice — 2x the scan CPU at 100 TB)
     QueryDef(
       "f3_json_exists",
       (s, dir) => ev(s, dir)
-        .select(
-          get_json_object(col("_value"), "$.k").isNotNull.as("has_k"),
-          get_json_object(col("_value"), "$.zz").isNotNull.as("has_zz"))
+        .select(json_tuple(col("_value"), "k", "zz").as(Seq("k_v", "zz_v")))
+        .select(col("k_v").isNotNull.as("has_k"),
+          col("zz_v").isNotNull.as("has_zz"))
         .groupBy(col("has_k"), col("has_zz"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("has_k"), col("has_zz")),
@@ -230,11 +232,13 @@ object RelationalPack extends QueryPack {
     QueryDef(
       "a2_count_null_skip",
       (s, dir) => ev(s, dir)
+        .select(col("event_type"),
+          json_tuple(col("_value"), "k", "zz").as(Seq("k_v", "zz_v")))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_rows"),
-          count(get_json_object(col("_value"), "$.k")).as("n_k"),
-          count(get_json_object(col("_value"), "$.zz")).as("n_zz"))
+          count(col("k_v")).as("n_k"),
+          count(col("zz_v")).as("n_zz"))
         .orderBy(col("event_type")),
       oracle(
         """SELECT event_type, count(*) AS n_rows,
