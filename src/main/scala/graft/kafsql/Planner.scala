@@ -155,6 +155,57 @@ object Planner {
     }
   }
 
+  /** Continuous (Structured Streaming, append-mode) subset of SELECT: the
+    * reference rejects continuous queries outright (non-goal,
+    * `README.md:99-104`); this is the Spark-first upgrade — the same dialect
+    * and desugaring applied to a streaming topic frame. Supported:
+    * projections (incl. json_*), schema-on-read columns, partition/offset/
+    * `_ts` predicates. Rejected (no append-mode equivalent): joins,
+    * aggregates (use event-time windows — `streaming/StreamAggs`),
+    * ORDER BY, TAIL, LIMIT. `LAST d` anchors a lower time bound at stream
+    * start and — unlike batch — sets NO upper bound: events keep arriving. */
+  def planContinuous(reg: TopicRegistry, stream: DataFrame, sel: Select,
+      env: Env): DataFrame = {
+    if (sel.join.nonEmpty)
+      throw new KafsqlException("continuous queries do not support joins")
+    if (sel.projections.exists(_.expr.isInstanceOf[AggFunc]) || sel.groupBy.nonEmpty)
+      throw new KafsqlException(
+        "continuous queries do not support bare aggregates; use event-time windows")
+    if (sel.orderBy.nonEmpty)
+      throw new KafsqlException("continuous queries do not support ORDER BY")
+    if (sel.window.exists(_.isInstanceOf[Tail]))
+      throw new KafsqlException("continuous queries do not support TAIL")
+    if (sel.limit.nonEmpty)
+      throw new KafsqlException("continuous queries do not support LIMIT")
+
+    val d = reg.get(sel.from.topic)
+    var df = d.schemaCols.foldLeft(stream) { (acc, sc) =>
+      acc.withColumn(sc.name, TopicRegistry.extract(col("_value"), sc))
+    }
+    sel.where.foreach {
+      case PartitionEq(p) => df = df.filter(col("_partition") === p)
+      case OffsetCmp(true, v) => df = df.filter(col("_offset") >= v)
+      case OffsetCmp(false, v) => df = df.filter(col("_offset") <= v)
+      case _ =>
+    }
+    val explicitLos = sel.where.collect {
+      case TsCmp(true, v) => v
+      case TsBetween(lo, _) => lo
+    }
+    val explicitHis = sel.where.collect {
+      case TsCmp(false, v) => v
+      case TsBetween(_, hi) => hi
+    }
+    val lo = sel.window match {
+      case Some(Last(dur)) => Some((explicitLos :+ (env.nowMs - dur)).max)
+      case _ => explicitLos.reduceOption(_ max _)
+    }
+    lo.foreach(v => df = df.filter(col("_ts_ms") >= v))
+    explicitHis.reduceOption(_ min _)
+      .foreach(v => df = df.filter(col("_ts_ms") <= v))
+    projectSingle(reg, df, sel)
+  }
+
   private def planSingle(spark: SparkSession, reg: TopicRegistry, sel: Select,
       limit: Int, env: Env): DataFrame = {
     var df = reg.frame(spark, sel.from.topic)

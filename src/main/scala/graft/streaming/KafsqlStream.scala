@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.kafsql.{Kafsql, Planner, Select, TopicRegistry}
+import graft.kfs.{KfsCodec, KfsSource}
+
+/** Continuous KAFSQL over a KFS segment log — the reference's explicit
+  * non-goal ("continuous streaming queries", `sql-processor/README.md:44-48`)
+  * delivered as a Structured Streaming superset: the same dialect text the
+  * pg-wire endpoint accepts runs as an append-mode stream over segments as
+  * they land.
+  *
+  * Source = `binaryFile` file stream over completed `.kfs` segments (the
+  * END! completeness gate ran at write time; the stream only ever lists
+  * whole files — St2), decoded by the same [[KfsCodec]] the batch scan uses.
+  * One segment = one task, so throughput scales with executor count exactly
+  * like the batch path; the file-source checkpoint carries progress across
+  * restarts (no etcd).
+  */
+object KafsqlStream {
+
+  /** Streaming topic frame with the same 8 implicit columns (+ `_ts_ms`)
+    * as the batch [[KfsSource.read]]. */
+  def topicStream(spark: SparkSession, kfsRoot: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.kfs")
+      .load(s"$kfsRoot/*/*")
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val (topic, partition) = KfsSource.topicPartitionOf(path)
+        KfsCodec.decodeSegment(content).map { r =>
+          KfsSource.TopicRow(
+            topic, partition, r.offset,
+            java.time.LocalDateTime.ofEpochSecond(
+              r.timestampMs / 1000, (r.timestampMs % 1000).toInt * 1000000,
+              java.time.ZoneOffset.UTC),
+            r.timestampMs,
+            r.key, r.value,
+            r.headers.map(h => h.k ->
+              (if (h.v == null) null else new String(h.v, "UTF-8"))).toMap,
+            path)
+        }
+      }
+      .toDF()
+  }
+
+  /** Plan a continuous SELECT against a streaming topic frame. Returns a
+    * streaming DataFrame ready for `writeStream`. */
+  def select(reg: TopicRegistry, stream: DataFrame, query: String,
+      nowMs: Long = System.currentTimeMillis()): DataFrame =
+    Kafsql.parse(query) match {
+      case sel: Select => Planner.planContinuous(reg, stream, sel, Planner.Env(nowMs))
+      case _ => throw new graft.kafsql.KafsqlException(
+        "continuous queries support SELECT only")
+    }
+
+  /** Drain all currently-available segments through a continuous SELECT into
+    * a parquet table (append), then stop — `Trigger.AvailableNow` with a
+    * checkpoint, so re-running ships only new segments. */
+  def runToTable(
+      spark: SparkSession,
+      reg: TopicRegistry,
+      kfsRoot: String,
+      query: String,
+      tablePath: String,
+      checkpointDir: String,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    val out = select(reg, topicStream(spark, kfsRoot), query, nowMs)
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", tablePath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

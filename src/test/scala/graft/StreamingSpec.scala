@@ -12,6 +12,45 @@ import graft.streaming.StreamJoins
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("continuous KAFSQL SELECT drains to exactly the batch result") {
+    import graft.kafsql.{Kafsql, KafsqlException, SchemaCol, TopicDef, TopicRegistry}
+    import graft.kfs.{KfsSeed, KfsSource}
+    import graft.streaming.KafsqlStream
+
+    val root = KfsSeed.seededRoot(spark, sf)
+    val reg = new TopicRegistry(Seq(TopicDef(
+      "events", s => KfsSource.read(s, root, Some(Set("events"))),
+      schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+      partitions = 0 to 3)))
+    val query =
+      "SELECT _partition, _offset, k FROM events WHERE _partition = 2 AND _ts >= 0"
+
+    val out = java.nio.file.Files.createTempDirectory("kafsql_stream").toString
+    KafsqlStream.runToTable(spark, reg, root, query,
+      s"$out/table", s"$out/ckpt", nowMs = graft.core.Tables.FixedNowMs)
+    val streamed = spark.read.parquet(s"$out/table")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.get(2))).toSet
+
+    val batch = Kafsql.sql(spark, reg, query, nowMs = graft.core.Tables.FixedNowMs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.get(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} rows, batch ${batch.size}")
+
+    // re-run with the same checkpoint: no new segments -> nothing appended
+    KafsqlStream.runToTable(spark, reg, root, query,
+      s"$out/table", s"$out/ckpt", nowMs = graft.core.Tables.FixedNowMs)
+    assert(spark.read.parquet(s"$out/table").count() == streamed.size)
+
+    // append-mode restrictions surface as KafsqlException
+    val stream = KafsqlStream.topicStream(spark, root)
+    intercept[KafsqlException](KafsqlStream.select(reg, stream,
+      "SELECT _offset FROM events ORDER BY _ts LAST 1h"))
+    intercept[KafsqlException](KafsqlStream.select(reg, stream,
+      "SELECT COUNT(*) AS n FROM events LAST 1h"))
+    intercept[KafsqlException](KafsqlStream.select(reg, stream,
+      "SELECT _offset FROM events TAIL 5"))
+  }
+
   test("continuous WITHIN join matches only pairs inside the band") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
