@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
 object OpsPack extends QueryPack {
@@ -211,6 +211,52 @@ object OpsPack extends QueryPack {
            |                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
            |                   (a, c) -> (a * ${TextAnalysis.RollB} + c) % ${TextAnalysis.RollP}) AS rfp
            |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin)),
+
+    // ---- end-to-end curation pipeline -----------------------------------
+    // The flagship training-data flow composed from the real operators:
+    // exact dedup (keep min doc_id per normalized content hash) → quality
+    // gate (length + stopword-ratio thresholds) → language tally of the
+    // surviving corpus. Every stage is the same op the standalone queries
+    // check (d1/t2/t1) — this proves they compose; at 100 TB this plan is
+    // two hash shuffles (dedup groupBy + final tally) with everything else
+    // map-side.
+    QueryDef(
+      "t6_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val keepers = Dedup.exactGroups(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val deduped = docs.join(keepers, "doc_id")
+        val q = TextAnalysis.quality(deduped, "doc_id", "text")
+          .where(col("n_tokens") >= 30 && col("stopword_ratio") >= 0.02)
+          .select(col("doc").as("doc_id"))
+        deduped.join(q, "doc_id")
+          .select(TextAnalysis.languageGuess(col("text")).as("lang_guess"),
+            col("text"))
+          .groupBy(col("lang_guess"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+          .orderBy(col("lang_guess"))
+      },
+      Some(
+        """WITH keepers AS (
+          |  SELECT min(doc_id) AS doc_id FROM documents
+          |  GROUP BY md5(lower(trim(text)))),
+          |d AS (SELECT documents.* FROM documents JOIN keepers USING (doc_id)),
+          |q AS (
+          |  SELECT doc_id FROM d
+          |  WHERE len(string_split(text, ' ')) >= 30
+          |    AND round(len(list_filter(string_split(text, ' '),
+          |            w -> w IN ('the','a','of','and','in','to'))) * 1.0
+          |          / len(string_split(text, ' ')), 4) >= 0.02),
+          |kept AS (SELECT d.* FROM d JOIN q USING (doc_id))
+          |SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+          |              w -> w IN ('the','a','of','and','in','to'))) * 1.0
+          |            / len(string_split(text, ' ')) >= 0.04
+          |       THEN 'en' ELSE 'und' END AS lang_guess,
+          |       count(*) AS n_docs,
+          |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+          |FROM kept GROUP BY 1 ORDER BY lang_guess""".stripMargin)),
 
     // ---- multimodal plumbing (stubbed decode, real Spark shape) ---------
     QueryDef(
