@@ -16,11 +16,11 @@ import graft.kafsql.{Kafsql, KafsqlException, TopicRegistry}
   * AuthenticationOk → simple Query → DataRows). Clean-room implementation
   * from the public protocol documentation
   * (postgresql.org/docs/current/protocol-message-formats.html): supports
-  * SSLRequest refusal, startup, simple Query, per-statement errors, and
-  * Terminate — enough for psql / BI simple-query traffic. Extended protocol
-  * (Parse/Bind) and pg_catalog emulation are out of scope (Spark
-  * Thrift/Connect is the JDBC story at cluster scale; this endpoint exists
-  * for wire parity with the reference).
+  * SSLRequest refusal, startup, simple Query, the extended protocol
+  * (Parse/Bind/Describe/Execute/Close/Sync with text-format parameters —
+  * the JDBC/BI path the reference also serves, `server.go:152-216,234-319`),
+  * per-statement errors with error-to-Sync recovery, and Terminate.
+  * pg_catalog / information_schema emulation answers BI introspection.
   *
   * One thread per connection (the reference is one goroutine per
   * connection, `server.go:112-117`); every query runs through the
@@ -75,6 +75,11 @@ class PgWireServer(
     try {
       if (!startup(in, out)) return
       sendAuthOk(out)
+      // extended-protocol state (reference handles Parse/Bind/Describe/
+      // Execute alongside simple queries, server.go:152-216,234-319)
+      val prepared = scala.collection.mutable.Map[String, String]()
+      val portals = scala.collection.mutable.Map[String, PortalState]()
+      var skipToSync = false // after an extended-phase error, discard to Sync
       var open = true
       while (open) {
         val msgType = try in.readByte() catch { case _: EOFException => return }
@@ -86,8 +91,82 @@ class PgWireServer(
             val sql = new String(body, 0, body.length - 1, StandardCharsets.UTF_8)
             runQuery(sql.trim, out)
             readyForQuery(out)
+          case 'P' if !skipToSync =>
+            try {
+              val r = new WireReader(body)
+              val name = r.cstring(); val query = r.cstring()
+              prepared(name) = query
+              out.writeByte('1'); out.writeInt(4) // ParseComplete
+            } catch { case e: Exception =>
+              errorResponse(out, "42601", msg(e)); skipToSync = true
+            }
+          case 'B' if !skipToSync =>
+            try {
+              val r = new WireReader(body)
+              val portal = r.cstring(); val stmt = r.cstring()
+              val nFmt = r.i16(); (0 until nFmt).foreach(_ => r.i16())
+              val nParams = r.i16()
+              val params = (0 until nParams).map { _ =>
+                val l = r.i32()
+                if (l < 0) null else new String(r.bytes(l), StandardCharsets.UTF_8)
+              }
+              val base = prepared.getOrElse(stmt,
+                throw new KafsqlException(s"unknown prepared statement: '$stmt'"))
+              portals(portal) = PortalState(substituteParams(base, params), None)
+              out.writeByte('2'); out.writeInt(4) // BindComplete
+            } catch { case e: Exception =>
+              errorResponse(out, "42601", msg(e)); skipToSync = true
+            }
+          case 'D' if !skipToSync =>
+            try {
+              val r = new WireReader(body)
+              val kind = r.i8().toChar; val name = r.cstring()
+              kind match {
+                case 'P' =>
+                  val p = portals.getOrElse(name,
+                    throw new KafsqlException(s"unknown portal: '$name'"))
+                  val res = p.result.getOrElse(computeResult(p.sql))
+                  portals(name) = p.copy(result = Some(res))
+                  rowDescription(out, res._1)
+                case _ =>
+                  // statement describe: no parameter-type inference —
+                  // ParameterDescription with 0 params + NoData
+                  out.writeByte('t'); out.writeInt(6); out.writeShort(0)
+                  out.writeByte('n'); out.writeInt(4)
+              }
+            } catch { case e: Exception =>
+              errorResponse(out, "42601", msg(e)); skipToSync = true
+            }
+          case 'E' if !skipToSync =>
+            try {
+              val r = new WireReader(body)
+              val name = r.cstring(); val maxRows = r.i32()
+              val p = portals.getOrElse(name,
+                throw new KafsqlException(s"unknown portal: '$name'"))
+              val (schema, rows) = p.result.getOrElse(computeResult(p.sql))
+              val emit = if (maxRows > 0) rows.take(maxRows) else rows
+              emit.foreach(row => dataRow(out, schema, row))
+              commandComplete(out, s"SELECT ${emit.length}")
+              gov.queriesServed.incrementAndGet()
+            } catch {
+              case e: KafsqlException =>
+                gov.queryErrors.incrementAndGet()
+                errorResponse(out, "42601", msg(e)); skipToSync = true
+              case e: Exception =>
+                gov.queryErrors.incrementAndGet()
+                errorResponse(out, "XX000", msg(e)); skipToSync = true
+            }
+          case 'C' if !skipToSync =>
+            val r = new WireReader(body)
+            val kind = r.i8().toChar; val name = r.cstring()
+            if (kind == 'P') portals.remove(name) else prepared.remove(name)
+            out.writeByte('3'); out.writeInt(4) // CloseComplete
+          case 'S' =>
+            skipToSync = false
+            readyForQuery(out)
+          case 'H' => out.flush()
           case 'X' => open = false
-          case _ => // ignore extended-protocol and unknown messages
+          case _ => // unknown / skipped while in error state
         }
       }
     } catch {
@@ -140,6 +219,62 @@ class PgWireServer(
 
   // ---- query execution -----------------------------------------------------
 
+  /** A bound extended-protocol portal: the parameter-substituted SQL plus
+    * the result once Describe/Execute first materializes it (so a
+    * Describe + Execute pair computes the query once). */
+  private final case class PortalState(
+      sql: String, result: Option[(StructType, Array[Row])])
+
+  /** Little parser over one wire message body. */
+  private final class WireReader(body: Array[Byte]) {
+    private var pos = 0
+    def i8(): Byte = { val b = body(pos); pos += 1; b }
+    def i16(): Int = { val v = ((body(pos) & 0xff) << 8) | (body(pos + 1) & 0xff); pos += 2; v }
+    def i32(): Int = {
+      val v = ((body(pos) & 0xff) << 24) | ((body(pos + 1) & 0xff) << 16) |
+        ((body(pos + 2) & 0xff) << 8) | (body(pos + 3) & 0xff)
+      pos += 4; v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val a = java.util.Arrays.copyOfRange(body, pos, pos + n); pos += n; a
+    }
+    def cstring(): String = {
+      val end = body.indexOf(0.toByte, pos)
+      val s = new String(body, pos, end - pos, StandardCharsets.UTF_8)
+      pos = end + 1; s
+    }
+  }
+
+  private def msg(e: Exception): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(500)
+
+  /** Text-format parameter substitution, like the reference's extended-query
+    * bind: numeric values inline bare, everything else as a quoted literal.
+    * Highest-numbered placeholders first so $12 is not clobbered by $1. */
+  private def substituteParams(sql: String, params: Seq[String]): String =
+    params.zipWithIndex.sortBy(-_._2).foldLeft(sql) { case (acc, (v, i)) =>
+      val lit =
+        if (v == null) "NULL"
+        else if (v.matches("-?\\d+(\\.\\d+)?")) v
+        else "'" + v.replace("'", "''") + "'"
+      acc.replace("$" + (i + 1), lit)
+    }
+
+  /** One query → (schema, collected rows); shared by the simple- and
+    * extended-protocol paths. Throws KafsqlException / runtime errors. */
+  private def computeResult(sql: String): (StructType, Array[Row]) = {
+    val lower = sql.toLowerCase
+    if (lower == "show metrics") {
+      import spark.implicits._
+      val df = gov.metrics.toDF("metric", "value")
+      return (df.schema, df.collect())
+    }
+    catalogFrame(sql, lower) match {
+      case Some(df) => (df.schema, df.collect())
+      case None => Kafsql.governedRows(spark, registry, gov, sql, nowMs = nowMs())
+    }
+  }
+
   private def runQuery(sql: String, out: DataOutputStream): Unit = {
     if (sql.isEmpty || sql == ";") {
       out.writeByte('I'); out.writeInt(4) // EmptyQueryResponse
@@ -151,28 +286,8 @@ class PgWireServer(
       commandComplete(out, "SET")
       return
     }
-    // ops introspection (reference exposes metrics via its console/MCP, C6)
-    if (lower == "show metrics") {
-      import spark.implicits._
-      val df = gov.metrics.toDF("metric", "value")
-      rowDescription(out, df.schema)
-      df.collect().foreach(r => dataRow(out, df.schema, r))
-      commandComplete(out, s"SELECT ${gov.metrics.size}")
-      return
-    }
-    catalogFrame(sql, lower) match {
-      case Some(df) =>
-        val schema = df.schema
-        val rows = df.collect()
-        rowDescription(out, schema)
-        rows.foreach(r => dataRow(out, schema, r))
-        commandComplete(out, s"SELECT ${rows.length}")
-        return
-      case None =>
-    }
     try {
-      val (schema, rows) =
-        Kafsql.governedRows(spark, registry, gov, sql, nowMs = nowMs())
+      val (schema, rows) = computeResult(sql)
       rowDescription(out, schema)
       rows.foreach(r => dataRow(out, schema, r))
       commandComplete(out, s"SELECT ${rows.length}")
@@ -183,8 +298,7 @@ class PgWireServer(
         errorResponse(out, "42601", e.getMessage)
       case e: Exception =>
         gov.queryErrors.incrementAndGet()
-        errorResponse(out, "XX000",
-          Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(500))
+        errorResponse(out, "XX000", msg(e))
     }
   }
 

@@ -34,6 +34,91 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     (code, outB.toString, errB.toString)
   }
 
+  // ---- raw-socket extended-protocol driver (psql 15 lacks \bind) ---------
+
+  private def cstr(s: String): Array[Byte] =
+    s.getBytes("UTF-8") :+ 0.toByte
+  private def i16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def i32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** (msgType, body) frames until (and including) ReadyForQuery. */
+  private def readUntilReady(in: java.io.DataInputStream): Seq[(Char, Array[Byte])] = {
+    val msgs = Seq.newBuilder[(Char, Array[Byte])]
+    var done = false
+    while (!done) {
+      val t = in.readByte().toChar
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      msgs += ((t, body))
+      if (t == 'Z') done = true
+    }
+    msgs.result()
+  }
+
+  private def dataRowValues(body: Array[Byte]): Seq[String] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
+    (0 until in.readShort()).map { _ =>
+      val n = in.readInt()
+      if (n < 0) null
+      else { val b = new Array[Byte](n); in.readFully(b); new String(b, "UTF-8") }
+    }
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute with a text parameter") {
+    val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      def send(t: Char, body: Array[Byte]): Unit = {
+        out.writeByte(t); out.writeInt(body.length + 4); out.write(body)
+      }
+      // startup
+      val params = cstr("user") ++ cstr("graft") ++
+        cstr("database") ++ cstr("graft") :+ 0.toByte
+      out.writeInt(params.length + 8); out.writeInt(196608)
+      out.write(params); out.flush()
+      readUntilReady(in)
+
+      val q = "SELECT _partition, COUNT(*) AS cnt FROM events " +
+        "WHERE _partition = $1 GROUP BY _partition LAST 30d"
+      send('P', cstr("s1") ++ cstr(q) ++ i16(0))
+      send('B', cstr("") ++ cstr("s1") ++ i16(0) ++
+        i16(1) ++ i32(1) ++ "2".getBytes("UTF-8") ++ i16(0))
+      send('D', 'P'.toByte +: cstr(""))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val msgs = readUntilReady(in)
+      val kinds = msgs.map(_._1)
+      assert(kinds.containsSlice(Seq('1', '2', 'T', 'D', 'C')), s"got $kinds")
+      val row = dataRowValues(msgs.find(_._1 == 'D').get._2)
+      assert(row == Seq("2", "250"), s"got $row")
+
+      // error inside the extended phase: Execute on an unknown portal →
+      // ErrorResponse, then messages are skipped until Sync, then the
+      // connection is usable again
+      send('E', cstr("nope") ++ i32(0))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val errMsgs = readUntilReady(in)
+      assert(errMsgs.map(_._1).contains('E'), s"expected error: ${errMsgs.map(_._1)}")
+
+      send('B', cstr("") ++ cstr("s1") ++ i16(0) ++
+        i16(1) ++ i32(1) ++ "0".getBytes("UTF-8") ++ i16(0))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val again = readUntilReady(in)
+      val row2 = dataRowValues(again.find(_._1 == 'D').get._2)
+      assert(row2 == Seq("0", "250"), s"got $row2")
+    } finally sock.close()
+  }
+
   test("psql runs the flagship aggregate over the wire") {
     val (code, out, err) = psql(
       "SELECT _partition, COUNT(*) AS cnt FROM events GROUP BY _partition LAST 30d")
