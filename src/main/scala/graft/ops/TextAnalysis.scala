@@ -20,6 +20,18 @@ object TextAnalysis {
   def estBpeTokens(text: Column): Column =
     ((length(text) + 3) / 4).cast("int")
 
+  /** BPE-ish regex tokenization (GPT-2-style pre-tokenizer shape, kept to
+    * the regex subset Java and RE2-family engines treat identically:
+    * letter runs, digit runs, single non-alphanumeric glyphs). Closer to a
+    * real tokenizer's segment count than whitespace splitting — "don't
+    * stop!" is 5 regex tokens vs 2 whitespace tokens. */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0)) // whole-match
+
+  def regexTokenCount(text: Column): Column = size(regexTokens(text))
+
   def stopwordCount(text: Column): Column =
     size(filter(words(text),
       w => Stopwords.map(s => w === s).reduce(_ || _)))

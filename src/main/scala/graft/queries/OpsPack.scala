@@ -212,6 +212,24 @@ object OpsPack extends QueryPack {
            |                   (a, c) -> (a * ${TextAnalysis.RollB} + c) % ${TextAnalysis.RollP}) AS rfp
            |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin)),
 
+    // BPE-ish regex tokenization vs whitespace tokens (both engines run
+    // the same portable regex: letter runs, digit runs, single glyphs)
+    QueryDef(
+      "t7_regex_tokens",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.estBpeTokens(col("text")).as("n_bpe_est"))
+        .orderBy(col("doc_id")),
+      Some(
+        s"""SELECT doc_id,
+           |       CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS INTEGER) AS n_regex_tokens,
+           |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           |       CAST((length(text) + 3) // 4 AS INTEGER) AS n_bpe_est
+           |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
+
     // ---- end-to-end curation pipeline -----------------------------------
     // The flagship training-data flow composed from the real operators:
     // exact dedup (keep min doc_id per normalized content hash) → quality
