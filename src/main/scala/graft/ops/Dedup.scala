@@ -231,24 +231,29 @@ object Dedup {
     * the round-1 bench. Checkpointing makes each round read exactly one
     * materialized RDD; convergence is one scalar aggregate per round
     * (labels only ever decrease, so an unchanged sum(label) is a fixpoint).
-    * On a real cluster swap localCheckpoint for reliable `checkpoint` —
-    * same structure, executor-loss-safe.
+    *
+    * `reliable = true` uses HDFS-backed `checkpoint` instead of
+    * `localCheckpoint` (requires `sparkContext.setCheckpointDir`): on a real
+    * cluster a lost executor invalidates local checkpoints and fails the
+    * job, while reliable checkpoints survive — the right trade at 100 TB
+    * where the loop runs minutes and executor churn is routine.
     *
     * Returns (node, cluster) for every node that appears in a pair;
     * singletons are absent (their cluster is trivially themselves). */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      reliable: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // persist the pair list BEFORE mirroring it: edges scans it twice, and
     // upstream is typically a whole LSH+verify pipeline we must not re-run
     val p = pairs.select(col("a"), col("b")).persist(MEMORY_AND_DISK)
     // eager checkpoint cuts the whole upstream lineage out of the loop
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    val edges = ckpt(p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst"))))
     p.unpersist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -265,9 +270,9 @@ object Dedup {
       val viaHop = labels.select(col("node"), col("label").as("l"))
         .join(labels.select(col("node").as("l"), col("label")), "l")
         .select(col("node"), col("label"))
-      val next = viaEdges.union(viaHop).union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint() // eager: one materialization, zero lineage
+      val next = ckpt(viaEdges.union(viaHop).union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
+        // eager: one materialization, zero lineage
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
