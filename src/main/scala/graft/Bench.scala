@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size-first AQE coalescing (docs-recommended): default
+      // parallelismFirst=true pins tiny shuffles at `cpus` tasks; size-first
+      // collapses them to the advisory size — same behavior at real scale,
+      // far less scheduling overhead on small inputs
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

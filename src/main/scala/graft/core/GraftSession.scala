@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   *     here for documentation).
   *   - `spark.sql.shuffle.partitions`: start at ~2–3× total cores; AQE
   *     coalesces down, so over-provisioning is the safe direction.
+  *   - `coalescePartitions.parallelismFirst=false` (docs-recommended):
+  *     coalesce by the advisory partition size, not the default
+  *     parallelism — otherwise tiny shuffles still schedule one task per
+  *     core and iterative/multi-stage jobs pay pure scheduling overhead.
   *   - `spark.sql.files.maxPartitionBytes` 256m: fewer, larger scan tasks —
   *     parquet footers and S3 requests amortize better; KFS segments are
   *     already task-sized by the flush policy.
@@ -28,6 +32,7 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.files.maxPartitionBytes" -> "268435456",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
