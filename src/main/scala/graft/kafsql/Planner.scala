@@ -166,18 +166,72 @@ object Planner {
     * start and — unlike batch — sets NO upper bound: events keep arriving. */
   def planContinuous(reg: TopicRegistry, stream: DataFrame, sel: Select,
       env: Env): DataFrame = {
-    if (sel.join.nonEmpty)
-      throw new KafsqlException("continuous queries do not support joins")
+    validateContinuous(sel)
     if (sel.projections.exists(_.expr.isInstanceOf[AggFunc]) || sel.groupBy.nonEmpty)
       throw new KafsqlException(
-        "continuous queries do not support bare aggregates; use event-time windows")
+        "continuous queries do not support bare aggregates; use planContinuousAggregate")
+    projectSingle(reg, continuousFiltered(reg, stream, sel, env), sel)
+  }
+
+  /** Continuous AGGREGATE: the dialect's `GROUP BY` + COUNT/SUM/AVG/MIN/MAX
+    * re-interpreted over event-time tumbling windows — what the reference's
+    * `LAST`-window aggregates become when they run forever. Output gains a
+    * leading `win_start` column (window start, event time); the stream must
+    * be written in update/complete mode, or append with the watermark
+    * closing windows. Aggregate validation rules are the batch ones. */
+  def planContinuousAggregate(reg: TopicRegistry, stream: DataFrame,
+      sel: Select, windowDur: String, watermarkDelay: String,
+      env: Env): DataFrame = {
+    validateContinuous(sel)
+    val hasAgg = sel.projections.exists(_.expr.isInstanceOf[AggFunc])
+    if (!hasAgg)
+      throw new KafsqlException("continuous aggregate requires aggregate projections")
+    // batch aggregate validation rules apply unchanged (server.go:1852-1918)
+    val groupNames = sel.groupBy.map(_.name).toSet
+    sel.projections.foreach {
+      case Projection(c: ColRef, _) if !groupNames(c.name) =>
+        throw new KafsqlException(s"column ${c.name} must appear in GROUP BY")
+      case Projection(_: JsonFunc, _) =>
+        throw new KafsqlException("json functions are not valid group outputs")
+      case _ =>
+    }
+    // watermarks require TimestampType (not NTZ): derive the event-time
+    // column from the epoch-ms twin; session tz is UTC so wall times agree
+    val df = continuousFiltered(reg, stream, sel, env)
+      .withColumn("_event_ts", timestamp_millis(col("_ts_ms")))
+      .withWatermark("_event_ts", watermarkDelay)
+    val aggPairs = sel.projections.collect {
+      case Projection(AggFunc(kind, arg), alias) =>
+        val name = alias.getOrElse(defaultAggName(kind, arg))
+        name -> aggCol(df, kind, arg).as(name)
+    }
+    val plainCols = sel.projections.collect {
+      case Projection(cr: ColRef, alias) => col(alias.getOrElse(cr.name))
+    }
+    val grouped = df
+      .groupBy(window(col("_event_ts"), windowDur) +: sel.groupBy.map(g => df(g.name)): _*)
+      .agg(aggPairs.map(_._2).head, aggPairs.map(_._2).tail: _*)
+    grouped.select(
+      (col("window.start").cast("timestamp_ntz").as("win_start") +:
+        (plainCols ++ aggPairs.map(p => col(p._1)))): _*)
+  }
+
+  private def validateContinuous(sel: Select): Unit = {
+    if (sel.join.nonEmpty)
+      throw new KafsqlException("continuous queries do not support joins")
     if (sel.orderBy.nonEmpty)
       throw new KafsqlException("continuous queries do not support ORDER BY")
     if (sel.window.exists(_.isInstanceOf[Tail]))
       throw new KafsqlException("continuous queries do not support TAIL")
     if (sel.limit.nonEmpty)
       throw new KafsqlException("continuous queries do not support LIMIT")
+  }
 
+  /** Shared continuous-side desugar: schema-on-read columns + partition/
+    * offset/_ts predicates. `LAST d` anchors a lower bound at stream start
+    * and sets NO upper bound (events keep arriving). */
+  private def continuousFiltered(reg: TopicRegistry, stream: DataFrame,
+      sel: Select, env: Env): DataFrame = {
     val d = reg.get(sel.from.topic)
     var df = d.schemaCols.foldLeft(stream) { (acc, sc) =>
       acc.withColumn(sc.name, TopicRegistry.extract(col("_value"), sc))
@@ -203,7 +257,7 @@ object Planner {
     lo.foreach(v => df = df.filter(col("_ts_ms") >= v))
     explicitHis.reduceOption(_ min _)
       .foreach(v => df = df.filter(col("_ts_ms") <= v))
-    projectSingle(reg, df, sel)
+    df
   }
 
   private def planSingle(spark: SparkSession, reg: TopicRegistry, sel: Select,

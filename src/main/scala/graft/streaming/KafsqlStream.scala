@@ -60,6 +60,21 @@ object KafsqlStream {
         "continuous queries support SELECT only")
     }
 
+  /** Continuous AGGREGATE: the dialect's GROUP BY + COUNT/SUM/AVG/MIN/MAX
+    * over event-time tumbling windows of `windowDur` — the continuous
+    * reading of the reference's LAST-window aggregates. Returns a streaming
+    * DataFrame with a leading `win_start` column; write it in
+    * update/complete mode (or append once the watermark closes windows). */
+  def aggregate(reg: TopicRegistry, stream: DataFrame, query: String,
+      windowDur: String, watermarkDelay: String = "10 seconds",
+      nowMs: Long = System.currentTimeMillis()): DataFrame =
+    Kafsql.parse(query) match {
+      case sel: Select => Planner.planContinuousAggregate(
+        reg, stream, sel, windowDur, watermarkDelay, Planner.Env(nowMs))
+      case _ => throw new graft.kafsql.KafsqlException(
+        "continuous queries support SELECT only")
+    }
+
   /** Drain all currently-available segments through a continuous SELECT into
     * a parquet table (append), then stop — `Trigger.AvailableNow` with a
     * checkpoint, so re-running ships only new segments. */

@@ -51,6 +51,43 @@ class StreamingSpec extends AnyFunSuite {
       "SELECT _offset FROM events TAIL 5"))
   }
 
+  test("continuous KAFSQL aggregate windows match the batch computation") {
+    import graft.kafsql.{SchemaCol, TopicDef, TopicRegistry}
+    import graft.kfs.{KfsSeed, KfsSource}
+    import graft.streaming.KafsqlStream
+
+    val root = KfsSeed.seededRoot(spark, sf)
+    val reg = new TopicRegistry(Seq(TopicDef(
+      "events", s => KfsSource.read(s, root, Some(Set("events"))),
+      schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+      partitions = 0 to 3)))
+    val query =
+      "SELECT _partition, COUNT(*) AS cnt, SUM(k) AS sum_k FROM events GROUP BY _partition SCAN FULL"
+
+    val out = KafsqlStream.aggregate(
+      reg, KafsqlStream.topicStream(spark, root), query, "7 days",
+      nowMs = graft.core.Tables.FixedNowMs)
+    val q = out.writeStream.format("memory").queryName("ckagg")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("ckagg").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("win_start"),
+        r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // batch equivalent on the same decoded topic frame
+    val batch = KfsSource.read(spark, root, Some(Set("events")))
+      .withColumn("k", get_json_object(col("_value").cast("string"), "$.k").cast("int"))
+      .groupBy(window(col("_ts"), "7 days"), col("_partition"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k").cast("double")).as("sum_k"))
+      .select(col("window.start"), col("_partition"), col("cnt"), col("sum_k"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} windows, batch ${batch.size}")
+  }
+
   test("continuous WITHIN join matches only pairs inside the band") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
