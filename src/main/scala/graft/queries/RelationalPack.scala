@@ -359,6 +359,33 @@ object RelationalPack extends QueryPack {
            |  ON l._key = r._key AND abs(l._ts_ms - r._ts_ms) <= 12 * 3600000
            |ORDER BY u_key, l_off, _right_offset NULLS FIRST""".stripMargin)),
 
+    // ---- J7 (superset): as-of join — latest error at-or-before each
+    // purchase, per user. Union + running-last: one shuffle on the key,
+    // cost independent of history length (checked against DuckDB's native
+    // ASOF JOIN).
+    QueryDef(
+      "j3_asof_join",
+      (s, dir) => {
+        val base = ev(s, dir)
+        val l = base.filter(col("event_type") === "purchase")
+          .select(col("_key"), col("_ts_ms"), col("_offset").as("l_off"))
+        val r = base.filter(col("event_type") === "error")
+          .select(col("_key"), col("_ts_ms"), col("_offset"))
+        graft.ops.AsOf.join(l, r, "_key", "_ts_ms", Seq("_offset"))
+          .select(col("_key").as("u_key"), col("l_off"),
+            col("asof__offset").as("last_err_off"))
+          .orderBy(col("u_key"), col("l_off"))
+      },
+      oracle(
+        """, l AS (SELECT _key, _ts_ms, _offset AS l_off FROM events_topic
+          |        WHERE event_type = 'purchase'),
+          |r AS (SELECT _key, _ts_ms, max(_offset) AS last_err_off
+          |      FROM events_topic WHERE event_type = 'error' GROUP BY 1, 2)
+          |SELECT l._key AS u_key, l.l_off, r.last_err_off
+          |FROM l ASOF LEFT JOIN r
+          |  ON l._key = r._key AND l._ts_ms >= r._ts_ms
+          |ORDER BY u_key, l_off""".stripMargin)),
+
     // ---- O1 ORDER BY _ts DESC LIMIT (top-k) -----------------------------
     QueryDef(
       "o1_orderby_ts_limit",

@@ -136,6 +136,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    import spark.implicits._
+    import graft.ops.AsOf
+    val left = Seq(
+      ("u1", 100L, "p1"), // after r@50 and r@100 -> sees the simultaneous 100
+      ("u1", 60L, "p2"),  // after r@50 only
+      ("u1", 10L, "p3"),  // before any right row -> NULL
+      ("u2", 500L, "p4")  // key with no right rows at all -> NULL
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      ("u1", 50L, 7L),
+      ("u1", 100L, 8L),
+      ("u1", 100L, 9L), // tie on (key, ts): greatest value wins
+      ("u1", 200L, 10L) // in the future of every left row -> never picked
+    ).toDF("k", "ts", "v")
+    val got = AsOf.join(left, right, "k", "ts", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map("p1" -> 9L, "p2" -> 7L, "p3" -> -1L, "p4" -> -1L))
+  }
+
   test("duplicateClusters reliable-checkpoint mode produces identical clusters") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
