@@ -386,6 +386,56 @@ object RelationalPack extends QueryPack {
           |  ON l._key = r._key AND l._ts_ms >= r._ts_ms
           |ORDER BY u_key, l_off""".stripMargin)),
 
+    // ---- J8 (superset): range join — purchases inside ±1h-padded error-
+    // burst windows per user. Bucketized interval join: intervals replicate
+    // into fixed cells, points equi-join on (key, cell) with BETWEEN as a
+    // residual — never a nested-loop cross product.
+    QueryDef(
+      "j4_range_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = ev(s, dir)
+        val w = Window.partitionBy("_key").orderBy("_ts_ms")
+        val run = Window.partitionBy("_key").orderBy("_ts_ms")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = base.filter(col("event_type") === "error")
+          .select(col("_key"), col("_ts_ms"))
+          .withColumn("brk", when(lag("_ts_ms", 1).over(w).isNull ||
+            col("_ts_ms") - lag("_ts_ms", 1).over(w) >= 1800000L, 1).otherwise(0))
+          .withColumn("sid", sum("brk").over(run))
+          .groupBy(col("_key"), col("sid"))
+          .agg((min("_ts_ms") - 3600000L).as("s_start"),
+            (max("_ts_ms") + 3600000L).as("s_end"))
+          .drop("sid")
+        val purchases = base.filter(col("event_type") === "purchase")
+          .select(col("_key"), col("_ts_ms"), col("_offset").as("p_off"))
+        graft.ops.RangeJoin.join(purchases, sess,
+          "_key", "_ts_ms", "s_start", "s_end", bucketMs = 3600000L)
+          .select(col("_key").as("u_key"), col("p_off"),
+            col("s_start"), col("s_end"))
+          .orderBy(col("u_key"), col("p_off"), col("s_start"))
+      },
+      oracle(
+        """, err AS (SELECT _key, _ts_ms FROM events_topic WHERE event_type = 'error'),
+          |x AS (SELECT _key, _ts_ms,
+          |             CASE WHEN lag(_ts_ms) OVER w IS NULL
+          |                    OR _ts_ms - lag(_ts_ms) OVER w >= 1800000
+          |                  THEN 1 ELSE 0 END AS brk
+          |      FROM err WINDOW w AS (PARTITION BY _key ORDER BY _ts_ms)),
+          |s AS (SELECT _key, _ts_ms,
+          |             SUM(brk) OVER (PARTITION BY _key ORDER BY _ts_ms
+          |                            ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM x),
+          |iv AS (SELECT _key, min(_ts_ms) - 3600000 AS s_start,
+          |              max(_ts_ms) + 3600000 AS s_end
+          |       FROM s GROUP BY _key, sid),
+          |p AS (SELECT _key, _ts_ms, _offset AS p_off FROM events_topic
+          |      WHERE event_type = 'purchase')
+          |SELECT p._key AS u_key, p.p_off, iv.s_start, iv.s_end
+          |FROM p JOIN iv
+          |  ON p._key = iv._key AND p._ts_ms BETWEEN iv.s_start AND iv.s_end
+          |ORDER BY u_key, p_off, s_start""".stripMargin)),
+
     // ---- O1 ORDER BY _ts DESC LIMIT (top-k) -----------------------------
     QueryDef(
       "o1_orderby_ts_limit",

@@ -158,6 +158,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map("p1" -> 9L, "p2" -> 7L, "p3" -> -1L, "p4" -> -1L))
   }
 
+  test("range join equals the brute-force BETWEEN join, boundaries inclusive") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    val points = Seq(
+      ("u1", 0L, "p-start"), ("u1", 999L, "p-end"), ("u1", 1000L, "p-after"),
+      ("u1", 5500L, "p-span"), ("u2", 500L, "p-wrong-key"))
+      .toDF("k", "ts", "tag")
+    val intervals = Seq(
+      ("u1", 0L, 999L),      // exact cell
+      ("u1", 4900L, 7100L),  // spans 3 cells of 1000ms
+      ("u3", 0L, 10000L))    // key with no points
+      .toDF("k", "s", "e")
+    val got = RangeJoin.join(points, intervals, "k", "ts", "s", "e", bucketMs = 1000L)
+      .select($"tag", $"s").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val brute = points.join(intervals, Seq("k"))
+      .where($"ts" >= $"s" && $"ts" <= $"e")
+      .select($"tag", $"s").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == brute &&
+      got == Set(("p-start", 0L), ("p-end", 0L), ("p-span", 4900L)))
+  }
+
   test("duplicateClusters reliable-checkpoint mode produces identical clusters") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
