@@ -205,8 +205,12 @@ object Planner {
         val name = alias.getOrElse(defaultAggName(kind, arg))
         name -> aggCol(df, kind, arg).as(name)
     }
+    // the groupBy output column keeps the source name; alias in the final
+    // select (mirrors batch planAggregate — SELECT level AS lvl ... GROUP BY
+    // level must resolve `level`, then surface it as `lvl`)
     val plainCols = sel.projections.collect {
-      case Projection(cr: ColRef, alias) => col(alias.getOrElse(cr.name))
+      case Projection(cr: ColRef, alias) =>
+        col(cr.name).as(alias.getOrElse(cr.name))
     }
     val grouped = df
       .groupBy(window(col("_event_ts"), windowDur) +: sel.groupBy.map(g => df(g.name)): _*)

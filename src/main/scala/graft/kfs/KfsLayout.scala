@@ -50,10 +50,17 @@ object KfsLayout {
     val base = records.head.offset
     val seg = KfsCodec.buildSegment(records)
     val p = dir.resolve(segmentFileName(base))
-    Files.write(p, seg)
     val minTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max
+    // Sidecar first, then temp-write + atomic rename of the .kfs itself: a
+    // reader (batch discovery or the file stream, which globs *.kfs) can
+    // never observe a truncated segment — the END! footer gate holds on
+    // every read path because the file only appears once fully written.
     writeTimeIndex(p, minTs, maxTs, base, records.last.offset)
+    val tmp = dir.resolve(segmentFileName(base) + ".tmp")
+    Files.write(tmp, seg)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     SegmentRef(topic, partition, p.toString, base, records.last.offset,
       minTs, maxTs, seg.length.toLong)
   }

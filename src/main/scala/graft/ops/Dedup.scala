@@ -240,6 +240,18 @@ object Dedup {
     *
     * Returns (node, cluster) for every node that appears in a pair;
     * singletons are absent (their cluster is trivially themselves). */
+  /** Free a checkpointed frame's MEMORY_AND_DISK blocks. `Dataset.unpersist`
+    * cannot do this — `localCheckpoint` persists at the RDD layer beneath a
+    * `LogicalRDD`, which the Dataset cache manager does not track — so reach
+    * through the plan to the backing RDD. No-op for reliable checkpoints
+    * (files, cleaned by the ContextCleaner) and non-checkpoint plans. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
       reliable: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -276,10 +288,19 @@ object Dedup {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // superseded round's checkpoint is dead the moment `next` is
+      // materialized (ckpt is eager) — drop its MEMORY_AND_DISK blocks now
+      // instead of letting every round accumulate until the ContextCleaner
+      // happens to run (storage-memory pressure in long convergence loops)
+      releaseCheckpoint(labels)
       labels = next
       i += 1
       if (debug) println(f"[cc] round $i ${(System.nanoTime() - t0) / 1e9}%.2fs sum=$s")
     }
+    // edges' checkpoint is no longer reachable from the result (the final
+    // round's labels checkpoint backs it alone) — release it here; the last
+    // labels checkpoint stays persisted as the returned frame's store
+    releaseCheckpoint(edges)
     labels.select(col("node"), col("label").as("cluster"))
   }
 

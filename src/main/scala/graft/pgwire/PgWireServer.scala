@@ -104,7 +104,14 @@ class PgWireServer(
             try {
               val r = new WireReader(body)
               val portal = r.cstring(); val stmt = r.cstring()
-              val nFmt = r.i16(); (0 until nFmt).foreach(_ => r.i16())
+              // parameter format codes: 0=text (all we speak). A binary
+              // (code 1) parameter decoded as UTF-8 would substitute garbage
+              // into the SQL — reject it up front instead of misparsing.
+              val nFmt = r.i16()
+              val fmts = (0 until nFmt).map(_ => r.i16())
+              if (fmts.contains(1))
+                throw new UnsupportedFormatException(
+                  "binary parameter format is not supported; send text-format parameters")
               val nParams = r.i16()
               val params = (0 until nParams).map { _ =>
                 val l = r.i32()
@@ -114,8 +121,11 @@ class PgWireServer(
                 throw new KafsqlException(s"unknown prepared statement: '$stmt'"))
               portals(portal) = PortalState(substituteParams(base, params), None)
               out.writeByte('2'); out.writeInt(4) // BindComplete
-            } catch { case e: Exception =>
-              errorResponse(out, "42601", msg(e)); skipToSync = true
+            } catch {
+              case e: UnsupportedFormatException =>
+                errorResponse(out, "0A000", msg(e)); skipToSync = true
+              case e: Exception =>
+                errorResponse(out, "42601", msg(e)); skipToSync = true
             }
           case 'D' if !skipToSync =>
             try {
@@ -144,10 +154,24 @@ class PgWireServer(
               val p = portals.getOrElse(name,
                 throw new KafsqlException(s"unknown portal: '$name'"))
               val (schema, rows) = p.result.getOrElse(computeResult(p.sql))
-              val emit = if (maxRows > 0) rows.take(maxRows) else rows
+              // row-limited Execute is a cursor over the portal's result:
+              // emit from the saved offset, and when rows remain send
+              // PortalSuspended so the client re-Executes for the next page
+              // (pgjdbc setFetchSize). CommandComplete only once drained —
+              // anything else silently truncates the result on the client.
+              val from = p.cursor
+              val emit =
+                if (maxRows > 0) rows.slice(from, from + maxRows)
+                else rows.drop(from)
               emit.foreach(row => dataRow(out, schema, row))
-              commandComplete(out, s"SELECT ${emit.length}")
-              gov.queriesServed.incrementAndGet()
+              val newCursor = from + emit.length
+              portals(name) = p.copy(result = Some((schema, rows)), cursor = newCursor)
+              if (maxRows > 0 && newCursor < rows.length) {
+                out.writeByte('s'); out.writeInt(4) // PortalSuspended
+              } else {
+                commandComplete(out, s"SELECT ${emit.length}")
+                gov.queriesServed.incrementAndGet()
+              }
             } catch {
               case e: KafsqlException =>
                 gov.queryErrors.incrementAndGet()
@@ -219,11 +243,15 @@ class PgWireServer(
 
   // ---- query execution -----------------------------------------------------
 
-  /** A bound extended-protocol portal: the parameter-substituted SQL plus
-    * the result once Describe/Execute first materializes it (so a
-    * Describe + Execute pair computes the query once). */
+  /** A bound extended-protocol portal: the parameter-substituted SQL, the
+    * result once Describe/Execute first materializes it (so a
+    * Describe + Execute pair computes the query once), and the cursor — how
+    * many rows previous row-limited Executes already sent. */
   private final case class PortalState(
-      sql: String, result: Option[(StructType, Array[Row])])
+      sql: String, result: Option[(StructType, Array[Row])], cursor: Int = 0)
+
+  /** Bind-time rejection of protocol features we don't speak (SQLSTATE 0A000). */
+  private final class UnsupportedFormatException(m: String) extends Exception(m)
 
   /** Little parser over one wire message body. */
   private final class WireReader(body: Array[Byte]) {

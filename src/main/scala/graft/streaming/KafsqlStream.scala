@@ -12,9 +12,13 @@ import graft.kfs.{KfsCodec, KfsSource}
   * pg-wire endpoint accepts runs as an append-mode stream over segments as
   * they land.
   *
-  * Source = `binaryFile` file stream over completed `.kfs` segments (the
-  * END! completeness gate ran at write time; the stream only ever lists
-  * whole files — St2), decoded by the same [[KfsCodec]] the batch scan uses.
+  * Source = `binaryFile` file stream over completed `.kfs` segments
+  * (St2): [[KfsLayout.writeSegment]] publishes segments by atomic rename so
+  * a listed file is always whole, and the decode below re-checks the END!
+  * footer and *skips* (rather than poisons the query on) any segment a
+  * foreign writer left incomplete — the file-source log never retries a
+  * file, so throwing here would fail the stream permanently. Decoding uses
+  * the same [[KfsCodec]] the batch scan uses.
   * One segment = one task, so throughput scales with executor count exactly
   * like the batch path; the file-source checkpoint carries progress across
   * restarts (no etcd).
@@ -34,7 +38,11 @@ object KafsqlStream {
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         val (topic, partition) = KfsSource.topicPartitionOf(path)
-        KfsCodec.decodeSegment(content).map { r =>
+        val complete = content.length >= 4 &&
+          KfsCodec.isComplete(content.slice(content.length - 4, content.length))
+        val records =
+          if (complete) KfsCodec.decodeSegment(content) else Iterator.empty
+        records.map { r =>
           KfsSource.TopicRow(
             topic, partition, r.offset,
             java.time.LocalDateTime.ofEpochSecond(

@@ -136,6 +136,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters releases superseded rounds' checkpoint storage (ADVICE r2)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a longer chain forces several convergence rounds
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    assert(clusters.collect().map(_.getLong(1)).toSet == Set(1L))
+    // only the final round's labels checkpoint may remain persisted —
+    // superseded rounds and the mirrored edge list must have been released
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked ${leaked.size} persisted RDDs: $leaked")
+  }
+
   test("as-of join picks the latest right row at-or-before each left ts") {
     import spark.implicits._
     import graft.ops.AsOf

@@ -119,6 +119,93 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  /** Open a socket, run the startup handshake, hand (in, out, send) to f. */
+  private def withWire(f: (java.io.DataInputStream, java.io.DataOutputStream,
+      (Char, Array[Byte]) => Unit) => Unit): Unit = {
+    val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      def send(t: Char, body: Array[Byte]): Unit = {
+        out.writeByte(t); out.writeInt(body.length + 4); out.write(body)
+      }
+      val params = cstr("user") ++ cstr("graft") ++
+        cstr("database") ++ cstr("graft") :+ 0.toByte
+      out.writeInt(params.length + 8); out.writeInt(196608)
+      out.write(params); out.flush()
+      readUntilReady(in)
+      f(in, out, send)
+    } finally sock.close()
+  }
+
+  test("row-limited Execute pages with PortalSuspended and resumes the cursor") {
+    withWire { (in, out, send) =>
+      val q = "SELECT _offset FROM events WHERE _partition = 0 " +
+        "AND _offset <= 4 SCAN FULL"
+      send('P', cstr("pg") ++ cstr(q) ++ i16(0))
+      send('B', cstr("c") ++ cstr("pg") ++ i16(0) ++ i16(0) ++ i16(0))
+      // first page: 2 of 5 rows -> PortalSuspended, no CommandComplete
+      send('E', cstr("c") ++ i32(2))
+      send('H', Array.emptyByteArray)
+      out.flush()
+      def readUntilSuspended(): Seq[(Char, Array[Byte])] = {
+        val b = Seq.newBuilder[(Char, Array[Byte])]
+        var done = false
+        while (!done) {
+          val t = in.readByte().toChar; val len = in.readInt()
+          val body = new Array[Byte](len - 4); in.readFully(body)
+          b += ((t, body)); if (t == 's') done = true
+        }
+        b.result()
+      }
+      val p1 = readUntilSuspended()
+      assert(p1.map(_._1).endsWith(Seq('D', 'D', 's')), s"got ${p1.map(_._1)}")
+      assert(p1.filter(_._1 == 'D').map(b => dataRowValues(b._2).head) ==
+        Seq("0", "1"))
+      // second page resumes at row 2 (not row 0 — silent-row-loss fix)
+      send('E', cstr("c") ++ i32(2))
+      send('H', Array.emptyByteArray)
+      out.flush()
+      val p2 = readUntilSuspended()
+      assert(p2.filter(_._1 == 'D').map(b => dataRowValues(b._2).head) ==
+        Seq("2", "3"))
+      // final page drains the last row -> CommandComplete "SELECT 1"
+      send('E', cstr("c") ++ i32(2))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val fin = readUntilReady(in)
+      assert(fin.filter(_._1 == 'D').map(b => dataRowValues(b._2).head) == Seq("4"))
+      val cc = fin.find(_._1 == 'C').map(b =>
+        new String(b._2.takeWhile(_ != 0), "UTF-8"))
+      assert(cc.contains("SELECT 1"), s"got $cc")
+    }
+  }
+
+  test("Bind with a binary-format parameter is rejected with 0A000") {
+    withWire { (in, out, send) =>
+      send('P', cstr("sb") ++ cstr(
+        "SELECT COUNT(*) AS n FROM events WHERE _partition = $1 LAST 30d") ++ i16(0))
+      // one format code = 1 (binary), one int32 parameter value
+      send('B', cstr("") ++ cstr("sb") ++ i16(1) ++ i16(1) ++
+        i16(1) ++ i32(4) ++ i32(2) ++ i16(0))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val msgs = readUntilReady(in)
+      val err = msgs.find(_._1 == 'E')
+      assert(err.isDefined, s"expected ErrorResponse: ${msgs.map(_._1)}")
+      val fields = new String(err.get._2, "UTF-8")
+      assert(fields.contains("0A000"), s"expected 0A000 in $fields")
+      // connection recovered after Sync: a simple query still works
+      val q = "SELECT COUNT(*) AS n FROM events LAST 30d"
+      send('Q', cstr(q)); out.flush()
+      val ok = readUntilReady(in)
+      assert(ok.find(_._1 == 'D').map(b => dataRowValues(b._2).head)
+        .contains("1000"))
+    }
+  }
+
   test("psql runs the flagship aggregate over the wire") {
     val (code, out, err) = psql(
       "SELECT _partition, COUNT(*) AS cnt FROM events GROUP BY _partition LAST 30d")

@@ -88,6 +88,62 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} windows, batch ${batch.size}")
   }
 
+  test("continuous aggregate resolves aliased group columns (ADVICE r2)") {
+    import graft.kafsql.{SchemaCol, TopicDef, TopicRegistry}
+    import graft.kfs.{KfsSeed, KfsSource}
+    import graft.streaming.KafsqlStream
+
+    val root = KfsSeed.seededRoot(spark, sf)
+    val reg = new TopicRegistry(Seq(TopicDef(
+      "events", s => KfsSource.read(s, root, Some(Set("events"))),
+      schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+      partitions = 0 to 3)))
+    // SELECT _partition AS part ... GROUP BY _partition used to throw
+    // AnalysisException in the continuous path (batch handled it)
+    val out = KafsqlStream.aggregate(
+      reg, KafsqlStream.topicStream(spark, root),
+      "SELECT _partition AS part, COUNT(*) AS cnt FROM events " +
+        "GROUP BY _partition SCAN FULL",
+      "7 days", nowMs = graft.core.Tables.FixedNowMs)
+    assert(out.columns.toSeq == Seq("win_start", "part", "cnt"))
+    val q = out.writeStream.format("memory").queryName("ckagg_alias")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.table("ckagg_alias").collect()
+      .map(r => r.getAs[Int]("part") -> r.getAs[Long]("cnt")).toMap
+    assert(rows.keySet == Set(0, 1, 2, 3) && rows.values.forall(_ > 0))
+  }
+
+  test("file stream skips an incomplete segment instead of failing (ADVICE r2)") {
+    import graft.kafsql.{SchemaCol, TopicDef, TopicRegistry}
+    import graft.kfs.{KfsCodec, KfsLayout, KfsSeed, KfsSource}
+    import graft.streaming.KafsqlStream
+
+    // private root: seed one good segment + one truncated (no END! footer)
+    val root = java.nio.file.Files.createTempDirectory("kfs_incomplete").toString
+    val recs = (0L until 10L).map(i => KfsCodec.Record(
+      i, 1706000000000L + i, s"k$i".getBytes, s"""{"k":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "events", 0, recs)
+    val good = KfsCodec.buildSegment(recs.map(r => r.copy(offset = r.offset + 10)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "events", "0", KfsLayout.segmentFileName(10L)),
+      good.dropRight(7)) // truncated mid-footer: no END!
+    val reg = new TopicRegistry(Seq(TopicDef(
+      "events", s => KfsSource.read(s, root, Some(Set("events"))),
+      schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+      partitions = Seq(0))))
+    val out = java.nio.file.Files.createTempDirectory("kfs_incomplete_out").toString
+    // would previously throw KfsFormatException and poison the stream
+    KafsqlStream.runToTable(spark, reg, root,
+      "SELECT _partition, _offset, k FROM events WHERE _ts >= 0",
+      s"$out/table", s"$out/ckpt", nowMs = graft.core.Tables.FixedNowMs)
+    val offsets = spark.read.parquet(s"$out/table")
+      .collect().map(_.getLong(1)).toSet
+    assert(offsets == (0L until 10L).toSet,
+      s"good segment only, got ${offsets.size} rows")
+  }
+
   test("continuous WITHIN join matches only pairs inside the band") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
