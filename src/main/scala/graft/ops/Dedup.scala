@@ -252,14 +252,67 @@ object Dedup {
       case _ =>
     }
 
+  /** Edge-count threshold below which connected components runs as
+    * driver-side union-find instead of the distributed label-propagation
+    * loop. The near-dup EDGE set is orders of magnitude smaller than the
+    * corpus (it is the thresholded output of LSH + exact verify), so even
+    * 100 TB corpora routinely produce component graphs that fit in a few
+    * hundred MB on the driver — and the iterative loop costs ~3 Spark jobs
+    * per round (join, hop-join, fixpoint aggregate), which is pure
+    * scheduling overhead when the graph is this small. 2M edges ≈ 32 MB of
+    * longs: far under driver heap, ~instant union-find. */
+  val DriverCcEdgeLimit = 2000000L
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false,
+      driverEdgeLimit: Long = DriverCcEdgeLimit): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // persist the pair list BEFORE mirroring it: edges scans it twice, and
     // upstream is typically a whole LSH+verify pipeline we must not re-run
     val p = pairs.select(col("a"), col("b")).persist(MEMORY_AND_DISK)
+    // adaptive algorithm choice: the count also materializes the persisted
+    // pair list, which the big-graph path needs anyway before mirroring
+    val aType = p.schema(0).dataType
+    val sameKeyTypes = aType == p.schema(1).dataType
+    val isIntegral = aType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (sameKeyTypes && isIntegral && p.count() <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      // min-root union with path compression: the root IS the min label
+      val parent = new scala.collection.mutable.LongMap[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var pp = parent.getOrElse(x, x)
+        while (pp != x) { // path halving
+          val gp = parent.getOrElse(pp, pp)
+          parent(x) = gp; x = pp; pp = gp
+        }
+        x
+      }
+      val nodes = scala.collection.mutable.LongMap.empty[Unit]
+      p.collect().foreach { r =>
+        val a = r.get(0).asInstanceOf[Number].longValue
+        val b = r.get(1).asInstanceOf[Number].longValue
+        nodes(a) = (); nodes(b) = ()
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      p.unpersist()
+      val rows = nodes.keysIterator.map(n => (n, find(n))).toSeq
+      import spark.implicits._
+      val out0 = rows.toDF("node", "cluster")
+      val out =
+        if (aType == org.apache.spark.sql.types.IntegerType)
+          out0.select(col("node").cast("int").as("node"),
+            col("cluster").cast("int").as("cluster"))
+        else out0
+      return out
+    }
     // eager checkpoint cuts the whole upstream lineage out of the loop
     val edges = ckpt(p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst"))))

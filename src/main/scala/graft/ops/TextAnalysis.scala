@@ -32,32 +32,47 @@ object TextAnalysis {
 
   def regexTokenCount(text: Column): Column = size(regexTokens(text))
 
-  def stopwordCount(text: Column): Column =
-    size(filter(words(text),
-      w => Stopwords.map(s => w === s).reduce(_ || _)))
+  /** Stopword hits over an already-split word array. Callers that compute
+    * several metrics should project `words(text)` ONCE and use the
+    * array-based variants: subexpression elimination does not reach inside
+    * higher-order-function lambdas, so inlining `split` into each metric
+    * re-splits the text per metric (§ the d2 shingle lesson). */
+  def stopwordCountOf(w: Column): Column =
+    size(filter(w, x => Stopwords.map(s => x === s).reduce(_ || _)))
+
+  def stopwordCount(text: Column): Column = stopwordCountOf(words(text))
 
   /** Quality metrics frame: token/char/distinct counts, average token
-    * length, stopword ratio. */
+    * length, stopword ratio. The word array is projected once (a separate
+    * Project that CollapseProject keeps — split is non-cheap and referenced
+    * by three metrics) so the text is split exactly once per row. */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nTok = tokenCount(t)
-    docs.select(
-      col(idCol).as("doc"),
-      length(t).as("n_chars"),
-      nTok.as("n_tokens"),
-      size(array_distinct(words(t))).as("n_distinct"),
-      round(length(regexp_replace(t, " ", "")).cast("double") / nTok, 4)
-        .as("avg_token_len"),
-      round(stopwordCount(t).cast("double") / nTok, 4).as("stopword_ratio"),
-      estBpeTokens(t).as("est_bpe_tokens"))
+    val t = col("_q_text")
+    val w = col("_q_words")
+    val nTok = size(w)
+    docs.select(col(idCol).as("doc"), col(textCol).as("_q_text"),
+        words(col(textCol)).as("_q_words"))
+      .select(
+        col("doc"),
+        length(t).as("n_chars"),
+        nTok.as("n_tokens"),
+        size(array_distinct(w)).as("n_distinct"),
+        round(length(regexp_replace(t, " ", "")).cast("double") / nTok, 4)
+          .as("avg_token_len"),
+        round(stopwordCountOf(w).cast("double") / nTok, 4).as("stopword_ratio"),
+        estBpeTokens(t).as("est_bpe_tokens"))
   }
+
+  /** Stopword-ratio language heuristic over a word array. */
+  def languageGuessOf(w: Column, threshold: Double = 0.04): Column =
+    when(stopwordCountOf(w).cast("double") / size(w) >= threshold,
+      lit("en")).otherwise(lit("und"))
 
   /** Stopword-hit language heuristic: en-like when the stopword ratio
     * clears the threshold. (Heuristic shape mirrors n-gram language-ID:
     * score fixed marker features, argmax/threshold.) */
   def languageGuess(text: Column, threshold: Double = 0.04): Column =
-    when(stopwordCount(text).cast("double") / tokenCount(text) >= threshold,
-      lit("en")).otherwise(lit("und"))
+    languageGuessOf(words(text), threshold)
 
   /** Canonical bag-of-words fingerprint: md5 over the sorted distinct word
     * set — robust to word order, the classic "fingerprint" dedup key. */

@@ -241,19 +241,30 @@ object OpsPack extends QueryPack {
     QueryDef(
       "t6_curation_pipeline",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
-        val keepers = Dedup.exactGroups(docs, "doc_id", "text")
-          .select(col("keep_id").as("doc_id"))
-        val deduped = docs.join(keepers, "doc_id")
-        val q = TextAnalysis.quality(deduped, "doc_id", "text")
-          .where(col("n_tokens") >= 30 && col("stopword_ratio") >= 0.02)
-          .select(col("doc").as("doc_id"))
-        deduped.join(q, "doc_id")
-          .select(TextAnalysis.languageGuess(col("text")).as("lang_guess"),
-            col("text"))
+        // single-scan pipeline: dedup via a window min over the content hash
+        // (one shuffle, no join-back), then all text metrics from ONE split
+        // projection (_words) — the text is split exactly once per doc, and
+        // the stopword count is computed once and shared by the quality gate
+        // and the language guess
+        val keepW = Window.partitionBy(md5(lower(trim(col("text")))))
+        val w = col("_words")
+        val nTok = size(w)
+        docs
+          .withColumn("_keep", min(col("doc_id")).over(keepW))
+          .where(col("doc_id") === col("_keep"))
+          .select(split(col("text"), " ").as("_words"))
+          .withColumn("_swc", TextAnalysis.stopwordCountOf(w))
+          .where(nTok >= 30 &&
+            round(col("_swc").cast("double") / nTok, 4) >= 0.02)
+          .select(
+            when(col("_swc").cast("double") / nTok >= 0.04, lit("en"))
+              .otherwise(lit("und")).as("lang_guess"),
+            nTok.as("_n"))
           .groupBy(col("lang_guess"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+            sum(col("_n").cast("long")).as("total_tokens"))
           .orderBy(col("lang_guess"))
       },
       Some(

@@ -134,15 +134,21 @@ class OpsSpec extends AnyFunSuite {
     val got = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the distributed label-propagation loop (big-graph path) agrees with
+    // the driver-side union-find fast path
+    val loop = Dedup.duplicateClusters(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == got)
   }
 
   test("duplicateClusters releases superseded rounds' checkpoint storage (ADVICE r2)") {
     import spark.implicits._
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    // a longer chain forces several convergence rounds
+    // a longer chain forces several convergence rounds (driverEdgeLimit = 0
+    // pins the distributed loop — the storage-release path under test)
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val clusters = Dedup.duplicateClusters(pairs)
+    val clusters = Dedup.duplicateClusters(pairs, driverEdgeLimit = 0)
     assert(clusters.collect().map(_.getLong(1)).toSet == Set(1L))
     // only the final round's labels checkpoint may remain persisted —
     // superseded rounds and the mirrored edge list must have been released
@@ -198,7 +204,8 @@ class OpsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    val got = Dedup.duplicateClusters(pairs, reliable = true).collect()
+    val got = Dedup.duplicateClusters(pairs, reliable = true,
+      driverEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
