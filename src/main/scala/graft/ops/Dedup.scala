@@ -46,6 +46,53 @@ object Dedup {
       .where(col("sh") =!= "")
   }
 
+  /** Same output as [[shingles]] for long ids, built with a typed flatMap:
+    * higher-order array functions are CodegenFallback (interpreted,
+    * allocation-heavy per row), while this is one tight JVM loop per
+    * document — the shingle build is the widest narrow stage of every dedup
+    * pipeline, worth the non-Catalyst hop. */
+  def shinglesFlat(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (doc, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < n) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.HashSet[String]
+          val sb = new StringBuilder(64)
+          (0 to w.length - n).iterator.flatMap { i =>
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(w(i + j)); j += 1
+            }
+            val s = sb.toString
+            if (s.nonEmpty && seen.add(s)) Iterator.single((doc, s))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("doc", "sh")
+  }
+
+  /** [[shinglesFlat]] when the id column is integral (cast back to its
+    * original type), [[shingles]] otherwise — same rows either way. */
+  def shinglesAuto(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val dt = docs.schema(docs.schema.fieldIndex(idCol)).dataType
+    dt match {
+      case org.apache.spark.sql.types.LongType => shinglesFlat(docs, idCol, textCol, n)
+      case org.apache.spark.sql.types.IntegerType =>
+        shinglesFlat(docs, idCol, textCol, n)
+          .withColumn("doc", col("doc").cast("int"))
+      case _ => shingles(docs, idCol, textCol, n)
+    }
+  }
+
   /** Exact duplicate groups by content hash (optionally normalized). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String,
       normalized: Boolean = true): DataFrame = {
@@ -128,7 +175,7 @@ object Dedup {
     * per-doc table and the verify is a map-side array intersect. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
-    val withH = shingles(docs, idCol, textCol)
+    val withH = shinglesAuto(docs, idCol, textCol)
       .withColumn("h", shingleHash28(col("sh")))
     def perm(i: Int) =
       min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % MinhashPrime).as(s"m$i")
@@ -157,7 +204,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxShinglePostings: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(docs, idCol, textCol, n)
+    val sh0 = shinglesAuto(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = maxShinglePostings match {
       case Some(cap) =>
@@ -180,18 +227,45 @@ object Dedup {
         // posting array, pairs are generated in-array (no self-join /
         // sort-merge materialization), then one groupBy(a,b) counts the
         // intersections. Same m(m-1)/2 output per posting list, one fewer
-        // wide exchange + no join sort.
-        val postings = sh0.groupBy(col("sh"))
-          .agg(array_sort(collect_list(col("doc"))).as("ds"))
-        val ds = col("ds")
-        val pairsArr = flatten(transform(ds, (x, i) =>
-          transform(
-            slice(ds, i + lit(2), greatest(size(ds) - i - lit(1), lit(0))),
-            y => struct(x.as("a"), y.as("b")))))
-        postings.where(size(ds) > 1)
-          .select(explode(pairsArr).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+        // wide exchange + no join sort. Pair generation is a typed flatMap
+        // when ids are integral — the nested-lambda column version is
+        // CodegenFallback and allocates a struct per pair interpreted,
+        // which dominated this operator's wall time.
+        val docType = sh0.schema(sh0.schema.fieldIndex("doc")).dataType
+        val integral = docType == org.apache.spark.sql.types.LongType ||
+          docType == org.apache.spark.sql.types.IntegerType
+        if (integral) {
+          val spark = sh0.sparkSession
+          import spark.implicits._
+          val postings = sh0.groupBy(col("sh"))
+            .agg(array_sort(collect_list(col("doc").cast("long"))).as("ds"))
+            .where(size(col("ds")) > 1)
+          val pairs = postings.select(col("ds")).as[Seq[Long]]
+            .flatMap { ds =>
+              val arr = ds.toArray
+              Iterator.range(0, arr.length - 1).flatMap(i =>
+                Iterator.range(i + 1, arr.length).map(j => (arr(i), arr(j))))
+            }
+            .toDF("a", "b")
+          val counted = pairs.groupBy(col("a"), col("b"))
+            .agg(count(lit(1)).as("inter"))
+          if (docType == org.apache.spark.sql.types.IntegerType)
+            counted.select(col("a").cast("int").as("a"),
+              col("b").cast("int").as("b"), col("inter"))
+          else counted
+        } else {
+          val postings = sh0.groupBy(col("sh"))
+            .agg(array_sort(collect_list(col("doc"))).as("ds"))
+          val ds = col("ds")
+          val pairsArr = flatten(transform(ds, (x, i) =>
+            transform(
+              slice(ds, i + lit(2), greatest(size(ds) - i - lit(1), lit(0))),
+              y => struct(x.as("a"), y.as("b")))))
+          postings.where(size(ds) > 1)
+            .select(explode(pairsArr).as("p"))
+            .select(col("p.a").as("a"), col("p.b").as("b"))
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+        }
     }
     val counts = sh0.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     inter

@@ -34,6 +34,11 @@ object Probe {
 
     val sh = Dedup.shingles(docs, "doc_id", "text")
     t("shingles.count")(sh.count())
+    t("shingles.count(2nd)")(sh.count())
+    t("shinglesFlat.count")(
+      Dedup.shinglesFlat(docs, "doc_id", "text").count())
+    t("shinglesFlat.count(2nd)")(
+      Dedup.shinglesFlat(docs, "doc_id", "text").count())
 
     val withH = sh.withColumn("h", Dedup.shingleHash28(col("sh")))
     def perm(i: Int) =
@@ -62,6 +67,19 @@ object Probe {
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.5, 16, 4).count())
     t("nearDuplicates e2e(2nd)")(
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.5, 16, 4).count())
+
+    spark.catalog.clearCache()
+    t("simhash(1st: incl codegen)")(
+      Dedup.simhash(docs, "doc_id", "text").where(col("doc") < 25).count())
+    t("simhash(2nd: warm codegen)")(
+      Dedup.simhash(docs, "doc_id", "text").where(col("doc") < 25).count())
+
+    spark.catalog.clearCache()
+    t("ngramJaccard(1st)")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    spark.catalog.clearCache()
+    t("ngramJaccard(2nd)")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
 
     spark.stop()
   }
