@@ -590,6 +590,190 @@ object RelationalPack extends QueryPack {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name, n_name
-          |ORDER BY r_name, n_name""".stripMargin))
+          |ORDER BY r_name, n_name""".stripMargin)),
+
+    // q4-shaped: priority counts over orders with at least one late-shipped
+    // item — LEFT SEMI join (EXISTS), the probe-side short-circuit shape;
+    // at 100 TB the semi-join shuffles only (orderkey, shipdate) and stops
+    // at first match per order.
+    QueryDef(
+      "q4_priority_semi",
+      (s, dir) => {
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 80 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // q10-shaped: top returned-revenue customers — fact-to-fact shuffle on
+    // orderkey, dims broadcast, TakeOrdered(20) instead of a global sort.
+    QueryDef(
+      "q10_returned_top",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+        val cust = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(
+        """SELECT c_custkey, c_name, n_name,
+          |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // q14-shaped: promo revenue share — conditional aggregation over a
+    // broadcast part join; exact decimal sums inside, one double division
+    // at the end (bit-identical across engines on identical inputs).
+    QueryDef(
+      "q14_promo_share",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+        val part = Tables.load(s, dir, "part")
+        val disc = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(lit(100.0) *
+              sum(when(col("p_type").startsWith("PROMO"), disc)
+                .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+              sum(disc).cast("double"), 6).as("promo_share"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(
+        """SELECT round(100.0 *
+          |         CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+          |                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                       AS DECIMAL(18,4))
+          |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+          |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |              AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_share,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)),
+
+    // q18-shaped: large-volume orders — the aggregate-then-join (HAVING)
+    // shape; the big-orders set is tiny after the quantity gate, so the
+    // join back to orders/customer broadcasts it. l_quantity is integral-
+    // valued, so the double sum is exact and order-independent.
+    QueryDef(
+      "q18_big_orders",
+      (s, dir) => {
+        val big = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("tot_qty"))
+          .filter(col("tot_qty") > 280)
+        val ord = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("tot_qty"))
+          .orderBy(col("tot_qty").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some(
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, tot_qty
+          |FROM (SELECT l_orderkey, SUM(l_quantity) AS tot_qty
+          |      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 280) big
+          |JOIN orders ON o_orderkey = big.l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY tot_qty DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // q22-shaped: well-funded customers with no recent orders — LEFT ANTI
+    // join (NOT EXISTS); the anti side projects one column and the nation
+    // tally is a 25-key hash aggregate.
+    QueryDef(
+      "q22_idle_customers",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000.0)
+        val recent = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+          .select(col("o_custkey"))
+        cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("total_bal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(
+        """SELECT c_nationkey, count(*) AS n_cust,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM customer
+          |WHERE c_acctbal > 5000
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // Window-function analytics (superset — the reference has no window
+    // functions, SURVEY §2.8): top-3 orders per customer by total price.
+    // One shuffle on custkey; rank inside the sorted partition.
+    QueryDef(
+      "w1_top_orders_per_cust",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rk"))
+      },
+      Some(
+        """SELECT o_custkey, rk, o_orderkey, o_totalprice
+          |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+          |             row_number() OVER (PARTITION BY o_custkey
+          |                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |      FROM orders WHERE o_custkey < 100)
+          |WHERE rk <= 3
+          |ORDER BY o_custkey, rk""".stripMargin))
   )
 }
