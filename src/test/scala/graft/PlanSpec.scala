@@ -53,4 +53,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("props"),
       s"p1 must not read the props/_value column:\n$plan")
   }
+
+  test("q4: EXISTS plans as a broadcast semi join, never a cartesian") {
+    val plan = planOf("q4_priority_semi")
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semi join must stay hash-based:\n$plan")
+  }
+
+  test("q10/q18: dims and the HAVING-derived set broadcast") {
+    val q10 = planOf("q10_returned_top")
+    assert(q10.contains("BroadcastHashJoin"), s"q10 dims broadcast:\n$q10")
+    assert(q10.contains("TakeOrderedAndProject"), s"q10 top-20 is top-k:\n$q10")
+    val q18 = planOf("q18_big_orders")
+    assert(q18.contains("BroadcastHashJoin"),
+      s"q18 big-order set must broadcast back to orders:\n$q18")
+  }
+
+  test("q22: NOT EXISTS plans as an anti join with a pruned probe side") {
+    val plan = planOf("q22_idle_customers")
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"recency filter must reach the orders scan:\n$plan")
+  }
+
+  test("w1: window ranking shuffles once on the partition key") {
+    val plan = planOf("w1_top_orders_per_cust")
+    assert(plan.contains("Window"), s"expected window exec:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"one shuffle on o_custkey expected:\n$plan")
+  }
 }
