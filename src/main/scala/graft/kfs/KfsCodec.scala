@@ -56,11 +56,18 @@ object KfsCodec {
 
   final class ByteReader(buf: Array[Byte], var pos: Int) {
     def remaining: Int = buf.length - pos
-    def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
-    def i8(): Byte = { val b = buf(pos); pos += 1; b }
-    def i16(): Short = { val v = ByteBuffer.wrap(buf, pos, 2).order(ByteOrder.BIG_ENDIAN).getShort; pos += 2; v }
-    def i32(): Int = { val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.BIG_ENDIAN).getInt; pos += 4; v }
-    def i64(): Long = { val v = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.BIG_ENDIAN).getLong; pos += 8; v }
+    // every read is bounds-checked to KfsFormatException (never AIOOBE):
+    // decode runs on untrusted bytes inside executor tasks, and the scan /
+    // stream paths classify KfsFormatException as "corrupt segment" while
+    // any other throwable fails the task
+    private def need(n: Int): Unit =
+      if (n > remaining || pos < 0) throw new KfsFormatException(
+        s"truncated: need $n bytes at $pos of ${buf.length}")
+    def u8(): Int = { need(1); val b = buf(pos) & 0xff; pos += 1; b }
+    def i8(): Byte = { need(1); val b = buf(pos); pos += 1; b }
+    def i16(): Short = { need(2); val v = ByteBuffer.wrap(buf, pos, 2).order(ByteOrder.BIG_ENDIAN).getShort; pos += 2; v }
+    def i32(): Int = { need(4); val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.BIG_ENDIAN).getInt; pos += 4; v }
+    def i64(): Long = { need(8); val v = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.BIG_ENDIAN).getLong; pos += 8; v }
     def varlong(): Long = {
       var value = 0L; var shift = 0; var b = 0
       do {
@@ -223,7 +230,15 @@ object KfsCodec {
     val _maxTs = r.i64()
     r.i64(); r.i16(); r.i32() // producer id / epoch / base sequence
     val recordCount = r.i32()
+    if (recordCount < 0)
+      throw new KfsFormatException(s"bad record count $recordCount")
+    // batchLength must advance the cursor and stay inside the buffer —
+    // otherwise a corrupt length makes the segment iterator loop forever
+    // (batchEnd <= pos) or read past the footer
     val batchEnd = pos + 12 + batchLength
+    if (batchLength <= 0 || batchEnd <= pos || batchEnd > buf.length)
+      throw new KfsFormatException(
+        s"bad batch length $batchLength at $pos of ${buf.length}")
     val records = (0 until recordCount).iterator.map { _ =>
       val len = r.varint()
       val recEnd = r.pos + len

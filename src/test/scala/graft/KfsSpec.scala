@@ -46,6 +46,46 @@ class KfsSpec extends AnyFunSuite {
     assert(out(1).key.length == 0 && out(1).value == null)
   }
 
+  test("fuzz: corrupted batch bytes never hang or escape KfsFormatException") {
+    // mirrors the reference's frame fuzzing (pkg/protocol/fuzz_test.go,
+    // SURVEY §5): the batch decoder runs on untrusted bytes past the CRC
+    // gate (a foreign writer may CRC its own garbage), so decodeBatch must
+    // terminate quickly with KfsFormatException — never AIOOBE, never an
+    // infinite batch loop from a non-advancing batchLength
+    val seg = KfsCodec.buildSegment(mkRecords(50), batchSize = 16)
+    val body = java.util.Arrays.copyOfRange(
+      seg, KfsCodec.SegmentHeaderLen, seg.length - KfsCodec.FooterLen)
+    val rnd = new scala.util.Random(42)
+    def decodeAll(buf: Array[Byte]): Unit = {
+      var pos = 0
+      var guard = 0
+      while (pos < buf.length && guard < 10000) {
+        val (records, next) = KfsCodec.decodeBatch(buf, pos)
+        records.foreach(_ => ())
+        assert(next > pos, s"batch cursor must advance: $pos -> $next")
+        pos = next
+        guard += 1
+      }
+    }
+    (0 until 500).foreach { i =>
+      val mutated = body.clone()
+      // flip 1-4 random bytes, or truncate
+      if (i % 5 == 4) {
+        val cut = rnd.nextInt(mutated.length)
+        val t = java.util.Arrays.copyOfRange(mutated, 0, cut)
+        try decodeAll(t)
+        catch { case _: KfsCodec.KfsFormatException => }
+      } else {
+        (0 to rnd.nextInt(4)).foreach { _ =>
+          val p = rnd.nextInt(mutated.length)
+          mutated(p) = (mutated(p) ^ (1 + rnd.nextInt(255))).toByte
+        }
+        try decodeAll(mutated)
+        catch { case _: KfsCodec.KfsFormatException => }
+      }
+    }
+  }
+
   test("corrupted segment CRC is rejected") {
     val seg = KfsCodec.buildSegment(mkRecords(10))
     seg(40) = (seg(40) ^ 0xff).toByte
