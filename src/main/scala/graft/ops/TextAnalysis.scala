@@ -74,6 +74,31 @@ object TextAnalysis {
   def languageGuess(text: Column, threshold: Double = 0.04): Column =
     languageGuessOf(words(text), threshold)
 
+  /** Repetition metrics per document — the Gopher-style quality filters
+    * for generated/boilerplate text: the top-word frequency ratio and the
+    * duplicate-2-gram ratio (1 − distinct 2-grams / total 2-grams). High
+    * values flag degenerate repetition that length/stopword gates miss.
+    * One explode + two hash aggregates on `doc` — narrow at any corpus
+    * size; the 2-gram side reuses the dedup shingle builder. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wordStats = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("doc"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"))
+    val g2 = Dedup.shinglesAuto(docs, idCol, textCol, n = 2)
+      .groupBy(col("doc")).agg(count(lit(1)).as("n2"))
+    wordStats.join(g2, Seq("doc"))
+      .where(col("n_tok") > 1)
+      .select(col("doc"), col("n_tok"),
+        round(col("top_cnt").cast("double") / col("n_tok"), 4)
+          .as("top_word_ratio"),
+        round(lit(1.0) - col("n2").cast("double") / (col("n_tok") - 1), 4)
+          .as("dup_2gram_ratio"))
+  }
+
   /** Canonical bag-of-words fingerprint: md5 over the sorted distinct word
     * set — robust to word order, the classic "fingerprint" dedup key. */
   def fingerprint(text: Column): Column =

@@ -230,6 +230,39 @@ object OpsPack extends QueryPack {
            |       CAST((length(text) + 3) // 4 AS INTEGER) AS n_bpe_est
            |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
 
+    // Repetition quality metrics (Gopher-style): top-word frequency ratio
+    // + duplicate-2-gram ratio flag degenerate/boilerplate text that
+    // length/stopword gates miss
+    QueryDef(
+      "t8_repetition",
+      (s, dir) => TextAnalysis.repetition(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 50),
+        "doc_id", "text")
+        .orderBy(col("doc")),
+      Some(
+        """WITH wc AS (
+          |  SELECT doc, word, count(*) AS c FROM (
+          |    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS word
+          |    FROM documents WHERE doc_id < 50)
+          |  WHERE word <> '' GROUP BY doc, word),
+          |ws AS (SELECT doc, max(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_tok
+          |       FROM wc GROUP BY doc),
+          |g2 AS (
+          |  SELECT doc, count(*) AS n2 FROM (
+          |    SELECT DISTINCT doc_id AS doc, s FROM (
+          |      SELECT doc_id,
+          |             unnest(list_transform(generate_series(1, len(w) - 1),
+          |                                   i -> w[i] || ' ' || w[i+1])) AS s
+          |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |            FROM documents WHERE doc_id < 50))
+          |    WHERE s <> '') GROUP BY doc)
+          |SELECT ws.doc, n_tok,
+          |       round(CAST(top_cnt AS DOUBLE) / n_tok, 4) AS top_word_ratio,
+          |       round(1.0 - CAST(n2 AS DOUBLE) / (n_tok - 1), 4) AS dup_2gram_ratio
+          |FROM ws JOIN g2 ON ws.doc = g2.doc
+          |WHERE n_tok > 1
+          |ORDER BY ws.doc""".stripMargin)),
+
     // ---- end-to-end curation pipeline -----------------------------------
     // The flagship training-data flow composed from the real operators:
     // exact dedup (keep min doc_id per normalized content hash) → quality

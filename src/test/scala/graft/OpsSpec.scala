@@ -253,6 +253,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition metrics separate degenerate from diverse text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // all-same doc: every word is the top word, the single distinct 2-gram
+    // repeats -> dup ratio 1 - 1/5 = 0.8
+    assert(m(1L) == ((1.0, 0.8)), s"got ${m(1L)}")
+    // all-distinct doc: top ratio 1/6, no duplicate 2-grams
+    assert(m(2L) == ((0.1667, 0.0)), s"got ${m(2L)}")
+  }
+
   test("fingerprint is word-order-invariant") {
     import spark.implicits._
     val d = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d")).toDF("doc_id", "text")
