@@ -592,6 +592,51 @@ object RelationalPack extends QueryPack {
           |GROUP BY r_name, n_name
           |ORDER BY r_name, n_name""".stripMargin)),
 
+    // q7-shaped: revenue between customer/supplier nation pairs — the only
+    // query exercising the supplier dimension; two broadcast dim joins on
+    // the fact side (suppkey + custkey via orders), one shuffle on orderkey.
+    QueryDef(
+      "q7_nation_pairs",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        val supp = Tables.load(s, dir, "supplier")
+        val nation = Tables.load(s, dir, "nation")
+        val custNation = nation.select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
+        val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .where(col("cust_nation") < col("supp_nation"))
+          .groupBy(col("cust_nation"), col("supp_nation"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("cust_nation"), col("supp_nation"))
+          .limit(25)
+      },
+      Some(
+        """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+          |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |WHERE cn.n_name < sn.n_name
+          |GROUP BY cust_nation, supp_nation
+          |ORDER BY revenue DESC, cust_nation, supp_nation LIMIT 25""".stripMargin)),
+
     // q4-shaped: priority counts over orders with at least one late-shipped
     // item — LEFT SEMI join (EXISTS), the probe-side short-circuit shape;
     // at 100 TB the semi-join shuffles only (orderkey, shipdate) and stops
