@@ -141,6 +141,40 @@ class OpsSpec extends AnyFunSuite {
     assert(loop == got)
   }
 
+  test("duplicateClusters matches BFS reachability on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 15).foreach { trial =>
+      val nNodes = 2 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(60)
+      val edges = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a <= b) (a, b + 1) else (b, a) // a < b, allow self-adjacent ids
+      }.distinct
+      // independent reference: BFS closure with min-label per component
+      val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+      edges.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+      val expected = scala.collection.mutable.Map[Long, Long]()
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!expected.contains(start)) {
+          val comp = scala.collection.mutable.Set[Long]()
+          var frontier = List(start)
+          while (frontier.nonEmpty) {
+            val next = frontier.flatMap(n =>
+              if (comp.add(n)) adj(n) else Nil)
+            frontier = next
+          }
+          val label = comp.min
+          comp.foreach(n => expected(n) = label)
+        }
+      }
+      val got = Dedup.duplicateClusters(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.toMap, s"trial $trial edges=$edges")
+    }
+  }
+
   test("duplicateClusters releases superseded rounds' checkpoint storage (ADVICE r2)") {
     import spark.implicits._
     val sc = spark.sparkContext
