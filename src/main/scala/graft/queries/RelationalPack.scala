@@ -795,6 +795,75 @@ object RelationalPack extends QueryPack {
           |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Set operations (superset — the reference has none, SURVEY §2.7):
+    // INTERSECT / EXCEPT / UNION-distinct over user key sets, tallied into
+    // one frame. Each set op is a shuffle on the key with distinct
+    // semantics — at scale these are plain hash aggregations.
+    QueryDef(
+      "u1_set_ops",
+      (s, dir) => {
+        val base = ev(s, dir)
+        val p = base.filter(col("event_type") === "purchase").select(col("_key"))
+        val e = base.filter(col("event_type") === "error").select(col("_key"))
+        val rows = Seq(
+          ("except", p.except(e)),
+          ("intersect", p.intersect(e)),
+          ("union", p.union(e).distinct()))
+        rows.map { case (op, df) =>
+          df.agg(count(lit(1)).as("n_keys")).select(lit(op).as("op"), col("n_keys"))
+        }.reduce(_ union _).orderBy(col("op"))
+      },
+      oracle(
+        """SELECT 'except' AS op, count(*) AS n_keys FROM (
+          |  SELECT _key FROM events_topic WHERE event_type = 'purchase'
+          |  EXCEPT SELECT _key FROM events_topic WHERE event_type = 'error')
+          |UNION ALL
+          |SELECT 'intersect', count(*) FROM (
+          |  SELECT _key FROM events_topic WHERE event_type = 'purchase'
+          |  INTERSECT SELECT _key FROM events_topic WHERE event_type = 'error')
+          |UNION ALL
+          |SELECT 'union', count(*) FROM (
+          |  SELECT _key FROM events_topic WHERE event_type = 'purchase'
+          |  UNION SELECT _key FROM events_topic WHERE event_type = 'error')
+          |ORDER BY op""".stripMargin)),
+
+    // ROLLUP (superset — no grouping sets/cube/rollup in the reference,
+    // SURVEY §2.4): revenue subtotals per region, per (region, nation), and
+    // grand total in one pass — Spark expands the grouping sets before the
+    // hash aggregate, so it stays a single shuffle.
+    QueryDef(
+      "u2_rollup_revenue",
+      (s, dir) => {
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region")
+        val cust = Tables.load(s, dir, "customer")
+        val ord = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some(
+        """SELECT r_name, n_name,
+          |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
+
     // Window-function analytics (superset — the reference has no window
     // functions, SURVEY §2.8): top-3 orders per customer by total price.
     // One shuffle on custkey; rank inside the sorted partition.
