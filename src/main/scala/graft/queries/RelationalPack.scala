@@ -827,6 +827,27 @@ object RelationalPack extends QueryPack {
           |  UNION SELECT _key FROM events_topic WHERE event_type = 'error')
           |ORDER BY op""".stripMargin)),
 
+    // Statistical aggregates (superset — no percentile/stddev in the
+    // reference, SURVEY §2.4): exact interpolated median + sample stddev
+    // per return flag. l_quantity is integral-valued so the moments are
+    // exact and engine-order-independent; rounding guards the sqrt.
+    QueryDef(
+      "u3_stats",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
+        .orderBy(col("l_returnflag")),
+      Some(
+        """SELECT l_returnflag, count(*) AS n,
+          |       round(AVG(l_quantity), 6) AS avg_qty,
+          |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+          |       quantile_cont(l_quantity, 0.5) AS median_qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ROLLUP (superset — no grouping sets/cube/rollup in the reference,
     // SURVEY §2.4): revenue subtotals per region, per (region, nation), and
     // grand total in one pass — Spark expands the grouping sets before the
