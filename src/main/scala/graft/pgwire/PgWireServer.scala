@@ -364,16 +364,25 @@ class PgWireServer(
     val hits = frames.keys.filter(lowerSql.contains).toSeq
     if (hits.isEmpty) None
     else {
+      // unique view names per call: connections share one SparkSession, so
+      // a fixed name would race between concurrently-introspecting clients
+      val id = catalogViewSeq.incrementAndGet()
       var rewritten = sql
-      hits.foreach { rel =>
-        val view = "graft_catalog_" + rel.replace('.', '_')
+      val views = hits.map { rel =>
+        val view = s"graft_catalog_${rel.replace('.', '_')}_$id"
         frames(rel)().createOrReplaceTempView(view)
         rewritten = rewritten.replaceAll(
           "(?i)" + java.util.regex.Pattern.quote(rel), view)
+        view
       }
-      Some(spark.sql(rewritten))
+      // spark.sql resolves the views into the plan eagerly at analysis, so
+      // they can be dropped immediately — the returned frame stays valid
+      try Some(spark.sql(rewritten))
+      finally views.foreach(spark.catalog.dropTempView)
     }
   }
+
+  private val catalogViewSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** pg type OIDs per the reference's column mapping (server.go:1624-1669,
     * 2704-2719). */
