@@ -57,9 +57,12 @@ object KfsCodec {
   final class ByteReader(buf: Array[Byte], var pos: Int) {
     def remaining: Int = buf.length - pos
     // every read is bounds-checked to KfsFormatException (never AIOOBE):
-    // decode runs on untrusted bytes inside executor tasks, and the scan /
-    // stream paths classify KfsFormatException as "corrupt segment" while
-    // any other throwable fails the task
+    // decode runs on untrusted bytes inside executor tasks. The STREAM path
+    // (KafsqlStream, via decodeSegmentLenient) classifies KfsFormatException
+    // as "corrupt segment" and skips the whole file — the file-source log
+    // never retries a file, so throwing there would poison the query
+    // permanently. BATCH scans stay strict: corrupt data in a finite scan
+    // should fail the task loudly, and a re-run after repair re-reads it.
     private def need(n: Int): Unit =
       if (n > remaining || pos < 0) throw new KfsFormatException(
         s"truncated: need $n bytes at $pos of ${buf.length}")
@@ -212,6 +215,23 @@ object KfsCodec {
       def next(): Record = { advance(); batch.next() }
     }
   }
+
+  /** All-or-nothing lenient decode for the streaming path: a segment that
+    * fails ANY format/CRC check — including a corrupt body behind a valid
+    * END! footer (a foreign writer CRCs its own garbage) — yields zero
+    * records instead of throwing. Eager on purpose: [[decodeSegment]] is
+    * lazy, so a mid-body corruption would otherwise escape *after* a prefix
+    * of records was already emitted into the stream; decoding the whole
+    * segment up front gives clean skip-the-file semantics (segments are
+    * flush-capped to a few hundred MB, so one segment's records fit a task).
+    * Non-format throwables still fail the task — only provable corruption
+    * is skipped. */
+  def decodeSegmentLenient(buf: Array[Byte],
+      onCorrupt: String => Unit = _ => ()): Iterator[Record] =
+    try decodeSegment(buf).toArray.iterator
+    catch {
+      case e: KfsFormatException => onCorrupt(e.getMessage); Iterator.empty
+    }
 
   /** Decode one v2 batch at `pos`; returns records + next batch position. */
   def decodeBatch(buf: Array[Byte], pos: Int): (Iterator[Record], Int) = {

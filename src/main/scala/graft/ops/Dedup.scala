@@ -55,7 +55,11 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // null id/text rows are silently dropped — same as the Catalyst path
+    // (split(null)→null, explode drops); without the filter a single null
+    // row would fail the job (NPE in the closure / long deserialization)
     docs.select(col(idCol).cast("long"), col(textCol))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
         val w = text.split(" ", -1)
@@ -333,8 +337,12 @@ object Dedup {
     * 100 TB corpora routinely produce component graphs that fit in a few
     * hundred MB on the driver — and the iterative loop costs ~3 Spark jobs
     * per round (join, hop-join, fixpoint aggregate), which is pure
-    * scheduling overhead when the graph is this small. 2M edges ≈ 32 MB of
-    * longs: far under driver heap, ~instant union-find. */
+    * scheduling overhead when the graph is this small. 2M edges collect as
+    * ~2M boxed (Long, Long) tuples ≈ 100-150 MB transient on the driver —
+    * well under a typical driver heap, ~instant union-find. Callers on
+    * small drivers (or who know their graphs are huge and want to skip the
+    * sizing count job) can pass `driverEdgeLimit = 0` to always take the
+    * distributed loop. */
   val DriverCcEdgeLimit = 2000000L
 
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
@@ -355,8 +363,10 @@ object Dedup {
            org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    if (sameKeyTypes && isIntegral && p.count() <= driverEdgeLimit) {
+    if (sameKeyTypes && isIntegral && driverEdgeLimit > 0 &&
+        p.count() <= driverEdgeLimit) {
       val spark = pairs.sparkSession
+      import spark.implicits._
       // min-root union with path compression: the root IS the min label
       val parent = new scala.collection.mutable.LongMap[Long]
       def find(x0: Long): Long = {
@@ -369,16 +379,19 @@ object Dedup {
         x
       }
       val nodes = scala.collection.mutable.LongMap.empty[Unit]
-      p.collect().foreach { r =>
-        val a = r.get(0).asInstanceOf[Number].longValue
-        val b = r.get(1).asInstanceOf[Number].longValue
-        nodes(a) = (); nodes(b) = ()
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
+      // typed collect: primitive-friendly tuples instead of 10×-overhead
+      // Row objects; null keys are dropped (a null endpoint is not an edge
+      // — the distributed loop likewise never propagates through null)
+      p.select(col("a").cast("long"), col("b").cast("long"))
+        .where(col("a").isNotNull && col("b").isNotNull)
+        .as[(Long, Long)]
+        .collect().foreach { case (a, b) =>
+          nodes(a) = (); nodes(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
       p.unpersist()
       val rows = nodes.keysIterator.map(n => (n, find(n))).toSeq
-      import spark.implicits._
       val out0 = rows.toDF("node", "cluster")
       val out =
         if (aType == org.apache.spark.sql.types.IntegerType)

@@ -16,9 +16,12 @@ import graft.kfs.{KfsCodec, KfsSource}
   * (St2): [[KfsLayout.writeSegment]] publishes segments by atomic rename so
   * a listed file is always whole, and the decode below re-checks the END!
   * footer and *skips* (rather than poisons the query on) any segment a
-  * foreign writer left incomplete — the file-source log never retries a
-  * file, so throwing here would fail the stream permanently. Decoding uses
-  * the same [[KfsCodec]] the batch scan uses.
+  * foreign writer left incomplete OR corrupt — incomplete footers and
+  * format/CRC failures inside a footer-complete body are both swallowed
+  * (via [[KfsCodec.decodeSegmentLenient]], logged to stderr) because the
+  * file-source log never retries a file, so throwing here would fail the
+  * stream permanently. Decoding uses the same [[KfsCodec]] the batch scan
+  * uses; the batch path stays strict (fail the task, rerun after repair).
   * One segment = one task, so throughput scales with executor count exactly
   * like the batch path; the file-source checkpoint carries progress across
   * restarts (no etcd).
@@ -41,7 +44,9 @@ object KafsqlStream {
         val complete = content.length >= 4 &&
           KfsCodec.isComplete(content.slice(content.length - 4, content.length))
         val records =
-          if (complete) KfsCodec.decodeSegment(content) else Iterator.empty
+          if (complete) KfsCodec.decodeSegmentLenient(content,
+            msg => System.err.println(s"[kafsql-stream] skipping corrupt segment $path: $msg"))
+          else Iterator.empty
         records.map { r =>
           KfsSource.TopicRow(
             topic, partition, r.offset,

@@ -354,4 +354,42 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     f.foreach(r => assert(expect(r.getAs[Long]("id")) == r.getAs[String]("digest")))
   }
+
+  test("null id/text rows are dropped, not fatal, on the flat shingle path (ADVICE r3)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "a b c d e f a b c d"),
+      Row(2L, "a b c d e f a b c x"),
+      Row(null, "null id row must be ignored"),
+      Row(3L, null)), schema)
+    // all three consumers of shinglesAuto over an integral id survive nulls
+    val nd = Dedup.nearDuplicates(d, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSet == Set((1L, 2L)))
+    val nj = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nj.toSet == Set((1L, 2L)))
+    val rep = TextAnalysis.repetition(d, "doc_id", "text").collect()
+    assert(rep.map(_.getAs[Long]("doc")).toSet == Set(1L, 2L))
+    // and the Catalyst (non-integral id) path agrees on the same corpus
+    val dStr = d.select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val ndStr = Dedup.nearDuplicates(dStr, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(ndStr.toSet == Set(("1", "2")))
+  }
+
+  test("duplicateClusters drops null-endpoint pairs instead of NPEing (ADVICE r3)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val pairs = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 2L), Row(2L, 3L), Row(null, 9L), Row(7L, null)), schema)
+    val cc = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

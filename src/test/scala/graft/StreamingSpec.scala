@@ -144,6 +144,50 @@ class StreamingSpec extends AnyFunSuite {
       s"good segment only, got ${offsets.size} rows")
   }
 
+  test("file stream skips corrupt-but-complete segments (ADVICE r3)") {
+    import graft.kafsql.{SchemaCol, TopicDef, TopicRegistry}
+    import graft.kfs.{KfsCodec, KfsLayout, KfsSource}
+    import graft.streaming.KafsqlStream
+
+    val root = java.nio.file.Files.createTempDirectory("kfs_corrupt").toString
+    val recs = (0L until 10L).map(i => KfsCodec.Record(
+      i, 1706000000000L + i, s"k$i".getBytes, s"""{"k":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "events", 0, recs)
+
+    // corrupt #1: valid END! footer, body byte flipped, CRC NOT fixed —
+    // segmentInfo throws "segment CRC mismatch"
+    val bad1 = KfsCodec.buildSegment(recs.map(r => r.copy(offset = r.offset + 10)))
+    bad1(100) = (bad1(100) ^ 0x5a).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      root, "events", "0", KfsLayout.segmentFileName(10L)), bad1)
+
+    // corrupt #2: the "foreign writer CRCs its own garbage" case — body
+    // byte flipped AND the footer CRC recomputed over the garbage, so
+    // segmentInfo passes and the failure only surfaces lazily mid-decode
+    val bad2 = KfsCodec.buildSegment(recs.map(r => r.copy(offset = r.offset + 20)))
+    bad2(100) = (bad2(100) ^ 0x5a).toByte
+    val crc = new java.util.zip.CRC32C
+    crc.update(bad2, KfsCodec.SegmentHeaderLen,
+      bad2.length - KfsCodec.FooterLen - KfsCodec.SegmentHeaderLen)
+    val bb = java.nio.ByteBuffer.wrap(bad2, bad2.length - KfsCodec.FooterLen, 4)
+    bb.putInt(crc.getValue.toInt)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      root, "events", "0", KfsLayout.segmentFileName(20L)), bad2)
+
+    val reg = new TopicRegistry(Seq(TopicDef(
+      "events", s => KfsSource.read(s, root, Some(Set("events"))),
+      schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+      partitions = Seq(0))))
+    val out = java.nio.file.Files.createTempDirectory("kfs_corrupt_out").toString
+    KafsqlStream.runToTable(spark, reg, root,
+      "SELECT _partition, _offset, k FROM events WHERE _ts >= 0",
+      s"$out/table", s"$out/ckpt", nowMs = graft.core.Tables.FixedNowMs)
+    val offsets = spark.read.parquet(s"$out/table")
+      .collect().map(_.getLong(1)).toSet
+    assert(offsets == (0L until 10L).toSet,
+      s"expected only the good segment's 10 rows, got ${offsets.size}")
+  }
+
   test("continuous WITHIN join matches only pairs inside the band") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
