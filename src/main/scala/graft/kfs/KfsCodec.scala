@@ -219,17 +219,25 @@ object KfsCodec {
   /** All-or-nothing lenient decode for the streaming path: a segment that
     * fails ANY format/CRC check — including a corrupt body behind a valid
     * END! footer (a foreign writer CRCs its own garbage) — yields zero
-    * records instead of throwing. Eager on purpose: [[decodeSegment]] is
+    * records instead of throwing. Two-pass on purpose: [[decodeSegment]] is
     * lazy, so a mid-body corruption would otherwise escape *after* a prefix
-    * of records was already emitted into the stream; decoding the whole
-    * segment up front gives clean skip-the-file semantics (segments are
-    * flush-capped to a few hundred MB, so one segment's records fit a task).
+    * of records was already emitted into the stream. Pass 1 is a validating
+    * dry-run that decodes and discards every record (constant extra memory);
+    * only if the whole segment proves clean does pass 2 hand back the lazy
+    * iterator, so peak memory stays at ONE copy of the raw buffer plus a
+    * single in-flight record — not the raw buffer *and* an eager array of
+    * every decoded record, which doubled per-task peak on multi-hundred-MB
+    * segments. The double decode costs CPU, not memory; segment decode is
+    * sequential varint reads, far cheaper than the downstream query.
     * Non-format throwables still fail the task — only provable corruption
     * is skipped. */
   def decodeSegmentLenient(buf: Array[Byte],
       onCorrupt: String => Unit = _ => ()): Iterator[Record] =
-    try decodeSegment(buf).toArray.iterator
-    catch {
+    try {
+      val dryRun = decodeSegment(buf)
+      while (dryRun.hasNext) dryRun.next() // validate all, retain nothing
+      decodeSegment(buf)
+    } catch {
       case e: KfsFormatException => onCorrupt(e.getMessage); Iterator.empty
     }
 

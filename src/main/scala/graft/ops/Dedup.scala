@@ -352,8 +352,15 @@ object Dedup {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // persist the pair list BEFORE mirroring it: edges scans it twice, and
-    // upstream is typically a whole LSH+verify pipeline we must not re-run
-    val p = pairs.select(col("a"), col("b")).persist(MEMORY_AND_DISK)
+    // upstream is typically a whole LSH+verify pipeline we must not re-run.
+    // Null endpoints are dropped HERE, before the algorithm split, so the
+    // driver union-find and the distributed label-propagation loop see the
+    // same edge set (a pair with a null side is not an edge; previously the
+    // distributed path emitted such nodes as self-labeled singletons while
+    // the driver path dropped them).
+    val p = pairs.select(col("a"), col("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .persist(MEMORY_AND_DISK)
     // adaptive algorithm choice: the count also materializes the persisted
     // pair list, which the big-graph path needs anyway before mirroring
     val aType = p.schema(0).dataType
@@ -380,10 +387,8 @@ object Dedup {
       }
       val nodes = scala.collection.mutable.LongMap.empty[Unit]
       // typed collect: primitive-friendly tuples instead of 10×-overhead
-      // Row objects; null keys are dropped (a null endpoint is not an edge
-      // — the distributed loop likewise never propagates through null)
+      // Row objects (nulls already filtered above, before the path split)
       p.select(col("a").cast("long"), col("b").cast("long"))
-        .where(col("a").isNotNull && col("b").isNotNull)
         .as[(Long, Long)]
         .collect().foreach { case (a, b) =>
           nodes(a) = (); nodes(b) = ()

@@ -18,20 +18,40 @@ import graft.kfs.{KfsCodec, KfsSource}
   * footer and *skips* (rather than poisons the query on) any segment a
   * foreign writer left incomplete OR corrupt — incomplete footers and
   * format/CRC failures inside a footer-complete body are both swallowed
-  * (via [[KfsCodec.decodeSegmentLenient]], logged to stderr) because the
-  * file-source log never retries a file, so throwing here would fail the
-  * stream permanently. Decoding uses the same [[KfsCodec]] the batch scan
-  * uses; the batch path stays strict (fail the task, rerun after repair).
+  * (via [[KfsCodec.decodeSegmentLenient]]) because the file-source log
+  * never retries a file, so throwing here would fail the stream
+  * permanently. Every skip is OBSERVABLE, not silent: it is logged through
+  * log4j at WARN (executor logs, aggregated by the cluster's log pipeline)
+  * and counted in a `LongAccumulator` named
+  * `kafsqlStream.corruptSegmentsSkipped` — visible in the Spark UI's
+  * accumulator table per stage and readable by operators/alerts via
+  * `status()` on the accumulator a caller passes in. Decoding uses the same
+  * [[KfsCodec]] the batch scan uses; the batch path stays strict (fail the
+  * task, rerun after repair).
   * One segment = one task, so throughput scales with executor count exactly
   * like the batch path; the file-source checkpoint carries progress across
   * restarts (no etcd).
   */
 object KafsqlStream {
 
+  /** Executor-side logger; object members resolve statically in closures,
+    * so nothing non-serializable is captured. */
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.KafsqlStream")
+
   /** Streaming topic frame with the same 8 implicit columns (+ `_ts_ms`)
-    * as the batch [[KfsSource.read]]. */
-  def topicStream(spark: SparkSession, kfsRoot: String): DataFrame = {
+    * as the batch [[KfsSource.read]].
+    *
+    * @param corruptCounter optional caller-owned accumulator for skipped
+    *   segments (incomplete footer OR corrupt body); pass one to alert on
+    *   data loss. When null, a session-registered accumulator named
+    *   `kafsqlStream.corruptSegmentsSkipped` is created (Spark UI visible).
+    */
+  def topicStream(spark: SparkSession, kfsRoot: String,
+      corruptCounter: org.apache.spark.util.LongAccumulator = null): DataFrame = {
     import spark.implicits._
+    val skipped =
+      if (corruptCounter != null) corruptCounter
+      else spark.sparkContext.longAccumulator("kafsqlStream.corruptSegmentsSkipped")
     spark.readStream
       .format("binaryFile")
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
@@ -44,9 +64,15 @@ object KafsqlStream {
         val complete = content.length >= 4 &&
           KfsCodec.isComplete(content.slice(content.length - 4, content.length))
         val records =
-          if (complete) KfsCodec.decodeSegmentLenient(content,
-            msg => System.err.println(s"[kafsql-stream] skipping corrupt segment $path: $msg"))
-          else Iterator.empty
+          if (complete) KfsCodec.decodeSegmentLenient(content, { msg =>
+            skipped.add(1L)
+            log.warn("skipping corrupt segment {}: {}", path, msg: Any)
+          })
+          else {
+            skipped.add(1L)
+            log.warn("skipping segment without END! footer: {}", path)
+            Iterator.empty
+          }
         records.map { r =>
           KfsSource.TopicRow(
             topic, partition, r.offset,
@@ -98,8 +124,9 @@ object KafsqlStream {
       query: String,
       tablePath: String,
       checkpointDir: String,
-      nowMs: Long = System.currentTimeMillis()): Unit = {
-    val out = select(reg, topicStream(spark, kfsRoot), query, nowMs)
+      nowMs: Long = System.currentTimeMillis(),
+      corruptCounter: org.apache.spark.util.LongAccumulator = null): Unit = {
+    val out = select(reg, topicStream(spark, kfsRoot, corruptCounter), query, nowMs)
     val q = out.writeStream
       .format("parquet")
       .option("path", tablePath)

@@ -391,5 +391,10 @@ class OpsSpec extends AnyFunSuite {
     val cc = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // ADVICE r4: the distributed label-propagation path must agree — it
+    // previously emitted null-pair survivors as singleton/self-labeled rows
+    val ccLoop = Dedup.duplicateClusters(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccLoop == cc)
   }
 }

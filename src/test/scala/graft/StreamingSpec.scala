@@ -179,13 +179,18 @@ class StreamingSpec extends AnyFunSuite {
       schemaCols = Seq(SchemaCol("k", "int", "$.k")),
       partitions = Seq(0))))
     val out = java.nio.file.Files.createTempDirectory("kfs_corrupt_out").toString
+    val skipped = spark.sparkContext.longAccumulator("test.corruptSkips")
     KafsqlStream.runToTable(spark, reg, root,
       "SELECT _partition, _offset, k FROM events WHERE _ts >= 0",
-      s"$out/table", s"$out/ckpt", nowMs = graft.core.Tables.FixedNowMs)
+      s"$out/table", s"$out/ckpt", nowMs = graft.core.Tables.FixedNowMs,
+      corruptCounter = skipped)
     val offsets = spark.read.parquet(s"$out/table")
       .collect().map(_.getLong(1)).toSet
     assert(offsets == (0L until 10L).toSet,
       s"expected only the good segment's 10 rows, got ${offsets.size}")
+    // ADVICE r4: skips must be observable, not stderr-only — both corrupt
+    // segments count in the caller's accumulator
+    assert(skipped.value == 2L, s"expected 2 skips counted, got ${skipped.value}")
   }
 
   test("continuous WITHIN join matches only pairs inside the band") {
