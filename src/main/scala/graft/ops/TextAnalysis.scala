@@ -32,6 +32,20 @@ object TextAnalysis {
 
   def regexTokenCount(text: Column): Column = size(regexTokens(text))
 
+  /** PII scrub (training-data redaction): mask email addresses and
+    * NNN-NNN-NNNN phone numbers with typed placeholder tokens. Pure
+    * codegen'd `regexp_replace` — no UDF, stays inside whole-stage codegen
+    * on a 100 TB scan — and the patterns are kept to the regex subset Java
+    * and RE2-family engines treat identically, so the scrub is
+    * reproducible in other engines at audit time. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Stopword hits over an already-split word array. Callers that compute
     * several metrics should project `words(text)` ONCE and use the
     * array-based variants: subexpression elimination does not reach inside

@@ -263,6 +263,50 @@ object OpsPack extends QueryPack {
           |WHERE n_tok > 1
           |ORDER BY ws.doc""".stripMargin)),
 
+    // PII redaction (training-data scrub): the synthetic corpus has no
+    // natural PII, so a deterministic contact line (email + phone derived
+    // from doc_id) is appended on BOTH sides — same technique as the
+    // events-topic CTE — then scrubbed with TextAnalysis.redactPii. The
+    // aggregate proves every injected email/phone was caught and nothing
+    // else was touched.
+    QueryDef(
+      "t9_pii_redact",
+      (s, dir) => {
+        val withPii = Tables.load(s, dir, "documents")
+          .withColumn("contact",
+            concat(col("text"), lit(" reach user"), col("doc_id"),
+              lit("@mail.example.com or 555-010-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        withPii
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(col("contact")).as("clean"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("clean").contains("<EMAIL>") &&
+              col("clean").contains("<PHONE>"), 1L).otherwise(0L)).as("n_redacted"),
+            sum(when(col("clean").rlike("@|[0-9]{3}-[0-9]{3}-[0-9]{4}"), 1L)
+              .otherwise(0L)).as("n_leaked"))
+      },
+      Some(
+        s"""WITH withpii AS (
+           |  SELECT doc_id,
+           |         text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+           |         '@mail.example.com or 555-010-' ||
+           |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+           |  FROM documents),
+           |clean AS (
+           |  SELECT doc_id,
+           |         regexp_replace(
+           |           regexp_replace(contact, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+           |           '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean
+           |  FROM withpii)
+           |SELECT count(*) AS n_docs,
+           |       CAST(SUM(CASE WHEN clean LIKE '%<EMAIL>%' AND clean LIKE '%<PHONE>%'
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+           |       CAST(SUM(CASE WHEN regexp_matches(clean, '@|[0-9]{3}-[0-9]{3}-[0-9]{4}')
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+           |FROM clean""".stripMargin)),
+
     // ---- end-to-end curation pipeline -----------------------------------
     // The flagship training-data flow composed from the real operators:
     // exact dedup (keep min doc_id per normalized content hash) → quality

@@ -909,6 +909,362 @@ object RelationalPack extends QueryPack {
           |                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
           |      FROM orders WHERE o_custkey < 100)
           |WHERE rk <= 3
-          |ORDER BY o_custkey, rk""".stripMargin))
+          |ORDER BY o_custkey, rk""".stripMargin)),
+
+    // q8-shaped: nation market share within a region by order year — the
+    // conditional-share-of-total shape. Fact-fact shuffle on orderkey; all
+    // four dims broadcast. Exact decimal sums feed one double division.
+    QueryDef(
+      "q8_market_share",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY")
+        val supp = Tables.load(s, dir, "supplier")
+        val cust = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")
+        val custNation = nation.select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey").as("cn_region"))
+        val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+        val disc = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(region), col("cn_region") === col("r_regionkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            round(sum(when(col("supp_nation") === "BRAZIL", disc)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+              sum(disc).cast("double"), 6).as("mkt_share"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("o_year"))
+      },
+      Some(
+        """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+          |       round(CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL'
+          |                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                       AS DECIMAL(18,4))
+          |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+          |             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                  AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |JOIN region ON cn.n_regionkey = r_regionkey
+          |JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND p_type = 'ECONOMY' AND r_name = 'AMERICA'
+          |GROUP BY 1 ORDER BY o_year""".stripMargin)),
+
+    // q9-shaped (adapted: the testdata has no partsupp/supplycost, so
+    // profit = discounted revenue): revenue by supplier nation and order
+    // year over one part family. Shuffle on orderkey; dims broadcast.
+    QueryDef(
+      "q9_profit_nation_year",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_name").contains("gear"))
+        val supp = Tables.load(s, dir, "supplier")
+        val nation = Tables.load(s, dir, "nation")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).cast("double").as("profit"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(
+        """SELECT n_name AS nation,
+          |       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+          |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                AS DECIMAL(18,4))) AS DOUBLE) AS profit,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE p_name LIKE '%gear%'
+          |GROUP BY 1, 2
+          |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // q13-shaped: customer order-count distribution — LEFT OUTER join so
+    // zero-order customers survive, then a second aggregate over the
+    // counts. Two shuffles (custkey, then tiny count-key agg).
+    QueryDef(
+      "q13_cust_order_dist",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer").select(col("c_custkey"))
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(
+        """SELECT c_count, count(*) AS custdist
+          |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          |      FROM customer
+          |      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          |                            AND o_orderpriority <> '1-URGENT'
+          |      GROUP BY c_custkey)
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // q15-shaped: top supplier(s) by quarterly revenue — aggregate, then
+    // join against the broadcast 1-row maximum. The revenue equality is
+    // evaluated on exact decimals; doubles appear only in the output.
+    QueryDef(
+      "q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).as("total_rev"))
+        val top = rev.agg(max(col("total_rev")).as("max_rev"))
+        val supp = Tables.load(s, dir, "supplier")
+        rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_rev"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |             AS DECIMAL(18,4))) AS total_rev
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin)),
+
+    // q16-shaped (adapted: supplier-per-part variety comes from lineitem,
+    // not partsupp): distinct suppliers per (brand, type, size) for
+    // non-excluded brands. countDistinct shuffles (brand,type,size,supp)
+    // once, then aggregates — the two-level distinct shape.
+    QueryDef(
+      "q16_part_supp_variety",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(1, 9, 19, 29, 39, 49))
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+          .limit(20)
+      },
+      Some(
+        """SELECT p_brand, p_type, p_size,
+          |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 19, 29, 39, 49)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin)),
+
+    // q17-shaped: revenue from small-quantity lineitems relative to the
+    // per-part average — aggregate-then-rejoin on partkey; the per-part
+    // averages are tiny and broadcast back to the fact side. IEEE division
+    // makes 0.5*avg bit-identical across engines on identical inputs.
+    QueryDef(
+      "q17_small_qty_revenue",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_brand") === "Brand#3")
+        val li = Tables.load(s, dir, "lineitem")
+        val avgQty = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey").as("ap_key"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("small_rev"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(
+        """WITH pq AS (
+          |  SELECT l_partkey AS ap_key, AVG(l_quantity) AS avg_qty
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_brand = 'Brand#3' GROUP BY 1)
+          |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_rev,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN pq ON l_partkey = ap_key
+          |WHERE p_brand = 'Brand#3' AND l_quantity < 0.5 * avg_qty""".stripMargin)),
+
+    // q19-shaped: OR-ed brand/size/quantity brackets — the disjunctive
+    // residual-predicate shape: one broadcast join, predicate stays in the
+    // scan/filter (no union of three plans).
+    QueryDef(
+      "q19_bracket_revenue",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        val li = Tables.load(s, dir, "lineitem")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(20, 30)))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(
+        """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // q20-shaped (adapted: shipped volume from lineitem instead of
+    // partsupp availability): suppliers who moved above-threshold volume
+    // of one part family in 1997 — HAVING gate, then broadcast semi-join
+    // back to supplier/nation.
+    QueryDef(
+      "q20_heavy_suppliers",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_name").contains("bolt"))
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        val heavy = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("tot_qty"))
+          .filter(col("tot_qty") > 50)
+        val supp = Tables.load(s, dir, "supplier")
+        val nation = Tables.load(s, dir, "nation")
+        supp.join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"), col("tot_qty"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(
+        """SELECT s_suppkey, s_name, n_name, tot_qty
+          |FROM (SELECT l_suppkey, SUM(l_quantity) AS tot_qty
+          |      FROM lineitem JOIN part ON l_partkey = p_partkey
+          |      WHERE p_name LIKE '%bolt%'
+          |        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |      GROUP BY l_suppkey HAVING SUM(l_quantity) > 50) heavy
+          |JOIN supplier ON s_suppkey = heavy.l_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |ORDER BY s_suppkey""".stripMargin)),
+
+    // Window analytics (superset, SURVEY §2.8): running total + lag per
+    // customer — cumulative frames over a keyed sort, one shuffle on
+    // custkey. Exact decimal running sums; doubles only in the output.
+    QueryDef(
+      "w2_running_total",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .withColumn("run_total",
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double"))
+          .withColumn("prev_price",
+            lag(col("o_totalprice").cast("decimal(18,2)"), 1).over(w)
+              .cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("run_total"), col("prev_price"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |              OVER (PARTITION BY o_custkey
+          |                    ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_total,
+          |       CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+          |              OVER (PARTITION BY o_custkey
+          |                    ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price
+          |FROM orders WHERE o_custkey < 50
+          |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Moving average over a pre-aggregated daily series (superset): daily
+    // revenue then a 7-row trailing mean — the aggregate-then-window
+    // pattern that keeps the window input small at any scale.
+    QueryDef(
+      "w3_moving_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+          .groupBy(col("o_orderdate").as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("day_rev"))
+        val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+        daily
+          .withColumn("ma7", round(avg(col("day_rev").cast("double")).over(w), 4))
+          .select(col("d"), col("day_rev").cast("double").as("day_rev"), col("ma7"))
+          .orderBy(col("d"))
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT o_orderdate AS d,
+          |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          |  GROUP BY 1)
+          |SELECT d, CAST(day_rev AS DOUBLE) AS day_rev,
+          |       round(AVG(CAST(day_rev AS DOUBLE))
+          |               OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+          |FROM daily ORDER BY d""".stripMargin))
   )
 }

@@ -84,4 +84,59 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 1, s"one shuffle on o_custkey expected:\n$plan")
   }
+
+  test("q8/q9: all seven/five dims broadcast — fact side never sort-merges") {
+    val q8 = planOf("q8_market_share")
+    assert(q8.contains("BroadcastHashJoin"), s"q8 dims broadcast:\n$q8")
+    assert(!q8.contains("SortMergeJoin") && !q8.contains("CartesianProduct"),
+      s"q8 must not sort-merge or cross-join dims:\n$q8")
+    val q9 = planOf("q9_profit_nation_year")
+    assert(q9.contains("BroadcastHashJoin") && !q9.contains("SortMergeJoin"),
+      s"q9 dims broadcast:\n$q9")
+  }
+
+  test("q13: LEFT OUTER survives and both aggregates run two-phase") {
+    val plan = planOf("q13_cust_order_dist")
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"zero-order customers need an outer join:\n$plan")
+    val n = "HashAggregate".r.findAllIn(plan).length
+    assert(n >= 3, s"per-customer + distribution aggregates, partial+final:\n$plan")
+  }
+
+  test("q15: the 1-row max joins as broadcast, on exact decimals") {
+    val plan = planOf("q15_top_supplier")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the aggregated max must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decimal equality keeps the join hash-based:\n$plan")
+  }
+
+  test("q17/q19/q20: part-side filters reach the scans; joins broadcast") {
+    val q17 = planOf("q17_small_qty_revenue")
+    assert(q17.contains("BroadcastHashJoin"), s"q17 part+avg broadcast:\n$q17")
+    val q19 = planOf("q19_bracket_revenue")
+    assert(q19.contains("BroadcastHashJoin") && !q19.contains("SortMergeJoin"),
+      s"q19 stays one broadcast join with a residual OR predicate:\n$q19")
+    val q20 = planOf("q20_heavy_suppliers")
+    assert(q20.contains("PushedFilters") && q20.contains("l_shipdate"),
+      s"q20 ship-date filter must reach the lineitem scan:\n$q20")
+  }
+
+  test("w2: running total + lag run over ONE keyed shuffle") {
+    val plan = planOf("w2_running_total")
+    // sum (unbounded-preceding..current) and lag (-1..-1) have different
+    // frames, so Spark may emit two Window execs — but they share the same
+    // (partition, order), so there must be no second hash shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"one shuffle on o_custkey expected:\n$plan")
+  }
+
+  test("t9: PII scrub stays native — codegen'd regexp_replace, no UDF") {
+    val plan = planOf("t9_pii_redact")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"regexp_replace must stay native:\n$plan")
+    assert(plan.toLowerCase.contains("regexp_replace"),
+      s"expected native regexp_replace in the plan:\n$plan")
+  }
 }
