@@ -78,6 +78,40 @@ object StreamPack extends QueryPack {
         """SELECT event_type, strftime(date_trunc('day', _ts), '%Y-%m-%d') AS day,
           |       count(*) AS cnt, count(DISTINCT _key) AS n_users
           |FROM events_topic
-          |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)),
+
+    // custom-state sessionization (flatMapGroupsWithState core, batch twin):
+    // per-session rows — start, end, event count — vs the same
+    // gaps-and-islands closure that checks e5. Unlike e5 this exercises the
+    // user-code state machine (graft.streaming.StreamSessions), whose
+    // streaming form emits via event-time timeouts; StreamAggSpec proves
+    // stream ≡ batch on the same input.
+    QueryDef(
+      "e7_custom_state_sessions",
+      (s, dir) => {
+        val ev = Tables.eventsTopic(s, dir)
+          .withColumn("_ts_utc", timestamp_millis(col("_ts_ms")))
+        graft.streaming.StreamSessions
+          .sessionizeBatch(ev, "_key", "_ts_utc", 1800000L)
+          .toDF()
+          .orderBy(col("key"), col("session_start_ms"))
+      },
+      oracle(
+        """, x AS (
+          |  SELECT _key, _ts_ms,
+          |         CASE WHEN lag(_ts_ms) OVER w IS NULL
+          |                OR _ts_ms - lag(_ts_ms) OVER w >= 1800000
+          |              THEN 1 ELSE 0 END AS brk
+          |  FROM events_topic
+          |  WINDOW w AS (PARTITION BY _key ORDER BY _ts_ms)),
+          |s AS (
+          |  SELECT _key, _ts_ms,
+          |         SUM(brk) OVER (PARTITION BY _key ORDER BY _ts_ms
+          |                        ROWS UNBOUNDED PRECEDING) AS sess
+          |  FROM x)
+          |SELECT _key AS key, min(_ts_ms) AS session_start_ms,
+          |       max(_ts_ms) AS session_end_ms, count(*) AS n_events
+          |FROM s GROUP BY _key, sess
+          |ORDER BY key, session_start_ms""".stripMargin))
   )
 }
