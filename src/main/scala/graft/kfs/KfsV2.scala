@@ -68,7 +68,8 @@ class KfsTable(options: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"kfs:$root"
   override def schema(): StructType = KfsV2.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new KfsScanBuilder(root, options)
@@ -133,20 +134,39 @@ class KfsScanBuilder(root: String, options: Map[String, String])
 
   override def build(): Scan = {
     val topics = options.get("topics").map(_.split(',').toSet)
-    val refs0 = KfsLayout.listCompleted(root, topics, partitions)
-    val refs = KfsLayout.prune(refs0, offMin, offMax, tsMin, tsMax)
     val rails = Guardrails(
       maxScanSegments = options.get("max_scan_segments").map(_.toInt)
         .getOrElse(Guardrails().maxScanSegments),
       maxScanBytes = options.get("max_scan_bytes").map(_.toLong)
         .getOrElse(Guardrails().maxScanBytes))
-    ScanAdmission.admit(refs.size, refs.map(_.sizeBytes).sum, rails)
-    new KfsScan(refs, requiredSchema)
+    new KfsScan(root, topics, partitions, offMin, offMax, tsMin, tsMax,
+      rails, options.get("max_segments_per_trigger").map(_.toInt),
+      requiredSchema)
   }
 }
 
-class KfsScan(refs: Seq[KfsLayout.SegmentRef], required: StructType)
+class KfsScan(
+    root: String, topics: Option[Set[String]], partitions: Option[Set[Int]],
+    offMin: Option[Long], offMax: Option[Long],
+    tsMin: Option[Long], tsMax: Option[Long],
+    rails: Guardrails, maxSegmentsPerTrigger: Option[Int],
+    required: StructType)
     extends Scan with Batch {
+
+  /** Fresh pruned listing — called once per batch plan, and once per
+    * micro-batch trigger by the streaming side (segments are immutable and
+    * append-only, so re-listing is the only way new data appears). */
+  private[kfs] def listPruned(): Seq[KfsLayout.SegmentRef] =
+    KfsLayout.prune(
+      KfsLayout.listCompleted(root, topics, partitions),
+      offMin, offMax, tsMin, tsMax)
+
+  private lazy val refs: Seq[KfsLayout.SegmentRef] = {
+    val r = listPruned()
+    ScanAdmission.admit(r.size, r.map(_.sizeBytes).sum, rails)
+    r
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -157,6 +177,10 @@ class KfsScan(refs: Seq[KfsLayout.SegmentRef], required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KfsReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KfsMicroBatchStream(this, maxSegmentsPerTrigger, required.fieldNames)
 }
 
 case class KfsInputPartition(topic: String, partition: Int, path: String)

@@ -139,6 +139,36 @@ object KfsPack extends QueryPack {
           |       min(_ts_ms) AS min_ts, max(_ts_ms) AS max_ts
           |FROM events_topic
           |GROUP BY _partition, _offset // 1000
-          |ORDER BY _partition, base_offset""".stripMargin))
+          |ORDER BY _partition, base_offset""".stripMargin)),
+
+    // DataSource V2 MICRO-BATCH stream (S9 as a first-class source): the
+    // same `format("kfs")` table drains the seeded log through
+    // `KfsMicroBatchStream` — checkpoint-WAL offsets per (topic,partition),
+    // END!-gated discovery, 4-segments-per-trigger admission control — into
+    // a checkpointed parquet sink; replays of the query add nothing (the
+    // offset map survives in the WAL), so the aggregate is deterministic.
+    QueryDef(
+      "s10_kfs_stream_scan",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+        val out = s"/tmp/graft_etl/v2/$sfName/kfs_stream_sink"
+        val ckpt = s"/tmp/graft_etl/v2/$sfName/kfs_stream_ckpt"
+        val q = s.readStream.format("kfs").option("path", root)
+          .option("max_segments_per_trigger", "4").load()
+          .select(col("_partition"), col("_offset"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out)
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("cnt"), min(col("_offset")).as("min_off"),
+            max(col("_offset")).as("max_off"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt, min(_offset) AS min_off,
+          |       max(_offset) AS max_off
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin))
   )
 }
