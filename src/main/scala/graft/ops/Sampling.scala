@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (beyond-reference
+  * superset): class rebalancing (downsample the over-represented language),
+  * corpus mixing, and reproducible holdouts.
+  *
+  * Mechanism: a row is kept iff the first `hexDigits` of `md5(id)` sort
+  * below the rate's hex threshold. Three properties a 100 TB pipeline
+  * needs that `df.sample()` (RNG per task) does not give:
+  *
+  *   - **Reproducible anywhere**: md5 of the id string is identical in
+  *     Spark, DuckDB, Python, … — the sample is a pure function of the id,
+  *     so an audit or a re-run on another engine selects the same rows
+  *     (the t10 oracle proves it cross-engine).
+  *   - **Stable under repartition/retry**: no RNG state, no seed-per-task;
+  *     task retries and different partitionings cannot change membership.
+  *   - **Nested rates**: threshold sampling makes the 10% sample a strict
+  *     subset of the 20% sample — growing a training mix never discards
+  *     previously selected documents.
+  *
+  * All column work is built-in expressions (md5/substring/comparison), so
+  * it stays inside whole-stage codegen on the scan.
+  */
+object Sampling {
+
+  /** First `hexDigits` chars of md5(id) — the row's sampling bucket. */
+  def hashBucket(id: Column, hexDigits: Int = 4): Column =
+    substring(md5(id.cast("string")), 1, hexDigits)
+
+  /** Hex threshold for a keep-rate in [0,1]. Rates >= 1 return "g", which
+    * sorts above every hex digit, keeping all rows. */
+  def thresholdHex(rate: Double, hexDigits: Int = 4): String = {
+    val buckets = 1L << (4 * hexDigits)
+    val n = math.round(rate * buckets)
+    if (n >= buckets) "g"
+    else if (n <= 0) "" // below every non-empty bucket: keeps nothing
+    else ("%0" + hexDigits + "x").format(n)
+  }
+
+  /** Keep ~rate of rows, deterministically by id. */
+  def deterministicSample(
+      df: DataFrame, idCol: String, rate: Double,
+      hexDigits: Int = 4): DataFrame =
+    df.filter(hashBucket(col(idCol), hexDigits) < lit(thresholdHex(rate, hexDigits)))
+
+  /** Per-class keep-rates (class rebalancing): rows of a class in `rates`
+    * keep that rate; others keep `defaultRate`. */
+  def stratified(
+      df: DataFrame, idCol: String, classCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      hexDigits: Int = 4): DataFrame = {
+    val thr = rates.foldLeft(lit(thresholdHex(defaultRate, hexDigits)): Column) {
+      case (acc, (cls, rate)) =>
+        when(col(classCol) === cls, lit(thresholdHex(rate, hexDigits))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), hexDigits) < thr)
+  }
+}

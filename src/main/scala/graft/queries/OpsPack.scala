@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
 object OpsPack extends QueryPack {
@@ -306,6 +306,28 @@ object OpsPack extends QueryPack {
            |       CAST(SUM(CASE WHEN regexp_matches(clean, '@|[0-9]{3}-[0-9]{3}-[0-9]{4}')
            |                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
            |FROM clean""".stripMargin)),
+
+    // Deterministic stratified sampling (class rebalancing): downsample the
+    // over-represented language by md5-hex-prefix thresholding — a pure
+    // function of doc_id, so DuckDB recomputes the EXACT same membership
+    // (cross-engine reproducibility is the point of the design; see
+    // ops/Sampling.scala for why RNG-based df.sample can't give this).
+    QueryDef(
+      "t10_stratified_sample",
+      (s, dir) => Sampling.stratified(
+        Tables.load(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.5))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang")),
+      Some(
+        """SELECT lang, count(*) AS kept,
+          |       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+          |FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          |      CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000'
+          |           ELSE 'g' END
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---- end-to-end curation pipeline -----------------------------------
     // The flagship training-data flow composed from the real operators:

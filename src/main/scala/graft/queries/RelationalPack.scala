@@ -885,6 +885,31 @@ object RelationalPack extends QueryPack {
           |GROUP BY ROLLUP (r_name, n_name)
           |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
 
+    // PIVOT (superset — SURVEY §2.7): event counts cross-tabbed by type.
+    // With explicit pivot values Spark compiles this to conditional
+    // aggregation — one shuffle, no per-value passes; the oracle IS that
+    // conditional aggregation. coalesce(0) pins absent cells to zero.
+    QueryDef(
+      "u4_pivot_events",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = ev(s, dir)
+          .groupBy(col("_partition"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("_partition") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition,
+          |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+          |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
     // Window-function analytics (superset — the reference has no window
     // functions, SURVEY §2.8): top-3 orders per customer by total price.
     // One shuffle on custkey; rank inside the sorted partition.

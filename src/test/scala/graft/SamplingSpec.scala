@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = graft.core.Tables.load(spark, sf, "documents")
+
+  test("threshold hex math: boundaries and keep-all/keep-none") {
+    assert(Sampling.thresholdHex(0.25) == "4000")
+    assert(Sampling.thresholdHex(0.5) == "8000")
+    assert(Sampling.thresholdHex(1.0) == "g")   // sorts above any hex digit
+    assert(Sampling.thresholdHex(1.5) == "g")
+    assert(Sampling.thresholdHex(0.0) == "")
+  }
+
+  test("deterministic: same membership across runs and repartitionings") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("nested rates: the 10% sample is a strict subset of the 30% sample") {
+    val s10 = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s30))
+    assert(s10.size < s30.size)
+  }
+
+  test("stratified: per-class rates hit their targets; default keeps all") {
+    val n = docs.count().toDouble
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.stratified(docs, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 1.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en classes survive untouched
+    byLang.keys.filter(_ != "en").foreach(l => assert(kept(l) == byLang(l)))
+    // en is actually downsampled, toward ~25% (sf0.001 has only ~20 en
+    // docs, so the binomial spread is wide — bound loosely)
+    val enFrac = kept.getOrElse("en", 0L).toDouble / byLang("en")
+    assert(enFrac < 0.6, s"en kept fraction $enFrac")
+    assert(kept.getOrElse("en", 0L) < byLang("en"))
+  }
+}
