@@ -54,7 +54,16 @@ object Tables {
   /** `events` parquet as a Kafka-like topic with the 8 implicit columns.
     * Deterministic synthesis (mirrored 1:1 by [[eventsTopicSql]] for DuckDB):
     *   _partition = event_id % 4
-    *   _offset    = dense per-partition row number ordered by event_id
+    *   _offset    = dense per-partition row number ordered by event_id.
+    *                event_ids are dense from 0 (driver testdata invariant,
+    *                asserted by RelationalSpec's density test), so this is
+    *                `event_id div 4` — pure arithmetic in the scan
+    *                projection. The window formulation it replaces forced
+    *                ALL rows into 4 sort tasks per query (the partition-key
+    *                cardinality), which is the anti-plan at 100 TB; the
+    *                oracle CTE deliberately keeps the independent
+    *                row_number() formulation, so the equivalence is itself
+    *                hash-checked by every events-topic query.
     *   _ts        = ts (µs, NTZ) with `_ts_ms` epoch-ms twin for arithmetic
     *   _key       = 'user-' || user_id          (string; reference uses bytes)
     *   _value     = props                        (JSON payload)
@@ -63,11 +72,10 @@ object Tables {
     */
   def eventsTopic(spark: SparkSession, sfDir: String): DataFrame = {
     val part = (col("event_id") % TopicPartitions).cast("int")
-    val w = Window.partitionBy(part).orderBy(col("event_id"))
     events(spark, sfDir)
       .withColumn("_topic", lit("events"))
       .withColumn("_partition", part)
-      .withColumn("_offset", (row_number().over(w) - 1).cast("long"))
+      .withColumn("_offset", expr(s"event_id div $TopicPartitions"))
       .withColumn("_ts", col("ts"))
       .withColumn("_ts_ms", col("ts_ms"))
       .withColumn("_key", concat(lit("user-"), col("user_id").cast("string")))
