@@ -77,6 +77,33 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class ResizedRow(
+      id: Long, media: Array[Byte], src_bytes: Int, out_bytes: Int)
+
+  /** Resize/resample: decoded media resampled to at most `target` bytes by
+    * stride sampling (out[i] = in[i*stride]) — the deterministic stand-in
+    * for an image resize kernel; a real codec resize plugs into the same
+    * Decoder seam and row shape. Runs in the same narrow mapPartitions
+    * stage as decode (no shuffle; one decoder per partition), which is the
+    * only shape that survives a 100 TB media scan. */
+  def resize(spark: SparkSession, media: DataFrame, target: Int,
+      decoder: Decoder = FakeDecoder): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        val decoded = decoder.decode(row.media)
+        if (decoded == null || decoded.isEmpty) Iterator.empty
+        else {
+          val stride = math.max(1, decoded.length / target)
+          val nOut = math.min(target, decoded.length)
+          val out = Array.tabulate(nOut)(i =>
+            decoded(math.min(i * stride, decoded.length - 1)))
+          Iterator.single(ResizedRow(row.id, out, decoded.length, nOut))
+        }
+      }
+    }.toDF()
+  }
+
   /** Per-partition feature extraction: one MessageDigest per partition,
     * rows streamed — the mapPartitions batch shape. */
   def extractFeatures(spark: SparkSession, media: DataFrame,

@@ -386,6 +386,35 @@ object OpsPack extends QueryPack {
           |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
           |FROM kept GROUP BY 1 ORDER BY lang_guess""".stripMargin)),
 
+    // Multimodal resize: stride-resample to 16 bytes inside the decode
+    // stage (no shuffle); DuckDB reconstructs the identical sample from the
+    // raw text bytes, so the resample arithmetic is hash-checked.
+    QueryDef(
+      "m3_media_resize",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 40),
+          "doc_id", "text", "text/plain")
+        Multimodal.resize(s, media, target = 16)
+          .select(col("id"), col("src_bytes"), col("out_bytes"),
+            hex(col("media")).as("resized_hex"))
+          .orderBy(col("id"))
+      },
+      Some(
+        // the corpus is ASCII, so char positions == byte positions (same
+        // equivalence m1 relies on); DuckDB substring has no BLOB overload
+        """WITH p AS (
+          |  SELECT doc_id, text, length(text) AS len,
+          |         greatest(1, length(text) // 16) AS stride,
+          |         least(16, length(text)) AS n_out
+          |  FROM documents WHERE doc_id < 40)
+          |SELECT doc_id AS id, CAST(len AS INTEGER) AS src_bytes,
+          |       CAST(n_out AS INTEGER) AS out_bytes,
+          |       array_to_string(list_transform(range(0, n_out),
+          |         i -> hex(CAST(substr(text, CAST(least(i * stride, len - 1) AS INTEGER) + 1, 1) AS BLOB))),
+          |         '') AS resized_hex
+          |FROM p ORDER BY id""".stripMargin)),
+
     // ---- multimodal plumbing (stubbed decode, real Spark shape) ---------
     QueryDef(
       "m1_media_features",

@@ -910,6 +910,31 @@ object RelationalPack extends QueryPack {
           |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
           |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
 
+    // UNPIVOT/melt (superset — SURVEY §2.7): the pivot result folded back
+    // to (partition, event_type, cnt) long form via Dataset.unpivot — a
+    // zero-shuffle projection (each input row expands to 5 output rows in
+    // place), proving pivot∘unpivot round-trips to the plain group-by.
+    QueryDef(
+      "u5_unpivot_events",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = ev(s, dir)
+          .groupBy(col("_partition"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        wide.unpivot(
+            Array(col("_partition")),
+            types.map(col).toArray,
+            "event_type", "cnt")
+          .filter(col("cnt").isNotNull)
+          .orderBy(col("_partition"), col("event_type"))
+      },
+      oracle(
+        """SELECT _partition, event_type, count(*) AS cnt
+          |FROM events_topic
+          |GROUP BY _partition, event_type
+          |ORDER BY _partition, event_type""".stripMargin)),
+
     // Window-function analytics (superset — the reference has no window
     // functions, SURVEY §2.8): top-3 orders per customer by total price.
     // One shuffle on custkey; rank inside the sorted partition.
