@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table + topic access layer.
@@ -16,13 +15,10 @@ import org.apache.spark.sql.functions._
   * json_value / …) is exercisable against a DuckDB oracle over the very same
   * parquet files.
   *
-  * Scale note: the implicit columns are narrow projections except `_offset`,
-  * which needs a per-partition ordering (a shuffle by `_partition` + local
-  * sort — at 100 TB this partitions by the same key the data is already
-  * bucketed by on a real log, so it's a single co-located sort, no global
-  * sort). On real KFS segments the offset comes from the log itself (see
-  * `graft.kfs`) and costs nothing; the window here exists only for the
-  * synthetic-parquet harness.
+  * Scale note: every implicit column, including `_offset`, is a narrow
+  * scan-projection expression (no shuffle — see [[eventsTopic]] for why the
+  * offset is pure arithmetic on this fixture). On real KFS segments the
+  * offset comes from the log itself (see `graft.kfs`) and costs nothing.
   */
 object Tables {
 

@@ -41,10 +41,15 @@ object KfsLayout {
 
   // ---- write ------------------------------------------------------------
 
-  /** Write one segment + `.kfst` sidecar; returns its ref. */
+  /** Write one segment + `.kfst` sidecar; returns its ref. Topic names may
+    * not contain quotes or backslashes — the streaming-offset checkpoint
+    * JSON ([[KfsStreamOffset]]) embeds them unescaped (the reference's
+    * Kafka-topic charset `[a-zA-Z0-9._-]` is stricter still). */
   def writeSegment(
       root: String, topic: String, partition: Int,
       records: Seq[KfsCodec.Record]): SegmentRef = {
+    require(!topic.exists(c => c == '"' || c == '\\'),
+      s"topic name must not contain quotes or backslashes: $topic")
     val dir = Paths.get(root, topic, partition.toString)
     Files.createDirectories(dir)
     val base = records.head.offset

@@ -4,6 +4,8 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFacto
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 
+import graft.gov.Guardrails
+
 /** DataSource V2 micro-batch stream over a KFS segment log — the
   * Spark-native form of the reference's checkpointed incremental
   * consumption (SURVEY §2.1 S9, `processor.go:109-250`): the engine's
@@ -19,25 +21,38 @@ import org.apache.spark.sql.connector.read.streaming.{
   * `last < end(tp)`.
   *
   * Backlog control: `max_segments_per_trigger` implements
-  * SupportsAdmissionControl the same way the built-in file source does —
-  * a cold start against years of history advances in bounded micro-batches
-  * (bounded task count + sink commit size) instead of one giant batch; at
-  * 100 TB this is the difference between a streamable backfill and an OOM.
+  * SupportsAdmissionControl the same way the built-in file source does.
+  * When it is not set, the scan-admission rails (`max_scan_segments`)
+  * become the per-trigger cap instead of a rejection: a batch query over
+  * a too-large backlog refuses up front (X8), but a STREAM's contract is
+  * incremental progress, so the same envelope meters the backlog into
+  * bounded micro-batches — a cold start against years of history advances
+  * with fixed task count and sink commit size instead of one giant batch.
+  * The per-trigger selection round-robins across (topic, partition) so a
+  * hot partition cannot starve the others.
   *
   * `spark.readStream.format("kfs").option("path", root).load()`
   */
 class KfsMicroBatchStream(
-    scan: KfsScan, maxSegsPerTrigger: Option[Int], fieldNames: Array[String])
+    scan: KfsScan, maxSegsPerTrigger: Option[Int], rails: Guardrails,
+    fieldNames: Array[String])
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def tpKey(r: KfsLayout.SegmentRef): String =
     r.topic + "/" + r.partition
 
+  /** One listing per trigger: latestOffset caches it; planInputPartitions
+    * (called right after, same trigger) reuses it. Correct because
+    * segments are immutable and the (start, end] offset map — computed
+    * from this very listing — bounds the batch: a newer segment missing
+    * from the cache can only fall outside `end` and belongs to the next
+    * trigger anyway. */
+  @volatile private var lastListing: Seq[KfsLayout.SegmentRef] = Nil
+
   override def initialOffset(): Offset = KfsStreamOffset(Map.empty)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxSegsPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+    ReadLimit.maxFiles(maxSegsPerTrigger.getOrElse(rails.maxScanSegments))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -45,14 +60,29 @@ class KfsMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[KfsStreamOffset].next
-    val fresh = scan.listPruned()
+    val listing = scan.listPruned()
+    lastListing = listing
+    val fresh = listing
       .filter(r => r.baseOffset >= startMap.getOrElse(tpKey(r), 0L))
-      .sortBy(r => (r.topic, r.partition, r.baseOffset))
-    val limited = limit match {
-      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
-      case _ => fresh
+    val cap = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _ => Int.MaxValue
     }
-    val next = limited.foldLeft(startMap) { (m, r) =>
+    // fair selection: round-robin one segment per (topic, partition) in
+    // base-offset order until the cap fills — a hot partition cannot
+    // monopolize the trigger
+    val queues = fresh.groupBy(tpKey).toSeq.sortBy(_._1)
+      .map { case (_, refs) => scala.collection.mutable.Queue(
+        refs.sortBy(_.baseOffset): _*) }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[KfsLayout.SegmentRef]
+    var progress = true
+    while (picked.size < cap && progress) {
+      progress = false
+      queues.foreach { q =>
+        if (q.nonEmpty && picked.size < cap) { picked += q.dequeue(); progress = true }
+      }
+    }
+    val next = picked.foldLeft(startMap) { (m, r) =>
       val k = tpKey(r)
       m.updated(k, math.max(m.getOrElse(k, 0L), r.lastOffset + 1))
     }
@@ -62,7 +92,9 @@ class KfsMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KfsStreamOffset].next
     val e = end.asInstanceOf[KfsStreamOffset].next
-    scan.listPruned()
+    // on restart-recovery replans, lastListing is empty — list again
+    val listing = if (lastListing.nonEmpty) lastListing else scan.listPruned()
+    listing
       .filter { r =>
         val k = tpKey(r)
         e.get(k).exists(endNext =>
@@ -81,7 +113,10 @@ class KfsMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
-  override def toString: String = s"KfsMicroBatchStream[${scan.description()}]"
+  // NOTE: must not touch scan.description()/refs — that path runs batch
+  // scan admission over the full backlog, and Spark renders this string
+  // from progress-reporting/log paths on every trigger
+  override def toString: String = s"KfsMicroBatchStream[${scan.rootDescription}]"
 }
 
 /** Per-(topic, partition) next-record-offset map, JSON-serialized into the
@@ -94,16 +129,13 @@ case class KfsStreamOffset(next: Map[String, Long]) extends Offset {
 }
 
 object KfsStreamOffset {
-  /** Parse the flat `{"topic/partition":n,...}` object. Keys are
-    * `topic/partition` path components, which the layout restricts to
-    * file-system-safe names (no quotes/escapes possible). */
-  def parse(json: String): KfsStreamOffset = {
-    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
-    if (body.isEmpty) KfsStreamOffset(Map.empty)
-    else KfsStreamOffset(body.split(",").map { kv =>
-      val i = kv.lastIndexOf(':')
-      val k = kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
-      k -> kv.substring(i + 1).trim.toLong
-    }.toMap)
-  }
+  private val Entry = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?\\d+)".r
+
+  /** Parse the flat `{"topic/partition":n,...}` object. Regex-extracts
+    * quoted-key/integer pairs, so topic names with commas survive;
+    * quotes/backslashes in topic names are rejected at segment-write time
+    * (see [[KfsLayout.writeSegment]]). */
+  def parse(json: String): KfsStreamOffset =
+    KfsStreamOffset(
+      Entry.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toLong).toMap)
 }

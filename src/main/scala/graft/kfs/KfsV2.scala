@@ -172,6 +172,11 @@ class KfsScan(
   override def description(): String =
     s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}]"
 
+  /** Listing-free description for the streaming side: description() forces
+    * the lazy refs (full listing + batch scan admission), which must never
+    * run from a stream's progress-reporting path. */
+  private[kfs] def rootDescription: String = s"root=$root"
+
   override def planInputPartitions(): Array[InputPartition] =
     refs.map(r => KfsInputPartition(r.topic, r.partition, r.path): InputPartition).toArray
 
@@ -180,7 +185,8 @@ class KfsScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KfsMicroBatchStream(this, maxSegmentsPerTrigger, required.fieldNames)
+    new KfsMicroBatchStream(this, maxSegmentsPerTrigger, rails,
+      required.fieldNames)
 }
 
 case class KfsInputPartition(topic: String, partition: Int, path: String)

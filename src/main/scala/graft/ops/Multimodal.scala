@@ -88,6 +88,7 @@ object Multimodal {
     * only shape that survives a 100 TB media scan. */
   def resize(spark: SparkSession, media: DataFrame, target: Int,
       decoder: Decoder = FakeDecoder): DataFrame = {
+    require(target > 0, s"resize target must be positive, got $target")
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.flatMap { row =>

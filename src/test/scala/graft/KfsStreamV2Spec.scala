@@ -22,6 +22,13 @@ class KfsStreamV2Spec extends AnyFunSuite {
     val o = KfsStreamOffset(Map("orders/0" -> 200L, "orders/1" -> 57L))
     assert(KfsStreamOffset.parse(o.json()) == o)
     assert(KfsStreamOffset.parse(KfsStreamOffset(Map.empty).json()).next.isEmpty)
+    // topic names with commas survive the WAL round-trip (quotes and
+    // backslashes are rejected at writeSegment time instead)
+    val weird = KfsStreamOffset(Map("a,b/0" -> 5L, "c d/1" -> 7L))
+    assert(KfsStreamOffset.parse(weird.json()) == weird)
+    intercept[IllegalArgumentException] {
+      KfsLayout.writeSegment("/tmp/x", "bad\"topic", 0, mkRecords(1))
+    }
   }
 
   test("kfs micro-batch stream: initial backlog, incremental append, no dupes") {
@@ -49,6 +56,42 @@ class KfsStreamV2Spec extends AnyFunSuite {
         "replanning a trigger must not duplicate rows")
       assert(rows.where(col("_partition") === 0).count() == 130)
     } finally q.stop()
+  }
+
+  test("rate-limited triggers round-robin across partitions (no starvation)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = Files.createTempDirectory("kfs_stream_fair").toString
+    // partition 0 has a deep backlog, partition 1 a single segment
+    (0 until 4).foreach(i =>
+      KfsLayout.writeSegment(root, "t", 0, mkRecords(10, baseOffset = i * 10L)))
+    KfsLayout.writeSegment(root, "t", 1, mkRecords(10))
+
+    val scan = new graft.kfs.KfsScan(root, None, None, None, None, None, None,
+      graft.gov.Guardrails(), Some(2), graft.kfs.KfsV2.Schema)
+    val stream = scan.toMicroBatchStream("unused")
+
+    // trigger 1 (cap=2): one segment from EACH partition, not two from the
+    // deep partition-0 backlog
+    val end1 = stream.asInstanceOf[
+        org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+      .latestOffset(stream.initialOffset(), ReadLimit.maxFiles(2))
+      .asInstanceOf[KfsStreamOffset]
+    assert(end1.next == Map("t/0" -> 10L, "t/1" -> 10L))
+
+    // trigger 2 continues partition 0's backlog
+    val end2 = stream.asInstanceOf[
+        org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+      .latestOffset(end1, ReadLimit.maxFiles(2))
+      .asInstanceOf[KfsStreamOffset]
+    assert(end2.next("t/0") == 30L && end2.next("t/1") == 10L)
+
+    // without a cap, the rails' maxScanSegments is the default read limit
+    // (metered progress, not the batch path's up-front rejection)
+    val defaultLimit = stream.asInstanceOf[
+        org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+      .getDefaultReadLimit
+    assert(defaultLimit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadMaxFiles])
   }
 
   test("restart from checkpoint resumes after consumed segments") {
