@@ -28,7 +28,19 @@ object AsOf {
     * @param pick   right-side columns to carry; emitted as `asof_<name>`
     */
   def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      pick: Seq[String]): DataFrame = {
+      pick: Seq[String]): DataFrame =
+    joinImpl(left, right, keyCol, tsCol, pick, forward = false)
+
+  /** Forward variant: each left row picks the single EARLIEST right row
+    * with `r.ts >= l.ts` (inclusive) — "the next event at-or-after": next
+    * error following a purchase, next deploy after a commit. Identical
+    * one-shuffle physical shape, with the scan direction reversed. */
+  def joinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, pick: Seq[String]): DataFrame =
+    joinImpl(left, right, keyCol, tsCol, pick, forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, pick: Seq[String], forward: Boolean): DataFrame = {
     require(pick.nonEmpty, "pick at least one right-side column")
     val asofNames = pick.map("asof_" + _)
     // one row per (key, ts): greatest pick values — removes ordering ties
@@ -39,10 +51,13 @@ object AsOf {
     val lPrep = left.withColumn("_is_left", lit(1))
     val u = lPrep.unionByName(rDedup, allowMissingColumns = true)
 
-    // right rows sort before left rows at equal ts, so an exactly-simultaneous
-    // right row IS visible (asof means r.ts <= l.ts, inclusive)
+    // right rows sort before left rows at equal ts, so an exactly-
+    // simultaneous right row IS visible (both directions are inclusive);
+    // forward scans ts DESC, so the running `last` is the earliest
+    // at-or-after instead of the latest at-or-before
+    val ord = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_is_left").asc)
+      .orderBy(ord, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = asofNames.foldLeft(u) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

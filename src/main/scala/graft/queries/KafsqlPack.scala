@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, sum}
 
 import graft.core.Tables
 import graft.kafsql._
@@ -185,6 +185,35 @@ object KafsqlPack extends QueryPack {
            |       MIN(json_extract_string(_value, '$$.k')) AS min_k_txt,
            |       MAX(json_extract_string(_value, '$$.k')) AS max_k_txt
            |FROM events_topic
-           |WHERE _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}""".stripMargin))
+           |WHERE _ts_ms >= ${Tables.FixedNowMs} - ${30L * 86400000L}""".stripMargin)),
+
+    // Continuous KAFSQL oracle-checked end to end: the SAME dialect text
+    // runs as a Structured Streaming query over the segment file stream
+    // (checkpointed AvailableNow drain into a parquet table — replays ship
+    // nothing), then the sink table is aggregated and hash-matched. This
+    // pins stream-mode projection + schema-on-read + SCAN FULL semantics to
+    // the batch oracle, not just to a batch-mode Spark plan.
+    QueryDef(
+      "k12_kafsql_continuous",
+      (s, dir) => {
+        val root = graft.kfs.KfsSeed.seededRoot(s, dir)
+        val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+        val table = s"/tmp/graft_etl/v2/$sfName/k12_table"
+        val ckpt = s"/tmp/graft_etl/v2/$sfName/k12_ckpt"
+        graft.streaming.KafsqlStream.runToTable(s, registry(dir), root,
+          "SELECT _partition, _offset, k FROM events SCAN FULL",
+          table, ckpt, nowMs = Tables.FixedNowMs)
+        s.read.parquet(table)
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("k").cast("long")).as("sum_k"),
+            max(col("_offset")).as("max_off"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+          |       max(_offset) AS max_off
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin))
   )
 }

@@ -386,6 +386,31 @@ object RelationalPack extends QueryPack {
           |  ON l._key = r._key AND l._ts_ms >= r._ts_ms
           |ORDER BY u_key, l_off""".stripMargin)),
 
+    // ---- J7b (superset): FORWARD as-of — next error at-or-after each
+    // purchase per user; same one-shuffle union trick scanned descending.
+    QueryDef(
+      "j5_asof_forward",
+      (s, dir) => {
+        val base = ev(s, dir)
+        val l = base.filter(col("event_type") === "purchase")
+          .select(col("_key"), col("_ts_ms"), col("_offset").as("l_off"))
+        val r = base.filter(col("event_type") === "error")
+          .select(col("_key"), col("_ts_ms"), col("_offset"))
+        graft.ops.AsOf.joinForward(l, r, "_key", "_ts_ms", Seq("_offset"))
+          .select(col("_key").as("u_key"), col("l_off"),
+            col("asof__offset").as("next_err_off"))
+          .orderBy(col("u_key"), col("l_off"))
+      },
+      oracle(
+        """, l AS (SELECT _key, _ts_ms, _offset AS l_off FROM events_topic
+          |        WHERE event_type = 'purchase'),
+          |r AS (SELECT _key, _ts_ms, max(_offset) AS next_err_off
+          |      FROM events_topic WHERE event_type = 'error' GROUP BY 1, 2)
+          |SELECT l._key AS u_key, l.l_off, r.next_err_off
+          |FROM l ASOF LEFT JOIN r
+          |  ON l._key = r._key AND l._ts_ms <= r._ts_ms
+          |ORDER BY u_key, l_off""".stripMargin)),
+
     // ---- J8 (superset): range join — purchases inside ±1h-padded error-
     // burst windows per user. Bucketized interval join: intervals replicate
     // into fixed cells, points equi-join on (key, cell) with BETWEEN as a
