@@ -115,6 +115,43 @@ object TableSink {
       case None => spark.emptyDataFrame
     }
 
+  private def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) Nil
+    else Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+  }
+
+  /** Small-file compaction — the table-maintenance half of a streaming
+    * sink (micro-batch appends fragment the table; at 100 TB a scan's task
+    * count and open-file overhead track file count, not data size). This
+    * is the parquet-fallback equivalent of Iceberg's `rewrite_data_files`:
+    * rewrite the data to ceil(bytes/targetBytes) files and atomically swap
+    * the directory. Same single-writer discipline as append (object lock;
+    * the Iceberg runtime replaces this with snapshot-isolated commits).
+    * Returns (filesBefore, filesAfter); no-op when already compact. */
+  def compact(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = this.synchronized {
+    tableSchema(table) match {
+      case None => (0, 0)
+      case Some(schema) =>
+        val dataDir = Paths.get(s"$table/data")
+        val files = parquetFiles(dataDir)
+        val totalBytes = files.map(Files.size(_)).sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        if (files.size <= nOut) (files.size, files.size)
+        else {
+          val tmp = s"$table/data_compact"
+          spark.read.schema(schema).parquet(dataDir.toString)
+            .repartition(nOut)
+            .write.mode("overwrite").parquet(tmp)
+          deleteRecursive(dataDir)
+          Files.move(Paths.get(tmp), dataDir)
+          (files.size, parquetFiles(dataDir).size)
+        }
+    }
+  }
+
   private def deleteRecursive(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -161,6 +161,43 @@ object EtlPack extends QueryPack {
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_x,
           |       count(CASE WHEN _partition = 1 THEN 1 END) AS n_y
           |FROM events_topic WHERE _partition IN (0, 1)
-          |GROUP BY _partition ORDER BY partition""".stripMargin)))
+          |GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // Small-file compaction (table maintenance, the rewrite_data_files
+    // equivalent for the parquet-fallback sink): 4 micro-batch appends
+    // fragment the table, compact() rewrites it to target-size files with
+    // an atomic directory swap, and the post-compaction aggregate must
+    // hash-match the raw events oracle — compaction may change LAYOUT,
+    // never data.
+    QueryDef(
+      "e8_compaction",
+      (s, dir) => {
+        val table = tmp(dir, "compact_table")
+        val dataDir = Paths.get(table)
+        if (Files.exists(dataDir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        val ev = Tables.eventsTopic(s, dir)
+        (0 until Tables.TopicPartitions).foreach { p =>
+          TableSink.append(s, table, ev.filter(col("_partition") === p)
+            .select(col("_partition").as("partition"),
+              col("_offset").as("offset"),
+              get_json_object(col("_value"), "$.k").cast("long").as("k")))
+        }
+        val (nBefore, nAfter) = TableSink.compact(s, table)
+        require(nAfter < nBefore,
+          s"compaction must shrink the fragmented sink: $nBefore -> $nAfter")
+        TableSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+          |       max(_offset) AS max_off
+          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin)))
   )
 }

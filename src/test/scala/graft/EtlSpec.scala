@@ -189,4 +189,32 @@ class EtlSpec extends AnyFunSuite {
     assert(item.payload.contains("\"LINE\":\"1\"") &&
       item.payload.contains("\"DOCNUM\":\"42\""))
   }
+
+  test("compaction shrinks file count, preserves data and schema, idempotent") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("sink_compact").toString
+    // fragment: 5 separate appends -> many small parquet files
+    (0 until 5).foreach { i =>
+      TableSink.append(spark, table,
+        (0 until 20).map(j => (i * 20L + j, s"row-$i-$j")).toDF("id", "txt"))
+    }
+    val before = TableSink.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(before.size == 100)
+
+    val (nBefore, nAfter) = TableSink.compact(spark, table)
+    assert(nBefore > nAfter && nAfter == 1,
+      s"expected 5-append fragmentation to compact to 1 file: $nBefore -> $nAfter")
+    val after = TableSink.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    assert(TableSink.tableSchema(table).get.fieldNames.toSeq == Seq("id", "txt"))
+
+    // second pass is a no-op
+    val (n2Before, n2After) = TableSink.compact(spark, table)
+    assert(n2Before == n2After)
+    // appends after compaction still work
+    TableSink.append(spark, table, Seq((999L, "post")).toDF("id", "txt"))
+    assert(TableSink.read(spark, table).count() == 101)
+  }
 }
