@@ -97,6 +97,39 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct n-grams with any probe ("benchmark") document —
+    * the test-set-overlap check every training-data pipeline runs before a
+    * corpus ships. Returns (c_doc, p_doc, shared) per contaminated pair.
+    *
+    * Shape at 100 TB: shingle both sides (distinct n-grams per doc), one
+    * equi-join keyed on the n-gram, one count aggregate. The probe side
+    * (the benchmark suite) is tiny, so Spark broadcasts it and the corpus
+    * is touched in a single narrow pass — no corpus self-join anywhere.
+    * `maxShinglePostings` drops ubiquitous n-grams by corpus document
+    * frequency first (stop-gram skew cap) — at the cost of missing pairs
+    * whose only shared grams are ubiquitous, which is the standard
+    * decontamination trade. */
+  def contamination(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Long = 5,
+      maxShinglePostings: Option[Int] = None): DataFrame = {
+    val c = shinglesAuto(corpus, idCol, textCol, n)
+      .select(col("doc").as("c_doc"), col("sh"))
+    val p0 = shinglesAuto(probes, idCol, textCol, n)
+      .select(col("doc").as("p_doc"), col("sh"))
+    val p = maxShinglePostings match {
+      case Some(cap) =>
+        val keep = c.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("sh")
+        p0.join(keep, "sh")
+      case None => p0
+    }
+    c.join(org.apache.spark.sql.functions.broadcast(p), "sh")
+      .groupBy(col("c_doc"), col("p_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Exact duplicate groups by content hash (optionally normalized). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String,
       normalized: Boolean = true): DataFrame = {

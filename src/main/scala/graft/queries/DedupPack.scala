@@ -207,6 +207,28 @@ object DedupPack extends QueryPack {
            |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
            |labels AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)
            |SELECT cluster, count(*) AS n_docs, max(node) AS max_doc
-           |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
+           |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // Benchmark decontamination: docs 0-9 stand in as the held-out
+    // benchmark; corpus docs sharing >= 3 distinct 3-grams with any of
+    // them are flagged. One shingle pass per side + a broadcast equi-join
+    // on the n-gram — never a corpus self-join.
+    QueryDef(
+      "d8_contamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contamination(
+          docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+          "doc_id", "text", n = 3, minShared = 3)
+          .orderBy(col("c_doc"), col("p_doc"))
+      },
+      Some(
+        s"""WITH $shinglesCte,
+           |c AS (SELECT doc, sh FROM sh WHERE doc >= 10),
+           |p AS (SELECT doc, sh FROM sh WHERE doc < 10)
+           |SELECT c.doc AS c_doc, p.doc AS p_doc, count(*) AS shared
+           |FROM c JOIN p USING (sh)
+           |GROUP BY 1, 2 HAVING count(*) >= 3
+           |ORDER BY c_doc, p_doc""".stripMargin))
   )
 }
