@@ -76,8 +76,28 @@ object TableSink {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).asInstanceOf[StructType])
   }
 
+  /** Per-table monitor: append/compact serialize on the SAME table but a
+    * long compaction of one table must not stall appends to others (the
+    * Iceberg runtime replaces all of this with snapshot commits). */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(
+      Paths.get(table).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** If a crash between compact's swap steps left `data` missing but the
+    * previous generation present, restore it before proceeding. */
+  private def recoverSwap(table: String): Unit = {
+    val dataDir = Paths.get(s"$table/data")
+    val oldDir = Paths.get(s"$table/data_old")
+    if (!Files.exists(dataDir) && Files.exists(oldDir))
+      Files.move(oldDir, dataDir)
+  }
+
   /** Append a batch, evolving the table schema when needed. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Unit = this.synchronized {
+  def append(spark: SparkSession, table: String, df: DataFrame): Unit =
+      lockFor(table).synchronized {
+    recoverSwap(table)
     val current = tableSchema(table)
     val target = current match {
       case None => df.schema
@@ -111,7 +131,12 @@ object TableSink {
 
   def read(spark: SparkSession, table: String): DataFrame =
     tableSchema(table) match {
-      case Some(s) => spark.read.schema(s).parquet(s"$table/data")
+      case Some(s) =>
+        // only lock when the data dir is actually missing (a crashed swap):
+        // readers must not serialize behind a long compaction otherwise
+        if (!Files.exists(Paths.get(s"$table/data")))
+          lockFor(table).synchronized(recoverSwap(table))
+        spark.read.schema(s).parquet(s"$table/data")
       case None => spark.emptyDataFrame
     }
 
@@ -126,12 +151,15 @@ object TableSink {
     * sink (micro-batch appends fragment the table; at 100 TB a scan's task
     * count and open-file overhead track file count, not data size). This
     * is the parquet-fallback equivalent of Iceberg's `rewrite_data_files`:
-    * rewrite the data to ceil(bytes/targetBytes) files and atomically swap
-    * the directory. Same single-writer discipline as append (object lock;
-    * the Iceberg runtime replaces this with snapshot-isolated commits).
+    * rewrite the data to ceil(bytes/targetBytes) files, then swap via
+    * rename-aside (data→data_old, tmp→data, delete data_old) — a crash
+    * between steps leaves either generation recoverable, never neither
+    * (append/read restore `data_old` if `data` is missing). Holds only
+    * THIS table's lock, so other sinks keep appending during the rewrite.
     * Returns (filesBefore, filesAfter); no-op when already compact. */
   def compact(spark: SparkSession, table: String,
-      targetBytes: Long = 128L << 20): (Int, Int) = this.synchronized {
+      targetBytes: Long = 128L << 20): (Int, Int) = lockFor(table).synchronized {
+    recoverSwap(table)
     tableSchema(table) match {
       case None => (0, 0)
       case Some(schema) =>
@@ -145,14 +173,17 @@ object TableSink {
           spark.read.schema(schema).parquet(dataDir.toString)
             .repartition(nOut)
             .write.mode("overwrite").parquet(tmp)
-          deleteRecursive(dataDir)
+          val oldDir = Paths.get(s"$table/data_old")
+          deleteRecursive(oldDir) // stale aside from an earlier crash
+          Files.move(dataDir, oldDir)
           Files.move(Paths.get(tmp), dataDir)
+          deleteRecursive(oldDir)
           (files.size, parquetFiles(dataDir).size)
         }
     }
   }
 
-  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursive(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)

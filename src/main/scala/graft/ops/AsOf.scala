@@ -43,10 +43,17 @@ object AsOf {
       tsCol: String, pick: Seq[String], forward: Boolean): DataFrame = {
     require(pick.nonEmpty, "pick at least one right-side column")
     val asofNames = pick.map("asof_" + _)
-    // one row per (key, ts): greatest pick values — removes ordering ties
+    // one row per (key, ts): greatest pick values — removes ordering ties.
+    // ALL pick columns ride in ONE never-null struct: the running last()
+    // must treat "matched right row whose value is NULL" as a real match
+    // (emit the NULL, exactly like a native ASOF join), not skip back to a
+    // farther row's value — and with several pick columns a per-column
+    // last() could stitch values from different right rows.
     val rDedup = right.groupBy(col(keyCol), col(tsCol))
       .agg(max(col(pick.head)).as(asofNames.head),
         pick.tail.map(c => max(col(c)).as("asof_" + c)): _*)
+      .select(col(keyCol), col(tsCol),
+        struct(asofNames.map(col): _*).as("_asof_payload"))
       .withColumn("_is_left", lit(0))
     val lPrep = left.withColumn("_is_left", lit(1))
     val u = lPrep.unionByName(rDedup, allowMissingColumns = true)
@@ -59,9 +66,12 @@ object AsOf {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(ord, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = asofNames.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_is_left") === 1).drop("_is_left")
+    val filled = u.withColumn("_asof_payload",
+      last(col("_asof_payload"), ignoreNulls = true).over(w))
+    asofNames.foldLeft(filled) { (df, c) =>
+        df.withColumn(c, col("_asof_payload").getField(c))
+      }
+      .filter(col("_is_left") === 1)
+      .drop("_is_left", "_asof_payload")
   }
 }

@@ -113,8 +113,14 @@ object Dedup {
   def contamination(corpus: DataFrame, probes: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minShared: Long = 5,
       maxShinglePostings: Option[Int] = None): DataFrame = {
-    val c = shinglesAuto(corpus, idCol, textCol, n)
+    val c0 = shinglesAuto(corpus, idCol, textCol, n)
       .select(col("doc").as("c_doc"), col("sh"))
+    // under the DF cap the corpus shingles feed TWO consumers (the DF
+    // aggregate and the main join) — persist so the dominant flatMap
+    // explode runs once (same discipline as ngramJaccardPairs)
+    val c = if (maxShinglePostings.isDefined)
+      c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else c0
     val p0 = shinglesAuto(probes, idCol, textCol, n)
       .select(col("doc").as("p_doc"), col("sh"))
     val p = maxShinglePostings match {

@@ -17,12 +17,8 @@ import graft.kfs.KfsSeed
   */
 object EtlPack extends QueryPack {
 
-  private def tmp(sfDir: String, name: String): String = {
-    val sfName = Paths.get(sfDir).getFileName.toString
-    // v2 matches KfsSeed's fixture version: the stream checkpoint embeds
-    // absolute source paths, so it must roll when the fixture root rolls
-    s"/tmp/graft_etl/v2/$sfName/$name"
-  }
+  private def tmp(sfDir: String, name: String): String =
+    Fixtures.tmp(sfDir, name) // shared versioned root (see Fixtures)
 
   override def entries: Seq[QueryDef] = Seq(
 
@@ -136,10 +132,7 @@ object EtlPack extends QueryPack {
       (s, dir) => {
         val table = tmp(dir, "evo_table")
         val dataDir = Paths.get(table)
-        if (Files.exists(dataDir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        }
+        TableSink.deleteRecursive(dataDir)
         val ev = Tables.eventsTopic(s, dir)
         val b1 = ev.filter(col("_partition") === 0)
           .select(col("_offset").as("offset"), lit(0).as("partition"),
@@ -174,10 +167,7 @@ object EtlPack extends QueryPack {
       (s, dir) => {
         val table = tmp(dir, "compact_table")
         val dataDir = Paths.get(table)
-        if (Files.exists(dataDir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        }
+        TableSink.deleteRecursive(dataDir)
         val ev = Tables.eventsTopic(s, dir)
         (0 until Tables.TopicPartitions).foreach { p =>
           TableSink.append(s, table, ev.filter(col("_partition") === p)

@@ -197,9 +197,8 @@ object KafsqlPack extends QueryPack {
       "k12_kafsql_continuous",
       (s, dir) => {
         val root = graft.kfs.KfsSeed.seededRoot(s, dir)
-        val sfName = java.nio.file.Paths.get(dir).getFileName.toString
-        val table = s"/tmp/graft_etl/v2/$sfName/k12_table"
-        val ckpt = s"/tmp/graft_etl/v2/$sfName/k12_ckpt"
+        val table = Fixtures.tmp(dir, "k12_table")
+        val ckpt = Fixtures.tmp(dir, "k12_ckpt")
         graft.streaming.KafsqlStream.runToTable(s, registry(dir), root,
           "SELECT _partition, _offset, k FROM events SCAN FULL",
           table, ckpt, nowMs = Tables.FixedNowMs)

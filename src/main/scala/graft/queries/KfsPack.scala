@@ -151,9 +151,8 @@ object KfsPack extends QueryPack {
       "s10_kfs_stream_scan",
       (s, dir) => {
         val root = KfsSeed.seededRoot(s, dir)
-        val sfName = java.nio.file.Paths.get(dir).getFileName.toString
-        val out = s"/tmp/graft_etl/v2/$sfName/kfs_stream_sink"
-        val ckpt = s"/tmp/graft_etl/v2/$sfName/kfs_stream_ckpt"
+        val out = Fixtures.tmp(dir, "kfs_stream_sink")
+        val ckpt = Fixtures.tmp(dir, "kfs_stream_ckpt")
         val q = s.readStream.format("kfs").option("path", root)
           .option("max_segments_per_trigger", "4").load()
           .select(col("_partition"), col("_offset"))

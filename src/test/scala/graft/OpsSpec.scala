@@ -212,6 +212,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map("p1" -> 9L, "p2" -> 7L, "p3" -> -1L, "p4" -> -1L))
   }
 
+  test("as-of join: a matched right row with a NULL value yields NULL, " +
+      "and multi-column picks never mix right rows") {
+    import spark.implicits._
+    import graft.ops.AsOf
+    val left = Seq(("u1", 25L, "p1"), ("u1", 15L, "p2")).toDF("k", "ts", "tag")
+    val right = Seq(
+      ("u1", 10L, Some(5L), Some("a")),
+      ("u1", 20L, None: Option[Long], Some("b")) // v NULL at the match point
+    ).toDF("k", "ts", "v", "w")
+    val got = AsOf.join(left, right, "k", "ts", Seq("v", "w"))
+      .select($"tag", $"asof_v", $"asof_w").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2)))
+      .toMap
+    // p1 matches ts=20: v is genuinely NULL there (NOT 5 from ts=10) and w
+    // must come from the SAME row ("b"), like a native ASOF join
+    assert(got == Map("p1" -> (-1L, "b"), "p2" -> (5L, "a")))
+
+    val fwd = AsOf.joinForward(left, right, "k", "ts", Seq("v", "w"))
+      .where($"tag" === "p2").select($"asof_v", $"asof_w").collect().head
+    // p2@15 forward-matches ts=20: NULL v carried, w="b"
+    assert(fwd.isNullAt(0) && fwd.getString(1) == "b")
+  }
+
   test("range join equals the brute-force BETWEEN join, boundaries inclusive") {
     import spark.implicits._
     import graft.ops.RangeJoin
