@@ -960,6 +960,36 @@ object RelationalPack extends QueryPack {
           |GROUP BY _partition, event_type
           |ORDER BY _partition, event_type""".stripMargin)),
 
+    // NTILE quartiles (superset — SURVEY §2.8, the distribution-bucketing
+    // window family): orders split into price quartiles per priority class,
+    // then per-bucket stats. One shuffle on the partition key; the second
+    // aggregate is tiny.
+    QueryDef(
+      "u6_ntile_quartiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy(col("o_orderpriority"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("bucket_rev"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy(col("o_orderpriority"), col("quartile"))
+      },
+      Some(
+        """SELECT o_orderpriority, quartile, count(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_rev,
+          |       max(o_totalprice) AS max_price
+          |FROM (SELECT o_orderpriority, o_totalprice,
+          |             ntile(4) OVER (PARTITION BY o_orderpriority
+          |                            ORDER BY o_totalprice, o_orderkey) AS quartile
+          |      FROM orders)
+          |GROUP BY o_orderpriority, quartile
+          |ORDER BY o_orderpriority, quartile""".stripMargin)),
+
     // Window-function analytics (superset — the reference has no window
     // functions, SURVEY §2.8): top-3 orders per customer by total price.
     // One shuffle on custkey; rank inside the sorted partition.
