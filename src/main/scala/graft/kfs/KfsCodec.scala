@@ -241,6 +241,73 @@ object KfsCodec {
       case e: KfsFormatException => onCorrupt(e.getMessage); Iterator.empty
     }
 
+  /** Decode a segment incrementally from a seekless byte stream of known
+    * total `size` — the scan path for multi-hundred-MB object-store
+    * segments: peak memory is ONE batch buffer (the writer caps batches at
+    * ~500 records), not the whole segment, and the bytes stream straight
+    * from the ranged GET into the decoder (reference `decoder.go:58-131`
+    * downloads whole objects; `pkg/storage/log.go:653-683` shows the ranged
+    * form this mirrors).
+    *
+    * Validation contract vs the buffer path ([[decodeSegment]]): header and
+    * footer magics and per-batch structure are enforced as they stream past,
+    * but the footer CRC32C — which covers the entire body — can only be
+    * compared after the last batch, so a CRC mismatch throws from the
+    * iterator's final `hasNext` instead of up front. For a strict batch
+    * task the outcome is the same (the task fails loudly); callers that
+    * must not emit any record of a corrupt segment should use the lenient
+    * buffer path. The caller owns closing `in`. */
+  def decodeSegmentStream(in: java.io.DataInputStream, size: Long): Iterator[Record] = {
+    if (size < SegmentHeaderLen + FooterLen)
+      throw new KfsFormatException(s"segment too short: $size")
+    val hdr = new Array[Byte](SegmentHeaderLen)
+    in.readFully(hdr)
+    val hb = ByteBuffer.wrap(hdr)
+    if (hb.getInt() != SegmentMagic) throw new KfsFormatException("bad segment magic")
+    val bodyLen = size - SegmentHeaderLen - FooterLen
+    val crc = new CRC32C
+
+    new Iterator[Record] {
+      private var bodyRead = 0L
+      private var batch: Iterator[Record] = Iterator.empty
+      private var footerChecked = false
+
+      private def advance(): Unit = {
+        while (!batch.hasNext && bodyRead < bodyLen) {
+          val prefix = new Array[Byte](12)
+          in.readFully(prefix)
+          val pb = ByteBuffer.wrap(prefix)
+          pb.getLong() // baseOffset — re-parsed by decodeBatch
+          val batchLength = pb.getInt()
+          val total = 12L + batchLength
+          if (batchLength <= 0 || bodyRead + total > bodyLen)
+            throw new KfsFormatException(
+              s"bad batch length $batchLength at body offset $bodyRead of $bodyLen")
+          val buf = new Array[Byte](total.toInt)
+          System.arraycopy(prefix, 0, buf, 0, 12)
+          in.readFully(buf, 12, batchLength)
+          crc.update(buf)
+          val (records, _) = decodeBatch(buf, 0)
+          batch = records
+          bodyRead += total
+        }
+        if (!batch.hasNext && bodyRead >= bodyLen && !footerChecked) {
+          footerChecked = true
+          val foot = new Array[Byte](FooterLen)
+          in.readFully(foot)
+          val fb = ByteBuffer.wrap(foot)
+          val crcStored = fb.getInt()
+          fb.getLong() // lastOffset
+          if (fb.getInt() != FooterMagic) throw new KfsFormatException("bad footer magic")
+          if (crc.getValue.toInt != crcStored)
+            throw new KfsFormatException("segment CRC mismatch")
+        }
+      }
+      def hasNext: Boolean = { advance(); batch.hasNext }
+      def next(): Record = { advance(); batch.next() }
+    }
+  }
+
   /** Decode one v2 batch at `pos`; returns records + next batch position. */
   def decodeBatch(buf: Array[Byte], pos: Int): (Iterator[Record], Int) = {
     val r = new ByteReader(buf, pos)

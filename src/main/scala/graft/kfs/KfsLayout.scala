@@ -1,9 +1,11 @@
 package graft.kfs
 
+import java.io.FileNotFoundException
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** On-disk layout, discovery, and sidecar builders for KFS segment logs —
   * clean-room equivalents of the reference's discovery subsystem:
@@ -17,6 +19,13 @@ import scala.jdk.CollectionConverters._
   *     (`discovery/time_index.go:32-49`)
   *   - `manifest.json` per partition with per-segment stats, replacing LIST
   *     storms (`discovery/manifest.go:50-66`)
+  *
+  * All IO goes through Hadoop `FileSystem`, so a root of `/local/dir`,
+  * `file:///dir`, `hdfs://...` or `s3a://bucket/prefix` behaves identically —
+  * the reference is S3-native (`discovery.go:52-199` LIST discovery,
+  * `pkg/storage/log.go:653-683` ranged GETs) and this is the Spark-side
+  * equivalent. Completeness and discovery fallbacks use *ranged* reads
+  * (4-byte tail, 32-byte header + 16-byte footer), never whole-object GETs.
   *
   * Discovery is driver-side metadata work (like Spark's own FileIndex);
   * decode is executor-side. At 100 TB the manifest path is the one that
@@ -39,6 +48,17 @@ object KfsLayout {
 
   def segmentFileName(baseOffset: Long): String = f"segment-$baseOffset%020d.kfs"
 
+  /** Hadoop conf: the active session's (carries `spark.hadoop.*` overrides —
+    * s3a credentials, endpoints) when on the driver; vanilla defaults
+    * otherwise. Executor-side readers get a [[SerializableHadoopConf]]
+    * instead — this accessor is for driver-side discovery/write paths. */
+  def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(path: HPath): FileSystem = path.getFileSystem(hadoopConf)
+
   // ---- write ------------------------------------------------------------
 
   /** Write one segment + `.kfst` sidecar; returns its ref. Topic names may
@@ -50,48 +70,75 @@ object KfsLayout {
       records: Seq[KfsCodec.Record]): SegmentRef = {
     require(!topic.exists(c => c == '"' || c == '\\'),
       s"topic name must not contain quotes or backslashes: $topic")
-    val dir = Paths.get(root, topic, partition.toString)
-    Files.createDirectories(dir)
+    val dir = new HPath(new HPath(root, topic), partition.toString)
+    val fs = fsFor(dir)
+    fs.mkdirs(dir)
     val base = records.head.offset
     val seg = KfsCodec.buildSegment(records)
-    val p = dir.resolve(segmentFileName(base))
+    val p = new HPath(dir, segmentFileName(base))
     val minTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max
-    // Sidecar first, then temp-write + atomic rename of the .kfs itself: a
-    // reader (batch discovery or the file stream, which globs *.kfs) can
-    // never observe a truncated segment — the END! footer gate holds on
-    // every read path because the file only appears once fully written.
-    writeTimeIndex(p, minTs, maxTs, base, records.last.offset)
-    val tmp = dir.resolve(segmentFileName(base) + ".tmp")
-    Files.write(tmp, seg)
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    SegmentRef(topic, partition, p.toString, base, records.last.offset,
+    // Sidecar first, then temp-write + rename of the .kfs itself: a reader
+    // (batch discovery or the file stream, which globs *.kfs) can never
+    // observe a truncated segment. On file:// and hdfs:// the rename is
+    // atomic; on s3a it is copy+delete, where the END!-footer gate is what
+    // actually guarantees a listed segment is whole (a partial PUT never
+    // carries the trailing magic) — same contract as the reference writer.
+    writeTimeIndexFs(fs, p, minTs, maxTs, base, records.last.offset)
+    val tmp = new HPath(dir, segmentFileName(base) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(seg) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"cannot publish segment $p")
+    }
+    val qualified = fs.makeQualified(p)
+    SegmentRef(topic, partition, qualified.toString, base, records.last.offset,
       minTs, maxTs, seg.length.toLong)
   }
 
   /** 40-byte `.kfst` footer: magic, version i32, minTs, maxTs, minOffset,
     * maxOffset (time_index.go:32-49 shape). */
-  def writeTimeIndex(segmentPath: Path, minTs: Long, maxTs: Long,
+  def writeTimeIndex(segmentPath: String, minTs: Long, maxTs: Long,
       minOff: Long, maxOff: Long): Unit = {
+    val p = new HPath(segmentPath)
+    writeTimeIndexFs(fsFor(p), p, minTs, maxTs, minOff, maxOff)
+  }
+
+  private def writeTimeIndexFs(fs: FileSystem, segmentPath: HPath,
+      minTs: Long, maxTs: Long, minOff: Long, maxOff: Long): Unit = {
     val buf = ByteBuffer.allocate(40)
     buf.putInt(TimeIndexMagic).putInt(1)
       .putLong(minTs).putLong(maxTs).putLong(minOff).putLong(maxOff)
-    Files.write(Paths.get(segmentPath.toString + ".kfst"), buf.array())
+    val out = fs.create(new HPath(segmentPath.toString + ".kfst"), true)
+    try out.write(buf.array()) finally out.close()
   }
 
   def readTimeIndex(segmentPath: String): Option[(Long, Long, Long, Long)] = {
-    val p = Paths.get(segmentPath + ".kfst")
-    if (!Files.exists(p)) None
-    else {
-      val buf = ByteBuffer.wrap(Files.readAllBytes(p))
-      if (buf.remaining() != 40 || buf.getInt() != TimeIndexMagic) None
+    val p = new HPath(segmentPath + ".kfst")
+    readTimeIndexFs(fsFor(p), p)
+  }
+
+  /** Open-and-catch rather than exists-then-open: one round trip instead of
+    * two on object stores. */
+  private def readTimeIndexFs(fs: FileSystem, p: HPath)
+      : Option[(Long, Long, Long, Long)] =
+    try {
+      val in = fs.open(p)
+      val bytes = new Array[Byte](40)
+      try in.readFully(0, bytes)
+      finally in.close()
+      val buf = ByteBuffer.wrap(bytes)
+      if (buf.getInt() != TimeIndexMagic) None
       else {
         buf.getInt() // version
         Some((buf.getLong(), buf.getLong(), buf.getLong(), buf.getLong()))
       }
+    } catch {
+      case _: FileNotFoundException => None
+      case _: java.io.EOFException => None // sidecar shorter than 40 bytes
     }
-  }
 
   /** Write `manifest.json` for a topic/partition from its segment refs. */
   def writeManifest(root: String, topic: String, partition: Int,
@@ -101,8 +148,10 @@ object KfsLayout {
         s""""min_ts_ms":${r.minTsMs},"max_ts_ms":${r.maxTsMs},"size_bytes":${r.sizeBytes}}"""
     }
     val json = s"""{"topic":"$topic","partition":$partition,"segments":[${entries.mkString(",")}]}"""
-    Files.write(Paths.get(root, topic, partition.toString, "manifest.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+    val p = new HPath(new HPath(new HPath(root, topic), partition.toString), "manifest.json")
+    val fs = fsFor(p)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
   // ---- discovery --------------------------------------------------------
@@ -129,67 +178,104 @@ object KfsLayout {
   }
 
   /** List completed segments under root, newest metadata from `.kfst`
-    * sidecars when present. Completeness = footer magic via 4-byte tail read.
-    * Ordered (topic, partition, baseOffset) — the reference's scan order
-    * (`discovery.go:178-186`). */
+    * sidecars when present. Completeness = footer magic via 4-byte tail read
+    * (a ranged GET on object stores). Ordered (topic, partition, baseOffset)
+    * — the reference's scan order (`discovery.go:178-186`). */
   def listCompleted(root: String, topics: Option[Set[String]] = None,
       partitions: Option[Set[Int]] = None): Seq[SegmentRef] = {
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath)) return Nil
-    val out = Files.walk(rootPath).iterator().asScala
-      .filter(p => p.toString.endsWith(".kfs"))
-      .flatMap { p =>
-        val rel = rootPath.relativize(p)
-        if (rel.getNameCount != 3) None
-        else {
-          val topic = rel.getName(0).toString
-          val partition = rel.getName(1).toString.toInt
-          if (topics.exists(!_.contains(topic)) ||
-            partitions.exists(!_.contains(partition))) None
-          else if (!tailIsComplete(p)) None
-          else {
-            val size = Files.size(p)
-            val (minTs, maxTs, minOff, maxOff) = readTimeIndex(p.toString)
-              .getOrElse {
-                // fall back to full header+footer read
-                val buf = Files.readAllBytes(p)
-                val info = KfsCodec.segmentInfo(buf)
-                (Long.MinValue, Long.MaxValue, info.baseOffset, info.lastOffset)
-              }
-            Some(SegmentRef(topic, partition, p.toString, minOff, maxOff,
-              minTs, maxTs, size))
+    val rootPath = new HPath(root)
+    val fs = fsFor(rootPath)
+    if (!fs.exists(rootPath)) return Nil
+    val rootUri = fs.makeQualified(rootPath).toUri.getPath.stripSuffix("/")
+    val out = Seq.newBuilder[SegmentRef]
+    // recursive flat LIST — one paged listing call per ~1000 objects on s3a,
+    // exactly the reference's discovery LIST shape (discovery.go:52-116)
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".kfs")) {
+        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        val parts = rel.split('/')
+        if (parts.length == 3 && parts(1).forall(_.isDigit)) {
+          val topic = parts(0)
+          val partition = parts(1).toInt
+          val wanted = topics.forall(_.contains(topic)) &&
+            partitions.forall(_.contains(partition))
+          if (wanted && tailIsComplete(fs, p, st.getLen)) {
+            val (minTs, maxTs, minOff, maxOff) =
+              readTimeIndexFs(fs, new HPath(p.toString + ".kfst"))
+                .getOrElse(headerFooterStats(fs, p, st.getLen))
+            out += SegmentRef(topic, partition, p.toString, minOff, maxOff,
+              minTs, maxTs, st.getLen)
           }
         }
-      }.toSeq
-    out.sortBy(r => (r.topic, r.partition, r.baseOffset))
+      }
+    }
+    out.result().sortBy(r => (r.topic, r.partition, r.baseOffset))
   }
 
-  /** Read the last 4 bytes only — mirrors the ranged-GET completeness check. */
-  private def tailIsComplete(p: Path): Boolean = {
-    val ch = Files.newByteChannel(p, StandardOpenOption.READ)
+  /** Read the last 4 bytes only — mirrors the ranged-GET completeness check
+    * (`discovery.go:202-228`). */
+  private def tailIsComplete(fs: FileSystem, p: HPath, size: Long): Boolean = {
+    if (size < 4) return false
+    val in = fs.open(p)
     try {
-      val size = ch.size()
-      if (size < 4) return false
-      ch.position(size - 4)
-      val buf = ByteBuffer.allocate(4)
-      ch.read(buf)
-      KfsCodec.isComplete(buf.array())
-    } finally ch.close()
+      val buf = new Array[Byte](4)
+      in.readFully(size - 4, buf)
+      KfsCodec.isComplete(buf)
+    } finally in.close()
+  }
+
+  /** Discovery fallback when no `.kfst` sidecar exists: two ranged reads —
+    * the 32-byte segment header (base offset) and 16-byte footer (last
+    * offset) — instead of downloading the object. CRC is deliberately NOT
+    * checked here; decode validates it. Timestamps are unknown without the
+    * sidecar, so the segment never time-prunes (safe over-read). */
+  private def headerFooterStats(fs: FileSystem, p: HPath, size: Long)
+      : (Long, Long, Long, Long) = {
+    val in = fs.open(p)
+    try {
+      val hdr = new Array[Byte](KfsCodec.SegmentHeaderLen)
+      in.readFully(0, hdr)
+      val hb = ByteBuffer.wrap(hdr)
+      if (hb.getInt() != KfsCodec.SegmentMagic)
+        throw new KfsCodec.KfsFormatException(s"bad segment magic in $p")
+      hb.getShort(); hb.getShort() // version, flags
+      val base = hb.getLong()
+      val foot = new Array[Byte](KfsCodec.FooterLen)
+      in.readFully(size - KfsCodec.FooterLen, foot)
+      val fb = ByteBuffer.wrap(foot)
+      fb.getInt() // crc — validated at decode time
+      val last = fb.getLong()
+      (Long.MinValue, Long.MaxValue, base, last)
+    } finally in.close()
   }
 
   /** Manifest-based discovery with LIST fallback (`manifest.go:68-135`). */
   def listFromManifest(root: String, topic: String, partition: Int): Seq[SegmentRef] = {
-    val p = Paths.get(root, topic, partition.toString, "manifest.json")
-    if (!Files.exists(p)) listCompleted(root, Some(Set(topic)), Some(Set(partition)))
-    else {
-      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      // minimal parser for our own manifest shape
-      val entry = """\{"path":"([^"]+)","base_offset":(\d+),"last_offset":(\d+),"min_ts_ms":(-?\d+),"max_ts_ms":(-?\d+),"size_bytes":(\d+)\}""".r
-      entry.findAllMatchIn(json).map { m =>
-        SegmentRef(topic, partition, m.group(1), m.group(2).toLong,
-          m.group(3).toLong, m.group(4).toLong, m.group(5).toLong,
-          m.group(6).toLong)
-      }.toSeq.sortBy(_.baseOffset)
+    val p = new HPath(new HPath(new HPath(root, topic), partition.toString), "manifest.json")
+    val fs = fsFor(p)
+    val jsonOpt =
+      try {
+        val in = fs.open(p)
+        try {
+          val size = fs.getFileStatus(p).getLen.toInt
+          val bytes = new Array[Byte](size)
+          in.readFully(0, bytes)
+          Some(new String(bytes, StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: FileNotFoundException => None }
+    jsonOpt match {
+      case None => listCompleted(root, Some(Set(topic)), Some(Set(partition)))
+      case Some(json) =>
+        // minimal parser for our own manifest shape
+        val entry = """\{"path":"([^"]+)","base_offset":(\d+),"last_offset":(\d+),"min_ts_ms":(-?\d+),"max_ts_ms":(-?\d+),"size_bytes":(\d+)\}""".r
+        entry.findAllMatchIn(json).map { m =>
+          SegmentRef(topic, partition, m.group(1), m.group(2).toLong,
+            m.group(3).toLong, m.group(4).toLong, m.group(5).toLong,
+            m.group(6).toLong)
+        }.toSeq.sortBy(_.baseOffset)
     }
   }
 
@@ -205,4 +291,21 @@ object KfsLayout {
         tsMinMs.forall(m => r.maxTsMs >= m) &&
         tsMaxMs.forall(m => r.minTsMs <= m)
     }
+}
+
+/** Minimal serializable wrapper so executor-side readers carry the driver's
+  * Hadoop configuration (s3a credentials, endpoints) — the standard Spark
+  * pattern (`org.apache.spark.util.SerializableConfiguration` is
+  * private[spark], so we keep our own 10-line equivalent). */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }

@@ -35,7 +35,7 @@ import graft.gov.Guardrails
   */
 class KfsMicroBatchStream(
     scan: KfsScan, maxSegsPerTrigger: Option[Int], rails: Guardrails,
-    fieldNames: Array[String])
+    fieldNames: Array[String], conf: SerializableHadoopConf)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def tpKey(r: KfsLayout.SegmentRef): String =
@@ -101,12 +101,13 @@ class KfsMicroBatchStream(
           r.baseOffset >= s.getOrElse(k, 0L) && r.lastOffset < endNext)
       }
       .sortBy(r => (r.topic, r.partition, r.baseOffset))
-      .map(r => KfsInputPartition(r.topic, r.partition, r.path): InputPartition)
+      .map(r => KfsInputPartition(r.topic, r.partition, r.path,
+        r.sizeBytes): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KfsReaderFactory(fieldNames)
+    new KfsReaderFactory(fieldNames, conf)
 
   override def deserializeOffset(json: String): Offset =
     KfsStreamOffset.parse(json)

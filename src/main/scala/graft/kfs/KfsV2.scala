@@ -1,9 +1,10 @@
 package graft.kfs
 
-import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
@@ -139,9 +140,12 @@ class KfsScanBuilder(root: String, options: Map[String, String])
         .getOrElse(Guardrails().maxScanSegments),
       maxScanBytes = options.get("max_scan_bytes").map(_.toLong)
         .getOrElse(Guardrails().maxScanBytes))
+    // snapshot the driver's Hadoop conf (s3a credentials/endpoints live in
+    // spark.hadoop.*) so executor-side readers open segments the same way
+    val conf = new SerializableHadoopConf(KfsLayout.hadoopConf)
     new KfsScan(root, topics, partitions, offMin, offMax, tsMin, tsMax,
       rails, options.get("max_segments_per_trigger").map(_.toInt),
-      requiredSchema)
+      requiredSchema, conf)
   }
 }
 
@@ -150,7 +154,7 @@ class KfsScan(
     offMin: Option[Long], offMax: Option[Long],
     tsMin: Option[Long], tsMax: Option[Long],
     rails: Guardrails, maxSegmentsPerTrigger: Option[Int],
-    required: StructType)
+    required: StructType, conf: SerializableHadoopConf)
     extends Scan with Batch {
 
   /** Fresh pruned listing — called once per batch plan, and once per
@@ -178,35 +182,47 @@ class KfsScan(
   private[kfs] def rootDescription: String = s"root=$root"
 
   override def planInputPartitions(): Array[InputPartition] =
-    refs.map(r => KfsInputPartition(r.topic, r.partition, r.path): InputPartition).toArray
+    refs.map(r => KfsInputPartition(r.topic, r.partition, r.path,
+      r.sizeBytes): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KfsReaderFactory(required.fieldNames)
+    new KfsReaderFactory(required.fieldNames, conf)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new KfsMicroBatchStream(this, maxSegmentsPerTrigger, rails,
-      required.fieldNames)
+      required.fieldNames, conf)
 }
 
-case class KfsInputPartition(topic: String, partition: Int, path: String)
+/** `sizeBytes` rides along from discovery so the reader needs zero metadata
+  * RPCs — one open, one sequential read per task. */
+case class KfsInputPartition(topic: String, partition: Int, path: String,
+    sizeBytes: Long)
   extends InputPartition
 
-class KfsReaderFactory(fieldNames: Array[String]) extends PartitionReaderFactory {
+class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KfsInputPartition]
-    new KfsPartitionReader(kp, fieldNames)
+    new KfsPartitionReader(kp, fieldNames, conf)
   }
 }
 
-/** Decodes one segment file; emits only the required columns. */
-class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String])
+/** Decodes one segment file; emits only the required columns. The segment
+  * STREAMS through the decoder via Hadoop `FileSystem` (file://, hdfs://,
+  * s3a:// all work) — peak task memory is one record batch, never the whole
+  * segment, so the reference's multi-hundred-MB flush sizes don't double-
+  * buffer per task. */
+class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String],
+    conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val iter: Iterator[KfsCodec.Record] = {
-    val bytes = Files.readAllBytes(Paths.get(p.path))
-    KfsCodec.decodeSegment(bytes)
+  private val in: java.io.DataInputStream = {
+    val hp = new HPath(p.path)
+    hp.getFileSystem(conf.value).open(hp)
   }
+  private val iter: Iterator[KfsCodec.Record] =
+    KfsCodec.decodeSegmentStream(in, p.sizeBytes)
   private var current: KfsCodec.Record = _
   private val topicUtf = UTF8String.fromString(p.topic)
   private val segmentUtf = UTF8String.fromString(p.path)
@@ -238,5 +254,5 @@ class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String])
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }

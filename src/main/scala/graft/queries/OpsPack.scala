@@ -340,19 +340,24 @@ object OpsPack extends QueryPack {
     QueryDef(
       "t6_curation_pipeline",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
-        // single-scan pipeline: dedup via a window min over the content hash
-        // (one shuffle, no join-back), then all text metrics from ONE split
-        // projection (_words) — the text is split exactly once per doc, and
-        // the stopword count is computed once and shared by the quality gate
-        // and the language guess
-        val keepW = Window.partitionBy(md5(lower(trim(col("text")))))
+        // dedup via hash aggregate + semi-join back on the kept ids: one
+        // shuffle on the content hash (partial agg map-side) + one hash
+        // semi-join on doc_id — NO sort anywhere. A window min over
+        // md5(text) would shuffle AND SORT the whole corpus on a
+        // near-unique key, which is the scale-killer at 100 TB; the
+        // aggregate form is hash-only. Then all text metrics come from ONE
+        // split projection (_words) — the text is split exactly once per
+        // doc, and the stopword count is computed once and shared by the
+        // quality gate and the language guess.
+        val keepers = docs
+          .groupBy(md5(lower(trim(col("text")))).as("_h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
         val w = col("_words")
         val nTok = size(w)
         docs
-          .withColumn("_keep", min(col("doc_id")).over(keepW))
-          .where(col("doc_id") === col("_keep"))
+          .join(keepers, Seq("doc_id"), "left_semi")
           .select(split(col("text"), " ").as("_words"))
           .withColumn("_swc", TextAnalysis.stopwordCountOf(w))
           .where(nTok >= 30 &&

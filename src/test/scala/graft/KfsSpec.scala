@@ -125,6 +125,58 @@ class KfsSpec extends AnyFunSuite {
     KfsCodec.segmentInfo(seg2) // no CRC exception
   }
 
+  test("streamed decode matches buffered decode; footer CRC verified at drain") {
+    val recs = mkRecords(300)
+    val seg = KfsCodec.buildSegment(recs, batchSize = 64)
+    def stream(bytes: Array[Byte]) = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = KfsCodec.decodeSegmentStream(stream(seg), seg.length.toLong).toSeq
+    assert(out.length == 300)
+    assert(out.map(_.offset) == recs.map(_.offset))
+    assert(out.map(r => new String(r.value, "UTF-8")) ==
+      recs.map(r => new String(r.value, "UTF-8")))
+    // structural corruption (batch header) throws mid-stream
+    val bad = seg.clone()
+    bad(40) = (bad(40) ^ 0xff).toByte
+    intercept[KfsCodec.KfsFormatException] {
+      KfsCodec.decodeSegmentStream(stream(bad), bad.length.toLong).toSeq
+    }
+    // content-only corruption (a value byte; structure intact) is caught by
+    // the footer CRC when the iterator drains
+    val idx = seg.indexOfSlice("amount".getBytes("UTF-8"))
+    assert(idx > 0)
+    val bad2 = seg.clone()
+    bad2(idx) = 'x'.toByte
+    val ex = intercept[KfsCodec.KfsFormatException] {
+      KfsCodec.decodeSegmentStream(stream(bad2), bad2.length.toLong).toSeq
+    }
+    assert(ex.getMessage.contains("CRC"))
+  }
+
+  test("KFS IO runs through Hadoop FileSystem: file:// URI root end-to-end") {
+    val local = Files.createTempDirectory("kfs_hadoop")
+    val root = "file://" + local.toString
+    val ref = KfsLayout.writeSegment(root, "t", 0, mkRecords(100))
+    assert(ref.path.startsWith("file:"))
+    // discovery: recursive Hadoop LIST + 4-byte ranged tail read + .kfst
+    val refs = KfsLayout.listCompleted(root)
+    assert(refs.map(r => (r.baseOffset, r.lastOffset)) == Seq((0L, 99L)))
+    // DSv2 scan over the URI root streams segments through FileSystem.open
+    val df = spark.read.format("kfs").option("path", root).load()
+    assert(df.count() == 100)
+    assert(df.where(col("_offset") === 42).select(col("_key").cast("string"))
+      .collect().head.getString(0) == "order-042")
+    // manifest write + read over the same FS
+    KfsLayout.writeManifest(root, "t", 0, refs)
+    assert(KfsLayout.listFromManifest(root, "t", 0).map(_.baseOffset) == Seq(0L))
+    // sidecar gone -> discovery falls back to header/footer ranged reads
+    Files.delete(Paths.get(local.toString, "t", "0",
+      KfsLayout.segmentFileName(0) + ".kfst"))
+    val refs2 = KfsLayout.listCompleted(root)
+    assert(refs2.map(r => (r.baseOffset, r.lastOffset)) == Seq((0L, 99L)))
+    assert(refs2.head.minTsMs == Long.MinValue) // no sidecar -> no time stats
+  }
+
   test("discovery skips segments without the END! footer") {
     val root = Files.createTempDirectory("kfs_disc").toString
     KfsLayout.writeSegment(root, "t", 0, mkRecords(10))

@@ -67,7 +67,8 @@ class KfsStreamV2Spec extends AnyFunSuite {
     KfsLayout.writeSegment(root, "t", 1, mkRecords(10))
 
     val scan = new graft.kfs.KfsScan(root, None, None, None, None, None, None,
-      graft.gov.Guardrails(), Some(2), graft.kfs.KfsV2.Schema)
+      graft.gov.Guardrails(), Some(2), graft.kfs.KfsV2.Schema,
+      new graft.kfs.SerializableHadoopConf(graft.kfs.KfsLayout.hadoopConf))
     val stream = scan.toMicroBatchStream("unused")
 
     // trigger 1 (cap=2): one segment from EACH partition, not two from the
