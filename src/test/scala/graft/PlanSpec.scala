@@ -132,6 +132,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"one shuffle on o_custkey expected:\n$plan")
   }
 
+  test("t6: curation dedup is hash-only — no Sort anywhere in the plan") {
+    // the dedup stage must be groupBy(md5) + semi-join, never a window
+    // min over partitionBy(md5): that shape shuffles AND SORTS the whole
+    // corpus on a near-unique key, which is the scale-killer at 100 TB.
+    // The final orderBy(lang_guess) sorts the 2-row aggregate OUTPUT —
+    // that Sort sits above the aggregate and is free. The plan prints
+    // top-down, so any "Sort" AFTER the first HashAggregate line is a
+    // sort below the aggregate (the window shape creeping back in).
+    val plan = planOf("t6_curation_pipeline")
+    assert(!plan.contains("Window"), s"t6 must not use a window:\n$plan")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0, s"expected hash aggregate:\n$plan")
+    assert(!plan.substring(firstAgg).contains("Sort "),
+      s"t6 must stay hash-only below the aggregate:\n$plan")
+    assert(plan.contains("LeftSemi"), s"t6 dedup joins back as semi:\n$plan")
+  }
+
   test("t9: PII scrub stays native — codegen'd regexp_replace, no UDF") {
     val plan = planOf("t9_pii_redact")
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
