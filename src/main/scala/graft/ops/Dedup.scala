@@ -113,27 +113,31 @@ object Dedup {
   def contamination(corpus: DataFrame, probes: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minShared: Long = 5,
       maxShinglePostings: Option[Int] = None): DataFrame = {
-    val c0 = shinglesAuto(corpus, idCol, textCol, n)
+    val c = shinglesAuto(corpus, idCol, textCol, n)
       .select(col("doc").as("c_doc"), col("sh"))
-    // under the DF cap the corpus shingles feed TWO consumers (the DF
-    // aggregate and the main join) — persist so the dominant flatMap
-    // explode runs once (same discipline as ngramJaccardPairs)
-    val c = if (maxShinglePostings.isDefined)
-      c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else c0
-    val p0 = shinglesAuto(probes, idCol, textCol, n)
+    val p = shinglesAuto(probes, idCol, textCol, n)
       .select(col("doc").as("p_doc"), col("sh"))
-    val p = maxShinglePostings match {
+    maxShinglePostings match {
       case Some(cap) =>
-        val keep = c.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .where(col("df") <= cap).select("sh")
-        p0.join(keep, "sh")
-      case None => p0
+        // single pass over the corpus explode: the per-shingle posting
+        // list doubles as the DF filter (size <= cap) AND the join payload,
+        // so no persist and no second corpus scan. The capped list bounds
+        // the row, so the array form is safe; uncapped stays row-shaped
+        // below (a ubiquitous shingle's array would be one giant row).
+        val postings = c.groupBy(col("sh"))
+          .agg(collect_list(col("c_doc")).as("cs"))
+          .where(size(col("cs")) <= cap)
+        postings.join(org.apache.spark.sql.functions.broadcast(p), "sh")
+          .select(explode(col("cs")).as("c_doc"), col("p_doc"))
+          .groupBy(col("c_doc"), col("p_doc"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= minShared)
+      case None =>
+        c.join(org.apache.spark.sql.functions.broadcast(p), "sh")
+          .groupBy(col("c_doc"), col("p_doc"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= minShared)
     }
-    c.join(org.apache.spark.sql.functions.broadcast(p), "sh")
-      .groupBy(col("c_doc"), col("p_doc"))
-      .agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
   }
 
   /** Exact duplicate groups by content hash (optionally normalized). */
@@ -215,7 +219,14 @@ object Dedup {
     * the compact per-doc aggregate (signature + array ≈ corpus size), which
     * three consumers share (banding, verify side a, verify side b).
     * Candidate pairs are small, so Catalyst/AQE broadcast them against the
-    * per-doc table and the verify is a map-side array intersect. */
+    * per-doc table and the verify is a map-side array intersect.
+    *
+    * Storage discipline: the op runs EAGERLY — the thresholded pair list is
+    * materialized (localCheckpoint) while the per-doc aggregate is hot, and
+    * the aggregate's MEMORY_AND_DISK blocks are released before returning.
+    * A long-lived session (pg-wire, streaming) therefore never accumulates
+    * per-call storage; only the compact result frame holds blocks, freed
+    * with [[release]] once the caller is done with it. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
     val withH = shinglesAuto(docs, idCol, textCol)
@@ -225,99 +236,115 @@ object Dedup {
     val docAgg = withH.groupBy(col("doc"))
       .agg(perm(0), ((1 until k).map(perm) :+ collect_list(col("sh")).as("shs")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(lshBands(docAgg.drop("shs"), bands, k / bands))
-    val docSets = docAgg.select(col("doc"), col("shs"))
-    cands
-      .join(docSets.select(col("doc").as("a"), col("shs").as("sha")), "a")
-      .join(docSets.select(col("doc").as("b"), col("shs").as("shb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("na", size(col("sha")).cast("long"))
-      .withColumn("nb", size(col("shb")).cast("long"))
-      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
-      .where(col("jac") >= threshold)
-      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+    try {
+      val cands = lshCandidates(lshBands(docAgg.drop("shs"), bands, k / bands))
+      val docSets = docAgg.select(col("doc"), col("shs"))
+      cands
+        .join(docSets.select(col("doc").as("a"), col("shs").as("sha")), "a")
+        .join(docSets.select(col("doc").as("b"), col("shs").as("shb")), "b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("na", size(col("sha")).cast("long"))
+        .withColumn("nb", size(col("shb")).cast("long"))
+        .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+        .where(col("jac") >= threshold)
+        .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+        .localCheckpoint() // eager: materializes before docAgg is released
+    } finally docAgg.unpersist(false)
+  }
+
+  /** Default document-frequency cap for [[ngramJaccardPairs]]: a shingle in
+    * more than this many documents generates > cap²/2 candidate pairs while
+    * carrying essentially no dedup signal (it is boilerplate by definition).
+    * Uncapped pair generation is m(m−1)/2 per posting list — one hot
+    * stop-gram run shared by 1 M docs is 5·10¹¹ pairs, a job-killer at any
+    * scale. Pass `maxShinglePostings = None` for the exact exhaustive mode
+    * (oracle comparisons on small corpora). */
+  val DefaultShinglePostingsCap = 1000
+
+  /** All (a<b) pair occurrences generated in-array from posting lists
+    * (column `ds`, sorted): no self-join, one row per (pair, shingle).
+    * Typed flatMap when ids are integral — the nested-lambda column
+    * version is CodegenFallback (interpreted, allocates a struct per
+    * pair), which dominated this operator's wall time. */
+  private def postingPairOccurrences(postings: DataFrame,
+      docType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val integral = docType == org.apache.spark.sql.types.LongType ||
+      docType == org.apache.spark.sql.types.IntegerType
+    if (integral) {
+      val spark = postings.sparkSession
+      import spark.implicits._
+      val pairs = postings.select(col("ds").cast("array<long>")).as[Seq[Long]]
+        .flatMap { ds =>
+          val arr = ds.toArray
+          Iterator.range(0, arr.length - 1).flatMap(i =>
+            Iterator.range(i + 1, arr.length).map(j => (arr(i), arr(j))))
+        }
+        .toDF("a", "b")
+      if (docType == org.apache.spark.sql.types.IntegerType)
+        pairs.select(col("a").cast("int").as("a"), col("b").cast("int").as("b"))
+      else pairs
+    } else {
+      val ds = col("ds")
+      val pairsArr = flatten(transform(ds, (x, i) =>
+        transform(
+          slice(ds, i + lit(2), greatest(size(ds) - i - lit(1), lit(0))),
+          y => struct(x.as("a"), y.as("b")))))
+      postings.select(explode(pairsArr).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+    }
   }
 
   /** Inverted-index exact n-gram Jaccard over all pairs sharing a shingle.
-    * Single pass: the posting-list self-join *is* the intersection count
-    * (groupBy pair), so no candidate materialization or second shingle join.
-    * `maxShinglePostings` drops shingles whose posting list exceeds the cap
-    * (document-frequency pruning — a shingle present in thousands of docs
-    * carries no dedup signal but quadratic join cost). */
+    *
+    * Capped mode (the DEFAULT — [[DefaultShinglePostingsCap]]): candidate
+    * pairs come only from posting lists within the cap (bounded in-array
+    * generation), then each candidate's intersection is verified EXACTLY on
+    * the full per-doc shingle sets (map-side `array_intersect`), so capped
+    * counts equal uncapped counts for every pair found — only pairs whose
+    * EVERY shared shingle is hotter than the cap are missed, the standard
+    * DF-pruning trade. Uncapped mode: the grouped pair explosion *is* the
+    * intersection count (groupBy pair), exact and exhaustive.
+    *
+    * Storage discipline: same as [[nearDuplicates]] — the shingle explode
+    * is persisted only inside the call, the result is materialized eagerly,
+    * and the intermediate blocks are released before returning ([[release]]
+    * frees the result). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxShinglePostings: Option[Int] = None): DataFrame = {
+      maxShinglePostings: Option[Int] = Some(DefaultShinglePostingsCap)): DataFrame = {
     val sh0 = shinglesAuto(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inter = maxShinglePostings match {
-      case Some(cap) =>
-        // DF pruning: candidates come from the capped postings (bounded
-        // join), but the intersection is verified exactly on the full sets
-        val keep = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .where(col("df") <= cap).select("sh")
-        val sh = sh0.join(keep, "sh")
-        val pairs = sh.select(col("doc").as("a"), col("sh"))
-          .join(sh.select(col("doc").as("b"), col("sh")), Seq("sh"))
-          .where(col("a") < col("b"))
-          .select("a", "b").distinct()
-        pairs
-          .join(sh0.select(col("doc").as("a"), col("sh")), "a")
-          .join(sh0.select(col("doc").as("b"), col("sh").as("sh_b")), "b")
-          .where(col("sh") === col("sh_b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      case None =>
-        // grouped pair explosion: ONE shuffle builds each shingle's sorted
-        // posting array, pairs are generated in-array (no self-join /
-        // sort-merge materialization), then one groupBy(a,b) counts the
-        // intersections. Same m(m-1)/2 output per posting list, one fewer
-        // wide exchange + no join sort. Pair generation is a typed flatMap
-        // when ids are integral — the nested-lambda column version is
-        // CodegenFallback and allocates a struct per pair interpreted,
-        // which dominated this operator's wall time.
-        val docType = sh0.schema(sh0.schema.fieldIndex("doc")).dataType
-        val integral = docType == org.apache.spark.sql.types.LongType ||
-          docType == org.apache.spark.sql.types.IntegerType
-        if (integral) {
-          val spark = sh0.sparkSession
-          import spark.implicits._
-          val postings = sh0.groupBy(col("sh"))
-            .agg(array_sort(collect_list(col("doc").cast("long"))).as("ds"))
-            .where(size(col("ds")) > 1)
-          val pairs = postings.select(col("ds")).as[Seq[Long]]
-            .flatMap { ds =>
-              val arr = ds.toArray
-              Iterator.range(0, arr.length - 1).flatMap(i =>
-                Iterator.range(i + 1, arr.length).map(j => (arr(i), arr(j))))
-            }
-            .toDF("a", "b")
-          val counted = pairs.groupBy(col("a"), col("b"))
-            .agg(count(lit(1)).as("inter"))
-          if (docType == org.apache.spark.sql.types.IntegerType)
-            counted.select(col("a").cast("int").as("a"),
-              col("b").cast("int").as("b"), col("inter"))
-          else counted
-        } else {
-          val postings = sh0.groupBy(col("sh"))
-            .agg(array_sort(collect_list(col("doc"))).as("ds"))
-          val ds = col("ds")
-          val pairsArr = flatten(transform(ds, (x, i) =>
-            transform(
-              slice(ds, i + lit(2), greatest(size(ds) - i - lit(1), lit(0))),
-              y => struct(x.as("a"), y.as("b")))))
-          postings.where(size(ds) > 1)
-            .select(explode(pairsArr).as("p"))
-            .select(col("p.a").as("a"), col("p.b").as("b"))
+    try {
+      val docType = sh0.schema(sh0.schema.fieldIndex("doc")).dataType
+      val postings = sh0.groupBy(col("sh"))
+        .agg(array_sort(collect_list(col("doc"))).as("ds"))
+        .where(size(col("ds")) > 1)
+      val result = maxShinglePostings match {
+        case Some(cap) =>
+          val cands = postingPairOccurrences(
+            postings.where(size(col("ds")) <= cap), docType).distinct()
+          val docSets = sh0.groupBy(col("doc")).agg(collect_list(col("sh")).as("shs"))
+          cands
+            .join(docSets.select(col("doc").as("a"), col("shs").as("sha")), "a")
+            .join(docSets.select(col("doc").as("b"), col("shs").as("shb")), "b")
+            .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+            .withColumn("na", size(col("sha")).cast("long"))
+            .withColumn("nb", size(col("shb")).cast("long"))
+        case None =>
+          val inter = postingPairOccurrences(postings, docType)
             .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-        }
-    }
-    val counts = sh0.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    inter
-      .join(counts.select(col("doc").as("a"), col("n").as("na")), "a")
-      .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")
-      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
-      .where(col("jac") >= threshold)
-      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
-        round(col("jac"), 4).as("jac"))
+          val counts = sh0.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+          inter
+            .join(counts.select(col("doc").as("a"), col("n").as("na")), "a")
+            .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")
+      }
+      result
+        .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+        .where(col("jac") >= threshold)
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+          round(col("jac"), 4).as("jac"))
+        .localCheckpoint() // eager: materializes before sh0 is released
+    } finally sh0.unpersist(false)
   }
 
   /** Deduplicated corpus: given near-dup pairs (a < b), keep the lowest id
@@ -357,12 +384,16 @@ object Dedup {
     *
     * Returns (node, cluster) for every node that appears in a pair;
     * singletons are absent (their cluster is trivially themselves). */
-  /** Free a checkpointed frame's MEMORY_AND_DISK blocks. `Dataset.unpersist`
-    * cannot do this — `localCheckpoint` persists at the RDD layer beneath a
-    * `LogicalRDD`, which the Dataset cache manager does not track — so reach
-    * through the plan to the backing RDD. No-op for reliable checkpoints
-    * (files, cleaned by the ContextCleaner) and non-checkpoint plans. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  /** Free a checkpointed frame's MEMORY_AND_DISK blocks — call when done
+    * with a frame returned by [[nearDuplicates]], [[ngramJaccardPairs]] or
+    * [[duplicateClusters]] (their results are localCheckpoint-backed so the
+    * heavy intermediates could be released inside the op). The frame is not
+    * usable after release. `Dataset.unpersist` cannot do this —
+    * `localCheckpoint` persists at the RDD layer beneath a `LogicalRDD`,
+    * which the Dataset cache manager does not track — so reach through the
+    * plan to the backing RDD. No-op for reliable checkpoints (files,
+    * cleaned by the ContextCleaner) and non-checkpoint plans. */
+  def release(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
@@ -476,7 +507,7 @@ object Dedup {
       // materialized (ckpt is eager) — drop its MEMORY_AND_DISK blocks now
       // instead of letting every round accumulate until the ContextCleaner
       // happens to run (storage-memory pressure in long convergence loops)
-      releaseCheckpoint(labels)
+      release(labels)
       labels = next
       i += 1
       if (debug) println(f"[cc] round $i ${(System.nanoTime() - t0) / 1e9}%.2fs sum=$s")
@@ -484,7 +515,7 @@ object Dedup {
     // edges' checkpoint is no longer reachable from the result (the final
     // round's labels checkpoint backs it alone) — release it here; the last
     // labels checkpoint stays persisted as the returned frame's store
-    releaseCheckpoint(edges)
+    release(edges)
     labels.select(col("node"), col("label").as("cluster"))
   }
 

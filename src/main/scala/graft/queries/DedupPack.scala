@@ -180,8 +180,11 @@ object DedupPack extends QueryPack {
         val pairs = Dedup.nearDuplicates(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5, k = k, bands = nBands)
-        Dedup.duplicateClusters(pairs)
-          .groupBy(col("cluster"))
+        // duplicateClusters consumes the pair list eagerly, so the
+        // checkpoint-backed pairs frame can be released immediately
+        val cc = Dedup.duplicateClusters(pairs)
+        Dedup.release(pairs)
+        cc.groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
           .orderBy(col("cluster"))
       },

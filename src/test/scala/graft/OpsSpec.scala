@@ -38,15 +38,55 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("posting-list cap prunes hot shingles but keeps Jaccard exact for survivors") {
-    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    def run(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+        maxShinglePostings = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    val uncapped = run(None)
+    // the DEFAULT (capped) mode is exactly the uncapped result on this
+    // corpus — no posting list approaches DefaultShinglePostingsCap
+    val byDefault = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
-    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5,
-      maxShinglePostings = Some(3))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
-    // capped candidates are a subset; any surviving pair keeps its exact
-    // jaccard (counts come from the uncapped postings)
-    assert(capped.keySet.subsetOf(uncapped.keySet))
-    capped.foreach { case (k, j) => assert(uncapped(k) == j) }
+    assert(byDefault == uncapped)
+    // a punishingly tight cap: candidates are a subset; any surviving pair
+    // keeps its exact jaccard (verification runs on the FULL shingle sets)
+    val tight = run(Some(3))
+    assert(tight.keySet.subsetOf(uncapped.keySet))
+    tight.foreach { case (k, j) => assert(uncapped(k) == j) }
+  }
+
+  test("dedup ops release every persisted intermediate before returning") {
+    def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persistedIds
+
+    val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+    assert(nd.count() > 0)
+    Dedup.release(nd) // result is localCheckpoint-backed; caller frees it
+    assert((persistedIds -- before).isEmpty,
+      "nearDuplicates leaked persisted RDDs")
+
+    val nj = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    assert(nj.count() > 0)
+    Dedup.release(nj)
+    assert((persistedIds -- before).isEmpty,
+      "ngramJaccardPairs leaked persisted RDDs")
+
+    // contamination returns a plain lazy plan — nothing persists at all
+    Seq(None, Some(1000)).foreach { cap =>
+      val ct = Dedup.contamination(
+        docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+        "doc_id", "text", minShared = 3, maxShinglePostings = cap)
+      ct.count()
+      assert((persistedIds -- before).isEmpty,
+        s"contamination(cap=$cap) leaked persisted RDDs")
+    }
+
+    // driver union-find path of duplicateClusters cleans up after itself
+    import spark.implicits._
+    val cc = Dedup.duplicateClusters(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+    assert(cc.count() == 3)
+    assert((persistedIds -- before).isEmpty,
+      "duplicateClusters leaked persisted RDDs")
   }
 
   test("simhash of identical texts collide; near-dups have low hamming") {
