@@ -42,18 +42,51 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Repetitions (SPARK_GRAFT_REPS, default 3): single-shot timings on
+    // local[32] swing up to 9x between identical binaries (GC, page cache,
+    // compilation — measured r5 vs r6), so each query runs `reps` times and
+    // the MIN is reported — the noise floor is the comparable number; all
+    // rep times go to BENCH_FULL.json for outlier forensics. Stateful
+    // queries get a fresh fixture root per rep (Fixtures.runSuffix) so
+    // every rep does full work instead of replaying a checkpoint no-op.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    // unique per invocation: a re-run must not resume a previous bench's
+    // checkpoints (that measures the skip path, not the operator)
+    val benchId = s"bench${System.currentTimeMillis()}"
+    val detail = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop persisted intermediates so queries don't contend for storage
-        // memory with later ones (r1: d7 was 65s in-suite vs 24s standalone
-        // purely from leaked shingle-explode caches)
-        spark.catalog.clearCache()
-        name -> dt
+        val times = (1 to reps).map { r =>
+          graft.queries.Fixtures.runSuffix = s"${benchId}_rep$r"
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // drop persisted intermediates so queries don't contend for
+          // storage memory with later ones (r1: d7 was 65s in-suite vs 24s
+          // standalone purely from leaked shingle-explode caches)
+          spark.catalog.clearCache()
+          if (ok) dt else -1.0
+        }
+        graft.queries.Fixtures.runSuffix = ""
+        name -> times
       }
+    // best-effort scratch cleanup: the per-rep fixture roots are only
+    // meaningful within this invocation
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      (1 to reps).foreach { r =>
+        val root = java.nio.file.Paths.get(s"/tmp/graft_etl/v2/$sfName/${benchId}_rep$r")
+        if (java.nio.file.Files.exists(root)) {
+          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    } catch { case _: Throwable => }
+    val results = detail.map { case (name, times) =>
+      val good = times.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
+    }
     // The harvester keeps only the LAST 2000 chars of the sbt log (measured
     // from BENCH_r04.json: tail len == 2000, with ~75 chars of trailing sbt
     // "[success]" output). A single full 83-query JSON line is ~2100 chars,
@@ -69,11 +102,18 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","queries":$fullQs,"sf":"$sfDir"}"""
+    // BENCH_FULL.json additionally carries every repetition's time so a
+    // suspicious min can be checked against its spread without a re-run
+    val repQs = detail.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fullFile =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","queries":$fullQs,"rep_times":$repQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+        (fullFile + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => }
     println(fullLine)
     // compact: slowest-first entries until the 1500-char budget is spent
@@ -87,7 +127,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
     spark.stop()
   }
 }

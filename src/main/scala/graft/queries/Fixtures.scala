@@ -12,8 +12,17 @@ import java.nio.file.Paths
   * invariant lives in one place.
   */
 object Fixtures {
+  /** Extra path segment isolating repeated runs: stateful queries (stream
+    * checkpoints, sinks with offset-dedup) are no-ops when re-run against
+    * their existing state, so a timing harness that repeats queries must
+    * give each repetition a fresh fixture root or later reps measure the
+    * skip path, not the operator. Empty (default, used by Verify) keeps the
+    * stable paths so idempotent-replay semantics stay testable. */
+  @volatile var runSuffix: String = ""
+
   def tmp(sfDir: String, name: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
-    s"/tmp/graft_etl/v2/$sfName/$name"
+    val sub = if (runSuffix.isEmpty) "" else s"/$runSuffix"
+    s"/tmp/graft_etl/v2/$sfName$sub/$name"
   }
 }
