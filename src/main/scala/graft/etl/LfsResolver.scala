@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object LfsResolver {
 
   final case class Envelope(bucket: String, key: String, size: Long,
-      sha256: String, contentType: String)
+      sha256: String, contentType: String, checksumAlg: String)
 
   final class LfsChecksumException(msg: String) extends RuntimeException(msg)
 
@@ -70,7 +70,11 @@ object LfsResolver {
       else Some(Envelope(
         node.path("bucket").asText(), node.path("key").asText(),
         node.path("size").asLong(), node.path("sha256").asText(),
-        node.path("content_type").asText()))
+        node.path("content_type").asText(),
+        // optional override (envelope.go:31-32); the envelope's required
+        // digest field is sha256, so that is the default algorithm
+        if (node.hasNonNull("checksum_alg")) node.path("checksum_alg").asText()
+        else "sha256"))
     } catch { case _: Exception => None }
   }
 
@@ -79,9 +83,11 @@ object LfsResolver {
       .map("%02x".format(_)).mkString
 
   /** Resolve envelopes in `_value`; adds `_lfs_resolved` (bool) and the six
-    * LFS metadata columns the sink appends when LFS is on
-    * (iceberg.go:682-691). Checksum mismatch fails the task (strict mode —
-    * matches the reference consumer's error path). */
+    * LFS metadata columns the sink appends when LFS is on, in the
+    * reference's column order (`lfsMetadataColumns`, iceberg.go:682-691:
+    * content_type, blob_size, checksum, checksum_alg, bucket, key).
+    * Checksum mismatch fails the task (strict mode — matches the reference
+    * consumer's error path). */
   def resolve(spark: SparkSession, df: DataFrame, store: BlobStore): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = df.schema
@@ -89,11 +95,12 @@ object LfsResolver {
     val encoder = org.apache.spark.sql.Encoders.row(
       StructType(schema.fields ++ Seq(
         StructField("_lfs_resolved", BooleanType),
+        StructField("lfs_content_type", StringType),
         StructField("lfs_blob_size", LongType),
         StructField("lfs_checksum", StringType),
+        StructField("lfs_checksum_alg", StringType),
         StructField("lfs_bucket", StringType),
-        StructField("lfs_key", StringType),
-        StructField("lfs_content_type", StringType))))
+        StructField("lfs_key", StringType))))
     df.mapPartitions { it =>
       it.map { row =>
         val raw = row.get(valueIdx) match {
@@ -104,7 +111,7 @@ object LfsResolver {
         parse(raw) match {
           case None =>
             org.apache.spark.sql.Row.fromSeq(row.toSeq ++
-              Seq(false, null, null, null, null, null))
+              Seq(false, null, null, null, null, null, null))
           case Some(env) =>
             val blob = store.fetch(env.bucket, env.key)
             val digest = sha256Hex(blob)
@@ -117,8 +124,8 @@ object LfsResolver {
                 case _ => blob
               })
             org.apache.spark.sql.Row.fromSeq(seq ++
-              Seq(true, blob.length.toLong, digest, env.bucket, env.key,
-                env.contentType))
+              Seq(true, env.contentType, blob.length.toLong, digest,
+                env.checksumAlg, env.bucket, env.key))
         }
       }
     }(encoder)

@@ -73,14 +73,16 @@ object EtlPack extends QueryPack {
         val df = rows.toSeq.toDF("id", "_value")
         LfsResolver.resolve(s, df, LfsResolver.LocalFsBlobStore(blobRoot))
           .select(col("id"), col("_lfs_resolved"),
-            length(col("_value")).as("n_chars"), col("lfs_checksum"))
+            length(col("_value")).as("n_chars"), col("lfs_checksum"),
+            col("lfs_checksum_alg"))
           .orderBy(col("id"))
       },
       Some(
         """SELECT doc_id AS id,
           |       doc_id % 5 = 0 AS _lfs_resolved,
           |       CAST(length(text) AS INTEGER) AS n_chars,
-          |       CASE WHEN doc_id % 5 = 0 THEN sha256(text) ELSE NULL END AS lfs_checksum
+          |       CASE WHEN doc_id % 5 = 0 THEN sha256(text) ELSE NULL END AS lfs_checksum,
+          |       CASE WHEN doc_id % 5 = 0 THEN 'sha256' ELSE NULL END AS lfs_checksum_alg
           |FROM documents ORDER BY id""".stripMargin)),
 
     // S12: IDoc XML explode — header + routed segment groups, UDTF shape

@@ -142,11 +142,22 @@ class EtlSpec extends AnyFunSuite {
     assert(vSmall eq small)                    // passthrough
     val df = Seq((1L, new String(vBig, "UTF-8")), (2L, new String(vSmall, "UTF-8")))
       .toDF("id", "_value")
-    val out = LfsResolver.resolve(spark, df, store)
+    val resolved = LfsResolver.resolve(spark, df, store)
+    // six LFS metadata columns in the reference's order (iceberg.go:682-691)
+    assert(resolved.columns.takeRight(6).toSeq == Seq("lfs_content_type",
+      "lfs_blob_size", "lfs_checksum", "lfs_checksum_alg", "lfs_bucket",
+      "lfs_key"))
+    val out = resolved
       .select("id", "_value", "_lfs_resolved").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
     assert(out(1L) == (new String(big, "UTF-8"), true))
     assert(out(2L) == ("tiny", false))
+    val meta = resolved.where(col("id") === 1L)
+      .select("lfs_checksum_alg", "lfs_content_type", "lfs_blob_size")
+      .collect().head
+    assert(meta.getString(0) == "sha256")
+    assert(meta.getString(1) == "application/octet-stream")
+    assert(meta.getLong(2) == 1000L)
   }
 
   // ---- IDoc (explode.go:27-200) ------------------------------------------
