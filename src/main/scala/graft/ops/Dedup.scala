@@ -296,14 +296,25 @@ object Dedup {
 
   /** Inverted-index exact n-gram Jaccard over all pairs sharing a shingle.
     *
-    * Capped mode (the DEFAULT — [[DefaultShinglePostingsCap]]): candidate
-    * pairs come only from posting lists within the cap (bounded in-array
-    * generation), then each candidate's intersection is verified EXACTLY on
-    * the full per-doc shingle sets (map-side `array_intersect`), so capped
-    * counts equal uncapped counts for every pair found — only pairs whose
-    * EVERY shared shingle is hotter than the cap are missed, the standard
-    * DF-pruning trade. Uncapped mode: the grouped pair explosion *is* the
-    * intersection count (groupBy pair), exact and exhaustive.
+    * Capped mode (the DEFAULT — [[DefaultShinglePostingsCap]]): the grouped
+    * pair explosion runs over the CAPPED posting lists only, giving each
+    * candidate pair a LOWER bound `inter_lo` on its true intersection;
+    * per-doc hot-shingle counts give the UPPER bound
+    * `inter_lo + min(hot_a, hot_b)` (a shared hot shingle is shared by both
+    * docs, so at most min survives). Jaccard is monotone in the
+    * intersection, so pairs whose upper-bound jaccard misses the threshold
+    * are dropped WITHOUT ever touching their shingle sets, and only the few
+    * bound-survivors get the exact verify (map-side `array_intersect` on
+    * the full per-doc sets). Reported counts are therefore exact; the only
+    * loss vs uncapped is pairs whose EVERY shared shingle is hotter than
+    * the cap (they never become candidates) — the standard DF-pruning
+    * trade. The first capped design joined the full shingle arrays onto
+    * every raw candidate (millions of rows × KB arrays): 30 s at sf0.1 vs
+    * ~4 s for this shape.
+    *
+    * Uncapped mode: the grouped pair explosion *is* the intersection count
+    * (groupBy pair), exact and exhaustive — m(m−1)/2 per posting list, for
+    * oracle comparisons on corpora without hot shingles.
     *
     * Storage discipline: same as [[nearDuplicates]] — the shingle explode
     * is persisted only inside the call, the result is materialized eagerly,
@@ -319,22 +330,33 @@ object Dedup {
       val postings = sh0.groupBy(col("sh"))
         .agg(array_sort(collect_list(col("doc"))).as("ds"))
         .where(size(col("ds")) > 1)
+      val counts = sh0.groupBy(col("doc")).agg(count(lit(1)).as("n"))
       val result = maxShinglePostings match {
         case Some(cap) =>
-          val cands = postingPairOccurrences(
-            postings.where(size(col("ds")) <= cap), docType).distinct()
+          val interLo = postingPairOccurrences(
+            postings.where(size(col("ds")) <= cap), docType)
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_lo"))
+          val hotCounts = postings.where(size(col("ds")) > cap)
+            .select(explode(col("ds")).as("doc"))
+            .groupBy(col("doc")).agg(count(lit(1)).as("h"))
+          val bounded = interLo
+            .join(counts.select(col("doc").as("a"), col("n").as("na")), "a")
+            .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")
+            .join(hotCounts.select(col("doc").as("a"), col("h").as("ha")), Seq("a"), "left")
+            .join(hotCounts.select(col("doc").as("b"), col("h").as("hb")), Seq("b"), "left")
+            .withColumn("hi", col("inter_lo") +
+              least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+            .where(col("hi") / (col("na") + col("nb") - col("hi")) >= threshold)
           val docSets = sh0.groupBy(col("doc")).agg(collect_list(col("sh")).as("shs"))
-          cands
+          bounded.select(col("a"), col("b"))
             .join(docSets.select(col("doc").as("a"), col("shs").as("sha")), "a")
             .join(docSets.select(col("doc").as("b"), col("shs").as("shb")), "b")
             .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
             .withColumn("na", size(col("sha")).cast("long"))
             .withColumn("nb", size(col("shb")).cast("long"))
         case None =>
-          val inter = postingPairOccurrences(postings, docType)
+          postingPairOccurrences(postings, docType)
             .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-          val counts = sh0.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-          inter
             .join(counts.select(col("doc").as("a"), col("n").as("na")), "a")
             .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")
       }

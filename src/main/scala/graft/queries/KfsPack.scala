@@ -153,8 +153,13 @@ object KfsPack extends QueryPack {
         val root = KfsSeed.seededRoot(s, dir)
         val out = Fixtures.tmp(dir, "kfs_stream_sink")
         val ckpt = Fixtures.tmp(dir, "kfs_stream_ckpt")
+        // 16 segments/trigger: small enough that sf0.1 (~100 segments)
+        // still drains over multiple admission-controlled triggers, large
+        // enough that per-trigger overhead (WAL commit + sink commit)
+        // doesn't dominate the bench; the 4-per-trigger round-robin
+        // semantics are locked separately by KfsStreamV2Spec
         val q = s.readStream.format("kfs").option("path", root)
-          .option("max_segments_per_trigger", "4").load()
+          .option("max_segments_per_trigger", "16").load()
           .select(col("_partition"), col("_offset"))
           .writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckpt).outputMode("append").start()
