@@ -2,7 +2,7 @@ package graft.kafsql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.gov.{Governor, Guardrails}
+import graft.gov.{AclAuthorizer, Governor, Guardrails}
 
 /** KAFSQL entry point: parse → validate → plan → (optionally) govern.
   *
@@ -16,11 +16,15 @@ object Kafsql {
   def parse(sql: String): Statement = Parser.parse(sql)
 
   /** Plan without governance (tests / embedding). `nowMs` is injectable
-    * because LAST is wall-clock-relative (SURVEY §7.5). */
+    * because LAST is wall-clock-relative (SURVEY §7.5). `authorizer`
+    * enforces the topic ACL before planning (open by default). */
   def sql(spark: SparkSession, reg: TopicRegistry, query: String,
       nowMs: Long = System.currentTimeMillis(),
-      rails: Guardrails = Guardrails()): DataFrame =
+      rails: Guardrails = Guardrails(),
+      authorizer: AclAuthorizer = AclAuthorizer.open): DataFrame = {
+    authorizer.check(query)
     Planner.plan(spark, reg, parse(query), Planner.Env(nowMs, rails))
+  }
 
   /** Fully governed execution: admission → result cache → timeout, with the
     * MATERIALIZATION (collect) inside all three — a lazily returned
@@ -38,11 +42,17 @@ object Kafsql {
         java.util.Arrays.asList(rows: _*)), schema)
   }
 
-  /** Collected form of [[governed]] — what pg-wire streams to the client. */
+  /** Collected form of [[governed]] — what pg-wire streams to the client.
+    * The ACL check runs FIRST: a denied query must not consume an
+    * admission token, warm the result cache, or even parse-error its way
+    * into different diagnostics (the reference proxy authorizes before
+    * forwarding, `proxy.go:150-176`). */
   def governedRows(spark: SparkSession, reg: TopicRegistry, gov: Governor,
       query: String, nowMs: Long = System.currentTimeMillis(),
-      rails: Guardrails = Guardrails())
+      rails: Guardrails = Guardrails(),
+      authorizer: AclAuthorizer = AclAuthorizer.open)
       : (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row]) = {
+    authorizer.check(query)
     val stmt = parse(query)
     val cacheable = stmt match {
       case s: Select => s.window match {

@@ -8,7 +8,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import graft.gov.Governor
+import graft.gov.{AclAuthorizer, AclDeniedException, Governor, TopicAcl}
 import graft.kafsql.{Kafsql, KafsqlException, TopicRegistry}
 
 /** Minimal PostgreSQL wire-protocol (v3) endpoint fronting KAFSQL — the
@@ -31,7 +31,11 @@ class PgWireServer(
     registry: TopicRegistry,
     gov: Governor = new Governor(),
     port: Int = 0,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    acl: TopicAcl = TopicAcl()) {
+
+  /** Per-server decision cache over the topic ACL (proxy.go:134-176). */
+  private val authorizer = new AclAuthorizer(acl)
 
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
@@ -144,8 +148,11 @@ class PgWireServer(
                   out.writeByte('t'); out.writeInt(6); out.writeShort(0)
                   out.writeByte('n'); out.writeInt(4)
               }
-            } catch { case e: Exception =>
-              errorResponse(out, "42601", msg(e)); skipToSync = true
+            } catch {
+              case e: AclDeniedException =>
+                errorResponse(out, "42501", msg(e)); skipToSync = true
+              case e: Exception =>
+                errorResponse(out, "42601", msg(e)); skipToSync = true
             }
           case 'E' if !skipToSync =>
             try {
@@ -173,6 +180,9 @@ class PgWireServer(
                 gov.queriesServed.incrementAndGet()
               }
             } catch {
+              case e: AclDeniedException =>
+                gov.queryErrors.incrementAndGet()
+                errorResponse(out, "42501", msg(e)); skipToSync = true
               case e: KafsqlException =>
                 gov.queryErrors.incrementAndGet()
                 errorResponse(out, "42601", msg(e)); skipToSync = true
@@ -299,7 +309,8 @@ class PgWireServer(
     }
     catalogFrame(sql, lower) match {
       case Some(df) => (df.schema, df.collect())
-      case None => Kafsql.governedRows(spark, registry, gov, sql, nowMs = nowMs())
+      case None => Kafsql.governedRows(spark, registry, gov, sql,
+        nowMs = nowMs(), authorizer = authorizer)
     }
   }
 
@@ -321,6 +332,9 @@ class PgWireServer(
       commandComplete(out, s"SELECT ${rows.length}")
       gov.queriesServed.incrementAndGet()
     } catch {
+      case e: AclDeniedException =>
+        gov.queryErrors.incrementAndGet()
+        errorResponse(out, "42501", e.getMessage) // insufficient_privilege
       case e: KafsqlException =>
         gov.queryErrors.incrementAndGet()
         errorResponse(out, "42601", e.getMessage)

@@ -80,4 +80,85 @@ class GovSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- topic ACL (proxy/acl.go:28-68, proxy.go:268-320) -------------------
+
+  test("ACL allows: deny wins, empty allow = allow-all, globs (acl_test.go)") {
+    val acl = TopicAcl(allow = Seq("orders", "shipments-*"),
+      deny = Seq("orders-secret"))
+    assert(acl.allows("orders"))
+    assert(acl.allows("shipments-eu"))
+    assert(!acl.allows("orders-secret")) // deny wins
+    assert(!acl.allows("payments"))      // not in allow
+    val openAcl = TopicAcl()
+    assert(openAcl.allows("anything"))
+    val denyOnly = TopicAcl(deny = Seq("pay*"))
+    assert(!denyOnly.allows("payments") && denyOnly.allows("orders"))
+    // ? and character classes (Go path.Match subset)
+    assert(TopicAcl(allow = Seq("t?pic")).allows("topic"))
+    assert(!TopicAcl(allow = Seq("t?pic")).allows("tooopic"))
+    assert(TopicAcl(allow = Seq("env-[ab]")).allows("env-a"))
+    assert(!TopicAcl(allow = Seq("env-[ab]")).allows("env-c"))
+    assert(TopicAcl(allow = Seq("env-[^ab]")).allows("env-c"))
+    // malformed class never matches (path.Match ErrBadPattern -> no match)
+    assert(!TopicAcl(allow = Seq("bad[")).allows("bad"))
+  }
+
+  test("ACL show-topics gate (acl.go:38-46)") {
+    assert(TopicAcl().allowShowTopics)
+    assert(!TopicAcl(deny = Seq("payments")).allowShowTopics)
+    assert(!TopicAcl(allow = Seq("orders")).allowShowTopics)
+    assert(TopicAcl(allow = Seq("*")).allowShowTopics)
+  }
+
+  test("authorizer mirrors authorizeQuery semantics (authorize_test.go)") {
+    val a = new AclAuthorizer(TopicAcl(allow = Seq("orders", "payments")))
+    assert(a.authorize("SELECT * FROM orders LAST 1h;").allowed)
+    assert(!a.authorize("SELECT * FROM shipments LAST 1h;").allowed)
+    val join = a.authorize(
+      "SELECT o._key FROM orders o JOIN payments p ON o._key = p._key WITHIN 10m LAST 1h")
+    assert(join.allowed && join.topics == Seq("orders", "payments"))
+    // SHOW TOPICS denied when scoped; allowed on an open ACL
+    val st = a.authorize("SHOW TOPICS;")
+    assert(!st.allowed && st.reason == "show topics is not allowed by proxy ACL")
+    assert(AclAuthorizer.open.authorize("SHOW TOPICS").allowed)
+    // SET/RESET pass without parsing; unparseable statements fail closed
+    assert(a.authorize("SET client_encoding = 'UTF8';").allowed)
+    assert(a.authorize("RESET ALL;").allowed)
+    val ins = a.authorize("INSERT INTO orders VALUES (1);")
+    assert(!ins.allowed && ins.reason == "proxy cannot authorize query")
+    // denial reason names the topic (proxy.go:289-291)
+    assert(a.authorize("DESCRIBE shipments").reason ==
+      "access denied to topic \"shipments\"")
+    // EXPLAIN authorizes its inner select
+    assert(a.authorize("EXPLAIN SELECT * FROM orders LAST 1h").allowed)
+    assert(!a.authorize("EXPLAIN SELECT * FROM shipments LAST 1h").allowed)
+  }
+
+  test("authorizer decision cache: bounded, repeat decisions served cached") {
+    val a = new AclAuthorizer(TopicAcl(allow = Seq("orders")), maxEntries = 2)
+    a.authorize("SELECT * FROM orders LAST 1h")
+    a.authorize("SELECT * FROM orders LAST 2h")
+    assert(a.cacheSize == 2)
+    a.authorize("SELECT * FROM orders LAST 3h") // evicts the oldest
+    assert(a.cacheSize == 2)
+    // same query again: decision identical (served from cache)
+    val d1 = a.authorize("SELECT * FROM orders LAST 3h")
+    val d2 = a.authorize("SELECT * FROM orders LAST 3h")
+    assert(d1 == d2 && d1.allowed)
+    // open ACL fast path never populates the cache
+    val open = new AclAuthorizer(TopicAcl())
+    open.authorize("SELECT * FROM anything LAST 1h")
+    assert(open.cacheSize == 0)
+  }
+
+  test("Kafsql.sql enforces the ACL before planning") {
+    val reg = KafsqlPack.registry(sf)
+    val auth = new AclAuthorizer(TopicAcl(deny = Seq("events")))
+    val ex = intercept[AclDeniedException] {
+      Kafsql.sql(spark, reg, "SELECT COUNT(*) AS c FROM events LAST 30d",
+        nowMs = Tables.FixedNowMs, authorizer = auth)
+    }
+    assert(ex.getMessage == "access denied to topic \"events\"")
+  }
 }

@@ -271,6 +271,42 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 0, err)
   }
 
+  test("topic ACL denies over the wire with 42501; allowed topics still serve") {
+    val aclServer = new PgWireServer(spark, KafsqlPack.registry(sf),
+      nowMs = () => Tables.FixedNowMs,
+      acl = graft.gov.TopicAcl(allow = Seq("events", "kev*"))).start()
+    try {
+      def psqlAcl(sql: String): (Int, String, String) = {
+        val outB = new StringBuilder; val errB = new StringBuilder
+        val cmd = Seq("psql",
+          s"host=127.0.0.1 port=${aclServer.boundPort} dbname=graft user=graft",
+          "-X", "-At", "-c", sql)
+        val code = cmd ! ProcessLogger(l => outB.append(l).append('\n'),
+          l => errB.append(l).append('\n'))
+        (code, outB.toString, errB.toString)
+      }
+      // allowed: listed topic and glob-matched topic
+      val (c1, out1, err1) = psqlAcl("SELECT COUNT(*) AS n FROM events LAST 30d")
+      assert(c1 == 0 && out1.trim == "1000", err1)
+      val (c2, _, err2) = psqlAcl("SELECT COUNT(*) AS n FROM kevents LAST 30d")
+      assert(c2 == 0, err2)
+      // denied topic: ERROR with the reference's reason text, conn survives
+      val (c3, _, err3) = psqlAcl("SELECT COUNT(*) AS n FROM purchases LAST 30d")
+      assert(c3 != 0)
+      assert(err3.contains("access denied to topic \"purchases\""))
+      // join with one denied side is denied
+      val (c4, _, err4) = psqlAcl(
+        "SELECT e._key FROM events e JOIN purchases p WITHIN 10m LAST 30d")
+      assert(c4 != 0 && err4.contains("access denied to topic \"purchases\""))
+      // SHOW TOPICS denied under a scoped allow list (acl.go:38-46)
+      val (c5, _, err5) = psqlAcl("SHOW TOPICS")
+      assert(c5 != 0 && err5.contains("show topics is not allowed by proxy ACL"))
+      // SET stays a no-op regardless of ACL
+      val (c6, _, _) = psqlAcl("SET search_path TO public")
+      assert(c6 == 0)
+    } finally aclServer.stop()
+  }
+
   test("SHOW METRICS exposes ops counters over the wire") {
     psql("SELECT COUNT(*) AS n FROM events LAST 30d") // ensure >= 1 served
     val (code, out, err) = psql("SHOW METRICS")
