@@ -373,7 +373,20 @@ class PgWireServer(
           "ordinal_position", "data_type")),
       "pg_catalog.pg_namespace" -> (() =>
         Seq(("public", 2200), ("pg_catalog", 11)).toDF("nspname", "oid")),
-      "pg_catalog.pg_database" -> (() => Seq(("graft", 1)).toDF("datname", "oid")))
+      "pg_catalog.pg_database" -> (() => Seq(("graft", 1)).toDF("datname", "oid")),
+      // the fixed type-oid set the engine emits (server.go:1138-1165) —
+      // some BI tools resolve result oids against pg_type on connect
+      "pg_catalog.pg_type" -> (() =>
+        Seq((16, "bool"), (17, "bytea"), (20, "int8"), (23, "int4"),
+          (25, "text"), (701, "float8"), (1114, "timestamp"), (3802, "jsonb"))
+          .toDF("oid", "typname")),
+      // one relation per topic (server.go:1185-1216); relnamespace points
+      // at OUR pg_namespace's public oid so the standard introspection join
+      // resolves (the reference hardcodes its own namespace oid there)
+      "pg_catalog.pg_class" -> (() =>
+        topics.sorted.zipWithIndex
+          .map { case (t, i) => (1000 + i, t, "r", 2200) }
+          .toDF("oid", "relname", "relkind", "relnamespace")))
 
     val hits = frames.keys.filter(lowerSql.contains).toSeq
     if (hits.isEmpty) None

@@ -258,6 +258,22 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cols.contains("k|integer"))
     val (c3, ns, _) = psql("SELECT nspname FROM pg_catalog.pg_namespace")
     assert(c3 == 0 && ns.contains("public"))
+    // pg_type: the fixed oid->name set (server.go:1138-1165)
+    val (c4, types, _) = psql(
+      "SELECT oid, typname FROM pg_catalog.pg_type ORDER BY oid")
+    assert(c4 == 0)
+    assert(types.trim.linesIterator.toSeq == Seq("16|bool", "17|bytea",
+      "20|int8", "23|int4", "25|text", "701|float8", "1114|timestamp",
+      "3802|jsonb"))
+    // pg_class joins pg_namespace the way BI introspection does
+    val (c5, rels, _) = psql(
+      """SELECT c.relname, c.relkind, n.nspname
+        |FROM pg_catalog.pg_class c
+        |JOIN pg_catalog.pg_namespace n ON c.relnamespace = n.oid
+        |ORDER BY c.relname""".stripMargin)
+    assert(c5 == 0)
+    assert(rels.trim.linesIterator.toSeq == Seq("errors|r|public",
+      "events|r|public", "kevents|r|public", "purchases|r|public"))
   }
 
   test("EXPLAIN over the wire returns plan text") {
