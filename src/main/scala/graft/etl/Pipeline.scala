@@ -47,9 +47,30 @@ object Pipeline {
     StructField("path", StringType), StructField("modificationTime", TimestampType),
     StructField("length", LongType), StructField("content", BinaryType)))
 
+  /** Run the pipeline with columns + validation derived from a JSON-Schema
+    * document (the registry-driven schema source, `iceberg.go:779-828`):
+    * integer→long, number→double, boolean, string; only the document's
+    * `required` properties gate validity. */
+  def runWithSchemaDoc(
+      spark: SparkSession,
+      kfsRoot: String,
+      tablePath: String,
+      checkpointDir: String,
+      schemaJson: String,
+      validation: Validation = Off,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val (cols, required) = SchemaRegistry.columnsFromJsonSchema(schemaJson)
+    run(spark, kfsRoot, tablePath, checkpointDir, cols, validation,
+      maxFilesPerTrigger,
+      validateCols = Some(cols.filter(c => required(c.name))))
+  }
+
   /** Run the pipeline over a KFS root until all currently-available
     * segments are drained; returns the streaming query's final state.
-    * Re-running with the same checkpoint reprocesses nothing. */
+    * Re-running with the same checkpoint reprocesses nothing.
+    * `validateCols` narrows validation to a subset of `schemaCols`
+    * (registry-required columns); None keeps the original contract that
+    * every schema column is required. */
   def run(
       spark: SparkSession,
       kfsRoot: String,
@@ -57,7 +78,8 @@ object Pipeline {
       checkpointDir: String,
       schemaCols: Seq[SchemaCol] = Nil,
       validation: Validation = Off,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      validateCols: Option[Seq[SchemaCol]] = None): Unit = {
 
     import spark.implicits._
     val reader = spark.readStream
@@ -87,7 +109,8 @@ object Pipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sinkBatch(batch.sparkSession, batch, tablePath, schemaCols, validation)
+        sinkBatch(batch.sparkSession, batch, tablePath, schemaCols, validation,
+          validateCols)
       }
       .start()
     query.awaitTermination()
@@ -95,8 +118,10 @@ object Pipeline {
 
   /** One micro-batch: validate → extract → offset-dedup → append. */
   def sinkBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
-      schemaCols: Seq[SchemaCol], validation: Validation): Unit = {
-    val withValid = batch.withColumn("_valid", validityColumn(schemaCols))
+      schemaCols: Seq[SchemaCol], validation: Validation,
+      validateCols: Option[Seq[SchemaCol]] = None): Unit = {
+    val withValid = batch.withColumn("_valid",
+      validityColumn(validateCols.getOrElse(schemaCols)))
     val valid = validation match {
       case Off => withValid
       case Lenient => withValid.filter(col("_valid"))

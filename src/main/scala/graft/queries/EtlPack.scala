@@ -190,6 +190,45 @@ object EtlPack extends QueryPack {
         """SELECT _partition AS partition, count(*) AS cnt,
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
           |       max(_offset) AS max_off
+          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // Registry-driven sink schema (iceberg.go:779-828): the pipeline's
+    // columns and required-set come from a JSON-Schema document instead of
+    // caller-supplied SchemaCols — integer→long (k is BIGINT in the table,
+    // unlike e1's caller-declared int), optional properties (note/ratio/
+    // flag) land as NULL-typed columns without failing Lenient validation,
+    // and unmappable properties (nested object) are skipped entirely.
+    QueryDef(
+      "e9_registry_schema",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "reg_table")
+        val ckpt = tmp(dir, "reg_ckpt")
+        val schemaDoc =
+          """{"type": "object", "required": ["k"],
+            | "properties": {
+            |   "k":      {"type": "integer"},
+            |   "note":   {"type": ["null", "string"]},
+            |   "ratio":  {"type": "number"},
+            |   "flag":   {"type": "boolean"},
+            |   "nested": {"type": "object"}}}""".stripMargin
+        Pipeline.runWithSchemaDoc(s, root, table, ckpt, schemaDoc,
+          validation = Pipeline.Lenient)
+        TableSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("k")).as("sum_k"), // long already — no cast needed
+            count(col("note")).as("n_note"),
+            count(col("ratio")).as("n_ratio"),
+            count(col("flag")).as("n_flag"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       CAST(0 AS BIGINT) AS n_note,
+          |       CAST(0 AS BIGINT) AS n_ratio,
+          |       CAST(0 AS BIGINT) AS n_flag
           |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin)))
   )
 }

@@ -61,6 +61,66 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  // ---- registry-driven sink schema (iceberg.go:779-828) ------------------
+
+  test("registry schema doc derives sorted, mapped, required-aware columns") {
+    val (cols, req) = SchemaRegistry.columnsFromJsonSchema(
+      """{"type": "object", "required": ["k", "ghost"],
+        | "properties": {
+        |   "k":   {"type": "integer"},
+        |   "b":   {"type": "boolean"},
+        |   "r":   {"type": "number"},
+        |   "s":   {"type": ["null", "string"]},
+        |   "o":   {"type": "object"},
+        |   "arr": {"type": "array"}}}""".stripMargin)
+    // integer->long, number->double; object/array skipped; sorted by name
+    assert(cols == Seq(
+      SchemaCol("b", "boolean", "$.b"), SchemaCol("k", "long", "$.k"),
+      SchemaCol("r", "double", "$.r"), SchemaCol("s", "string", "$.s")))
+    // required set intersects the MAPPED columns ("ghost" names no column)
+    assert(req == Set("k"))
+    intercept[SchemaRegistry.SchemaDocException] {
+      SchemaRegistry.columnsFromJsonSchema("{not json")
+    }
+    // no properties -> no columns, no error (nil-props tolerance)
+    assert(SchemaRegistry.columnsFromJsonSchema("""{"type":"object"}""")._1.isEmpty)
+  }
+
+  test("registry validation gates on required columns only") {
+    import spark.implicits._
+    val batch = Seq(
+      ("t", 0, 0L, 1L, "k", """{"k":1,"s":"x"}""", Map.empty[String, String]),
+      ("t", 0, 1L, 2L, "k", """{"k":2}""", Map.empty[String, String]), // s absent: ok
+      ("t", 0, 2L, 3L, "k", """{"s":"y"}""", Map.empty[String, String])) // k absent: drop
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
+    val (cols, req) = SchemaRegistry.columnsFromJsonSchema(
+      """{"required":["k"],"properties":{"k":{"type":"integer"},"s":{"type":"string"}}}""")
+    val table = Files.createTempDirectory("etl_reg").toString + "/t"
+    Pipeline.sinkBatch(spark, batch, table, cols, Pipeline.Lenient,
+      validateCols = Some(cols.filter(c => req(c.name))))
+    val out = TableSink.read(spark, table)
+    assert(out.count() == 2) // required-missing row dropped, optional-missing kept
+    assert(out.schema("k").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("registry schema change that narrows a column type is rejected") {
+    import spark.implicits._
+    def batchDf = Seq(("t", 0, 0L, 1L, "k", """{"k":1}""", Map.empty[String, String]))
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
+    val table = Files.createTempDirectory("etl_conflict").toString + "/t"
+    val (v1, _) = SchemaRegistry.columnsFromJsonSchema(
+      """{"properties":{"k":{"type":"integer"}}}""") // k -> long
+    Pipeline.sinkBatch(spark, batchDf, table, v1, Pipeline.Off)
+    // registry v2 flips k to string: long->string is not a widening
+    val (v2, _) = SchemaRegistry.columnsFromJsonSchema(
+      """{"properties":{"k":{"type":"string"}}}""")
+    val batch2 = Seq(("t", 0, 5L, 6L, "k", """{"k":2}""", Map.empty[String, String]))
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
+    intercept[TableSink.SchemaEvolutionException] {
+      Pipeline.sinkBatch(spark, batch2, table, v2, Pipeline.Off)
+    }
+  }
+
   // ---- streaming pipeline: checkpointed + idempotent ---------------------
 
   test("pipeline drains KFS once; rerun with same checkpoint adds nothing") {
