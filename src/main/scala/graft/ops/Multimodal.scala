@@ -40,6 +40,62 @@ object Multimodal {
     override def decode(media: Array[Byte]): Array[Byte] = media // identity stub
   }
 
+  /** REAL image decode through the same seam, via pure-JVM `javax.imageio`
+    * (PNG/GIF/BMP/JPEG readers ship with the JDK — no native codec needed):
+    * decodes to an 8-bit GRAY pixel buffer (row-major, width×height bytes),
+    * so every downstream kernel — brightness, stride resize, frame slicing
+    * — operates on actual pixels. Color inputs go through the standard
+    * AWT gray conversion; non-image bytes decode to EMPTY (the lenient
+    * convention: frameSample/resize drop empty rows, extractFeatures emits
+    * zero-byte features) rather than failing a 100 TB scan on one bad blob.
+    * ImageIO readers are not thread-safe to share, but a fresh read per
+    * call is — this object is safely serializable into tasks. */
+  object ImageIoDecoder extends Decoder {
+    override def decode(media: Array[Byte]): Array[Byte] = {
+      if (media == null || media.isEmpty) return Array.emptyByteArray
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+        catch { case _: Exception => null }
+      if (img == null) return Array.emptyByteArray
+      val gray =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val g = new java.awt.image.BufferedImage(
+            img.getWidth, img.getHeight,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gg = g.createGraphics()
+          try gg.drawImage(img, 0, 0, null) finally gg.dispose()
+          g
+        }
+      gray.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData.clone()
+    }
+  }
+
+  /** Deterministic 8-bit gray PNG: pixel(x, y) at flat index i = y·w + x is
+    * `((seed·31 + i·7) mod 127) + 1` — values 1..127, so an oracle can
+    * reproduce the decoded buffer as ASCII text (single-byte UTF-8) and
+    * hash it. PNG gray8 is lossless, so [[ImageIoDecoder]] returns exactly
+    * these bytes. */
+  def pngFixture(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        raster.setSample(x, y, 0, (((seed * 31 + i * 7) % 127) + 1).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Build a media frame from any (id, bytes) source. */
   def asMedia(df: DataFrame, idCol: String, bytesCol: String,
       contentType: String): DataFrame =

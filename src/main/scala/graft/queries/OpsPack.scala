@@ -445,6 +445,39 @@ object OpsPack extends QueryPack {
           |       'text/plain' AS content_type
           |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin)),
 
+    // REAL image decode (javax.imageio) through the Decoder seam: each doc
+    // gets a deterministic 16x16 gray PNG (pixel i = (id*31+i*7)%127+1),
+    // decoded to actual pixel bytes on executors; features (byte count,
+    // md5 of the pixel buffer, mean brightness) are recomputed by DuckDB
+    // from the generative formula — pixel values are 1..127, so the buffer
+    // round-trips as single-byte UTF-8 text for the oracle's md5
+    QueryDef(
+      "m4_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 40)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .map(id => (id, Multimodal.pngFixture(id, 16, 16), "image/png"))
+          .toDF("id", "media", "content_type")
+        Multimodal.extractFeatures(s, media, Multimodal.ImageIoDecoder)
+          .select(col("id"), col("n_bytes"), col("digest"),
+            round(col("brightness"), 4).as("brightness"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT doc_id AS id,
+          |         list_transform(range(0, 256),
+          |           i -> ((doc_id * 31 + i * 7) % 127) + 1) AS vals
+          |  FROM documents WHERE doc_id < 40)
+          |SELECT id, CAST(256 AS BIGINT) AS n_bytes,
+          |       md5(array_to_string(list_transform(vals, v -> chr(CAST(v AS INTEGER))), '')) AS digest,
+          |       round(list_reduce(list_transform(vals, v -> CAST(v AS DOUBLE)),
+          |                         (a, b) -> a + b) / 256, 4) AS brightness
+          |FROM px ORDER BY id""".stripMargin)),
+
     // multimodal frame sampling: 1 media row -> n deterministic "frames"
     // (stubbed keyframe decode, real UDTF-shaped explosion)
     QueryDef(

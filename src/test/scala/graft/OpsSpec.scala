@@ -419,6 +419,56 @@ class OpsSpec extends AnyFunSuite {
     f.foreach(r => assert(expect(r.getAs[Long]("id")) == r.getAs[String]("digest")))
   }
 
+  test("ImageIoDecoder decodes the PNG fixture to exact pixel bytes") {
+    val png = Multimodal.pngFixture(seed = 7L, w = 16, h = 16)
+    // a real PNG came out of ImageIO (magic bytes)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val pixels = Multimodal.ImageIoDecoder.decode(png)
+    assert(pixels.length == 256)
+    (0 until 256).foreach { i =>
+      assert((pixels(i) & 0xff) == ((7L * 31 + i * 7) % 127 + 1).toInt)
+    }
+    // non-image bytes decode to empty (lenient convention), never throw
+    assert(Multimodal.ImageIoDecoder.decode("not a png".getBytes).isEmpty)
+    assert(Multimodal.ImageIoDecoder.decode(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.ImageIoDecoder.decode(null).isEmpty)
+  }
+
+  test("real-decode kernels: features, resize, and frames over actual pixels") {
+    import spark.implicits._
+    val media = Seq(1L, 2L, 3L)
+      .toDF("id").as[Long]
+      .map(id => (id, Multimodal.pngFixture(id, 16, 16), "image/png"))
+      .toDF("id", "media", "content_type")
+    val f = Multimodal.extractFeatures(spark, media, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    (1L to 3L).foreach { id =>
+      val expected = (0 until 256).map(i => ((id * 31 + i * 7) % 127 + 1).toDouble)
+      assert(f(id).getAs[Long]("n_bytes") == 256)
+      assert(math.abs(f(id).getAs[Double]("brightness") - expected.sum / 256) < 1e-9)
+    }
+    // resize strides over PIXELS (decoded), not the PNG container bytes
+    val resized = Multimodal.resize(spark, media, target = 8,
+      Multimodal.ImageIoDecoder).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("src_bytes") == 256 && r.getAs[Int]("out_bytes") == 8)
+      val id = r.getAs[Long]("id")
+      val out = r.getAs[Array[Byte]]("media")
+      (0 until 8).foreach(i => // stride = 256/8 = 32
+        assert((out(i) & 0xff) == ((id * 31 + (i * 32) * 7) % 127 + 1).toInt))
+    }
+    // frame sampling slices the pixel buffer into n contiguous frames
+    val frames = Multimodal.frameSample(spark, media, n = 4,
+      Multimodal.ImageIoDecoder).collect()
+    assert(frames.length == 12)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 64))
+    // a corrupt blob among real images is dropped, not fatal
+    val mixed = Seq((9L, "garbage".getBytes, "image/png"))
+      .toDF("id", "media", "content_type").union(media)
+    assert(Multimodal.frameSample(spark, mixed, n = 4,
+      Multimodal.ImageIoDecoder).count() == 12)
+  }
+
   test("null id/text rows are dropped, not fatal, on the flat shingle path (ADVICE r3)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
