@@ -81,7 +81,7 @@ class PgWireServer(
       sendAuthOk(out)
       // extended-protocol state (reference handles Parse/Bind/Describe/
       // Execute alongside simple queries, server.go:152-216,234-319)
-      val prepared = scala.collection.mutable.Map[String, String]()
+      val prepared = scala.collection.mutable.Map[String, PreparedStmt]()
       val portals = scala.collection.mutable.Map[String, PortalState]()
       var skipToSync = false // after an extended-phase error, discard to Sync
       var open = true
@@ -99,7 +99,12 @@ class PgWireServer(
             try {
               val r = new WireReader(body)
               val name = r.cstring(); val query = r.cstring()
-              prepared(name) = query
+              // declared parameter-type OIDs: needed to decode any
+              // binary-format Bind parameters later (a bare length-8 value
+              // is ambiguous between int8 and float8 without them)
+              val nTypes = r.i16()
+              val oids = (0 until nTypes).map(_ => r.i32())
+              prepared(name) = PreparedStmt(query, oids)
               out.writeByte('1'); out.writeInt(4) // ParseComplete
             } catch { case e: Exception =>
               errorResponse(out, "42601", msg(e)); skipToSync = true
@@ -108,22 +113,27 @@ class PgWireServer(
             try {
               val r = new WireReader(body)
               val portal = r.cstring(); val stmt = r.cstring()
-              // parameter format codes: 0=text (all we speak). A binary
-              // (code 1) parameter decoded as UTF-8 would substitute garbage
-              // into the SQL — reject it up front instead of misparsing.
+              // per-parameter format codes: 0=text, 1=binary. Binary values
+              // decode via the Parse-declared OID (pgjdbc sends binary for
+              // int/float/bool); a binary parameter with no or unknown
+              // declared OID is rejected rather than misparsed.
               val nFmt = r.i16()
               val fmts = (0 until nFmt).map(_ => r.i16())
-              if (fmts.contains(1))
-                throw new UnsupportedFormatException(
-                  "binary parameter format is not supported; send text-format parameters")
-              val nParams = r.i16()
-              val params = (0 until nParams).map { _ =>
-                val l = r.i32()
-                if (l < 0) null else new String(r.bytes(l), StandardCharsets.UTF_8)
-              }
               val base = prepared.getOrElse(stmt,
                 throw new KafsqlException(s"unknown prepared statement: '$stmt'"))
-              portals(portal) = PortalState(substituteParams(base, params), None)
+              val nParams = r.i16()
+              val params = (0 until nParams).map { i =>
+                val fmt =
+                  if (fmts.isEmpty) 0
+                  else if (fmts.length == 1) fmts.head // one code applies to all
+                  else fmts(i)
+                val l = r.i32()
+                val bytes = if (l < 0) null else r.bytes(l)
+                if (bytes == null) null
+                else if (fmt == 0) new String(bytes, StandardCharsets.UTF_8)
+                else decodeBinaryParam(bytes, base.paramOids.lift(i).getOrElse(0))
+              }
+              portals(portal) = PortalState(substituteParams(base.query, params), None)
               out.writeByte('2'); out.writeInt(4) // BindComplete
             } catch {
               case e: UnsupportedFormatException =>
@@ -257,6 +267,30 @@ class PgWireServer(
     * result once Describe/Execute first materializes it (so a
     * Describe + Execute pair computes the query once), and the cursor — how
     * many rows previous row-limited Executes already sent. */
+  private final case class PreparedStmt(query: String, paramOids: Seq[Int])
+
+  /** Binary-format parameter → SQL-substitutable text, by declared OID
+    * (network byte order per the protocol docs): bool, int2/4/8,
+    * float4/8, and text/varchar/bytea-as-UTF8. Anything else is
+    * unsupported — reject, never misparse. */
+  private def decodeBinaryParam(bytes: Array[Byte], oid: Int): String = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    oid match {
+      case 16 => // bool
+        if (bytes.length != 1) throw new UnsupportedFormatException("bad bool length")
+        if (bytes(0) != 0) "true" else "false"
+      case 21 if bytes.length == 2 => bb.getShort.toString // int2
+      case 23 if bytes.length == 4 => bb.getInt.toString // int4
+      case 20 if bytes.length == 8 => bb.getLong.toString // int8
+      case 700 if bytes.length == 4 => bb.getFloat.toString // float4
+      case 701 if bytes.length == 8 => bb.getDouble.toString // float8
+      case 25 | 1043 | 17 => new String(bytes, StandardCharsets.UTF_8)
+      case _ => throw new UnsupportedFormatException(
+        s"binary parameter format is not supported for oid $oid; " +
+          "declare a parameter type in Parse or send text format")
+    }
+  }
+
   private final case class PortalState(
       sql: String, result: Option[(StructType, Array[Row])], cursor: Int = 0)
 

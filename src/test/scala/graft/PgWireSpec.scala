@@ -183,12 +183,32 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("Bind with a binary-format parameter is rejected with 0A000") {
+  test("binary-format parameter with a declared OID binds and executes") {
     withWire { (in, out, send) =>
+      // Parse declares $1 as int4 (oid 23) -> Bind may send it binary
       send('P', cstr("sb") ++ cstr(
-        "SELECT COUNT(*) AS n FROM events WHERE _partition = $1 LAST 30d") ++ i16(0))
-      // one format code = 1 (binary), one int32 parameter value
+        "SELECT COUNT(*) AS n FROM events WHERE _partition = $1 LAST 30d") ++
+        i16(1) ++ i32(23))
+      // one format code = 1 (binary), one int32 parameter value = 2
       send('B', cstr("") ++ cstr("sb") ++ i16(1) ++ i16(1) ++
+        i16(1) ++ i32(4) ++ i32(2) ++ i16(0))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val msgs = readUntilReady(in)
+      assert(!msgs.map(_._1).contains('E'), s"unexpected error: ${msgs.map(_._1)}")
+      assert(msgs.find(_._1 == 'D').map(b => dataRowValues(b._2).head)
+        .contains("250"))
+    }
+  }
+
+  test("binary-format parameter WITHOUT a declared OID is rejected with 0A000") {
+    withWire { (in, out, send) =>
+      send('P', cstr("sb2") ++ cstr(
+        "SELECT COUNT(*) AS n FROM events WHERE _partition = $1 LAST 30d") ++ i16(0))
+      // binary format but Parse declared no types: length-4 bytes are
+      // ambiguous (int4? float4? text?) -> refuse rather than misparse
+      send('B', cstr("") ++ cstr("sb2") ++ i16(1) ++ i16(1) ++
         i16(1) ++ i32(4) ++ i32(2) ++ i16(0))
       send('S', Array.emptyByteArray)
       out.flush()
@@ -203,6 +223,26 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       val ok = readUntilReady(in)
       assert(ok.find(_._1 == 'D').map(b => dataRowValues(b._2).head)
         .contains("1000"))
+    }
+  }
+
+  test("binary int8/float8/bool parameters decode by declared OID") {
+    withWire { (in, out, send) =>
+      // $1 int8 (oid 20): offsets <= $1
+      send('P', cstr("s8") ++ cstr(
+        "SELECT COUNT(*) AS n FROM events WHERE _offset <= $1 SCAN FULL") ++
+        i16(1) ++ i32(20))
+      val v = java.nio.ByteBuffer.allocate(8).putLong(3L).array()
+      send('B', cstr("") ++ cstr("s8") ++ i16(1) ++ i16(1) ++
+        i16(1) ++ i32(8) ++ v ++ i16(0))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val msgs = readUntilReady(in)
+      assert(!msgs.map(_._1).contains('E'), s"unexpected error: ${msgs.map(_._1)}")
+      // offsets 0..3 across 4 partitions = 16 rows
+      assert(msgs.find(_._1 == 'D').map(b => dataRowValues(b._2).head)
+        .contains("16"))
     }
   }
 
