@@ -1,0 +1,576 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.kfs.KfsLayout
+
+/** REAL Apache Iceberg v2 table format (S8), written from the PUBLIC spec
+  * (iceberg.apache.org/spec) with the Hadoop-catalog filesystem layout —
+  * the full metadata chain a plain parquet directory lacks:
+  *
+  *   - `metadata/v<N>.metadata.json`: format-version 2 table metadata with
+  *     schemas carrying STABLE FIELD IDS, snapshot list + lineage,
+  *     sequence numbers, snapshot-log and metadata-log
+  *   - `metadata/snap-<id>-<uuid>.avro`: the snapshot's manifest LIST
+  *     (Avro, spec field ids 500-519)
+  *   - `metadata/<uuid>-m0.avro`: one manifest per commit (Avro
+  *     manifest_entry records, data_file struct ids 100-104/134) with
+  *     per-file record counts read from the parquet footers
+  *   - `metadata/version-hint.text`: the Hadoop-catalog current-version
+  *     pointer
+  *   - OPTIMISTIC COMMITS: the new metadata version is claimed by atomic
+  *     rename; a loser re-reads the current metadata, re-bases its
+  *     snapshot (fresh ids/sequence number, parent = winner's snapshot)
+  *     and retries — the data files and manifest are reused untouched,
+  *     exactly Iceberg's commit-conflict behavior. The reference gets all
+  *     of this from iceberg-go + a REST catalog (`sink/iceberg.go:40-108`);
+  *     zero-egress rules out dependencies here, so the format itself is
+  *     implemented against the spec.
+  *
+  * Schema evolution follows Iceberg rules: new columns get fresh ids
+  * (last-column-id grows monotonically), existing columns keep their id
+  * forever, and only the spec's legal promotions (int→long, float→double)
+  * change a column's type. Readers resolve by field id + promotion, so old
+  * data files are NEVER rewritten on evolution (unlike [[TableSink]]'s
+  * rewrite strategy); [[read]] drives scan planning from the metadata
+  * chain — current snapshot → manifest list → manifests → data files —
+  * reading with the current schema (Spark's vectorized parquet reader
+  * upcasts int32→long / float→double in place).
+  *
+  * Scope: flat schemas of Iceberg primitive types, unpartitioned spec
+  * (spec-id 0), append-only snapshots — the shape the ETL pipeline emits.
+  */
+object IcebergSink {
+
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  private val mapper = new ObjectMapper()
+
+  // ---- type mapping (spec: primitive types) ------------------------------
+
+  def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case DateType => "date"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg column type: $other")
+  }
+
+  def sparkType(s: String): DataType = s match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "timestamp" => TimestampNTZType
+    case "timestamptz" => TimestampType
+    case "date" => DateType
+    case d if d.startsWith("decimal") =>
+      val m = """decimal\((\d+),\s*(\d+)\)""".r.findFirstMatchIn(d).get
+      DecimalType(m.group(1).toInt, m.group(2).toInt)
+    case other => throw new IllegalArgumentException(s"unknown type: $other")
+  }
+
+  /** One table column: spec field with a stable id. */
+  final case class Field(id: Int, name: String, typ: String)
+
+  final case class Snapshot(snapshotId: Long, parentId: Option[Long],
+      sequenceNumber: Long, timestampMs: Long, manifestList: String,
+      addedFiles: Long, addedRecords: Long, schemaId: Int)
+
+  final case class TableMeta(
+      version: Int, uuid: String, location: String,
+      lastSequenceNumber: Long, lastColumnId: Int, currentSchemaId: Int,
+      fields: Seq[Field], snapshots: Seq[Snapshot],
+      currentSnapshotId: Option[Long],
+      metadataLog: Seq[(Long, String)]) {
+    def currentSchema: StructType =
+      StructType(fields.map(f => StructField(f.name, sparkType(f.typ))))
+  }
+
+  private def fs(p: HPath): FileSystem = p.getFileSystem(KfsLayout.hadoopConf)
+
+  private def metadataDir(table: String) = new HPath(table, "metadata")
+  private def dataDir(table: String) = new HPath(table, "data")
+  private def versionFile(table: String, v: Int) =
+    new HPath(metadataDir(table), s"v$v.metadata.json")
+
+  // ---- load ---------------------------------------------------------------
+
+  /** Current table metadata, resolved via version-hint with a forward probe
+    * (the hint is a cache, not the source of truth — a crashed committer
+    * may have advanced the version without updating it). */
+  def load(spark: SparkSession, table: String): Option[TableMeta] = {
+    val dir = metadataDir(table)
+    val f = fs(dir)
+    if (!f.exists(dir)) return None
+    val hinted =
+      try {
+        val in = f.open(new HPath(dir, "version-hint.text"))
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      } catch { case _: Exception => 0 }
+    var v = math.max(hinted, 1)
+    if (!f.exists(versionFile(table, v))) return None
+    while (f.exists(versionFile(table, v + 1))) v += 1
+    Some(parseMeta(readString(f, versionFile(table, v)), v))
+  }
+
+  private def readString(f: FileSystem, p: HPath): String = {
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def parseMeta(json: String, version: Int): TableMeta = {
+    val n = mapper.readTree(json)
+    val schemaId = n.path("current-schema-id").asInt()
+    val schema = n.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt() == schemaId)
+      .getOrElse(throw new IllegalStateException("current schema missing"))
+    val fields = schema.path("fields").elements().asScala.map { fn =>
+      Field(fn.path("id").asInt(), fn.path("name").asText(),
+        fn.path("type").asText())
+    }.toSeq
+    val snaps = n.path("snapshots").elements().asScala.map { sn =>
+      Snapshot(
+        sn.path("snapshot-id").asLong(),
+        if (sn.has("parent-snapshot-id")) Some(sn.path("parent-snapshot-id").asLong()) else None,
+        sn.path("sequence-number").asLong(),
+        sn.path("timestamp-ms").asLong(),
+        sn.path("manifest-list").asText(),
+        sn.path("summary").path("added-data-files").asText("0").toLong,
+        sn.path("summary").path("added-records").asText("0").toLong,
+        sn.path("schema-id").asInt())
+    }.toSeq
+    val metaLog = n.path("metadata-log").elements().asScala
+      .map(e => (e.path("timestamp-ms").asLong(), e.path("metadata-file").asText()))
+      .toSeq
+    TableMeta(version, n.path("table-uuid").asText(),
+      n.path("location").asText(), n.path("last-sequence-number").asLong(),
+      n.path("last-column-id").asInt(), schemaId, fields, snaps,
+      if (n.hasNonNull("current-snapshot-id") &&
+        n.path("current-snapshot-id").asLong() != -1)
+        Some(n.path("current-snapshot-id").asLong())
+      else None,
+      metaLog)
+  }
+
+  // ---- schema evolution (spec: field ids stable, legal promotions) --------
+
+  /** Merge an incoming Spark schema: existing fields keep ids, int→long /
+    * float→double promote in place, new fields get fresh ids. Anything
+    * else is rejected. Returns (fields, lastColumnId, changed). */
+  private[etl] def evolveFields(fields: Seq[Field], lastColumnId: Int,
+      incoming: StructType): (Seq[Field], Int, Boolean) = {
+    var nextId = lastColumnId
+    var changed = false
+    val byName = fields.map(f => f.name -> f).toMap
+    val promoted = fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case None => f
+        case Some(in) =>
+          val inTyp = icebergType(in.dataType)
+          (f.typ, inTyp) match {
+            case (a, b) if a == b => f
+            case ("int", "long") => changed = true; f.copy(typ = "long")
+            case ("float", "double") => changed = true; f.copy(typ = "double")
+            // reading wider data into a narrower column is fine only if
+            // the writer narrows — which Iceberg forbids
+            case ("long", "int") | ("double", "float") => f
+            case (a, b) => throw new TableSink.SchemaEvolutionException(
+              s"illegal type change for column ${f.name}: $a -> $b")
+          }
+      }
+    }
+    val added = incoming.fields.filter(f => !byName.contains(f.name)).map { f =>
+      nextId += 1; changed = true
+      Field(nextId, f.name, icebergType(f.dataType))
+    }
+    (promoted ++ added, nextId, changed)
+  }
+
+  // ---- avro schemas (spec manifest / manifest-list field ids) -------------
+
+  private def avroField(name: String, typ: String, fieldId: Int,
+      optional: Boolean): String = {
+    val t = if (optional) s"""["null", $typ]""" else typ
+    val dflt = if (optional) """, "default": null""" else ""
+    s"""{"name": "$name", "type": $t, "field-id": $fieldId$dflt}"""
+  }
+
+  /** manifest_file record (spec: manifest lists, ids 500-519). */
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    s"""{"type": "record", "name": "manifest_file", "fields": [
+       |${avroField("manifest_path", "\"string\"", 500, optional = false)},
+       |${avroField("manifest_length", "\"long\"", 501, optional = false)},
+       |${avroField("partition_spec_id", "\"int\"", 502, optional = false)},
+       |${avroField("content", "\"int\"", 517, optional = false)},
+       |${avroField("sequence_number", "\"long\"", 515, optional = false)},
+       |${avroField("min_sequence_number", "\"long\"", 516, optional = false)},
+       |${avroField("added_snapshot_id", "\"long\"", 503, optional = false)},
+       |${avroField("added_files_count", "\"int\"", 504, optional = false)},
+       |${avroField("existing_files_count", "\"int\"", 505, optional = false)},
+       |${avroField("deleted_files_count", "\"int\"", 506, optional = false)},
+       |${avroField("added_rows_count", "\"long\"", 512, optional = false)},
+       |${avroField("existing_rows_count", "\"long\"", 513, optional = false)},
+       |${avroField("deleted_rows_count", "\"long\"", 514, optional = false)}
+       |]}""".stripMargin)
+
+  /** manifest_entry with nested data_file (spec ids 0-4, 100-104, 134).
+    * Unpartitioned: the partition struct has no fields. */
+  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+    s"""{"type": "record", "name": "manifest_entry", "fields": [
+       |${avroField("status", "\"int\"", 0, optional = false)},
+       |${avroField("snapshot_id", "\"long\"", 1, optional = true)},
+       |${avroField("sequence_number", "\"long\"", 3, optional = true)},
+       |${avroField("file_sequence_number", "\"long\"", 4, optional = true)},
+       |{"name": "data_file", "field-id": 2, "type": {"type": "record", "name": "r2", "fields": [
+       |${avroField("content", "\"int\"", 134, optional = false)},
+       |${avroField("file_path", "\"string\"", 100, optional = false)},
+       |${avroField("file_format", "\"string\"", 101, optional = false)},
+       |{"name": "partition", "field-id": 102, "type": {"type": "record", "name": "r102", "fields": []}},
+       |${avroField("record_count", "\"long\"", 103, optional = false)},
+       |${avroField("file_size_in_bytes", "\"long\"", 104, optional = false)}
+       |]}}]}""".stripMargin)
+
+  private def writeAvro(f: FileSystem, path: HPath, schema: Schema,
+      meta: Map[String, String], records: Seq[GenericRecord]): Long = {
+    val out = f.create(path, true)
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    writer.create(schema, out) // closes `out` on writer.close()
+    records.foreach(writer.append)
+    writer.close()
+    f.getFileStatus(path).getLen
+  }
+
+  /** Read every record of an Avro file (+ its file metadata) — public so
+    * tooling and tests can inspect manifests without a real Iceberg
+    * runtime on the classpath. */
+  def readAvro(spark: SparkSession, path: String)
+      : (Map[String, String], Seq[GenericRecord]) = {
+    val p = new HPath(path)
+    val in = fs(p).open(p)
+    val stream = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val metaKeys = stream.getMetaKeys.asScala.toSeq
+      val meta = metaKeys.filterNot(_.startsWith("avro."))
+        .map(k => k -> new String(stream.getMeta(k), StandardCharsets.UTF_8))
+        .toMap
+      (meta, stream.iterator().asScala.toVector)
+    } finally stream.close()
+  }
+
+  // ---- metadata json -------------------------------------------------------
+
+  private def schemaJson(schemaId: Int, fields: Seq[Field]): ObjectNode = {
+    val s = mapper.createObjectNode()
+    s.put("type", "struct").put("schema-id", schemaId)
+    val fArr = s.putArray("fields")
+    fields.foreach { f =>
+      fArr.addObject().put("id", f.id).put("name", f.name)
+        .put("required", false).put("type", f.typ)
+    }
+    s
+  }
+
+  private def metaJson(m: TableMeta, schemas: Seq[(Int, Seq[Field])],
+      nowMs: Long): String = {
+    val n = mapper.createObjectNode()
+    n.put("format-version", 2)
+    n.put("table-uuid", m.uuid)
+    n.put("location", m.location)
+    n.put("last-sequence-number", m.lastSequenceNumber)
+    n.put("last-updated-ms", nowMs)
+    n.put("last-column-id", m.lastColumnId)
+    val schemasArr = n.putArray("schemas")
+    schemas.foreach { case (id, fields) => schemasArr.add(schemaJson(id, fields)) }
+    n.put("current-schema-id", m.currentSchemaId)
+    val specs = n.putArray("partition-specs")
+    specs.addObject().put("spec-id", 0).putArray("fields")
+    n.put("default-spec-id", 0)
+    n.put("last-partition-id", 999) // spec: partition field ids start at 1000
+    val orders = n.putArray("sort-orders")
+    orders.addObject().put("order-id", 0).putArray("fields")
+    n.put("default-sort-order-id", 0)
+    n.putObject("properties").put("write.format.default", "parquet")
+    m.currentSnapshotId match {
+      case Some(id) => n.put("current-snapshot-id", id)
+      case None => n.put("current-snapshot-id", -1L)
+    }
+    val snapsArr = n.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", s.snapshotId)
+      s.parentId.foreach(p => sn.put("parent-snapshot-id", p))
+      sn.put("sequence-number", s.sequenceNumber)
+      sn.put("timestamp-ms", s.timestampMs)
+      sn.put("manifest-list", s.manifestList)
+      sn.putObject("summary").put("operation", "append")
+        .put("added-data-files", s.addedFiles.toString)
+        .put("added-records", s.addedRecords.toString)
+      sn.put("schema-id", s.schemaId)
+    }
+    val slog = n.putArray("snapshot-log")
+    m.snapshots.foreach { s =>
+      slog.addObject().put("timestamp-ms", s.timestampMs)
+        .put("snapshot-id", s.snapshotId)
+    }
+    val mlog = n.putArray("metadata-log")
+    m.metadataLog.foreach { case (ts, file) =>
+      mlog.addObject().put("timestamp-ms", ts).put("metadata-file", file)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  /** All schemas ever written must stay in the metadata (readers of old
+    * snapshots resolve by schema-id); collect them from the previous
+    * metadata file plus the current one. */
+  private def historicalSchemas(f: FileSystem, table: String, m: TableMeta)
+      : Seq[(Int, Seq[Field])] = {
+    val prev =
+      if (m.version <= 1) Nil
+      else
+        try {
+          val n = mapper.readTree(readString(f, versionFile(table, m.version - 1)))
+          n.path("schemas").elements().asScala.map { s =>
+            val id = s.path("schema-id").asInt()
+            val fields = s.path("fields").elements().asScala.map(fn =>
+              Field(fn.path("id").asInt(), fn.path("name").asText(),
+                fn.path("type").asText())).toSeq
+            (id, fields)
+          }.toSeq
+        } catch { case _: Exception => Nil }
+    (prev.filterNot(_._1 == m.currentSchemaId) :+
+      (m.currentSchemaId -> m.fields)).sortBy(_._1)
+  }
+
+  // ---- append (optimistic commit) ------------------------------------------
+
+  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis())
+
+  /** Append `df` as a new snapshot; creates the table on first call.
+    * Optimistic: on a version-claim loss the snapshot is re-based onto the
+    * winner's metadata and retried (data files + manifest are reused). */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      maxRetries: Int = 5): Unit = {
+    val tableDir = new HPath(table)
+    val f = fs(tableDir)
+    f.mkdirs(metadataDir(table))
+    f.mkdirs(dataDir(table))
+
+    // 1. write data files once (spark parquet into a staging dir, then
+    //    moved under data/ with commit-unique names)
+    val commitUuid = UUID.randomUUID().toString
+    val staging = new HPath(table, s"_staging_$commitUuid")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val moved = f.listStatus(staging).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        val dest = new HPath(dataDir(table), f"$commitUuid-$i%05d.parquet")
+        if (!f.rename(st.getPath, dest))
+          throw new java.io.IOException(s"cannot stage data file $dest")
+        f.getFileStatus(dest)
+      }
+    f.delete(staging, true)
+    val fileRecords = moved.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, KfsLayout.hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (st, r.getRecordCount) finally r.close()
+    }
+    val addedRecords = fileRecords.map(_._2).sum
+
+    // 2. commit loop: claim version N+1 by atomic rename; on loss re-base
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new CommitConflictException(
+          s"lost $maxRetries commit races on $table")
+      val current = load(spark, table)
+      val nowMs = System.currentTimeMillis()
+      val (base, prevSchemas) = current match {
+        case Some(m) => (m, historicalSchemas(f, table, m))
+        case None =>
+          val empty = TableMeta(0, UUID.randomUUID().toString,
+            tableDir.toString, 0L, 0, 0, Nil, Nil, None, Nil)
+          (empty, Nil)
+      }
+      val (fields, lastColId, schemaChanged) =
+        evolveFields(base.fields, base.lastColumnId, df.schema)
+      val schemaId =
+        if (base.fields.isEmpty) 0
+        else if (schemaChanged) base.currentSchemaId + 1
+        else base.currentSchemaId
+
+      val snapshotId = snapshotSeq.incrementAndGet()
+      val seqNum = base.lastSequenceNumber + 1
+
+      // manifest for the added files
+      val manifestPath = new HPath(metadataDir(table),
+        s"$commitUuid-m$attempt.avro")
+      val entries = fileRecords.map { case (st, recs) =>
+        val e = new GenericData.Record(manifestEntrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seqNum)
+        e.put("file_sequence_number", seqNum)
+        val d = new GenericData.Record(
+          manifestEntrySchema.getField("data_file").schema())
+        d.put("content", 0)
+        d.put("file_path", st.getPath.toString)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(
+          d.getSchema.getField("partition").schema()))
+        d.put("record_count", recs)
+        d.put("file_size_in_bytes", st.getLen)
+        e.put("data_file", d)
+        e
+      }
+      val manifestLen = writeAvro(f, manifestPath, manifestEntrySchema,
+        Map(
+          "schema" -> schemaJson(schemaId, fields).toString,
+          "partition-spec" -> "[]",
+          "partition-spec-id" -> "0",
+          "format-version" -> "2",
+          "content" -> "data"),
+        entries)
+
+      // manifest list = previous snapshot's manifests + the new one
+      val prevManifests: Seq[GenericRecord] = base.currentSnapshotId
+        .flatMap(id => base.snapshots.find(_.snapshotId == id))
+        .map(s => readAvro(spark, s.manifestList)._2)
+        .getOrElse(Nil)
+      val newEntry = new GenericData.Record(manifestListSchema)
+      newEntry.put("manifest_path", manifestPath.toString)
+      newEntry.put("manifest_length", manifestLen)
+      newEntry.put("partition_spec_id", 0)
+      newEntry.put("content", 0)
+      newEntry.put("sequence_number", seqNum)
+      newEntry.put("min_sequence_number", seqNum)
+      newEntry.put("added_snapshot_id", snapshotId)
+      newEntry.put("added_files_count", fileRecords.size)
+      newEntry.put("existing_files_count", 0)
+      newEntry.put("deleted_files_count", 0)
+      newEntry.put("added_rows_count", addedRecords)
+      newEntry.put("existing_rows_count", 0)
+      newEntry.put("deleted_rows_count", 0)
+      // re-encode carried-over entries against our schema (same field ids)
+      val carried = prevManifests.map { r =>
+        val c = new GenericData.Record(manifestListSchema)
+        manifestListSchema.getFields.asScala.foreach(fld =>
+          c.put(fld.name(), r.get(fld.name())))
+        c
+      }
+      val listPath = new HPath(metadataDir(table),
+        s"snap-$snapshotId-$commitUuid.avro")
+      writeAvro(f, listPath, manifestListSchema,
+        Map("snapshot-id" -> snapshotId.toString,
+          "parent-snapshot-id" -> base.currentSnapshotId.map(_.toString).getOrElse("null"),
+          "sequence-number" -> seqNum.toString,
+          "format-version" -> "2"),
+        carried :+ newEntry)
+
+      val snap = Snapshot(snapshotId, base.currentSnapshotId, seqNum, nowMs,
+        listPath.toString, fileRecords.size.toLong, addedRecords, schemaId)
+      val newVersion = base.version + 1
+      val next = TableMeta(newVersion, base.uuid, tableDir.toString, seqNum,
+        lastColId, schemaId, fields, base.snapshots :+ snap, Some(snapshotId),
+        base.metadataLog ++ (if (base.version > 0)
+          Seq((nowMs, versionFile(table, base.version).toString)) else Nil))
+      val allSchemas =
+        (prevSchemas.filterNot(_._1 == schemaId) :+ (schemaId -> fields))
+          .sortBy(_._1)
+
+      // atomic claim: write temp, rename to the next version slot. Rename
+      // refuses to clobber an existing destination, so exactly one
+      // committer wins a given version (HadoopTableOperations semantics).
+      val tmp = new HPath(metadataDir(table), s"$commitUuid-$attempt.tmp.json")
+      val out = f.create(tmp, true)
+      try out.write(metaJson(next, allSchemas, nowMs)
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val dest = versionFile(table, newVersion)
+      if (!f.exists(dest) && f.rename(tmp, dest)) {
+        // best-effort pointer cache; readers probe past it anyway
+        val hint = f.create(new HPath(metadataDir(table), "version-hint.text"), true)
+        try hint.write(newVersion.toString.getBytes(StandardCharsets.UTF_8))
+        finally hint.close()
+        committed = true
+      } else {
+        f.delete(tmp, false)
+        f.delete(listPath, false) // stale snapshot artifacts of the lost race
+        f.delete(manifestPath, false)
+      }
+    }
+  }
+
+  // ---- read (metadata-driven scan planning) --------------------------------
+
+  /** Scan via the metadata chain: current snapshot → manifest list →
+    * manifests → data files, read with the CURRENT schema (old int/float
+    * files upcast in place — no rewrite on evolution). */
+  def read(spark: SparkSession, table: String): DataFrame =
+    load(spark, table) match {
+      case None => spark.emptyDataFrame
+      case Some(m) =>
+        val schema = m.currentSchema
+        m.currentSnapshotId.flatMap(id => m.snapshots.find(_.snapshotId == id)) match {
+          case None =>
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          case Some(snap) =>
+            val manifests = readAvro(spark, snap.manifestList)._2
+              .map(_.get("manifest_path").toString)
+            val files = manifests.flatMap(mp => readAvro(spark, mp)._2
+              .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
+              .map(_.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString))
+            if (files.isEmpty)
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+            else spark.read.schema(schema).parquet(files: _*)
+        }
+    }
+
+  /** Total records according to MANIFEST STATS only (no data read) — the
+    * kind of metadata-only query Iceberg serves from the snapshot summary. */
+  def statsRecordCount(spark: SparkSession, table: String): Long =
+    load(spark, table).flatMap { m =>
+      m.currentSnapshotId.flatMap(id => m.snapshots.find(_.snapshotId == id))
+        .map { snap =>
+          readAvro(spark, snap.manifestList)._2
+            .map(_.get("added_rows_count").asInstanceOf[Long]).sum
+        }
+    }.getOrElse(0L)
+}

@@ -229,6 +229,42 @@ object EtlPack extends QueryPack {
           |       CAST(0 AS BIGINT) AS n_note,
           |       CAST(0 AS BIGINT) AS n_ratio,
           |       CAST(0 AS BIGINT) AS n_flag
+          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // S8 as a REAL Iceberg v2 table: two appends become two snapshots with
+    // chained lineage; the second append evolves the schema (k int->long
+    // promotion + a new event_type column) WITHOUT rewriting snapshot 1's
+    // data files; the read plans its scan from the metadata chain (current
+    // snapshot -> manifest list -> manifests -> data files) and upcasts the
+    // old int32 files in place.
+    QueryDef(
+      "e10_iceberg_table",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("int").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table,
+          ev.where(col("offset") % 2 === 0).drop("event_type"))
+        IcebergSink.append(s, table,
+          ev.where(col("offset") % 2 === 1)
+            .withColumn("k", col("k").cast("long")))
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"),
+            count(col("event_type")).as("n_typed"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       max(_offset) AS max_off,
+          |       CAST(SUM(CASE WHEN _offset % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_typed
           |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin)))
   )
 }
