@@ -35,6 +35,15 @@ object Pipeline {
   case object Lenient extends Validation
   case object Strict extends Validation
 
+  /** Sink table format: plain parquet directory ([[TableSink]]) or the
+    * real Iceberg v2 layout ([[IcebergSink]]) — with Iceberg, EVERY
+    * micro-batch commit becomes a snapshot, which is exactly the
+    * reference's streaming Kafka→Iceberg cadence (its processor appends
+    * one Iceberg commit per drained poll). */
+  sealed trait SinkFormat
+  case object ParquetDir extends SinkFormat
+  case object IcebergV2 extends SinkFormat
+
   final class ValidationException(n: Long)
     extends RuntimeException(s"strict validation failed: $n invalid records")
 
@@ -58,11 +67,13 @@ object Pipeline {
       checkpointDir: String,
       schemaJson: String,
       validation: Validation = Off,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      format: SinkFormat = ParquetDir): Unit = {
     val (cols, required) = SchemaRegistry.columnsFromJsonSchema(schemaJson)
     run(spark, kfsRoot, tablePath, checkpointDir, cols, validation,
       maxFilesPerTrigger,
-      validateCols = Some(cols.filter(c => required(c.name))))
+      validateCols = Some(cols.filter(c => required(c.name))),
+      format = format)
   }
 
   /** Run the pipeline over a KFS root until all currently-available
@@ -79,7 +90,8 @@ object Pipeline {
       schemaCols: Seq[SchemaCol] = Nil,
       validation: Validation = Off,
       maxFilesPerTrigger: Option[Int] = None,
-      validateCols: Option[Seq[SchemaCol]] = None): Unit = {
+      validateCols: Option[Seq[SchemaCol]] = None,
+      format: SinkFormat = ParquetDir): Unit = {
 
     import spark.implicits._
     val reader = spark.readStream
@@ -110,7 +122,7 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sinkBatch(batch.sparkSession, batch, tablePath, schemaCols, validation,
-          validateCols)
+          validateCols, format)
       }
       .start()
     query.awaitTermination()
@@ -119,7 +131,8 @@ object Pipeline {
   /** One micro-batch: validate → extract → offset-dedup → append. */
   def sinkBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
       schemaCols: Seq[SchemaCol], validation: Validation,
-      validateCols: Option[Seq[SchemaCol]] = None): Unit = {
+      validateCols: Option[Seq[SchemaCol]] = None,
+      format: SinkFormat = ParquetDir): Unit = {
     val withValid = batch.withColumn("_valid",
       validityColumn(validateCols.getOrElse(schemaCols)))
     val valid = validation match {
@@ -143,7 +156,10 @@ object Pipeline {
     // coordinates. Scale note: the probe side is bounded to the batch's
     // offset range first, so the parquet scan prunes to the overlapping
     // files instead of reading the whole table.
-    val existing = TableSink.read(spark, tablePath)
+    val existing = format match {
+      case ParquetDir => TableSink.read(spark, tablePath)
+      case IcebergV2 => IcebergSink.read(spark, tablePath)
+    }
     val deduped =
       if (existing.isEmpty) withExtras
       else {
@@ -157,6 +173,9 @@ object Pipeline {
           withExtras.join(seen, Seq("topic", "partition", "offset"), "left_anti")
         }
       }
-    if (!deduped.isEmpty) TableSink.append(spark, tablePath, deduped)
+    if (!deduped.isEmpty) format match {
+      case ParquetDir => TableSink.append(spark, tablePath, deduped)
+      case IcebergV2 => IcebergSink.append(spark, tablePath, deduped)
+    }
   }
 }

@@ -265,6 +265,35 @@ object EtlPack extends QueryPack {
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |       max(_offset) AS max_off,
           |       CAST(SUM(CASE WHEN _offset % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_typed
+          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // S8+S9 integration — the reference's core workflow: STREAMING
+    // ingestion where every micro-batch commit lands as an Iceberg
+    // snapshot (checkpointed incremental consumption + offset-dedup, so a
+    // rerun appends nothing and the snapshot history stays linear). The
+    // read side plans from the metadata chain, never a directory listing.
+    QueryDef(
+      "e11_stream_iceberg",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "iceberg_stream_table")
+        val ckpt = tmp(dir, "iceberg_stream_ckpt")
+        Pipeline.run(s, root, table, ckpt,
+          schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+          validation = Pipeline.Lenient,
+          maxFilesPerTrigger = Some(4), // several micro-batches -> snapshots
+          format = Pipeline.IcebergV2)
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"),
+            max(col("offset")).as("max_off"),
+            sum(col("k").cast("long")).as("sum_k"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       max(_offset) AS max_off,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
           |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin)))
   )
 }

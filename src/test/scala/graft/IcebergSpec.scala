@@ -146,6 +146,34 @@ class IcebergSpec extends AnyFunSuite {
     assert(got == Set(0L, 10L, 20L))
   }
 
+  test("streaming pipeline lands one snapshot per micro-batch; rerun adds none") {
+    import graft.etl.Pipeline
+    import graft.kafsql.SchemaCol
+    import graft.kfs.{KfsCodec, KfsLayout}
+    val root = Files.createTempDirectory("ice_stream").toString
+    (0 until 3).foreach { seg =>
+      val recs = (0 until 50).map(i => KfsCodec.Record((seg * 50 + i).toLong,
+        1706000000000L + seg * 50 + i, s"k$i".getBytes,
+        s"""{"n":${seg * 50 + i}}""".getBytes, Nil))
+      KfsLayout.writeSegment(root, "t1", 0, recs)
+    }
+    val table = tmpTable()
+    val ckpt = Files.createTempDirectory("ice_ck").toString
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")),
+      maxFilesPerTrigger = Some(1), format = Pipeline.IcebergV2)
+    val m = IcebergSink.load(spark, table).get
+    assert(m.snapshots.length == 3) // one per micro-batch
+    assert(m.snapshots.map(_.sequenceNumber) == Seq(1L, 2L, 3L))
+    assert(IcebergSink.read(spark, table).count() == 150)
+    assert(IcebergSink.statsRecordCount(spark, table) == 150)
+    // rerun with the same checkpoint: no new snapshots, no duplicates
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")),
+      maxFilesPerTrigger = Some(1), format = Pipeline.IcebergV2)
+    val m2 = IcebergSink.load(spark, table).get
+    assert(m2.snapshots.length == 3)
+    assert(IcebergSink.read(spark, table).count() == 150)
+  }
+
   test("crashed committer's version without a hint update is still found") {
     import spark.implicits._
     val table = tmpTable()
