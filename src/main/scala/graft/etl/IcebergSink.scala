@@ -100,17 +100,23 @@ object IcebergSink {
 
   final case class Snapshot(snapshotId: Long, parentId: Option[Long],
       sequenceNumber: Long, timestampMs: Long, manifestList: String,
-      addedFiles: Long, addedRecords: Long, schemaId: Int)
+      addedFiles: Long, addedRecords: Long, schemaId: Int,
+      operation: String = "append")
 
   final case class TableMeta(
       version: Int, uuid: String, location: String,
       lastSequenceNumber: Long, lastColumnId: Int, currentSchemaId: Int,
       fields: Seq[Field], snapshots: Seq[Snapshot],
       currentSnapshotId: Option[Long],
-      metadataLog: Seq[(Long, String)]) {
-    def currentSchema: StructType =
-      StructType(fields.map(f => StructField(f.name, sparkType(f.typ))))
+      metadataLog: Seq[(Long, String)],
+      schemasById: Map[Int, Seq[Field]] = Map.empty) {
+    def currentSchema: StructType = sparkSchemaOf(fields)
+    def schemaFor(schemaId: Int): StructType =
+      sparkSchemaOf(schemasById.getOrElse(schemaId, fields))
   }
+
+  private def sparkSchemaOf(fields: Seq[Field]): StructType =
+    StructType(fields.map(f => StructField(f.name, sparkType(f.typ))))
 
   private def fs(p: HPath): FileSystem = p.getFileSystem(KfsLayout.hadoopConf)
 
@@ -151,13 +157,14 @@ object IcebergSink {
   private def parseMeta(json: String, version: Int): TableMeta = {
     val n = mapper.readTree(json)
     val schemaId = n.path("current-schema-id").asInt()
-    val schema = n.path("schemas").elements().asScala
-      .find(_.path("schema-id").asInt() == schemaId)
-      .getOrElse(throw new IllegalStateException("current schema missing"))
-    val fields = schema.path("fields").elements().asScala.map { fn =>
-      Field(fn.path("id").asInt(), fn.path("name").asText(),
-        fn.path("type").asText())
-    }.toSeq
+    val schemasById = n.path("schemas").elements().asScala.map { s =>
+      s.path("schema-id").asInt() ->
+        s.path("fields").elements().asScala.map(fn =>
+          Field(fn.path("id").asInt(), fn.path("name").asText(),
+            fn.path("type").asText())).toSeq
+    }.toMap
+    val fields = schemasById.getOrElse(schemaId,
+      throw new IllegalStateException("current schema missing"))
     val snaps = n.path("snapshots").elements().asScala.map { sn =>
       Snapshot(
         sn.path("snapshot-id").asLong(),
@@ -167,7 +174,8 @@ object IcebergSink {
         sn.path("manifest-list").asText(),
         sn.path("summary").path("added-data-files").asText("0").toLong,
         sn.path("summary").path("added-records").asText("0").toLong,
-        sn.path("schema-id").asInt())
+        sn.path("schema-id").asInt(),
+        sn.path("summary").path("operation").asText("append"))
     }.toSeq
     val metaLog = n.path("metadata-log").elements().asScala
       .map(e => (e.path("timestamp-ms").asLong(), e.path("metadata-file").asText()))
@@ -179,7 +187,7 @@ object IcebergSink {
         n.path("current-snapshot-id").asLong() != -1)
         Some(n.path("current-snapshot-id").asLong())
       else None,
-      metaLog)
+      metaLog, schemasById)
   }
 
   // ---- schema evolution (spec: field ids stable, legal promotions) --------
@@ -335,7 +343,7 @@ object IcebergSink {
       sn.put("sequence-number", s.sequenceNumber)
       sn.put("timestamp-ms", s.timestampMs)
       sn.put("manifest-list", s.manifestList)
-      sn.putObject("summary").put("operation", "append")
+      sn.putObject("summary").put("operation", s.operation)
         .put("added-data-files", s.addedFiles.toString)
         .put("added-records", s.addedRecords.toString)
       sn.put("schema-id", s.schemaId)
@@ -384,14 +392,38 @@ object IcebergSink {
     * winner's metadata and retried (data files + manifest are reused). */
   def append(spark: SparkSession, table: String, df: DataFrame,
       maxRetries: Int = 5): Unit = {
+    val commitUuid = UUID.randomUUID().toString
+    val fileRecords = writeDataFiles(spark, table, df, commitUuid)
+    commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
+      carryPrior = true, operation = "append", maxRetries)
+  }
+
+  /** Compact the current snapshot's data files into `targetFiles` and
+    * commit a REPLACE snapshot whose manifest list holds only the
+    * rewritten manifest — the `rewrite_data_files` maintenance op. Old
+    * snapshots keep referencing the old manifests/files, so TIME TRAVEL
+    * across the compaction stays intact (file deletion belongs to a
+    * separate expire-snapshots op, not implemented). */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
+      maxRetries: Int = 5): Unit = {
+    val current = read(spark, table)
+    if (current.isEmpty) return
+    val commitUuid = UUID.randomUUID().toString
+    val fileRecords = writeDataFiles(spark, table,
+      current.coalesce(math.max(1, targetFiles)), commitUuid)
+    commitSnapshot(spark, table, current.schema, fileRecords, commitUuid,
+      carryPrior = false, operation = "replace", maxRetries)
+  }
+
+  /** Write `df` as parquet under data/ with commit-unique names; returns
+    * each file's status + parquet-footer record count. */
+  private def writeDataFiles(spark: SparkSession, table: String,
+      df: DataFrame, commitUuid: String)
+      : Seq[(org.apache.hadoop.fs.FileStatus, Long)] = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     f.mkdirs(metadataDir(table))
     f.mkdirs(dataDir(table))
-
-    // 1. write data files once (spark parquet into a staging dir, then
-    //    moved under data/ with commit-unique names)
-    val commitUuid = UUID.randomUUID().toString
     val staging = new HPath(table, s"_staging_$commitUuid")
     df.write.mode("overwrite").parquet(staging.toString)
     val moved = f.listStatus(staging).toSeq
@@ -403,15 +435,24 @@ object IcebergSink {
         f.getFileStatus(dest)
       }
     f.delete(staging, true)
-    val fileRecords = moved.map { st =>
+    moved.map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, KfsLayout.hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try (st, r.getRecordCount) finally r.close()
     }
-    val addedRecords = fileRecords.map(_._2).sum
+  }
 
-    // 2. commit loop: claim version N+1 by atomic rename; on loss re-base
+  /** The optimistic commit loop shared by append (carries the previous
+    * snapshot's manifests forward) and compact (replaces them). */
+  private def commitSnapshot(spark: SparkSession, table: String,
+      incomingSchema: StructType,
+      fileRecords: Seq[(org.apache.hadoop.fs.FileStatus, Long)],
+      commitUuid: String, carryPrior: Boolean, operation: String,
+      maxRetries: Int): Unit = {
+    val tableDir = new HPath(table)
+    val f = fs(tableDir)
+    val addedRecords = fileRecords.map(_._2).sum
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -429,7 +470,7 @@ object IcebergSink {
           (empty, Nil)
       }
       val (fields, lastColId, schemaChanged) =
-        evolveFields(base.fields, base.lastColumnId, df.schema)
+        evolveFields(base.fields, base.lastColumnId, incomingSchema)
       val schemaId =
         if (base.fields.isEmpty) 0
         else if (schemaChanged) base.currentSchemaId + 1
@@ -468,11 +509,15 @@ object IcebergSink {
           "content" -> "data"),
         entries)
 
-      // manifest list = previous snapshot's manifests + the new one
-      val prevManifests: Seq[GenericRecord] = base.currentSnapshotId
-        .flatMap(id => base.snapshots.find(_.snapshotId == id))
-        .map(s => readAvro(spark, s.manifestList)._2)
-        .getOrElse(Nil)
+      // manifest list: append carries the previous snapshot's manifests
+      // forward; replace (compaction) starts from just the new manifest —
+      // old snapshots keep their own manifest lists, so history survives
+      val prevManifests: Seq[GenericRecord] =
+        if (!carryPrior) Nil
+        else base.currentSnapshotId
+          .flatMap(id => base.snapshots.find(_.snapshotId == id))
+          .map(s => readAvro(spark, s.manifestList)._2)
+          .getOrElse(Nil)
       val newEntry = new GenericData.Record(manifestListSchema)
       newEntry.put("manifest_path", manifestPath.toString)
       newEntry.put("manifest_length", manifestLen)
@@ -504,7 +549,8 @@ object IcebergSink {
         carried :+ newEntry)
 
       val snap = Snapshot(snapshotId, base.currentSnapshotId, seqNum, nowMs,
-        listPath.toString, fileRecords.size.toLong, addedRecords, schemaId)
+        listPath.toString, fileRecords.size.toLong, addedRecords, schemaId,
+        operation)
       val newVersion = base.version + 1
       val next = TableMeta(newVersion, base.uuid, tableDir.toString, seqNum,
         lastColId, schemaId, fields, base.snapshots :+ snap, Some(snapshotId),
@@ -539,15 +585,28 @@ object IcebergSink {
 
   // ---- read (metadata-driven scan planning) --------------------------------
 
-  /** Scan via the metadata chain: current snapshot → manifest list →
-    * manifests → data files, read with the CURRENT schema (old int/float
-    * files upcast in place — no rewrite on evolution). */
-  def read(spark: SparkSession, table: String): DataFrame =
+  /** Scan via the metadata chain: snapshot → manifest list → manifests →
+    * data files, read with the SNAPSHOT's schema (old int/float files
+    * upcast in place — no rewrite on evolution).
+    *
+    * `snapshotId` = TIME TRAVEL: any retained snapshot is readable with
+    * the schema it was written under — a pre-evolution snapshot has no
+    * later columns, and a pre-compaction snapshot still reads its original
+    * files (compaction never deletes them; that is expire-snapshots). */
+  def read(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): DataFrame =
     load(spark, table) match {
       case None => spark.emptyDataFrame
       case Some(m) =>
-        val schema = m.currentSchema
-        m.currentSnapshotId.flatMap(id => m.snapshots.find(_.snapshotId == id)) match {
+        val snapOpt = snapshotId match {
+          case Some(id) => Some(m.snapshots.find(_.snapshotId == id).getOrElse(
+            throw new IllegalArgumentException(s"unknown snapshot id $id")))
+          case None =>
+            m.currentSnapshotId.flatMap(id => m.snapshots.find(_.snapshotId == id))
+        }
+        val schema = snapOpt.map(s => m.schemaFor(s.schemaId))
+          .getOrElse(m.currentSchema)
+        snapOpt match {
           case None =>
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
           case Some(snap) =>

@@ -146,6 +146,57 @@ class IcebergSpec extends AnyFunSuite {
     assert(got == Set(0L, 10L, 20L))
   }
 
+  test("time travel: old snapshots read their own rows AND their own schema") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1, "a")).toDF("qty", "name"))
+    val s1 = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.append(spark, table,
+      Seq((5L, "b", 1.5)).toDF("qty", "name", "score")) // evolves: long + score
+    // current view: both rows, evolved schema
+    assert(IcebergSink.read(spark, table).count() == 2)
+    // snapshot 1: only its row, its ORIGINAL schema (int qty, no score)
+    val old = IcebergSink.read(spark, table, snapshotId = Some(s1))
+    assert(old.columns.toSeq == Seq("qty", "name"))
+    assert(old.schema("qty").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(old.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a")))
+    intercept[IllegalArgumentException] {
+      IcebergSink.read(spark, table, snapshotId = Some(-42L)).count()
+    }
+  }
+
+  test("compaction commits a replace snapshot; history stays time-travelable") {
+    import spark.implicits._
+    val table = tmpTable()
+    (1 to 3).foreach(i =>
+      IcebergSink.append(spark, table, Seq((i.toLong, i * 10)).toDF("id", "v")))
+    val before = IcebergSink.load(spark, table).get
+    assert(before.snapshots.length == 3)
+    val preCompactSnap = before.currentSnapshotId.get
+    // pre-compaction manifest list carries 3 manifests
+    assert(IcebergSink.readAvro(spark,
+      before.snapshots.last.manifestList)._2.length == 3)
+
+    IcebergSink.compact(spark, table)
+    val after = IcebergSink.load(spark, table).get
+    assert(after.snapshots.length == 4)
+    assert(after.snapshots.last.operation == "replace")
+    // the replace snapshot's manifest list holds ONLY the rewritten manifest
+    val entries = IcebergSink.readAvro(spark,
+      after.snapshots.last.manifestList)._2
+    assert(entries.length == 1)
+    assert(entries.head.get("added_rows_count").asInstanceOf[Long] == 3L)
+    // data identical through the new snapshot
+    assert(IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 10), (2L, 20), (3L, 30)))
+    assert(IcebergSink.statsRecordCount(spark, table) == 3)
+    // time travel to the pre-compaction snapshot still reads the old files
+    assert(IcebergSink.read(spark, table,
+      snapshotId = Some(preCompactSnap)).count() == 3)
+  }
+
   test("streaming pipeline lands one snapshot per micro-batch; rerun adds none") {
     import graft.etl.Pipeline
     import graft.kafsql.SchemaCol
