@@ -177,19 +177,48 @@ object KfsLayout {
     }
   }
 
+  /** Per-segment stats memo: a COMPLETED segment is immutable (atomic
+    * publish; a torn foreign upload never grows), so stats keyed by
+    * (path, size) stay valid forever — an incomplete verdict is equally
+    * stable because completion changes the size and thus the key. This
+    * turns the per-trigger re-listings of the streaming source into pure
+    * LIST calls (zero ranged reads for already-seen segments). Bounded
+    * access-order LRU so 10⁶-segment estates don't grow the driver heap.
+    * Value: None = incomplete; Some(stats) = completed. */
+  private val statsCacheMax = 200000
+  private val statsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[(Long, Long, Long, Long)]](
+      1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[(Long, Long, Long, Long)]])
+          : Boolean = size() > statsCacheMax
+    })
+
+  /** Driver-side probe pool: completeness + sidecar reads are independent
+    * ranged GETs, and cold discovery over thousands of new segments is
+    * latency-bound on an object store — probe concurrently. */
+  private lazy val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.min(16, Runtime.getRuntime.availableProcessors()),
+    (r: Runnable) => {
+      val t = new Thread(r, "kfs-discovery-probe")
+      t.setDaemon(true)
+      t
+    })
+
   /** List completed segments under root, newest metadata from `.kfst`
     * sidecars when present. Completeness = footer magic via 4-byte tail read
-    * (a ranged GET on object stores). Ordered (topic, partition, baseOffset)
-    * — the reference's scan order (`discovery.go:178-186`). */
+    * (a ranged GET on object stores), memoized per immutable (path, size)
+    * and probed in parallel on cold misses. Ordered (topic, partition,
+    * baseOffset) — the reference's scan order (`discovery.go:178-186`). */
   def listCompleted(root: String, topics: Option[Set[String]] = None,
       partitions: Option[Set[Int]] = None): Seq[SegmentRef] = {
     val rootPath = new HPath(root)
     val fs = fsFor(rootPath)
     if (!fs.exists(rootPath)) return Nil
     val rootUri = fs.makeQualified(rootPath).toUri.getPath.stripSuffix("/")
-    val out = Seq.newBuilder[SegmentRef]
     // recursive flat LIST — one paged listing call per ~1000 objects on s3a,
     // exactly the reference's discovery LIST shape (discovery.go:52-116)
+    val candidates = Seq.newBuilder[(String, Int, HPath, Long)]
     val it = fs.listFiles(rootPath, true)
     while (it.hasNext) {
       val st = it.next()
@@ -200,19 +229,52 @@ object KfsLayout {
         if (parts.length == 3 && parts(1).forall(_.isDigit)) {
           val topic = parts(0)
           val partition = parts(1).toInt
-          val wanted = topics.forall(_.contains(topic)) &&
-            partitions.forall(_.contains(partition))
-          if (wanted && tailIsComplete(fs, p, st.getLen)) {
-            val (minTs, maxTs, minOff, maxOff) =
-              readTimeIndexFs(fs, new HPath(p.toString + ".kfst"))
-                .getOrElse(headerFooterStats(fs, p, st.getLen))
-            out += SegmentRef(topic, partition, p.toString, minOff, maxOff,
-              minTs, maxTs, st.getLen)
-          }
+          if (topics.forall(_.contains(topic)) &&
+            partitions.forall(_.contains(partition)))
+            candidates += ((topic, partition, p, st.getLen))
         }
       }
     }
-    out.result().sortBy(r => (r.topic, r.partition, r.baseOffset))
+    val cands = candidates.result()
+
+    def probe(p: HPath, size: Long): Option[(Long, Long, Long, Long)] =
+      if (!tailIsComplete(fs, p, size)) None
+      else Some(readTimeIndexFs(fs, new HPath(p.toString + ".kfst"))
+        .getOrElse(headerFooterStats(fs, p, size)))
+
+    def cacheKey(p: HPath, size: Long) = s"${p.toString}|$size"
+
+    // resolve into a call-local map so an LRU eviction mid-call can never
+    // silently drop a listed segment
+    val resolved = new java.util.concurrent.ConcurrentHashMap[
+      String, Option[(Long, Long, Long, Long)]]()
+    val misses = cands.filter { case (_, _, p, size) =>
+      val hit = statsCache.get(cacheKey(p, size))
+      if (hit != null) { resolved.put(cacheKey(p, size), hit); false }
+      else true
+    }
+    def probeAndRecord(p: HPath, size: Long): Unit = {
+      val stats = probe(p, size)
+      resolved.put(cacheKey(p, size), stats)
+      statsCache.put(cacheKey(p, size), stats)
+    }
+    if (misses.size > 1) {
+      val tasks = misses.map { case (_, _, p, size) =>
+        new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = probeAndRecord(p, size)
+        }
+      }
+      probePool.invokeAll(java.util.Arrays.asList(tasks: _*))
+        .forEach(f => f.get()) // propagate probe failures
+    } else misses.foreach { case (_, _, p, size) => probeAndRecord(p, size) }
+
+    cands.flatMap { case (topic, partition, p, size) =>
+      resolved.get(cacheKey(p, size)).map {
+        case (minTs, maxTs, minOff, maxOff) =>
+          SegmentRef(topic, partition, p.toString, minOff, maxOff,
+            minTs, maxTs, size)
+      }
+    }.sortBy(r => (r.topic, r.partition, r.baseOffset))
   }
 
   /** Read the last 4 bytes only — mirrors the ranged-GET completeness check

@@ -281,7 +281,9 @@ object EtlPack extends QueryPack {
         Pipeline.run(s, root, table, ckpt,
           schemaCols = Seq(SchemaCol("k", "int", "$.k")),
           validation = Pipeline.Lenient,
-          maxFilesPerTrigger = Some(4), // several micro-batches -> snapshots
+          // several micro-batches -> several snapshots (~7 at sf0.1), but
+          // not so many that per-commit metadata IO dominates the bench
+          maxFilesPerTrigger = Some(16),
           format = Pipeline.IcebergV2)
         IcebergSink.read(s, table)
           .groupBy(col("partition"))

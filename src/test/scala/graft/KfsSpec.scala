@@ -169,12 +169,35 @@ class KfsSpec extends AnyFunSuite {
     // manifest write + read over the same FS
     KfsLayout.writeManifest(root, "t", 0, refs)
     assert(KfsLayout.listFromManifest(root, "t", 0).map(_.baseOffset) == Seq(0L))
-    // sidecar gone -> discovery falls back to header/footer ranged reads
+    // a NEVER-PROBED segment without a sidecar -> discovery falls back to
+    // header/footer ranged reads (the first segment's stats stay memoized,
+    // which is correct: the .kfs file itself is unchanged)
+    KfsLayout.writeSegment(root, "t", 0,
+      mkRecords(50).map(r => r.copy(offset = r.offset + 100)))
     Files.delete(Paths.get(local.toString, "t", "0",
-      KfsLayout.segmentFileName(0) + ".kfst"))
+      KfsLayout.segmentFileName(100) + ".kfst"))
     val refs2 = KfsLayout.listCompleted(root)
-    assert(refs2.map(r => (r.baseOffset, r.lastOffset)) == Seq((0L, 99L)))
-    assert(refs2.head.minTsMs == Long.MinValue) // no sidecar -> no time stats
+    assert(refs2.map(r => (r.baseOffset, r.lastOffset)) ==
+      Seq((0L, 99L), (100L, 149L)))
+    assert(refs2.head.minTsMs != Long.MinValue) // memoized sidecar stats
+    assert(refs2(1).minTsMs == Long.MinValue) // no sidecar -> no time stats
+  }
+
+  test("discovery memoizes immutable segment stats; a grown file re-probes") {
+    val root = Files.createTempDirectory("kfs_cache").toString
+    KfsLayout.writeSegment(root, "t", 0, mkRecords(10))
+    assert(KfsLayout.listCompleted(root).map(_.baseOffset) == Seq(0L))
+    // torn upload: excluded; the incomplete verdict caches by (path, size)
+    val full = KfsCodec.buildSegment(
+      mkRecords(5).map(r => r.copy(offset = r.offset + 100)))
+    val badPath = Paths.get(root, "t", "0", "segment-00000000000000000100.kfs")
+    Files.write(badPath, full.dropRight(4))
+    assert(KfsLayout.listCompleted(root).map(_.baseOffset) == Seq(0L))
+    assert(KfsLayout.listCompleted(root).map(_.baseOffset) == Seq(0L)) // cached
+    // the writer finishes the upload: the size changes, so the (path, size)
+    // key differs and discovery re-probes -> segment appears
+    Files.write(badPath, full)
+    assert(KfsLayout.listCompleted(root).map(_.baseOffset) == Seq(0L, 100L))
   }
 
   test("discovery skips segments without the END! footer") {
