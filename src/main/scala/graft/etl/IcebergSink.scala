@@ -583,6 +583,81 @@ object IcebergSink {
     }
   }
 
+  /** Expire snapshots older than `olderThanMs` (always retaining the
+    * current snapshot and the most recent `retainLast`) and DELETE the
+    * files only they referenced — manifest lists, manifests, and data
+    * files unreachable from any retained snapshot. This is the
+    * `expire_snapshots` maintenance op that reclaims space after
+    * [[compact]]; time travel to an expired snapshot becomes impossible,
+    * which is the documented trade. Commits a new metadata version through
+    * the same optimistic rename (no new snapshot). */
+  def expireSnapshots(spark: SparkSession, table: String, olderThanMs: Long,
+      retainLast: Int = 1, maxRetries: Int = 5): Unit = {
+    val tableDir = new HPath(table)
+    val f = fs(tableDir)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new CommitConflictException(
+          s"lost $maxRetries commit races expiring $table")
+      val m = load(spark, table).getOrElse(return)
+      val keepIds = (m.snapshots.sortBy(_.sequenceNumber).takeRight(
+        math.max(1, retainLast)).map(_.snapshotId) ++
+        m.currentSnapshotId.toSeq ++
+        m.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
+      val (kept, expired) = m.snapshots.partition(s => keepIds(s.snapshotId))
+      if (expired.isEmpty) return
+
+      // reachability: everything a retained snapshot references survives
+      def manifestsOf(s: Snapshot): Seq[String] =
+        readAvro(spark, s.manifestList)._2.map(_.get("manifest_path").toString)
+      def dataFilesOf(manifest: String): Seq[String] =
+        readAvro(spark, manifest)._2.map(
+          _.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)
+      val keptManifests = kept.flatMap(manifestsOf).toSet
+      val keptData = keptManifests.flatMap(dataFilesOf)
+      val expiredManifests = expired.flatMap(manifestsOf).toSet -- keptManifests
+      val expiredData = expiredManifests.flatMap(dataFilesOf) -- keptData
+
+      // expired snapshots' PARENT pointers may now dangle; rewrite lineage
+      // so each kept snapshot points at its nearest kept ancestor
+      val keptSorted = kept.sortBy(_.sequenceNumber)
+      val relinked = keptSorted.zipWithIndex.map { case (s, i) =>
+        val parent = if (i == 0) None else Some(keptSorted(i - 1).snapshotId)
+        s.copy(parentId = parent)
+      }
+      val nowMs = System.currentTimeMillis()
+      val next = m.copy(version = m.version + 1, snapshots = relinked,
+        metadataLog = m.metadataLog :+
+          ((nowMs, versionFile(table, m.version).toString)))
+      val allSchemas = historicalSchemas(f, table, m)
+        .filterNot(_._1 == m.currentSchemaId) :+ (m.currentSchemaId -> m.fields)
+
+      val tmp = new HPath(metadataDir(table),
+        s"expire-${UUID.randomUUID()}.tmp.json")
+      val out = f.create(tmp, true)
+      try out.write(metaJson(next, allSchemas.sortBy(_._1), nowMs)
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val dest = versionFile(table, next.version)
+      if (!f.exists(dest) && f.rename(tmp, dest)) {
+        val hint = f.create(new HPath(metadataDir(table), "version-hint.text"), true)
+        try hint.write(next.version.toString.getBytes(StandardCharsets.UTF_8))
+        finally hint.close()
+        committed = true
+        // physical cleanup only AFTER the metadata no longer references
+        // any of it (a crash between commit and deletes leaves orphans,
+        // never a broken table)
+        expired.foreach(s => f.delete(new HPath(s.manifestList), false))
+        expiredManifests.foreach(p => f.delete(new HPath(p), false))
+        expiredData.foreach(p => f.delete(new HPath(p), false))
+      } else f.delete(tmp, false)
+    }
+  }
+
   // ---- read (metadata-driven scan planning) --------------------------------
 
   /** Scan via the metadata chain: snapshot → manifest list → manifests →

@@ -197,6 +197,42 @@ class IcebergSpec extends AnyFunSuite {
       snapshotId = Some(preCompactSnap)).count() == 3)
   }
 
+  test("expire-snapshots reclaims unreachable files, keeps the table readable") {
+    import spark.implicits._
+    val table = tmpTable()
+    (1 to 3).foreach(i =>
+      IcebergSink.append(spark, table, Seq((i.toLong, i * 10)).toDF("id", "v")))
+    IcebergSink.compact(spark, table)
+    val before = IcebergSink.load(spark, table).get
+    val expiredIds = before.snapshots.dropRight(1).map(_.snapshotId)
+    def parquetCount(): Long = {
+      val s = Files.list(java.nio.file.Paths.get(table, "data"))
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    assert(parquetCount() == 4) // 3 appends + 1 compacted rewrite
+
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val after = IcebergSink.load(spark, table).get
+    assert(after.snapshots.map(_.snapshotId) ==
+      Seq(before.currentSnapshotId.get))
+    assert(after.snapshots.head.parentId.isEmpty) // lineage re-rooted
+    // the three pre-compaction data files are unreachable -> deleted
+    assert(parquetCount() == 1)
+    // current view unchanged
+    assert(IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 10), (2L, 20), (3L, 30)))
+    // time travel to an expired snapshot is gone, by design
+    intercept[IllegalArgumentException] {
+      IcebergSink.read(spark, table, snapshotId = Some(expiredIds.head)).count()
+    }
+    // expiring again is a no-op
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000)
+    assert(IcebergSink.load(spark, table).get.snapshots.length == 1)
+  }
+
   test("streaming pipeline lands one snapshot per micro-batch; rerun adds none") {
     import graft.etl.Pipeline
     import graft.kafsql.SchemaCol
