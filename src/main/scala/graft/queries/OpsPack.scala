@@ -391,6 +391,41 @@ object OpsPack extends QueryPack {
           |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
           |FROM kept GROUP BY 1 ORDER BY lang_guess""".stripMargin)),
 
+    // Sequence packing (concatenate-then-chunk): deterministic shard-local
+    // cumsum layout — the DuckDB oracle reproduces the EXACT packing with
+    // the same window arithmetic, proving reruns and audits see identical
+    // sequences. One hash shuffle on the shard key; per-shard sorts run in
+    // parallel and never a global sort.
+    QueryDef(
+      "t11_sequence_pack",
+      (s, dir) => {
+        val packed = graft.ops.Packing.packSequences(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          seqLen = 512, shards = 8)
+        graft.ops.Packing.sequenceStats(packed, "doc_id")
+          .orderBy(col("shard"), col("seq_idx"))
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+          |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          |              AND 1 PRECEDING), 0) AS tok_start
+          |  FROM p),
+          |a AS (
+          |  SELECT shard, tok_start // 512 AS seq_idx, doc_id, n_tokens,
+          |         (tok_start % 512) + n_tokens > 512 AS straddles
+          |  FROM c)
+          |SELECT shard, seq_idx, count(*) AS n_docs,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+          |       CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+          |FROM a GROUP BY shard, seq_idx
+          |ORDER BY shard, seq_idx""".stripMargin)),
+
     // Multimodal resize: stride-resample to 16 bytes inside the decode
     // stage (no shuffle); DuckDB reconstructs the identical sample from the
     // raw text bytes, so the resample arithmetic is hash-checked.

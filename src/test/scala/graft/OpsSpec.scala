@@ -419,6 +419,34 @@ class OpsSpec extends AnyFunSuite {
     f.foreach(r => assert(expect(r.getAs[Long]("id")) == r.getAs[String]("digest")))
   }
 
+  test("sequence packing: contiguous per-shard token stream, valid straddles") {
+    val packed = Packing.packSequences(docs, "doc_id", "text",
+      seqLen = 256, shards = 4).collect()
+    assert(packed.length == docs.count())
+    packed.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("tok_start"))
+      // the token stream is gapless: each doc starts where the previous ended
+      sorted.foldLeft(0L) { (expected, r) =>
+        assert(r.getAs[Long]("tok_start") == expected)
+        expected + r.getAs[Long]("n_tokens")
+      }
+      // docs are laid out in id order within the shard
+      assert(sorted.map(_.getAs[Long]("doc_id")).toSeq ==
+        sorted.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seq_idx") == r.getAs[Long]("tok_start") / 256)
+        assert(r.getAs[Long]("pos_in_seq") == r.getAs[Long]("tok_start") % 256)
+        assert(r.getAs[Boolean]("straddles") ==
+          (r.getAs[Long]("pos_in_seq") + r.getAs[Long]("n_tokens") > 256))
+      }
+    }
+    // determinism: a second run is byte-identical
+    val again = Packing.packSequences(docs, "doc_id", "text",
+      seqLen = 256, shards = 4).collect()
+    assert(packed.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("ImageIoDecoder decodes the PNG fixture to exact pixel bytes") {
     val png = Multimodal.pngFixture(seed = 7L, w = 16, h = 16)
     // a real PNG came out of ImageIO (magic bytes)
