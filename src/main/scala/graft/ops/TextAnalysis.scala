@@ -77,6 +77,31 @@ object TextAnalysis {
         estBpeTokens(t).as("est_bpe_tokens"))
   }
 
+  /** Character-class composition metrics — the other half of the Gopher/C4
+    * quality rules ([[repetition]] covers the repetition half): fraction of
+    * alphabetic / numeric / symbol (non-alphanumeric, non-space) characters
+    * and the mean word length. Degenerate documents (code dumps, tables,
+    * markup, encoding garbage) show extreme symbol ratios or word lengths
+    * that length/stopword gates miss. Pure codegen'd built-ins (length of
+    * regexp-stripped text), zero UDFs, one narrow projection — same scan
+    * discipline as [[quality]]. */
+  def charClassStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("_c_text")
+    val nChars = length(t).cast("double")
+    def classCount(pattern: String): Column =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("double")
+    docs.select(col(idCol).as("doc"), col(textCol).as("_c_text"),
+        words(col(textCol)).as("_c_words"))
+      .select(
+        col("doc"),
+        length(t).as("n_chars"),
+        round(classCount("[A-Za-z]") / nChars, 4).as("alpha_ratio"),
+        round(classCount("[0-9]") / nChars, 4).as("digit_ratio"),
+        round(classCount("[^A-Za-z0-9 ]") / nChars, 4).as("symbol_ratio"),
+        round(length(regexp_replace(t, " ", "")).cast("double") /
+          size(col("_c_words")), 4).as("mean_word_len"))
+  }
+
   /** Stopword-ratio language heuristic over a word array. */
   def languageGuessOf(w: Column, threshold: Double = 0.04): Column =
     when(stopwordCountOf(w).cast("double") / size(w) >= threshold,

@@ -391,6 +391,29 @@ object OpsPack extends QueryPack {
           |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
           |FROM kept GROUP BY 1 ORDER BY lang_guess""".stripMargin)),
 
+    // Character-class quality metrics (the Gopher/C4 composition rules):
+    // alpha/digit/symbol ratios + mean word length, all codegen'd
+    // regexp-strip length arithmetic — both engines compute the identical
+    // counts, so the ratios hash-match exactly
+    QueryDef(
+      "t12_char_classes",
+      (s, dir) => TextAnalysis.charClassStats(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 50),
+        "doc_id", "text")
+        .orderBy(col("doc")),
+      Some(
+        """SELECT doc_id AS doc,
+          |       CAST(length(text) AS INTEGER) AS n_chars,
+          |       round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+          |             * 1.0 / length(text), 4) AS alpha_ratio,
+          |       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+          |             * 1.0 / length(text), 4) AS digit_ratio,
+          |       round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+          |             * 1.0 / length(text), 4) AS symbol_ratio,
+          |       round(length(replace(text, ' ', '')) * 1.0
+          |             / len(string_split(text, ' ')), 4) AS mean_word_len
+          |FROM documents WHERE doc_id < 50 ORDER BY doc""".stripMargin)),
+
     // Sequence packing (concatenate-then-chunk): deterministic shard-local
     // cumsum layout — the DuckDB oracle reproduces the EXACT packing with
     // the same window arithmetic, proving reruns and audits see identical

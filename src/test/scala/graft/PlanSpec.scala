@@ -149,6 +149,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"t6 dedup joins back as semi:\n$plan")
   }
 
+  test("t11: sequence packing shuffles ONCE on the shard key, no global sort") {
+    val plan = planOf("t11_sequence_pack")
+    // one hash exchange: the window partitions by shard, and the
+    // downstream groupBy(shard, seq_idx) is satisfied by the same
+    // partitioning (subset-key clustering), so no second shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"one shuffle on shard expected:\n$plan")
+    // sorts are per-shard (local), never a global range sort below the agg
+    assert(!plan.contains("Exchange rangepartitioning") ||
+      plan.indexOf("Exchange rangepartitioning") < plan.indexOf("Window"),
+      s"no global sort below the window:\n$plan")
+  }
+
   test("t9: PII scrub stays native — codegen'd regexp_replace, no UDF") {
     val plan = planOf("t9_pii_redact")
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
