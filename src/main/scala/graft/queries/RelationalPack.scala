@@ -990,6 +990,31 @@ object RelationalPack extends QueryPack {
           |GROUP BY o_orderpriority, quartile
           |ORDER BY o_orderpriority, quartile""".stripMargin)),
 
+    // Exact percentiles (superset): Spark's `percentile` and DuckDB's
+    // `quantile_cont` both use type-7 linear interpolation over the sorted
+    // values, so the doubles agree to rounding. Exact percentile is a
+    // per-group sort-aggregate — fine here because groups are few and huge
+    // (the shuffle is on a 3-value key); for high-cardinality keys the
+    // scale path is approx_percentile (t-digest, not oracle-matchable).
+    QueryDef(
+      "u7_percentiles",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .withColumn("p", col("l_extendedprice").cast("double"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(p, 0.25)"), 2).as("p25"),
+          round(expr("percentile(p, 0.5)"), 2).as("p50"),
+          round(expr("percentile(p, 0.75)"), 2).as("p75"),
+          round(expr("percentile(p, 0.99)"), 2).as("p99"))
+        .orderBy(col("l_returnflag")),
+      Some(
+        """SELECT l_returnflag, count(*) AS n,
+          |       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2) AS p25,
+          |       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS p50,
+          |       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 2) AS p75,
+          |       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 2) AS p99
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Window-function analytics (superset — the reference has no window
     // functions, SURVEY §2.8): top-3 orders per customer by total price.
     // One shuffle on custkey; rank inside the sorted partition.
