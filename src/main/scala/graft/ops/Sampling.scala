@@ -58,4 +58,34 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), hexDigits) < thr)
   }
+
+  /** Keep-rates that make the OUTPUT class proportions match `weights`
+    * while keeping as much data as possible: the binding class (largest
+    * weight-to-size ratio) keeps everything, the rest downsample —
+    * `rate_c = (w_c / size_c) / max_k(w_k / size_k)`, so
+    * `kept_c ∝ w_c` exactly. The standard way a pretraining mix turns
+    * "40% web, 40% code, 20% books" into per-corpus sampling rates. */
+  def mixtureRates(sizes: Map[String, Long],
+      weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    val ratios = weights.collect {
+      case (cls, w) if sizes.getOrElse(cls, 0L) > 0 => cls -> w / sizes(cls)
+    }
+    require(ratios.nonEmpty, s"no weighted class present in the corpus")
+    val binding = ratios.values.max
+    ratios.map { case (cls, r) => cls -> r / binding }
+  }
+
+  /** Deterministic weighted corpus mixing: one metadata-scale count per
+    * class, then a [[stratified]] threshold filter with the
+    * [[mixtureRates]] — classes without a weight are dropped. Same three
+    * guarantees as every op here: cross-engine reproducible, retry-stable,
+    * and a heavier re-mix is a superset of a lighter one per class. */
+  def mixture(df: DataFrame, idCol: String, classCol: String,
+      weights: Map[String, Double], hexDigits: Int = 4): DataFrame = {
+    val sizes = df.groupBy(col(classCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratified(df, idCol, classCol, mixtureRates(sizes, weights),
+      defaultRate = 0.0, hexDigits = hexDigits)
+  }
 }

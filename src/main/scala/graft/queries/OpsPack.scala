@@ -391,6 +391,38 @@ object OpsPack extends QueryPack {
           |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
           |FROM kept GROUP BY 1 ORDER BY lang_guess""".stripMargin)),
 
+    // Deterministic weighted corpus mixing: per-class keep-rates derived
+    // so the OUTPUT proportions match the target weights (binding class
+    // keeps all, others downsample); membership is the same md5-threshold
+    // function as t10, so DuckDB recomputes the rates AND the exact kept
+    // set — mixing a 100 TB pretraining corpus stays auditable
+    QueryDef(
+      "t13_corpus_mixture",
+      (s, dir) => Sampling.mixture(
+        Tables.load(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.4, "de" -> 0.2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang")),
+      Some(
+        """WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |r0 AS (
+          |  SELECT lang,
+          |         CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.4
+          |              WHEN 'de' THEN 0.2 END AS DOUBLE) / n AS ratio
+          |  FROM sz WHERE lang IN ('en', 'zh', 'de')),
+          |rates AS (SELECT lang, ratio / (SELECT max(ratio) FROM r0) AS rate FROM r0),
+          |thr AS (
+          |  SELECT lang,
+          |         CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g'
+          |              WHEN CAST(round(rate * 65536) AS BIGINT) <= 0 THEN ''
+          |              ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS t
+          |  FROM rates)
+          |SELECT d.lang, count(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+          |FROM documents d JOIN thr ON d.lang = thr.lang
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < t
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     // Character-class quality metrics (the Gopher/C4 composition rules):
     // alpha/digit/symbol ratios + mean word length, all codegen'd
     // regexp-strip length arithmetic — both engines compute the identical

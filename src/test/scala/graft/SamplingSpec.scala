@@ -52,4 +52,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(enFrac < 0.6, s"en kept fraction $enFrac")
     assert(kept.getOrElse("en", 0L) < byLang("en"))
   }
+
+  test("mixture: binding class keeps all, rates track target proportions") {
+    val sizes = Map("a" -> 1000L, "b" -> 500L, "c" -> 100L)
+    // target 50/30/20: c is binding (0.2/100 = 2e-3 max ratio)
+    val rates = Sampling.mixtureRates(sizes,
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    assert(rates("c") == 1.0)
+    // kept_k = size_k * rate_k must be proportional to the weights
+    val kept = rates.map { case (k, r) => k -> sizes(k) * r }
+    assert(math.abs(kept("a") / kept("c") - 2.5) < 1e-9) // 0.5 / 0.2
+    assert(math.abs(kept("b") / kept("c") - 1.5) < 1e-9) // 0.3 / 0.2
+    // weighted classes absent from the corpus are skipped, not divide-by-zero
+    val partial = Sampling.mixtureRates(Map("a" -> 10L),
+      Map("a" -> 0.7, "ghost" -> 0.3))
+    assert(partial.keySet == Set("a") && partial("a") == 1.0)
+    // end-to-end: unweighted classes are dropped entirely
+    val mixed = Sampling.mixture(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.5))
+    val langs = mixed.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "zh")))
+  }
 }
