@@ -84,8 +84,15 @@ object KfsLayout {
     // atomic; on s3a it is copy+delete, where the END!-footer gate is what
     // actually guarantees a listed segment is whole (a partial PUT never
     // carries the trailing magic) — same contract as the reference writer.
+    // The temp file lives in a SIBLING staging dir OUTSIDE the scanned
+    // tree: a concurrent recursive listing must never enumerate a file
+    // that can vanish mid-listing (Hadoop's local FS stats each listed
+    // entry lazily, and a vanished entry aborts the whole iteration).
     writeTimeIndexFs(fs, p, minTs, maxTs, base, records.last.offset)
-    val tmp = new HPath(dir, segmentFileName(base) + ".tmp")
+    val stagingDir = new HPath(root.stripSuffix("/") + "_staging")
+    fs.mkdirs(stagingDir)
+    val tmp = new HPath(stagingDir,
+      s"$topic-$partition-${segmentFileName(base)}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(seg) finally out.close()
     if (!fs.rename(tmp, p)) {
@@ -217,25 +224,44 @@ object KfsLayout {
     if (!fs.exists(rootPath)) return Nil
     val rootUri = fs.makeQualified(rootPath).toUri.getPath.stripSuffix("/")
     // recursive flat LIST — one paged listing call per ~1000 objects on s3a,
-    // exactly the reference's discovery LIST shape (discovery.go:52-116)
-    val candidates = Seq.newBuilder[(String, Int, HPath, Long)]
-    val it = fs.listFiles(rootPath, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (p.getName.endsWith(".kfs")) {
-        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-        val parts = rel.split('/')
-        if (parts.length == 3 && parts(1).forall(_.isDigit)) {
-          val topic = parts(0)
-          val partition = parts(1).toInt
-          if (topics.forall(_.contains(topic)) &&
-            partitions.forall(_.contains(partition)))
-            candidates += ((topic, partition, p, st.getLen))
+    // exactly the reference's discovery LIST shape (discovery.go:52-116).
+    // Retried: a file deleted between directory enumeration and the
+    // iterator's lazy stat (compaction, a foreign writer's temp) aborts
+    // the whole iteration on some filesystems — transient by definition,
+    // so list again rather than fail the query.
+    def listOnce(): Seq[(String, Int, HPath, Long)] = {
+      val candidates = Seq.newBuilder[(String, Int, HPath, Long)]
+      val it = fs.listFiles(rootPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        if (p.getName.endsWith(".kfs")) {
+          val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          val parts = rel.split('/')
+          if (parts.length == 3 && parts(1).forall(_.isDigit)) {
+            val topic = parts(0)
+            val partition = parts(1).toInt
+            if (topics.forall(_.contains(topic)) &&
+              partitions.forall(_.contains(partition)))
+              candidates += ((topic, partition, p, st.getLen))
+          }
         }
       }
+      candidates.result()
     }
-    val cands = candidates.result()
+    val cands = {
+      var attempt = 0
+      var out: Seq[(String, Int, HPath, Long)] = null
+      while (out == null) {
+        attempt += 1
+        try out = listOnce()
+        catch {
+          case e: RuntimeException if attempt < 3 &&
+            !Thread.currentThread().isInterrupted => // vanished entry; re-list
+        }
+      }
+      out
+    }
 
     def probe(p: HPath, size: Long): Option[(Long, Long, Long, Long)] =
       if (!tailIsComplete(fs, p, size)) None

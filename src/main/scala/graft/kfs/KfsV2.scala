@@ -155,7 +155,8 @@ class KfsScan(
     tsMin: Option[Long], tsMax: Option[Long],
     rails: Guardrails, maxSegmentsPerTrigger: Option[Int],
     required: StructType, conf: SerializableHadoopConf)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Fresh pruned listing — called once per batch plan, and once per
     * micro-batch trigger by the streaming side (segments are immutable and
@@ -175,6 +176,20 @@ class KfsScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}]"
+
+  /** Post-prune size estimate from segment stats — without this, Catalyst
+    * assumes the source is huge and a small pruned KFS side of a join can
+    * never auto-broadcast. Raw segment bytes ≈ decoded bytes (the v2 batch
+    * framing is a few percent of the payload), which is the right order of
+    * magnitude for the broadcast decision. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, refs.map(_.sizeBytes).sum))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   /** Listing-free description for the streaming side: description() forces
     * the lazy refs (full listing + batch scan admission), which must never

@@ -268,6 +268,26 @@ class KfsSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 reports post-prune statistics; a small pruned side auto-broadcasts") {
+    val root = Files.createTempDirectory("kfs_stats").toString
+    (0 until 3).foreach { seg =>
+      KfsLayout.writeSegment(root, "t", 0,
+        mkRecords(100).map(r => r.copy(offset = r.offset + seg * 100)))
+    }
+    import org.apache.spark.sql.functions.col
+    // joining the kfs scan (small) against a big-ish frame: with reported
+    // stats under the broadcast threshold, Catalyst must pick BHJ with the
+    // kfs side as the build side — not a sort-merge join
+    val kfs = spark.read.format("kfs").option("path", root).load()
+      .where(col("_offset") < 100) // prunes to 1 of 3 segments
+      .select(col("_offset").as("k"), col("_key"))
+    val big = spark.range(0, 200000).toDF("k")
+    val plan = big.join(kfs, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small pruned kfs side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
+  }
+
   test("e2e acceptance fixture: count=200, TAIL 1 -> offset 199, WITHIN join -> 50 rows") {
     val root = Files.createTempDirectory("kfs_e2e").toString
     val t0 = System.currentTimeMillis() - 5 * 60 * 1000
