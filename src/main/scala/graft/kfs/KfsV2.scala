@@ -156,20 +156,69 @@ class KfsScan(
     rails: Guardrails, maxSegmentsPerTrigger: Option[Int],
     required: StructType, conf: SerializableHadoopConf)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime (DPP) partition restriction — arrives after the build side of
+    * a join has executed, see [[filter]]. Intersected with the plan-time
+    * pushdown, never widened. */
+  @volatile private var runtimePartitions: Option[Set[Int]] = None
+  @volatile private var cachedRefs: Seq[KfsLayout.SegmentRef] = null
+  /** Post-filter segment count of the last planInputPartitions, for tests
+    * asserting that runtime pruning actually reached the listing. */
+  @volatile private[graft] var lastPlannedSegments: Int = -1
+
+  private def effectivePartitions: Option[Set[Int]] =
+    (partitions, runtimePartitions) match {
+      case (Some(a), Some(b)) => Some(a.intersect(b))
+      case (a, b) => b.orElse(a)
+    }
 
   /** Fresh pruned listing — called once per batch plan, and once per
     * micro-batch trigger by the streaming side (segments are immutable and
     * append-only, so re-listing is the only way new data appears). */
   private[kfs] def listPruned(): Seq[KfsLayout.SegmentRef] =
     KfsLayout.prune(
-      KfsLayout.listCompleted(root, topics, partitions),
+      KfsLayout.listCompleted(root, topics, effectivePartitions),
       offMin, offMax, tsMin, tsMax)
 
-  private lazy val refs: Seq[KfsLayout.SegmentRef] = {
-    val r = listPruned()
-    ScanAdmission.admit(r.size, r.map(_.sizeBytes).sum, rails)
+  private def refs: Seq[KfsLayout.SegmentRef] = {
+    var r = cachedRefs
+    if (r == null) {
+      r = listPruned()
+      ScanAdmission.admit(r.size, r.map(_.sizeBytes).sum, rails)
+      cachedRefs = r
+    }
     r
+  }
+
+  /** Dynamic partition pruning, the reference's `filterSegments` applied at
+    * RUN time: when the fact side joins a small dim on `_partition` and the
+    * dim is filtered, Spark executes the dim first (reusing its broadcast),
+    * collects the surviving join keys, and hands them here as an IN list —
+    * then re-plans input partitions, so excluded segments are never opened.
+    * At 100 TB this is the difference between scanning every partition's
+    * segments and only the handful the dim selects. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only advertised when _partition survives column pruning: Spark
+    // resolves these against the scan OUTPUT and fails the whole query on
+    // a miss, so a projection without _partition must advertise nothing
+    if (required.fieldNames.contains("_partition"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_partition"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val restrictions = filters.collect {
+      case sources.In("_partition", vs) =>
+        vs.collect { case i: Int => i }.toSet
+      case sources.EqualTo("_partition", v: Int) => Set(v)
+    }
+    if (restrictions.nonEmpty) {
+      runtimePartitions = Some(restrictions.reduce(_ intersect _))
+      cachedRefs = null // re-list under the tightened restriction
+    }
   }
 
   override def readSchema(): StructType = required
@@ -196,9 +245,12 @@ class KfsScan(
     * run from a stream's progress-reporting path. */
   private[kfs] def rootDescription: String = s"root=$root"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    refs.map(r => KfsInputPartition(r.topic, r.partition, r.path,
-      r.sizeBytes): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val r = refs
+    lastPlannedSegments = r.size
+    r.map(x => KfsInputPartition(x.topic, x.partition, x.path,
+      x.sizeBytes): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KfsReaderFactory(required.fieldNames, conf)

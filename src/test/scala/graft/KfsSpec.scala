@@ -288,6 +288,48 @@ class KfsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
   }
 
+  test("DSv2 runtime filtering: DPP from a broadcast dim prunes segments at execution") {
+    val root = Files.createTempDirectory("kfs_dpp").toString
+    (0 until 4).foreach { p =>
+      KfsLayout.writeSegment(root, "t", p, mkRecords(100))
+    }
+    val kfs = spark.read.format("kfs").option("path", root).load()
+      .select(col("_partition"), col("_offset"))
+    // dim must come from a real source: a LocalRelation's filter constant-
+    // folds away and PartitionPruning then sees no selective predicate
+    val dimPath = Files.createTempDirectory("kfs_dpp_dim").toString
+    spark.createDataFrame(
+      Seq((0, "keep"), (1, "drop"), (2, "drop"), (3, "drop"))).toDF("pid", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = kfs.join(broadcast(dim),
+        kfs("_partition") === dim("pid")).where(col("tag") === "keep")
+    // collect() (not count()) so the inspected queryExecution is the one
+    // that actually ran — count() plans a separate QueryExecution with its
+    // own scan instance
+    assert(joined.collect().length == 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a runtime (DPP) filter on the kfs scan:\n$plan")
+    // the runtime IN-list must have reached the listing: 4 partition dirs,
+    // one segment each, re-planned down to exactly the dim-surviving one
+    // AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) are leaf nodes
+    // whose inner plan is not a child — unwrap them explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[KfsScan] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[KfsScan] => Seq(b.scan.asInstanceOf[KfsScan])
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+    val ks = scans(joined.queryExecution.executedPlan)
+    assert(ks.nonEmpty, s"no KfsScan found in:\n$plan")
+    assert(ks.exists(_.lastPlannedSegments == 1),
+      s"expected 1 post-DPP segment, got ${ks.map(_.lastPlannedSegments)}")
+  }
+
   test("e2e acceptance fixture: count=200, TAIL 1 -> offset 199, WITHIN join -> 50 rows") {
     val root = Files.createTempDirectory("kfs_e2e").toString
     val t0 = System.currentTimeMillis() - 5 * 60 * 1000
