@@ -121,6 +121,35 @@ object KfsPack extends QueryPack {
           |WHERE _partition = 2 AND _offset >= 100 AND _offset <= 1199
           |GROUP BY _partition ORDER BY _partition""".stripMargin)),
 
+    // Runtime partition filtering (DPP): the kfs fact scan joins a small
+    // filtered dim on `_partition`; Spark executes the dim first (reusing
+    // its broadcast), hands the surviving keys to `KfsScan.filter`, and the
+    // scan re-lists segments under the tightened partition set — the odd
+    // partitions' segments are never opened. The 100 TB fact-dim pattern,
+    // pruned at SEGMENT granularity (KfsSpec asserts the re-plan).
+    QueryDef(
+      "s11_kfs_dpp_join",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        import s.implicits._
+        val dimPath = Fixtures.tmp(dir, "kfs_dpp_dim")
+        (0 until Tables.TopicPartitions)
+          .map(p => (p, if (p % 2 == 0) "even" else "odd"))
+          .toDF("pid", "parity").write.mode("overwrite").parquet(dimPath)
+        val dim = s.read.parquet(dimPath).where(col("parity") === "even")
+        s.read.format("kfs").option("path", root).load()
+          .join(broadcast(dim), col("_partition") === col("pid"))
+          .groupBy(col("_partition"), col("parity"))
+          .agg(count(lit(1)).as("cnt"), max(col("_offset")).as("max_off"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition, 'even' AS parity, count(*) AS cnt,
+          |       max(_offset) AS max_off
+          |FROM events_topic
+          |WHERE _partition % 2 = 0
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
     // S3/S5: manifest-based discovery — per-segment stats without opening
     // any segment file
     QueryDef(
