@@ -78,10 +78,15 @@ class KfsTable(options: Map[String, String]) extends Table with SupportsRead {
 
 class KfsScanBuilder(root: String, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var requiredSchema: StructType = KfsV2.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   // pruning bounds accumulated from pushed predicates
   private var partitions: Option[Set[Int]] = None
@@ -129,6 +134,52 @@ class KfsScanBuilder(root: String, options: Map[String, String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** METADATA-ONLY aggregation — the Parquet metadata-count analogue for
+    * KFS: `count(*) / min / max(_offset, _ts_ms)` grouped by `_topic` /
+    * `_partition` (or globally) is answered purely from segment stats
+    * (manifest rows / `.kfst` sidecars / footer probes), opening ZERO
+    * segment files. At 100 TB a per-partition count is a listing, not a
+    * scan. Exactness contract:
+    *   - min/max bounds in stats are the actual first/last record offset
+    *     and the true min/max record timestamp, written at flush time;
+    *   - `count(*)` is offset arithmetic (`last - base + 1`), exact
+    *     because KFS segments sit BELOW any compaction — the flusher
+    *     assigns dense offsets (reference: the log writer's contiguous
+    *     offset ranges per segment, `pkg/storage/log.go`). A gapped
+    *     foreign log can opt out with `assume_dense_offsets=false`.
+    * Spark only attempts aggregate pushdown when every filter was fully
+    * consumed by the source; our record-level predicates always stay
+    * residual, so pushdown happens exactly when the only restrictions are
+    * the segment-aligned topic/partition options — stats are exact there.
+    * Offset/ts range options are NOT segment-aligned, so they veto it. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canPush(agg) && { pushedAgg = Some(agg); true }
+
+  private def canPush(agg: Aggregation): Boolean = {
+    val noRangeRestriction =
+      offMin.isEmpty && offMax.isEmpty && tsMin.isEmpty && tsMax.isEmpty
+    val assumeDense =
+      options.getOrElse("assume_dense_offsets", "true").toBoolean
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    val groupsOk = agg.groupByExpressions.forall(g =>
+      refName(g).exists(n => n == "_topic" || n == "_partition"))
+    val aggsOk = agg.aggregateExpressions.forall {
+      case _: CountStar => assumeDense
+      case m: Min => refName(m.column).exists(n => n == "_offset" || n == "_ts_ms")
+      case m: Max => refName(m.column).exists(n => n == "_offset" || n == "_ts_ms")
+      case _ => false
+    }
+    noRangeRestriction && groupsOk && aggsOk &&
+      agg.aggregateExpressions.nonEmpty
+  }
+
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = StructType(
       KfsV2.Schema.fields.filter(f => required.fieldNames.contains(f.name)))
@@ -145,8 +196,29 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     val conf = new SerializableHadoopConf(KfsLayout.hadoopConf)
     new KfsScan(root, topics, partitions, offMin, offMax, tsMin, tsMax,
       rails, options.get("max_segments_per_trigger").map(_.toInt),
-      requiredSchema, conf)
+      requiredSchema, conf, pushedAgg.map(KfsAggSpec.from))
   }
+}
+
+/** Serializable digest of a pushed [[Aggregation]]: group-by column names
+  * (each `_topic` or `_partition`) followed by aggregate descriptors. */
+case class KfsAggSpec(groupCols: Seq[String], aggs: Seq[(String, String)])
+
+object KfsAggSpec {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+      : String = e.asInstanceOf[NamedReference].fieldNames.head
+
+  def from(agg: Aggregation): KfsAggSpec = KfsAggSpec(
+    agg.groupByExpressions.toSeq.map(ref),
+    agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => ("count", "*")
+      case m: Min => ("min", ref(m.column))
+      case m: Max => ("max", ref(m.column))
+      case other => throw new IllegalStateException(s"unpushable agg $other")
+    })
 }
 
 class KfsScan(
@@ -154,7 +226,8 @@ class KfsScan(
     offMin: Option[Long], offMax: Option[Long],
     tsMin: Option[Long], tsMax: Option[Long],
     rails: Guardrails, maxSegmentsPerTrigger: Option[Int],
-    required: StructType, conf: SerializableHadoopConf)
+    required: StructType, conf: SerializableHadoopConf,
+    aggSpec: Option[KfsAggSpec] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -204,7 +277,7 @@ class KfsScan(
     // only advertised when _partition survives column pruning: Spark
     // resolves these against the scan OUTPUT and fails the whole query on
     // a miss, so a projection without _partition must advertise nothing
-    if (required.fieldNames.contains("_partition"))
+    if (readSchema().fieldNames.contains("_partition"))
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column("_partition"))
     else Array.empty
@@ -221,10 +294,29 @@ class KfsScan(
     }
   }
 
-  override def readSchema(): StructType = required
+  private[graft] def aggPushed: Boolean = aggSpec.isDefined
+
+  /** Aggregated output schema: group columns (in pushdown order) then one
+    * field per aggregate — Spark zips these POSITIONALLY with the logical
+    * Aggregate's output, so order matters, names don't (kept meaningful
+    * for EXPLAIN). */
+  private def aggSchema(spec: KfsAggSpec): StructType = StructType(
+    spec.groupCols.map {
+      case "_topic" => StructField("_topic", StringType)
+      case "_partition" => StructField("_partition", IntegerType)
+      case other => throw new IllegalStateException(s"unpushable group $other")
+    } ++ spec.aggs.map { case (fn, c) => StructField(s"$fn($c)", LongType) })
+
+  override def readSchema(): StructType =
+    aggSpec.map(aggSchema).getOrElse(required)
   override def toBatch: Batch = this
-  override def description(): String =
-    s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}]"
+  override def description(): String = aggSpec match {
+    case Some(spec) =>
+      s"KfsScan[aggPushed=${spec.aggs.map { case (f, c) => s"$f($c)" }
+        .mkString(",")}, groupBy=${spec.groupCols.mkString(",")}, metadata-only]"
+    case None =>
+      s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}]"
+  }
 
   /** Post-prune size estimate from segment stats — without this, Catalyst
     * assumes the source is huge and a small pruned KFS side of a join can
@@ -235,7 +327,9 @@ class KfsScan(
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(1L, refs.map(_.sizeBytes).sum))
+        java.util.OptionalLong.of(
+          if (aggSpec.isDefined) 1024L // metadata-only: a handful of rows
+          else math.max(1L, refs.map(_.sizeBytes).sum))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
     }
@@ -245,20 +339,56 @@ class KfsScan(
     * run from a stream's progress-reporting path. */
   private[kfs] def rootDescription: String = s"root=$root"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val r = refs
-    lastPlannedSegments = r.size
-    r.map(x => KfsInputPartition(x.topic, x.partition, x.path,
-      x.sizeBytes): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = aggSpec match {
+    case Some(spec) =>
+      // metadata-only: one tiny partition of driver-computed rows — scan
+      // admission is bypassed because no segment is opened (a count over a
+      // million segments is a listing, not a scan)
+      val r = listPruned()
+      lastPlannedSegments = r.size
+      Array(KfsAggResultPartition(aggRows(spec, r)))
+    case None =>
+      val r = refs
+      lastPlannedSegments = r.size
+      r.map(x => KfsInputPartition(x.topic, x.partition, x.path,
+        x.sizeBytes): InputPartition).toArray
+  }
+
+  /** Exact aggregates from segment stats: min/max come from the flush-time
+    * record bounds; count(*) is dense-offset arithmetic (see the pushdown
+    * contract in [[KfsScanBuilder]]). */
+  private def aggRows(spec: KfsAggSpec,
+      r: Seq[KfsLayout.SegmentRef]): Seq[Seq[Any]] = {
+    def row(group: Seq[Any], segs: Seq[KfsLayout.SegmentRef]): Seq[Any] =
+      group ++ spec.aggs.map {
+        case ("count", _) => segs.map(s => s.lastOffset - s.baseOffset + 1).sum
+        case ("min", "_offset") =>
+          if (segs.isEmpty) null else segs.map(_.baseOffset).min
+        case ("max", "_offset") =>
+          if (segs.isEmpty) null else segs.map(_.lastOffset).max
+        case ("min", "_ts_ms") =>
+          if (segs.isEmpty) null else segs.map(_.minTsMs).min
+        case ("max", "_ts_ms") =>
+          if (segs.isEmpty) null else segs.map(_.maxTsMs).max
+        case other => throw new IllegalStateException(s"unpushable agg $other")
+      }
+    if (spec.groupCols.isEmpty) Seq(row(Nil, r)) // global: one row, even empty
+    else r.groupBy(s => spec.groupCols.map {
+      case "_topic" => s.topic
+      case "_partition" => s.partition
+    }).toSeq.map { case (g, segs) => row(g, segs) }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KfsReaderFactory(required.fieldNames, conf)
+    if (aggSpec.isDefined) new KfsAggReaderFactory
+    else new KfsReaderFactory(required.fieldNames, conf)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(aggSpec.isEmpty, "aggregate pushdown is a batch-only path")
     new KfsMicroBatchStream(this, maxSegmentsPerTrigger, rails,
       required.fieldNames, conf)
+  }
 }
 
 /** `sizeBytes` rides along from discovery so the reader needs zero metadata
@@ -266,6 +396,24 @@ class KfsScan(
 case class KfsInputPartition(topic: String, partition: Int, path: String,
     sizeBytes: Long)
   extends InputPartition
+
+/** Driver-computed aggregate rows (metadata-only pushdown) — values are
+  * plain String/Int/Long/null; converted to Catalyst form in the reader. */
+case class KfsAggResultPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+class KfsAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[KfsAggResultPartition].rows.iterator
+      private var current: Seq[Any] = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow = InternalRow.fromSeq(current.map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      })
+      override def close(): Unit = ()
+    }
+}
 
 class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf)
     extends PartitionReaderFactory {

@@ -150,6 +150,28 @@ object KfsPack extends QueryPack {
           |WHERE _partition % 2 = 0
           |GROUP BY _partition ORDER BY _partition""".stripMargin)),
 
+    // Metadata-only aggregation: count/min/max per partition pushed down
+    // to segment stats (SupportsPushDownAggregates) — the whole query is a
+    // listing; ZERO segment files are opened (KfsSpec asserts the plan).
+    // count(*) is dense-offset arithmetic, exact below compaction.
+    QueryDef(
+      "s12_kfs_stats_agg",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.read.format("kfs").option("path", root).load()
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("_offset")).as("min_off"), max(col("_offset")).as("max_off"),
+            min(col("_ts_ms")).as("min_ts"), max(col("_ts_ms")).as("max_ts"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt,
+          |       min(_offset) AS min_off, max(_offset) AS max_off,
+          |       min(_ts_ms) AS min_ts, max(_ts_ms) AS max_ts
+          |FROM events_topic
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
     // S3/S5: manifest-based discovery — per-segment stats without opening
     // any segment file
     QueryDef(

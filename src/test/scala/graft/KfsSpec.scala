@@ -261,10 +261,12 @@ class KfsSpec extends AnyFunSuite {
     val r0 = df.where(col("_offset") === 0)
       .select(col("_ts").cast("string"), col("_ts_ms")).collect().head
     assert(r0.getString(0).startsWith("2024-01-23"))
-    // scan admission via options (X8)
+    // scan admission via options (X8) — collect(), not count(): a bare
+    // count(*) is now answered from segment stats (metadata-only agg
+    // pushdown) and legitimately bypasses scan admission
     intercept[Exception] {
       spark.read.format("kfs").option("path", root)
-        .option("max_scan_segments", "1").load().count()
+        .option("max_scan_segments", "1").load().collect()
     }
   }
 
@@ -328,6 +330,52 @@ class KfsSpec extends AnyFunSuite {
     assert(ks.nonEmpty, s"no KfsScan found in:\n$plan")
     assert(ks.exists(_.lastPlannedSegments == 1),
       s"expected 1 post-DPP segment, got ${ks.map(_.lastPlannedSegments)}")
+  }
+
+  test("DSv2 aggregate pushdown: count/min/max answered from segment stats, zero opens") {
+    val root = Files.createTempDirectory("kfs_agg").toString
+    (0 until 3).foreach { p =>
+      (0 until 2).foreach { seg =>
+        KfsLayout.writeSegment(root, "t", p,
+          mkRecords(100, baseTs = 1706000000000L + p * 1000L)
+            .map(r => r.copy(offset = r.offset + seg * 100)))
+      }
+    }
+    val df = spark.read.format("kfs").option("path", root).load()
+      .groupBy(col("_partition"))
+      .agg(count(lit(1)).as("cnt"), min(col("_offset")).as("min_off"),
+        max(col("_offset")).as("max_off"), min(col("_ts_ms")).as("min_ts"),
+        max(col("_ts_ms")).as("max_ts"))
+      .orderBy(col("_partition"))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    rows.zipWithIndex.foreach { case (r, p) =>
+      assert(r.getInt(0) == p)
+      assert(r.getLong(1) == 200L, s"cnt for partition $p")
+      assert(r.getLong(2) == 0L && r.getLong(3) == 199L)
+      assert(r.getLong(4) == 1706000000000L + p * 1000L)
+      // both segments carry the same ts range (only offsets were shifted)
+      assert(r.getLong(5) == 1706000000000L + p * 1000L + 99 * 1000L)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("aggPushed"),
+      s"expected metadata-only aggregate pushdown:\n$plan")
+
+    // global aggregate (no GROUP BY) over an empty root: one row, count=0
+    val emptyRoot = Files.createTempDirectory("kfs_agg_empty").toString
+    val g = spark.read.format("kfs").option("path", emptyRoot).load()
+      .agg(count(lit(1)).as("cnt"), max(col("_offset")).as("max_off"))
+      .collect()
+    assert(g.length == 1 && g(0).getLong(0) == 0L && g(0).isNullAt(1))
+
+    // an offset-range predicate cuts segments mid-range -> stats are not
+    // exact -> pushdown must NOT happen and results stay record-accurate
+    val filtered = spark.read.format("kfs").option("path", root).load()
+      .where(col("_offset") >= 50 && col("_offset") <= 149)
+      .groupBy(col("_partition")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("_partition"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("aggPushed"))
+    assert(filtered.collect().forall(_.getLong(1) == 100L))
   }
 
   test("e2e acceptance fixture: count=200, TAIL 1 -> offset 199, WITHIN join -> 50 rows") {
