@@ -79,7 +79,8 @@ class KfsTable(options: Map[String, String]) extends Table with SupportsRead {
 class KfsScanBuilder(root: String, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -87,6 +88,7 @@ class KfsScanBuilder(root: String, options: Map[String, String])
   private var requiredSchema: StructType = KfsV2.Schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
+  private var pushedLimit: Option[Int] = None
 
   // pruning bounds accumulated from pushed predicates
   private var partitions: Option[Set[Int]] = None
@@ -180,6 +182,19 @@ class KfsScanBuilder(root: String, options: Map[String, String])
       agg.aggregateExpressions.nonEmpty
   }
 
+  /** LIMIT n over 100 TB should be a preview, not a scan: Spark only
+    * pushes a limit when no record-level filter sits between scan and
+    * limit, so every record in every segment qualifies — dense-offset
+    * stats then give exact per-segment counts and the scan plans only the
+    * minimal segment prefix covering n rows; readers additionally stop
+    * decoding after n rows. PARTIALLY pushed: Spark keeps its own limit
+    * above (we emit up to n rows per task, not globally). */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = StructType(
       KfsV2.Schema.fields.filter(f => required.fieldNames.contains(f.name)))
@@ -194,9 +209,12 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     // snapshot the driver's Hadoop conf (s3a credentials/endpoints live in
     // spark.hadoop.*) so executor-side readers open segments the same way
     val conf = new SerializableHadoopConf(KfsLayout.hadoopConf)
+    val assumeDense =
+      options.getOrElse("assume_dense_offsets", "true").toBoolean
     new KfsScan(root, topics, partitions, offMin, offMax, tsMin, tsMax,
       rails, options.get("max_segments_per_trigger").map(_.toInt),
-      requiredSchema, conf, pushedAgg.map(KfsAggSpec.from))
+      requiredSchema, conf, pushedAgg.map(KfsAggSpec.from),
+      pushedLimit, assumeDense)
   }
 }
 
@@ -227,7 +245,8 @@ class KfsScan(
     tsMin: Option[Long], tsMax: Option[Long],
     rails: Guardrails, maxSegmentsPerTrigger: Option[Int],
     required: StructType, conf: SerializableHadoopConf,
-    aggSpec: Option[KfsAggSpec] = None)
+    aggSpec: Option[KfsAggSpec] = None,
+    limit: Option[Int] = None, assumeDense: Boolean = true)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -258,12 +277,32 @@ class KfsScan(
   private def refs: Seq[KfsLayout.SegmentRef] = {
     var r = cachedRefs
     if (r == null) {
-      r = listPruned()
+      r = limitPrefix(listPruned())
       ScanAdmission.admit(r.size, r.map(_.sizeBytes).sum, rails)
       cachedRefs = r
     }
     r
   }
+
+  /** Pushed-limit segment prefix: Spark only pushes a limit when no
+    * record-level filter survives below it, so every record qualifies and
+    * dense-offset stats give exact per-segment counts — the minimal prefix
+    * (in scan order) covering `limit` rows is all that is planned. */
+  private def limitPrefix(
+      r: Seq[KfsLayout.SegmentRef]): Seq[KfsLayout.SegmentRef] =
+    limit match {
+      case Some(n) if assumeDense =>
+        var remaining = n.toLong
+        val b = Seq.newBuilder[KfsLayout.SegmentRef]
+        val it = r.iterator
+        while (remaining > 0 && it.hasNext) {
+          val s = it.next()
+          b += s
+          remaining -= (s.lastOffset - s.baseOffset + 1)
+        }
+        b.result()
+      case _ => r
+    }
 
   /** Dynamic partition pruning, the reference's `filterSegments` applied at
     * RUN time: when the fact side joins a small dim on `_partition` and the
@@ -315,7 +354,8 @@ class KfsScan(
       s"KfsScan[aggPushed=${spec.aggs.map { case (f, c) => s"$f($c)" }
         .mkString(",")}, groupBy=${spec.groupCols.mkString(",")}, metadata-only]"
     case None =>
-      s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}]"
+      val lim = limit.map(n => s", limit=$n").getOrElse("")
+      s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}$lim]"
   }
 
   /** Post-prune size estimate from segment stats — without this, Catalyst
@@ -381,7 +421,7 @@ class KfsScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggSpec.isDefined) new KfsAggReaderFactory
-    else new KfsReaderFactory(required.fieldNames, conf)
+    else new KfsReaderFactory(required.fieldNames, conf, limit)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -415,11 +455,12 @@ class KfsAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
-class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf)
+class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KfsInputPartition]
-    new KfsPartitionReader(kp, fieldNames, conf)
+    new KfsPartitionReader(kp, fieldNames, conf, limit)
   }
 }
 
@@ -429,8 +470,13 @@ class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf)
   * segment, so the reference's multi-hundred-MB flush sizes don't double-
   * buffer per task. */
 class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf, limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
+
+  /** Rows still allowed under a pushed limit — decode stops mid-segment
+    * once the task has produced enough (Spark re-applies the limit above,
+    * so per-task capping at n is always safe). */
+  private var remaining: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
 
   private val in: java.io.DataInputStream = {
     val hp = new HPath(p.path)
@@ -443,8 +489,9 @@ class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String],
   private val segmentUtf = UTF8String.fromString(p.path)
 
   override def next(): Boolean = {
-    if (!iter.hasNext) return false
+    if (remaining <= 0 || !iter.hasNext) return false
     current = iter.next()
+    remaining -= 1
     true
   }
 

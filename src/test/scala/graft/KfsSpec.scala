@@ -378,6 +378,42 @@ class KfsSpec extends AnyFunSuite {
     assert(filtered.collect().forall(_.getLong(1) == 100L))
   }
 
+  test("DSv2 limit pushdown: LIMIT plans only the covering segment prefix") {
+    val root = Files.createTempDirectory("kfs_limit").toString
+    (0 until 4).foreach { seg =>
+      KfsLayout.writeSegment(root, "t", 0,
+        mkRecords(100).map(r => r.copy(offset = r.offset + seg * 100)))
+    }
+    def scanOf(df: org.apache.spark.sql.DataFrame): KfsScan = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[KfsScan] =
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[KfsScan] => Seq(b.scan.asInstanceOf[KfsScan])
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+        }.flatten
+      walk(df.queryExecution.executedPlan).head
+    }
+    val base = spark.read.format("kfs").option("path", root).load()
+    // 50 rows fit in the first 100-row segment; 150 rows need two
+    assert(base.limit(50).collect().length == 50)
+    assert(scanOf(base.limit(50)).lastPlannedSegments == 1)
+    assert(scanOf(base.limit(150)).lastPlannedSegments == 2)
+    // a record-level filter blocks limit pushdown -> all segments planned,
+    // and the result is still filter-accurate
+    val filtered = base.where(col("_offset") % 2 === 0).limit(50)
+    assert(filtered.collect().length == 50)
+    assert(scanOf(filtered).lastPlannedSegments == 4)
+    // opting out of dense offsets disables prefix selection, results intact
+    val sparse = spark.read.format("kfs").option("path", root)
+      .option("assume_dense_offsets", "false").load().limit(50)
+    assert(sparse.collect().length == 50)
+    assert(scanOf(sparse).lastPlannedSegments == 4)
+  }
+
   test("e2e acceptance fixture: count=200, TAIL 1 -> offset 199, WITHIN join -> 50 rows") {
     val root = Files.createTempDirectory("kfs_e2e").toString
     val t0 = System.currentTimeMillis() - 5 * 60 * 1000
