@@ -241,23 +241,56 @@ object KfsCodec {
       case e: KfsFormatException => onCorrupt(e.getMessage); Iterator.empty
     }
 
-  /** Decode a segment incrementally from a seekless byte stream of known
-    * total `size` — the scan path for multi-hundred-MB object-store
-    * segments: peak memory is ONE batch buffer (the writer caps batches at
-    * ~500 records), not the whole segment, and the bytes stream straight
-    * from the ranged GET into the decoder (reference `decoder.go:58-131`
+  /** Offset/timestamp bounds for intra-segment batch pruning — the
+    * Spark-native form of the reference's index-guided ranged reads
+    * (`pkg/storage/log.go:653-683` seeks to the first qualifying byte range
+    * instead of downloading the whole object). Every v2 batch header carries
+    * `[baseOffset, baseOffset+lastOffsetDelta]` (exact per the Kafka spec)
+    * and `[firstTimestamp, maxTimestamp]`; a batch whose stats fall wholly
+    * outside the bounds is skipped without decoding — and on a `Seekable`
+    * stream (s3a/hdfs) without even reading its payload bytes. Timestamp
+    * stats carry the same flush-time trust contract as `.kfst` segment
+    * pruning: the KFS writer emits `firstTimestamp = min`, `maxTimestamp =
+    * max` of the batch (see [[buildBatch]]), so ts-pruning is exact for KFS
+    * logs; offset pruning is exact for any v2 writer. */
+  final case class BatchBounds(
+      offMin: Option[Long], offMax: Option[Long],
+      tsMin: Option[Long], tsMax: Option[Long]) {
+    def isBounded: Boolean =
+      offMin.isDefined || offMax.isDefined || tsMin.isDefined || tsMax.isDefined
+    def intersects(batchBase: Long, batchLast: Long,
+        batchMinTs: Long, batchMaxTs: Long): Boolean =
+      offMin.forall(batchLast >= _) && offMax.forall(batchBase <= _) &&
+        tsMin.forall(batchMaxTs >= _) && tsMax.forall(batchMinTs <= _)
+  }
+
+  /** Decode a segment incrementally from a byte stream of known total
+    * `size` — the scan path for multi-hundred-MB object-store segments:
+    * peak memory is ONE batch buffer (the writer caps batches at ~500
+    * records), not the whole segment, and the bytes stream straight from
+    * the ranged GET into the decoder (reference `decoder.go:58-131`
     * downloads whole objects; `pkg/storage/log.go:653-683` shows the ranged
     * form this mirrors).
     *
+    * With `bounds` set, batches whose header stats (see [[BatchBounds]])
+    * fall wholly outside the bounds are skipped: payload bytes are
+    * `seek`ed past on a Hadoop `Seekable` stream (a ranged-GET hole on
+    * s3a) or `skip`ped otherwise, and never decoded. An offset-range query
+    * touching 1 batch of a 500-batch segment then reads ~1/500th of it.
+    *
     * Validation contract vs the buffer path ([[decodeSegment]]): header and
-    * footer magics and per-batch structure are enforced as they stream past,
-    * but the footer CRC32C — which covers the entire body — can only be
-    * compared after the last batch, so a CRC mismatch throws from the
-    * iterator's final `hasNext` instead of up front. For a strict batch
-    * task the outcome is the same (the task fails loudly); callers that
-    * must not emit any record of a corrupt segment should use the lenient
-    * buffer path. The caller owns closing `in`. */
-  def decodeSegmentStream(in: java.io.DataInputStream, size: Long): Iterator[Record] = {
+    * footer magics and per-batch structure are enforced as they stream past.
+    * Unbounded, the footer CRC32C — which covers the entire body — is
+    * compared after the last batch, so a mismatch throws from the final
+    * `hasNext`. Bounded, skipped bytes make the segment CRC uncomputable,
+    * so integrity shifts to the v2 per-batch CRC32C of every batch actually
+    * decoded (exactly the guarantee a ranged GET can give — corrupt bytes
+    * can never reach a decoded record either way). For a strict batch task
+    * the outcome is the same (the task fails loudly); callers that must not
+    * emit any record of a corrupt segment should use the lenient buffer
+    * path. The caller owns closing `in`. */
+  def decodeSegmentStream(in: java.io.DataInputStream, size: Long,
+      bounds: Option[BatchBounds] = None): Iterator[Record] = {
     if (size < SegmentHeaderLen + FooterLen)
       throw new KfsFormatException(s"segment too short: $size")
     val hdr = new Array[Byte](SegmentHeaderLen)
@@ -265,6 +298,7 @@ object KfsCodec {
     val hb = ByteBuffer.wrap(hdr)
     if (hb.getInt() != SegmentMagic) throw new KfsFormatException("bad segment magic")
     val bodyLen = size - SegmentHeaderLen - FooterLen
+    val pruning = bounds.exists(_.isBounded)
     val crc = new CRC32C
 
     new Iterator[Record] {
@@ -272,23 +306,55 @@ object KfsCodec {
       private var batch: Iterator[Record] = Iterator.empty
       private var footerChecked = false
 
+      private def skipPayload(n: Long): Unit = in match {
+        case s: org.apache.hadoop.fs.Seekable => s.seek(s.getPos + n)
+        case _ =>
+          var left = n
+          while (left > 0) {
+            val skipped = in.skip(left)
+            if (skipped <= 0) throw new KfsFormatException(
+              s"truncated: failed to skip $left payload bytes")
+            left -= skipped
+          }
+      }
+
       private def advance(): Unit = {
         while (!batch.hasNext && bodyRead < bodyLen) {
-          val prefix = new Array[Byte](12)
-          in.readFully(prefix)
-          val pb = ByteBuffer.wrap(prefix)
-          pb.getLong() // baseOffset — re-parsed by decodeBatch
+          val head = new Array[Byte](BatchHeaderLen)
+          in.readFully(head)
+          val pb = ByteBuffer.wrap(head)
+          val batchBase = pb.getLong()
           val batchLength = pb.getInt()
           val total = 12L + batchLength
-          if (batchLength <= 0 || bodyRead + total > bodyLen)
+          if (batchLength < BatchHeaderLen - 12 || bodyRead + total > bodyLen)
             throw new KfsFormatException(
               s"bad batch length $batchLength at body offset $bodyRead of $bodyLen")
-          val buf = new Array[Byte](total.toInt)
-          System.arraycopy(prefix, 0, buf, 0, 12)
-          in.readFully(buf, 12, batchLength)
-          crc.update(buf)
-          val (records, _) = decodeBatch(buf, 0)
-          batch = records
+          pb.getInt() // partitionLeaderEpoch
+          if (pb.get() != 2) throw new KfsFormatException("unsupported batch magic")
+          val crcStored = pb.getInt()
+          pb.getShort() // attributes — re-checked by decodeBatch
+          val lastOffsetDelta = pb.getInt()
+          val firstTs = pb.getLong()
+          val maxTs = pb.getLong()
+          val wanted = !pruning || bounds.get.intersects(
+            batchBase, batchBase + lastOffsetDelta, firstTs, maxTs)
+          if (!wanted) {
+            skipPayload(total - BatchHeaderLen)
+          } else {
+            val buf = new Array[Byte](total.toInt)
+            System.arraycopy(head, 0, buf, 0, BatchHeaderLen)
+            in.readFully(buf, BatchHeaderLen, (total - BatchHeaderLen).toInt)
+            if (pruning) {
+              // per-batch CRC32C over attributes..end (Kafka v2 semantics)
+              val bcrc = new CRC32C
+              bcrc.update(buf, 21, buf.length - 21)
+              if (bcrc.getValue.toInt != crcStored)
+                throw new KfsFormatException(
+                  s"batch CRC mismatch at body offset $bodyRead")
+            } else crc.update(buf)
+            val (records, _) = decodeBatch(buf, 0)
+            batch = records
+          }
           bodyRead += total
         }
         if (!batch.hasNext && bodyRead >= bodyLen && !footerChecked) {
@@ -299,7 +365,7 @@ object KfsCodec {
           val crcStored = fb.getInt()
           fb.getLong() // lastOffset
           if (fb.getInt() != FooterMagic) throw new KfsFormatException("bad footer magic")
-          if (crc.getValue.toInt != crcStored)
+          if (!pruning && crc.getValue.toInt != crcStored)
             throw new KfsFormatException("segment CRC mismatch")
         }
       }

@@ -67,14 +67,14 @@ object KfsLayout {
     * Kafka-topic charset `[a-zA-Z0-9._-]` is stricter still). */
   def writeSegment(
       root: String, topic: String, partition: Int,
-      records: Seq[KfsCodec.Record]): SegmentRef = {
+      records: Seq[KfsCodec.Record], batchSize: Int = 500): SegmentRef = {
     require(!topic.exists(c => c == '"' || c == '\\'),
       s"topic name must not contain quotes or backslashes: $topic")
     val dir = new HPath(new HPath(root, topic), partition.toString)
     val fs = fsFor(dir)
     fs.mkdirs(dir)
     val base = records.head.offset
-    val seg = KfsCodec.buildSegment(records)
+    val seg = KfsCodec.buildSegment(records, batchSize)
     val p = new HPath(dir, segmentFileName(base))
     val minTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max

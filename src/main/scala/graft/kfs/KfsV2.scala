@@ -421,7 +421,9 @@ class KfsScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggSpec.isDefined) new KfsAggReaderFactory
-    else new KfsReaderFactory(required.fieldNames, conf, limit)
+    else new KfsReaderFactory(required.fieldNames, conf, limit,
+      Some(KfsCodec.BatchBounds(offMin, offMax, tsMin, tsMax))
+        .filter(_.isBounded))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -456,11 +458,12 @@ class KfsAggReaderFactory extends PartitionReaderFactory {
 }
 
 class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    bounds: Option[KfsCodec.BatchBounds] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KfsInputPartition]
-    new KfsPartitionReader(kp, fieldNames, conf, limit)
+    new KfsPartitionReader(kp, fieldNames, conf, limit, bounds)
   }
 }
 
@@ -468,9 +471,14 @@ class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf,
   * STREAMS through the decoder via Hadoop `FileSystem` (file://, hdfs://,
   * s3a:// all work) — peak task memory is one record batch, never the whole
   * segment, so the reference's multi-hundred-MB flush sizes don't double-
-  * buffer per task. */
+  * buffer per task. Pushed offset/time bounds additionally prune at BATCH
+  * granularity inside the segment ([[KfsCodec.BatchBounds]]): non-
+  * qualifying batches are `seek`ed past un-decoded — the reference's
+  * index-guided ranged GETs (`pkg/storage/log.go:653-683`) — while the
+  * record-level residual above the scan keeps results exact. */
 class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String],
-    conf: SerializableHadoopConf, limit: Option[Int] = None)
+    conf: SerializableHadoopConf, limit: Option[Int] = None,
+    bounds: Option[KfsCodec.BatchBounds] = None)
     extends PartitionReader[InternalRow] {
 
   /** Rows still allowed under a pushed limit — decode stops mid-segment
@@ -483,7 +491,7 @@ class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String],
     hp.getFileSystem(conf.value).open(hp)
   }
   private val iter: Iterator[KfsCodec.Record] =
-    KfsCodec.decodeSegmentStream(in, p.sizeBytes)
+    KfsCodec.decodeSegmentStream(in, p.sizeBytes, bounds)
   private var current: KfsCodec.Record = _
   private val topicUtf = UTF8String.fromString(p.topic)
   private val segmentUtf = UTF8String.fromString(p.path)

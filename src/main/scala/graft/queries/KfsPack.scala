@@ -172,6 +172,23 @@ object KfsPack extends QueryPack {
           |FROM events_topic
           |GROUP BY _partition ORDER BY _partition""".stripMargin)),
 
+    // Limit pushdown (SupportsPushDownLimit): LIMIT n plans only the
+    // minimal scan-order segment prefix covering n rows (dense-offset
+    // arithmetic) and readers stop decoding at n — a preview over 100 TB
+    // opens a handful of segments, not the log (KfsSpec asserts the
+    // prefix). count() over the limit is deterministic both sides.
+    QueryDef(
+      "s13_kfs_limit_preview",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.read.format("kfs").option("path", root).load()
+          .limit(1234)
+          .agg(count(lit(1)).as("cnt"))
+      },
+      oracle(
+        """SELECT count(*) AS cnt
+          |FROM (SELECT * FROM events_topic LIMIT 1234)""".stripMargin)),
+
     // S3/S5: manifest-based discovery — per-segment stats without opening
     // any segment file
     QueryDef(

@@ -153,6 +153,68 @@ class KfsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("CRC"))
   }
 
+  test("bounded stream decode prunes batches; skipped bytes are never decoded") {
+    val base = 1706000000000L
+    val recs = mkRecords(1000)
+    val seg = KfsCodec.buildSegment(recs, batchSize = 100)
+    def stream(bytes: Array[Byte]) = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    def bounds(offMin: Option[Long] = None, offMax: Option[Long] = None,
+        tsMin: Option[Long] = None, tsMax: Option[Long] = None) =
+      Some(KfsCodec.BatchBounds(offMin, offMax, tsMin, tsMax))
+
+    // offset bounds select the covering batches (batch-granular superset;
+    // the record-level residual above the scan trims to exact)
+    val byOff = KfsCodec.decodeSegmentStream(stream(seg), seg.length.toLong,
+      bounds(offMin = Some(250), offMax = Some(349))).toSeq
+    assert(byOff.map(_.offset) == (200L until 400L))
+    // ts bounds (writer stamps firstTs=min, maxTs=max per batch)
+    val byTs = KfsCodec.decodeSegmentStream(stream(seg), seg.length.toLong,
+      bounds(tsMin = Some(base + 500 * 1000L),
+        tsMax = Some(base + 599 * 1000L))).toSeq
+    assert(byTs.map(_.offset) == (500L until 600L))
+
+    // walk the batch framing to find each batch's start position
+    def batchStarts(s: Array[Byte]): Seq[Int] = {
+      var pos = KfsCodec.SegmentHeaderLen
+      val end = s.length - KfsCodec.FooterLen
+      val b = Seq.newBuilder[Int]
+      while (pos < end) {
+        b += pos
+        pos += 12 + java.nio.ByteBuffer.wrap(s, pos + 8, 4).getInt
+      }
+      b.result()
+    }
+    val starts = batchStarts(seg)
+    assert(starts.length == 10)
+    // corrupt a record byte in the batch holding offsets 700-799
+    val bad = seg.clone()
+    bad(starts(7) + 70) = (bad(starts(7) + 70) ^ 0xff).toByte
+    // pruned past -> payload never read, decode succeeds
+    val pruned = KfsCodec.decodeSegmentStream(stream(bad), bad.length.toLong,
+      bounds(offMin = Some(0L), offMax = Some(99L))).toSeq
+    assert(pruned.map(_.offset) == (0L until 100L))
+    // decoded -> the per-batch CRC32C catches it before any record escapes
+    val ex = intercept[KfsCodec.KfsFormatException] {
+      KfsCodec.decodeSegmentStream(stream(bad), bad.length.toLong,
+        bounds(offMin = Some(700L), offMax = Some(799L))).toSeq
+    }
+    assert(ex.getMessage.contains("batch CRC"))
+  }
+
+  test("DSv2 batch pruning keeps offset/ts range results exact") {
+    val root = Files.createTempDirectory("kfs_batch_prune").toString
+    KfsLayout.writeSegment(root, "t", 0, mkRecords(1000), batchSize = 50)
+    val df = spark.read.format("kfs").option("path", root).load()
+    val hit = df.where(col("_offset") >= 123 && col("_offset") <= 456)
+    assert(hit.count() == 334)
+    assert(hit.agg(min(col("_offset")), max(col("_offset"))).collect()
+      .head.toSeq == Seq(123L, 456L))
+    val baseTs = 1706000000000L
+    val ts = df.where(col("_ts_ms") >= baseTs + 800 * 1000L)
+    assert(ts.count() == 200)
+  }
+
   test("KFS IO runs through Hadoop FileSystem: file:// URI root end-to-end") {
     val local = Files.createTempDirectory("kfs_hadoop")
     val root = "file://" + local.toString
