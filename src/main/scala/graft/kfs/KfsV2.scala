@@ -80,7 +80,8 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -89,6 +90,7 @@ class KfsScanBuilder(root: String, options: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[KfsTopN] = None
 
   // pruning bounds accumulated from pushed predicates
   private var partitions: Option[Set[Int]] = None
@@ -195,6 +197,41 @@ class KfsScanBuilder(root: String, options: Map[String, String])
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** ORDER BY `_offset`/`_ts` LIMIT k — "the latest k events over 100 TB"
+    * — plans only the segments that can contain the global top k: sort
+    * segment stats by the best bound in the query's direction, accumulate
+    * dense-offset counts to k, take the worst bound θ of that covering set,
+    * and keep every segment whose range crosses θ (overlapping time ranges
+    * across partitions stay correct — any record beating the k-th must sit
+    * in a kept segment). PARTIAL pushdown: Spark's global sort + limit run
+    * above, so the kept set only needs to be a superset. `_ts` orders
+    * identically to `_ts_ms` (µs = ms × 1000, monotone). Secondary sort
+    * keys are irrelevant to the superset (the primary key alone bounds the
+    * k-th row), so any tiebreakers are accepted. Dense offsets are required
+    * for the counts; sparse logs opt out and scan normally. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], limit: Int)
+      : Boolean = {
+    val assumeDense =
+      options.getOrElse("assume_dense_offsets", "true").toBoolean
+    if (orders.isEmpty || !assumeDense) return false
+    val key = orders.head.expression match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames.head match {
+          case "_offset" => Some("_offset")
+          case "_ts" | "_ts_ms" => Some("_ts_ms")
+          case _ => None
+        }
+      case _ => None
+    }
+    key.exists { k =>
+      val desc = orders.head.direction ==
+        org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+      pushedTopN = Some(KfsTopN(k, desc, limit))
+      true
+    }
+  }
+
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = StructType(
       KfsV2.Schema.fields.filter(f => required.fieldNames.contains(f.name)))
@@ -214,9 +251,14 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     new KfsScan(root, topics, partitions, offMin, offMax, tsMin, tsMax,
       rails, options.get("max_segments_per_trigger").map(_.toInt),
       requiredSchema, conf, pushedAgg.map(KfsAggSpec.from),
-      pushedLimit, assumeDense)
+      pushedLimit, assumeDense, pushedTopN)
   }
 }
+
+/** A pushed top-N: primary sort column (`_offset` or `_ts_ms`), direction,
+  * and row count — segment selection only, readers decode kept segments
+  * fully (unlike a plain limit, WHICH rows matter here). */
+case class KfsTopN(col: String, desc: Boolean, n: Int)
 
 /** Serializable digest of a pushed [[Aggregation]]: group-by column names
   * (each `_topic` or `_partition`) followed by aggregate descriptors. */
@@ -246,7 +288,8 @@ class KfsScan(
     rails: Guardrails, maxSegmentsPerTrigger: Option[Int],
     required: StructType, conf: SerializableHadoopConf,
     aggSpec: Option[KfsAggSpec] = None,
-    limit: Option[Int] = None, assumeDense: Boolean = true)
+    limit: Option[Int] = None, assumeDense: Boolean = true,
+    topN: Option[KfsTopN] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -277,12 +320,39 @@ class KfsScan(
   private def refs: Seq[KfsLayout.SegmentRef] = {
     var r = cachedRefs
     if (r == null) {
-      r = limitPrefix(listPruned())
+      r = topNSelect(limitPrefix(listPruned()))
       ScanAdmission.admit(r.size, r.map(_.sizeBytes).sum, rails)
       cachedRefs = r
     }
     r
   }
+
+  /** Pushed top-N covering set (see [[KfsScanBuilder.pushTopN]]): θ is the
+    * worst primary-key bound of a minimal count-covering set; every segment
+    * whose stats range crosses θ is kept, in original scan order. Exactness
+    * lives ABOVE the scan (Spark re-sorts and re-limits); this only needs
+    * to never drop a potential top-k row. */
+  private def topNSelect(
+      r: Seq[KfsLayout.SegmentRef]): Seq[KfsLayout.SegmentRef] =
+    topN match {
+      case Some(KfsTopN(key, desc, n)) if assumeDense =>
+        def lo(s: KfsLayout.SegmentRef): Long =
+          if (key == "_offset") s.baseOffset else s.minTsMs
+        def hi(s: KfsLayout.SegmentRef): Long =
+          if (key == "_offset") s.lastOffset else s.maxTsMs
+        val ranked = if (desc) r.sortBy(s => -hi(s)) else r.sortBy(lo)
+        var cum = 0L
+        var theta = if (desc) Long.MaxValue else Long.MinValue
+        val it = ranked.iterator
+        while (cum < n && it.hasNext) {
+          val s = it.next()
+          cum += s.lastOffset - s.baseOffset + 1
+          theta = if (desc) math.min(theta, lo(s)) else math.max(theta, hi(s))
+        }
+        if (cum < n) r // fewer rows than n: nothing to prune
+        else r.filter(s => if (desc) hi(s) >= theta else lo(s) <= theta)
+      case _ => r
+    }
 
   /** Pushed-limit segment prefix: Spark only pushes a limit when no
     * record-level filter survives below it, so every record qualifies and
@@ -355,7 +425,9 @@ class KfsScan(
         .mkString(",")}, groupBy=${spec.groupCols.mkString(",")}, metadata-only]"
     case None =>
       val lim = limit.map(n => s", limit=$n").getOrElse("")
-      s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}$lim]"
+      val top = topN.map(t => s", topN=${t.n} by ${t.col}" +
+        (if (t.desc) " desc" else "")).getOrElse("")
+      s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}$lim$top]"
   }
 
   /** Post-prune size estimate from segment stats — without this, Catalyst

@@ -189,6 +189,26 @@ object KfsPack extends QueryPack {
         """SELECT count(*) AS cnt
           |FROM (SELECT * FROM events_topic LIMIT 1234)""".stripMargin)),
 
+    // Top-N pushdown (SupportsPushDownTopN): ORDER BY _ts_ms DESC LIMIT k
+    // plans only the segments whose stats range can hold the global top k —
+    // "the newest 100 events" over 100 TB opens tail segments, not the log
+    // (KfsSpec asserts the covering set, incl. overlapping ts ranges).
+    // Spark's global sort + limit re-run above, so results stay exact;
+    // tiebreakers make the row set deterministic for the oracle.
+    QueryDef(
+      "s14_kfs_topn_tail",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.read.format("kfs").option("path", root).load()
+          .orderBy(col("_ts_ms").desc, col("_partition"), col("_offset"))
+          .limit(100)
+          .select(col("_partition"), col("_offset"), col("_ts_ms"))
+      },
+      oracle(
+        """SELECT _partition, _offset, _ts_ms
+          |FROM events_topic
+          |ORDER BY _ts_ms DESC, _partition, _offset LIMIT 100""".stripMargin)),
+
     // S3/S5: manifest-based discovery — per-segment stats without opening
     // any segment file
     QueryDef(

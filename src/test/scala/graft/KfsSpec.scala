@@ -440,24 +440,27 @@ class KfsSpec extends AnyFunSuite {
     assert(filtered.collect().forall(_.getLong(1) == 100L))
   }
 
+  /** Executes `df` and digs the KfsScan out of the executed plan (through
+    * AQE stages) so tests can assert post-pushdown planning facts. */
+  private def scanOf(df: org.apache.spark.sql.DataFrame): KfsScan = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[KfsScan] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[KfsScan] => Seq(b.scan.asInstanceOf[KfsScan])
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+      }.flatten
+    walk(df.queryExecution.executedPlan).head
+  }
+
   test("DSv2 limit pushdown: LIMIT plans only the covering segment prefix") {
     val root = Files.createTempDirectory("kfs_limit").toString
     (0 until 4).foreach { seg =>
       KfsLayout.writeSegment(root, "t", 0,
         mkRecords(100).map(r => r.copy(offset = r.offset + seg * 100)))
-    }
-    def scanOf(df: org.apache.spark.sql.DataFrame): KfsScan = {
-      df.collect()
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[KfsScan] =
-        p.collect {
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-            if b.scan.isInstanceOf[KfsScan] => Seq(b.scan.asInstanceOf[KfsScan])
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            walk(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            walk(q.plan)
-        }.flatten
-      walk(df.queryExecution.executedPlan).head
     }
     val base = spark.read.format("kfs").option("path", root).load()
     // 50 rows fit in the first 100-row segment; 150 rows need two
@@ -474,6 +477,52 @@ class KfsSpec extends AnyFunSuite {
       .option("assume_dense_offsets", "false").load().limit(50)
     assert(sparse.collect().length == 50)
     assert(scanOf(sparse).lastPlannedSegments == 4)
+  }
+
+  test("DSv2 top-N pushdown: ORDER BY _offset/_ts LIMIT plans only covering segments") {
+    val root = Files.createTempDirectory("kfs_topn").toString
+    val base = 1706000000000L
+    // p0: one segment, ts 0..99s; p1: ts 50..149s (OVERLAPS p0) and a
+    // strictly-newer segment ts 200..299s
+    KfsLayout.writeSegment(root, "t", 0, mkRecords(100))
+    KfsLayout.writeSegment(root, "t", 1,
+      mkRecords(100).map(r => r.copy(timestampMs = r.timestampMs + 50 * 1000L)))
+    KfsLayout.writeSegment(root, "t", 1,
+      mkRecords(100).map(r => r.copy(offset = r.offset + 100,
+        timestampMs = r.timestampMs + 200 * 1000L)))
+    val df = spark.read.format("kfs").option("path", root).load()
+    val full = spark.read.format("kfs").option("path", root)
+      .option("assume_dense_offsets", "false").load() // pushdown disabled
+
+    // newest 50 by _ts: only the ts-disjoint newest segment is planned
+    val newest = df.orderBy(col("_ts").desc).limit(50).select(col("_ts_ms"))
+    assert(scanOf(newest).lastPlannedSegments == 1)
+    assert(newest.collect().map(_.getLong(0)).toSeq ==
+      (0 until 50).map(i => base + (299 - i) * 1000L))
+
+    // ascending 80 by _ts: the covering set must keep BOTH overlapping
+    // segments (p1's 50..149s range can hold rows below p0's max) but may
+    // drop the newest one
+    val asc = df.orderBy(col("_ts")).limit(80).select(col("_ts_ms"))
+    assert(scanOf(asc).lastPlannedSegments == 2)
+    assert(asc.collect().map(_.getLong(0)).toSeq ==
+      full.orderBy(col("_ts")).limit(80).select(col("_ts_ms"))
+        .collect().map(_.getLong(0)).toSeq)
+
+    // top 60 by _offset desc: offsets 100..199 live only in p1's newest
+    // segment (highest lastOffset); stats keep every segment whose range
+    // crosses the θ=140 boundary -> just that one
+    val offs = df.orderBy(col("_offset").desc).limit(60)
+      .select(col("_offset"), col("_partition"))
+    assert(scanOf(offs).lastPlannedSegments == 1)
+    assert(offs.collect().map(_.getLong(0)).toSeq ==
+      (0 until 60).map(i => 199L - i))
+
+    // a record-level filter blocks top-N pushdown; results stay exact
+    val filtered = df.where(col("_offset") % 2 === 0)
+      .orderBy(col("_ts").desc).limit(10).select(col("_ts_ms"))
+    assert(scanOf(filtered).lastPlannedSegments == 3)
+    assert(filtered.collect().length == 10)
   }
 
   test("e2e acceptance fixture: count=200, TAIL 1 -> offset 199, WITHIN join -> 50 rows") {
