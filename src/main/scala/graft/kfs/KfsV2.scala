@@ -197,37 +197,46 @@ class KfsScanBuilder(root: String, options: Map[String, String])
   }
   override def isPartiallyPushed(): Boolean = true
 
-  /** ORDER BY `_offset`/`_ts` LIMIT k — "the latest k events over 100 TB"
-    * — plans only the segments that can contain the global top k: sort
-    * segment stats by the best bound in the query's direction, accumulate
-    * dense-offset counts to k, take the worst bound θ of that covering set,
-    * and keep every segment whose range crosses θ (overlapping time ranges
-    * across partitions stay correct — any record beating the k-th must sit
-    * in a kept segment). PARTIAL pushdown: Spark's global sort + limit run
-    * above, so the kept set only needs to be a superset. `_ts` orders
-    * identically to `_ts_ms` (µs = ms × 1000, monotone). Secondary sort
-    * keys are irrelevant to the superset (the primary key alone bounds the
-    * k-th row), so any tiebreakers are accepted. Dense offsets are required
-    * for the counts; sparse logs opt out and scan normally. */
+  /** ORDER BY `_partition`/`_offset`/`_ts` (lexicographic, any directions)
+    * LIMIT k — "the latest k events over 100 TB" / kafsql's `TAIL n` shape
+    * (`_partition` desc, `_offset` desc) — plans only the segments that can
+    * contain the global top k. Each supported key has exact per-segment
+    * bounds (`_partition` is constant per segment, `_offset` is the stat
+    * range, `_ts` the flush-time range), giving every segment a best/worst
+    * rank TUPLE that bounds all its rows; rank segments best-first,
+    * accumulate dense-offset counts to k, take θ = the worst tuple of that
+    * covering set, and keep every segment whose best tuple is ≤ θ
+    * (overlapping ranges across partitions stay correct — any record
+    * beating the k-th must sit in a kept segment). PARTIAL pushdown:
+    * Spark's global sort + limit run above, so the kept set only needs to
+    * be a superset. `_ts` orders identically to `_ts_ms` (µs = ms × 1000,
+    * monotone). An unsupported trailing key truncates to the supported
+    * PREFIX, which still bounds the k-th row (lexicographic order refines
+    * its prefixes); an unsupported leading key rejects the push. Dense
+    * offsets are required for the counts; sparse logs opt out. */
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder], limit: Int)
       : Boolean = {
     val assumeDense =
       options.getOrElse("assume_dense_offsets", "true").toBoolean
     if (orders.isEmpty || !assumeDense) return false
-    val key = orders.head.expression match {
-      case nr: NamedReference if nr.fieldNames.length == 1 =>
-        nr.fieldNames.head match {
-          case "_offset" => Some("_offset")
-          case "_ts" | "_ts_ms" => Some("_ts_ms")
-          case _ => None
-        }
-      case _ => None
-    }
-    key.exists { k =>
-      val desc = orders.head.direction ==
+    val keys = orders.iterator.map { o =>
+      val name = o.expression match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          nr.fieldNames.head match {
+            case "_partition" => "_partition"
+            case "_offset" => "_offset"
+            case "_ts" | "_ts_ms" => "_ts_ms"
+            case _ => null
+          }
+        case _ => null
+      }
+      val desc = o.direction ==
         org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
-      pushedTopN = Some(KfsTopN(k, desc, limit))
+      (name, desc)
+    }.takeWhile(_._1 != null).toSeq
+    keys.nonEmpty && {
+      pushedTopN = Some(KfsTopN(keys, limit))
       true
     }
   }
@@ -255,10 +264,11 @@ class KfsScanBuilder(root: String, options: Map[String, String])
   }
 }
 
-/** A pushed top-N: primary sort column (`_offset` or `_ts_ms`), direction,
-  * and row count — segment selection only, readers decode kept segments
-  * fully (unlike a plain limit, WHICH rows matter here). */
-case class KfsTopN(col: String, desc: Boolean, n: Int)
+/** A pushed top-N: lexicographic sort keys (column, isDescending) over
+  * `_partition`/`_offset`/`_ts_ms`, and row count — segment selection only,
+  * readers decode kept segments fully (unlike a plain limit, WHICH rows
+  * matter here). */
+case class KfsTopN(keys: Seq[(String, Boolean)], n: Int)
 
 /** Serializable digest of a pushed [[Aggregation]]: group-by column names
   * (each `_topic` or `_partition`) followed by aggregate descriptors. */
@@ -327,30 +337,57 @@ class KfsScan(
     r
   }
 
-  /** Pushed top-N covering set (see [[KfsScanBuilder.pushTopN]]): θ is the
-    * worst primary-key bound of a minimal count-covering set; every segment
-    * whose stats range crosses θ is kept, in original scan order. Exactness
-    * lives ABOVE the scan (Spark re-sorts and re-limits); this only needs
-    * to never drop a potential top-k row. */
+  /** Pushed top-N covering set (see [[KfsScanBuilder.pushTopN]]): every
+    * segment gets a best/worst rank tuple bounding all its rows in the
+    * query's lexicographic order; θ is the worst tuple of a minimal
+    * count-covering set and every segment whose best tuple is ≤ θ is kept,
+    * in original scan order. Exactness lives ABOVE the scan (Spark
+    * re-sorts and re-limits); this only needs to never drop a potential
+    * top-k row. Rank values are direction-normalized (descending keys
+    * negate) so "better" is always tuple-less-than. */
   private def topNSelect(
       r: Seq[KfsLayout.SegmentRef]): Seq[KfsLayout.SegmentRef] =
     topN match {
-      case Some(KfsTopN(key, desc, n)) if assumeDense =>
-        def lo(s: KfsLayout.SegmentRef): Long =
-          if (key == "_offset") s.baseOffset else s.minTsMs
-        def hi(s: KfsLayout.SegmentRef): Long =
-          if (key == "_offset") s.lastOffset else s.maxTsMs
-        val ranked = if (desc) r.sortBy(s => -hi(s)) else r.sortBy(lo)
+      case Some(KfsTopN(keys, n)) if assumeDense =>
+        def bounds(s: KfsLayout.SegmentRef, key: String): (Long, Long) =
+          key match {
+            case "_partition" => (s.partition.toLong, s.partition.toLong)
+            case "_offset" => (s.baseOffset, s.lastOffset)
+            case _ => (s.minTsMs, s.maxTsMs)
+          }
+        // per-key best/worst, direction-normalized: for a descending key
+        // the best row value is the range's hi, negated so that smaller
+        // rank = better uniformly (values are offsets/ts/partitions — all
+        // far from Long.MinValue, so negation is safe)
+        def best(s: KfsLayout.SegmentRef): Seq[Long] = keys.map {
+          case (k, desc) =>
+            val (lo, hi) = bounds(s, k); if (desc) -hi else lo
+        }
+        def worst(s: KfsLayout.SegmentRef): Seq[Long] = keys.map {
+          case (k, desc) =>
+            val (lo, hi) = bounds(s, k); if (desc) -lo else hi
+        }
+        def cmp(a: Seq[Long], b: Seq[Long]): Int = {
+          val it = a.iterator.zip(b.iterator)
+          while (it.hasNext) {
+            val (x, y) = it.next()
+            if (x != y) return java.lang.Long.compare(x, y)
+          }
+          0
+        }
+        def leq(a: Seq[Long], b: Seq[Long]): Boolean = cmp(a, b) <= 0
+        val ranked = r.sortWith((x, y) => cmp(best(x), best(y)) < 0)
         var cum = 0L
-        var theta = if (desc) Long.MaxValue else Long.MinValue
+        var theta: Seq[Long] = null
         val it = ranked.iterator
         while (cum < n && it.hasNext) {
           val s = it.next()
           cum += s.lastOffset - s.baseOffset + 1
-          theta = if (desc) math.min(theta, lo(s)) else math.max(theta, hi(s))
+          val w = worst(s)
+          if (theta == null || !leq(w, theta)) theta = w
         }
         if (cum < n) r // fewer rows than n: nothing to prune
-        else r.filter(s => if (desc) hi(s) >= theta else lo(s) <= theta)
+        else r.filter(s => leq(best(s), theta))
       case _ => r
     }
 
@@ -425,8 +462,9 @@ class KfsScan(
         .mkString(",")}, groupBy=${spec.groupCols.mkString(",")}, metadata-only]"
     case None =>
       val lim = limit.map(n => s", limit=$n").getOrElse("")
-      val top = topN.map(t => s", topN=${t.n} by ${t.col}" +
-        (if (t.desc) " desc" else "")).getOrElse("")
+      val top = topN.map(t => s", topN=${t.n} by " + t.keys.map {
+        case (k, desc) => k + (if (desc) " desc" else "")
+      }.mkString(",")).getOrElse("")
       s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}$lim$top]"
   }
 

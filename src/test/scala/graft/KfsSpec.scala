@@ -518,6 +518,19 @@ class KfsSpec extends AnyFunSuite {
     assert(offs.collect().map(_.getLong(0)).toSeq ==
       (0 until 60).map(i => 199L - i))
 
+    // kafsql's TAIL shape — lexicographic (_partition desc, _offset desc):
+    // the top 50 all live in p1's highest-offset segment
+    val tail = df.orderBy(col("_partition").desc, col("_offset").desc)
+      .limit(50).select(col("_partition"), col("_offset"))
+    assert(scanOf(tail).lastPlannedSegments == 1)
+    assert(tail.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      (0 until 50).map(i => (1, 199L - i)))
+    // ... and 150 rows reach back into p1's other segment but never p0
+    val tail150 = df.orderBy(col("_partition").desc, col("_offset").desc)
+      .limit(150).select(col("_partition"))
+    assert(scanOf(tail150).lastPlannedSegments == 2)
+    assert(tail150.collect().forall(_.getInt(0) == 1))
+
     // a record-level filter blocks top-N pushdown; results stay exact
     val filtered = df.where(col("_offset") % 2 === 0)
       .orderBy(col("_ts").desc).limit(10).select(col("_ts_ms"))
