@@ -232,6 +232,40 @@ object DedupPack extends QueryPack {
            |SELECT c.doc AS c_doc, p.doc AS p_doc, count(*) AS shared
            |FROM c JOIN p USING (sh)
            |GROUP BY 1, 2 HAVING count(*) >= 3
-           |ORDER BY c_doc, p_doc""".stripMargin))
+           |ORDER BY c_doc, p_doc""".stripMargin)),
+
+    // Inter-document span dedup (the Falcon/RefinedWeb line-dedup stage;
+    // spans = consecutive 8-word windows since these documents carry no
+    // newlines): a span instance is dropped when the same text occurred
+    // earlier (smaller doc id / earlier position); docs are rebuilt from
+    // their surviving spans. One hash shuffle on md5(span) + one per-doc
+    // aggregate with an IN-ROW position sort — never a global sort, never
+    // a pairwise compare. The oracle re-runs the identical ownership rule.
+    QueryDef(
+      "d9_span_dedup",
+      (s, dir) => graft.ops.SpanDedup.dedupSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", chunkWords = 8)
+        .where(col("n_dropped") > 0)
+        .orderBy(col("doc")),
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id AS doc, string_split(text, ' ') AS words FROM documents),
+          |s AS (
+          |  SELECT doc,
+          |         UNNEST(list_transform(range(CAST(ceil(len(words) / 8.0) AS BIGINT)),
+          |                i -> {'pos': i, 'span': array_to_string(
+          |                        words[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')})) AS u
+          |  FROM w),
+          |inst AS (SELECT doc, u.pos AS pos, u.span AS span, md5(u.span) AS h,
+          |                doc * 1000000 + u.pos AS inst FROM s),
+          |owners AS (SELECT h, min(inst) AS owner FROM inst GROUP BY h),
+          |j AS (SELECT i.*, o.owner FROM inst i JOIN owners o USING (h))
+          |SELECT doc, CAST(count(*) AS INTEGER) AS n_spans,
+          |       CAST(SUM(CASE WHEN inst = owner THEN 0 ELSE 1 END) AS INTEGER) AS n_dropped,
+          |       round(SUM(CASE WHEN inst = owner THEN 0 ELSE 1 END) * 1.0 / count(*), 4) AS dup_ratio,
+          |       COALESCE(string_agg(CASE WHEN inst = owner THEN span END, ' ' ORDER BY pos), '') AS cleaned_text
+          |FROM j GROUP BY doc
+          |HAVING SUM(CASE WHEN inst = owner THEN 0 ELSE 1 END) > 0
+          |ORDER BY doc""".stripMargin))
   )
 }

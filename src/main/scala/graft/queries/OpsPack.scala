@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
 object OpsPack extends QueryPack {
@@ -591,6 +591,37 @@ object OpsPack extends QueryPack {
           |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
           |       CAST(length(frame_txt) AS INTEGER) AS n_bytes,
           |       md5(frame_txt) AS frame_digest
-          |FROM f ORDER BY id, frame_idx""".stripMargin))
+          |FROM f ORDER BY id, frame_idx""".stripMargin)),
+
+    // LM-perplexity quality scoring (the CCNet/KenLM filter stage): score
+    // every doc's NLL under the corpus's own char-bigram LM. The LM is a
+    // bounded-cardinality aggregate broadcast back to the scan; per-doc
+    // sums are sequential IN-ROW folds over 6dp-rounded log-probs so both
+    // engines add identical doubles in identical order (ln is not
+    // correctly-rounded across libms — rounding per TERM, not per sum,
+    // is what makes this hash-match).
+    QueryDef(
+      "t14_lm_perplexity",
+      (s, dir) => LanguageModel.bigramNll(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 60),
+        "doc_id", "text")
+        .orderBy(col("doc")),
+      Some(
+        """WITH g0 AS (
+          |  SELECT doc_id AS doc,
+          |         UNNEST(list_transform(generate_series(1, length(text) - 1),
+          |                i -> {'pos': i, 'g': substr(text, i, 2)})) AS u
+          |  FROM documents WHERE doc_id < 60 AND length(text) >= 2),
+          |grams AS (SELECT doc, u.pos AS pos, u.g AS g FROM g0),
+          |lm AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+          |t AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM lm),
+          |lmp AS (SELECT g, round(ln(CAST(c AS DOUBLE) / tot), 6) AS logp FROM lm, t),
+          |d AS (
+          |  SELECT doc, count(*) AS n,
+          |         list_reduce(list(logp ORDER BY pos), (a, x) -> a + x) AS s
+          |  FROM grams JOIN lmp USING (g) GROUP BY doc)
+          |SELECT doc, CAST(n AS INTEGER) AS n_bigrams,
+          |       round(-s / n, 4) AS nll, round(exp(round(-s / n, 4)), 2) AS ppl
+          |FROM d ORDER BY doc""".stripMargin))
   )
 }

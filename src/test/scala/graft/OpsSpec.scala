@@ -539,4 +539,46 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccLoop == cc)
   }
+
+  test("span dedup keeps first occurrences only and rebuilds cleaned text") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d"),   // both spans first occurrences
+      (1L, "a b x y"),   // "a b" repeats doc 0
+      (2L, "c d c d"),   // both spans repeat doc 0 / earlier
+      (3L, "p q p q"),   // within-doc repeat: second "p q" dropped
+      (4L, "a b z")      // trailing partial span "z" survives
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(d, "doc_id", "text", chunkWords = 2)
+      .orderBy("doc").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(4))))
+      .toMap
+    assert(out(0L) == ((2, 0, "a b c d")))
+    assert(out(1L) == ((2, 1, "x y")))
+    assert(out(2L) == ((2, 2, "")))
+    assert(out(3L) == ((2, 1, "p q")))
+    assert(out(4L) == ((2, 1, "z")))
+  }
+
+  test("LM perplexity: corpus-typical text scores low, rare bigrams high") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "aaaaaaaaaa"), // 9x "aa"
+      (1L, "aaaaaaaaaa"), // identical -> identical score
+      (2L, "az"),         // the one rare bigram
+      (3L, "x")           // too short for a bigram: no output row
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.bigramNll(d, "doc_id", "text")
+      .orderBy("doc").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // LM: "aa" x18, "az" x1, T=19; nll(doc0) = -round(ln(18/19),6) = 0.0541
+    assert(out(0L) == ((9, 0.0541, 1.06)))
+    assert(out(1L) == out(0L))
+    // doc2: -round(ln(1/19),6) = 2.9444; ppl = exp(2.9444) ~ 18.998
+    assert(out(2L)._1 == 1)
+    assert(out(2L)._2 > out(0L)._2)
+    assert(math.abs(out(2L)._2 - 2.9444) < 1e-9)
+  }
 }
