@@ -49,9 +49,15 @@ object LanguageModel {
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = bigramInstances(docs, idCol, textCol)
     val lm = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
-    val logp = lm.crossJoin(broadcast(lm.agg(sum(col("c")).as("_t"))))
+    // normalizing constant via an unpartitioned window OVER THE LM, not a
+    // second aggregate of the corpus: the window moves only the <=
+    // |alphabet|² LM rows to one partition, and the corpus is scanned
+    // twice total (grams + LM) instead of three times
+    val t = sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val logp = lm
       .select(col("g"),
-        round(log(col("c").cast("double") / col("_t").cast("double")), 6)
+        round(log(col("c").cast("double") / t.cast("double")), 6)
           .as("logp"))
     grams.join(broadcast(logp), Seq("g"))
       .groupBy(col("doc"))

@@ -162,6 +162,39 @@ class PlanSpec extends AnyFunSuite {
       s"no global sort below the window:\n$plan")
   }
 
+  test("d9: span-dedup owners broadcast; no window, no pairwise join") {
+    val plan = planOf("d9_span_dedup")
+    // ownership is a two-phase hash aggregate on the span hash, joined
+    // back as a broadcast — never a window over md5(span) (shuffle+sort on
+    // a near-unique key) and never a span-to-span pairwise compare
+    assert(!plan.contains("Window"), s"d9 must not use a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no pairwise compare:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"duplicate-owner side should broadcast:\n$plan")
+    // the only range exchange is the final output orderBy, which the
+    // top-down plan prints ABOVE the aggregates
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 &&
+      !plan.substring(firstAgg).contains("rangepartitioning"),
+      s"no global sort below the aggregates:\n$plan")
+  }
+
+  test("t14: LM broadcasts back to the scan; doc filter reaches parquet") {
+    val plan = planOf("t14_lm_perplexity")
+    // the bounded-cardinality LM joins as a broadcast (never shuffles the
+    // instance stream twice) and the doc_id restriction is pushed down
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LM side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"instance stream must not sort-merge:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,60)]"),
+      s"doc filter must reach the scan:\n$plan")
+    // corpus scans: grams + LM — the normalizing constant must come from
+    // a window over the LM aggregate, not a third scan
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"expected at most 2 corpus scans, got $scans:\n$plan")
+  }
+
   test("t9: PII scrub stays native — codegen'd regexp_replace, no UDF") {
     val plan = planOf("t9_pii_redact")
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
