@@ -67,11 +67,12 @@ object KfsLayout {
     * Kafka-topic charset `[a-zA-Z0-9._-]` is stricter still). */
   def writeSegment(
       root: String, topic: String, partition: Int,
-      records: Seq[KfsCodec.Record], batchSize: Int = 500): SegmentRef = {
+      records: Seq[KfsCodec.Record], batchSize: Int = 500,
+      conf: Configuration = null): SegmentRef = {
     require(!topic.exists(c => c == '"' || c == '\\'),
       s"topic name must not contain quotes or backslashes: $topic")
     val dir = new HPath(new HPath(root, topic), partition.toString)
-    val fs = fsFor(dir)
+    val fs = dir.getFileSystem(if (conf != null) conf else hadoopConf)
     fs.mkdirs(dir)
     val base = records.head.offset
     val seg = KfsCodec.buildSegment(records, batchSize)
@@ -147,18 +148,39 @@ object KfsLayout {
       case _: java.io.EOFException => None // sidecar shorter than 40 bytes
     }
 
-  /** Write `manifest.json` for a topic/partition from its segment refs. */
+  /** Write `manifest.json` for a topic/partition from its segment refs.
+    * Published via temp-write + rename in the sibling staging dir (same
+    * contract as segments): a concurrent manifest reader sees the old
+    * manifest or the new one, never a torn write. */
   def writeManifest(root: String, topic: String, partition: Int,
-      refs: Seq[SegmentRef]): Unit = {
+      refs: Seq[SegmentRef], conf: Configuration = null): Unit = {
     val entries = refs.sortBy(_.baseOffset).map { r =>
       s"""{"path":"${r.path}","base_offset":${r.baseOffset},"last_offset":${r.lastOffset},""" +
         s""""min_ts_ms":${r.minTsMs},"max_ts_ms":${r.maxTsMs},"size_bytes":${r.sizeBytes}}"""
     }
     val json = s"""{"topic":"$topic","partition":$partition,"segments":[${entries.mkString(",")}]}"""
     val p = new HPath(new HPath(new HPath(root, topic), partition.toString), "manifest.json")
-    val fs = fsFor(p)
-    val out = fs.create(p, true)
+    val fs = p.getFileSystem(if (conf != null) conf else hadoopConf)
+    fs.mkdirs(p.getParent)
+    val stagingDir = new HPath(root.stripSuffix("/") + "_staging")
+    fs.mkdirs(stagingDir)
+    val tmp = new HPath(stagingDir,
+      s"$topic-$partition-manifest.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"cannot publish manifest $p")
+    }
+  }
+
+  /** Drop cached discovery results under `root` — callers that just
+    * committed new segments (the DSv2 writer) invalidate so same-session
+    * readers observe the write immediately instead of after the TTL. */
+  def invalidateDiscoveryCache(root: String): Unit = {
+    val it = discoveryCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(s"$root|")) it.remove()
   }
 
   // ---- discovery --------------------------------------------------------
@@ -340,10 +362,13 @@ object KfsLayout {
     } finally in.close()
   }
 
-  /** Manifest-based discovery with LIST fallback (`manifest.go:68-135`). */
-  def listFromManifest(root: String, topic: String, partition: Int): Seq[SegmentRef] = {
+  /** The committed manifest's refs, or None when no manifest exists —
+    * usable executor-side with an explicit conf (the DSv2 writer's
+    * pre-write overlap guard). */
+  def readManifestRefs(root: String, topic: String, partition: Int,
+      conf: Configuration = null): Option[Seq[SegmentRef]] = {
     val p = new HPath(new HPath(new HPath(root, topic), partition.toString), "manifest.json")
-    val fs = fsFor(p)
+    val fs = p.getFileSystem(if (conf != null) conf else hadoopConf)
     val jsonOpt =
       try {
         val in = fs.open(p)
@@ -354,18 +379,21 @@ object KfsLayout {
           Some(new String(bytes, StandardCharsets.UTF_8))
         } finally in.close()
       } catch { case _: FileNotFoundException => None }
-    jsonOpt match {
-      case None => listCompleted(root, Some(Set(topic)), Some(Set(partition)))
-      case Some(json) =>
-        // minimal parser for our own manifest shape
-        val entry = """\{"path":"([^"]+)","base_offset":(\d+),"last_offset":(\d+),"min_ts_ms":(-?\d+),"max_ts_ms":(-?\d+),"size_bytes":(\d+)\}""".r
-        entry.findAllMatchIn(json).map { m =>
-          SegmentRef(topic, partition, m.group(1), m.group(2).toLong,
-            m.group(3).toLong, m.group(4).toLong, m.group(5).toLong,
-            m.group(6).toLong)
-        }.toSeq.sortBy(_.baseOffset)
+    jsonOpt.map { json =>
+      // minimal parser for our own manifest shape
+      val entry = """\{"path":"([^"]+)","base_offset":(\d+),"last_offset":(\d+),"min_ts_ms":(-?\d+),"max_ts_ms":(-?\d+),"size_bytes":(\d+)\}""".r
+      entry.findAllMatchIn(json).map { m =>
+        SegmentRef(topic, partition, m.group(1), m.group(2).toLong,
+          m.group(3).toLong, m.group(4).toLong, m.group(5).toLong,
+          m.group(6).toLong)
+      }.toSeq.sortBy(_.baseOffset)
     }
   }
+
+  /** Manifest-based discovery with LIST fallback (`manifest.go:68-135`). */
+  def listFromManifest(root: String, topic: String, partition: Int): Seq[SegmentRef] =
+    readManifestRefs(root, topic, partition).getOrElse(
+      listCompleted(root, Some(Set(topic)), Some(Set(partition))))
 
   /** Prune segment refs by offset range / time range — the reference's
     * `filterSegments` (`server.go:2201-2231`): a segment survives when its

@@ -44,9 +44,14 @@ class KfsTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KfsV2.Schema
 
+  /** True so `df.write.format("kfs").save()` hands the QUERY's schema to
+    * [[getTable]] — the write path accepts the writable-column subset
+    * (see [[KfsWriteV2.fieldIndexes]]); reads keep the canonical schema. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new KfsTable(properties.asScala.toMap)
+    new KfsTable(properties.asScala.toMap, schema)
 }
 
 object KfsV2 {
@@ -62,18 +67,31 @@ object KfsV2 {
     StructField("_segment", StringType)))
 }
 
-class KfsTable(options: Map[String, String]) extends Table with SupportsRead {
+class KfsTable(options: Map[String, String],
+    providedSchema: StructType = KfsV2.Schema)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val root = options.getOrElse("path",
     throw new IllegalArgumentException("kfs source requires option 'path'"))
 
   override def name(): String = s"kfs:$root"
-  override def schema(): StructType = KfsV2.Schema
+  override def schema(): StructType =
+    if (providedSchema == null) KfsV2.Schema else providedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
 
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    require(schema() == KfsV2.Schema,
+      "kfs read does not support user-specified schemas; " +
+        "select/cast on the loaded frame instead")
     new KfsScanBuilder(root, options)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KfsWriteBuilder(root, info.schema(), options)
 }
 
 class KfsScanBuilder(root: String, options: Map[String, String])

@@ -261,6 +261,61 @@ object KfsPack extends QueryPack {
       oracle(
         """SELECT _partition, count(*) AS cnt, min(_offset) AS min_off,
           |       max(_offset) AS max_off
-          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin))
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // DSv2 WRITE path round trip: stage `documents` as log records
+    // (partition = doc_id % 4, dense per-partition offsets), bulk-write
+    // through `format("kfs")` — RequiresDistributionAndOrdering makes
+    // Catalyst plan the clustering shuffle + per-task offset sort, tasks
+    // publish size-capped segments atomically, commit flips the manifests —
+    // then read the estate back and aggregate. The oracle recomputes the
+    // same aggregate from `documents` directly, so every byte (values,
+    // keys, timestamps, headers) must survive encode→segment→decode
+    // exactly. The row_number window is fixture staging, not the operator.
+    QueryDef(
+      "s15_kfs_write_roundtrip",
+      (s, dir) => {
+        val root = Fixtures.tmp(dir, "kfs_write")
+        // append-only log: a re-run must start from an empty root
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(KfsLayout.hadoopConf)
+        fs.delete(p, true)
+        fs.delete(new org.apache.hadoop.fs.Path(root + "_staging"), true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_partition")).orderBy(col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(lit("docs").as("_topic"),
+            (col("doc_id") % 4).cast("int").as("_partition"),
+            col("doc_id"), col("text"), col("lang"))
+          .withColumn("_offset", row_number().over(w).cast("long") - 1)
+          .select(col("_topic"), col("_partition"), col("_offset"),
+            (lit(1706000000000L) + col("doc_id") * 1000).as("_ts_ms"),
+            col("doc_id").cast("string").cast("binary").as("_key"),
+            col("text").cast("binary").as("_value"),
+            map(lit("lang"), col("lang")).as("_headers"))
+          .write.format("kfs").mode("append").option("path", root)
+          .option("max_records_per_segment", "64").save()
+        s.read.format("kfs").option("path", root).load()
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("n"),
+            min(col("_offset")).as("min_off"),
+            max(col("_offset")).as("max_off"),
+            sum(length(col("_value"))).as("value_bytes"),
+            sum(length(col("_key"))).as("key_bytes"),
+            max(col("_ts_ms")).as("max_ts"),
+            count(when(element_at(col("_headers"), "lang") === "en", 1))
+              .as("n_en"))
+          .orderBy(col("_partition"))
+      },
+      Some(
+        """SELECT CAST(doc_id % 4 AS INTEGER) AS _partition,
+          |       count(*) AS n,
+          |       CAST(0 AS BIGINT) AS min_off,
+          |       CAST(count(*) - 1 AS BIGINT) AS max_off,
+          |       CAST(SUM(length(text)) AS BIGINT) AS value_bytes,
+          |       CAST(SUM(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS key_bytes,
+          |       CAST(1706000000000 + max(doc_id) * 1000 AS BIGINT) AS max_ts,
+          |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+          |FROM documents GROUP BY 1 ORDER BY _partition""".stripMargin))
   )
 }

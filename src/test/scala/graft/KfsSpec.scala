@@ -557,4 +557,71 @@ class KfsSpec extends AnyFunSuite {
         abs(col("o._ts_ms") - col("p._ts_ms")) <= 10 * 60 * 1000, "inner")
     assert(joined.count() == 50) // JOIN ... WITHIN 10m LAST 1h -> 50 rows
   }
+
+  test("DSv2 write: clustered+ordered round trip, manifest commit, append") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("kfs_w").toString
+    // shuffled input across 2 topics x 2 partitions — the writer's
+    // RequiresDistributionAndOrdering must regroup and re-sort it
+    val rows = for {
+      t <- Seq("alpha", "beta"); p <- 0 to 1; o <- 0L until 40L
+    } yield (t, p, o, 1706000000000L + o * 1000, s"k$o".getBytes("UTF-8"),
+      s"$t/$p/$o".getBytes("UTF-8"), Map("src" -> "test"))
+    val df = scala.util.Random.shuffle(rows).toDF(
+      "_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
+      .repartition(7) // deliberately wrong partitioning
+    df.write.format("kfs").mode("append")
+      .option("path", root).option("max_records_per_segment", "16").save()
+
+    // manifests committed per partition, segment cap respected
+    for (t <- Seq("alpha", "beta"); p <- 0 to 1) {
+      val refs = KfsLayout.listFromManifest(root, t, p)
+      assert(refs.nonEmpty && refs.length >= 3) // 40 records / 16 cap
+      assert(refs.head.baseOffset == 0 && refs.last.lastOffset == 39)
+      assert(Files.exists(Paths.get(root, t, p.toString, "manifest.json")))
+    }
+
+    val back = spark.read.format("kfs").option("path", root).load()
+    assert(back.count() == 160)
+    val vals = back.select("_topic", "_partition", "_offset", "_value", "_ts_ms")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        ((new String(r.getAs[Array[Byte]](3), "UTF-8"), r.getLong(4)))).toMap
+    rows.foreach { case (t, p, o, ts, _, _, _) =>
+      assert(vals((t, p, o)) == ((s"$t/$p/$o", ts)))
+    }
+    val hdr = back.where($"_topic" === "alpha" && $"_partition" === 0 &&
+      $"_offset" === 3).select($"_headers").collect()
+    assert(hdr.head.getAs[Map[String, String]](0) == Map("src" -> "test"))
+
+    // append the next offset range — manifest merges, both ranges visible
+    Seq(("alpha", 0, 40L, 1706000100000L, "k40".getBytes("UTF-8"),
+      "alpha/0/40".getBytes("UTF-8")))
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value")
+      .write.format("kfs").mode("append").option("path", root).save()
+    assert(KfsLayout.listFromManifest(root, "alpha", 0).last.lastOffset == 40)
+    assert(spark.read.format("kfs").option("path", root).load()
+      .where($"_topic" === "alpha" && $"_partition" === 0).count() == 41)
+
+    // overlapping offsets are rejected at commit (append-only log)
+    val dup = Seq(("alpha", 0, 40L, 1706000200000L,
+      Array.empty[Byte], "x".getBytes("UTF-8")))
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value")
+    val e = intercept[Exception] {
+      dup.write.format("kfs").mode("append").option("path", root).save()
+    }
+    assert(e.getMessage != null)
+
+    // offset gaps are rejected unless require_dense=false
+    val gap = Seq(
+      ("gamma", 0, 0L, 1706000000000L, "a".getBytes("UTF-8")),
+      ("gamma", 0, 5L, 1706000001000L, "b".getBytes("UTF-8")))
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_value")
+    intercept[Exception] {
+      gap.write.format("kfs").mode("append").option("path", root).save()
+    }
+    gap.write.format("kfs").mode("append").option("path", root)
+      .option("require_dense", "false").save()
+    assert(spark.read.format("kfs").option("path", root).load()
+      .where($"_topic" === "gamma").count() == 2)
+  }
 }
