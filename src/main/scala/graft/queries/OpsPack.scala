@@ -105,6 +105,66 @@ object OpsPack extends QueryPack {
            |SELECT a, b, round(c, 4) AS cos_sim
            |FROM pairs WHERE c >= 0.2 ORDER BY a, b""".stripMargin)),
 
+    // SemDeDup-shaped semantic dedup: LSH buckets bound the candidate set
+    // (never an all-pairs cosine), same-bucket pairs >= threshold become
+    // edges, transitive closure picks one representative (min id) per
+    // semantic cluster, singletons keep themselves. The per-cluster
+    // n_labels column audits cluster purity against the ground-truth
+    // label. At 100 TB this is d6's bucket join + d7's adaptive connected
+    // components — no new shuffle shape, composed end to end.
+    QueryDef(
+      "d10_semdedup",
+      (s, dir) => {
+        val sim = Similarity
+        val e = Tables.load(s, dir, "embeddings")
+        val b = e.select(col("vec_id"), col("embedding"),
+          sim.norm(col("embedding")).as("nrm"),
+          sim.lshSignature(col("embedding"), 4, 64).as("bucket"))
+        val l = b.select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("nrm").as("na"), col("bucket"))
+        val r = b.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("bucket"))
+        val pairs = l.join(r, Seq("bucket")).where(col("a") < col("b"))
+          .withColumn("c",
+            sim.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .where(col("c") >= 0.2)
+          .select(col("a"), col("b"))
+        val cc = Dedup.duplicateClusters(pairs)
+        e.join(cc, col("vec_id") === col("node"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster"), col("vec_id")).as("cluster"),
+            col("label"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1).as("n_dropped"),
+            countDistinct(col("label")).as("n_labels"))
+          .where(col("n_members") > 1)
+          .orderBy(col("cluster"))
+      },
+      Some(
+        s"""WITH RECURSIVE b AS (
+           |  SELECT vec_id, embedding, ${duckSignature("embedding", 4)} AS bucket
+           |  FROM embeddings),
+           |pairs AS (
+           |  SELECT l.vec_id AS a, r.vec_id AS b
+           |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+           |  WHERE ${duckCosine("l.embedding", "r.embedding")} >= 0.2),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION ALL SELECT b, a FROM pairs),
+           |cc AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+           |labels AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node),
+           |m AS (
+           |  SELECT em.vec_id, COALESCE(l.cluster, em.vec_id) AS cluster, em.label
+           |  FROM embeddings em LEFT JOIN labels l ON em.vec_id = l.node)
+           |SELECT cluster, count(*) AS n_members,
+           |       CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           |       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+           |FROM m GROUP BY cluster HAVING count(*) > 1
+           |ORDER BY cluster""".stripMargin)),
+
     // bucket histogram — shows the LSH partitioning is balanced enough to
     // cut each probe to ~1/2^planes of the corpus
     QueryDef(
