@@ -90,6 +90,11 @@ object KfsLayout {
     // that can vanish mid-listing (Hadoop's local FS stats each listed
     // entry lazily, and a vanished entry aborts the whole iteration).
     writeTimeIndexFs(fs, p, minTs, maxTs, base, records.last.offset)
+    // key Bloom sidecar (see [[KfsBloom]]): written before the segment
+    // publishes, same visibility contract as the time index
+    val bloom = KfsBloom.build(records.iterator.map(_.key), records.length)
+    val bout = fs.create(new HPath(p.toString + ".kfsb"), true)
+    try bout.write(KfsBloom.serialize(bloom)) finally bout.close()
     val stagingDir = new HPath(root.stripSuffix("/") + "_staging")
     fs.mkdirs(stagingDir)
     val tmp = new HPath(stagingDir,
@@ -394,6 +399,46 @@ object KfsLayout {
   def listFromManifest(root: String, topic: String, partition: Int): Seq[SegmentRef] =
     readManifestRefs(root, topic, partition).getOrElse(
       listCompleted(root, Some(Set(topic)), Some(Set(partition))))
+
+  /** Read a segment's key-Bloom sidecar; None when absent or unreadable
+    * (pruning then keeps the segment). */
+  def readBloom(segmentPath: String, conf: Configuration = null)
+      : Option[KfsBloom.Bloom] = {
+    val p = new HPath(segmentPath + ".kfsb")
+    val fs = p.getFileSystem(if (conf != null) conf else hadoopConf)
+    try {
+      val size = fs.getFileStatus(p).getLen.toInt
+      val in = fs.open(p)
+      val bytes = new Array[Byte](size)
+      try in.readFully(0, bytes) finally in.close()
+      KfsBloom.deserialize(bytes)
+    } catch {
+      case _: FileNotFoundException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Drop segments whose key Bloom excludes a pushed `_key` predicate.
+    * `keyGroups` is a conjunction of disjunctions — `_key = a` contributes
+    * `[a]`, `_key IN (a, b)` contributes `[a, b]` — so a segment survives
+    * only when EVERY group has at least one possibly-present key. Sidecars
+    * are probed concurrently (driver-side ranged reads, same pool as
+    * completeness probes); a missing sidecar keeps the segment. */
+  def filterByKeyBloom(refs: Seq[SegmentRef],
+      keyGroups: Seq[Seq[Array[Byte]]]): Seq[SegmentRef] = {
+    if (keyGroups.isEmpty || refs.isEmpty) return refs
+    import scala.jdk.CollectionConverters._
+    val tasks = refs.map { r =>
+      new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean = readBloom(r.path) match {
+          case Some(b) => keyGroups.forall(_.exists(b.contains))
+          case None => true
+        }
+      }
+    }
+    val keep = probePool.invokeAll(tasks.asJava).asScala.map(_.get())
+    refs.zip(keep).collect { case (r, true) => r }
+  }
 
   /** Prune segment refs by offset range / time range — the reference's
     * `filterSegments` (`server.go:2201-2231`): a segment survives when its

@@ -17,9 +17,9 @@ object KfsSeed {
 
   def seededRoot(spark: SparkSession, sfDir: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
-    // v2: footer CRC switched to CRC32C-over-body (reference semantics) —
-    // versioned path so stale v1 fixtures can never be picked up
-    val root = s"/tmp/graft_kfs/v2/$sfName"
+    // v3: segments gained key-Bloom `.kfsb` sidecars (v2: footer CRC
+    // switch) — versioned path so stale fixtures can never be picked up
+    val root = s"/tmp/graft_kfs/v3/$sfName"
     this.synchronized {
       val marker = Paths.get(root, "_SEEDED")
       if (!Files.exists(marker)) {

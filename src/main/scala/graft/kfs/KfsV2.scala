@@ -116,6 +116,9 @@ class KfsScanBuilder(root: String, options: Map[String, String])
   private var offMax: Option[Long] = None
   private var tsMin: Option[Long] = None
   private var tsMax: Option[Long] = None
+  // `_key` equality/IN predicates, a conjunction of disjunctions — probed
+  // against per-segment Bloom sidecars at plan time (see KfsBloom)
+  private var keyGroups: Seq[Seq[Array[Byte]]] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach(absorb)
@@ -136,12 +139,21 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     case sources.GreaterThan("_ts_ms", v: Long) => tsMin = maxOf(tsMin, v + 1)
     case sources.LessThanOrEqual("_ts_ms", v: Long) => tsMax = minOf(tsMax, v)
     case sources.LessThan("_ts_ms", v: Long) => tsMax = minOf(tsMax, v - 1)
+    case sources.EqualTo("_key", v: Array[Byte]) =>
+      keyGroups :+= Seq(v)
+    case sources.In("_key", vs) =>
+      val bs = vs.toSeq.collect { case b: Array[Byte] => b }
+      // only a fully-binary IN list prunes; a group must stay non-empty
+      // (an empty group would wrongly exclude every segment)
+      if (bs.nonEmpty && bs.length == vs.length) keyGroups :+= bs
     case sources.And(l, r) => absorb(l); absorb(r)
     case _ =>
   }
 
   private def isPrunable(f: Filter): Boolean = f match {
+    case sources.EqualTo("_key", _: Array[Byte]) => true
     case e: sources.EqualTo => e.attribute == "_partition"
+    case sources.In("_key", vs) if vs.forall(_.isInstanceOf[Array[Byte]]) => true
     case e: sources.In => e.attribute == "_partition"
     case e: sources.GreaterThanOrEqual => e.attribute == "_offset" || e.attribute == "_ts_ms"
     case e: sources.GreaterThan => e.attribute == "_offset" || e.attribute == "_ts_ms"
@@ -278,7 +290,7 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     new KfsScan(root, topics, partitions, offMin, offMax, tsMin, tsMax,
       rails, options.get("max_segments_per_trigger").map(_.toInt),
       requiredSchema, conf, pushedAgg.map(KfsAggSpec.from),
-      pushedLimit, assumeDense, pushedTopN)
+      pushedLimit, assumeDense, pushedTopN, keyGroups)
   }
 }
 
@@ -317,7 +329,8 @@ class KfsScan(
     required: StructType, conf: SerializableHadoopConf,
     aggSpec: Option[KfsAggSpec] = None,
     limit: Option[Int] = None, assumeDense: Boolean = true,
-    topN: Option[KfsTopN] = None)
+    topN: Option[KfsTopN] = None,
+    keyGroups: Seq[Seq[Array[Byte]]] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -348,7 +361,10 @@ class KfsScan(
   private def refs: Seq[KfsLayout.SegmentRef] = {
     var r = cachedRefs
     if (r == null) {
-      r = topNSelect(limitPrefix(listPruned()))
+      // Bloom pruning runs before limit/top-N selection: a key-excluded
+      // segment must not consume limit budget it can't contribute rows to
+      r = topNSelect(limitPrefix(
+        KfsLayout.filterByKeyBloom(listPruned(), keyGroups)))
       ScanAdmission.admit(r.size, r.map(_.sizeBytes).sum, rails)
       cachedRefs = r
     }
@@ -483,7 +499,9 @@ class KfsScan(
       val top = topN.map(t => s", topN=${t.n} by " + t.keys.map {
         case (k, desc) => k + (if (desc) " desc" else "")
       }.mkString(",")).getOrElse("")
-      s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}$lim$top]"
+      val kb = if (keyGroups.isEmpty) ""
+        else s", keyBloom=${keyGroups.map(_.size).mkString("x")}"
+      s"KfsScan[segments=${refs.size}, bytes=${refs.map(_.sizeBytes).sum}$lim$top$kb]"
   }
 
   /** Post-prune size estimate from segment stats — without this, Catalyst

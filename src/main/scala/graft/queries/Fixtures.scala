@@ -23,6 +23,8 @@ object Fixtures {
   def tmp(sfDir: String, name: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
     val sub = if (runSuffix.isEmpty) "" else s"/$runSuffix"
-    s"/tmp/graft_etl/v2/$sfName$sub/$name"
+    // v3 rolled with KfsSeed v3 (key-Bloom sidecars): checkpoints embed
+    // the seeded root's absolute path, so the generations move together
+    s"/tmp/graft_etl/v3/$sfName$sub/$name"
   }
 }

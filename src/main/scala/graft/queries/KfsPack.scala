@@ -263,6 +263,29 @@ object KfsPack extends QueryPack {
           |       max(_offset) AS max_off
           |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
 
+    // Key point-lookup through the Bloom sidecar path: `_key = X` pushes
+    // into the DSv2 scan, plan-time discovery probes each candidate
+    // segment's `.kfsb` (ranged read, ~12 bits/key) and opens only
+    // possibly-containing segments — at 100 TB a key lookup is a listing
+    // plus a handful of sidecar probes, not a log scan. Results stay exact
+    // regardless: the equality also runs as a record-level residual.
+    QueryDef(
+      "s16_kfs_key_lookup",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.read.format("kfs").option("path", root).load()
+          .where(col("_key") === lit("user-7".getBytes("UTF-8")))
+          .select(col("_partition"), col("_offset"), col("_ts_ms"),
+            get_json_object(col("_value").cast("string"), "$.k").cast("int")
+              .as("k_val"))
+          .orderBy(col("_partition"), col("_offset"))
+      },
+      oracle(
+        """SELECT _partition, _offset, _ts_ms,
+          |       CAST(json_extract_string(_value, '$.k') AS INTEGER) AS k_val
+          |FROM events_topic WHERE _key = 'user-7'
+          |ORDER BY _partition, _offset""".stripMargin)),
+
     // DSv2 WRITE path round trip: stage `documents` as log records
     // (partition = doc_id % 4, dense per-partition offsets), bulk-write
     // through `format("kfs")` — RequiresDistributionAndOrdering makes

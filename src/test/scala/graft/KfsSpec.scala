@@ -624,4 +624,60 @@ class KfsSpec extends AnyFunSuite {
     assert(spark.read.format("kfs").option("path", root).load()
       .where($"_topic" === "gamma").count() == 2)
   }
+
+  test("key Bloom: deterministic membership, no false negatives, sidecar round trip") {
+    val keys = (0 until 500).map(i => s"user-$i".getBytes("UTF-8"))
+    val b = KfsBloom.build(keys.iterator ++ Iterator(null), keys.length + 1)
+    keys.foreach(k => assert(b.contains(k))) // no false negatives, ever
+    val misses = (0 until 2000).count(i =>
+      b.contains(s"absent-$i".getBytes("UTF-8")))
+    assert(misses <= 20, s"fpp too high: $misses/2000") // ~0.3% expected
+    val back = KfsBloom.deserialize(KfsBloom.serialize(b)).get
+    assert(back.numBits == b.numBits)
+    keys.foreach(k => assert(back.contains(k)))
+    assert(KfsBloom.deserialize("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("key Bloom sidecar prunes segments on pushed _key equality/IN") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("kfs_bloom").toString
+    // 4 segments with disjoint key ranges
+    val t0 = 1706000000000L
+    for (seg <- 0 until 4) {
+      val recs = (0 until 50).map { i =>
+        KfsCodec.Record(seg * 50L + i, t0 + i,
+          s"k-$seg-$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"), Nil)
+      }
+      KfsLayout.writeSegment(root, "t", 0, recs)
+    }
+    val df = spark.read.format("kfs").option("path", root).load()
+
+    // equality: exactly one segment can contain the key
+    val one = df.where($"_key" === lit("k-2-7".getBytes("UTF-8")))
+      .select($"_offset")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(107L))
+    assert(scanOf(one).lastPlannedSegments == 1)
+
+    // IN across two segments plans two
+    val two = df.where($"_key".isin(
+      "k-0-1".getBytes("UTF-8"), "k-3-9".getBytes("UTF-8")))
+      .select($"_offset")
+    assert(two.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 159L))
+    assert(scanOf(two).lastPlannedSegments == 2)
+
+    // absent key: zero segments planned, zero rows — the 100 TB point
+    // lookup never opens a file
+    val none = df.where($"_key" === lit("nope".getBytes("UTF-8")))
+    assert(none.count() == 0)
+    assert(scanOf(none.select($"_offset")).lastPlannedSegments == 0)
+
+    // a missing sidecar keeps its segment (pruning is never a correctness
+    // gate) and results stay exact
+    Files.delete(Paths.get(root, "t", "0",
+      KfsLayout.segmentFileName(100L) + ".kfsb"))
+    val after = df.where($"_key" === lit("k-2-7".getBytes("UTF-8")))
+      .select($"_offset")
+    assert(after.collect().map(_.getLong(0)).toSeq == Seq(107L))
+    assert(scanOf(after).lastPlannedSegments == 1) // the sidecar-less one
+  }
 }
