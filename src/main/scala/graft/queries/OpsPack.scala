@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis, TextSearch}
 
 /** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
 object OpsPack extends QueryPack {
@@ -682,6 +682,92 @@ object OpsPack extends QueryPack {
           |  FROM grams JOIN lmp USING (g) GROUP BY doc)
           |SELECT doc, CAST(n AS INTEGER) AS n_bigrams,
           |       round(-s / n, 4) AS nll, round(exp(round(-s / n, 4)), 2) AS ppl
-          |FROM d ORDER BY doc""".stripMargin))
+          |FROM d ORDER BY doc""".stripMargin)),
+
+    // BM25 ranked retrieval (the "find every document about X" corpus
+    // audit primitive): tiny query set broadcast against the corpus, so
+    // the whole search is one narrow postings pass + a broadcast
+    // semi-filter — document frequencies come from the already-filtered
+    // postings, never a full-vocabulary aggregate. Score sums fold in
+    // term order (collect_list -> array_sort -> aggregate) and idf is
+    // 6dp-rounded at birth, so both engines add identical doubles in
+    // identical order — same determinism discipline as t14.
+    QueryDef(
+      "t15_bm25_search",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((0, "hash join merge"), (1, "stream window data"),
+          (2, "vector scan filter")).toDF("qid", "qtext")
+        TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
+            "doc_id", "text", qs, k = 5)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(
+        """WITH q(qid, qtext) AS (VALUES (0, 'hash join merge'),
+          |    (1, 'stream window data'), (2, 'vector scan filter')),
+          |d AS (SELECT doc_id AS doc,
+          |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+          |      FROM documents),
+          |p AS (SELECT doc, dl, term, count(*) AS tf
+          |      FROM (SELECT doc, len(w) AS dl, unnest(w) AS term FROM d)
+          |      GROUP BY doc, dl, term),
+          |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+          |          FROM (SELECT doc, any_value(dl) AS dl FROM p GROUP BY doc)),
+          |qt AS (SELECT DISTINCT qid, unnest(string_split(lower(qtext), ' ')) AS term
+          |       FROM q),
+          |m AS (SELECT qt.qid, p.doc, p.dl, p.term, p.tf
+          |      FROM p JOIN qt USING (term)),
+          |dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM m GROUP BY term),
+          |contrib AS (
+          |  SELECT m.qid, m.doc, m.term,
+          |         round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)), 6) *
+          |         (m.tf * (1.2 + 1.0) /
+          |          (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl))) AS c
+          |  FROM m JOIN dfreq f USING (term) CROSS JOIN stats s),
+          |scored AS (
+          |  SELECT qid, doc,
+          |         list_reduce(list_transform(
+          |           list_sort(list(struct_pack(t := term, c := c))), x -> x.c),
+          |           (a, b) -> a + b) AS score
+          |  FROM contrib GROUP BY qid, doc),
+          |r AS (SELECT qid AS q, doc, score,
+          |             row_number() OVER (PARTITION BY qid
+          |               ORDER BY round(score, 6) DESC, doc) AS rank
+          |      FROM scored)
+          |SELECT q, rank, doc, round(score, 4) AS score
+          |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
+
+    // TF-IDF keyword extraction ("what is this document about"): corpus
+    // document frequencies are one term-keyed shuffle (map-side partial
+    // aggs — the inverted-index build every engine pays once), the tiny
+    // (term, idf) table broadcasts back onto the postings, and the
+    // ranking window partitions on doc — no global sort anywhere.
+    QueryDef(
+      "t16_tfidf_keywords",
+      (s, dir) =>
+        TextSearch.tfidfTopTerms(Tables.load(s, dir, "documents"),
+            "doc_id", "text", m = 3)
+          .where(col("doc") < 10)
+          .orderBy(col("doc"), col("rank")),
+      Some(
+        """WITH d AS (SELECT doc_id AS doc,
+          |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+          |           FROM documents),
+          |p AS (SELECT doc, dl, term, count(*) AS tf
+          |      FROM (SELECT doc, len(w) AS dl, unnest(w) AS term FROM d)
+          |      GROUP BY doc, dl, term),
+          |stats AS (SELECT count(*) AS n_docs FROM d),
+          |dfreq AS (SELECT term,
+          |                 round(ln(CAST(s.n_docs AS DOUBLE) / count(DISTINCT doc)), 6) AS idf
+          |          FROM p CROSS JOIN stats s GROUP BY term, s.n_docs),
+          |scored AS (SELECT doc, term,
+          |                  CAST(tf AS DOUBLE) / dl * idf AS tfidf
+          |           FROM p JOIN dfreq USING (term)),
+          |r AS (SELECT doc, term, tfidf,
+          |             row_number() OVER (PARTITION BY doc
+          |               ORDER BY round(tfidf, 6) DESC, term) AS rank
+          |      FROM scored)
+          |SELECT doc, rank, term, round(tfidf, 5) AS tfidf
+          |FROM r WHERE rank <= 3 AND doc < 10 ORDER BY doc, rank""".stripMargin))
   )
 }

@@ -581,4 +581,45 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(0L)._2)
     assert(math.abs(out(2L)._2 - 2.9444) < 1e-9)
   }
+
+  test("bm25: term frequency, coverage, and rarity rank as expected") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha alpha alpha beta filler filler"), // both terms, high tf
+      (2L, "alpha filler filler filler filler filler"), // one term, low tf
+      (3L, "beta filler filler filler filler filler"),
+      (4L, "filler filler filler filler filler filler") // no query term
+    ).toDF("doc_id", "text")
+    val q = Seq((0, "alpha beta")).toDF("qid", "qtext")
+    val out = TextSearch.bm25TopK(d, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    // doc 4 matches nothing -> absent; doc 1 covers both terms -> top
+    assert(out.values.toSet == Set(1L, 2L, 3L))
+    assert(out(1) == 1L)
+    // identical df for alpha/beta here, so doc 2 vs doc 3 tie on score
+    // and break on doc id — deterministic
+    assert(out(2) == 2L && out(3) == 3L)
+  }
+
+  test("bm25: scores are reproducible run-to-run (ordered fold, not sum)") {
+    import spark.implicits._
+    val q = Seq((0, "hash join merge"), (1, "vector scan filter"))
+      .toDF("qid", "qtext")
+    def run() = TextSearch.bm25TopK(docs, "doc_id", "text", q, k = 20)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(run() == run())
+  }
+
+  test("tfidf: a term unique to one document tops that document") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "zebra common common common"),
+      (2L, "common common common common"),
+      (3L, "common common common common")
+    ).toDF("doc_id", "text")
+    val out = TextSearch.tfidfTopTerms(d, "doc_id", "text", m = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "zebra") // idf(common)=ln(1)=0, zebra carries doc 1
+  }
 }

@@ -202,4 +202,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("regexp_replace"),
       s"expected native regexp_replace in the plan:\n$plan")
   }
+
+  test("t15: BM25 is one postings pass — query terms broadcast, df via window") {
+    val plan = planOf("t15_bm25_search")
+    // the tiny query-term table must broadcast onto the postings, and df
+    // must come from a window over the filtered postings — a groupBy df
+    // re-derives the postings subtree as a SECOND corpus scan + shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms should broadcast:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"postings + stats = at most 2 corpus scans, got $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no SMJ/cartesian anywhere in a broadcast search:\n$plan")
+    // top-k per query must run as a rank-limit (partial per partition),
+    // never a global sort of all scored documents
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k should use WindowGroupLimit:\n$plan")
+  }
+
+  test("t16: TF-IDF broadcasts the idf table; top-m is a rank-limit window") {
+    val plan = planOf("t16_tfidf_keywords")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"(term, idf) table should broadcast back onto postings:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no SMJ/cartesian:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-m should use WindowGroupLimit:\n$plan")
+  }
 }
