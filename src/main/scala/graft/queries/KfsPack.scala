@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.kfs.{KfsLayout, KfsSeed, KfsSource}
+import graft.kfs.{KfsCompaction, KfsLayout, KfsSeed, KfsSource}
 
 /** SURVEY §2.1 storage operators, oracle-checked: S1 segment scan (decode
   * Kafka-v2 batches), S2 discovery + completeness, S3 manifest discovery,
@@ -285,6 +285,33 @@ object KfsPack extends QueryPack {
           |       CAST(json_extract_string(_value, '$.k') AS INTEGER) AS k_val
           |FROM events_topic WHERE _key = 'user-7'
           |ORDER BY _partition, _offset""".stripMargin)),
+
+    // Compacted-topic read view (Kafka log-compaction semantics): the
+    // latest record per (partition, key) as one hash aggregate — max_by
+    // carries the payload, so there is no join-back and no window sort.
+    // At 100 TB this is a single key shuffle with map-side partials;
+    // KfsCompaction.compact streams the same view back out through the
+    // DSv2 writer into a fresh segment estate with original offsets.
+    QueryDef(
+      "s17_kfs_compacted_view",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        KfsCompaction.latestByKey(
+            s.read.format("kfs").option("path", root).load())
+          .select(col("_partition"),
+            col("_key").cast("string").as("key_str"),
+            col("_offset").as("last_off"), col("_ts_ms").as("last_ts"),
+            md5(col("_value").cast("string")).as("value_md5"))
+          .orderBy(col("_partition"), col("key_str"))
+      },
+      oracle(
+        """SELECT _partition, _key AS key_str,
+          |       max(_offset) AS last_off,
+          |       max_by(_ts_ms, _offset) AS last_ts,
+          |       md5(max_by(_value, _offset)) AS value_md5
+          |FROM events_topic
+          |GROUP BY _partition, _key
+          |ORDER BY _partition, key_str""".stripMargin)),
 
     // DSv2 WRITE path round trip: stage `documents` as log records
     // (partition = doc_id % 4, dense per-partition offsets), bulk-write

@@ -680,4 +680,43 @@ class KfsSpec extends AnyFunSuite {
     assert(after.collect().map(_.getLong(0)).toSeq == Seq(107L))
     assert(scanOf(after).lastPlannedSegments == 1) // the sidecar-less one
   }
+
+  test("log compaction: latest-per-key view, tombstones, null-key pass-through") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("kfs_compact").toString
+    val t0 = 1706000000000L
+    def k(s: String): Array[Byte] = if (s == null) null else s.getBytes("UTF-8")
+    val recs = Seq(
+      KfsCodec.Record(0L, t0, k("a"), "a0".getBytes, Nil),
+      KfsCodec.Record(1L, t0 + 1, k("b"), "b0".getBytes, Nil),
+      KfsCodec.Record(2L, t0 + 2, k("a"), "a1".getBytes, Nil), // supersedes a0
+      KfsCodec.Record(3L, t0 + 3, null, "nk0".getBytes, Nil),  // null key: kept
+      KfsCodec.Record(4L, t0 + 4, k("c"), "c0".getBytes, Nil),
+      KfsCodec.Record(5L, t0 + 5, null, "nk1".getBytes, Nil),  // null key: kept
+      KfsCodec.Record(6L, t0 + 6, k("c"), null, Nil)           // tombstone: c out
+    )
+    KfsLayout.writeSegment(root, "t", 0, recs)
+    val view = KfsCompaction.latestByKey(
+      spark.read.format("kfs").option("path", root).load())
+    val rows = view.select($"_offset",
+        $"_key".cast("string"), $"_value".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    // a -> a1 at offset 2, b -> b0, both null-key records survive,
+    // c is tombstoned away (and the tombstone itself is not emitted)
+    assert(rows == Seq((1L, "b", "b0"), (2L, "a", "a1"),
+      (3L, null, "nk0"), (5L, null, "nk1")))
+
+    // physical compaction: rewrite into a new generation, offsets preserved
+    // (sparse — require_dense=false), read back through the DSv2 scan
+    val dst = Files.createTempDirectory("kfs_compact_dst").toString
+    KfsCompaction.compact(spark, root, dst)
+    val back = spark.read.format("kfs").option("path", dst).load()
+      .select($"_offset", $"_key".cast("string"), $"_value".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(back == rows)
+    // the new estate is manifest-committed (not just loose segments)
+    assert(KfsLayout.listFromManifest(dst, "t", 0).nonEmpty)
+  }
 }

@@ -220,6 +220,18 @@ class PlanSpec extends AnyFunSuite {
       s"top-k should use WindowGroupLimit:\n$plan")
   }
 
+  test("s17: compacted view is hash-only — no SortAggregate, no sort-merge") {
+    val plan = planOf("s17_kfs_compacted_view")
+    // max_by over binary payloads would force SortAggregate (a full sort
+    // of the log by key); the offsets-only aggregate + semi-join keeps
+    // every operator hash-based
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"latest-offset aggregate must hash, not sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"semi-join back must stay shuffle-hash:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the compacted view:\n$plan")
+  }
+
   test("t16: TF-IDF broadcasts the idf table; top-m is a rank-limit window") {
     val plan = planOf("t16_tfidf_keywords")
     assert(plan.contains("BroadcastHashJoin"),
