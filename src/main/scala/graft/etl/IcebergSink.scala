@@ -1,5 +1,6 @@
 package graft.etl
 
+import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
@@ -52,7 +53,9 @@ import graft.kfs.KfsLayout
   * upcasts int32→long / float→double in place).
   *
   * Scope: flat schemas of Iceberg primitive types, unpartitioned spec
-  * (spec-id 0), append-only snapshots — the shape the ETL pipeline emits.
+  * (spec-id 0); append, replace (compaction) and row-level DELETE
+  * snapshots — deletes are v2 equality-delete files applied merge-on-read
+  * (see [[deleteWhere]]) and materialized by [[compact]].
   */
 object IcebergSink {
 
@@ -251,8 +254,10 @@ object IcebergSink {
        |${avroField("deleted_rows_count", "\"long\"", 514, optional = false)}
        |]}""".stripMargin)
 
-  /** manifest_entry with nested data_file (spec ids 0-4, 100-104, 134).
-    * Unpartitioned: the partition struct has no fields. */
+  /** manifest_entry with nested data_file (spec ids 0-4, 100-104, 134-135).
+    * Unpartitioned: the partition struct has no fields. `content` is 0 for
+    * data files and 2 for EQUALITY delete files, whose `equality_ids` list
+    * the field ids forming the delete predicate (spec: row-level deletes). */
   private val manifestEntrySchema: Schema = new Schema.Parser().parse(
     s"""{"type": "record", "name": "manifest_entry", "fields": [
        |${avroField("status", "\"int\"", 0, optional = false)},
@@ -265,7 +270,19 @@ object IcebergSink {
        |${avroField("file_format", "\"string\"", 101, optional = false)},
        |{"name": "partition", "field-id": 102, "type": {"type": "record", "name": "r102", "fields": []}},
        |${avroField("record_count", "\"long\"", 103, optional = false)},
-       |${avroField("file_size_in_bytes", "\"long\"", 104, optional = false)}
+       |${avroField("file_size_in_bytes", "\"long\"", 104, optional = false)},
+       |{"name": "lower_bounds", "field-id": 125, "default": null,
+       | "type": ["null", {"type": "array", "items": {"type": "record",
+       |   "name": "k126_v127", "fields": [
+       |   {"name": "key", "type": "int", "field-id": 126},
+       |   {"name": "value", "type": "bytes", "field-id": 127}]}}]},
+       |{"name": "upper_bounds", "field-id": 128, "default": null,
+       | "type": ["null", {"type": "array", "items": {"type": "record",
+       |   "name": "k129_v130", "fields": [
+       |   {"name": "key", "type": "int", "field-id": 129},
+       |   {"name": "value", "type": "bytes", "field-id": 130}]}}]},
+       |{"name": "equality_ids", "field-id": 135, "default": null,
+       | "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
        |]}}]}""".stripMargin)
 
   private def writeAvro(f: FileSystem, path: HPath, schema: Schema,
@@ -400,10 +417,13 @@ object IcebergSink {
 
   /** Compact the current snapshot's data files into `targetFiles` and
     * commit a REPLACE snapshot whose manifest list holds only the
-    * rewritten manifest — the `rewrite_data_files` maintenance op. Old
+    * rewritten manifest — the `rewrite_data_files` maintenance op. Reading
+    * through [[read]] applies pending equality deletes, so compaction also
+    * MATERIALIZES them: the replace snapshot carries no delete files and
+    * the merge-on-read anti-join disappears from subsequent scans. Old
     * snapshots keep referencing the old manifests/files, so TIME TRAVEL
-    * across the compaction stays intact (file deletion belongs to a
-    * separate expire-snapshots op, not implemented). */
+    * across the compaction stays intact (file deletion belongs to the
+    * separate [[expireSnapshots]] op). */
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
       maxRetries: Int = 5): Unit = {
     val current = read(spark, table)
@@ -415,11 +435,67 @@ object IcebergSink {
       carryPrior = false, operation = "replace", maxRetries)
   }
 
+  /** Row-level DELETE via Iceberg v2 EQUALITY DELETE FILES (merge-on-read):
+    * rows of the current table matching `condition` are deleted by writing
+    * their `equalityCols` tuples as a delete file — the data files are
+    * NEVER rewritten, which is the only delete shape that works at 100 TB
+    * (an opt-out/takedown list touches a handful of keys in a corpus of
+    * billions; rewriting the corpus for each removal request is not a
+    * plan). [[read]] subtracts the tuples with a broadcast null-safe
+    * anti-join; [[compact]] materializes them physically.
+    *
+    * Spec semantics preserved: the delete file's sequence number bounds its
+    * scope — it applies only to data files with a STRICTLY SMALLER data
+    * sequence number, so a key re-appended after the delete survives. */
+  def deleteWhere(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column, equalityCols: Seq[String],
+      maxRetries: Int = 5): Unit = {
+    val current = read(spark, table)
+    if (current.isEmpty) return
+    deleteKeys(spark, table,
+      current.where(condition)
+        .select(equalityCols.map(org.apache.spark.sql.functions.col): _*),
+      maxRetries)
+  }
+
+  /** Commit `keys` (columns = equality columns, any subset of the table
+    * schema) as an equality-delete snapshot. Key columns are conformed to
+    * the table's current types, so an int key frame deletes from a
+    * promoted long column. No-op when `keys` is empty. */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+      maxRetries: Int = 5): Unit = {
+    val m = load(spark, table).getOrElse(return)
+    val byName = m.fields.map(f => f.name -> f).toMap
+    val eqFields = keys.schema.fieldNames.toSeq.map(n => byName.getOrElse(n,
+      throw new IllegalArgumentException(s"unknown equality column $n")))
+    val conformed = keys.select(eqFields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)
+        .cast(sparkType(f.typ)).as(f.name)): _*).distinct()
+    val commitUuid = UUID.randomUUID().toString
+    val fileRecords = writeDataFiles(spark, table, conformed, commitUuid)
+    if (fileRecords.map(_.records).sum == 0) {
+      val f = fs(new HPath(table))
+      fileRecords.foreach(i => f.delete(i.status.getPath, false))
+      return
+    }
+    commitSnapshot(spark, table, m.currentSchema, fileRecords, commitUuid,
+      carryPrior = true, operation = "delete", maxRetries,
+      equalityIds = eqFields.map(_.id))
+  }
+
+  /** One staged data (or delete) file: status, footer record count, and
+    * per-column [min, max] bounds in the spec's single-value binary
+    * serialization. */
+  private[etl] final case class DataFileInfo(
+      status: org.apache.hadoop.fs.FileStatus, records: Long,
+      bounds: Map[String, (Array[Byte], Array[Byte])])
+
   /** Write `df` as parquet under data/ with commit-unique names; returns
-    * each file's status + parquet-footer record count. */
+    * each file's status + parquet-footer record count + column bounds
+    * harvested from the SAME footer read (no extra IO — the footer is
+    * already open for the record count). */
   private def writeDataFiles(spark: SparkSession, table: String,
-      df: DataFrame, commitUuid: String)
-      : Seq[(org.apache.hadoop.fs.FileStatus, Long)] = {
+      df: DataFrame, commitUuid: String): Seq[DataFileInfo] = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     f.mkdirs(metadataDir(table))
@@ -439,20 +515,137 @@ object IcebergSink {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, KfsLayout.hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try (st, r.getRecordCount) finally r.close()
+      try DataFileInfo(st, r.getRecordCount, footerBounds(r, df.schema))
+      finally r.close()
     }
   }
 
+  // ---- column bounds (spec: lower_bounds/upper_bounds, Appendix D) --------
+
+  /** Spec single-value binary serialization: little-endian numerics, UTF-8
+    * strings, 0/1 booleans. Returns None for unsupported types. */
+  private def encodeBound(typ: String, v: Any): Option[Array[Byte]] = {
+    def le(n: Int, put: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      put(b); b.array()
+    }
+    (typ, v) match {
+      case ("int" | "date", i: java.lang.Integer) => Some(le(4, _.putInt(i)))
+      case ("long" | "timestamp" | "timestamptz", l: java.lang.Long) =>
+        Some(le(8, _.putLong(l)))
+      case ("float", fl: java.lang.Float) => Some(le(4, _.putFloat(fl)))
+      case ("double", d: java.lang.Double) => Some(le(8, _.putDouble(d)))
+      case ("boolean", b: java.lang.Boolean) =>
+        Some(Array[Byte](if (b) 1 else 0))
+      case ("string", bin: org.apache.parquet.io.api.Binary) =>
+        // long strings are OMITTED, not truncated: truncating an upper
+        // bound without rounding the last byte up would claim a smaller
+        // max than the data holds and let pruning drop matching files
+        val bytes = bin.getBytes
+        if (bytes.length <= 16) Some(bytes) else None
+      case ("string", s: String) =>
+        val bytes = s.getBytes(StandardCharsets.UTF_8)
+        if (bytes.length <= 16) Some(bytes) else None
+      case _ => None
+    }
+  }
+
+  private def decodeBound(typ: String, bytes: Array[Byte]): Option[Any] = {
+    val b = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    typ match {
+      case "int" | "date" => Some(b.getInt.toLong)
+      case "long" | "timestamp" | "timestamptz" => Some(b.getLong)
+      case "float" => Some(b.getFloat.toDouble)
+      case "double" => Some(b.getDouble)
+      case "boolean" => Some((bytes(0) & 1).toLong)
+      case "string" => Some(bytes)
+      case _ => None
+    }
+  }
+
+  /** Normalize a query-supplied bound value into the comparison domain of
+    * [[decodeBound]]: Long for integral/temporal, Double for floating,
+    * UTF-8 bytes for strings. */
+  private def normalizeValue(typ: String, v: Any): Option[Any] =
+    (typ, v) match {
+      case ("int" | "date" | "long" | "timestamp" | "timestamptz", n: Number) =>
+        Some(n.longValue())
+      case ("float" | "double", n: Number) => Some(n.doubleValue())
+      case ("boolean", b: java.lang.Boolean) => Some(if (b) 1L else 0L)
+      case ("string", s: String) => Some(s.getBytes(StandardCharsets.UTF_8))
+      case _ => None
+    }
+
+  /** Compare two normalized bound values; strings are unsigned-lex byte
+    * order (parquet's UTF8 comparator domain). */
+  private def cmpBound(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Array[Byte], y: Array[Byte]) =>
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    case _ => 0
+  }
+
+  /** Merge per-row-group parquet statistics into per-column file bounds.
+    * A column with any missing/unusable row-group stats is omitted —
+    * pruning then always keeps the file (sound over-read). */
+  private def footerBounds(r: org.apache.parquet.hadoop.ParquetFileReader,
+      schema: StructType): Map[String, (Array[Byte], Array[Byte])] = {
+    val types = schema.fields.flatMap(f =>
+      scala.util.Try(icebergType(f.dataType)).toOption.map(f.name -> _)).toMap
+    val acc = scala.collection.mutable.Map[String, (Array[Byte], Array[Byte])]()
+    val dead = scala.collection.mutable.Set[String]()
+    r.getFooter.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { cc =>
+        val name = cc.getPath.toDotString
+        types.get(name).filterNot(_ => dead(name)).foreach { typ =>
+          val st = cc.getStatistics
+          val enc =
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else for {
+              lo <- encodeBound(typ, st.genericGetMin)
+              hi <- encodeBound(typ, st.genericGetMax)
+            } yield (lo, hi)
+          enc match {
+            case None => dead += name; acc.remove(name)
+            case Some((lo, hi)) =>
+              acc.get(name) match {
+                case None => acc(name) = (lo, hi)
+                case Some((plo, phi)) =>
+                  val dLo = Seq(decodeBound(typ, plo), decodeBound(typ, lo))
+                    .flatten.reduceLeft((a, b) => if (cmpBound(a, b) <= 0) a else b)
+                  val dHi = Seq(decodeBound(typ, phi), decodeBound(typ, hi))
+                    .flatten.reduceLeft((a, b) => if (cmpBound(a, b) >= 0) a else b)
+                  acc(name) = (
+                    if (decodeBound(typ, plo).exists(cmpBound(_, dLo) == 0)) plo else lo,
+                    if (decodeBound(typ, phi).exists(cmpBound(_, dHi) == 0)) phi else hi)
+              }
+          }
+        }
+      }
+    }
+    acc.toMap
+  }
+
   /** The optimistic commit loop shared by append (carries the previous
-    * snapshot's manifests forward) and compact (replaces them). */
+    * snapshot's manifests forward), compact (replaces them) and delete
+    * (appends an equality-delete manifest: `equalityIds` non-empty flips
+    * the committed files to content=2 / list-entry content=1). */
   private def commitSnapshot(spark: SparkSession, table: String,
       incomingSchema: StructType,
-      fileRecords: Seq[(org.apache.hadoop.fs.FileStatus, Long)],
+      fileRecords: Seq[DataFileInfo],
       commitUuid: String, carryPrior: Boolean, operation: String,
-      maxRetries: Int): Unit = {
+      maxRetries: Int, equalityIds: Seq[Int] = Nil): Unit = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
-    val addedRecords = fileRecords.map(_._2).sum
+    val addedRecords = fileRecords.map(_.records).sum
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -482,7 +675,9 @@ object IcebergSink {
       // manifest for the added files
       val manifestPath = new HPath(metadataDir(table),
         s"$commitUuid-m$attempt.avro")
-      val entries = fileRecords.map { case (st, recs) =>
+      val isDelete = equalityIds.nonEmpty
+      val idByName = fields.map(fl => fl.name -> fl.id).toMap
+      val entries = fileRecords.map { info =>
         val e = new GenericData.Record(manifestEntrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
@@ -490,13 +685,34 @@ object IcebergSink {
         e.put("file_sequence_number", seqNum)
         val d = new GenericData.Record(
           manifestEntrySchema.getField("data_file").schema())
-        d.put("content", 0)
-        d.put("file_path", st.getPath.toString)
+        d.put("content", if (isDelete) 2 else 0) // 2 = EQUALITY_DELETES
+        d.put("file_path", info.status.getPath.toString)
         d.put("file_format", "PARQUET")
         d.put("partition", new GenericData.Record(
           d.getSchema.getField("partition").schema()))
-        d.put("record_count", recs)
-        d.put("file_size_in_bytes", st.getLen)
+        d.put("record_count", info.records)
+        d.put("file_size_in_bytes", info.status.getLen)
+        // per-file column bounds keyed by FIELD ID (spec 125/128) — the
+        // scan planner's file-skipping input ([[readPruned]])
+        def kvArray(recName: String, pick: ((Array[Byte], Array[Byte])) => Array[Byte]) = {
+          val itemSchema = d.getSchema.getField(
+            if (recName == "k126_v127") "lower_bounds" else "upper_bounds")
+            .schema().getTypes.get(1).getElementType
+          info.bounds.toSeq.flatMap { case (name, b) =>
+            idByName.get(name).map { id =>
+              val kv = new GenericData.Record(itemSchema)
+              kv.put("key", id)
+              kv.put("value", ByteBuffer.wrap(pick(b)))
+              kv
+            }
+          }.asJava
+        }
+        if (info.bounds.nonEmpty) {
+          d.put("lower_bounds", kvArray("k126_v127", _._1))
+          d.put("upper_bounds", kvArray("k129_v130", _._2))
+        }
+        if (isDelete)
+          d.put("equality_ids", equalityIds.map(Int.box).asJava)
         e.put("data_file", d)
         e
       }
@@ -506,7 +722,7 @@ object IcebergSink {
           "partition-spec" -> "[]",
           "partition-spec-id" -> "0",
           "format-version" -> "2",
-          "content" -> "data"),
+          "content" -> (if (isDelete) "deletes" else "data")),
         entries)
 
       // manifest list: append carries the previous snapshot's manifests
@@ -522,7 +738,7 @@ object IcebergSink {
       newEntry.put("manifest_path", manifestPath.toString)
       newEntry.put("manifest_length", manifestLen)
       newEntry.put("partition_spec_id", 0)
-      newEntry.put("content", 0)
+      newEntry.put("content", if (isDelete) 1 else 0) // spec: 1 = deletes
       newEntry.put("sequence_number", seqNum)
       newEntry.put("min_sequence_number", seqNum)
       newEntry.put("added_snapshot_id", snapshotId)
@@ -660,16 +876,94 @@ object IcebergSink {
 
   // ---- read (metadata-driven scan planning) --------------------------------
 
+  /** One planned file from the metadata chain. */
+  private final case class PlannedFile(path: String, seq: Long,
+      content: Int, eqIds: Seq[Int],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
+  private def boundsMap(v: AnyRef): Map[Int, Array[Byte]] = v match {
+    case l: java.util.List[_] =>
+      l.asScala.map { kv =>
+        val r = kv.asInstanceOf[GenericRecord]
+        val buf = r.get("value").asInstanceOf[ByteBuffer]
+        val bytes = new Array[Byte](buf.remaining())
+        buf.duplicate().get(bytes)
+        r.get("key").asInstanceOf[Int] -> bytes
+      }.toMap
+    case _ => Map.empty
+  }
+
+  /** `get` tolerant of manifests written before a field existed — Avro
+    * reads with the writer's embedded schema, so tables committed by an
+    * older writer lack the newer entry fields (the spec makes them
+    * optional); treat absent as null instead of throwing. */
+  private def optField(r: GenericRecord, name: String): AnyRef =
+    if (r.getSchema.getField(name) == null) null else r.get(name)
+
+  private def planFiles(spark: SparkSession, manifestList: String)
+      : Seq[PlannedFile] =
+    readAvro(spark, manifestList)._2.flatMap { lm =>
+      val listSeq = lm.get("sequence_number").asInstanceOf[Long]
+      readAvro(spark, lm.get("manifest_path").toString)._2
+        .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
+        .map { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val eqIds = optField(d, "equality_ids") match {
+            case l: java.util.List[_] =>
+              l.asScala.map(_.asInstanceOf[Int]).toSeq
+            case _ => Nil
+          }
+          // spec: a null entry sequence number inherits the manifest list's
+          PlannedFile(d.get("file_path").toString,
+            Option(e.get("sequence_number"))
+              .map(_.asInstanceOf[Long]).getOrElse(listSeq),
+            optField(d, "content") match {
+              case i: Integer => i.intValue(); case _ => 0
+            }, eqIds,
+            boundsMap(optField(d, "lower_bounds")),
+            boundsMap(optField(d, "upper_bounds")))
+        }
+    }
+
+  /** A pruning range over one column; open ends = unbounded. */
+  final case class ColumnRange(column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None)
+
   /** Scan via the metadata chain: snapshot → manifest list → manifests →
     * data files, read with the SNAPSHOT's schema (old int/float files
     * upcast in place — no rewrite on evolution).
     *
+    * EQUALITY DELETES (merge-on-read): when the snapshot carries delete
+    * files, each delete set is subtracted with a BROADCAST null-safe
+    * anti-join gated on the spec's sequence rule (delete seq strictly
+    * greater than the data file's seq). The opt-out list is tiny next to
+    * the corpus, so the subtraction is one narrow broadcast pass — the
+    * corpus is never shuffled, which is what makes merge-on-read viable at
+    * 100 TB. Snapshots without deletes take the zero-overhead fast path.
+    *
     * `snapshotId` = TIME TRAVEL: any retained snapshot is readable with
     * the schema it was written under — a pre-evolution snapshot has no
-    * later columns, and a pre-compaction snapshot still reads its original
-    * files (compaction never deletes them; that is expire-snapshots). */
+    * later columns, a pre-delete snapshot still sees the deleted rows, and
+    * a pre-compaction snapshot still reads its original files (compaction
+    * never deletes them; that is expire-snapshots). */
   def read(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): DataFrame =
+    readInternal(spark, table, snapshotId, Nil)
+
+  /** [[read]] with METADATA FILE SKIPPING: data files whose manifest
+    * bounds (125/128) cannot intersect every `range` are dropped at plan
+    * time — zero data-file IO for the skipped files, which is how a point
+    * or range query touches a sliver of a 100 TB table. The ranges are
+    * re-applied as a residual row filter, so results are exact even where
+    * bounds are missing (pruning keeps such files — sound over-read).
+    * Delete files are never pruned: they must subtract from whatever
+    * survives. */
+  def readPruned(spark: SparkSession, table: String,
+      ranges: Seq[ColumnRange], snapshotId: Option[Long] = None): DataFrame =
+    readInternal(spark, table, snapshotId, ranges)
+
+  private def readInternal(spark: SparkSession, table: String,
+      snapshotId: Option[Long], ranges: Seq[ColumnRange]): DataFrame =
     load(spark, table) match {
       case None => spark.emptyDataFrame
       case Some(m) =>
@@ -685,25 +979,84 @@ object IcebergSink {
           case None =>
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
           case Some(snap) =>
-            val manifests = readAvro(spark, snap.manifestList)._2
-              .map(_.get("manifest_path").toString)
-            val files = manifests.flatMap(mp => readAvro(spark, mp)._2
-              .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
-              .map(_.get("data_file").asInstanceOf[GenericRecord]
-                .get("file_path").toString))
-            if (files.isEmpty)
-              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-            else spark.read.schema(schema).parquet(files: _*)
+            val snapFields = m.schemasById.getOrElse(snap.schemaId, m.fields)
+            val planned = planFiles(spark, snap.manifestList)
+            val dataFiles = planned.filter(_.content == 0)
+              .filter(pf => ranges.forall(r => rangeIntersects(pf, r, snapFields)))
+            val deleteFiles = planned.filter(_.content == 2)
+            val base =
+              if (dataFiles.isEmpty)
+                spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+              else if (deleteFiles.isEmpty)
+                spark.read.schema(schema).parquet(dataFiles.map(_.path): _*)
+              else {
+                import org.apache.spark.sql.functions.{broadcast, col, lit}
+                val fieldsById = m.schemasById
+                  .getOrElse(snap.schemaId, m.fields).map(f => f.id -> f).toMap
+                val seqCol = "__graft_data_seq"
+                // per-sequence-number groups so the delete scope rule can be
+                // evaluated as a plain join predicate
+                val data = dataFiles.groupBy(_.seq).toSeq.sortBy(_._1)
+                  .map { case (s, fsOfSeq) =>
+                    spark.read.schema(schema).parquet(fsOfSeq.map(_.path): _*)
+                      .withColumn(seqCol, lit(s))
+                  }.reduce(_ union _)
+                val out = deleteFiles.groupBy(d => (d.seq, d.eqIds)).toSeq
+                  .sortBy(_._1._1)
+                  .foldLeft(data) { case (acc, ((dseq, eqIds), dfs)) =>
+                    val eqFields = eqIds.map(id => fieldsById.getOrElse(id,
+                      throw new IllegalStateException(
+                        s"delete references unknown field id $id")))
+                    val delSchema = StructType(eqFields.map(f =>
+                      StructField(f.name, sparkType(f.typ))))
+                    val del = broadcast(spark.read.schema(delSchema)
+                      .parquet(dfs.map(_.path): _*)
+                      .select(eqFields.map(f =>
+                        col(f.name).as(s"__del_${f.name}")): _*))
+                    val cond = eqFields.map(f =>
+                      acc(f.name) <=> del(s"__del_${f.name}"))
+                      .reduce(_ && _) && (lit(dseq) > acc(seqCol))
+                    acc.join(del, cond, "left_anti")
+                  }
+                out.drop(seqCol)
+              }
+            // residual row filter: pruning is a file-level OVER-approximation
+            ranges.foldLeft(base) { (acc, r) =>
+              import org.apache.spark.sql.functions.{col, lit}
+              val lo = r.lower.map(v => col(r.column) >= lit(v))
+              val hi = r.upper.map(v => col(r.column) <= lit(v))
+              (lo ++ hi).foldLeft(acc)(_ where _)
+            }
         }
     }
 
-  /** Total records according to MANIFEST STATS only (no data read) — the
-    * kind of metadata-only query Iceberg serves from the snapshot summary. */
+  /** Can `pf` contain rows inside `range`? Missing bounds → yes (keep). */
+  private def rangeIntersects(pf: PlannedFile, range: ColumnRange,
+      snapFields: Seq[Field]): Boolean = {
+    val fld = snapFields.find(_.name == range.column).getOrElse(
+      throw new IllegalArgumentException(s"unknown column ${range.column}"))
+    val beforeLower = for {
+      q <- range.lower; qn <- normalizeValue(fld.typ, q)
+      ub <- pf.upper.get(fld.id); fu <- decodeBound(fld.typ, ub)
+    } yield cmpBound(fu, qn) < 0 // file's max < query's min
+    val afterUpper = for {
+      q <- range.upper; qn <- normalizeValue(fld.typ, q)
+      lb <- pf.lower.get(fld.id); fl <- decodeBound(fld.typ, lb)
+    } yield cmpBound(fl, qn) > 0 // file's min > query's max
+    !(beforeLower.getOrElse(false) || afterUpper.getOrElse(false))
+  }
+
+  /** Total DATA records according to MANIFEST STATS only (no data read) —
+    * the kind of metadata-only query Iceberg serves from the snapshot
+    * summary. Delete manifests are excluded; pending equality deletes make
+    * this an upper bound until [[compact]] materializes them (exact again
+    * afterwards), same as Iceberg's own `total-records` summary. */
   def statsRecordCount(spark: SparkSession, table: String): Long =
     load(spark, table).flatMap { m =>
       m.currentSnapshotId.flatMap(id => m.snapshots.find(_.snapshotId == id))
         .map { snap =>
           readAvro(spark, snap.manifestList)._2
+            .filter(_.get("content").asInstanceOf[Int] == 0)
             .map(_.get("added_rows_count").asInstanceOf[Long]).sum
         }
     }.getOrElse(0L)

@@ -41,6 +41,43 @@ object LfsResolver {
     }
   }
 
+  /** Object-store blob store over Hadoop `FileSystem` — `root` of
+    * `s3a://bucket-ns/prefix`, `hdfs://...` or `file:///...` all behave
+    * identically (the reference's LFS blobs live in S3,
+    * `pkg/lfs/consumer.go:59-91`). Built driver-side so the serialized
+    * Hadoop conf carries the session's `spark.hadoop.*` credentials to
+    * executors; each partition opens its own `FileSystem` (Hadoop caches
+    * per-scheme instances per JVM, so this is one client per executor, not
+    * per row — same economics as the reference's pooled S3 client). */
+  final case class HadoopFsBlobStore(root: String,
+      conf: graft.kfs.SerializableHadoopConf) extends BlobStore {
+    private def pathOf(bucket: String, key: String) =
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, bucket), key)
+    override def fetch(bucket: String, key: String): Array[Byte] = {
+      val p = pathOf(bucket, key)
+      val fs = p.getFileSystem(conf.value)
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue, s"LFS blob too large: $p ($len bytes)")
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+    override def put(bucket: String, key: String, bytes: Array[Byte]): Unit = {
+      val p = pathOf(bucket, key)
+      val fs = p.getFileSystem(conf.value)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+  object HadoopFsBlobStore {
+    /** Capture the active session's Hadoop conf (driver-side call). */
+    def apply(root: String): HadoopFsBlobStore =
+      HadoopFsBlobStore(root,
+        new graft.kfs.SerializableHadoopConf(graft.kfs.KfsLayout.hadoopConf))
+  }
+
   /** Produce side (reference `pkg/lfs/producer.go:126-291`): payloads over
     * the threshold are uploaded and replaced by a claim-check envelope;
     * small payloads pass through. The inverse of [[resolve]]. */

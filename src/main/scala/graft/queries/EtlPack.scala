@@ -296,6 +296,48 @@ object EtlPack extends QueryPack {
         """SELECT _partition AS partition, count(*) AS cnt,
           |       max(_offset) AS max_off,
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
-          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin)))
+          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // Iceberg v2 ROW-LEVEL DELETES (equality-delete files, merge-on-read):
+    // the opt-out/takedown shape of a 100 TB corpus — delete every 'click'
+    // record by key WITHOUT rewriting any data file (the delete commit
+    // writes only the key tuples), then re-append a subset of the deleted
+    // keys to prove the spec's sequence-number scope rule (a delete applies
+    // only to STRICTLY OLDER data files, so the re-appends survive). The
+    // read subtracts the delete file via a broadcast null-safe anti-join —
+    // the corpus is scanned once and never shuffled.
+    QueryDef(
+      "e12_iceberg_deletes",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_delete_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev)
+        IcebergSink.deleteWhere(s, table,
+          col("event_type") === "click", Seq("partition", "offset"))
+        IcebergSink.append(s, table,
+          ev.where(col("event_type") === "click" && col("offset") % 7 === 0))
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT partition, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k, max(off) AS max_off
+          |FROM (
+          |  SELECT _partition AS partition, _offset AS off,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k
+          |  FROM events_topic WHERE event_type <> 'click'
+          |  UNION ALL
+          |  SELECT _partition, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT)
+          |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
+          |) GROUP BY partition ORDER BY partition""".stripMargin)))
   )
 }

@@ -220,6 +220,23 @@ class EtlSpec extends AnyFunSuite {
     assert(meta.getLong(2) == 1000L)
   }
 
+  test("lfs hadoop-fs blob store: produce/resolve over a file:// URI root") {
+    import spark.implicits._
+    // an s3a:// root takes the identical code path — Hadoop FileSystem is
+    // the abstraction the executors open per partition
+    val root = "file://" + Files.createTempDirectory("lfs_hfs").toString
+    val store = LfsResolver.HadoopFsBlobStore(root)
+    val big = ("y" * 2000).getBytes("UTF-8")
+    val v = LfsResolver.produce(store, "bkt", "a/b/blob", big, thresholdBytes = 100)
+    assert(LfsResolver.parse(v).nonEmpty)
+    val df = Seq((1L, new String(v, "UTF-8"))).toDF("id", "_value")
+    val out = LfsResolver.resolve(spark, df, store)
+      .select("_value", "_lfs_resolved", "lfs_bucket", "lfs_key").collect().head
+    assert(out.getString(0) == new String(big, "UTF-8"))
+    assert(out.getBoolean(1) && out.getString(2) == "bkt" &&
+      out.getString(3) == "a/b/blob")
+  }
+
   // ---- IDoc (explode.go:27-200) ------------------------------------------
 
   test("idoc fan-out writes one partition per entity, readable per-topic") {

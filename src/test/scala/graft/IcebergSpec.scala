@@ -261,6 +261,164 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 150)
   }
 
+  test("equality delete: merge-on-read subtraction, spec-shaped delete file") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)).toDF("id", "cat", "v"))
+    IcebergSink.deleteWhere(spark, table, col("cat") === "a", Seq("id"))
+
+    // merge-on-read: data files untouched, rows gone
+    assert(IcebergSink.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val m = IcebergSink.load(spark, table).get
+    assert(m.snapshots.length == 2 && m.snapshots.last.operation == "delete")
+
+    // the delete manifest is spec-shaped: list entry content=1, manifest
+    // meta content=deletes, data_file content=2 with equality_ids=[1]
+    val listEntries = IcebergSink.readAvro(spark,
+      m.snapshots.last.manifestList)._2
+    val delEntry = listEntries.find(
+      _.get("content").asInstanceOf[Int] == 1).get
+    val (dm, dEntries) = IcebergSink.readAvro(spark,
+      delEntry.get("manifest_path").toString)
+    assert(dm("content") == "deletes")
+    val dFile = dEntries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(dFile.get("content").asInstanceOf[Int] == 2)
+    assert(dFile.get("equality_ids").asInstanceOf[java.util.List[Int]]
+      .asScala.toSeq == Seq(1))
+    // stats exclude delete manifests (upper bound until compaction)
+    assert(IcebergSink.statsRecordCount(spark, table) == 3)
+    // deleting nothing commits nothing
+    IcebergSink.deleteWhere(spark, table, col("cat") === "zzz", Seq("id"))
+    assert(IcebergSink.load(spark, table).get.snapshots.length == 2)
+  }
+
+  test("delete scope is sequence-bounded: re-appended key survives") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    IcebergSink.deleteKeys(spark, table, Seq(1L).toDF("id"))
+    // the key comes BACK after the delete: the delete file's sequence
+    // number is smaller than the new data file's, so it does not apply
+    IcebergSink.append(spark, table, Seq((1L, 11)).toDF("id", "v"))
+    val rows = IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1L, 11), (2L, 20)))
+  }
+
+  test("deletes: time travel sees pre-delete rows; compaction materializes") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v"))
+    val preDelete = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.deleteKeys(spark, table, Seq(2L).toDF("id"))
+    assert(IcebergSink.read(spark, table).count() == 2)
+    // pre-delete snapshot still sees all three rows
+    assert(IcebergSink.read(spark, table,
+      snapshotId = Some(preDelete)).count() == 3)
+
+    IcebergSink.compact(spark, table)
+    // the replace snapshot holds only data manifests: the anti-join is gone
+    val m = IcebergSink.load(spark, table).get
+    val entries = IcebergSink.readAvro(spark,
+      m.snapshots.last.manifestList)._2
+    assert(entries.forall(_.get("content").asInstanceOf[Int] == 0))
+    assert(IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 10), (3L, 30)))
+    // stats are exact again after materialization
+    assert(IcebergSink.statsRecordCount(spark, table) == 2)
+    // expire reclaims the delete file along with the old data files
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val dataFiles = Files.list(java.nio.file.Paths.get(table, "data"))
+    val names = try dataFiles.iterator().asScala.map(_.toString).toSeq
+      finally dataFiles.close()
+    assert(names.count(_.endsWith(".parquet")) == 1)
+    assert(IcebergSink.read(spark, table).count() == 2)
+  }
+
+  test("equality delete matches nulls null-safely; int keys delete long cols") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+        .toDF("id", "name"))
+    // delete the null-id row AND id=3, passing the keys as INT (the
+    // conform step casts them onto the table's long column)
+    IcebergSink.deleteKeys(spark, table,
+      Seq[Option[Int]](None, Some(3)).toDF("id"))
+    val rows = IcebergSink.read(spark, table)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a")))
+  }
+
+  test("manifest column bounds drive file skipping; residual keeps exactness") {
+    import spark.implicits._
+    val table = tmpTable()
+    // three appends with disjoint id ranges -> three data files whose
+    // manifest bounds partition the key space
+    IcebergSink.append(spark, table,
+      (1L to 10L).map(i => (i, s"a$i")).toDF("id", "name").coalesce(1))
+    IcebergSink.append(spark, table,
+      (11L to 20L).map(i => (i, s"b$i")).toDF("id", "name").coalesce(1))
+    IcebergSink.append(spark, table,
+      (21L to 30L).map(i => (i, s"c$i")).toDF("id", "name").coalesce(1))
+
+    // bounds are in the manifests, spec-shaped: field-id keyed, 8-byte LE
+    val m = IcebergSink.load(spark, table).get
+    val lists = IcebergSink.readAvro(spark, m.snapshots.head.manifestList)._2
+    val (_, entries) = IcebergSink.readAvro(spark,
+      lists.head.get("manifest_path").toString)
+    val dFile = entries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    val lower = dFile.get("lower_bounds").asInstanceOf[java.util.List[_]]
+      .asScala.map(_.asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .map(r => r.get("key").asInstanceOf[Int] ->
+        r.get("value").asInstanceOf[java.nio.ByteBuffer])
+      .toMap
+    val idLo = lower(1).duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(idLo.getLong == 1L)
+
+    // a point/range read PLANS only the covering file — the other two are
+    // never opened (inputFiles is the planned scan set)
+    val pruned = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("id", Some(12L), Some(15L))))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (12L to 15L).toSeq)
+
+    // a range spanning two files keeps both, residual trims the rows
+    val span = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("id", Some(8L), Some(13L))))
+    assert(span.inputFiles.length == 2)
+    assert(span.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (8L to 13L).toSeq)
+
+    // string bounds prune too (short strings; long ones are omitted)
+    val byName = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("name", Some("c"), None)))
+    assert(byName.inputFiles.length == 1)
+    assert(byName.count() == 10)
+  }
+
+  test("pruned read still applies equality deletes") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      (1L to 10L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1))
+    IcebergSink.append(spark, table,
+      (11L to 20L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1))
+    IcebergSink.deleteKeys(spark, table, Seq(3L, 15L).toDF("id"))
+    val out = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("id", Some(1L), Some(5L))))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 4L, 5L))
+  }
+
   test("crashed committer's version without a hint update is still found") {
     import spark.implicits._
     val table = tmpTable()
