@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout UNPREFIXED: sbt's default
+// LoggedOutput strategy prepends "[info] " to every line, which breaks the
+// bench harvester's JSON-line parser (it needs a bare `{...}` line —
+// parsed:null in rounds 1-7 traced to this prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -53,6 +53,10 @@ object Bench {
     // unique per invocation: a re-run must not resume a previous bench's
     // checkpoints (that measures the skip path, not the operator)
     val benchId = s"bench${System.currentTimeMillis()}"
+    // first failure message per query — without this, a round of -1.0
+    // sentinels is undiagnosable from the artifacts alone (round 7: 60
+    // queries failed and the root cause needed a manual re-run to surface)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val detail = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -60,7 +64,15 @@ object Bench {
           graft.queries.Fixtures.runSuffix = s"${benchId}_rep$r"
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
+            catch { case e: Throwable =>
+              if (!errors.contains(name)) {
+                val msg = Option(e.toString).getOrElse(e.getClass.getName)
+                  .replaceAll("[\\r\\n\\t\"\\\\]", " ").take(300)
+                errors += name -> msg
+                println(s"BENCH FAIL $name: $msg")
+              }
+              false
+            }
           val dt = (System.nanoTime() - t0) / 1e9
           // drop persisted intermediates so queries don't contend for
           // storage memory with later ones (r1: d7 was 65s in-suite vs 24s
@@ -98,18 +110,24 @@ object Bench {
     //   3. a FINAL compact line guaranteed <= ~1500 chars: total + the
     //      slowest queries that fit — this is the line the harvester parses.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total sums PASSED queries only — summing -1.0 sentinels makes failure
+    // look like speed (round 7's headline was a meaningless -0.809)
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     // BENCH_FULL.json additionally carries every repetition's time so a
     // suspicious min can be checked against its spread without a re-run
     val repQs = detail.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val fullFile =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","queries":$fullQs,"rep_times":$repQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"errors":$errJson,"queries":$fullQs,"rep_times":$repQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -127,7 +145,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.size},"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -39,13 +39,29 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with `ts` as a usable NTZ timestamp (parquet stores ns → read
-    * as long → truncate to µs, lossless on this data) plus `ts_ms` epoch ms.
+  /** `events` with `ts` as a usable NTZ timestamp plus `ts_ms` epoch ms.
+    *
+    * The driver's parquet has shipped `ts` in two physical layouts across
+    * testdata generations: TIMESTAMP(NANOS) (read as long via the
+    * SPARK-40819 legacy flag) and TIMESTAMP(MICROS) (read natively as
+    * timestamp / timestamp_ntz). Branch on the loaded dtype so both work —
+    * the derived `ts`/`ts_ms` values are identical either way, and the
+    * DuckDB oracle's `epoch_ms(ts)` agrees with both.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // ns-as-long legacy layout
+        raw
+          .withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ (µs); session tz is UTC so the
+        // cast chain below is value-preserving in both directions.
+        raw
+          .withColumn("ts_ms", expr("unix_micros(cast(ts as timestamp)) div 1000"))
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 
   /** `events` parquet as a Kafka-like topic with the 8 implicit columns.
     * Deterministic synthesis (mirrored 1:1 by [[eventsTopicSql]] for DuckDB):

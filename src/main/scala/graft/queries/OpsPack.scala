@@ -531,7 +531,10 @@ object OpsPack extends QueryPack {
           |              AND 1 PRECEDING), 0) AS tok_start
           |  FROM p),
           |a AS (
-          |  SELECT shard, tok_start // 512 AS seq_idx, doc_id, n_tokens,
+          |  -- tok_start is HUGEINT (DuckDB SUM over BIGINT); cast the
+          |  -- division back to BIGINT or the hash compare sees 2.0 vs 2
+          |  SELECT shard, CAST(tok_start // 512 AS BIGINT) AS seq_idx,
+          |         doc_id, n_tokens,
           |         (tok_start % 512) + n_tokens > 512 AS straddles
           |  FROM c)
           |SELECT shard, seq_idx, count(*) AS n_docs,
