@@ -110,12 +110,23 @@ class KfsScanBuilder(root: String, options: Map[String, String])
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[KfsTopN] = None
 
-  // pruning bounds accumulated from pushed predicates
+  // pruning bounds accumulated from pushed predicates. `ts_max_ms` /
+  // `offset_max_inclusive` options seed the upper bounds BEFORE any
+  // predicate arrives — that is how catalog time travel ("the topic as of
+  // T" / "as of offset N", see [[KfsCatalog]]) rides the same pruning
+  // path. Option-seeded bounds have no residual Spark filter above the
+  // scan, so readers enforce bounds per record (see
+  // [[KfsPartitionReader]]) and limit/top-N pushdown is vetoed below
+  // (their segment-selection arithmetic assumes every decoded record
+  // qualifies).
+  private val optionBounded: Boolean =
+    options.contains("ts_max_ms") || options.contains("offset_max_inclusive")
   private var partitions: Option[Set[Int]] = None
   private var offMin: Option[Long] = None
-  private var offMax: Option[Long] = None
+  private var offMax: Option[Long] =
+    options.get("offset_max_inclusive").map(_.toLong)
   private var tsMin: Option[Long] = None
-  private var tsMax: Option[Long] = None
+  private var tsMax: Option[Long] = options.get("ts_max_ms").map(_.toLong)
   // `_key` equality/IN predicates, a conjunction of disjunctions — probed
   // against per-segment Bloom sidecars at plan time (see KfsBloom)
   private var keyGroups: Seq[Seq[Array[Byte]]] = Nil
@@ -222,6 +233,10 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     * decoding after n rows. PARTIALLY pushed: Spark keeps its own limit
     * above (we emit up to n rows per task, not globally). */
   override def pushLimit(limit: Int): Boolean = {
+    // option-seeded bounds drop records inside kept segments, so segment
+    // counts no longer equal emitted rows — the prefix arithmetic would
+    // under-plan; Spark's own limit above stays exact
+    if (optionBounded) return false
     pushedLimit = Some(limit)
     true
   }
@@ -247,6 +262,9 @@ class KfsScanBuilder(root: String, options: Map[String, String])
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder], limit: Int)
       : Boolean = {
+    // same veto as pushLimit: covering-set counts assume all records in a
+    // kept segment qualify, which option-seeded bounds break
+    if (optionBounded) return false
     val assumeDense =
       options.getOrElse("assume_dense_offsets", "true").toBoolean
     if (orders.isEmpty || !assumeDense) return false
@@ -643,11 +661,20 @@ class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String],
   private val segmentUtf = UTF8String.fromString(p.path)
 
   override def next(): Boolean = {
-    if (remaining <= 0 || !iter.hasNext) return false
-    current = iter.next()
-    remaining -= 1
-    true
+    // record-level bound enforcement: pushed-filter bounds are re-checked
+    // above the scan by Spark's residuals (this skip just saves row
+    // materialization), but OPTION-seeded bounds (catalog time travel)
+    // have no residual — this check is what makes them exact
+    while (remaining > 0 && iter.hasNext) {
+      val r = iter.next()
+      if (qualifies(r)) { current = r; remaining -= 1; return true }
+    }
+    false
   }
+
+  private def qualifies(r: KfsCodec.Record): Boolean = bounds.forall(b =>
+    b.offMin.forall(r.offset >= _) && b.offMax.forall(r.offset <= _) &&
+      b.tsMin.forall(r.timestampMs >= _) && b.tsMax.forall(r.timestampMs <= _))
 
   override def get(): InternalRow = {
     val values = fieldNames.map {

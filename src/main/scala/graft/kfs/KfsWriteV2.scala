@@ -85,13 +85,21 @@ object KfsWriteV2 {
     "_ts" -> TimestampNTZType, "_segment" -> StringType)
 
   def fieldIndexes(schema: StructType): FieldIdx = {
+    // nullability flags don't change the encoded bytes — a
+    // map<string,string> built from literals arrives valueContainsNull=false
+    def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        sameType(ak, bk) && sameType(av, bv)
+      case _ => a == b
+    }
     schema.fields.foreach { f =>
       Expected.get(f.name) match {
         case None => throw new IllegalArgumentException(
           s"kfs write: unknown column '${f.name}' " +
             s"(writable: ${Expected.keys.toSeq.sorted.mkString(", ")})")
-        case Some(t) if f.dataType != t => throw new IllegalArgumentException(
-          s"kfs write: column '${f.name}' must be $t, got ${f.dataType}")
+        case Some(t) if !sameType(f.dataType, t) =>
+          throw new IllegalArgumentException(
+            s"kfs write: column '${f.name}' must be $t, got ${f.dataType}")
         case _ =>
       }
     }

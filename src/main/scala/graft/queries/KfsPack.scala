@@ -366,6 +366,56 @@ object KfsPack extends QueryPack {
           |       CAST(SUM(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS key_bytes,
           |       CAST(1706000000000 + max(doc_id) * 1000 AS BIGINT) AS max_ts,
           |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
-          |FROM documents GROUP BY 1 ORDER BY _partition""".stripMargin))
+          |FROM documents GROUP BY 1 ORDER BY _partition""".stripMargin)),
+
+    // DSv2 TableCatalog: the same engine surface through PLAIN SQL — the
+    // catalog resolves `<cat>.events` to the pruned KFS scan (partition
+    // pushdown reaches the segment listing exactly as in s2), proving a SQL
+    // user needs zero graft API. SHOW TABLES / DDL are covered by
+    // KfsCatalogSpec; this query pins the read path + pushdown composition.
+    QueryDef(
+      "s18_sql_catalog",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.conf.set("spark.sql.catalog.kfsq",
+          classOf[graft.kfs.KfsCatalog].getName)
+        s.conf.set("spark.sql.catalog.kfsq.root", root)
+        s.sql(
+          """SELECT _partition, count(*) AS cnt,
+            |       min(_offset) AS min_off, max(_offset) AS max_off,
+            |       max(_ts_ms) AS max_ts
+            |FROM kfsq.events
+            |WHERE _partition IN (0, 2) AND _offset >= 50
+            |GROUP BY _partition ORDER BY _partition""".stripMargin)
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt,
+          |       min(_offset) AS min_off, max(_offset) AS max_off,
+          |       max(_ts_ms) AS max_ts
+          |FROM events_topic
+          |WHERE _partition IN (0, 2) AND _offset >= 50
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // Time travel with Kafka consumption semantics: TIMESTAMP AS OF t = the
+    // topic as a consumer that stopped at t saw it (_ts_ms <= t, enforced
+    // per record; segments/batches outside prune via the same .kfst stats).
+    // The oracle is the plain predicate form — the two must agree exactly.
+    QueryDef(
+      "s19_time_travel",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.conf.set("spark.sql.catalog.kfsq",
+          classOf[graft.kfs.KfsCatalog].getName)
+        s.conf.set("spark.sql.catalog.kfsq.root", root)
+        s.sql(
+          """SELECT _partition, count(*) AS cnt, max(_ts_ms) AS max_ts
+            |FROM kfsq.events TIMESTAMP AS OF '2024-01-10 00:00:00'
+            |GROUP BY _partition ORDER BY _partition""".stripMargin)
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt, max(_ts_ms) AS max_ts
+          |FROM events_topic
+          |WHERE _ts_ms <= 1704844800000
+          |GROUP BY _partition ORDER BY _partition""".stripMargin))
   )
 }

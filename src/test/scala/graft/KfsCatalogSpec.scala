@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.kfs._
+
+/** The DSv2 TableCatalog surface: plain Spark SQL over KFS topics —
+  * discovery (SHOW TABLES), pruned scans, time travel (TIMESTAMP/VERSION AS
+  * OF with Kafka consumption semantics), and DDL (CREATE/INSERT/DROP). */
+class KfsCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val root: String = {
+    spark.conf.set("spark.sql.catalog.kfscat", classOf[KfsCatalog].getName)
+    val r = KfsSeed.seededRoot(spark, sf)
+    spark.conf.set("spark.sql.catalog.kfscat.root", r)
+    r
+  }
+
+  private def eventsTopic = { root; Tables.eventsTopic(spark, sf) }
+
+  test("SHOW TABLES lists topics; table resolves by multi-part name") {
+    val tables = { root; spark.sql("SHOW TABLES IN kfscat") }
+      .select("tableName").collect().map(_.getString(0))
+    assert(tables.contains("events"))
+    assert(spark.sql("SELECT count(*) AS n FROM kfscat.events")
+      .head().getLong(0) == eventsTopic.count())
+  }
+
+  test("catalog scans keep segment pruning: partition filter plans fewer segments") {
+    root
+    def plannedSegments(sql: String): Int = {
+      val df = spark.sql(sql)
+      df.count()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[KfsScan] =
+        p.collect {
+          case b: BatchScanExec if b.scan.isInstanceOf[KfsScan] =>
+            Seq(b.scan.asInstanceOf[KfsScan])
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+        }.flatten
+      val ks = walk(df.queryExecution.executedPlan)
+      assert(ks.nonEmpty, "no KfsScan in plan")
+      ks.head.lastPlannedSegments
+    }
+    val all = plannedSegments("SELECT * FROM kfscat.events")
+    val one = plannedSegments(
+      "SELECT * FROM kfscat.events WHERE _partition = 2")
+    assert(all > one && one > 0, s"expected pruning: all=$all one=$one")
+  }
+
+  test("TIMESTAMP AS OF sees exactly the records a consumer stopped at t would") {
+    root
+    val cutMs = eventsTopic.select(expr("percentile_approx(_ts_ms, 0.5)"))
+      .head().getLong(0)
+    val cutLit = java.time.Instant.ofEpochMilli(cutMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val traveled = spark.sql(
+      s"SELECT count(*) AS n, max(_ts_ms) AS m FROM kfscat.events " +
+        s"TIMESTAMP AS OF '$cutLit'").head()
+    val expected = eventsTopic.where(col("_ts_ms") <= cutMs)
+      .agg(count(lit(1)), max(col("_ts_ms"))).head()
+    assert(traveled.getLong(0) == expected.getLong(0))
+    assert(traveled.getLong(1) == expected.getLong(1))
+    assert(traveled.getLong(1) <= cutMs)
+  }
+
+  test("VERSION AS OF caps every partition's offsets inclusively") {
+    root
+    val n = spark.sql(
+      "SELECT count(*) AS n, max(_offset) AS m FROM kfscat.events VERSION AS OF 99")
+      .head()
+    val expected = eventsTopic.where(col("_offset") <= 99)
+      .agg(count(lit(1)), max(col("_offset"))).head()
+    assert(n.getLong(0) == expected.getLong(0))
+    assert(n.getLong(1) == 99L)
+    // a LIMIT over a time-traveled table must stay exact (limit pushdown is
+    // vetoed because option bounds drop records inside kept segments)
+    assert(spark.sql(
+      "SELECT * FROM kfscat.events VERSION AS OF 0 LIMIT 10").count() == 4)
+  }
+
+  test("CREATE / INSERT INTO / SELECT / DROP round-trips through pure SQL") {
+    root
+    spark.sql("DROP TABLE IF EXISTS kfscat.scratch")
+    spark.sql("CREATE TABLE kfscat.scratch")
+    assert(spark.sql("SELECT count(*) FROM kfscat.scratch").head().getLong(0) == 0)
+    spark.range(0, 40)
+      .select(lit("scratch").as("_topic"),
+        (col("id") % 2).cast("int").as("_partition"),
+        (col("id") / 2).cast("long").as("_offset"),
+        cast_ts(col("id")).as("_ts"),
+        (lit(1706000000000L) + col("id")).as("_ts_ms"),
+        col("id").cast("string").cast("binary").as("_key"),
+        col("id").cast("string").cast("binary").as("_value"),
+        map(lit("h"), lit("v")).as("_headers"),
+        lit(null).cast("string").as("_segment"))
+      .write.insertInto("kfscat.scratch")
+    val back = spark.sql(
+      "SELECT count(*) AS n, max(_offset) AS m FROM kfscat.scratch").head()
+    assert(back.getLong(0) == 40 && back.getLong(1) == 19)
+    assert(spark.sql("SHOW TABLES IN kfscat").collect()
+      .exists(_.getString(1) == "scratch"))
+    spark.sql("DROP TABLE kfscat.scratch")
+    assert(!spark.catalog.tableExists("kfscat.scratch"))
+  }
+
+  private def cast_ts(id: org.apache.spark.sql.Column) =
+    timestamp_micros((lit(1706000000000L) + id) * 1000).cast("timestamp_ntz")
+
+  test("unknown topic and nested namespaces fail cleanly") {
+    root
+    val e = intercept[Exception](spark.sql("SELECT * FROM kfscat.nope").collect())
+    assert(e.getMessage.toLowerCase.contains("table") ||
+      e.getMessage.contains("nope"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM kfscat.a.b").collect())
+  }
+}
