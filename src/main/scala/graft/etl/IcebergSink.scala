@@ -1046,6 +1046,83 @@ object IcebergSink {
     !(beforeLower.getOrElse(false) || afterUpper.getOrElse(false))
   }
 
+  /** INCREMENTAL APPEND SCAN — rows added strictly AFTER `fromSnapshotId`
+    * up to `toSnapshotId` (inclusive; default the current snapshot): the
+    * CDC-shaped read every downstream consumer of a landed table wants
+    * ("give me what arrived since my last checkpoint") without re-scanning
+    * the table. Planning is METADATA-ONLY: walk the snapshot lineage
+    * `to → … → from`, and for each append snapshot in range read only the
+    * manifest entries it ADDED (status=1, entry snapshot_id = that
+    * snapshot) — at 100 TB the cost is proportional to the new data, never
+    * the table.
+    *
+    * Semantics mirror Iceberg's incremental append scan:
+    *   - `replace` snapshots (compaction) contribute NOTHING — they
+    *     re-cluster existing rows; including their files would duplicate.
+    *   - a `delete` snapshot in range throws: appended-rows semantics
+    *     cannot represent a retraction (Iceberg's appends_between raises
+    *     the same way; a changelog scan is a different contract).
+    *   - `fromSnapshotId` must be an ancestor of `to` — a snapshot from an
+    *     abandoned lineage would silently mis-diff otherwise.
+    * Rows are read under the `to` snapshot's schema (old files upcast, like
+    * [[read]]). */
+  def readIncremental(spark: SparkSession, table: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val m = load(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $table"))
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    val to = toSnapshotId.orElse(m.currentSnapshotId).flatMap(byId.get)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown to-snapshot $toSnapshotId"))
+    // lineage walk: to → parents, stopping at from (exclusive)
+    var cursor: Option[Snapshot] = Some(to)
+    val range = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    while (cursor.exists(_.snapshotId != fromSnapshotId)) {
+      val s = cursor.get
+      range += s
+      cursor = s.parentId.flatMap(byId.get)
+      if (cursor.isEmpty && s.parentId.isDefined)
+        throw new IllegalStateException(
+          s"snapshot ${s.parentId.get} expired mid-lineage; cannot " +
+            s"incrementally read from $fromSnapshotId (re-read fully)")
+      if (s.parentId.isEmpty && fromSnapshotId != s.snapshotId)
+        throw new IllegalArgumentException(
+          s"$fromSnapshotId is not an ancestor of ${to.snapshotId}")
+    }
+    range.find(_.operation == "delete").foreach(s =>
+      throw new IllegalStateException(
+        s"snapshot ${s.snapshotId} carries deletes; incremental append " +
+          "read cannot represent retractions"))
+    val appends = range.filter(_.operation == "append").toSeq
+    val schema = m.schemaFor(to.schemaId)
+    if (appends.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    // Each append snapshot's OWN manifest list, filtered to the one
+    // manifest it added (added_snapshot_id = it). Reading a later
+    // snapshot's list instead would be wrong: a replace (compaction) in
+    // range drops prior manifests from its list, silently losing an
+    // earlier append's files — per-snapshot lists are immutable history.
+    val files = appends.flatMap { sn =>
+      readAvro(spark, sn.manifestList)._2
+        .filter(_.get("added_snapshot_id").asInstanceOf[Long] == sn.snapshotId)
+        .flatMap(lm => readAvro(spark, lm.get("manifest_path").toString)._2)
+        .filter { e =>
+          e.get("status").asInstanceOf[Int] == 1 &&
+            e.get("snapshot_id").asInstanceOf[Long] == sn.snapshotId
+        }
+        .map(_.get("data_file").asInstanceOf[GenericRecord])
+        .filter(d => (optField(d, "content") match {
+          case i: Integer => i.intValue(); case _ => 0
+        }) == 0)
+        .map(_.get("file_path").toString)
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(files.distinct: _*)
+  }
+
   /** Total DATA records according to MANIFEST STATS only (no data read) —
     * the kind of metadata-only query Iceberg serves from the snapshot
     * summary. Delete manifests are excluded; pending equality deletes make

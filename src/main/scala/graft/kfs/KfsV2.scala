@@ -308,7 +308,8 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     new KfsScan(root, topics, partitions, offMin, offMax, tsMin, tsMax,
       rails, options.get("max_segments_per_trigger").map(_.toInt),
       requiredSchema, conf, pushedAgg.map(KfsAggSpec.from),
-      pushedLimit, assumeDense, pushedTopN, keyGroups)
+      pushedLimit, assumeDense, pushedTopN, keyGroups,
+      options.getOrElse("copartitioned", "false").toBoolean)
   }
 }
 
@@ -348,10 +349,12 @@ class KfsScan(
     aggSpec: Option[KfsAggSpec] = None,
     limit: Option[Int] = None, assumeDense: Boolean = true,
     topN: Option[KfsTopN] = None,
-    keyGroups: Seq[Seq[Array[Byte]]] = Nil)
+    keyGroups: Seq[Seq[Array[Byte]]] = Nil,
+    copartitioned: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Runtime (DPP) partition restriction — arrives after the build side of
     * a join has executed, see [[filter]]. Intersected with the plan-time
@@ -543,6 +546,30 @@ class KfsScan(
     * run from a stream's progress-reporting path. */
   private[kfs] def rootDescription: String = s"root=$root"
 
+  /** STORAGE-PARTITIONED JOINS, opt-in via `copartitioned=true`: report
+    * `KeyGroupedPartitioning` over `_partition` so a join of two
+    * co-partitioned topics whose keys include `_partition` plans with ZERO
+    * exchange on either side (Spark aligns the key groups; enable
+    * `spark.sql.sources.v2.bucketing.enabled`). This is the Kafka-Streams
+    * co-partitioning contract as a Spark plan property: same-numbered
+    * partitions hold the same keys, so partition-local joins are exact.
+    * Opt-in because key-grouped execution coalesces every segment of a
+    * partition into one task — parallelism becomes #topic-partitions
+    * (thousands at 100 TB, great; 4 in a small fixture, a poor trade for a
+    * plain scan). Not reported for metadata-only agg scans, or when
+    * `_partition` was pruned from the output (nothing to group on). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning._
+    if (copartitioned && aggSpec.isEmpty &&
+        required.fieldNames.contains("_partition"))
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("_partition")),
+        refs.map(_.partition).distinct.size)
+    else new UnknownPartitioning(0)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = aggSpec match {
     case Some(spec) =>
       // metadata-only: one tiny partition of driver-computed rows — scan
@@ -602,6 +629,11 @@ class KfsScan(
 case class KfsInputPartition(topic: String, partition: Int, path: String,
     sizeBytes: Long)
   extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Key for storage-partitioned grouping — matches the
+    * `identity(_partition)` expression reported by [[KfsScan]]. */
+  override def partitionKey(): InternalRow = InternalRow(partition)
+}
 
 /** Driver-computed aggregate rows (metadata-only pushdown) — values are
   * plain String/Int/Long/null; converted to Catalyst form in the reader. */

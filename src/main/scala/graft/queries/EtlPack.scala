@@ -338,6 +338,38 @@ object EtlPack extends QueryPack {
           |  SELECT _partition, _offset,
           |         CAST(json_extract_string(_value, '$.k') AS BIGINT)
           |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
-          |) GROUP BY partition ORDER BY partition""".stripMargin)))
+          |) GROUP BY partition ORDER BY partition""".stripMargin))),
+
+    // Iceberg INCREMENTAL APPEND read (CDC shape): three appends land as
+    // snapshots; a consumer checkpointed at snapshot 1 reads exactly what
+    // arrived after it — planned metadata-only from each in-range append's
+    // own manifests (cost ∝ new data, never the table; a compaction in
+    // range contributes nothing — IcebergSpec pins those laws). The oracle
+    // recomputes the same "everything but the first third" from the source.
+    QueryDef(
+      "e13_iceberg_incremental",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_incr_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"))
+        IcebergSink.append(s, table, ev.where(col("offset") % 3 === 0))
+        val checkpoint = IcebergSink.load(s, table).get.currentSnapshotId.get
+        IcebergSink.append(s, table, ev.where(col("offset") % 3 === 1))
+        IcebergSink.append(s, table, ev.where(col("offset") % 3 === 2))
+        IcebergSink.readIncremental(s, table, checkpoint)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       max(_offset) AS max_off
+          |FROM events_topic WHERE _offset % 3 <> 0
+          |GROUP BY _partition ORDER BY partition""".stripMargin)))
   )
 }

@@ -416,6 +416,44 @@ object KfsPack extends QueryPack {
         """SELECT _partition, count(*) AS cnt, max(_ts_ms) AS max_ts
           |FROM events_topic
           |WHERE _ts_ms <= 1704844800000
-          |GROUP BY _partition ORDER BY _partition""".stripMargin))
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // Storage-partitioned self-join (Kafka-Streams co-partitioning as a
+    // Spark plan property): both sides opt in with `copartitioned=true`,
+    // the join keys include `_partition`, and Spark aligns the reported
+    // key groups — ZERO exchange on either side (KfsSpjSpec pins the plan;
+    // at 100 TB this removes the two largest shuffles a stream-stream topic
+    // join would otherwise pay). The query: same-user successor events
+    // within 6 h, tallied per partition (the band is sized to the fixture
+    // density — ~1.4 k pairs at sf0.01).
+    QueryDef(
+      "s20_copartitioned_join",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        def rd() = s.read.format("kfs").option("path", root)
+          .option("copartitioned", "true").load()
+        val l = rd().select(col("_partition").as("p"),
+          col("_key").as("k"), col("_offset").as("lo"),
+          col("_ts_ms").as("lts"))
+        val r = rd().select(col("_partition").as("p"),
+          col("_key").as("k"), col("_offset").as("ro"),
+          col("_ts_ms").as("rts"))
+        l.join(r, Seq("p", "k"))
+          .where(col("lo") < col("ro") &&
+            (col("rts") - col("lts")).between(0L, 21600000L))
+          .groupBy(col("p").as("_partition"))
+          .agg(count(lit(1)).as("pairs"),
+            sum(col("ro") - col("lo")).as("off_gap_sum"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT l._partition, count(*) AS pairs,
+          |       CAST(SUM(r._offset - l._offset) AS BIGINT) AS off_gap_sum
+          |FROM events_topic l JOIN events_topic r
+          |  ON l._partition = r._partition AND l._key = r._key
+          | AND l._offset < r._offset
+          | AND r._ts_ms - l._ts_ms BETWEEN 0 AND 21600000
+          |GROUP BY l._partition ORDER BY l._partition""".stripMargin))
   )
 }

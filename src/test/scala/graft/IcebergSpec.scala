@@ -431,4 +431,53 @@ class IcebergSpec extends AnyFunSuite {
     assert(m.version == 2) // forward probe past the stale hint
     assert(IcebergSink.read(spark, table).count() == 2)
   }
+
+  test("incremental read returns exactly the rows appended after the checkpoint") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    val s1 = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.append(spark, table, Seq((3L, 30)).toDF("id", "v"))
+    IcebergSink.append(spark, table, Seq((4L, 40), (5L, 50)).toDF("id", "v"))
+    val inc = IcebergSink.readIncremental(spark, table, s1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == Seq(3L, 4L, 5L))
+    // bounded to-snapshot: only the middle append
+    val mid = IcebergSink.load(spark, table).get.snapshots
+      .find(_.addedRecords == 1).get.snapshotId
+    assert(IcebergSink.readIncremental(spark, table, s1, Some(mid))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // from == to -> empty, with the table's schema
+    val empty = IcebergSink.readIncremental(spark, table,
+      IcebergSink.load(spark, table).get.currentSnapshotId.get)
+    assert(empty.isEmpty && empty.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("incremental read skips replace snapshots and survives compaction in range") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, 10)).toDF("id", "v"))
+    val s1 = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.append(spark, table, Seq((2L, 20)).toDF("id", "v"))
+    IcebergSink.compact(spark, table) // replace: re-clusters rows 1-2
+    IcebergSink.append(spark, table, Seq((3L, 30)).toDF("id", "v"))
+    // row 2 must come from the PRE-compaction append's own manifests; the
+    // replace contributes nothing (it would duplicate row 1 otherwise)
+    val inc = IcebergSink.readIncremental(spark, table, s1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == Seq(2L, 3L))
+  }
+
+  test("incremental read rejects delete snapshots and non-ancestor anchors") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    val s1 = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.deleteKeys(spark, table, Seq(1L).toDF("id"))
+    val e = intercept[IllegalStateException](
+      IcebergSink.readIncremental(spark, table, s1).collect())
+    assert(e.getMessage.contains("deletes"))
+    intercept[IllegalArgumentException](
+      IcebergSink.readIncremental(spark, table, -42L).collect())
+  }
 }
