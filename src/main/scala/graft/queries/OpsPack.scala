@@ -771,6 +771,42 @@ object OpsPack extends QueryPack {
           |               ORDER BY round(tfidf, 6) DESC, term) AS rank
           |      FROM scored)
           |SELECT doc, rank, term, round(tfidf, 5) AS tfidf
-          |FROM r WHERE rank <= 3 AND doc < 10 ORDER BY doc, rank""".stripMargin))
+          |FROM r WHERE rank <= 3 AND doc < 10 ORDER BY doc, rank""".stripMargin)),
+
+    // RAG/context-window chunking: 64-token windows, 16-token overlap
+    // (stride 48). A pure shuffle-free projection (split once → explode
+    // chunk index → slice) whose layout law the DuckDB oracle recomputes
+    // EXACTLY — chunk boundaries and text bytes both hash-checked, so
+    // retrieval provenance (doc, span) is auditable cross-engine.
+    QueryDef(
+      "t17_rag_chunks",
+      (s, dir) => graft.ops.Chunking.chunk(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 40),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("end_tok"), col("n_chunk_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks,
+          |         len(string_split(text, ' ')) AS n
+          |  FROM documents WHERE doc_id < 40),
+          |i AS (
+          |  SELECT doc_id, toks, n,
+          |         unnest(range(0, CAST(greatest(1,
+          |           ceil((n - 16) / 48.0)) AS BIGINT))) AS i
+          |  FROM t),
+          |c AS (
+          |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, toks,
+          |         CAST(i * 48 AS BIGINT) AS start_tok,
+          |         CAST(least(i * 48 + 64, n) AS BIGINT) AS end_tok
+          |  FROM i)
+          |SELECT doc_id, chunk_idx, start_tok, end_tok,
+          |       end_tok - start_tok AS n_chunk_tokens,
+          |       md5(array_to_string(list_slice(toks,
+          |         CAST(start_tok + 1 AS INTEGER), CAST(end_tok AS INTEGER)),
+          |         ' ')) AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -115,6 +115,18 @@ class KfsCatalogSpec extends AnyFunSuite {
   private def cast_ts(id: org.apache.spark.sql.Column) =
     timestamp_micros((lit(1706000000000L) + id) * 1000).cast("timestamp_ntz")
 
+  test("streaming read through the catalog drains the topic incrementally") {
+    root
+    val out = java.nio.file.Files.createTempDirectory("cat_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cat_stream_ck").toString
+    val q = spark.readStream.table("kfscat.events")
+      .select(col("_partition"), col("_offset"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).count() == eventsTopic.count())
+  }
+
   test("unknown topic and nested namespaces fail cleanly") {
     root
     val e = intercept[Exception](spark.sql("SELECT * FROM kfscat.nope").collect())

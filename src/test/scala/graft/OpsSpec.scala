@@ -622,4 +622,32 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out(1L) == "zebra") // idf(common)=ln(1)=0, zebra carries doc 1
   }
+
+  test("chunking covers every token, overlaps by exactly the configured mass") {
+    import spark.implicits._
+    // 100 tokens, chunk 64, overlap 16, stride 48 -> starts 0 and 48; the
+    // would-be start 96 is redundant (48..99 already reaches the end)
+    val d = Seq((1L, (0 until 100).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"), // shorter than one chunk -> exactly 1 chunk
+      (3L, (0 until 64).map(i => s"x$i").mkString(" "))) // exact fit -> 1
+      .toDF("doc_id", "text")
+    val ch = graft.ops.Chunking.chunk(d, "doc_id", "text", 64, 16)
+    val rows = ch.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getString(5))).sortBy(x => (x._1, x._2))
+    assert(rows.map(x => (x._1, x._2, x._3, x._4)).toSeq == Seq(
+      (1L, 0, 0L, 64L), (1L, 1, 48L, 100L), (2L, 0, 0L, 3L), (3L, 0, 0L, 64L)))
+    // overlap region identical text in both chunks of doc 1
+    val c0 = rows(0)._5.split(" "); val c1 = rows(1)._5.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    // audit stats: coverage = n, overlap mass = (chunks-1) * overlap
+    val st = graft.ops.Chunking.chunkStats(ch).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(st(1L) == ((2L, 100L, 16L)))
+    assert(st(2L) == ((1L, 3L, 0L)))
+    assert(st(3L) == ((1L, 64L, 0L)))
+    // shuffle-free: no Exchange anywhere in the chunk plan
+    assert(!ch.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must stay a pure projection")
+  }
 }
