@@ -458,6 +458,32 @@ object IcebergSink {
       maxRetries)
   }
 
+  /** UPSERT (MERGE-style row replacement, the CDC landing pattern): rows
+    * in `df` replace existing table rows sharing their `keyCols` values;
+    * unmatched keys insert. Two snapshots: an equality delete of the
+    * incoming key set, then an append of `df` — correctness rides the
+    * spec's sequence rule (a delete applies only to data files with a
+    * STRICTLY SMALLER sequence number, so the appended replacements are
+    * immune to their own delete; IcebergSpec's "re-appended key survives"
+    * pins the law). Merge-on-read: the corpus is never rewritten — the
+    * delete set is the tiny incoming batch, subtracted as a broadcast
+    * anti-join at read time and materialized by the next [[compact]].
+    * `df` must carry at most one row per key (enforced — two rows with
+    * one key would both survive, which MERGE forbids). */
+  def upsert(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String], maxRetries: Int = 5): Unit = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dupes = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+    if (dupes.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsert batch has multiple rows for key ${dupes.head}")
+    if (load(spark, table).isDefined)
+      deleteKeys(spark, table, df.select(keyCols.map(col): _*), maxRetries)
+    append(spark, table, df, maxRetries)
+  }
+
   /** Commit `keys` (columns = equality columns, any subset of the table
     * schema) as an equality-delete snapshot. Key columns are conformed to
     * the table's current types, so an int key frame deletes from a

@@ -370,6 +370,56 @@ object EtlPack extends QueryPack {
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |       max(_offset) AS max_off
           |FROM events_topic WHERE _offset % 3 <> 0
-          |GROUP BY _partition ORDER BY partition""".stripMargin)))
+          |GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // Iceberg UPSERT (MERGE-style CDC landing): base load, then a change
+    // batch that rewrites every click row's value and inserts a synthetic
+    // tail partition — matched keys replaced via the sequence-gated
+    // equality delete + append, unmatched keys inserted, the corpus never
+    // rewritten. The oracle recomputes the post-merge state from the
+    // source relationally (anti-join + union), so replacement and insert
+    // semantics are both hash-checked.
+    QueryDef(
+      "e14_iceberg_upsert",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_upsert_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"))
+        IcebergSink.append(s, table, ev)
+        val changes = Tables.eventsTopic(s, dir)
+          .where(col("event_type") === "click")
+          .select(col("_partition").as("partition"),
+            col("_offset").as("offset"),
+            (get_json_object(col("_value"), "$.k").cast("long") * 1000).as("k"))
+          .union(ev.where(col("offset") < 10)
+            .select(lit(99).as("partition"),
+              (col("offset") + col("partition") * 10).as("offset"),
+              lit(-1L).as("k")).distinct())
+        IcebergSink.upsert(s, table, changes, Seq("partition", "offset"))
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT _partition AS partition, _offset AS off,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         event_type
+          |  FROM events_topic),
+          |merged AS (
+          |  SELECT partition, off,
+          |         CASE WHEN event_type = 'click' THEN k * 1000 ELSE k END AS k
+          |  FROM base
+          |  UNION ALL
+          |  SELECT DISTINCT 99 AS partition, off + partition * 10 AS off,
+          |         CAST(-1 AS BIGINT) AS k
+          |  FROM base WHERE off < 10)
+          |SELECT partition, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k
+          |FROM merged GROUP BY partition ORDER BY partition""".stripMargin)))
   )
 }

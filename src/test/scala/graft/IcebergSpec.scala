@@ -468,6 +468,31 @@ class IcebergSpec extends AnyFunSuite {
     assert(inc == Seq(2L, 3L))
   }
 
+  test("upsert replaces matched keys, inserts new ones, never loses others") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v"))
+    IcebergSink.upsert(spark, table,
+      Seq((2L, "B", 200), (4L, "d", 40)).toDF("id", "name", "v"), Seq("id"))
+    val out = IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, "a", 10), (2L, "B", 200), (3L, "c", 30),
+      (4L, "d", 40)))
+    // a second upsert of the same key wins again (sequence rule chains)
+    IcebergSink.upsert(spark, table,
+      Seq((2L, "BB", 2000)).toDF("id", "name", "v"), Seq("id"))
+    assert(IcebergSink.read(spark, table).where(col("id") === 2)
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSeq ==
+      Seq(("BB", 2000)))
+    // duplicate keys in one batch are rejected up front
+    intercept[IllegalArgumentException](IcebergSink.upsert(spark, table,
+      Seq((9L, "x", 1), (9L, "y", 2)).toDF("id", "name", "v"), Seq("id")))
+    // compaction materializes the merge; history stays intact
+    IcebergSink.compact(spark, table)
+    assert(IcebergSink.read(spark, table).count() == 4)
+  }
+
   test("incremental read rejects delete snapshots and non-ancestor anchors") {
     import spark.implicits._
     val table = tmpTable()
