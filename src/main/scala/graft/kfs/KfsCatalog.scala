@@ -54,6 +54,12 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
   private var root: String = _
   /** Catalog-level options forwarded to every table (guardrails etc.). */
   private var passthrough: Map[String, String] = Map.empty
+  /** Topic ACL (same allow/deny glob semantics as kafsql and pg-wire —
+    * deny wins, empty allow = allow-all): `spark.sql.catalog.<n>.acl.allow`
+    * / `.acl.deny`, comma-separated globs. Every resolution path (load,
+    * exists, DDL) enforces it, and listTables enumerates only allowed
+    * topics — a SQL user cannot discover past the ACL. */
+  private var acl: graft.gov.TopicAcl = graft.gov.TopicAcl()
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -62,8 +68,17 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"catalog '$name' requires option 'root' " +
           s"(spark.sql.catalog.$name.root = <kfs root path>)"))
-    passthrough = options.asScala.toMap - "root"
+    def globs(k: String): Seq[String] =
+      Option(options.get(k)).toSeq.flatMap(_.split(',')).map(_.trim)
+        .filter(_.nonEmpty)
+    acl = graft.gov.TopicAcl(globs("acl.allow"), globs("acl.deny"))
+    passthrough = options.asScala.toMap -- Seq("root", "acl.allow", "acl.deny")
   }
+
+  private def requireAllowed(topic: String): Unit =
+    if (!acl.allows(topic))
+      throw new graft.gov.AclDeniedException(
+        s"access to topic '$topic' denied by ACL")
 
   override def name(): String = catalogName
 
@@ -83,11 +98,14 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
     val (f, p) = fs
     if (!f.exists(p)) Array.empty
     else f.listStatus(p).filter(_.isDirectory)
-      .map(s => Identifier.of(Array.empty, s.getPath.getName))
+      .map(_.getPath.getName)
+      .filter(acl.allows) // enumeration never leaks past the ACL
+      .map(Identifier.of(Array.empty, _))
       .sortBy(_.name())
   }
 
   override def loadTable(ident: Identifier): Table = {
+    requireAllowed(ident.name())
     val (f, _) = fs
     val tp = topicPath(ident)
     if (!f.exists(tp)) throw new NoSuchTableException(ident)
@@ -103,6 +121,7 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
           s"kfs VERSION AS OF expects a max offset (long), got '$version'")
       }
     require(cap >= 0, s"kfs VERSION AS OF offset must be >= 0, got $cap")
+    requireAllowed(ident.name())
     val (f, _) = fs
     if (!f.exists(topicPath(ident))) throw new NoSuchTableException(ident)
     kfsTable(ident, Map("offset_max_inclusive" -> cap.toString))
@@ -112,6 +131,7 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
     * ms precision, so the inclusive ms cap is the floor (a record stamped
     * inside the cut-off millisecond is visible, matching `<=` on `_ts_ms`). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    requireAllowed(ident.name())
     val (f, _) = fs
     if (!f.exists(topicPath(ident))) throw new NoSuchTableException(ident)
     kfsTable(ident,
@@ -123,7 +143,9 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
       "path" -> root, "topics" -> ident.name()) ++ extra)
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && { val (f, _) = fs; f.exists(topicPath(ident)) }
+    ident.namespace().isEmpty && acl.allows(ident.name()) && {
+      val (f, _) = fs; f.exists(topicPath(ident))
+    }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
@@ -136,6 +158,7 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         "kfs tables are partitioned by _partition intrinsically; " +
           "PARTITIONED BY is not supported")
+    requireAllowed(ident.name())
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val (f, _) = fs
     f.mkdirs(topicPath(ident))
@@ -146,14 +169,17 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "kfs topics have a fixed schema; ALTER TABLE is not supported")
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    requireAllowed(ident.name())
     tableExists(ident) && {
       val (f, _) = fs
       KfsLayout.invalidateDiscoveryCache(root)
       f.delete(topicPath(ident), true)
     }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireAllowed(oldIdent.name()); requireAllowed(newIdent.name())
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val (f, _) = fs

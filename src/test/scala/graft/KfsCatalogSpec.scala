@@ -127,6 +127,31 @@ class KfsCatalogSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == eventsTopic.count())
   }
 
+  test("catalog enforces topic ACLs: discovery, reads, and DDL all gated") {
+    val r = root
+    spark.conf.set("spark.sql.catalog.kfsacl", classOf[KfsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.kfsacl.root", r)
+    spark.conf.set("spark.sql.catalog.kfsacl.acl.deny", "events,secret-*")
+    // enumeration hides denied topics entirely
+    assert(!spark.sql("SHOW TABLES IN kfsacl").collect()
+      .exists(_.getString(1) == "events"))
+    // reads and DDL on denied topics surface the ACL denial
+    val e = intercept[Exception](
+      spark.sql("SELECT count(*) FROM kfsacl.events").collect())
+    def aclMsg(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[graft.gov.AclDeniedException] ||
+        Option(t.getMessage).exists(_.contains("denied by ACL")) ||
+        aclMsg(t.getCause))
+    assert(aclMsg(e) || e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    intercept[Exception](spark.sql("CREATE TABLE kfsacl.`secret-x`"))
+    // non-denied topics keep working through the same catalog
+    spark.sql("DROP TABLE IF EXISTS kfsacl.open_topic")
+    spark.sql("CREATE TABLE kfsacl.open_topic")
+    assert(spark.sql("SHOW TABLES IN kfsacl").collect()
+      .exists(_.getString(1) == "open_topic"))
+    spark.sql("DROP TABLE kfsacl.open_topic")
+  }
+
   test("unknown topic and nested namespaces fail cleanly") {
     root
     val e = intercept[Exception](spark.sql("SELECT * FROM kfscat.nope").collect())

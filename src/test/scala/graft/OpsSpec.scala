@@ -650,4 +650,42 @@ class OpsSpec extends AnyFunSuite {
     assert(!ch.queryExecution.executedPlan.toString.contains("Exchange"),
       "chunking must stay a pure projection")
   }
+
+  test("chunking laws hold across sampled (n, chunk, overlap) configurations") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      chunk <- Gen.choose(1, 90)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (n, chunk, overlap)
+    val cases = (0 until 40)
+      .flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+    cases.foreach { case (n, chunk, overlap) =>
+      val d = Seq((1L, (0 until n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val rows = graft.ops.Chunking.chunk(d, "doc_id", "text", chunk, overlap)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val stride = chunk - overlap
+      val label = s"n=$n chunk=$chunk overlap=$overlap"
+      // expected count law
+      val expected = math.max(1, math.ceil((n - overlap).toDouble / stride).toInt)
+      assert(rows.length == expected, s"count: $label")
+      // starts are exactly 0, stride, 2*stride, ...
+      rows.zipWithIndex.foreach { case ((idx, start, end), i) =>
+        assert(idx == i && start == i.toLong * stride, s"start: $label")
+        assert(end == math.min(start + chunk, n), s"end: $label")
+        assert(end > start, s"nonempty: $label")
+      }
+      // full coverage: the last window reaches the document end
+      assert(rows.last._3 == n, s"coverage: $label")
+      // no redundant tail: every window before the last starts new tokens
+      // beyond the previous window's end minus overlap (by construction of
+      // stride), and the last window is the FIRST to reach the end
+      if (rows.length > 1)
+        assert(rows(rows.length - 2)._3 < n, s"redundant tail: $label")
+    }
+  }
 }
