@@ -143,6 +143,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
+  /** ONE-PASS quality-feature assembly — what a production curation job
+    * actually runs: every per-document feature the standalone ops compute
+    * (size/diversity counts, stopword/char-class ratios, language guess,
+    * BPE estimate, dedup fingerprint) projected in a SINGLE scan with a
+    * SINGLE split of the text. At 100 TB the scan is the cost — computing
+    * features one op at a time re-reads the corpus once per feature; this
+    * frame feeds every downstream gate from one read. Pure narrow
+    * projection: no shuffle, no UDFs, all codegen'd (OpsSpec asserts one
+    * scan + zero exchanges). */
+  def featureFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("_f_text")
+    val w = col("_f_words")
+    val nTok = size(w)
+    val nChars = length(t).cast("double")
+    def classCount(pattern: String): Column =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("double")
+    docs.select(col(idCol).as("doc"), col(textCol).as("_f_text"),
+        words(col(textCol)).as("_f_words"))
+      .select(
+        col("doc"),
+        length(t).as("n_chars"),
+        nTok.as("n_tokens"),
+        size(array_distinct(w)).as("n_distinct"),
+        round(stopwordCountOf(w).cast("double") / nTok, 4)
+          .as("stopword_ratio"),
+        round(classCount("[A-Za-z]") / nChars, 4).as("alpha_ratio"),
+        round(classCount("[^A-Za-z0-9 ]") / nChars, 4).as("symbol_ratio"),
+        languageGuessOf(w).as("lang_guess"),
+        estBpeTokens(t).as("est_bpe_tokens"),
+        // fingerprint over the SHARED word array (fingerprint(t) would
+        // split the text a second time)
+        md5(concat_ws(" ", array_sort(array_distinct(w)))).as("fp"))
+  }
+
   /** Rabin-Karp-style rolling hash over the character stream:
     * h = Σ c_i · B^(n−i) mod P, computed as a strict left fold
     * h ← (h·B + c) mod P — order-sensitive (unlike [[fingerprint]]), cheap

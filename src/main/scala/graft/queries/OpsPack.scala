@@ -807,6 +807,38 @@ object OpsPack extends QueryPack {
           |       md5(array_to_string(list_slice(toks,
           |         CAST(start_tok + 1 AS INTEGER), CAST(end_tok AS INTEGER)),
           |         ' ')) AS chunk_md5
-          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // One-pass feature assembly: every per-doc quality feature in a SINGLE
+    // scan + SINGLE split (production curation shape — at 100 TB the scan
+    // is the cost; one-op-at-a-time feature jobs re-read the corpus per
+    // feature). OpsSpec asserts one scan + zero exchanges; here every
+    // feature value is hash-checked against DuckDB recomputing all of them.
+    QueryDef(
+      "t18_quality_features",
+      (s, dir) => TextAnalysis.featureFrame(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .where(col("doc") < 50)
+        .orderBy(col("doc")),
+      Some(
+        """SELECT doc_id AS doc,
+          |       CAST(length(text) AS INTEGER) AS n_chars,
+          |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+          |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+          |       round(len(list_filter(string_split(text, ' '),
+          |               w -> w IN ('the','a','of','and','in','to'))) * 1.0
+          |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+          |       round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+          |             * 1.0 / length(text), 4) AS alpha_ratio,
+          |       round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+          |             * 1.0 / length(text), 4) AS symbol_ratio,
+          |       CASE WHEN len(list_filter(string_split(text, ' '),
+          |               w -> w IN ('the','a','of','and','in','to'))) * 1.0
+          |             / len(string_split(text, ' ')) >= 0.04
+          |       THEN 'en' ELSE 'und' END AS lang_guess,
+          |       CAST((length(text) + 3) // 4 AS INTEGER) AS est_bpe_tokens,
+          |       md5(array_to_string(list_sort(list_distinct(
+          |         string_split(text, ' '))), ' ')) AS fp
+          |FROM documents WHERE doc_id < 50 ORDER BY doc""".stripMargin))
   )
 }

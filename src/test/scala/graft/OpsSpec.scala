@@ -651,6 +651,18 @@ class OpsSpec extends AnyFunSuite {
       "chunking must stay a pure projection")
   }
 
+  test("featureFrame is one scan, one split, zero exchanges") {
+    val ff = graft.ops.TextAnalysis.featureFrame(docs, "doc_id", "text")
+    ff.collect()
+    val plan = ff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"no shuffle expected:\n$plan")
+    assert("Scan parquet|FileScan".r.findAllIn(plan).size <= 1,
+      s"one scan expected:\n$plan")
+    // the text is split exactly once: one split(...) in the whole plan
+    assert("split\\(".r.findAllIn(plan.toLowerCase).size <= 1,
+      s"single split expected:\n$plan")
+  }
+
   test("chunking laws hold across sampled (n, chunk, overlap) configurations") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
