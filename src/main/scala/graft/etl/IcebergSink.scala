@@ -1149,6 +1149,112 @@ object IcebergSink {
     else spark.read.schema(schema).parquet(files.distinct: _*)
   }
 
+  /** CHANGELOG read — the full CDC feed between two snapshots, deletes
+    * included (where [[readIncremental]] refuses them): one row per change,
+    * with Iceberg-changelog-shaped metadata columns
+    * `_change_type` ('insert' | 'delete'), `_change_ordinal` (0-based
+    * position of the committing snapshot within the range, oldest first)
+    * and `_commit_snapshot_id`.
+    *
+    *   - append snapshots emit their added rows as inserts;
+    *   - delete snapshots emit one 'delete' row per retracted KEY — the
+    *     equality-delete file's columns populated, all other columns null.
+    *     (Key-level retraction is the equality-delete-native shape; full
+    *     pre-images would need the historical join Iceberg's changelog scan
+    *     performs — consumers keying their sink on the equality columns,
+    *     the normal CDC case, need exactly this.)
+    *   - replace (compaction) snapshots emit nothing — they move bytes,
+    *     not facts.
+    *
+    * Metadata-only planning, cost ∝ the changes (same lineage walk and
+    * per-snapshot manifest reads as [[readIncremental]]). */
+  def readChangelog(spark: SparkSession, table: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = load(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $table"))
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    val to = toSnapshotId.orElse(m.currentSnapshotId).flatMap(byId.get)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown to-snapshot $toSnapshotId"))
+    var cursor: Option[Snapshot] = Some(to)
+    val range = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    while (cursor.exists(_.snapshotId != fromSnapshotId)) {
+      val s = cursor.get
+      range += s
+      cursor = s.parentId.flatMap(byId.get)
+      if (cursor.isEmpty && s.parentId.isDefined)
+        throw new IllegalStateException(
+          s"snapshot ${s.parentId.get} expired mid-lineage; cannot read " +
+            s"changelog from $fromSnapshotId")
+      if (s.parentId.isEmpty && fromSnapshotId != s.snapshotId)
+        throw new IllegalArgumentException(
+          s"$fromSnapshotId is not an ancestor of ${to.snapshotId}")
+    }
+    val schema = m.schemaFor(to.schemaId)
+    val fieldsById = m.schemasById.getOrElse(to.schemaId, m.fields)
+      .map(f => f.id -> f).toMap
+    def meta(df: DataFrame, typ: String, ord: Int, snapId: Long): DataFrame =
+      df.withColumn("_change_type", lit(typ))
+        .withColumn("_change_ordinal", lit(ord))
+        .withColumn("_commit_snapshot_id", lit(snapId))
+    // oldest-first so ordinals read as commit order
+    val frames = range.reverse.zipWithIndex.flatMap { case (sn, ord) =>
+      def ownFiles(wantContent: Int): Seq[(String, Seq[Int])] =
+        readAvro(spark, sn.manifestList)._2
+          .filter(_.get("added_snapshot_id").asInstanceOf[Long] == sn.snapshotId)
+          .flatMap(lm => readAvro(spark, lm.get("manifest_path").toString)._2)
+          .filter { e =>
+            e.get("status").asInstanceOf[Int] == 1 &&
+              e.get("snapshot_id").asInstanceOf[Long] == sn.snapshotId
+          }
+          .map(_.get("data_file").asInstanceOf[GenericRecord])
+          .filter(d => (optField(d, "content") match {
+            case i: Integer => i.intValue(); case _ => 0
+          }) == wantContent)
+          .map { d =>
+            val eq = optField(d, "equality_ids") match {
+              case l: java.util.List[_] =>
+                l.asScala.map(_.asInstanceOf[Int]).toSeq
+              case _ => Nil
+            }
+            (d.get("file_path").toString, eq)
+          }
+      sn.operation match {
+        case "append" =>
+          val fs = ownFiles(0).map(_._1)
+          if (fs.isEmpty) Nil
+          else Seq(meta(spark.read.schema(schema).parquet(fs: _*),
+            "insert", ord, sn.snapshotId))
+        case "delete" =>
+          ownFiles(2).groupBy(_._2).toSeq.map { case (eqIds, fsOfKey) =>
+            val eqFields = eqIds.map(id => fieldsById.getOrElse(id,
+              throw new IllegalStateException(
+                s"delete references unknown field id $id")))
+            val delSchema = StructType(eqFields.map(f =>
+              StructField(f.name, sparkType(f.typ))))
+            val keys = spark.read.schema(delSchema)
+              .parquet(fsOfKey.map(_._1): _*)
+            // conform to the full schema: non-key columns null
+            val padded = keys.select(schema.fieldNames.toSeq.map { n =>
+              if (delSchema.fieldNames.contains(n)) col(n)
+              else lit(null).cast(schema(n).dataType).as(n)
+            }: _*)
+            meta(padded, "delete", ord, sn.snapshotId)
+          }
+        case _ => Nil // replace: bytes moved, no facts changed
+      }
+    }
+    val metaSchema = StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_change_ordinal", IntegerType),
+      StructField("_commit_snapshot_id", LongType)))
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), metaSchema)
+    else frames.reduce(_ unionByName _)
+  }
+
   /** Total DATA records according to MANIFEST STATS only (no data read) —
     * the kind of metadata-only query Iceberg serves from the snapshot
     * summary. Delete manifests are excluded; pending equality deletes make

@@ -420,6 +420,53 @@ object EtlPack extends QueryPack {
           |  FROM base WHERE off < 10)
           |SELECT partition, count(*) AS cnt,
           |       CAST(SUM(k) AS BIGINT) AS sum_k
-          |FROM merged GROUP BY partition ORDER BY partition""".stripMargin)))
+          |FROM merged GROUP BY partition ORDER BY partition""".stripMargin))),
+
+    // Iceberg CHANGELOG read (CDC feed with deletes): base load → delete
+    // every click row → re-append a click subset; the changelog from the
+    // base snapshot carries key-level 'delete' retractions (non-key
+    // columns null) and the re-appended rows as 'insert's — replace
+    // snapshots emit nothing. The oracle reconstructs the identical feed
+    // relationally, so change types, key payloads, and null-padding all
+    // hash-check.
+    QueryDef(
+      "e15_iceberg_changelog",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_changelog_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev)
+        val base = IcebergSink.load(s, table).get.currentSnapshotId.get
+        IcebergSink.deleteWhere(s, table,
+          col("event_type") === "click", Seq("partition", "offset"))
+        IcebergSink.append(s, table,
+          ev.where(col("event_type") === "click" && col("offset") % 7 === 0))
+        IcebergSink.readChangelog(s, table, base)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("k")).as("sum_k"),
+            sum(col("offset")).as("sum_off"),
+            count(col("event_type")).as("n_typed"))
+          .orderBy(col("_change_type"))
+      },
+      Some(Tables.withEventsTopic(
+        """, ch AS (
+          |  SELECT 'delete' AS _change_type, CAST(NULL AS BIGINT) AS k,
+          |         _offset AS off, CAST(NULL AS VARCHAR) AS event_type
+          |  FROM events_topic WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 'insert',
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT),
+          |         _offset, event_type
+          |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0)
+          |SELECT _change_type, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k,
+          |       CAST(SUM(off) AS BIGINT) AS sum_off,
+          |       count(event_type) AS n_typed
+          |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin)))
   )
 }

@@ -493,6 +493,30 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 4)
   }
 
+  test("changelog emits inserts and key-level deletes in commit order") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s1 = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    IcebergSink.deleteKeys(spark, table, Seq(1L).toDF("id"))
+    IcebergSink.compact(spark, table) // replace: must emit nothing
+    IcebergSink.append(spark, table, Seq((4L, "d")).toDF("id", "v"))
+    val cl = IcebergSink.readChangelog(spark, table, s1)
+      .select(col("_change_type"), col("id"), col("v"), col("_change_ordinal"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)), r.getInt(3)))
+      .sortBy(x => (x._4, x._2))
+    assert(cl.toSeq == Seq(
+      ("insert", 3L, Some("c"), 0),
+      ("delete", 1L, None, 1), // key-only retraction: non-key cols null
+      ("insert", 4L, Some("d"), 3)))
+    // replaying the changelog onto the s1 state reproduces the table
+    val replayed = Set(1L, 2L) ++ Set(3L, 4L) -- Set(1L)
+    assert(IcebergSink.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).toSet == replayed)
+  }
+
   test("incremental read rejects delete snapshots and non-ancestor anchors") {
     import spark.implicits._
     val table = tmpTable()
