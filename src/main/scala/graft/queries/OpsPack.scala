@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis, TextSearch}
+import graft.ops.{Dedup, LanguageModel, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextSearch}
 
 /** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
 object OpsPack extends QueryPack {
@@ -28,6 +28,13 @@ object OpsPack extends QueryPack {
 
   private def duckSignature(v: String, planes: Int): String =
     (0 until planes).map(p => duckPlaneBit(p, v)).mkString(" || ")
+
+  /** DuckDB twin of Sketches.hash60: first 15 hex chars of md5(expr),
+    * folded base-16 (same value as Spark's conv(..., 16, 10)). */
+  private def duckHash60(expr: String): String =
+    s"""list_reduce(list_transform(string_split(substr(md5($expr), 1, 15), ''),
+       |  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+       |  (a, b) -> a * 16 + b)""".stripMargin
 
   override def entries: Seq[QueryDef] = Seq(
 
@@ -839,6 +846,110 @@ object OpsPack extends QueryPack {
           |       CAST((length(text) + 3) // 4 AS INTEGER) AS est_bpe_tokens,
           |       md5(array_to_string(list_sort(list_distinct(
           |         string_split(text, ' '))), ' ')) AS fp
-          |FROM documents WHERE doc_id < 50 ORDER BY doc""".stripMargin))
+          |FROM documents WHERE doc_id < 50 ORDER BY doc""".stripMargin)),
+
+    // KMV distinct-count sketch (Bar-Yossef k-minimum-values): per
+    // event_type, the 32 smallest 60-bit md5 hashes of user_id estimate
+    // the distinct-user count as (k−1)/R_k. The rank filter compiles to
+    // WindowGroupLimit (per-task partial top-k before the exchange), so
+    // the shuffle carries ≤ k rows per group per task — at 100 TB the
+    // sketch shuffle is O(k·groups), not O(values), and per-day sketches
+    // union-merge without re-reading raw data (Sketches.kmvMerge;
+    // mergeability is property-tested in SketchSpec). The exact
+    // countDistinct runs alongside purely to hash-check the estimate and
+    // expose the error the sketch trades for that scalability.
+    QueryDef(
+      "u8_kmv_distinct",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val k = 32
+        val sk = Sketches.kmvSketch(ev, col("event_type"), col("user_id"), k)
+          .select(col("grp").as("event_type"),
+            Sketches.kmvEstimate(col("kmv"), col("n_kept"), k).as("kmv_distinct"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        sk.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("exact_distinct"), col("kmv_distinct"),
+            round(abs(col("kmv_distinct") - col("exact_distinct")).cast("double")
+              * lit(100.0) / col("exact_distinct").cast("double"), 2).as("err_pct"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        s"""WITH h AS (
+           |  SELECT DISTINCT event_type AS grp, ${duckHash60("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM events),
+           |r AS (
+           |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+           |s AS (
+           |  SELECT grp, max(rn) AS n_kept, max(CASE WHEN rn = 32 THEN h END) AS hk
+           |  FROM r WHERE rn <= 32 GROUP BY grp),
+           |est AS (
+           |  SELECT grp, CASE WHEN n_kept < 32 THEN n_kept
+           |         ELSE CAST(floor(31.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT)
+           |         END AS kmv_distinct
+           |  FROM s),
+           |x AS (
+           |  SELECT event_type AS grp, count(DISTINCT user_id) AS exact_distinct
+           |  FROM events GROUP BY 1)
+           |SELECT grp AS event_type, exact_distinct, kmv_distinct,
+           |       round(CAST(abs(kmv_distinct - exact_distinct) AS DOUBLE) * 100.0
+           |             / CAST(exact_distinct AS DOUBLE), 2) AS err_pct
+           |FROM est JOIN x USING (grp) ORDER BY event_type""".stripMargin)),
+
+    // Count-min heavy hitters (Cormode-Muthukrishnan): hot-token detection
+    // whose state is a 4×512 counter grid NO MATTER the corpus size —
+    // map-side partial aggregation compresses each task's contribution to
+    // ≤ d·w cells before the shuffle, vs a full-vocabulary count shuffle.
+    // Candidates probe the broadcast grid (est = min over the d rows; CMS
+    // never under-counts), the top 20 by estimate are then verified with
+    // exact counts computed ONLY for those 20 (semi-join → count), so the
+    // expensive exact aggregation touches 20 keys, not the vocabulary.
+    QueryDef(
+      "t19_heavy_hitters",
+      (s, dir) => {
+        val (d, w) = (4, 512)
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .where(length(col("tok")) > 0)
+        val grid = Sketches.cmsBuild(toks, col("tok"), d, w)
+        val est = Sketches.cmsProbe(grid, toks.distinct(), d, w)
+        // global top-20 via TakeOrderedAndProject (per-partition heaps +
+        // driver merge), never a single-partition global sort
+        val top = est.orderBy(col("est_count").desc, col("tok")).limit(20)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("est_count").desc, col("tok"))))
+        val exact = toks.join(broadcast(top.select(col("tok"))), Seq("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+        top.join(exact, Seq("tok"))
+          .select(col("rank"), col("tok"), col("est_count"), col("exact_count"))
+          .orderBy(col("rank"))
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+           |                   FROM documents) WHERE length(tok) > 0),
+           |g AS (
+           |  SELECT j, ${duckHash60("CAST(j AS VARCHAR) || '|' || tok")} % 512 AS bucket,
+           |         count(*) AS cnt
+           |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+           |  GROUP BY 1, 2),
+           |vocab AS (SELECT DISTINCT tok FROM t),
+           |probe AS (
+           |  SELECT tok, j, ${duckHash60("CAST(j AS VARCHAR) || '|' || tok")} % 512 AS bucket
+           |  FROM vocab CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js),
+           |est AS (
+           |  SELECT p.tok, min(g.cnt) AS est_count
+           |  FROM probe p JOIN g ON g.j = p.j AND g.bucket = p.bucket
+           |  GROUP BY 1),
+           |top AS (
+           |  SELECT tok, est_count,
+           |         row_number() OVER (ORDER BY est_count DESC, tok) AS rank
+           |  FROM est QUALIFY rank <= 20),
+           |x AS (
+           |  SELECT tok, count(*) AS exact_count FROM t
+           |  WHERE tok IN (SELECT tok FROM top) GROUP BY 1)
+           |SELECT rank, tok, est_count, exact_count
+           |FROM top JOIN x USING (tok) ORDER BY rank""".stripMargin))
   )
 }
