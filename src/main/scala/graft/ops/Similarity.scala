@@ -117,6 +117,42 @@ object Similarity {
       .select(col("q"), col("rank"), col("v"), round(col("c"), 4).as("cos_sim"))
   }
 
+  /** Symmetric int8 scalar quantization (SQ8): q_i = round(v_i / scale),
+    * scale = max|v| / 127 per vector. The FAISS-SQ shape: 4x less memory
+    * and scan bandwidth than float32 (the binding cost of a 100 TB
+    * brute-force scan), and the quantized cosine needs only INTEGER sums
+    * (the per-vector scales cancel), so scoring is order-independent
+    * exact integer math — bit-reproducible on any engine, any partition
+    * order. Rounding via round() (half away from zero) matches DuckDB. */
+  def sq8Quantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = greatest(maxAbs, lit(1e-12)) / lit(127.0)
+    df.select(col(idCol), col(vecCol),
+        scale.as("sq8_scale"),
+        transform(col(vecCol),
+          x => round(x.cast("double") / scale).cast("int")).as("qvec"))
+  }
+
+  /** Approximate top-k over SQ8 codes: cos(qa, qb) with integer dot/norm
+    * sums (computed in doubles — |q| ≤ 127 so every sum is exact well
+    * under 2^53). Same broadcast-queries / linear-corpus-scan shape as
+    * [[bruteForceTopK]], reading 1/4 the bytes. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def d(a: Column, b: Column): Column = dot(a.cast("array<double>"), b.cast("array<double>"))
+    val c = sq8Quantize(corpus).select(col("vec_id").as("v"), col("qvec").as("vq"),
+      sqrt(d(col("qvec"), col("qvec"))).as("vn"))
+    val q = sq8Quantize(queries).select(col("vec_id").as("q"), col("qvec").as("qq"),
+      sqrt(d(col("qvec"), col("qvec"))).as("qn"))
+    val joined = q.crossJoin(c).where(col("q") =!= col("v"))
+      .withColumn("c", d(col("qq"), col("vq")) / (col("qn") * col("vn")))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(round(col("c"), 6).desc, col("v"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("v"), round(col("c"), 4).as("cos_q"))
+  }
+
   /** Bucketed approximate top-k: candidates share the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, dims: Int = 64): DataFrame = {

@@ -81,6 +81,48 @@ object OpsPack extends QueryPack {
            |SELECT q, rank, v, round(c, 4) AS cos_sim
            |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
 
+    // SQ8 quantized ANN: int8 scalar quantization (FAISS-SQ shape) cuts
+    // vector bytes 4x — at 100 TB the brute-force scan is bandwidth-bound,
+    // so the quantized scan reads a quarter of the data. The quantized
+    // cosine uses only integer sums (per-vector scales cancel), which is
+    // order-independent exact arithmetic: the approximate score itself is
+    // hash-checkable against DuckDB, not just "roughly right".
+    QueryDef(
+      "s21_sq8_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.sq8TopK(e, e.where(col("vec_id") < 5), k = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(
+        """WITH sc AS (
+          |  SELECT vec_id, embedding,
+          |         greatest(list_max(list_transform(embedding,
+          |           y -> abs(CAST(y AS DOUBLE)))), 1e-12) / 127.0 AS s
+          |  FROM embeddings),
+          |qz AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT)) AS qvec
+          |  FROM sc),
+          |n AS (
+          |  SELECT vec_id, qvec,
+          |         sqrt(CAST(list_reduce(list_transform(qvec, x -> x * x),
+          |           (a, b) -> a + b) AS DOUBLE)) AS nrm
+          |  FROM qz),
+          |j AS (
+          |  SELECT q.vec_id AS q, v.vec_id AS v,
+          |         CAST(list_reduce(list_transform(generate_series(1, len(q.qvec)),
+          |                i -> q.qvec[i] * v.qvec[i]), (a, b) -> a + b) AS DOUBLE)
+          |           / (q.nrm * v.nrm) AS c
+          |  FROM n q JOIN n v ON q.vec_id < 5 AND q.vec_id <> v.vec_id),
+          |r AS (
+          |  SELECT q, v, c,
+          |         row_number() OVER (PARTITION BY q ORDER BY round(c, 6) DESC, v) AS rank
+          |  FROM j)
+          |SELECT q, rank, v, round(c, 4) AS cos_q
+          |FROM r WHERE rank <= 10 ORDER BY q, rank""".stripMargin)),
+
     // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
     // cross product (d5) — only same-bucket pairs are scored
     QueryDef(

@@ -700,4 +700,34 @@ class OpsSpec extends AnyFunSuite {
         assert(rows(rows.length - 2)._3 < n, s"redundant tail: $label")
     }
   }
+
+  test("SQ8 quantization: reconstruction within scale/2, cosine within 0.02") {
+    val q = Similarity.sq8Quantize(emb)
+      .select(col("vec_id"), col("embedding"), col("sq8_scale"), col("qvec"))
+      .limit(50).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val s = r.getDouble(2)
+      val qs = r.getSeq[Int](3)
+      assert(v.length == qs.length)
+      v.zip(qs).foreach { case (x, qi) =>
+        assert(qi.abs <= 127, s"code out of int8 range: $qi")
+        assert(math.abs(x.toDouble - qi * s) <= s / 2 + 1e-12,
+          s"reconstruction error beyond half a step: x=$x q=$qi s=$s")
+      }
+    }
+    // quantized cosine tracks the exact cosine closely on 64-dim vectors
+    val approx = Similarity.sq8TopK(emb, emb.where(col("vec_id") < 3), k = 5)
+      .select(col("q"), col("v"), col("cos_q")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), k = 500)
+      .select(col("q"), col("v"), col("cos_sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (pair, cq) =>
+      exact.get(pair).foreach(ce =>
+        assert(math.abs(cq - ce) <= 0.02, s"SQ8 cosine drift >0.02 at $pair: $cq vs $ce"))
+    }
+  }
 }
