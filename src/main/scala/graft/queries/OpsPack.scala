@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, LanguageModel, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextSearch}
+import graft.ops.{Dedup, LanguageModel, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextSearch, ZOrder}
 
 /** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
 object OpsPack extends QueryPack {
@@ -992,6 +992,50 @@ object OpsPack extends QueryPack {
            |  SELECT tok, count(*) AS exact_count FROM t
            |  WHERE tok IN (SELECT tok FROM top) GROUP BY 1)
            |SELECT rank, tok, est_count, exact_count
-           |FROM top JOIN x USING (tok) ORDER BY rank""".stripMargin))
+           |FROM top JOIN x USING (tok) ORDER BY rank""".stripMargin)),
+
+    // Z-order (Morton) layout: interleave the bits of (user_id, ts_ms)
+    // ranks so each output file covers a compact hyper-rectangle of the
+    // 2-D key space — per-file min/max then prunes on EITHER dimension
+    // (a ts-only sort prunes only ts). The query materializes the
+    // would-be per-file stats so the curve AND the resulting envelopes
+    // hash-check against DuckDB computing the identical interleave. File
+    // assignment here uses ntile over the z order (deterministic for the
+    // oracle); the production write path is ZOrder.cluster —
+    // repartitionByRange on z (sampled range shuffle, no global
+    // single-task sort), pruning-gain asserted in ZOrderSpec.
+    QueryDef(
+      "t20_zorder_layout",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        ZOrder.withZ(ev, Seq("user_id", "ts_ms"), bits = 16)
+          .withColumn("file_id", ntile(16).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("z"), col("event_id"))))
+          .groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+            min(col("ts_ms")).as("t_min"), max(col("ts_ms")).as("t_max"))
+          .orderBy(col("file_id"))
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+           |         min(epoch_ms(ts)) AS tmin, max(epoch_ms(ts)) AS tmax
+           |  FROM events),
+           |z AS (
+           |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           |         ${ZOrder.duckZ(Seq(("user_id", "umin", "umax"),
+                        ("epoch_ms(ts)", "tmin", "tmax")), 16)} AS z
+           |  FROM events, b),
+           |f AS (
+           |  SELECT user_id, ts_ms,
+           |         ntile(16) OVER (ORDER BY z, event_id) AS file_id
+           |  FROM z)
+           |SELECT file_id, count(*) AS n_rows,
+           |       min(user_id) AS u_min, max(user_id) AS u_max,
+           |       min(ts_ms) AS t_min, max(ts_ms) AS t_max
+           |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin))
   )
 }
