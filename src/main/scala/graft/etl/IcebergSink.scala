@@ -1169,7 +1169,15 @@ object IcebergSink {
     * Metadata-only planning, cost ∝ the changes (same lineage walk and
     * per-snapshot manifest reads as [[readIncremental]]). */
   def readChangelog(spark: SparkSession, table: String,
-      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame =
+    readChangelogFrom(spark, table, Some(fromSnapshotId), toSnapshotId)
+
+  /** [[readChangelog]] with an optional anchor: `from = None` means "since
+    * the beginning of retained history" — the root snapshot's own changes
+    * included (the initial-load half of a CDC subscription; with an anchor
+    * the feed is strictly-after it, as before). */
+  def readChangelogFrom(spark: SparkSession, table: String,
+      fromSnapshotId: Option[Long], toSnapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val m = load(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no Iceberg table at $table"))
@@ -1179,7 +1187,7 @@ object IcebergSink {
         s"unknown to-snapshot $toSnapshotId"))
     var cursor: Option[Snapshot] = Some(to)
     val range = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
-    while (cursor.exists(_.snapshotId != fromSnapshotId)) {
+    while (cursor.exists(s => !fromSnapshotId.contains(s.snapshotId))) {
       val s = cursor.get
       range += s
       cursor = s.parentId.flatMap(byId.get)
@@ -1187,9 +1195,9 @@ object IcebergSink {
         throw new IllegalStateException(
           s"snapshot ${s.parentId.get} expired mid-lineage; cannot read " +
             s"changelog from $fromSnapshotId")
-      if (s.parentId.isEmpty && fromSnapshotId != s.snapshotId)
+      if (s.parentId.isEmpty && fromSnapshotId.exists(_ != s.snapshotId))
         throw new IllegalArgumentException(
-          s"$fromSnapshotId is not an ancestor of ${to.snapshotId}")
+          s"${fromSnapshotId.get} is not an ancestor of ${to.snapshotId}")
     }
     val schema = m.schemaFor(to.schemaId)
     val fieldsById = m.schemasById.getOrElse(to.schemaId, m.fields)

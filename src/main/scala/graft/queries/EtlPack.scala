@@ -467,6 +467,65 @@ object EtlPack extends QueryPack {
           |       CAST(SUM(k) AS BIGINT) AS sum_k,
           |       CAST(SUM(off) AS BIGINT) AS sum_off,
           |       count(event_type) AS n_typed
+          |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin))),
+
+    // Checkpointed CDC subscription: three drains — initial load (full
+    // history as inserts), an incremental pull of exactly the two new
+    // commits (key-level deletes + re-appends), and a caught-up no-op
+    // rerun. The accumulated sink must equal the full relational feed:
+    // that hash-checks the snapshot-id cursor, the exactly-once replay
+    // guard, AND the per-commit changelog planning in one result. The
+    // Iceberg twin of e1's KFS offset-WAL pipeline — the durable cursor
+    // is a snapshot id because Iceberg's atomic unit is the commit.
+    QueryDef(
+      "e16_changelog_stream",
+      (s, dir) => {
+        val table = tmp(dir, "cdc_stream_table")
+        val sink = tmp(dir, "cdc_stream_sink")
+        val ckpt = tmp(dir, "cdc_stream_ckpt")
+        Seq(table, sink, ckpt).foreach(p =>
+          TableSink.deleteRecursive(Paths.get(p)))
+        val ckptFile = ckpt + "/snapshot.ckpt"
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev)
+        ChangelogStream.drain(s, table, sink, ckptFile) // initial load
+        IcebergSink.deleteWhere(s, table,
+          col("event_type") === "click", Seq("partition", "offset"))
+        IcebergSink.append(s, table,
+          ev.where(col("event_type") === "click" && col("offset") % 7 === 0))
+        ChangelogStream.drain(s, table, sink, ckptFile) // the two commits
+        ChangelogStream.drain(s, table, sink, ckptFile) // caught up: no-op
+        s.read.parquet(sink)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("k")).as("sum_k"),
+            sum(col("offset")).as("sum_off"),
+            count(col("event_type")).as("n_typed"))
+          .orderBy(col("_change_type"))
+      },
+      Some(Tables.withEventsTopic(
+        """, ch AS (
+          |  SELECT 'insert' AS _change_type,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         _offset AS off, event_type
+          |  FROM events_topic
+          |  UNION ALL
+          |  SELECT 'insert',
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT),
+          |         _offset, event_type
+          |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
+          |  UNION ALL
+          |  SELECT 'delete', CAST(NULL AS BIGINT), _offset,
+          |         CAST(NULL AS VARCHAR)
+          |  FROM events_topic WHERE event_type = 'click')
+          |SELECT _change_type, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k,
+          |       CAST(SUM(off) AS BIGINT) AS sum_off,
+          |       count(event_type) AS n_typed
           |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin)))
   )
 }
