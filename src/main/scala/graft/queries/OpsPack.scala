@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, LanguageModel, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, TextSearch, ZOrder}
+import graft.ops.{Bpe, Dedup, LanguageModel, Multimodal, Profiler, Sampling, Similarity, Sketches, TextAnalysis, TextSearch, ZOrder}
 
 /** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
 object OpsPack extends QueryPack {
@@ -1036,6 +1036,85 @@ object OpsPack extends QueryPack {
            |SELECT file_id, count(*) AS n_rows,
            |       min(user_id) AS u_min, max(user_id) AS u_max,
            |       min(ts_ms) AS t_min, max(ts_ms) AS t_max
-           |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin))
+           |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
+
+    // Table profiler (ANALYZE statistics): per-column row/null counts,
+    // value-length envelope, and a KMV NDV estimate. Columns melt to a
+    // (col_name, val) stack projection, so the whole profile is two
+    // passes over that pruned frame (counts aggregate + NDV sketch) no
+    // matter how many columns are profiled — the per-column-job
+    // alternative re-reads the table once per column; at 100 TB the scan
+    // is the cost. The NDV sketch shuffles ≤ k hashes per column instead
+    // of every distinct value. Doubles are excluded (engine-specific
+    // string formatting would poison the hash domain — the profiler
+    // contract documents this).
+    QueryDef(
+      "t21_table_profile",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Profiler.profile(ev, Seq("event_id", "user_id", "event_type", "props"))
+          .orderBy(col("col_name"))
+      },
+      Some(
+        s"""WITH prof AS (
+           |  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val FROM events
+           |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+           |  UNION ALL SELECT 'event_type', event_type FROM events
+           |  UNION ALL SELECT 'props', props FROM events),
+           |counts AS (
+           |  SELECT col_name, count(*) AS n_rows,
+           |         count(*) - count(val) AS n_nulls,
+           |         min(length(val)) AS min_len, max(length(val)) AS max_len
+           |  FROM prof GROUP BY 1),
+           |h AS (
+           |  SELECT DISTINCT col_name, ${duckHash60("val")} AS h
+           |  FROM prof WHERE val IS NOT NULL),
+           |r AS (
+           |  SELECT col_name, h,
+           |         row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn
+           |  FROM h),
+           |s AS (
+           |  SELECT col_name, max(rn) AS n_kept,
+           |         max(CASE WHEN rn = 64 THEN h END) AS hk
+           |  FROM r WHERE rn <= 64 GROUP BY 1),
+           |ndv AS (
+           |  SELECT col_name,
+           |         CASE WHEN n_kept < 64 THEN CAST(n_kept AS BIGINT)
+           |         ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT)
+           |         END AS ndv_kmv
+           |  FROM s)
+           |SELECT c.col_name, n_rows, n_nulls, min_len, max_len,
+           |       coalesce(ndv_kmv, 0) AS ndv_kmv
+           |FROM counts c LEFT JOIN ndv USING (col_name)
+           |ORDER BY col_name""".stripMargin)),
+
+    // REAL BPE tokenization (vs the chars/4 estimate): train the merge
+    // table from the corpus's own word histogram (one distributed shuffle
+    // + TakeOrdered vocabulary cap; the classic merge loop then runs on
+    // that tiny capped dictionary driver-side, exactly how production BPE
+    // trainers work), then encode every document with the broadcast merge
+    // ranks. Per-word merging is inherently imperative — the documented
+    // mapPartitions seam, narrow per-row work, no shuffle — and therefore
+    // NOT SQL-expressible: no oracle, the driver records a rows-only
+    // check; BpeSpec locks the textbook merge order, lossless round-trip,
+    // determinism, and driver≡distributed encoding instead.
+    QueryDef(
+      "t22_bpe_tokens",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = Bpe.learnMerges(
+          Bpe.wordHistogram(docs, "text", maxVocab = 2000), numMerges = 200)
+        val enc = Bpe.encode(
+          s, docs.select(col("doc_id"), col("text")), "doc_id", "text", merges)
+        enc.join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_bpe_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            round(sum(col("n_chars")).cast("double")
+              / sum(col("n_tokens")).cast("double"), 3).as("chars_per_token"))
+          .orderBy(col("lang"))
+      },
+      None)
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops.Bpe
+
+/** BPE trainer/encoder laws: the classic merge order on the textbook
+  * corpus, lossless round-trip, determinism, and monotone compression. */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("learns the textbook merge order on the Sennrich corpus") {
+    // 'newest' x6, 'widest' x3: pair (e,s) dominates (9), then (es,t),
+    // then (est,</w>) — the worked example from the original BPE paper.
+    val hist = Seq(("newest", 6L), ("widest", 3L), ("low", 7L), ("lower", 2L))
+    val merges = Bpe.learnMerges(hist, 3)
+    assert(merges.map(m => (m.a, m.b)) ==
+      Seq(("e", "s"), ("es", "t"), ("est", Bpe.Eow)))
+  }
+
+  test("ties break deterministically (lexicographically smallest pair)") {
+    // 'ab' and 'cd' both occur once; (a,b) must win over (c,d) and
+    // (b,</w>), (d,</w>)
+    val merges = Bpe.learnMerges(Seq(("ab", 1L), ("cd", 1L)), 1)
+    assert(merges.head.a == "a" && merges.head.b == "b")
+  }
+
+  test("encode round-trips losslessly and compresses monotonically") {
+    val docs = Tables.load(spark, sf, "documents").limit(80)
+    val hist = Bpe.wordHistogram(docs, "text", 500)
+    val m200 = Bpe.learnMerges(hist, 200)
+    val m50 = m200.take(50)
+
+    val ranks200 = m200.map(m => (m.a, m.b) -> m.rank).toMap
+    val ranks50 = m50.map(m => (m.a, m.b) -> m.rank).toMap
+    hist.take(100).foreach { case (w, _) =>
+      val t200 = Bpe.encodeWord(w, ranks200)
+      val t50 = Bpe.encodeWord(w, ranks50)
+      // lossless: tokens concatenate back to word + sentinel
+      assert(t200.mkString == w + Bpe.Eow, s"round trip broke for '$w'")
+      // monotone: more merges never lengthen the encoding
+      assert(t200.length <= t50.length, s"more merges lengthened '$w'")
+      assert(t200.length <= w.length + 1)
+    }
+
+    // distributed encode agrees with the driver-side encoder
+    val enc = Bpe.encode(spark, docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", m200)
+    val row = enc.orderBy("doc_id").limit(1).collect().head
+    val docText = docs.orderBy("doc_id").limit(1).collect().head.getAs[String]("text")
+    val expected = docText.split(" ").filter(_.nonEmpty)
+      .flatMap(w => Bpe.encodeWord(w, ranks200)).toSeq
+    assert(row.getSeq[String](2) == expected)
+    assert(row.getInt(1) == expected.length)
+  }
+
+  test("training is a pure function of the corpus (rerun-identical)") {
+    val docs = Tables.load(spark, sf, "documents").limit(40)
+    val a = Bpe.learnMerges(Bpe.wordHistogram(docs, "text", 300), 80)
+    val b = Bpe.learnMerges(Bpe.wordHistogram(docs, "text", 300), 80)
+    assert(a == b && a.length == 80)
+  }
+}
