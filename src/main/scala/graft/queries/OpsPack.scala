@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Bpe, Dedup, LanguageModel, Multimodal, Profiler, Sampling, Similarity, Sketches, TextAnalysis, TextSearch, ZOrder}
+import graft.ops.{Bpe, Dedup, Diff, LanguageModel, Multimodal, Profiler, Sampling, Similarity, Sketches, TextAnalysis, TextSearch, ZOrder}
 
 /** Similarity search, text analysis, multimodal plumbing — oracle-checked. */
 object OpsPack extends QueryPack {
@@ -1115,6 +1115,58 @@ object OpsPack extends QueryPack {
               / sum(col("n_tokens")).cast("double"), 3).as("chars_per_token"))
           .orderBy(col("lang"))
       },
-      None)
+      None),
+
+    // Row-level version diff (corpus audit): v2 of events drops all
+    // purchases, doubles every click's value, and appends 100 synthetic
+    // rows — the diff must classify exactly those as delete / update /
+    // insert and nothing else. Map-side row hashing means only (key,
+    // 16-byte hash) pairs shuffle into the one full-outer join, so diff
+    // cost at 100 TB is a key shuffle, not a payload shuffle; the oracle
+    // reconstructs the classification relationally (IS DISTINCT FROM),
+    // proving the hash classification exact.
+    QueryDef(
+      "t23_version_diff",
+      (s, dir) => {
+        val v1 = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val v2 = v1.where(col("event_type") =!= "purchase")
+          .withColumn("value",
+            when(col("event_type") === "click", col("value") * 2)
+              .otherwise(col("value")))
+          .unionByName(v1.where(col("event_id") < 100)
+            .select((col("event_id") + 10000000L).as("event_id"),
+              col("user_id"), lit("synthetic").as("event_type"),
+              col("value")))
+        Diff.diff(v1, v2, Seq("event_id"),
+            Seq("user_id", "event_type", "value"))
+          .groupBy(col("_diff_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("event_id")).as("sum_key"))
+          .orderBy(col("_diff_type"))
+      },
+      Some(
+        """WITH v1 AS (
+          |  SELECT event_id, user_id, event_type, value FROM events),
+          |v2 AS (
+          |  SELECT event_id, user_id, event_type,
+          |         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+          |  FROM v1 WHERE event_type <> 'purchase'
+          |  UNION ALL
+          |  SELECT event_id + 10000000, user_id, 'synthetic', value
+          |  FROM v1 WHERE event_id < 100),
+          |d AS (
+          |  SELECT coalesce(a.event_id, b.event_id) AS event_id,
+          |         CASE WHEN b.event_id IS NULL THEN 'delete'
+          |              WHEN a.event_id IS NULL THEN 'insert'
+          |              WHEN (a.user_id, a.event_type, a.value) IS DISTINCT FROM
+          |                   (b.user_id, b.event_type, b.value) THEN 'update'
+          |         END AS _diff_type
+          |  FROM v1 a FULL OUTER JOIN v2 b USING (event_id))
+          |SELECT _diff_type, count(*) AS cnt,
+          |       CAST(SUM(event_id) AS BIGINT) AS sum_key
+          |FROM d WHERE _diff_type IS NOT NULL
+          |GROUP BY 1 ORDER BY _diff_type""".stripMargin))
   )
 }

@@ -701,6 +701,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("diff classifies null transitions as updates, not matches") {
+    import spark.implicits._
+    val v1 = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option("same")), (4L, Option("gone"))).toDF("id", "v")
+    val v2 = Seq((1L, Option.empty[String]), (2L, Option("y")),
+      (3L, Option("same")), (5L, Option("new"))).toDF("id", "v")
+    val got = graft.ops.Diff.diff(v1, v2, Seq("id"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "update", 2L -> "update", 4L -> "delete",
+      5L -> "insert"))
+  }
+
   test("SQ8 quantization: reconstruction within scale/2, cosine within 0.02") {
     val q = Similarity.sq8Quantize(emb)
       .select(col("vec_id"), col("embedding"), col("sq8_scale"), col("qvec"))
