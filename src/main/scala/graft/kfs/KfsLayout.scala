@@ -256,21 +256,53 @@ object KfsLayout {
     // iterator's lazy stat (compaction, a foreign writer's temp) aborts
     // the whole iteration on some filesystems — transient by definition,
     // so list again rather than fail the query.
+    def keep(rel: String): Option[(String, Int)] = {
+      val parts = rel.split('/')
+      if (parts.length == 3 && parts(1).forall(_.isDigit)) {
+        val topic = parts(0)
+        val partition = parts(1).toInt
+        if (topics.forall(_.contains(topic)) &&
+          partitions.forall(_.contains(partition))) Some((topic, partition))
+        else None
+      } else None
+    }
     def listOnce(): Seq[(String, Int, HPath, Long)] = {
       val candidates = Seq.newBuilder[(String, Int, HPath, Long)]
-      val it = fs.listFiles(rootPath, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val p = st.getPath
-        if (p.getName.endsWith(".kfs")) {
-          val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-          val parts = rel.split('/')
-          if (parts.length == 3 && parts(1).forall(_.isDigit)) {
-            val topic = parts(0)
-            val partition = parts(1).toInt
-            if (topics.forall(_.contains(topic)) &&
-              partitions.forall(_.contains(partition)))
+      if (fs.getUri.getScheme == "file") {
+        // local fast path: Hadoop's LocalFileSystem materializes per-file
+        // permission info by SHELLING OUT (`ls`) when the native lib is
+        // absent — ~4 ms per file, which turns a per-trigger re-listing
+        // of a few hundred segments into seconds. java.nio stats the
+        // same files in microseconds; object-store schemes keep the
+        // paged Hadoop LIST below.
+        val base = java.nio.file.Paths.get(rootUri)
+        val stream = java.nio.file.Files.walk(base)
+        try {
+          stream.forEach { p =>
+            val name = p.getFileName.toString
+            if (name.endsWith(".kfs")) {
+              val rel = base.relativize(p).toString
+              keep(rel).foreach { case (topic, partition) =>
+                // qualify identically to the Hadoop listing (file: scheme)
+                // — ref paths are compared as STRINGS downstream (manifest
+                // merge dedupe, stats memo keys)
+                candidates += ((topic, partition,
+                  fs.makeQualified(new HPath(p.toString)),
+                  java.nio.file.Files.size(p)))
+              }
+            }
+          }
+        } finally stream.close()
+      } else {
+        val it = fs.listFiles(rootPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath
+          if (p.getName.endsWith(".kfs")) {
+            val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+            keep(rel).foreach { case (topic, partition) =>
               candidates += ((topic, partition, p, st.getLen))
+            }
           }
         }
       }
@@ -283,8 +315,10 @@ object KfsLayout {
         attempt += 1
         try out = listOnce()
         catch {
-          case e: RuntimeException if attempt < 3 &&
-            !Thread.currentThread().isInterrupted => // vanished entry; re-list
+          // vanished entry (hadoop: RuntimeException; nio walk/size:
+          // NoSuchFileException et al) — transient, re-list
+          case e @ (_: RuntimeException | _: java.io.IOException)
+            if attempt < 3 && !Thread.currentThread().isInterrupted =>
         }
       }
       out
