@@ -52,7 +52,7 @@ object Pipeline {
     else schemaCols.map(sc => TopicRegistry.extract(col("_value"), sc).isNotNull)
       .reduce(_ && _)
 
-  private val binaryFileSchema = StructType(Seq(
+  private[graft] val binaryFileSchema = StructType(Seq(
     StructField("path", StringType), StructField("modificationTime", TimestampType),
     StructField("length", LongType), StructField("content", BinaryType)))
 
@@ -129,10 +129,23 @@ object Pipeline {
   }
 
   /** One micro-batch: validate → extract → offset-dedup → append. */
-  def sinkBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
+  def sinkBatch(spark: SparkSession, batch0: DataFrame, tablePath: String,
       schemaCols: Seq[SchemaCol], validation: Validation,
       validateCols: Option[Seq[SchemaCol]] = None,
       format: SinkFormat = ParquetDir): Unit = {
+    // a foreachBatch frame is NOT materialized: every action below would
+    // re-run the upstream segment decode (3x per batch measured) — cache
+    // for the duration of the sink, release before returning. Batch size
+    // is bounded by the trigger's admission control, so the footprint is.
+    val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sinkBatchInner(spark, batch, tablePath, schemaCols, validation,
+      validateCols, format)
+    finally batch.unpersist()
+  }
+
+  private def sinkBatchInner(spark: SparkSession, batch: DataFrame,
+      tablePath: String, schemaCols: Seq[SchemaCol], validation: Validation,
+      validateCols: Option[Seq[SchemaCol]], format: SinkFormat): Unit = {
     val withValid = batch.withColumn("_valid",
       validityColumn(validateCols.getOrElse(schemaCols)))
     val valid = validation match {
@@ -156,13 +169,20 @@ object Pipeline {
     // coordinates. Scale note: the probe side is bounded to the batch's
     // offset range first, so the parquet scan prunes to the overlapping
     // files instead of reading the whole table.
-    val existing = format match {
-      case ParquetDir => TableSink.read(spark, tablePath)
-      case IcebergV2 => IcebergSink.read(spark, tablePath)
+    // table emptiness from METADATA where the format has it (an isEmpty on
+    // the table frame is a scan job per micro-batch)
+    val tableIsEmpty = format match {
+      case IcebergV2 =>
+        IcebergSink.load(spark, tablePath).flatMap(_.currentSnapshotId).isEmpty
+      case ParquetDir => TableSink.read(spark, tablePath).isEmpty
     }
     val deduped =
-      if (existing.isEmpty) withExtras
+      if (tableIsEmpty) withExtras
       else {
+        val existing = format match {
+          case ParquetDir => TableSink.read(spark, tablePath)
+          case IcebergV2 => IcebergSink.read(spark, tablePath)
+        }
         val range = withExtras.agg(
           min(col("offset")).as("lo"), max(col("offset")).as("hi")).collect().head
         if (range.isNullAt(0)) withExtras
@@ -173,9 +193,12 @@ object Pipeline {
           withExtras.join(seen, Seq("topic", "partition", "offset"), "left_anti")
         }
       }
-    if (!deduped.isEmpty) format match {
-      case ParquetDir => TableSink.append(spark, tablePath, deduped)
-      case IcebergV2 => IcebergSink.append(spark, tablePath, deduped)
-    }
+    // materialize the dedup ONCE: the emptiness gate and the append would
+    // otherwise each run the decode + anti-join
+    val ded = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (!ded.isEmpty) format match {
+      case ParquetDir => TableSink.append(spark, tablePath, ded)
+      case IcebergV2 => IcebergSink.append(spark, tablePath, ded)
+    } finally ded.unpersist()
   }
 }
