@@ -1395,6 +1395,88 @@ object RelationalPack extends QueryPack {
           |SELECT d, CAST(day_rev AS DOUBLE) AS day_rev,
           |       round(AVG(CAST(day_rev AS DOUBLE))
           |               OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-          |FROM daily ORDER BY d""".stripMargin))
+          |FROM daily ORDER BY d""".stripMargin)),
+
+    // Exact ORDERED funnel (view → click-after-view → purchase-after-
+    // click): three chained stage aggregates, each keyed on user_id —
+    // Catalyst hashes all three on the same key so the exchanges line up
+    // (and on a bucketed/copartitioned layout they vanish). A strict
+    // funnel cannot be one conditional aggregate (stage 2's filter
+    // depends on stage 1's result per user), so the chained shape IS the
+    // minimal-shuffle form; each stage's frame shrinks (users that
+    // dropped out disappear), so later joins get cheaper, not pricier.
+    QueryDef(
+      "w4_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms"))
+        val s1 = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+        val s2 = ev.where(col("event_type") === "click")
+          .join(s1, "user_id").where(col("ts_ms") >= col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("c_ts"))
+        val s3 = ev.where(col("event_type") === "purchase")
+          .join(s2, "user_id").where(col("ts_ms") >= col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("p_ts"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click_after_view")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+          .select(col("n_view"), col("n_click_after_view"),
+            col("n_full_funnel"),
+            round(col("n_full_funnel").cast("double")
+              / col("n_view").cast("double"), 4).as("conversion"))
+      },
+      Some(Tables.withEventsTopic(
+        """, ev AS (
+          |  SELECT user_id, event_type, _ts_ms AS ts_ms FROM events_topic),
+          |s1 AS (
+          |  SELECT user_id, min(ts_ms) AS v_ts FROM ev
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (
+          |  SELECT e.user_id, min(ts_ms) AS c_ts
+          |  FROM ev e JOIN s1 USING (user_id)
+          |  WHERE event_type = 'click' AND ts_ms >= v_ts GROUP BY 1),
+          |s3 AS (
+          |  SELECT e.user_id, min(ts_ms) AS p_ts
+          |  FROM ev e JOIN s2 USING (user_id)
+          |  WHERE event_type = 'purchase' AND ts_ms >= c_ts GROUP BY 1)
+          |SELECT (SELECT count(*) FROM s1) AS n_view,
+          |       (SELECT count(*) FROM s2) AS n_click_after_view,
+          |       (SELECT count(*) FROM s3) AS n_full_funnel,
+          |       round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+          |             / CAST((SELECT count(*) FROM s1) AS DOUBLE), 4) AS conversion""".stripMargin))),
+
+    // Cohort retention matrix: users grouped by first-seen day, activity
+    // counted per day offset — the standard growth-analytics rollup. Day
+    // arithmetic is pure integer math on epoch-ms (engine-neutral, no
+    // timezone/date functions). Two aggregates keyed on user_id (exchange
+    // aligned) + one small rollup; the per-user first-seen frame is the
+    // only state carried, so the shape holds at any event volume.
+    QueryDef(
+      "u9_cohort_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          // `div` = exact integer division (double `/` then cast could
+          // round across a day boundary differently than DuckDB's `//`)
+          .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        ev.join(first, "user_id")
+          .withColumn("day_offset", col("day") - col("cohort_day"))
+          .where(col("day_offset") <= 7)
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some(Tables.withEventsTopic(
+        """, ev AS (
+          |  SELECT user_id, _ts_ms // 86400000 AS day FROM events_topic),
+          |first AS (
+          |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+          |SELECT cohort_day, day - cohort_day AS day_offset,
+          |       count(DISTINCT user_id) AS n_users
+          |FROM ev JOIN first USING (user_id)
+          |WHERE day - cohort_day <= 7
+          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)))
   )
 }
