@@ -48,6 +48,56 @@ object Packing {
         col("pos_in_seq") + col("n_tokens") > seqLen)
   }
 
+  /** MATERIALIZED packing: the actual fixed-length training rows, not
+    * just the per-document assignment. Every token is placed at a global
+    * position in its shard's stream (document cumsum + within-document
+    * offset) and sequences are the `seqLen`-sized chunks of that stream —
+    * a straddling document's tokens really do split across two rows, the
+    * concatenate-then-chunk contract.
+    *
+    * Returns one row per (shard, seq_idx): `n_tokens` (== seqLen for all
+    * but each shard's final partial sequence), `n_docs` contributing,
+    * and `seq_md5` — the digest of the space-joined token stream in
+    * order, which is what makes the materialization auditable: any
+    * engine that packs the same corpus the same way reproduces the same
+    * digests ([[graft.queries.OpsPack]] `t24_packed_rows` checks them
+    * against DuckDB).
+    *
+    * Scale shape: the document cumsum is the same bounded per-shard
+    * window as [[packSequences]]; the token explode is narrow (no
+    * shuffle); then ONE hash shuffle on (shard, seq_idx) builds the
+    * rows. Peak row width is one sequence (seqLen tokens), never a whole
+    * shard or document stream. At 100 TB raise `shards` so the cumsum
+    * sort stays in-memory per shard; the final aggregate is skew-free by
+    * construction (every group is <= seqLen tokens).
+    */
+  def packedRows(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, shards: Int = 1024): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(shards > 0, s"shards must be positive: $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc"))
+    val base = docs
+      .select(col(idCol).as("doc"),
+        (col(idCol) % shards).cast("int").as("shard"),
+        split(col(textCol), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    base
+      .select(col("doc"), col("shard"), col("tok_start"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("gpos", col("tok_start") + col("pos"))
+      .withColumn("seq_idx", expr(s"gpos div $seqLen"))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc")).as("n_docs"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("gpos"), col("tok")))),
+            _.getField("tok")))).as("seq_md5"))
+  }
+
   /** Per-sequence summary — what a packing audit reads: how many docs
     * start in each sequence, their token mass, and how many straddle out. */
   def sequenceStats(packed: DataFrame, idCol: String): DataFrame =

@@ -593,6 +593,44 @@ object OpsPack extends QueryPack {
           |FROM a GROUP BY shard, seq_idx
           |ORDER BY shard, seq_idx""".stripMargin)),
 
+    // Materialized packing: the actual 512-token training rows, digest-
+    // checked token-for-token — DuckDB rebuilds every sequence's
+    // space-joined stream and the md5s must agree, proving the straddle
+    // split (a doc's tail tokens landing in the NEXT row) is identical in
+    // both engines. One bounded per-shard cumsum + one hash shuffle on
+    // (shard, seq); every aggregate group is <= 512 tokens, so no skew.
+    QueryDef(
+      "t24_packed_rows",
+      (s, dir) => graft.ops.Packing.packedRows(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512, shards = 8)
+        .orderBy(col("shard"), col("seq_idx")),
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+          |         string_split(text, ' ') AS toks,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+          |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          |              AND 1 PRECEDING), 0) AS tok_start
+          |  FROM p),
+          |tok AS (
+          |  SELECT doc_id, shard,
+          |         UNNEST(list_transform(range(1, CAST(n_tokens AS INTEGER) + 1),
+          |                i -> {'gpos': tok_start + i - 1, 'tok': toks[i]})) AS u
+          |  FROM c),
+          |t2 AS (
+          |  SELECT doc_id, shard, CAST(u.gpos AS BIGINT) AS gpos, u.tok AS tok
+          |  FROM tok)
+          |SELECT shard, CAST(gpos // 512 AS BIGINT) AS seq_idx,
+          |       count(*) AS n_tokens,
+          |       count(DISTINCT doc_id) AS n_docs,
+          |       md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5
+          |FROM t2 GROUP BY shard, seq_idx
+          |ORDER BY shard, seq_idx""".stripMargin)),
+
     // Multimodal resize: stride-resample to 16 bytes inside the decode
     // stage (no shuffle); DuckDB reconstructs the identical sample from the
     // raw text bytes, so the resample arithmetic is hash-checked.

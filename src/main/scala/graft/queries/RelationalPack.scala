@@ -1334,6 +1334,190 @@ object RelationalPack extends QueryPack {
           |JOIN nation ON s_nationkey = n_nationkey
           |ORDER BY s_suppkey""".stripMargin)),
 
+    // q2-shaped (adapted: observed unit cost from lineitem instead of
+    // partsupp supplycost): per part in one size/type family, the
+    // supplier(s) in a region offering the minimum unit price — the
+    // correlated-scalar-subquery shape (MIN per part, then equality back
+    // onto the per-(part,supplier) costs). Two hash aggregates on
+    // (partkey[,suppkey]) — the per-part min re-joins the per-pair costs
+    // by partkey, never a window sort — and every dim broadcasts. MIN of
+    // doubles is order-independent, so the cost = min_cost equality is
+    // engine-portable (AVG here would not be).
+    QueryDef(
+      "q2_min_cost_supplier",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        val cost = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("unit")).as("unit_cost"))
+        val minCost = cost.groupBy(col("l_partkey").as("mp_key"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        val part = Tables.load(s, dir, "part")
+          .filter(col("p_size").between(1, 15) && col("p_type") === "SMALL")
+        val supp = Tables.load(s, dir, "supplier")
+        val nation = Tables.load(s, dir, "nation")
+        val region = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+        cost
+          .join(minCost, col("l_partkey") === col("mp_key") &&
+            col("unit_cost") === col("min_cost"))
+          .join(broadcast(part), col("p_partkey") === col("l_partkey"))
+          .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_type"),
+            round(col("unit_cost"), 4).as("unit_cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some(
+        """WITH cost AS (
+          |  SELECT l_partkey, l_suppkey,
+          |         MIN(l_extendedprice / l_quantity) AS unit_cost
+          |  FROM lineitem GROUP BY 1, 2),
+          |mincost AS (
+          |  SELECT l_partkey AS mp_key, MIN(unit_cost) AS min_cost
+          |  FROM cost GROUP BY 1)
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+          |       round(unit_cost, 4) AS unit_cost
+          |FROM cost
+          |JOIN mincost ON l_partkey = mp_key AND unit_cost = min_cost
+          |JOIN part ON p_partkey = l_partkey
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE p_size BETWEEN 1 AND 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin)),
+
+    // q11-shaped: per-part shipped value for one nation's suppliers,
+    // keeping parts above a fraction of the nation's total — the
+    // global-scalar-subquery HAVING shape. The total is a tiny scalar
+    // (crossJoin broadcast); the threshold compare stays in DECIMAL on
+    // both engines (v * 1000 > total), so no float-rounding boundary
+    // case can flip a row.
+    QueryDef(
+      "q11_important_parts",
+      (s, dir) => {
+        val supp = Tables.load(s, dir, "supplier")
+        val nation = Tables.load(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")
+        val li = Tables.load(s, dir, "lineitem")
+        val v = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")
+        val vals = li
+          .join(broadcast(supp.join(broadcast(nation),
+            col("s_nationkey") === col("n_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(v).as("v"))
+        vals.crossJoin(broadcast(vals.agg(sum(col("v")).as("total"))))
+          .filter(col("v") * 1000 > col("total"))
+          .select(col("l_partkey").as("p_key"),
+            col("v").cast("double").as("part_value"))
+          .orderBy(col("part_value").desc, col("p_key"))
+      },
+      Some(
+        """WITH val AS (
+          |  SELECT l_partkey,
+          |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |             AS DECIMAL(18,4))) AS v
+          |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_7' GROUP BY 1)
+          |SELECT l_partkey AS p_key, CAST(v AS DOUBLE) AS part_value
+          |FROM val WHERE v * 1000 > (SELECT SUM(v) FROM val)
+          |ORDER BY part_value DESC, p_key""".stripMargin)),
+
+    // q12-shaped (adapted: linestatus stands in for shipmode, ship-delay
+    // vs order date for receipt-vs-commit): high- vs low-priority line
+    // counts among late shipments — join + conditional aggregation; the
+    // priority test is a pre-aggregated 0/1 projection, so the agg is two
+    // SUMs over one narrow shuffle.
+    QueryDef(
+      "q12_late_priority",
+      (s, dir) => {
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        li.join(ord, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some(
+        """SELECT l_linestatus,
+          |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // q21-shaped: suppliers who were the SOLE late shipper in a
+    // multi-supplier finished order — EXISTS (another supplier in the
+    // order) as a LEFT SEMI join plus NOT EXISTS (another LATE supplier)
+    // as a LEFT ANTI join, both keyed on orderkey with a suppkey
+    // inequality residual. All three legs are projections of the same
+    // lineitem scan; the semi/anti joins shuffle (orderkey, suppkey)
+    // pairs only, and the supplier dim broadcasts for the final tally.
+    QueryDef(
+      "q21_waiting_suppliers",
+      (s, dir) => {
+        val ordF = Tables.load(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val l1 = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 80 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val lateOthers = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        val waiting = l1
+          .join(others, col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") =!= col("sk2"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("ok3") &&
+            col("l_suppkey") =!= col("sk3"), "left_anti")
+        waiting
+          .join(broadcast(Tables.load(s, dir, "supplier")),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some(
+        """SELECT s_name, count(*) AS numwait
+          |FROM lineitem l1
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |JOIN supplier ON s_suppkey = l1.l_suppkey
+          |WHERE o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 80 DAY)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
     // Window analytics (superset, SURVEY §2.8): running total + lag per
     // customer — cumulative frames over a keyed sort, one shuffle on
     // custkey. Exact decimal running sums; doubles only in the output.

@@ -447,6 +447,42 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("packed rows materialize the exact chunked token stream") {
+    import spark.implicits._
+    // hand-checkable corpus, one shard: stream = a..e | f..h | i..o
+    // chunked at 4 → "a b c d", "e f g h", "i j k l", "m n o"
+    val tiny = Seq((0L, "a b c d e"), (2L, "f g h"), (4L, "i j k l m n o"))
+      .toDF("doc_id", "text")
+    val rows = Packing.packedRows(tiny, "doc_id", "text", seqLen = 4, shards = 2)
+      .orderBy(col("shard"), col("seq_idx")).collect()
+    val streams = Seq(("a b c d", 1L), ("e f g h", 2L), ("i j k l", 1L), ("m n o", 1L))
+    assert(rows.length == 4)
+    rows.zip(streams).zipWithIndex.foreach { case ((r, (s, nd)), i) =>
+      assert(r.getAs[Int]("shard") == 0)
+      assert(r.getAs[Long]("seq_idx") == i.toLong)
+      assert(r.getAs[Long]("n_tokens") == s.split(" ").length.toLong)
+      assert(r.getAs[Long]("n_docs") == nd)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("seq_md5") == md)
+    }
+    // corpus invariants: every sequence but each shard's last is full,
+    // seq indexes are dense from 0, token mass equals the corpus total
+    val packed = Packing.packedRows(docs, "doc_id", "text",
+      seqLen = 512, shards = 8).collect()
+    packed.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("seq_idx"))
+      sorted.init.foreach(r => assert(r.getAs[Long]("n_tokens") == 512L))
+      assert(sorted.last.getAs[Long]("n_tokens") <= 512L)
+      assert(sorted.map(_.getAs[Long]("seq_idx")).toSeq ==
+        (0L until sorted.length).toSeq)
+    }
+    val totalTokens = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+  }
+
   test("ImageIoDecoder decodes the PNG fixture to exact pixel bytes") {
     val png = Multimodal.pngFixture(seed = 7L, w = 16, h = 16)
     // a real PNG came out of ImageIO (magic bytes)
