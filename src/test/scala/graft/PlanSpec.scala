@@ -78,6 +78,52 @@ class PlanSpec extends AnyFunSuite {
       s"recency filter must reach the orders scan:\n$plan")
   }
 
+  test("q2/q11/q12/q21: subquery shapes stay hash-based, dims broadcast") {
+    // q2: the correlated-scalar MIN re-joins per-part minima by hash —
+    // never a window sort — and the top-100 is top-k, not a global sort
+    val q2 = planOf("q2_min_cost_supplier")
+    assert(!q2.contains("Window"), s"q2 must not window-sort:\n$q2")
+    assert(q2.contains("TakeOrderedAndProject(limit=100"),
+      s"q2 top-100 must be top-k:\n$q2")
+    assert(q2.contains("BroadcastHashJoin") && !q2.contains("CartesianProduct"),
+      s"q2 dims and the min-cost side must broadcast:\n$q2")
+    // q11: the global total is ONE row — a broadcast nested-loop against
+    // it is the right plan (that's the scalar subquery), and the
+    // threshold compare stays in decimal
+    val q11 = planOf("q11_important_parts")
+    assert(q11.contains("IdentityBroadcastMode"),
+      s"q11 scalar total must broadcast as a single row:\n$q11")
+    assert(q11.contains("partial_sum"),
+      s"q11 value aggregate must run map-side partials:\n$q11")
+    // q12: the ship-date year range reaches the lineitem scan; the
+    // priority split is conditional aggregation, not a union of plans
+    val q12 = planOf("q12_late_priority")
+    assert(q12.contains("PushedFilters") &&
+      q12.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q12 date range must reach the scan:\n$q12")
+    assert(q12.contains("partial_sum"), s"q12 agg must be two-phase:\n$q12")
+    assert(!q12.contains("Union"), s"q12 is one pass, not a union:\n$q12")
+    // q21: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, never a cartesian;
+    // the inequality residual rides the join, not a filter over a cross
+    val q21 = planOf("q21_waiting_suppliers")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q21 needs semi + anti joins:\n$q21")
+    assert(!q21.contains("CartesianProduct") &&
+      !q21.contains("BroadcastNestedLoopJoin"),
+      s"q21 joins must stay keyed on orderkey:\n$q21")
+  }
+
+  test("t24: packed rows shuffle once per stage — shard cumsum, then (shard,seq)") {
+    val plan = planOf("t24_packed_rows")
+    // exactly one window (the per-shard cumsum); the chunk aggregate is
+    // hash-partitioned on (shard, seq_idx), never a global sort below it
+    assert(plan.contains("Window"), s"t24 needs the shard cumsum window:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"t24 chunk agg must hash-partition on the shard key:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"t24 should need at most 3 hash shuffles, saw $shuffles:\n$plan")
+  }
+
   test("w1: window ranking shuffles once on the partition key") {
     val plan = planOf("w1_top_orders_per_cust")
     assert(plan.contains("Window"), s"expected window exec:\n$plan")
