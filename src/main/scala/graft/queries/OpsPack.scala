@@ -631,6 +631,49 @@ object OpsPack extends QueryPack {
           |FROM t2 GROUP BY shard, seq_idx
           |ORDER BY shard, seq_idx""".stripMargin)),
 
+    // Epoch-deterministic global shuffle: the dataloader permutation as a
+    // pure function of (epoch, doc_id) — DuckDB recomputes both epochs'
+    // full (shard, pos) layouts and the position-sensitive digests must
+    // agree, proving byte-identical read order cross-engine AND that each
+    // epoch is an independent reshuffle. The digest is a commutative sum
+    // of per-row hashes (exact in DECIMAL(38,0)), so auditing a 100 TB
+    // layout is one hash aggregate — no ordered agg over a whole shard.
+    QueryDef(
+      "t25_epoch_shuffle",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val both = graft.ops.Shuffling.assign(docs, "doc_id", epoch = 1, shards = 8)
+          .unionByName(
+            graft.ops.Shuffling.assign(docs, "doc_id", epoch = 2, shards = 8))
+        graft.ops.Shuffling.shardManifest(both, "doc_id")
+          .withColumn("digest", col("digest").cast("string"))
+          .orderBy(col("epoch"), col("shard"))
+      },
+      Some {
+        val h60 =
+          """list_reduce(list_transform(string_split(
+            |  substr(md5(CAST(pos AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15), ''),
+            |  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+            |  (a, b) -> a * 16 + b)""".stripMargin
+        s"""WITH e AS (SELECT UNNEST([1, 2]) AS epoch),
+           |r AS (
+           |  SELECT epoch, doc_id,
+           |         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS rank
+           |  FROM documents CROSS JOIN e),
+           |s AS (
+           |  SELECT epoch, doc_id, rank,
+           |         CAST(CAST('0x' || substr(rank, 1, 4) AS INTEGER) % 8 AS INTEGER) AS shard
+           |  FROM r),
+           |p AS (
+           |  SELECT epoch, shard, doc_id,
+           |         row_number() OVER (PARTITION BY epoch, shard
+           |                            ORDER BY rank, doc_id) - 1 AS pos
+           |  FROM s)
+           |SELECT epoch, shard, count(*) AS n_docs,
+           |       CAST(SUM($h60) AS VARCHAR) AS digest
+           |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+      }),
+
     // Multimodal resize: stride-resample to 16 bytes inside the decode
     // stage (no shuffle); DuckDB reconstructs the identical sample from the
     // raw text bytes, so the resample arithmetic is hash-checked.

@@ -483,6 +483,32 @@ class OpsSpec extends AnyFunSuite {
     assert(packed.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
   }
 
+  test("epoch shuffle: dense positions, near-uniform shards, fresh permutation per epoch") {
+    val a1 = Shuffling.assign(docs, "doc_id", epoch = 1, shards = 8).collect()
+    val n = docs.count()
+    assert(a1.length == n)
+    // each shard's positions are dense 0..count-1 (a readable file layout)
+    a1.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (0L until rows.length).toSeq)
+      // near-uniform: 16-bit hash mod 8 at 500 docs stays within wide bounds
+      assert(rows.length > n / 8 / 3 && rows.length < n / 8 * 3)
+    }
+    // pure function of (epoch, id): a re-run is identical
+    val again = Shuffling.assign(docs, "doc_id", epoch = 1, shards = 8).collect()
+    assert(a1.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+      r.getAs[Long]("pos"))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos"))).sortBy(_._1).toSeq)
+    // epochs are independent permutations: most docs move shard or pos
+    val a2 = Shuffling.assign(docs, "doc_id", epoch = 2, shards = 8).collect()
+    val p1 = a1.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toMap
+    val moved = a2.count(r => p1(r.getAs[Long]("doc_id")) !=
+      (r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    assert(moved > n * 8 / 10, s"epoch 2 must reshuffle; only $moved of $n moved")
+  }
+
   test("ImageIoDecoder decodes the PNG fixture to exact pixel bytes") {
     val png = Multimodal.pngFixture(seed = 7L, w = 16, h = 16)
     // a real PNG came out of ImageIO (magic bytes)
