@@ -81,7 +81,13 @@ object Pipeline {
     * Re-running with the same checkpoint reprocesses nothing.
     * `validateCols` narrows validation to a subset of `schemaCols`
     * (registry-required columns); None keeps the original contract that
-    * every schema column is required. */
+    * every schema column is required.
+    * `transform` is the in-stream curation hook: it is applied to the
+    * decoded record stream BEFORE the sink (so before validation,
+    * extraction, and offset-dedup) — quality gates, redaction, enrichment
+    * run continuously inside the same checkpointed query instead of as a
+    * separate batch pass over the landed table. It must keep the eight
+    * decoded columns (narrowing rows, not schema). */
   def run(
       spark: SparkSession,
       kfsRoot: String,
@@ -91,7 +97,8 @@ object Pipeline {
       validation: Validation = Off,
       maxFilesPerTrigger: Option[Int] = None,
       validateCols: Option[Seq[SchemaCol]] = None,
-      format: SinkFormat = ParquetDir): Unit = {
+      format: SinkFormat = ParquetDir,
+      transform: DataFrame => DataFrame = identity): Unit = {
 
     import spark.implicits._
     val reader = spark.readStream
@@ -117,7 +124,7 @@ object Pipeline {
       }
       .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
 
-    val query = decoded.writeStream
+    val query = transform(decoded).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>

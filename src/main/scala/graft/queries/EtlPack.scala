@@ -526,6 +526,41 @@ object EtlPack extends QueryPack {
           |       CAST(SUM(k) AS BIGINT) AS sum_k,
           |       CAST(SUM(off) AS BIGINT) AS sum_off,
           |       count(event_type) AS n_typed
-          |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin)))
+          |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin))),
+
+    // Streaming CURATION: the quality gate runs INSIDE the checkpointed
+    // ingest query (Pipeline's `transform` hook) — class filter on the
+    // record header + payload predicate on the JSON value — so curation
+    // is continuous and exactly-once with the ingest, not a second batch
+    // pass over landed data. The landed table must equal the batch
+    // curation of the same topic, which is exactly what the oracle
+    // recomputes from events_topic.
+    QueryDef(
+      "e17_stream_curation",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "curation_table")
+        val ckpt = tmp(dir, "curation_ckpt")
+        Pipeline.run(s, root, table, ckpt,
+          schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+          validation = Pipeline.Lenient,
+          transform = df => df.filter(
+            element_at(col("_headers"), "src").isin("purchase", "view") &&
+            get_json_object(col("_value").cast("string"), "$.k").cast("int") >= 2))
+        TableSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"),
+            max(col("offset")).as("max_off"),
+            sum(col("k").cast("long")).as("sum_k"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       max(_offset) AS max_off,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+          |FROM events_topic
+          |WHERE event_type IN ('purchase', 'view')
+          |  AND CAST(json_extract_string(_value, '$.k') AS INTEGER) >= 2
+          |GROUP BY _partition ORDER BY partition""".stripMargin)))
   )
 }

@@ -674,6 +674,58 @@ object OpsPack extends QueryPack {
            |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
       }),
 
+    // Leakage-free train/valid split: a deterministic md5-threshold
+    // holdout, then every train doc sharing >= 3 distinct 3-grams with
+    // any holdout doc is EXCLUDED (the decontamination gate applied to
+    // your own eval split — the step that keeps the benchmark honest).
+    // Composition of Sampling.deterministicSample + Dedup.contamination:
+    // the holdout side broadcasts, the corpus is touched in one narrow
+    // pass, and the verdict is a per-(lang, split) tally. DuckDB
+    // recomputes membership, overlap, and exclusion exactly.
+    QueryDef(
+      "t26_leakfree_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val thr = Sampling.thresholdHex(0.05, 4)
+        val tagged = docs.withColumn("is_valid",
+          Sampling.hashBucket(col("doc_id")) < lit(thr))
+        val excl = Dedup.contamination(
+          tagged.filter(!col("is_valid")), tagged.filter(col("is_valid")),
+          "doc_id", "text", n = 3, minShared = 3)
+          .select(col("c_doc").as("doc_id")).distinct()
+          .withColumn("is_excl", lit(true))
+        tagged.join(excl, Seq("doc_id"), "left")
+          .withColumn("split",
+            when(col("is_valid"), "valid")
+              .when(col("is_excl"), "excluded")
+              .otherwise("train"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("n_chars"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id AS doc, s AS sh FROM (
+          |    SELECT doc_id,
+          |           unnest(list_transform(generate_series(1, len(w) - 2),
+          |                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+          |  WHERE s <> ''),
+          |v AS (SELECT doc_id FROM documents
+          |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'),
+          |cv AS (SELECT doc, sh FROM sh WHERE doc IN (SELECT doc_id FROM v)),
+          |ct AS (SELECT doc, sh FROM sh WHERE doc NOT IN (SELECT doc_id FROM v)),
+          |excl AS (SELECT DISTINCT doc FROM (
+          |  SELECT c.doc FROM ct c JOIN cv p USING (sh)
+          |  GROUP BY c.doc, p.doc HAVING count(*) >= 3))
+          |SELECT lang,
+          |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' THEN 'valid'
+          |       WHEN doc_id IN (SELECT doc FROM excl) THEN 'excluded'
+          |       ELSE 'train' END AS split,
+          |  count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
     // Multimodal resize: stride-resample to 16 bytes inside the decode
     // stage (no shuffle); DuckDB reconstructs the identical sample from the
     // raw text bytes, so the resample arithmetic is hash-checked.
