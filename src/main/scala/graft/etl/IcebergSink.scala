@@ -406,11 +406,27 @@ object IcebergSink {
 
   /** Append `df` as a new snapshot; creates the table on first call.
     * Optimistic: on a version-claim loss the snapshot is re-based onto the
-    * winner's metadata and retried (data files + manifest are reused). */
+    * winner's metadata and retried (data files + manifest are reused).
+    * `clusterBy` re-shuffles the batch so rows sharing the listed key(s)
+    * land in the same data file(s): each file's manifest bounds on those
+    * columns become TIGHT, which is what makes [[readPruned]] skip files —
+    * the unpartitioned-spec equivalent of identity partition pruning. */
   def append(spark: SparkSession, table: String, df: DataFrame,
-      maxRetries: Int = 5): Unit = {
+      maxRetries: Int = 5, clusterBy: Seq[String] = Nil): Unit = {
+    val toWrite =
+      if (clusterBy.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.col
+        // RANGE partitioning, not hash: each data file then owns a
+        // CONTIGUOUS key range, so per-file [lower, upper] bounds are
+        // disjoint and a key-scoped read skips every other file. Hash
+        // clustering would scatter non-adjacent keys into each file and
+        // leave every file's bounds spanning most of the key space.
+        df.repartitionByRange(clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      }
     val commitUuid = UUID.randomUUID().toString
-    val fileRecords = writeDataFiles(spark, table, df, commitUuid)
+    val fileRecords = writeDataFiles(spark, table, toWrite, commitUuid)
     commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
       carryPrior = true, operation = "append", maxRetries)
   }

@@ -205,7 +205,11 @@ object Pipeline {
     val ded = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try if (!ded.isEmpty) format match {
       case ParquetDir => TableSink.append(spark, tablePath, ded)
-      case IcebergV2 => IcebergSink.append(spark, tablePath, ded)
+      case IcebergV2 =>
+        // cluster each commit's files by the log partition: tight manifest
+        // bounds make later partition-scoped reads (readPruned) skip files
+        // — the unpartitioned-spec analog of identity partition pruning
+        IcebergSink.append(spark, tablePath, ded, clusterBy = Seq("partition"))
     } finally ded.unpersist()
   }
 }

@@ -1518,6 +1518,36 @@ object RelationalPack extends QueryPack {
           |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 80 DAY)
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
 
+    // Salted skew join (superset): event_type has only 5 values, so a
+    // plain shuffle join lands EVERY row of a hot class on one reducer —
+    // the celebrity-key failure AQE cannot always split. Skew.saltedJoin
+    // spreads each fact key over 8 salted partitions and replicates the
+    // 5-row build side per salt; the result set is provably identical to
+    // the plain equi-join, which is exactly what the (salt-free) DuckDB
+    // oracle computes.
+    QueryDef(
+      "s22_salted_join",
+      (s, dir) => {
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("event_type"),
+          get_json_object(col("_value"), "$.k").cast("int").as("k"))
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("weight", length(col("event_type")))
+        graft.ops.Skew.saltedJoin(ev, dim, Seq("event_type"), salt = 8)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("k") * col("weight")).cast("long")).as("wsum"))
+          .orderBy(col("event_type"))
+      },
+      oracle(
+        """SELECT e.event_type, count(*) AS cnt,
+          |  CAST(SUM(CAST(json_extract_string(e._value, '$.k') AS INTEGER)
+          |           * weight) AS BIGINT) AS wsum
+          |FROM events_topic e
+          |JOIN (SELECT DISTINCT event_type, length(event_type) AS weight
+          |      FROM events_topic) dim USING (event_type)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Window analytics (superset, SURVEY §2.8): running total + lag per
     // customer — cumulative frames over a keyed sort, one shuffle on
     // custkey. Exact decimal running sums; doubles only in the output.

@@ -356,6 +356,35 @@ class IcebergSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, "a")))
   }
 
+  test("clustered append tightens file bounds so a key-scoped read skips files") {
+    import spark.implicits._
+    val table = tmpTable()
+    // interleaved keys: an UNclustered write would give every file the
+    // full [0,9] bucket range and pruning could skip nothing
+    val df = spark.range(0, 1000)
+      .select((org.apache.spark.sql.functions.col("id") % 10).as("bucket"),
+        org.apache.spark.sql.functions.col("id"))
+      .repartition(4)
+    // the fixture is tiny, so AQE's size-based coalescing (the right
+    // production behavior) would fold everything into one file; hold it
+    // off for this append so the multi-file bounds behavior is observable
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try IcebergSink.append(spark, table, df, clusterBy = Seq("bucket"))
+    finally spark.conf.set(coalesceKey, prior)
+    val all = IcebergSink.read(spark, table).inputFiles.toSet
+    assert(all.size > 1, "fixture must produce multiple data files")
+    val pruned = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("bucket", Some(3L), Some(3L))))
+    assert(pruned.inputFiles.length < all.size,
+      s"clustered bounds must let a point read skip files: " +
+        s"${pruned.inputFiles.length} of ${all.size} planned")
+    // exactness survives the pruning
+    assert(pruned.count() == 100)
+    assert(pruned.select("bucket").distinct().collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("manifest column bounds drive file skipping; residual keeps exactness") {
     import spark.implicits._
     val table = tmpTable()
