@@ -1393,17 +1393,19 @@ object RelationalPack extends QueryPack {
           |LIMIT 100""".stripMargin)),
 
     // q11-shaped: per-part shipped value for one nation's suppliers,
-    // keeping parts above a fraction of the nation's total — the
-    // global-scalar-subquery HAVING shape. The total is a tiny scalar
-    // (crossJoin broadcast); the threshold compare stays in DECIMAL on
-    // both engines (v * 1000 > total), so no float-rounding boundary
-    // case can flip a row.
+    // keeping parts above the nation's mean part value — the
+    // global-scalar-subquery HAVING shape. The total/count pair is a
+    // 1-row scalar (crossJoin broadcast); the threshold is
+    // SCALE-INVARIANT (v > 1.5 x mean, a fixed fraction of the total
+    // would go empty as part cardinality grows with SF) and the compare
+    // stays in all-integer DECIMAL arithmetic (v*n*2 > total*3) on both
+    // engines, so no float-rounding boundary case can flip a row.
     QueryDef(
       "q11_important_parts",
       (s, dir) => {
         val supp = Tables.load(s, dir, "supplier")
         val nation = Tables.load(s, dir, "nation")
-          .filter(col("n_name") === "NATION_7")
+          .filter(col("n_name") === "NATION_3")
         val li = Tables.load(s, dir, "lineitem")
         val v = (col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
@@ -1414,8 +1416,9 @@ object RelationalPack extends QueryPack {
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("l_partkey"))
           .agg(sum(v).as("v"))
-        vals.crossJoin(broadcast(vals.agg(sum(col("v")).as("total"))))
-          .filter(col("v") * 1000 > col("total"))
+        vals.crossJoin(broadcast(vals.agg(
+            sum(col("v")).as("total"), count(lit(1)).as("n"))))
+          .filter(col("v") * col("n") * 2 > col("total") * 3)
           .select(col("l_partkey").as("p_key"),
             col("v").cast("double").as("part_value"))
           .orderBy(col("part_value").desc, col("p_key"))
@@ -1428,9 +1431,10 @@ object RelationalPack extends QueryPack {
           |             AS DECIMAL(18,4))) AS v
           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |  JOIN nation ON s_nationkey = n_nationkey
-          |  WHERE n_name = 'NATION_7' GROUP BY 1)
+          |  WHERE n_name = 'NATION_3' GROUP BY 1),
+          |tot AS (SELECT SUM(v) AS total, count(*) AS n FROM val)
           |SELECT l_partkey AS p_key, CAST(v AS DOUBLE) AS part_value
-          |FROM val WHERE v * 1000 > (SELECT SUM(v) FROM val)
+          |FROM val, tot WHERE v * n * 2 > total * 3
           |ORDER BY part_value DESC, p_key""".stripMargin)),
 
     // q12-shaped (adapted: linestatus stands in for shipmode, ship-delay
