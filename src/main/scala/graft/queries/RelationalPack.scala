@@ -910,6 +910,33 @@ object RelationalPack extends QueryPack {
           |GROUP BY ROLLUP (r_name, n_name)
           |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
 
+    // CUBE (superset, SURVEY §2.7): every grouping-set combination of
+    // (returnflag, linestatus) — 2^2 grouping sets in ONE pass (Spark
+    // expands the sets map-side; no union of four aggregations). The
+    // GROUPING() bitmask disambiguates a real NULL key from a subtotal
+    // row, which is what makes cube output joinable downstream.
+    QueryDef(
+      "u10_cube_quantity",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n_items"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+          |       count(*) AS n_items,
+          |       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+          |       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+          |FROM lineitem
+          |GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY g_flag, g_status,
+          |         l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     // PIVOT (superset — SURVEY §2.7): event counts cross-tabbed by type.
     // With explicit pivot values Spark compiles this to conditional
     // aggregation — one shuffle, no per-value passes; the oracle IS that
