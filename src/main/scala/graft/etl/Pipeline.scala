@@ -87,7 +87,15 @@ object Pipeline {
     * extraction, and offset-dedup) — quality gates, redaction, enrichment
     * run continuously inside the same checkpointed query instead of as a
     * separate batch pass over the landed table. It must keep the eight
-    * decoded columns (narrowing rows, not schema). */
+    * decoded columns (narrowing rows, not schema).
+    * `source` picks the ingest path: `"files"` (default) is the Spark
+    * binaryFile stream — simple, but it materializes a whole segment's
+    * bytes per row, so peak task memory is one segment; `"kfs"` is the
+    * DSv2 micro-batch source (`KfsStreamV2`) whose readers STREAM
+    * segments batch-at-a-time over Hadoop FileSystem and gate on the
+    * END! footer — the path to run at real segment sizes. Both feed the
+    * identical 7-column record stream; checkpoints are per-source
+    * (don't swap sources under an existing checkpoint). */
   def run(
       spark: SparkSession,
       kfsRoot: String,
@@ -98,31 +106,43 @@ object Pipeline {
       maxFilesPerTrigger: Option[Int] = None,
       validateCols: Option[Seq[SchemaCol]] = None,
       format: SinkFormat = ParquetDir,
-      transform: DataFrame => DataFrame = identity): Unit = {
+      transform: DataFrame => DataFrame = identity,
+      source: String = "files"): Unit = {
 
     import spark.implicits._
-    val reader = spark.readStream
-      .format("binaryFile")
-      .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.kfs")
-    // bound micro-batch size (the reference drains per poll tick; this is
-    // the Spark-native backpressure knob for the same effect)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.load(s"$kfsRoot/*/*")
-
-    val decoded = stream
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, content) =>
-        val (topic, partition) = KfsSource.topicPartitionOf(path)
-        KfsCodec.decodeSegment(content).map { r =>
-          (topic, partition, r.offset, r.timestampMs,
-            r.key, r.value,
-            r.headers.map(h => h.k ->
-              (if (h.v == null) null else new String(h.v, "UTF-8"))).toMap)
-        }
-      }
-      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
+    val decoded = source match {
+      case "kfs" =>
+        val r = spark.readStream.format("kfs").option("path", kfsRoot)
+        maxFilesPerTrigger.foreach(n =>
+          r.option("max_segments_per_trigger", n.toString))
+        r.load().select(col("_topic"), col("_partition"), col("_offset"),
+          col("_ts_ms"), col("_key"), col("_value"), col("_headers"))
+      case "files" =>
+        val reader = spark.readStream
+          .format("binaryFile")
+          .schema(binaryFileSchema)
+          .option("pathGlobFilter", "*.kfs")
+        // bound micro-batch size (the reference drains per poll tick; this
+        // is the Spark-native backpressure knob for the same effect)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        reader.load(s"$kfsRoot/*/*")
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (path, content) =>
+            val (topic, partition) = KfsSource.topicPartitionOf(path)
+            KfsCodec.decodeSegment(content).map { r =>
+              (topic, partition, r.offset, r.timestampMs,
+                r.key, r.value,
+                r.headers.map(h => h.k ->
+                  (if (h.v == null) null else new String(h.v, "UTF-8"))).toMap)
+            }
+          }
+          .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value",
+            "_headers")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown pipeline source '$other' (expected 'files' or 'kfs')")
+    }
 
     val query = transform(decoded).writeStream
       .option("checkpointLocation", checkpointDir)

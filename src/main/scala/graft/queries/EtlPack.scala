@@ -284,7 +284,12 @@ object EtlPack extends QueryPack {
           // several micro-batches -> several snapshots (~7 at sf0.1), but
           // not so many that per-commit metadata IO dominates the bench
           maxFilesPerTrigger = Some(16),
-          format = Pipeline.IcebergV2)
+          format = Pipeline.IcebergV2,
+          // the DSv2 streamed ingest path: segments are decoded
+          // batch-at-a-time (never a whole segment in memory) with
+          // END!-gated admission — the configuration you'd run at real
+          // segment sizes
+          source = "kfs")
         IcebergSink.read(s, table)
           .groupBy(col("partition"))
           .agg(count(lit(1)).as("cnt"),

@@ -176,6 +176,32 @@ class EtlSpec extends AnyFunSuite {
     assert(TableSink.read(spark, table).count() == 60)
   }
 
+  test("pipeline over the DSv2 kfs source: same landed table, same idempotency") {
+    val root = Files.createTempDirectory("etl_kfs2").toString
+    val records = (0 until 80).map(i => KfsCodec.Record(i.toLong,
+      1706000000000L + i, s"k$i".getBytes, s"""{"n":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, records)
+    val table = Files.createTempDirectory("etl_kfs2t").toString + "/t"
+    val ckpt = Files.createTempDirectory("etl_kfs2c").toString
+
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")),
+      source = "kfs")
+    val out = TableSink.read(spark, table)
+    assert(out.count() == 80)
+    assert(out.agg(sum(col("n"))).collect().head.getLong(0) == (0 until 80).sum)
+
+    // checkpointed replay adds nothing; an incremental segment drains
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")),
+      source = "kfs")
+    assert(TableSink.read(spark, table).count() == 80)
+    val more = (80 until 100).map(i => KfsCodec.Record(i.toLong,
+      1706000100000L + i, s"k$i".getBytes, s"""{"n":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, more)
+    Pipeline.run(spark, root, table, ckpt, Seq(SchemaCol("n", "long", "$.n")),
+      source = "kfs")
+    assert(TableSink.read(spark, table).count() == 100)
+  }
+
   test("pipeline with bounded micro-batches (maxFilesPerTrigger=1) drains all segments") {
     val root = Files.createTempDirectory("etl_mb").toString
     (0 until 3).foreach { seg =>
