@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * Scala analogue of `mapInPandas` batches; one decoder instance per
   * partition, rows streamed through it).
   *
-  * The actual image/audio decode is STUBBED (`FakeDecoder`) — this container
-  * has no codec libraries — but the Spark-side plumbing is real: schema,
-  * encoder shapes, per-partition batching, and deterministic features that
-  * an oracle can recompute.
+  * Decode kernels: IMAGE decode is real (pure-JVM `javax.imageio` PNG/JPEG
+  * to gray8 pixels, [[ImageIoDecoder]]); AUDIO is real (RIFF/PCM16 WAV
+  * encode + chunk-list parse + RMS/zero-crossing/peak features,
+  * [[wavFromBytes]]/[[audioFeatures]]). Only the video keyframe extractor
+  * remains a deterministic stand-in behind the `Decoder` seam
+  * (`FakeDecoder` — no video codec ships with the JDK); its row-explosion
+  * plumbing, schema, and per-partition batching are what a real codec
+  * plugs into.
   */
 object Multimodal {
 
@@ -159,6 +163,121 @@ object Multimodal {
         }
       }
     }.toDF()
+  }
+
+  // ---- audio: real RIFF/PCM16 WAV codec ---------------------------------
+
+  /** Deterministic 16-bit PCM mono WAV from a payload byte-string: sample
+    * i = ((payload(i)*37 + i*11) mod 256 − 128) · 256 — varied sign and
+    * magnitude, reproducible by any engine from the same bytes (the m5
+    * oracle recomputes it from the text characters). The RIFF container
+    * is REAL (RIFF/WAVE + fmt + data chunks, little-endian), so
+    * [[audioFeatures]] exercises an actual parser, not a stub. */
+  def wavFromBytes(payload: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val n = payload.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      bb.putShort(((((payload(i) & 0xff) * 37 + i * 11) % 256 - 128) * 256).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Wrap each media row's bytes into a WAV (synthesis stage of the audio
+    * path) — same narrow mapPartitions shape as decode. */
+  def synthesizeWav(spark: SparkSession, media: DataFrame,
+      sampleRate: Int = 8000): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map(r => MediaRow(r.id, wavFromBytes(r.media, sampleRate), "audio/wav"))
+    }.toDF()
+  }
+
+  final case class AudioFeatures(
+      id: Long, n_samples: Long, sample_rate: Int, duration_ms: Long,
+      rms: Double, zero_crossings: Long, peak: Int)
+
+  /** Real WAV analysis: parse the RIFF chunk list (fmt → rate/bits/
+    * channels, data → PCM16 LE samples) and compute the standard audio
+    * curation features — RMS energy, zero-crossing rate, peak amplitude,
+    * duration. Non-WAV or truncated bytes skip the row (same lenient
+    * convention as the image decoder: corrupt media must never fail a
+    * 100 TB scan). One narrow mapPartitions stage, no shuffle. */
+  def audioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        parseWav(row.media).map { case (rate, samples) =>
+          var sumSq = 0L
+          var crossings = 0L
+          var peak = 0
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toInt
+            sumSq += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            // sign(0) counts as positive; a crossing is a sign flip
+            if (i > 0 && ((s >= 0) != (samples(i - 1) >= 0))) crossings += 1
+            i += 1
+          }
+          val n = samples.length.toLong
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+          AudioFeatures(row.id, n, rate, n * 1000L / rate, rms, crossings, peak)
+        }
+      }
+    }.toDF()
+  }
+
+  /** RIFF/WAVE parser: returns (sampleRate, PCM16 samples) or None for
+    * anything that isn't a complete mono PCM16 WAV. */
+  private[graft] def parseWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    bb.getInt // riff size (trust the chunk walk, not this)
+    if (tag() != "WAVE") return None
+    var rate = 0; var bits = 0; var channels = 0
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = tag(); val size = bb.getInt
+      if (size < 0 || size > bb.remaining()) return None
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          val audioFormat = bb.getShort
+          channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort
+          if (audioFormat != 1) return None
+          bb.position(fmtEnd)
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort; i += 1 }
+          if (size % 2 == 1) bb.get // pad byte
+        case _ => bb.position(bb.position() + size + (size % 2))
+      }
+    }
+    if (rate <= 0 || bits != 16 || channels != 1 || samples == null) None
+    else Some((rate, samples))
   }
 
   /** Per-partition feature extraction: one MessageDigest per partition,

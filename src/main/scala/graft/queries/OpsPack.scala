@@ -780,6 +780,50 @@ object OpsPack extends QueryPack {
           |       'text/plain' AS content_type
           |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin)),
 
+    // REAL audio path: each doc's text bytes are synthesized into an
+    // actual RIFF/PCM16 mono WAV (sample i = ((byte*37+i*11)%256-128)*256)
+    // on executors, then a real RIFF chunk-list parser recovers the rate
+    // and samples and computes the standard audio-curation features (RMS
+    // energy, zero-crossing count, peak, duration). DuckDB recomputes
+    // every feature from the synthesis formula over the text characters —
+    // so the WAV encode→parse round trip is hash-verified end to end.
+    // Both stages are narrow mapPartitions (no shuffle) — the only shape
+    // that survives a 100 TB media scan.
+    QueryDef(
+      "m5_audio_features",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Tables.load(s, dir, "documents").where(col("doc_id") < 40),
+          "doc_id", "text", "text/plain")
+        Multimodal.audioFeatures(s, Multimodal.synthesizeWav(s, media))
+          .select(col("id"), col("n_samples"), col("sample_rate"),
+            col("duration_ms"), round(col("rms"), 4).as("rms"),
+            col("zero_crossings"), col("peak"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+          |s AS (
+          |  SELECT doc_id,
+          |         UNNEST(list_transform(generate_series(1, length(text)),
+          |                i -> {'i': i,
+          |                      'smp': ((ascii(substr(text, i, 1)) * 37 + (i - 1) * 11) % 256 - 128) * 256})) AS u
+          |  FROM p),
+          |t AS (SELECT doc_id, u.i AS i, u.smp AS smp FROM s),
+          |c AS (
+          |  SELECT doc_id, i, smp,
+          |         CASE WHEN i > 1 AND ((smp >= 0) <>
+          |              (lag(smp) OVER (PARTITION BY doc_id ORDER BY i) >= 0))
+          |              THEN 1 ELSE 0 END AS x
+          |  FROM t)
+          |SELECT doc_id AS id, count(*) AS n_samples, 8000 AS sample_rate,
+          |       CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+          |       round(sqrt(CAST(SUM(CAST(smp AS BIGINT) * smp) AS DOUBLE)
+          |                  / count(*)), 4) AS rms,
+          |       CAST(SUM(x) AS BIGINT) AS zero_crossings,
+          |       CAST(MAX(abs(smp)) AS INTEGER) AS peak
+          |FROM c GROUP BY doc_id ORDER BY id""".stripMargin)),
+
     // REAL image decode (javax.imageio) through the Decoder seam: each doc
     // gets a deterministic 16x16 gray PNG (pixel i = (id*31+i*7)%127+1),
     // decoded to actual pixel bytes on executors; features (byte count,

@@ -509,6 +509,37 @@ class OpsSpec extends AnyFunSuite {
     assert(moved > n * 8 / 10, s"epoch 2 must reshuffle; only $moved of $n moved")
   }
 
+  test("WAV codec: encode→parse round trip, corrupt bytes skip, features exact") {
+    val payload = "hello wav world".getBytes("US-ASCII")
+    val wav = Multimodal.wavFromBytes(payload, sampleRate = 8000)
+    // real RIFF container
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((rate, samples)) = Multimodal.parseWav(wav)
+    assert(rate == 8000 && samples.length == payload.length)
+    // parsed samples match the synthesis formula exactly
+    payload.indices.foreach { i =>
+      val expect = (((payload(i) & 0xff) * 37 + i * 11) % 256 - 128) * 256
+      assert(samples(i).toInt == expect, s"sample $i")
+    }
+    // lenient on garbage: truncated, non-RIFF, stereo-flagged all skip
+    assert(Multimodal.parseWav("not audio".getBytes).isEmpty)
+    assert(Multimodal.parseWav(wav.take(20)).isEmpty)
+    assert(Multimodal.parseWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseWav(null).isEmpty)
+    val stereo = wav.clone(); stereo(22) = 2 // channels field
+    assert(Multimodal.parseWav(stereo).isEmpty)
+    // end-to-end over a DataFrame: one row per VALID medium only
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Multimodal.wavFromBytes("abc".getBytes), "audio/wav"),
+      (2L, "junk".getBytes, "audio/wav"))
+      .toDF("id", "media", "content_type")
+    val feats = Multimodal.audioFeatures(spark, mixed).collect()
+    assert(feats.map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    assert(feats.head.getAs[Long]("n_samples") == 3L)
+  }
+
   test("ImageIoDecoder decodes the PNG fixture to exact pixel bytes") {
     val png = Multimodal.pngFixture(seed = 7L, w = 16, h = 16)
     // a real PNG came out of ImageIO (magic bytes)
