@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * Scala analogue of `mapInPandas` batches; one decoder instance per
   * partition, rows streamed through it).
   *
-  * Decode kernels: IMAGE decode is real (pure-JVM `javax.imageio` PNG/JPEG
-  * to gray8 pixels, [[ImageIoDecoder]]); AUDIO is real (RIFF/PCM16 WAV
-  * encode + chunk-list parse + RMS/zero-crossing/peak features,
-  * [[wavFromBytes]]/[[audioFeatures]]). Only the video keyframe extractor
-  * remains a deterministic stand-in behind the `Decoder` seam
-  * (`FakeDecoder` — no video codec ships with the JDK); its row-explosion
-  * plumbing, schema, and per-partition batching are what a real codec
-  * plugs into.
+  * All three modality kernels are REAL, pure-JVM: IMAGE decode
+  * (`javax.imageio` PNG/JPEG to gray8 pixels, [[ImageIoDecoder]]), AUDIO
+  * (RIFF/PCM16 WAV encode + chunk-list parse + RMS/zero-crossing/peak
+  * features, [[wavFromBytes]]/[[audioFeatures]]), and VIDEO keyframes
+  * (multi-frame animated-GIF decode with stride sampling,
+  * [[videoKeyFrames]] — GIF is the only multi-frame container the bare
+  * JDK decodes; an ffmpeg-style codec plugs into the identical row shape).
+  * The generic `Decoder` seam (with `FakeDecoder`) remains for byte-level
+  * plumbing demos ([[frameSample]]/[[resize]] over arbitrary payloads).
   */
 object Multimodal {
 
@@ -160,6 +161,104 @@ object Multimodal {
           val out = Array.tabulate(nOut)(i =>
             decoded(math.min(i * stride, decoded.length - 1)))
           Iterator.single(ResizedRow(row.id, out, decoded.length, nOut))
+        }
+      }
+    }.toDF()
+  }
+
+  // ---- video: real multi-frame decode (animated GIF via javax.imageio) --
+
+  /** Deterministic animated 8-bit gray GIF: frame f's pixel at flat index
+    * i is `((seed·31 + f·13 + i·7) mod 127) + 1` — values 1..127, so an
+    * oracle reproduces each decoded frame as ASCII text and hashes it
+    * (same trick as [[pngFixture]]). GIF gray palettes are lossless, so
+    * the decode returns exactly these bytes (proved by OpsSpec). */
+  def gifFixture(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0,
+            (((seed * 31 + f * 13 + i * 7) % 127) + 1).toInt)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  final case class KeyFrameRow(
+      id: Long, frame_idx: Int, n_frames: Int, n_bytes: Long,
+      frame_digest: String, brightness: Double)
+
+  /** REAL video keyframe extraction: parse a multi-frame container
+    * (animated GIF — the only multi-frame format the bare JDK decodes),
+    * sample `n` evenly-spaced frames (stride = total/n, the same rule as
+    * [[frameSample]]'s byte slicing), and decode each sampled frame to an
+    * 8-bit gray pixel buffer. One narrow mapPartitions stage, one reader
+    * per medium; corrupt/non-animated bytes skip the row, never fail the
+    * scan. `frame_idx` is the frame's index IN THE VIDEO (not the sample
+    * ordinal), which is what downstream alignment needs. */
+  def videoKeyFrames(spark: SparkSession, media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"keyframe count must be positive, got $n")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val frames =
+          try {
+            if (row.media == null || row.media.isEmpty) Seq.empty
+            else {
+              val reader =
+                javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+              try {
+                reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(row.media)))
+                val total = reader.getNumImages(true)
+                if (total <= 0) Seq.empty
+                else {
+                  val span = math.max(1, total / n)
+                  (0 until math.min(n, total)).map { s =>
+                    val idx = s * span
+                    val img = reader.read(idx)
+                    val gray =
+                      if (img.getType ==
+                        java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+                      else {
+                        val g = new java.awt.image.BufferedImage(
+                          img.getWidth, img.getHeight,
+                          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                        val gg = g.createGraphics()
+                        try gg.drawImage(img, 0, 0, null) finally gg.dispose()
+                        g
+                      }
+                    val px = gray.getRaster.getDataBuffer
+                      .asInstanceOf[java.awt.image.DataBufferByte].getData
+                    (idx, total, px.clone())
+                  }
+                }
+              } finally reader.dispose()
+            }
+          } catch { case _: Exception => Seq.empty }
+        frames.iterator.map { case (idx, total, px) =>
+          md.reset()
+          val digest = md.digest(px).map("%02x".format(_)).mkString
+          val brightness =
+            if (px.isEmpty) 0.0
+            else px.map(b => (b & 0xff).toLong).sum.toDouble / px.length
+          KeyFrameRow(row.id, idx, total, px.length.toLong, digest, brightness)
         }
       }
     }.toDF()

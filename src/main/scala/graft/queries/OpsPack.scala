@@ -824,6 +824,43 @@ object OpsPack extends QueryPack {
           |       CAST(MAX(abs(smp)) AS INTEGER) AS peak
           |FROM c GROUP BY doc_id ORDER BY id""".stripMargin)),
 
+    // REAL video keyframe extraction: each doc gets a deterministic
+    // 6-frame animated gray GIF (frame f pixel i = (id*31+f*13+i*7)%127+1)
+    // and the REAL multi-frame ImageIO reader samples 3 evenly-spaced
+    // frames (stride 6/3=2 -> video frames 0,2,4), decoding each to gray8
+    // pixels. DuckDB reproduces every sampled frame's pixel buffer from
+    // the generative formula (values 1..127 round-trip as ASCII) — so the
+    // GIF encode -> multi-frame decode -> sample pipeline is hash-checked
+    // end to end. Narrow mapPartitions, one reader per medium, no shuffle.
+    QueryDef(
+      "m6_video_keyframes",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 25)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .map(id => (id, Multimodal.gifFixture(id, 8, 8, frames = 6), "image/gif"))
+          .toDF("id", "media", "content_type")
+        Multimodal.videoKeyFrames(s, media, n = 3)
+          .select(col("id"), col("frame_idx"), col("n_frames"), col("n_bytes"),
+            col("frame_digest"), round(col("brightness"), 4).as("brightness"))
+          .orderBy(col("id"), col("frame_idx"))
+      },
+      Some(
+        """WITH fr AS (
+          |  SELECT doc_id AS id, s * 2 AS frame_idx,
+          |         list_transform(range(0, 64),
+          |           i -> ((doc_id * 31 + (s * 2) * 13 + i * 7) % 127) + 1) AS vals
+          |  FROM documents, unnest(generate_series(0, 2)) AS t(s)
+          |  WHERE doc_id < 25)
+          |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          |       6 AS n_frames, CAST(64 AS BIGINT) AS n_bytes,
+          |       md5(array_to_string(list_transform(vals, v -> chr(CAST(v AS INTEGER))), '')) AS frame_digest,
+          |       round(list_reduce(list_transform(vals, v -> CAST(v AS DOUBLE)),
+          |                         (a, b) -> a + b) / 64, 4) AS brightness
+          |FROM fr ORDER BY id, frame_idx""".stripMargin)),
+
     // REAL image decode (javax.imageio) through the Decoder seam: each doc
     // gets a deterministic 16x16 gray PNG (pixel i = (id*31+i*7)%127+1),
     // decoded to actual pixel bytes on executors; features (byte count,

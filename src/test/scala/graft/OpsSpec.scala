@@ -509,6 +509,32 @@ class OpsSpec extends AnyFunSuite {
     assert(moved > n * 8 / 10, s"epoch 2 must reshuffle; only $moved of $n moved")
   }
 
+  test("video keyframes: multi-frame GIF decode is pixel-exact; corrupt skips") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.gifFixture(1L, 8, 8, frames = 6), "image/gif"),
+      (2L, Multimodal.gifFixture(2L, 8, 8, frames = 2), "image/gif"), // fewer frames than n
+      (3L, "not a gif".getBytes, "image/gif"))
+      .toDF("id", "media", "content_type")
+    val rows = Multimodal.videoKeyFrames(spark, media, n = 3)
+      .orderBy(col("id"), col("frame_idx")).collect()
+    // id 1: 6 frames, stride 2 -> video frames 0, 2, 4; id 2: 2 frames,
+    // stride 1 -> frames 0, 1 (only as many samples as frames exist);
+    // id 3: skipped entirely
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[Int]("frame_idx"))).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 1)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") == 64L)
+      val (id, f) = (r.getAs[Long]("id"), r.getAs[Int]("frame_idx"))
+      // digest matches the generative formula — the decode is pixel-exact
+      val expected = Array.tabulate(64)(i =>
+        (((id * 31 + f * 13 + i * 7) % 127) + 1).toByte)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(r.getAs[String]("frame_digest") ==
+        md.digest(expected).map("%02x".format(_)).mkString, s"id=$id f=$f")
+    }
+  }
+
   test("WAV codec: encode→parse round trip, corrupt bytes skip, features exact") {
     val payload = "hello wav world".getBytes("US-ASCII")
     val wav = Multimodal.wavFromBytes(payload, sampleRate = 8000)
