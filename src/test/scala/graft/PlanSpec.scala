@@ -124,6 +124,35 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 3, s"t24 should need at most 3 hash shuffles, saw $shuffles:\n$plan")
   }
 
+  test("t25/t26/s22/u10: shuffle/broadcast/expand shapes hold") {
+    // t25: one bounded per-shard window per epoch (2 total), digest agg
+    // runs map-side partials, never a cartesian
+    val t25 = planOf("t25_epoch_shuffle")
+    assert("Window \\[row_number".r.findAllIn(t25).length == 2,
+      s"t25 needs exactly the two per-epoch shard windows:\n$t25")
+    assert(t25.contains("partial_count") && !t25.contains("CartesianProduct"),
+      s"t25 digest agg must be two-phase and keyed:\n$t25")
+    // t26: the holdout/probe side of the contamination join broadcasts;
+    // nothing degenerates to a cartesian
+    val t26 = planOf("t26_leakfree_split")
+    assert(t26.contains("BroadcastHashJoin"),
+      s"t26 holdout side must broadcast:\n$t26")
+    assert(!t26.contains("CartesianProduct") &&
+      !t26.contains("BroadcastNestedLoopJoin"),
+      s"t26 joins must stay keyed:\n$t26")
+    // s22: the salt is in the plan (pmod over the row hash) and the join
+    // stays hash-based on (key, salt)
+    val s22 = planOf("s22_salted_join")
+    assert(s22.contains("pmod"), s"s22 must salt the fact side:\n$s22")
+    assert(!s22.contains("CartesianProduct") &&
+      !s22.contains("SortMergeJoin"),
+      s"s22 salted join must stay hash-based:\n$s22")
+    // u10: CUBE expands grouping sets map-side (Expand), agg is two-phase
+    val u10 = planOf("u10_cube_quantity")
+    assert(u10.contains("Expand"), s"u10 needs the grouping-set Expand:\n$u10")
+    assert(u10.contains("partial_sum"), s"u10 agg must be two-phase:\n$u10")
+  }
+
   test("w1: window ranking shuffles once on the partition key") {
     val plan = planOf("w1_top_orders_per_cust")
     assert(plan.contains("Window"), s"expected window exec:\n$plan")
