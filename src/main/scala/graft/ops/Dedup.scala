@@ -252,6 +252,81 @@ object Dedup {
     } finally docAgg.unpersist(false)
   }
 
+  /** Compact per-doc near-dup index: MinHash signature + distinct-shingle
+    * array per document — the state a CONTINUOUS ingest pipeline persists
+    * between batches so history is never re-shingled. One aggregate over
+    * the shingle explode (same single-pass shape as [[nearDuplicates]]);
+    * size ∝ corpus docs, not corpus bytes. Writable as a plain table and
+    * unioned across batches. */
+  def nearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    val withH = shinglesAuto(docs, idCol, textCol)
+      .withColumn("h", shingleHash28(col("sh")))
+    def perm(i: Int) =
+      min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % MinhashPrime).as(s"m$i")
+    withH.groupBy(col("doc"))
+      .agg(perm(0), ((1 until k).map(perm) :+ collect_list(col("sh")).as("shs")): _*)
+  }
+
+  /** Incremental first-occurrence dedup: which docs of `batch` survive
+    * against an accumulated history index ([[nearDupIndex]] of every doc
+    * seen so far) plus earlier docs of the same batch?
+    *
+    * Contract (deterministic, order-defined): a batch doc `b` is REJECTED
+    * iff some strictly earlier doc `a` — any indexed doc, or a batch doc
+    * with smaller id — is an LSH candidate of `b` AND verifies at exact
+    * Jaccard ≥ `threshold`. Ids must be globally monotone across batches
+    * (arrival order). Feeding batches through this and unioning
+    * [[nearDupIndex]] of each full batch into the index reproduces EXACTLY
+    * the one-shot result over the concatenated corpus (DedupSpec law;
+    * `d11_incremental_dedup` hash-checks it against a DuckDB oracle) —
+    * dedup of a growing corpus costs one batch×(index∪batch) candidate
+    * join per increment, never a full recompute.
+    *
+    * Returns (doc, accepted) for every batch doc. Scale shape: banding
+    * explodes only compact signatures; the candidate join is keyed on
+    * (band, bucket); verification joins candidate pairs against the two
+    * compact shingle-array sides — the batch is touched once, the history
+    * only through its index. */
+  def admitAgainstIndex(index: Option[DataFrame], batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val batchAgg = nearDupIndex(batch, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val all = index match {
+        case Some(ix) => ix.withColumn("is_new", lit(false))
+          .unionByName(batchAgg.withColumn("is_new", lit(true)))
+        case None => batchAgg.withColumn("is_new", lit(true))
+      }
+      val bb = lshBands(all.drop("shs", "is_new"), bands, k / bands)
+        .join(all.select(col("doc"), col("is_new")), "doc")
+      val l = bb.select(col("doc").as("a"), col("is_new").as("na_new"),
+        col("band"), col("bucket"))
+      val r = bb.where(col("is_new"))
+        .select(col("doc").as("b"), col("band"), col("bucket"))
+      val cands = l.join(r, Seq("band", "bucket"))
+        .where((!col("na_new")) || (col("a") < col("b")))
+        .select(col("a"), col("b")).distinct()
+      val docSets = all.select(col("doc"), col("shs"))
+      val rejected = cands
+        .join(docSets.select(col("doc").as("a"), col("shs").as("sha")), "a")
+        .join(docSets.select(col("doc").as("b"), col("shs").as("shb")), "b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("jac", col("inter") /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
+        .where(col("jac") >= threshold)
+        .select(col("b")).distinct()
+      // seed from the raw batch, not batchAgg: a doc too short to shingle
+      // has no index row but is still a (trivially accepted) batch member
+      batch.select(col(idCol).as("doc"))
+        .join(rejected.withColumn("rej", lit(true)),
+          col("doc") === col("b"), "left")
+        .select(col("doc"), col("rej").isNull.as("accepted"))
+        .localCheckpoint() // eager: materializes before batchAgg is released
+    } finally batchAgg.unpersist(false)
+  }
+
   /** Default document-frequency cap for [[ngramJaccardPairs]]: a shingle in
     * more than this many documents generates > cap²/2 candidate pairs while
     * carrying essentially no dedup signal (it is boilerplate by definition).

@@ -266,6 +266,85 @@ object DedupPack extends QueryPack {
           |       COALESCE(string_agg(CASE WHEN inst = owner THEN span END, ' ' ORDER BY pos), '') AS cleaned_text
           |FROM j GROUP BY doc
           |HAVING SUM(CASE WHEN inst = owner THEN 0 ELSE 1 END) > 0
-          |ORDER BY doc""".stripMargin))
+          |ORDER BY doc""".stripMargin)),
+
+    // Incremental first-occurrence dedup: the corpus arrives as two
+    // batches (split at max(doc_id) div 2); batch 1 is admitted against
+    // nothing, its FULL index (every seen doc, accepted or not) persists,
+    // and batch 2 is admitted against index + earlier batch-2 docs. A doc
+    // is rejected iff some strictly earlier doc LSH-collides AND verifies
+    // at Jaccard >= 0.5. The oracle recomputes the global pair set once
+    // and applies the same "exists earlier near-dup" rule — proving the
+    // incremental path equals the one-shot semantics (history never
+    // re-shingled; per-increment cost is batch x (index ∪ batch)).
+    QueryDef(
+      "d11_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val half = docs.agg(expr("max(doc_id) div 2").as("thr"))
+        val b1 = docs.crossJoin(broadcast(half))
+          .where(col("doc_id") < col("thr")).drop("thr")
+        val b2 = docs.crossJoin(broadcast(half))
+          .where(col("doc_id") >= col("thr")).drop("thr")
+        val a1 = Dedup.admitAgainstIndex(None, b1, "doc_id", "text", threshold = 0.5)
+        val ix = Dedup.nearDupIndex(b1, "doc_id", "text")
+        val a2 = Dedup.admitAgainstIndex(Some(ix), b2, "doc_id", "text", threshold = 0.5)
+        a1.withColumn("phase", lit(1))
+          .unionByName(a2.withColumn("phase", lit(2)))
+          .select(col("doc"), col("phase"), col("accepted"))
+          .orderBy(col("doc"))
+      },
+      Some(
+        s"""WITH $shinglesCte,
+           |$sigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT l.doc AS a, r.doc AS b
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc),
+           |$jaccardCtes,
+           |dups AS (
+           |  SELECT i.b
+           |  FROM inter i
+           |  JOIN counts ca ON ca.doc = i.a
+           |  JOIN counts cb ON cb.doc = i.b
+           |  WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5),
+           |thr AS (SELECT max(doc_id) // 2 AS t FROM documents)
+           |SELECT d.doc_id AS doc,
+           |       CASE WHEN d.doc_id < thr.t THEN 1 ELSE 2 END AS phase,
+           |       NOT EXISTS (SELECT 1 FROM dups WHERE dups.b = d.doc_id) AS accepted
+           |FROM documents d, thr
+           |ORDER BY doc""".stripMargin)),
+
+    // Blocked entity resolution: same-block (8-char normalized prefix)
+    // candidate pairs verified by exact Levenshtein on the 200-char
+    // normalized prefix, kept when distance <= 20% of the longer side.
+    // Both engines run the identical codegen'd edit distance, so the
+    // distances hash-match bit-for-bit. Blocks above the size cap are
+    // dropped (boilerplate guard), so pair generation is bounded per
+    // block and there is never an all-pairs product.
+    QueryDef(
+      "d12_entity_resolution",
+      (s, dir) => graft.ops.EntityResolution.matchPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        prefixLen = 8, verifyPrefixLen = 200, maxRelDist = 0.2,
+        maxBlockSize = 1000)
+        .orderBy(col("a"), col("b")),
+      Some(
+        """WITH n AS (
+          |  SELECT doc_id AS doc,
+          |         substr(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), 1, 200) AS t
+          |  FROM documents),
+          |b AS (SELECT doc, t, substr(t, 1, 8) AS blk FROM n),
+          |c AS (SELECT blk, count(*) AS bn FROM b GROUP BY blk),
+          |bb AS (SELECT b.* FROM b JOIN c USING (blk) WHERE bn <= 1000),
+          |p AS (
+          |  SELECT l.doc AS a, r.doc AS b2, levenshtein(l.t, r.t) AS lev,
+          |         greatest(len(l.t), len(r.t)) AS mx
+          |  FROM bb l JOIN bb r ON l.blk = r.blk AND l.doc < r.doc)
+          |SELECT a, b2 AS b, CAST(lev AS BIGINT) AS lev,
+          |       round(lev * 1.0 / mx, 4) AS rel
+          |FROM p WHERE lev <= 0.2 * mx
+          |ORDER BY a, b""".stripMargin))
   )
 }

@@ -1381,6 +1381,99 @@ object OpsPack extends QueryPack {
           |SELECT _diff_type, count(*) AS cnt,
           |       CAST(SUM(event_id) AS BIGINT) AS sum_key
           |FROM d WHERE _diff_type IS NOT NULL
-          |GROUP BY 1 ORDER BY _diff_type""".stripMargin))
+          |GROUP BY 1 ORDER BY _diff_type""".stripMargin)),
+
+    // Per-source contribution caps (the C4/RefinedWeb "no single domain
+    // dominates" rule): keep at most 15 docs per source, selected by a
+    // deterministic md5 priority so reruns/audits pick the identical set
+    // on any cluster layout. The rank filter compiles to WindowGroupLimit
+    // — map tasks pre-limit to 15 per source BEFORE the shuffle, so a
+    // celebrity domain's rows never converge on one reducer at full size
+    // (PlanSpec locks the shape).
+    QueryDef(
+      "t27_source_caps",
+      (s, dir) => graft.ops.Curation.capAudit(
+        Tables.load(s, dir, "documents"), "doc_id", "source", cap = 15)
+        .orderBy(col("source")),
+      Some(
+        """WITH r AS (
+          |  SELECT source, doc_id,
+          |         row_number() OVER (PARTITION BY source
+          |             ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)),
+          |                      doc_id) AS rnk
+          |  FROM documents),
+          |k AS (
+          |  SELECT source, count(*) AS n_kept,
+          |         CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+          |         min(doc_id) AS min_kept, max(doc_id) AS max_kept
+          |  FROM r WHERE rnk <= 15 GROUP BY source),
+          |t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+          |SELECT t.source, t.n_total, k.n_kept, k.kept_id_sum,
+          |       k.min_kept, k.max_kept
+          |FROM t JOIN k USING (source)
+          |ORDER BY source""".stripMargin)),
+
+    // Multinomial Naive Bayes classifier (the fastText-class linear text
+    // classifier of curation pipelines): train language ID on 2/3 of the
+    // corpus, predict the held-out 1/3. Every log-prob is 6dp-rounded and
+    // integer-scaled at model build, so document scores are EXACT integer
+    // sums — the argmax is partitioning-independent and DuckDB reproduces
+    // every prediction bit-for-bit. Training state is |vocab|x|labels|
+    // (corpus-size-independent, map-side partials); the fitted model
+    // broadcasts back onto a single narrow corpus pass.
+    QueryDef(
+      "t28_nb_classifier",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(col("doc_id") % 3 =!= 0)
+        val test = docs.where(col("doc_id") % 3 === 0)
+        val model = graft.ops.NaiveBayes.fit(train, "doc_id", "text", "lang")
+        graft.ops.NaiveBayes.classify(model, test, "doc_id", "text")
+          .join(test.select(col("doc_id").as("doc"), col("lang").as("actual")), "doc")
+          .withColumn("correct", col("predicted") === col("actual"))
+          .select(col("doc"), col("predicted"), col("actual"),
+            col("correct"), col("score"))
+          .orderBy(col("doc"))
+      },
+      Some(
+        """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0),
+          |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+          |ttoks AS (
+          |  SELECT doc_id, lang, w AS tok, count(*) AS cnt
+          |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM train)
+          |  WHERE w <> '' GROUP BY 1, 2, 3),
+          |counts AS (SELECT lang AS label, tok, CAST(SUM(cnt) AS BIGINT) AS c
+          |           FROM ttoks GROUP BY 1, 2),
+          |vocab AS (SELECT DISTINCT tok FROM counts),
+          |v AS (SELECT count(*) AS v FROM vocab),
+          |nl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_l FROM counts GROUP BY 1),
+          |model AS (
+          |  SELECT vocab.tok, nl.label,
+          |         CAST(round(ln((COALESCE(c.c, 0) + 1) * 1.0 / (nl.n_l + v.v))
+          |                    * 1000000) AS BIGINT) AS lp
+          |  FROM vocab CROSS JOIN nl CROSS JOIN v
+          |  LEFT JOIN counts c ON c.tok = vocab.tok AND c.label = nl.label),
+          |dt AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM dt),
+          |priors AS (
+          |  SELECT label, CAST(round(ln(n_docs * 1.0 / tot.n) * 1000000) AS BIGINT) AS prior
+          |  FROM dt, tot),
+          |qtoks AS (
+          |  SELECT doc_id AS doc, w AS tok, count(*) AS cnt
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test)
+          |  WHERE w <> '' GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT q.doc, m.label, CAST(SUM(q.cnt * m.lp) AS BIGINT) AS ts
+          |  FROM qtoks q JOIN model m USING (tok) GROUP BY 1, 2),
+          |fin AS (
+          |  SELECT sc.doc, sc.label, sc.ts + p.prior AS score,
+          |         row_number() OVER (PARTITION BY sc.doc
+          |             ORDER BY sc.ts + p.prior DESC, sc.label) AS rnk
+          |  FROM sc JOIN priors p USING (label))
+          |SELECT f.doc, f.label AS predicted, t.lang AS actual,
+          |       f.label = t.lang AS correct, f.score
+          |FROM fin f JOIN test t ON t.doc_id = f.doc
+          |WHERE f.rnk = 1
+          |ORDER BY doc""".stripMargin))
   )
 }

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops._
+
+/** Round-8 curation operators: per-source caps, NB classifier, incremental
+  * dedup admission, blocked entity resolution. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Tables.load(spark, sf, "documents")
+
+  // ---- Curation.capPerKey ----------------------------------------------
+
+  test("capPerKey keeps at most cap docs per key, a subset of the input") {
+    val kept = Curation.capPerKey(docs, "doc_id", "source", cap = 10)
+    val perKey = kept.groupBy("source").count().collect()
+    assert(perKey.nonEmpty)
+    perKey.foreach(r => assert(r.getLong(1) <= 10))
+    // subset: every kept id exists in the source frame
+    assert(kept.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("capPerKey selection is deterministic and partitioning-independent") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation.capPerKey(df, "doc_id", "source", cap = 7)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(17, col("doc_id")))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("capPerKey with cap >= group size keeps everything") {
+    val n = docs.count()
+    assert(Curation.capPerKey(docs, "doc_id", "source", cap = 100000).count() == n)
+  }
+
+  // ---- NaiveBayes -------------------------------------------------------
+
+  test("NB classifier separates classes with distinct vocabularies") {
+    // the driver corpus's lang labels are synthetic (same token soup for
+    // every label — no learnable signal), so learning behavior is tested
+    // on a constructed corpus: three classes with mostly-disjoint
+    // vocabulary plus shared stopwords
+    import spark.implicits._
+    val vocab = Map(
+      "sport" -> Seq("goal", "match", "team", "score", "league"),
+      "food" -> Seq("recipe", "oven", "salt", "butter", "simmer"),
+      "code" -> Seq("compile", "branch", "merge", "commit", "deploy"))
+    val rows = for {
+      (label, words) <- vocab.toSeq
+      i <- 0 until 30
+    } yield {
+      val picks = (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+      val stop = Seq("the", "a", "of")((i + picks.length) % 3)
+      ((label.hashCode.toLong & 0xffff) * 1000 + i, s"$stop ${picks.mkString(" ")}", label)
+    }
+    val df = rows.toDF("doc_id", "text", "label")
+    val train = df.where(col("doc_id") % 3 =!= 0)
+    val test0 = df.where(col("doc_id") % 3 === 0)
+    val model = NaiveBayes.fit(train, "doc_id", "text", "label")
+    val pred = NaiveBayes.classify(model, test0, "doc_id", "text")
+      .join(test0.select(col("doc_id").as("doc"), col("label")), "doc")
+    val n = pred.count()
+    val correct = pred.where(col("predicted") === col("label")).count()
+    assert(n > 0)
+    assert(correct == n, s"expected perfect separation, got $correct/$n")
+  }
+
+  test("NB scores are exact integers: reruns and repartitions agree bit-for-bit") {
+    val train = docs.where(col("doc_id") % 3 =!= 0)
+    val test0 = docs.where(col("doc_id") % 3 === 0)
+    def run(t: org.apache.spark.sql.DataFrame) = {
+      val model = NaiveBayes.fit(t, "doc_id", "text", "lang")
+      NaiveBayes.classify(model, test0, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    assert(run(train) == run(train.repartition(13)))
+  }
+
+  // ---- Dedup.admitAgainstIndex -----------------------------------------
+
+  test("incremental admission over any id split equals the one-shot result") {
+    def oneShot: Map[Long, Boolean] = {
+      // reference semantics: b rejected iff exists earlier near-dup a<b
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      val rejected = pairs.select(col("b")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      docs.select("doc_id").collect()
+        .map(r => r.getLong(0) -> !rejected(r.getLong(0))).toMap
+    }
+    def incremental(splitAt: Long): Map[Long, Boolean] = {
+      val b1 = docs.where(col("doc_id") < splitAt)
+      val b2 = docs.where(col("doc_id") >= splitAt)
+      val a1 = Dedup.admitAgainstIndex(None, b1, "doc_id", "text", threshold = 0.5)
+      val ix = Dedup.nearDupIndex(b1, "doc_id", "text")
+      val a2 = Dedup.admitAgainstIndex(Some(ix), b2, "doc_id", "text", threshold = 0.5)
+      (a1.collect() ++ a2.collect())
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val expected = oneShot
+    assert(expected.values.exists(v => !v), "fixture should contain near-dups")
+    assert(incremental(100L) == expected)
+    assert(incremental(333L) == expected)
+  }
+
+  test("admission accepts docs too short to shingle (no silent drop)") {
+    import spark.implicits._
+    val tiny = Seq((1L, "hello"), (2L, "hello")).toDF("doc_id", "text")
+    val out = Dedup.admitAgainstIndex(None, tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+  }
+
+  test("admission releases its per-batch aggregate (only the result checkpoint stays)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val b = docs.where(col("doc_id") < 100)
+    Dedup.admitAgainstIndex(None, b, "doc_id", "text").count()
+    // admitAgainstIndex persists one internal aggregate and must release
+    // it; the only new storage allowed is the localCheckpoint result
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked ${leaked.size} persisted RDDs: $leaked")
+  }
+
+  // ---- EntityResolution -------------------------------------------------
+
+  test("entity resolution finds exact copies at distance 0 and respects the cap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),   // exact copy
+      (3L, "the quick brown fox jumps over the lazy cat yesterday"), // near copy
+      (4L, "completely different text that shares no block prefix")
+    ).toDF("doc_id", "text")
+    val pairs = EntityResolution.matchPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("entity resolution drops over-full blocks instead of exploding them") {
+    import spark.implicits._
+    val boiler = (0L until 50L).map(i => (i, s"same prefix here $i"))
+    val df = boiler.toDF("doc_id", "text")
+    val capped = EntityResolution.matchPairs(df, "doc_id", "text", maxBlockSize = 10)
+    assert(capped.count() == 0)
+    val open = EntityResolution.matchPairs(df, "doc_id", "text", maxBlockSize = 100)
+    assert(open.count() > 0)
+  }
+
+  test("entity resolution matches the relative-distance contract") {
+    val rows = EntityResolution.matchPairs(docs, "doc_id", "text").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel") <= 0.2 + 1e-9)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+  }
+}

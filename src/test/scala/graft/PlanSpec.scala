@@ -316,4 +316,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"per-doc top-m should use WindowGroupLimit:\n$plan")
   }
+
+  test("t27: per-source cap pre-limits map-side via WindowGroupLimit") {
+    val plan = planOf("t27_source_caps")
+    // the rank <= cap filter must become a WindowGroupLimit so a celebrity
+    // source's rows are truncated to the cap in each map task BEFORE the
+    // exchange — without it the hot key converges on one reducer in full
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap filter should compile to WindowGroupLimit:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("t28: NB model broadcasts onto the corpus pass; argmax is a rank-limit") {
+    val plan = planOf("t28_nb_classifier")
+    // the fitted (token x label) model is bounded by vocabulary size and
+    // must broadcast — a shuffle join would move the corpus token stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join should broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc argmax should compile to WindowGroupLimit:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"model-grid cross joins must broadcast (BNLJ), never CartesianProduct:\n$plan")
+  }
 }
