@@ -155,6 +155,72 @@ object Pipeline {
     query.awaitTermination()
   }
 
+  /** Continuous first-occurrence near-dedup: drain a document topic
+    * through the checkpointed stream, admitting each micro-batch against
+    * the accumulated [[graft.ops.Dedup.nearDupIndex]] (a plain parquet
+    * table of per-doc MinHash signatures + shingle arrays) before the
+    * records land. The continuous twin of the batch `d11` contract: a doc
+    * is rejected iff a STRICTLY EARLIER doc (already indexed, or earlier
+    * in the same batch) LSH-collides and verifies at Jaccard ≥ threshold
+    * — history is consulted through its compact index, never re-shingled.
+    *
+    * Documents are read as (doc_id = `_offset`, text = `_value`); the
+    * topic must be produced in id order (arrival order = id order), which
+    * is what makes the result batch-boundary-independent and equal to the
+    * one-shot batch dedup of the full topic.
+    *
+    * Crash-safety ordering per micro-batch: ACCEPTED ROWS SINK FIRST
+    * (guarded by the sink's offset-dedup, so replays are idempotent),
+    * then the batch's index rows append. A crash between the two replays
+    * the batch against the pre-batch index — same decisions, sink
+    * no-ops. A crash after the index append but before the checkpoint
+    * commit replays the batch against an index that already contains it;
+    * the admission's self-pair guard (`a != b`) keeps a doc from
+    * colliding with its own indexed copy, and the sink's offset-dedup
+    * drops the re-landed rows either way. */
+  def runDedup(
+      spark: SparkSession,
+      kfsRoot: String,
+      tablePath: String,
+      checkpointDir: String,
+      indexPath: String,
+      threshold: Double = 0.5,
+      maxSegmentsPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.format("kfs").option("path", kfsRoot)
+    maxSegmentsPerTrigger.foreach(n =>
+      reader.option("max_segments_per_trigger", n.toString))
+    val decoded = reader.load().select(col("_topic"), col("_partition"),
+      col("_offset"), col("_ts_ms"), col("_key"), col("_value"), col("_headers"))
+    val query = decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val ss = batch0.sparkSession
+        val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val docs = batch.select(col("_offset").as("doc_id"),
+            col("_value").cast("string").as("text"))
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(indexPath match {
+              case p if p.contains("://") => p
+              case p => s"file://$p"
+            }), ss.sparkContext.hadoopConfiguration)
+          val ixPath = new org.apache.hadoop.fs.Path(indexPath)
+          val ix = if (fs.exists(ixPath)) Some(ss.read.parquet(indexPath)) else None
+          val admitted = graft.ops.Dedup.admitAgainstIndex(
+            ix, docs, "doc_id", "text", threshold)
+          val acceptedRows = batch.join(
+            admitted.where(col("accepted")).select(col("doc").as("_offset")),
+            Seq("_offset"), "left_semi")
+          sinkBatch(ss, acceptedRows, tablePath, Nil, Off)
+          graft.ops.Dedup.nearDupIndex(docs, "doc_id", "text")
+            .write.mode("append").parquet(indexPath)
+        } finally batch.unpersist()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** One micro-batch: validate → extract → offset-dedup → append. */
   def sinkBatch(spark: SparkSession, batch0: DataFrame, tablePath: String,
       schemaCols: Seq[SchemaCol], validation: Validation,

@@ -31,6 +31,43 @@ object KfsSeed {
     root
   }
 
+  /** The `documents` table as a single-partition KFS topic `docs`:
+    * offset = doc_id (both dense from 0 — driver testdata invariant),
+    * key = doc_id, value = text bytes. Arrival order therefore equals id
+    * order, which is what makes streaming first-occurrence dedup
+    * (`Pipeline.runDedup`) oracle-checkable: "earlier in the stream" and
+    * "smaller doc_id" coincide. 250 records/segment so every SF yields
+    * multiple segments (micro-batch boundaries to exercise). */
+  def seededDocsRoot(spark: SparkSession, sfDir: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = s"/tmp/graft_kfs_docs/v1/$sfName"
+    this.synchronized {
+      val marker = Paths.get(root, "_SEEDED")
+      if (!Files.exists(marker)) {
+        val rows = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+          .collect()
+          .sortBy(_.getAs[Long]("doc_id"))
+        val records = rows.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          KfsCodec.Record(
+            offset = id,
+            timestampMs = 1700000000000L + id,
+            key = id.toString.getBytes("UTF-8"),
+            value = r.getAs[String]("text").getBytes("UTF-8"),
+            headers = Seq.empty)
+        }
+        val refs = records.grouped(250).map { group =>
+          KfsLayout.writeSegment(root, "docs", 0, group.toSeq)
+        }.toSeq
+        KfsLayout.writeManifest(root, "docs", 0, refs)
+        Files.createDirectories(marker.getParent)
+        Files.write(marker, Array.emptyByteArray)
+      }
+    }
+    root
+  }
+
   private def seed(spark: SparkSession, sfDir: String, root: String): Unit = {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts_ms"), col("user_id"),

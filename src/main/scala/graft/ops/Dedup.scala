@@ -305,8 +305,12 @@ object Dedup {
         col("band"), col("bucket"))
       val r = bb.where(col("is_new"))
         .select(col("doc").as("b"), col("band"), col("bucket"))
+      // a =!= b guards the replay case: if a crash-replayed batch already
+      // appended itself to the index, a doc must not "collide" with its
+      // own indexed copy and self-reject
       val cands = l.join(r, Seq("band", "bucket"))
-        .where((!col("na_new")) || (col("a") < col("b")))
+        .where(((!col("na_new")) && col("a") =!= col("b")) ||
+          (col("na_new") && col("a") < col("b")))
         .select(col("a"), col("b")).distinct()
       val docSets = all.select(col("doc"), col("shs"))
       val rejected = cands

@@ -12,7 +12,7 @@ import graft.ops.Dedup
 object DedupPack extends QueryPack {
 
   /** Shared shingle CTE (distinct word 3-grams per doc) for oracle SQL. */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """sh AS (
       |  SELECT DISTINCT doc_id AS doc, s AS sh FROM (
       |    SELECT doc_id,
@@ -25,7 +25,7 @@ object DedupPack extends QueryPack {
   private val k = 16
   private val nBands = 4
 
-  private def sigsCte: String = {
+  private[queries] def sigsCte: String = {
     import graft.ops.Dedup.{minhashA, minhashB, MinhashPrime}
     val mins = (0 until k).map(i =>
       s"min((${minhashA(i)} * h + ${minhashB(i)}) % $MinhashPrime) AS m$i").mkString(", ")
@@ -34,7 +34,7 @@ object DedupPack extends QueryPack {
        |GROUP BY doc)""".stripMargin
   }
 
-  private def bandsCte: String = {
+  private[queries] def bandsCte: String = {
     val rows = (0 until nBands).map { b =>
       val ms = (0 until k / nBands).map(r =>
         s"CAST(m${b * (k / nBands) + r} AS VARCHAR)").mkString(" || '|' || ")
@@ -43,7 +43,7 @@ object DedupPack extends QueryPack {
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
 
-  private val jaccardCtes =
+  private[queries] val jaccardCtes =
     """counts AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
       |inter AS (
       |  SELECT c.a, c.b, count(*) AS inter

@@ -566,6 +566,54 @@ object EtlPack extends QueryPack {
           |FROM events_topic
           |WHERE event_type IN ('purchase', 'view')
           |  AND CAST(json_extract_string(_value, '$.k') AS INTEGER) >= 2
-          |GROUP BY _partition ORDER BY partition""".stripMargin)))
+          |GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // Continuous first-occurrence near-dedup: the documents corpus arrives
+    // as a KFS topic (arrival order = doc_id order) and is admitted
+    // micro-batch by micro-batch against the accumulated MinHash index —
+    // a doc is rejected iff a strictly earlier doc LSH-collides and
+    // verifies at Jaccard >= 0.5. The segment admission cap forces the
+    // drain to span multiple micro-batches, so the cross-batch index path
+    // (persisted signatures, history never re-shingled) really runs. The
+    // oracle recomputes the global exists-earlier-near-dup rule in one
+    // shot — streaming ≡ batch, the St5 claim for dedup.
+    QueryDef(
+      "e18_stream_dedup",
+      (s, dir) => {
+        val root = KfsSeed.seededDocsRoot(s, dir)
+        val table = tmp(dir, "sdedup_table")
+        val ckpt = tmp(dir, "sdedup_ckpt")
+        val index = tmp(dir, "sdedup_index")
+        // ~2 micro-batches at any SF: half the segment count per trigger
+        val nSegs = math.max(1,
+          math.ceil(Tables.load(s, dir, "documents").count() / 250.0).toInt)
+        Pipeline.runDedup(s, root, table, ckpt, index, threshold = 0.5,
+          maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        val accepted = TableSink.read(s, table)
+          .select(col("offset").as("doc"), lit(true).as("acc"))
+        Tables.load(s, dir, "documents").select(col("doc_id").as("doc"))
+          .join(accepted, Seq("doc"), "left")
+          .select(col("doc"), coalesce(col("acc"), lit(false)).as("accepted"))
+          .orderBy(col("doc"))
+      },
+      Some(
+        s"""WITH ${DedupPack.shinglesCte},
+           |${DedupPack.sigsCte},
+           |${DedupPack.bandsCte},
+           |cands AS (
+           |  SELECT DISTINCT l.doc AS a, r.doc AS b
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc),
+           |${DedupPack.jaccardCtes},
+           |dups AS (
+           |  SELECT i.b
+           |  FROM inter i
+           |  JOIN counts ca ON ca.doc = i.a
+           |  JOIN counts cb ON cb.doc = i.b
+           |  WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5)
+           |SELECT d.doc_id AS doc,
+           |       NOT EXISTS (SELECT 1 FROM dups WHERE dups.b = d.doc_id) AS accepted
+           |FROM documents d
+           |ORDER BY doc""".stripMargin))
   )
 }

@@ -220,6 +220,54 @@ class EtlSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("offset"))).collect().head.getLong(0) == 150)
   }
 
+  test("streaming near-dedup: multi-batch drain equals one-shot, replay adds nothing") {
+    val root = Files.createTempDirectory("sdedup").toString
+    // 4 segments of 10 docs; docs 5, 17 and 31 are copies of doc 2
+    def text(i: Int): String =
+      if (Set(5, 17, 31)(i)) "alpha beta gamma delta epsilon zeta eta theta two"
+      else if (i == 2) "alpha beta gamma delta epsilon zeta eta theta two"
+      else s"unique document body number $i with plenty of distinct words $i $i"
+    (0 until 4).foreach { seg =>
+      val recs = (0 until 10).map { j =>
+        val id = seg * 10 + j
+        KfsCodec.Record(id.toLong, 1706000000000L + id,
+          id.toString.getBytes, text(id).getBytes, Nil)
+      }
+      KfsLayout.writeSegment(root, "docs", 0, recs)
+    }
+    val table = Files.createTempDirectory("sdedup_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("sdedup_ck").toString
+    val index = Files.createTempDirectory("sdedup_ix").toString + "/ix"
+    Pipeline.runDedup(spark, root, table, ckpt, index, threshold = 0.5,
+      maxSegmentsPerTrigger = Some(1)) // 4 separate micro-batches
+    val accepted = TableSink.read(spark, table)
+      .select(col("offset")).collect().map(_.getLong(0)).toSet
+    // copies of doc 2 rejected (5 and 31 land in LATER batches than 2 —
+    // the cross-batch index path), everything else accepted
+    assert(accepted == (0 until 40).map(_.toLong).toSet -- Set(5L, 17L, 31L))
+    // replay with the same checkpoint: no new segments, table unchanged
+    Pipeline.runDedup(spark, root, table, ckpt, index, threshold = 0.5,
+      maxSegmentsPerTrigger = Some(1))
+    assert(TableSink.read(spark, table).count() == 37)
+  }
+
+  test("admission survives an index that already contains the batch (crash replay)") {
+    import spark.implicits._
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "totally different words in this one here now")).toDF("doc_id", "text")
+    // index already holds BOTH batch docs (replay after index append) plus
+    // a genuinely earlier dup of doc 10
+    val earlier = Seq((3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val ix = graft.ops.Dedup.nearDupIndex(earlier.unionByName(batch), "doc_id", "text")
+    val out = graft.ops.Dedup.admitAgainstIndex(Some(ix), batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // 10 rejected by doc 3 (real earlier dup), NOT by its own indexed copy;
+    // 11 must not self-reject
+    assert(out == Map(10L -> false, 11L -> true))
+  }
+
   // ---- LFS (consumer.go:59-91) -------------------------------------------
 
   test("lfs envelope parse detects claim checks only") {
