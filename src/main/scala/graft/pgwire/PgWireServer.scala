@@ -359,6 +359,10 @@ class PgWireServer(
       commandComplete(out, "SET")
       return
     }
+    if (lower.startsWith("copy")) {
+      runCopy(sql, out)
+      return
+    }
     try {
       val (schema, rows) = computeResult(sql)
       rowDescription(out, schema)
@@ -376,6 +380,84 @@ class PgWireServer(
         gov.queryErrors.incrementAndGet()
         errorResponse(out, "XX000", msg(e))
     }
+  }
+
+  /** `COPY (query) TO STDOUT [WITH (FORMAT CSV [, HEADER])]` — the bulk
+    * export path psql's `\copy` and ETL scripts use. The wrapped query runs
+    * through the same governed KAFSQL engine as simple queries; output
+    * streams as CopyOutResponse → CopyData rows → CopyDone. Formats: pg
+    * text (tab delimiter, `\N` null, backslash escapes — the default) and
+    * CSV (RFC-style quoting, empty null, optional header). COPY FROM
+    * (ingest) is intentionally rejected: topics are written by brokers,
+    * not the query head. */
+  private val copyRe =
+    "(?is)^copy\\s*\\((.*)\\)\\s*to\\s+stdout\\s*(?:with\\s*\\((.*)\\))?\\s*;?$".r
+
+  private def runCopy(sql: String, out: DataOutputStream): Unit = sql match {
+    case copyRe(inner, opts) =>
+      val optSet = Option(opts).map(_.toLowerCase.split(",").map(_.trim).toSet)
+        .getOrElse(Set.empty[String])
+      val csv = optSet.exists(_.startsWith("format csv"))
+      val header = optSet.contains("header") || optSet.contains("header true")
+      val unknown = optSet.filterNot(o =>
+        o.startsWith("format csv") || o == "format text" ||
+          o == "header" || o == "header true" || o.isEmpty)
+      try {
+        if (unknown.nonEmpty)
+          throw new KafsqlException(s"unsupported COPY option: ${unknown.head}")
+        if (header && !csv)
+          throw new KafsqlException("COPY HEADER requires FORMAT CSV")
+        val (schema, rows) = computeResult(inner.trim)
+        // CopyOutResponse: overall format 0 (text), per-column 0s
+        out.writeByte('H')
+        out.writeInt(4 + 1 + 2 + 2 * schema.length)
+        out.writeByte(0)
+        out.writeShort(schema.length)
+        schema.indices.foreach(_ => out.writeShort(0))
+        def copyData(line: String): Unit = {
+          val b = (line + "\n").getBytes(StandardCharsets.UTF_8)
+          out.writeByte('d'); out.writeInt(4 + b.length); out.write(b)
+        }
+        def csvField(s: String): String =
+          if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+            "\"" + s.replace("\"", "\"\"") + "\""
+          else s
+        def textField(s: String): String = s.flatMap {
+          case '\\' => "\\\\"
+          case '\t' => "\\t"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case c => c.toString
+        }
+        if (header) copyData(schema.fieldNames.map(csvField).mkString(","))
+        rows.foreach { r =>
+          val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+            if (r.isNullAt(i)) { if (csv) "" else "\\N" }
+            else {
+              val s = render(f.dataType, r.get(i))
+              if (csv) csvField(s) else textField(s)
+            }
+          }
+          copyData(fields.mkString(if (csv) "," else "\t"))
+        }
+        out.writeByte('c'); out.writeInt(4) // CopyDone
+        commandComplete(out, s"COPY ${rows.length}")
+        gov.queriesServed.incrementAndGet()
+      } catch {
+        case e: AclDeniedException =>
+          gov.queryErrors.incrementAndGet()
+          errorResponse(out, "42501", e.getMessage)
+        case e: KafsqlException =>
+          gov.queryErrors.incrementAndGet()
+          errorResponse(out, "42601", e.getMessage)
+        case e: Exception =>
+          gov.queryErrors.incrementAndGet()
+          errorResponse(out, "XX000", msg(e))
+      }
+    case _ =>
+      gov.queryErrors.incrementAndGet()
+      errorResponse(out, "42601",
+        "only COPY (query) TO STDOUT [WITH (FORMAT CSV[, HEADER])] is supported")
   }
 
   /** Synthesized pg_catalog / information_schema relations so BI tools can

@@ -246,6 +246,33 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("COPY TO STDOUT streams CSV with header over the wire") {
+    val (code, out, err) = psql(
+      "COPY (SELECT _partition, COUNT(*) AS cnt FROM events " +
+        "GROUP BY _partition LAST 30d) TO STDOUT WITH (FORMAT CSV, HEADER)")
+    assert(code == 0, s"psql failed: $err")
+    val lines = out.trim.linesIterator.toSeq
+    assert(lines.head == "_partition,cnt")
+    assert(lines.tail == Seq("0,250", "1,250", "2,250", "3,250"))
+  }
+
+  test("COPY text format renders NULL as \\N") {
+    val (code, out, err) = psql(
+      "COPY (SELECT _offset, json_value(_value, '$.missing') AS m FROM events " +
+        "WHERE _partition = 0 AND _offset <= 1 SCAN FULL) TO STDOUT")
+    assert(code == 0, s"psql failed: $err")
+    val lines = out.trim.linesIterator.toSeq
+    assert(lines == Seq("0\t\\N", "1\t\\N"))
+  }
+
+  test("COPY FROM and unknown options are rejected with a syntax error") {
+    val (c1, _, e1) = psql("COPY events FROM STDIN")
+    assert(c1 != 0 && e1.contains("TO STDOUT"))
+    val (c2, _, e2) = psql(
+      "COPY (SELECT _offset FROM events LAST 30d) TO STDOUT WITH (FORMAT BINARY)")
+    assert(c2 != 0 && e2.contains("unsupported COPY option"))
+  }
+
   test("psql runs the flagship aggregate over the wire") {
     val (code, out, err) = psql(
       "SELECT _partition, COUNT(*) AS cnt FROM events GROUP BY _partition LAST 30d")
