@@ -183,6 +183,26 @@ object TableSink {
     }
   }
 
+  /** Replace the table's CONTENT with `df` atomically — the same
+    * rename-aside swap (and crash recovery) as [[compact]], but with new
+    * rows instead of a rewrite of the old ones. `df` may read from this
+    * very table (it is materialized into the aside dir before the swap).
+    * The table schema becomes `df`'s schema. */
+  def replace(spark: SparkSession, table: String, df: DataFrame): Unit =
+      lockFor(table).synchronized {
+    recoverSwap(table)
+    val tmp = s"$table/data_replace"
+    df.write.mode("overwrite").parquet(tmp)
+    val dataDir = Paths.get(s"$table/data")
+    val oldDir = Paths.get(s"$table/data_old")
+    deleteRecursive(oldDir)
+    Files.createDirectories(Paths.get(table))
+    if (Files.exists(dataDir)) Files.move(dataDir, oldDir)
+    Files.move(Paths.get(tmp), dataDir)
+    Files.write(schemaPath(table), df.schema.json.getBytes(StandardCharsets.UTF_8))
+    deleteRecursive(oldDir)
+  }
+
   private[graft] def deleteRecursive(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

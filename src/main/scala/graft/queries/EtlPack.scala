@@ -614,6 +614,34 @@ object EtlPack extends QueryPack {
            |SELECT d.doc_id AS doc,
            |       NOT EXISTS (SELECT 1 FROM dups WHERE dups.b = d.doc_id) AS accepted
            |FROM documents d
-           |ORDER BY doc""".stripMargin))
+           |ORDER BY doc""".stripMargin)),
+
+    // Incrementally-maintained materialized aggregate: per-partition
+    // count + sum of a json field kept current micro-batch by micro-batch
+    // (merge-on-read partials stamped with the batch id — the replay
+    // guard — then folded into one generation by compact()). The oracle
+    // recomputes the aggregate over the whole topic in one shot: the
+    // incrementally-maintained view ≡ the full recompute, surviving both
+    // the multi-batch drain and the compaction fold.
+    QueryDef(
+      "e19_incremental_agg",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "iagg_table")
+        val ckpt = tmp(dir, "iagg_ckpt")
+        AggMaintenance.run(s, root, table, ckpt, Seq("_partition"),
+          get_json_object(col("_value").cast("string"), "$.k"),
+          maxSegmentsPerTrigger = Some(1))
+        AggMaintenance.compact(s, table, Seq("_partition"))
+        AggMaintenance.read(s, table, Seq("_partition"))
+          .select(col("_partition").as("partition"), col("cnt"),
+            col("sum_v").cast("long").as("sum_k"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+          |FROM events_topic
+          |GROUP BY _partition ORDER BY partition""".stripMargin)))
   )
 }

@@ -268,6 +268,52 @@ class EtlSpec extends AnyFunSuite {
     assert(out == Map(10L -> false, 11L -> true))
   }
 
+  test("incremental aggregate: batch-id replay guard survives even checkpoint loss") {
+    val root = Files.createTempDirectory("iagg").toString
+    (0 until 3).foreach { seg =>
+      val recs = (0 until 40).map(i => KfsCodec.Record((seg * 40 + i).toLong,
+        1706000000000L + i, s"k$i".getBytes,
+        s"""{"v":${seg * 40 + i}}""".getBytes, Nil))
+      KfsLayout.writeSegment(root, "nums", 0, recs)
+    }
+    val table = Files.createTempDirectory("iagg_tbl").toString + "/t"
+    def drain(ck: String): Unit = AggMaintenance.run(spark, root, table, ck,
+      Seq("_partition"), get_json_object(col("_value").cast("string"), "$.v"),
+      maxSegmentsPerTrigger = Some(1))
+    val ck1 = Files.createTempDirectory("iagg_ck1").toString
+    drain(ck1)
+    def state() = AggMaintenance.read(spark, table, Seq("_partition"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Set((0, 120L, (0 until 120).sum.toDouble))
+    assert(state() == expected)
+    // same checkpoint: no new segments, nothing re-applied
+    drain(ck1)
+    assert(state() == expected)
+    // FRESH checkpoint (checkpoint loss): batches replay with the same
+    // ids; the batch-id anti-join drops them all — still exactly once
+    val ck2 = Files.createTempDirectory("iagg_ck2").toString
+    drain(ck2)
+    assert(state() == expected)
+    // compaction folds partials to |keys| rows and preserves the view
+    val before = TableSink.read(spark, table).count()
+    AggMaintenance.compact(spark, table, Seq("_partition"))
+    val after = TableSink.read(spark, table).count()
+    assert(before >= after && after == 1)
+    assert(state() == expected)
+  }
+
+  test("TableSink.replace swaps content atomically and updates the schema") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("repl_tbl").toString + "/t"
+    TableSink.append(spark, table, Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    TableSink.replace(spark, table,
+      Seq((10L, "x", true)).toDF("id", "s", "flag"))
+    val out = TableSink.read(spark, table)
+    assert(out.columns.toSeq == Seq("id", "s", "flag"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq ==
+      Seq((10L, "x", true)))
+  }
+
   // ---- LFS (consumer.go:59-91) -------------------------------------------
 
   test("lfs envelope parse detects claim checks only") {
