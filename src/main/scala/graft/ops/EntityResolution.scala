@@ -57,10 +57,34 @@ object EntityResolution {
       .where(col("bn") <= maxBlockSize)
     val l = bounded.select(col("blk"), col("doc").as("a"), col("t").as("ta"))
     val r = bounded.select(col("blk"), col("doc").as("b"), col("t").as("tb"))
-    l.join(r, "blk").where(col("a") < col("b"))
-      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+    // The edit distance dominates this operator's cost, so it is doubly
+    // bounded WITHOUT changing the result set:
+    //   1. length prefilter — lev(a,b) >= |len(a)-len(b)|, so pairs whose
+    //      length gap alone exceeds the budget never run the DP;
+    //   2. banded DP — the worst admissible distance is
+    //      maxRelDist * verifyPrefixLen, so the threshold form computes an
+    //      O(len * band) stripe and returns -1 (filtered) beyond it,
+    //      instead of the full O(len^2) matrix per pair.
+    val band = math.ceil(maxRelDist * verifyPrefixLen).toInt + 1
+    val shufflePartitions =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // Candidate pairs are tiny in BYTES but heavy in CPU (a DP stripe
+    // each), and a popular block's pairs all land in ONE join partition —
+    // so the pair set is round-robin repartitioned before the DP and
+    // PINNED there with an eager localCheckpoint (the nearDuplicates
+    // pattern). The checkpoint is load-bearing twice over: without it the
+    // optimizer pushes the lev filter back below the repartition (running
+    // the whole DP serially inside the skewed block partition — measured
+    // 5.2s vs 1s at sf0.1) and inlines the lev expression into each of
+    // its two predicate references, doubling the DP.
+    val pairs = l.join(r, "blk").where(col("a") < col("b"))
       .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
-      .where(col("lev") <= lit(maxRelDist) * col("mx"))
+      .where(abs(length(col("ta")) - length(col("tb"))) <= lit(maxRelDist) * col("mx"))
+      .repartition(shufflePartitions)
+      .localCheckpoint()
+    pairs
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), band))
+      .where(col("lev") >= 0 && col("lev") <= lit(maxRelDist) * col("mx"))
       .select(col("a"), col("b"), col("lev").cast("long").as("lev"),
         round(col("lev") / col("mx"), 4).as("rel"))
   }
