@@ -290,9 +290,15 @@ object Dedup {
     * only through its index. */
   def admitAgainstIndex(index: Option[DataFrame], batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
-      k: Int = 16, bands: Int = 4): DataFrame = {
-    val batchAgg = nearDupIndex(batch, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k: Int = 16, bands: Int = 4,
+      precomputedAgg: Option[DataFrame] = None): DataFrame = {
+    // callers that already hold the batch's index (admitting a batch THEN
+    // extending the index with it) pass it in and own its lifecycle —
+    // otherwise the batch would be shingled twice
+    val ownAgg = precomputedAgg.isEmpty
+    val batchAgg = precomputedAgg.getOrElse(
+      nearDupIndex(batch, idCol, textCol, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val all = index match {
         case Some(ix) => ix.withColumn("is_new", lit(false))
@@ -328,7 +334,7 @@ object Dedup {
           col("doc") === col("b"), "left")
         .select(col("doc"), col("rej").isNull.as("accepted"))
         .localCheckpoint() // eager: materializes before batchAgg is released
-    } finally batchAgg.unpersist(false)
+    } finally if (ownAgg) batchAgg.unpersist(false)
   }
 
   /** Default document-frequency cap for [[ngramJaccardPairs]]: a shingle in

@@ -286,13 +286,20 @@ object DedupPack extends QueryPack {
           .where(col("doc_id") < col("thr")).drop("thr")
         val b2 = docs.crossJoin(broadcast(half))
           .where(col("doc_id") >= col("thr")).drop("thr")
-        val a1 = Dedup.admitAgainstIndex(None, b1, "doc_id", "text", threshold = 0.5)
+        // batch 1's index serves BOTH its own admission and phase 2's
+        // history — shingled once, released after the (eager) admits
         val ix = Dedup.nearDupIndex(b1, "doc_id", "text")
-        val a2 = Dedup.admitAgainstIndex(Some(ix), b2, "doc_id", "text", threshold = 0.5)
-        a1.withColumn("phase", lit(1))
-          .unionByName(a2.withColumn("phase", lit(2)))
-          .select(col("doc"), col("phase"), col("accepted"))
-          .orderBy(col("doc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val a1 = Dedup.admitAgainstIndex(None, b1, "doc_id", "text",
+            threshold = 0.5, precomputedAgg = Some(ix))
+          val a2 = Dedup.admitAgainstIndex(Some(ix), b2, "doc_id", "text",
+            threshold = 0.5)
+          a1.withColumn("phase", lit(1))
+            .unionByName(a2.withColumn("phase", lit(2)))
+            .select(col("doc"), col("phase"), col("accepted"))
+            .orderBy(col("doc"))
+        } finally ix.unpersist(false)
       },
       Some(
         s"""WITH $shinglesCte,
