@@ -1474,6 +1474,38 @@ object OpsPack extends QueryPack {
           |       f.label = t.lang AS correct, f.score
           |FROM fin f JOIN test t ON t.doc_id = f.doc
           |WHERE f.rnk = 1
-          |ORDER BY doc""".stripMargin))
+          |ORDER BY doc""".stripMargin)),
+
+    // Conversation threading (SFT corpus construction): the event log
+    // becomes per-user sessions split on >1h inactivity, each with its
+    // time-ordered turn transcript and audit digest. One shuffle on the
+    // actor key; session islands via lag+cumsum (per-actor bounded sort);
+    // transcripts assembled IN-ROW (collect → array_sort → join), never a
+    // second shuffle or an ordered aggregate over a whole partition.
+    QueryDef(
+      "t29_sft_threads",
+      (s, dir) => graft.ops.Conversations.threads(
+        Tables.events(s, dir), "user_id", "ts_ms", "event_id",
+        col("event_type"), gapMs = 3600000L)
+        .orderBy(col("user_id"), col("session_idx")),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+          |w AS (
+          |  SELECT *, lag(ts_ms) OVER (PARTITION BY user_id
+          |                             ORDER BY ts_ms, event_id) AS prev
+          |  FROM e),
+          |s AS (
+          |  SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 3600000
+          |                          THEN 1 ELSE 0 END)
+          |       OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+          |             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+          |  FROM w)
+          |SELECT user_id, session_idx, count(*) AS n_turns,
+          |       min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+          |       string_agg(event_type, ' ' ORDER BY ts_ms, event_id) AS convo,
+          |       md5(string_agg(event_type, ' ' ORDER BY ts_ms, event_id)) AS convo_md5
+          |FROM s GROUP BY user_id, session_idx
+          |ORDER BY user_id, session_idx""".stripMargin))
   )
 }

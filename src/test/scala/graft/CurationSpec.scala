@@ -125,6 +125,38 @@ class CurationSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"leaked ${leaked.size} persisted RDDs: $leaked")
   }
 
+  // ---- Conversations ----------------------------------------------------
+
+  test("conversation threading splits on the gap and orders turns in time") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: two sessions (gap of 2h between ts 1000 and 7201000)
+      (1L, 1000L, 1L, "ask"), (1L, 2000L, 2L, "answer"), (1L, 3000L, 3L, "follow"),
+      (1L, 7201000L, 4L, "ask"), (1L, 7202000L, 5L, "answer"),
+      // user 2: one session, out-of-order input rows, tie on ts broken by id
+      (2L, 5000L, 7L, "b"), (2L, 4000L, 6L, "a"), (2L, 5000L, 8L, "c")
+    ).toDF("user_id", "ts_ms", "event_id", "tok")
+    val out = Conversations.threads(events, "user_id", "ts_ms", "event_id",
+      col("tok"), gapMs = 3600000L)
+      .orderBy(col("user_id"), col("session_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[String]("convo")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 3L, "ask answer follow"),
+      (1L, 1L, 2L, "ask answer"),
+      (2L, 0L, 3L, "a b c")))
+  }
+
+  test("conversation transcripts are partitioning-independent") {
+    val ev = Tables.events(spark, sf)
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      Conversations.threads(df, "user_id", "ts_ms", "event_id",
+        col("event_type"), gapMs = 3600000L)
+        .select("user_id", "session_idx", "convo_md5")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(digests(ev) == digests(ev.repartition(11)))
+  }
+
   // ---- EntityResolution -------------------------------------------------
 
   test("entity resolution finds exact copies at distance 0 and respects the cap") {

@@ -338,4 +338,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"model-grid cross joins must broadcast (BNLJ), never CartesianProduct:\n$plan")
   }
+
+  test("t29: conversation threading shuffles once on the actor key") {
+    val plan = planOf("t29_sft_threads")
+    // session window + per-session aggregate must share the user_id
+    // exchange; the transcript is built in-row, so there is no second
+    // keyed shuffle and no ordered/Sort aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"one actor-key shuffle expected, got $exchanges:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"transcript must assemble in-row, not via SortAggregate:\n$plan")
+  }
 }
