@@ -1506,6 +1506,60 @@ object OpsPack extends QueryPack {
           |       string_agg(event_type, ' ' ORDER BY ts_ms, event_id) AS convo,
           |       md5(string_agg(event_type, ' ' ORDER BY ts_ms, event_id)) AS convo_md5
           |FROM s GROUP BY user_id, session_idx
-          |ORDER BY user_id, session_idx""".stripMargin))
+          |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // Capstone corpus build: the full pretraining-data path in ONE plan —
+    // exact dedup (hash-aggregate keepers + semi-join, never a window
+    // sort), quality gate (codegen'd token count), per-source caps
+    // (WindowGroupLimit), then packing into 512-token training sequences
+    // (sharded cumsum). Every stage is the scale shape its standalone
+    // query locks; the oracle chains the same four stages relationally,
+    // so the END-TO-END composition is hash-checked, not just the parts.
+    QueryDef(
+      "t30_corpus_build",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val keepers = docs
+          .groupBy(md5(lower(trim(col("text")))).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val unique = docs.join(keepers.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val gated = unique.where(TextAnalysis.tokenCount(col("text")) >= 10)
+        val capped = graft.ops.Curation.capPerKey(gated, "doc_id", "source", cap = 20)
+        graft.ops.Packing.sequenceStats(
+          graft.ops.Packing.packSequences(capped, "doc_id", "text",
+            seqLen = 512, shards = 8), "doc_id")
+          .orderBy(col("shard"), col("seq_idx"))
+      },
+      Some(
+        """WITH dd AS (
+          |  SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keeper
+          |  FROM documents GROUP BY 1),
+          |k1 AS (SELECT d.* FROM documents d JOIN dd ON d.doc_id = dd.keeper),
+          |k2 AS (SELECT * FROM k1 WHERE len(string_split(text, ' ')) >= 10),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          |  FROM k2),
+          |k3 AS (SELECT doc_id, text FROM r WHERE rnk <= 20),
+          |p AS (
+          |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM k3),
+          |c AS (
+          |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+          |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          |              AND 1 PRECEDING), 0) AS tok_start
+          |  FROM p),
+          |a AS (
+          |  SELECT shard, CAST(tok_start // 512 AS BIGINT) AS seq_idx,
+          |         doc_id, n_tokens,
+          |         (tok_start % 512) + n_tokens > 512 AS straddles
+          |  FROM c)
+          |SELECT shard, seq_idx, count(*) AS n_docs,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+          |       CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+          |FROM a GROUP BY shard, seq_idx
+          |ORDER BY shard, seq_idx""".stripMargin))
   )
 }

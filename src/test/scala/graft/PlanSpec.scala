@@ -339,6 +339,19 @@ class PlanSpec extends AnyFunSuite {
       s"model-grid cross joins must broadcast (BNLJ), never CartesianProduct:\n$plan")
   }
 
+  test("t30: corpus build composes without a sort below the dedup aggregate") {
+    val plan = planOf("t30_corpus_build")
+    // the dedup stage is hash-aggregate keepers + semi-join: no Sort may
+    // appear below the packing window (the t6 scale-killer shape), and the
+    // per-source cap must stay a WindowGroupLimit
+    assert(plan.contains("WindowGroupLimit"),
+      s"source cap should pre-limit map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"dedup semi-join must stay hash-based:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"no sort aggregates anywhere in the build:\n$plan")
+  }
+
   test("t29: conversation threading shuffles once on the actor key") {
     val plan = planOf("t29_sft_threads")
     // session window + per-session aggregate must share the user_id
