@@ -154,6 +154,43 @@ object OpsPack extends QueryPack {
            |SELECT a, b, round(c, 4) AS cos_sim
            |FROM pairs WHERE c >= 0.2 ORDER BY a, b""".stripMargin)),
 
+    // Semantic benchmark decontamination — the embedding twin of d8's
+    // n-gram check: does a training vector sit too close (cosine) to any
+    // benchmark vector? The tiny probe side BROADCASTS onto the corpus's
+    // LSH buckets (one narrow corpus pass, the d8 scale contract); cosine
+    // verifies only same-bucket candidates, never corpus × probes.
+    QueryDef(
+      "d13_semantic_contamination",
+      (s, dir) => {
+        val sim = Similarity
+        val e = Tables.load(s, dir, "embeddings")
+        val b = e.select(col("vec_id"), col("embedding"),
+          sim.norm(col("embedding")).as("nrm"),
+          sim.lshSignature(col("embedding"), 4, 64).as("bucket"))
+        val probes = b.where(col("vec_id") < 5)
+          .select(col("vec_id").as("p"), col("embedding").as("ep"),
+            col("nrm").as("np"), col("bucket"))
+        val corpus = b.where(col("vec_id") >= 5)
+          .select(col("vec_id").as("c_vec"), col("embedding").as("ec"),
+            col("nrm").as("nc"), col("bucket"))
+        corpus.join(broadcast(probes), Seq("bucket"))
+          .withColumn("cs", sim.dot(col("ec"), col("ep")) / (col("nc") * col("np")))
+          .where(col("cs") >= 0.2)
+          .select(col("c_vec"), col("p"), round(col("cs"), 4).as("cos_sim"))
+          .orderBy(col("c_vec"), col("p"))
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${duckSignature("embedding", 4)} AS bucket
+           |  FROM embeddings),
+           |pairs AS (
+           |  SELECT c.vec_id AS c_vec, p.vec_id AS p,
+           |         ${duckCosine("c.embedding", "p.embedding")} AS cs
+           |  FROM b c JOIN b p ON c.bucket = p.bucket
+           |   AND c.vec_id >= 5 AND p.vec_id < 5)
+           |SELECT c_vec, p, round(cs, 4) AS cos_sim
+           |FROM pairs WHERE cs >= 0.2 ORDER BY c_vec, p""".stripMargin)),
+
     // SemDeDup-shaped semantic dedup: LSH buckets bound the candidate set
     // (never an all-pairs cosine), same-bucket pairs >= threshold become
     // edges, transitive closure picks one representative (min id) per
