@@ -101,6 +101,110 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[pngFixture]] with a small deterministic perturbation: variant `v`
+    * lifts pixels at `i mod 37 == v` by 4 — images sharing a seed are
+    * NEAR-duplicates (perceptual-hash hamming 0–1 on 16×16), different
+    * seeds are far (≥4). The formula is oracle-reproducible. */
+  def pngFixtureVariant(seed: Long, v: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val base = ((seed * 31 + i * 7) % 120) + 1
+        raster.setSample(x, y, 0,
+          (base + (if (i % 37 == v) 4 else 0)).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Average-hash (aHash) of a w×h gray8 buffer: downsample to 8×8 by
+    * block sums, bit = block mean > global mean, row-major 64-char bit
+    * string. Pure integer arithmetic (block_sum·(w·h) > total·block_px),
+    * so any engine recomputing the pixels reproduces the hash exactly.
+    * Returns null for buffers that are not exactly w×h (corrupt media
+    * skips, never fails). */
+  def aHashBits(decoded: Array[Byte], w: Int, h: Int): String = {
+    if (decoded == null || decoded.length != w * h) return null
+    val bw = w / 8; val bh = h / 8
+    var total = 0L
+    var i = 0
+    while (i < decoded.length) { total += (decoded(i) & 0xff); i += 1 }
+    val sb = new StringBuilder(64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var bs = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            bs += (decoded((by * bh + dy) * w + bx * bw + dx) & 0xff)
+            dx += 1
+          }
+          dy += 1
+        }
+        // block mean > global mean, cross-multiplied to stay integral
+        sb.append(if (bs * w * h > total * bw * bh) '1' else '0')
+        bx += 1
+      }
+      by += 1
+    }
+    sb.toString
+  }
+
+  /** Perceptual hashes for a media frame: decode on executors (the same
+    * mapPartitions seam as [[extractFeatures]]), aHash in the same pass.
+    * Undecodable/mis-sized media yields a null hash (dropped). */
+  def imageHashes(spark: SparkSession, media: DataFrame,
+      decoder: Decoder, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        Option(aHashBits(decoder.decode(row.media), w, h))
+          .map(bits => (row.id, bits))
+      }
+    }.toDF("id", "ahash")
+  }
+
+  /** Near-duplicate images by perceptual hash: 4×16-bit pigeonhole bands
+    * generate candidates (hamming ≤ 3 guarantees a clean band — the
+    * simhash banding argument), exact hamming verifies via codegen'd
+    * conv/xor/bit_count. One shuffle on the band bucket, never image
+    * pairs × pixels — pixels never leave the hashing pass. */
+  def aHashNearDups(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"4x16 banding guarantees recall only to 3: $maxDist")
+    val bands = hashes.select(col("id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("ahash"), b * 16 + 1, 16).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("ahash"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val l = bands.select(col("id").as("a"), col("ahash").as("ha"),
+      col("band"), col("bucket"))
+    val r = bands.select(col("id").as("b"), col("ahash").as("hb"),
+      col("band"), col("bucket"))
+    def word(c: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(c, i * 16 + 1, 16), 2, 10).cast("long")
+    val ham = (0 until 4).map(i =>
+      bit_count(word(col("ha"), i).bitwiseXOR(word(col("hb"), i))))
+      .reduce(_ + _)
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", ham.cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Build a media frame from any (id, bytes) source. */
   def asMedia(df: DataFrame, idCol: String, bytesCol: String,
       contentType: String): DataFrame =

@@ -931,6 +931,62 @@ object OpsPack extends QueryPack {
           |                         (a, b) -> a + b) / 256, 4) AS brightness
           |FROM px ORDER BY id""".stripMargin)),
 
+    // Image near-dup dedup by PERCEPTUAL HASH over real decoded pixels:
+    // PNGs decode via javax.imageio on executors, the average-hash (8x8
+    // block means vs global mean, pure integer arithmetic) is computed in
+    // the same pass, and near-dups surface via 4x16-bit pigeonhole bands
+    // + exact hamming verify (codegen'd conv/xor/bit_count). The fixture
+    // makes ids sharing doc_id div 4 near-identical images (hamming 0-1)
+    // and different seeds far (>= 4); DuckDB recomputes pixels from the
+    // generative formula and must reproduce every hash and distance.
+    QueryDef(
+      "m7_image_ahash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 40)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .map(id => (id, Multimodal.pngFixtureVariant(id / 4, id % 4, 16, 16),
+            "image/png"))
+          .toDF("id", "media", "content_type")
+        val hashes = Multimodal.imageHashes(s, media,
+          Multimodal.ImageIoDecoder, 16, 16)
+        Multimodal.aHashNearDups(hashes, maxDist = 3)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT doc_id AS id,
+          |         list_transform(range(0, 256),
+          |           i -> ((doc_id // 4 * 31 + i * 7) % 120) + 1 +
+          |                CASE WHEN i % 37 = doc_id % 4 THEN 4 ELSE 0 END) AS vals
+          |  FROM documents WHERE doc_id < 40),
+          |tot AS (SELECT id, vals, list_reduce(vals, (a, b) -> a + b) AS total FROM px),
+          |bits AS (
+          |  SELECT id, array_to_string(list_transform(range(0, 64), b ->
+          |    CASE WHEN (
+          |      vals[CAST((b // 8) * 32 + (b % 8) * 2 + 1 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + (b % 8) * 2 + 2 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + 16 + (b % 8) * 2 + 1 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + 16 + (b % 8) * 2 + 2 AS INT)]) * 256 > total * 4
+          |    THEN '1' ELSE '0' END), '') AS ahash
+          |  FROM tot),
+          |bands AS (
+          |  SELECT id, ahash, b AS band, substr(ahash, CAST(b * 16 + 1 AS INT), 16) AS bucket
+          |  FROM bits, unnest(generate_series(0, 3)) AS t(b)),
+          |cand AS (
+          |  SELECT DISTINCT l.id AS a, r.id AS b2, l.ahash AS ha, r.ahash AS hb
+          |  FROM bands l JOIN bands r
+          |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+          |ham AS (
+          |  SELECT a, b2, CAST(list_sum(list_transform(range(1, 65), i ->
+          |    CASE WHEN substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)
+          |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+          |  FROM cand)
+          |SELECT a, b2 AS b, hamming FROM ham
+          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin)),
+
     // multimodal frame sampling: 1 media row -> n deterministic "frames"
     // (stubbed keyframe decode, real UDTF-shaped explosion)
     QueryDef(

@@ -125,6 +125,31 @@ class CurationSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"leaked ${leaked.size} persisted RDDs: $leaked")
   }
 
+  // ---- Image perceptual-hash dedup --------------------------------------
+
+  test("aHash banding recalls every brute-force pair at hamming <= 3; corrupt skips") {
+    import spark.implicits._
+    val media = (0L until 24L).map { id =>
+      val bytes =
+        if (id == 23L) Array[Byte](1, 2, 3) // corrupt: not an image
+        else Multimodal.pngFixtureVariant(id / 4, id % 4, 16, 16)
+      (id, bytes, "image/png")
+    }.toDF("id", "media", "content_type")
+    val hashes = Multimodal.imageHashes(spark, media,
+      Multimodal.ImageIoDecoder, 16, 16)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!hs.contains(23L), "corrupt media must be skipped, not fail")
+    assert(hs.size == 23 && hs.values.forall(_.length == 64))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if ham(hs(a), hs(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Multimodal.aHashNearDups(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && banded == brute)
+  }
+
   // ---- Conversations ----------------------------------------------------
 
   test("conversation threading splits on the gap and orders turns in time") {
