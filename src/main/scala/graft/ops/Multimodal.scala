@@ -398,6 +398,71 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic PCM16 WAV with seed/variant structure for fingerprint
+    * dedup fixtures: sample i = ((((i·11 + seed·97)·(seed mod 7 + 3))
+    * mod 256) − 128)·250, +512 at i mod 97 == v. Same seed ⇒ near-identical
+    * energy envelope (fingerprint hamming 0–2); different seeds get a
+    * different period structure (≥4). All values fit PCM16; the formula is
+    * oracle-reproducible. */
+  def wavFixtureVariant(seed: Long, v: Long, n: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    val m = seed % 7 + 3
+    var i = 0
+    while (i < n) {
+      val base = (((i * 11 + seed * 97) * m) % 256 - 128) * 250
+      bb.putShort((base + (if (i % 97 == v) 512 else 0)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Acoustic fingerprint of a WAV: 64 equal frames, bit = frame energy >
+    * mean frame energy (integer cross-multiplication, engine-exact),
+    * row-major 64-char bit string — the energy-envelope shape that
+    * audio near-dup detection keys on. Returns null for non-WAV media or
+    * streams shorter than 64 samples (corrupt skips). The output feeds
+    * the same 4×16-bit banding verifier as the image hash
+    * ([[aHashNearDups]]). */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        parseWav(row.media).flatMap { case (_, samples) =>
+          val fl = samples.length / 64
+          if (fl == 0) None
+          else {
+            val n = fl * 64
+            var tot = 0L
+            var i = 0
+            while (i < n) {
+              val s = samples(i).toLong; tot += s * s; i += 1
+            }
+            val sb = new StringBuilder(64)
+            var f = 0
+            while (f < 64) {
+              var fe = 0L
+              var j = 0
+              while (j < fl) {
+                val s = samples(f * fl + j).toLong; fe += s * s; j += 1
+              }
+              sb.append(if (fe * 64 > tot) '1' else '0')
+              f += 1
+            }
+            Some((row.id, sb.toString))
+          }
+        }
+      }
+    }.toDF("id", "ahash")
+  }
+
   /** Wrap each media row's bytes into a WAV (synthesis stage of the audio
     * path) — same narrow mapPartitions shape as decode. */
   def synthesizeWav(spark: SparkSession, media: DataFrame,

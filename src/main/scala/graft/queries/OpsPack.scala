@@ -987,6 +987,62 @@ object OpsPack extends QueryPack {
           |SELECT a, b2 AS b, hamming FROM ham
           |WHERE hamming <= 3 ORDER BY a, b""".stripMargin)),
 
+    // Audio near-dup dedup by ACOUSTIC FINGERPRINT over real PCM: WAVs
+    // parse through the real RIFF codec on executors, the 64-frame
+    // energy-envelope fingerprint is computed in the same pass (integer
+    // cross-multiplication), and near-dups ride the SAME 4x16-bit banding
+    // + hamming verifier as the image hash — one shuffle on the band
+    // bucket, samples never leave the fingerprint pass. Fixture: ids
+    // sharing doc_id div 4 are the same signal with a tiny perturbation
+    // (hamming 0-2), different seeds have a different period structure
+    // (>= 4); DuckDB recomputes every fingerprint from the sample formula.
+    QueryDef(
+      "m8_audio_fingerprint_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 40)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .map(id => (id, Multimodal.wavFixtureVariant(id / 4, id % 4, 1024),
+            "audio/wav"))
+          .toDF("id", "media", "content_type")
+        val prints = Multimodal.audioFingerprint(s, media)
+        Multimodal.aHashNearDups(prints, maxDist = 3)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(
+        """WITH sm AS (
+          |  SELECT doc_id AS id,
+          |         list_transform(range(0, 1024),
+          |           i -> CAST((((i * 11 + doc_id // 4 * 97) * (doc_id // 4 % 7 + 3)) % 256 - 128) * 250 +
+          |                CASE WHEN i % 97 = doc_id % 4 THEN 512 ELSE 0 END AS BIGINT)) AS vals
+          |  FROM documents WHERE doc_id < 40),
+          |tot AS (
+          |  SELECT id, vals,
+          |         list_reduce(list_transform(vals, v -> v * v), (a, b) -> a + b) AS total
+          |  FROM sm),
+          |bits AS (
+          |  SELECT id, array_to_string(list_transform(range(0, 64), f ->
+          |    CASE WHEN list_reduce(list_transform(vals[CAST(f * 16 + 1 AS INT):CAST(f * 16 + 16 AS INT)],
+          |                                         v -> v * v), (a, b) -> a + b) * 64 > total
+          |    THEN '1' ELSE '0' END), '') AS ahash
+          |  FROM tot),
+          |bands AS (
+          |  SELECT id, ahash, b AS band, substr(ahash, CAST(b * 16 + 1 AS INT), 16) AS bucket
+          |  FROM bits, unnest(generate_series(0, 3)) AS t(b)),
+          |cand AS (
+          |  SELECT DISTINCT l.id AS a, r.id AS b2, l.ahash AS ha, r.ahash AS hb
+          |  FROM bands l JOIN bands r
+          |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+          |ham AS (
+          |  SELECT a, b2, CAST(list_sum(list_transform(range(1, 65), i ->
+          |    CASE WHEN substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)
+          |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+          |  FROM cand)
+          |SELECT a, b2 AS b, hamming FROM ham
+          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin)),
+
     // multimodal frame sampling: 1 media row -> n deterministic "frames"
     // (stubbed keyframe decode, real UDTF-shaped explosion)
     QueryDef(

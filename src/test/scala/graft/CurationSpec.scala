@@ -150,6 +150,27 @@ class CurationSpec extends AnyFunSuite {
     assert(brute.nonEmpty && banded == brute)
   }
 
+  test("audio fingerprints separate same-signal variants from different signals") {
+    import spark.implicits._
+    val media = (0L until 24L).map { id =>
+      val bytes =
+        if (id == 23L) "not a wav".getBytes("UTF-8")
+        else Multimodal.wavFixtureVariant(id / 4, id % 4, 1024)
+      (id, bytes, "audio/wav")
+    }.toDF("id", "media", "content_type")
+    val prints = Multimodal.audioFingerprint(spark, media)
+    val hs = prints.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!hs.contains(23L), "non-WAV media must be skipped")
+    assert(hs.size == 23 && hs.values.forall(_.length == 64))
+    val pairs = Multimodal.aHashNearDups(prints, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every same-seed pair found, no cross-seed pair admitted
+    val expected = (for {
+      a <- 0L until 23L; b <- (a + 1) until 23L if a / 4 == b / 4
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
   // ---- Conversations ----------------------------------------------------
 
   test("conversation threading splits on the gap and orders turns in time") {
