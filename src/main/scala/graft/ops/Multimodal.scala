@@ -368,6 +368,124 @@ object Multimodal {
     }.toDF()
   }
 
+  /** [[gifFixture]] with the image-fixture perturbation per frame: frame f
+    * pixel i = ((seed·31 + f·13 + i·7) mod 120) + 1, +4 at i mod 37 == v.
+    * Same-seed variants are near-duplicate VIDEOS (every sampled frame's
+    * aHash within hamming ≤ 3); different seeds diverge on at least one
+    * sampled frame. Formula is oracle-reproducible. */
+  def gifFixtureVariant(seed: Long, v: Long, w: Int, h: Int,
+      frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          val base = ((seed * 31 + f * 13 + i * 7) % 120) + 1
+          raster.setSample(i % w, i / w, 0,
+            (base + (if (i % 37 == v) 4 else 0)).toInt)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Per-keyframe perceptual hashes for a video: the [[videoKeyFrames]]
+    * sampling rule (n evenly-spaced frames by stride) with [[aHashBits]]
+    * computed in the same decode pass — (id, frame_idx, ahash) rows;
+    * corrupt media or mis-sized frames skip. Pixels never leave the
+    * hashing stage. */
+  def videoFingerprints(spark: SparkSession, media: DataFrame, n: Int,
+      w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        val frames =
+          try {
+            if (row.media == null || row.media.isEmpty) Seq.empty
+            else {
+              val reader =
+                javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+              try {
+                reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(row.media)))
+                val total = reader.getNumImages(true)
+                if (total <= 0) Seq.empty
+                else {
+                  val span = math.max(1, total / n)
+                  (0 until math.min(n, total)).flatMap { s =>
+                    val idx = s * span
+                    val img = reader.read(idx)
+                    val gray =
+                      if (img.getType ==
+                        java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+                      else {
+                        val g = new java.awt.image.BufferedImage(
+                          img.getWidth, img.getHeight,
+                          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                        val gg = g.createGraphics()
+                        try gg.drawImage(img, 0, 0, null) finally gg.dispose()
+                        g
+                      }
+                    val px = gray.getRaster.getDataBuffer
+                      .asInstanceOf[java.awt.image.DataBufferByte].getData
+                    Option(aHashBits(px, w, h)).map(bits => (idx, bits))
+                  }
+                }
+              } finally reader.dispose()
+            }
+          } catch { case _: Exception => Seq.empty }
+        frames.iterator.map { case (idx, bits) => (row.id, idx, bits) }
+      }
+    }.toDF("id", "frame_idx", "ahash")
+  }
+
+  /** Video near-duplicates: two videos match when EVERY sampled keyframe
+    * pair (same frame index) is within `maxDist` hamming — frame-level
+    * 4×16-bit banding generates candidates per (frame, band, bucket),
+    * codegen'd hamming verifies, and a pair survives only with all
+    * `nFrames` frames matched. Emits (a, b, max_hamming). Same shuffle
+    * economics as [[aHashNearDups]], keyed one level finer. */
+  def videoNearDups(frameHashes: DataFrame, nFrames: Int,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"4x16 banding guarantees recall only to 3: $maxDist")
+    val bands = frameHashes.select(col("id"), col("frame_idx"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("ahash"), b * 16 + 1, 16).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("frame_idx"), col("ahash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = bands.select(col("frame_idx"), col("band"), col("bucket"),
+      col("id").as("a"), col("ahash").as("ha"))
+    val r = bands.select(col("frame_idx"), col("band"), col("bucket"),
+      col("id").as("b"), col("ahash").as("hb"))
+    def word(c: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(c, i * 16 + 1, 16), 2, 10).cast("long")
+    val ham = (0 until 4).map(i =>
+      bit_count(word(col("ha"), i).bitwiseXOR(word(col("hb"), i))))
+      .reduce(_ + _)
+    l.join(r, Seq("frame_idx", "band", "bucket")).where(col("a") < col("b"))
+      .select(col("frame_idx"), col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", ham.cast("long"))
+      .where(col("hamming") <= maxDist)
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("frame_idx")).as("n_matched"),
+        max(col("hamming")).as("max_hamming"))
+      .where(col("n_matched") === nFrames)
+      .select(col("a"), col("b"), col("max_hamming"))
+  }
+
   // ---- audio: real RIFF/PCM16 WAV codec ---------------------------------
 
   /** Deterministic 16-bit PCM mono WAV from a payload byte-string: sample

@@ -1043,6 +1043,57 @@ object OpsPack extends QueryPack {
           |SELECT a, b2 AS b, hamming FROM ham
           |WHERE hamming <= 3 ORDER BY a, b""".stripMargin)),
 
+    // Video near-dup dedup over REAL multi-frame decode: animated GIFs
+    // decode through the multi-frame ImageIO reader, 3 evenly-spaced
+    // keyframes hash in the same pass, and two videos match only when
+    // EVERY sampled frame pair is within hamming 3 (frame-level banding +
+    // codegen'd verify + an all-frames aggregate). Completes the
+    // image/audio/video perceptual-dedup triad on one shared verifier.
+    QueryDef(
+      "m9_video_fingerprint_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 40)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .map(id => (id, Multimodal.gifFixtureVariant(id / 4, id % 4, 16, 16,
+            frames = 6), "image/gif"))
+          .toDF("id", "media", "content_type")
+        val prints = Multimodal.videoFingerprints(s, media, n = 3, 16, 16)
+        Multimodal.videoNearDups(prints, nFrames = 3, maxDist = 3)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(
+        """WITH fr AS (
+          |  SELECT doc_id AS id, s * 2 AS f,
+          |         list_transform(range(0, 256),
+          |           i -> ((doc_id // 4 * 31 + s * 2 * 13 + i * 7) % 120) + 1 +
+          |                CASE WHEN i % 37 = doc_id % 4 THEN 4 ELSE 0 END) AS vals
+          |  FROM documents, unnest(generate_series(0, 2)) AS t(s)
+          |  WHERE doc_id < 40),
+          |tot AS (SELECT id, f, vals, list_reduce(vals, (a, b) -> a + b) AS total FROM fr),
+          |bits AS (
+          |  SELECT id, f, array_to_string(list_transform(range(0, 64), b ->
+          |    CASE WHEN (
+          |      vals[CAST((b // 8) * 32 + (b % 8) * 2 + 1 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + (b % 8) * 2 + 2 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + 16 + (b % 8) * 2 + 1 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + 16 + (b % 8) * 2 + 2 AS INT)]) * 256 > total * 4
+          |    THEN '1' ELSE '0' END), '') AS ahash
+          |  FROM tot),
+          |p AS (
+          |  SELECT l.id AS a, r.id AS b2, l.f AS f,
+          |         CAST(list_sum(list_transform(range(1, 65), i ->
+          |           CASE WHEN substr(l.ahash, CAST(i AS INT), 1) <>
+          |                     substr(r.ahash, CAST(i AS INT), 1)
+          |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+          |  FROM bits l JOIN bits r ON l.f = r.f AND l.id < r.id)
+          |SELECT a, b2 AS b, max(hamming) AS max_hamming
+          |FROM p GROUP BY a, b2
+          |HAVING max(hamming) <= 3
+          |ORDER BY a, b""".stripMargin)),
+
     // multimodal frame sampling: 1 media row -> n deterministic "frames"
     // (stubbed keyframe decode, real UDTF-shaped explosion)
     QueryDef(

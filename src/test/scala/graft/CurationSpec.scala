@@ -171,6 +171,25 @@ class CurationSpec extends AnyFunSuite {
     assert(pairs == expected)
   }
 
+  test("video near-dups require EVERY sampled frame to match; corrupt skips") {
+    import spark.implicits._
+    val media = (0L until 16L).map { id =>
+      val bytes =
+        if (id == 15L) Array[Byte](9, 9, 9)
+        else Multimodal.gifFixtureVariant(id / 4, id % 4, 16, 16, frames = 6)
+      (id, bytes, "image/gif")
+    }.toDF("id", "media", "content_type")
+    val prints = Multimodal.videoFingerprints(spark, media, n = 3, 16, 16)
+    assert(prints.where(col("id") === 15L).count() == 0)
+    assert(prints.where(col("id") === 0L).count() == 3) // frames 0,2,4
+    val pairs = Multimodal.videoNearDups(prints, nFrames = 3, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 15L; b <- (a + 1) until 15L if a / 4 == b / 4
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
   // ---- Conversations ----------------------------------------------------
 
   test("conversation threading splits on the gap and orders turns in time") {
