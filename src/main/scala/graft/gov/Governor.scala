@@ -115,11 +115,16 @@ final class Governor(rails: Guardrails = Guardrails()) {
     } finally queued.decrementAndGet()
   }
 
-  /** Run an action under a job group cancelled after the timeout. */
-  def withTimeout[T](spark: SparkSession, timeoutMs: Long = rails.queryTimeoutMs)(
+  /** Run an action under a job group cancelled after the timeout.
+    * `onGroup` exposes the group id to the caller BEFORE the body runs —
+    * the hook an out-of-band canceller (pg-wire CancelRequest) uses to
+    * abort this query's jobs via `cancelJobGroup`. */
+  def withTimeout[T](spark: SparkSession, timeoutMs: Long = rails.queryTimeoutMs,
+      onGroup: String => Unit = _ => ())(
       body: => T): T = {
     val group = s"graft-${System.nanoTime()}"
     spark.sparkContext.setJobGroup(group, "governed query", interruptOnCancel = true)
+    onGroup(group)
     val timer = new java.util.Timer(true)
     @volatile var timedOut = false
     timer.schedule(new java.util.TimerTask {

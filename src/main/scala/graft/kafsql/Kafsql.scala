@@ -50,7 +50,8 @@ object Kafsql {
   def governedRows(spark: SparkSession, reg: TopicRegistry, gov: Governor,
       query: String, nowMs: Long = System.currentTimeMillis(),
       rails: Guardrails = Guardrails(),
-      authorizer: AclAuthorizer = AclAuthorizer.open)
+      authorizer: AclAuthorizer = AclAuthorizer.open,
+      onGroup: String => Unit = _ => ())
       : (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row]) = {
     authorizer.check(query)
     val stmt = parse(query)
@@ -71,7 +72,7 @@ object Kafsql {
     }
     gov.withAdmission() {
       gov.cachedOrRunRows(gov.cacheKey(query, bounds), cacheable) {
-        gov.withTimeout(spark) {
+        gov.withTimeout(spark, onGroup = onGroup) {
           val df = Planner.plan(spark, reg, stmt, Planner.Env(nowMs, rails))
           (df.schema, df.collect())
         }

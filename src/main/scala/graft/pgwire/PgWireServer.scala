@@ -73,12 +73,33 @@ class PgWireServer(
   private val CancelRequestCode = 80877102
   private val ProtocolV3 = 196608
 
+  /** Out-of-band query cancellation (the psql Ctrl-C path): every
+    * connection gets a (pid, secret) BackendKeyData pair; a CancelRequest
+    * arriving on a NEW connection with that pair cancels the target
+    * connection's in-flight job group via `cancelJobGroup` — the same
+    * mechanism the Governor's timeout uses, driven by the client. A
+    * wrong key, or a connection with nothing running, is a silent no-op
+    * (postgres semantics: cancellation is advisory, never an error). */
+  private final class CancelHandle { @volatile var group: String = null }
+  private val cancelRegistry =
+    new java.util.concurrent.ConcurrentHashMap[Long, CancelHandle]()
+  private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1)
+  private val secretRandom = new java.security.SecureRandom()
+  private val currentHandle = new ThreadLocal[CancelHandle]
+  private def cancelKey(pid: Int, secret: Int): Long =
+    (pid.toLong << 32) | (secret & 0xffffffffL)
+
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val pid = pidCounter.getAndIncrement()
+    val secret = secretRandom.nextInt()
+    val handle = new CancelHandle
+    cancelRegistry.put(cancelKey(pid, secret), handle)
+    currentHandle.set(handle)
     try {
       if (!startup(in, out)) return
-      sendAuthOk(out)
+      sendAuthOk(out, pid, secret)
       // extended-protocol state (reference handles Parse/Bind/Describe/
       // Execute alongside simple queries, server.go:152-216,234-319)
       val prepared = scala.collection.mutable.Map[String, PreparedStmt]()
@@ -216,7 +237,11 @@ class PgWireServer(
     } catch {
       case _: EOFException =>
       case _: java.net.SocketException =>
-    } finally sock.close()
+    } finally {
+      cancelRegistry.remove(cancelKey(pid, secret))
+      currentHandle.remove()
+      sock.close()
+    }
   }
 
   /** Handles SSLRequest ('N') then the real StartupMessage. */
@@ -232,7 +257,19 @@ class PgWireServer(
       code match {
         case SslRequestCode =>
           out.writeByte('N'); out.flush() // no TLS, retry plaintext
-        case CancelRequestCode => return false
+        case CancelRequestCode =>
+          // body = code(4) pid(4) secret(4); cancel the matching
+          // connection's in-flight group and close without a response
+          // (postgres: the cancel connection never gets a reply)
+          if (body.length >= 12) {
+            def i32At(o: Int) = ((body(o) & 0xff) << 24) | ((body(o + 1) & 0xff) << 16) |
+              ((body(o + 2) & 0xff) << 8) | (body(o + 3) & 0xff)
+            val h = cancelRegistry.get(cancelKey(i32At(4), i32At(8)))
+            if (h != null && h.group != null) {
+              spark.sparkContext.cancelJobGroup(h.group)
+            }
+          }
+          return false
         case ProtocolV3 => return true
         case other => return false
       }
@@ -240,13 +277,13 @@ class PgWireServer(
     false
   }
 
-  private def sendAuthOk(out: DataOutputStream): Unit = {
+  private def sendAuthOk(out: DataOutputStream, pid: Int, secret: Int): Unit = {
     out.writeByte('R'); out.writeInt(8); out.writeInt(0) // AuthenticationOk
     paramStatus(out, "server_version", "15.0 (graft)")
     paramStatus(out, "client_encoding", "UTF8")
     paramStatus(out, "DateStyle", "ISO")
-    // BackendKeyData
-    out.writeByte('K'); out.writeInt(12); out.writeInt(1); out.writeInt(1)
+    // BackendKeyData: the cancel key the client echoes in a CancelRequest
+    out.writeByte('K'); out.writeInt(12); out.writeInt(pid); out.writeInt(secret)
     readyForQuery(out)
   }
 
@@ -344,7 +381,12 @@ class PgWireServer(
     catalogFrame(sql, lower) match {
       case Some(df) => (df.schema, df.collect())
       case None => Kafsql.governedRows(spark, registry, gov, sql,
-        nowMs = nowMs(), authorizer = authorizer)
+        nowMs = nowMs(), authorizer = authorizer,
+        onGroup = g => {
+          // expose this query's job group to the out-of-band canceller
+          val h = currentHandle.get()
+          if (h != null) h.group = g
+        })
     }
   }
 

@@ -246,6 +246,54 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BackendKeyData is per-connection; CancelRequest is a silent advisory no-op") {
+    def connect(): (java.net.Socket, java.io.DataOutputStream,
+        java.io.DataInputStream, (Int, Int)) = {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val params = cstr("user") ++ cstr("graft") ++
+        cstr("database") ++ cstr("graft") :+ 0.toByte
+      out.writeInt(params.length + 8); out.writeInt(196608)
+      out.write(params); out.flush()
+      val msgs = readUntilReady(in)
+      val key = msgs.find(_._1 == 'K').map { case (_, body) =>
+        val b = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
+        (b.readInt(), b.readInt())
+      }.get
+      (sock, out, in, key)
+    }
+    val (s1, o1, i1, k1) = connect()
+    val (s2, _, _, k2) = connect()
+    try {
+      assert(k1 != k2, "cancel keys must be unique per connection")
+      // CancelRequest with connection 1's key on a NEW connection: the
+      // cancel socket gets no reply and closes; with nothing running it
+      // is a no-op and connection 1 keeps serving queries
+      val c = new java.net.Socket("127.0.0.1", server.boundPort)
+      val co = new java.io.DataOutputStream(c.getOutputStream)
+      co.writeInt(16); co.writeInt(80877102); co.writeInt(k1._1); co.writeInt(k1._2)
+      co.flush()
+      assert(c.getInputStream.read() == -1, "cancel connection must close silently")
+      c.close()
+      // wrong key is equally silent
+      val w = new java.net.Socket("127.0.0.1", server.boundPort)
+      val wo = new java.io.DataOutputStream(w.getOutputStream)
+      wo.writeInt(16); wo.writeInt(80877102); wo.writeInt(99999); wo.writeInt(12345)
+      wo.flush()
+      assert(w.getInputStream.read() == -1)
+      w.close()
+      // connection 1 still works after both cancels
+      o1.writeByte('Q')
+      val q = "SHOW TOPICS".getBytes("UTF-8") :+ 0.toByte
+      o1.writeInt(q.length + 4); o1.write(q); o1.flush()
+      val msgs = readUntilReady(i1)
+      assert(msgs.map(_._1).contains('D'), s"got ${msgs.map(_._1)}")
+    } finally { s1.close(); s2.close() }
+  }
+
   test("COPY TO STDOUT streams CSV with header over the wire") {
     val (code, out, err) = psql(
       "COPY (SELECT _partition, COUNT(*) AS cnt FROM events " +
