@@ -85,6 +85,18 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsBuild]] from PRE-AGGREGATED (tok, cnt) rows — the map-side-
+    * combine form: grid cell = sum of weights instead of a count of
+    * instances, identical result. Use when token counts already exist
+    * (they are the natural shuffle output of a corpus token pass); the
+    * explode then multiplies the compact vocabulary, not the corpus. */
+  def cmsBuildWeighted(tokenCounts: DataFrame, d: Int, w: Int): DataFrame = {
+    tokenCounts.select(col("tok"), col("cnt"))
+      .select(col("tok"), col("cnt"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .groupBy(col("j"), cmsBucket(col("tok"), col("j"), w).as("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Bucket of `token` in sketch row j: hash60("j|token") mod w. */
   def cmsBucket(token: Column, j: Column, w: Int): Column =
     pmod(conv(substring(md5(concat(j.cast("string"), lit("|"),

@@ -1364,20 +1364,27 @@ object OpsPack extends QueryPack {
       "t19_heavy_hitters",
       (s, dir) => {
         val (d, w) = (4, 512)
-        val toks = Tables.load(s, dir, "documents")
+        // ONE corpus token pass: the (tok, cnt) aggregate is the natural
+        // shuffle output, and it feeds all three consumers — the weighted
+        // grid build, the probe vocabulary, and the exact audit — so the
+        // corpus explode never re-runs (it previously ran 3x: grid,
+        // distinct, exact; 2.3s -> this). Pinned eagerly because the
+        // three consumers sit in one plan whose optimizer wouldn't
+        // otherwise share the aggregate subtree.
+        val tokCounts = Tables.load(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
           .where(length(col("tok")) > 0)
-        val grid = Sketches.cmsBuild(toks, col("tok"), d, w)
-        val est = Sketches.cmsProbe(grid, toks.distinct(), d, w)
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val grid = Sketches.cmsBuildWeighted(tokCounts, d, w)
+        val est = Sketches.cmsProbe(grid, tokCounts.select(col("tok")), d, w)
         // global top-20 via TakeOrderedAndProject (per-partition heaps +
         // driver merge), never a single-partition global sort
         val top = est.orderBy(col("est_count").desc, col("tok")).limit(20)
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(col("est_count").desc, col("tok"))))
-        val exact = toks.join(broadcast(top.select(col("tok"))), Seq("tok"))
-          .groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
-        top.join(exact, Seq("tok"))
+        top.join(tokCounts.select(col("tok"), col("cnt").as("exact_count")), Seq("tok"))
           .select(col("rank"), col("tok"), col("est_count"), col("exact_count"))
           .orderBy(col("rank"))
       },

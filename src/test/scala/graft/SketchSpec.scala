@@ -70,6 +70,18 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("cmsBuildWeighted over (tok, cnt) equals cmsBuild over instances") {
+    import spark.implicits._
+    val toks = Seq("a", "a", "a", "b", "b", "c", "dd", "dd", "dd", "dd")
+      .toDF("tok")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val (d, w) = (4, 16)
+    def cells(g: org.apache.spark.sql.DataFrame) =
+      g.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(Sketches.cmsBuildWeighted(counts, d, w)) ==
+      cells(Sketches.cmsBuild(toks, col("tok"), d, w)))
+  }
+
   test("kmvSketch plans a WindowGroupLimit (partial per-task top-k)") {
     val plan = Sketches.kmvSketch(events, col("event_type"), col("user_id"), 32)
       .queryExecution.executedPlan.toString
