@@ -1715,6 +1715,49 @@ object OpsPack extends QueryPack {
           |FROM s GROUP BY user_id, session_idx
           |ORDER BY user_id, session_idx""".stripMargin)),
 
+    // Length-bucketed batching audit: group documents into fixed-width
+    // token-length buckets (the pad-efficient batching layout — batch
+    // within a bucket and padding is bounded by the width) and measure
+    // the padding each bucket would cost. Pure integer bucket math (no
+    // float log2 whose ceil could disagree across engines at exact
+    // powers), one narrow projection + one small aggregate.
+    QueryDef(
+      "t31_length_buckets",
+      (s, dir) => {
+        val width = 32
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("bucket",
+            (((col("n_tokens") - 1) / width).cast("long") + 1) * width)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .withColumn("pad_tokens",
+            col("bucket") * col("n_docs") - col("sum_tokens"))
+          .withColumn("pad_ratio",
+            round(col("pad_tokens") / (col("bucket") * col("n_docs")), 4))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |b AS (SELECT doc_id, n_tokens,
+          |             ((n_tokens - 1) // 32 + 1) * 32 AS bucket FROM t),
+          |g AS (
+          |  SELECT bucket, count(*) AS n_docs,
+          |         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          |         min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+          |  FROM b GROUP BY bucket)
+          |SELECT bucket, n_docs, sum_tokens, min_tokens, max_tokens,
+          |       CAST(bucket * n_docs - sum_tokens AS BIGINT) AS pad_tokens,
+          |       round((bucket * n_docs - sum_tokens) * 1.0 / (bucket * n_docs), 4) AS pad_ratio
+          |FROM g ORDER BY bucket""".stripMargin)),
+
     // Capstone corpus build: the full pretraining-data path in ONE plan —
     // exact dedup (hash-aggregate keepers + semi-join, never a window
     // sort), quality gate (codegen'd token count), per-source caps
