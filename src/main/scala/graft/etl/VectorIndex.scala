@@ -1,0 +1,84 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Similarity
+
+/** Continuously-maintained ANN index: as documents stream in, each
+  * micro-batch embeds them (the encoder seam — here the deterministic
+  * synthetic embedding; swap in a model UDF in production) and appends
+  * (doc, bucket) rows to a plain parquet LSH bucket index. Retrieval then
+  * probes ONLY same-bucket candidates ([[Similarity.lshTopK]] semantics)
+  * against an index that was never rebuilt — the vector twin of the
+  * streaming dedup index.
+  *
+  * Exactly-once: the append anti-joins on doc id against the existing
+  * index (same replay guard family as the sink's offset-dedup), so a
+  * crash-replayed batch adds nothing. Scale shape: per batch, one narrow
+  * embed+hash pass over the batch and one doc-keyed anti-join against the
+  * (compact — one row per doc) index; the corpus is never rescanned.
+  */
+object VectorIndex {
+
+  def run(
+      spark: SparkSession,
+      kfsRoot: String,
+      indexPath: String,
+      checkpointDir: String,
+      planes: Int = 4,
+      dims: Int = 16,
+      maxSegmentsPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.format("kfs").option("path", kfsRoot)
+    maxSegmentsPerTrigger.foreach(n =>
+      reader.option("max_segments_per_trigger", n.toString))
+    val decoded = reader.load().select(col("_offset"))
+    val query = decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val rows = batch.select(col("_offset").as("doc")).distinct()
+          .withColumn("vec", Similarity.syntheticVector(col("doc"), dims))
+          .withColumn("bucket", Similarity.lshSignature(col("vec"), planes, dims))
+          .select(col("doc"), col("bucket"))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(indexPath match {
+            case p if p.contains("://") => p
+            case p => s"file://$p"
+          }), ss.sparkContext.hadoopConfiguration)
+        val deduped =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+            rows.join(ss.read.parquet(indexPath).select(col("doc")),
+              Seq("doc"), "left_anti")
+          else rows
+        if (!deduped.isEmpty) deduped.write.mode("append").parquet(indexPath)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Bucket-pruned top-k retrieval against the maintained index: probe
+    * docs join candidates sharing their bucket, cosine on the (re-derived)
+    * vectors, rank-limit per probe (WindowGroupLimit). Cost ∝ bucket
+    * occupancy, never the corpus. */
+  def topK(spark: SparkSession, indexPath: String, probeIds: DataFrame,
+      k: Int, dims: Int = 16): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val probes = probeIds.select(col("doc").as("q"))
+      .join(index.select(col("doc").as("q"), col("bucket")), Seq("q"))
+      .withColumn("qv", Similarity.syntheticVector(col("q"), dims))
+      .withColumn("qn", Similarity.norm(col("qv")))
+    val cands = index.select(col("doc").as("v"), col("bucket"))
+      .withColumn("vv", Similarity.syntheticVector(col("v"), dims))
+      .withColumn("vn", Similarity.norm(col("vv")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+      .orderBy(round(col("c"), 6).desc, col("v"))
+    probes.join(cands, "bucket").where(col("q") =!= col("v"))
+      .withColumn("c", Similarity.dot(col("qv"), col("vv")) / (col("qn") * col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("v"), round(col("c"), 4).as("cos_sim"))
+  }
+}

@@ -64,6 +64,18 @@ object Similarity {
     }.toArray
   }
 
+  /** Deterministic synthetic embedding for a document id: dimension j is
+    * `nibble(md5("v|id|j")) − 7.5` — a reproducible stand-in for a model
+    * embedding that any engine recomputes exactly (the "v|" namespace
+    * keeps doc vectors independent of [[planeWeights]]'s hyperplanes).
+    * Used by the streaming vector-index fixture, where the pipeline under
+    * test is the index maintenance, not the encoder. */
+  def syntheticVector(id: Column, dims: Int): Column =
+    array((1 to dims).map { j =>
+      conv(substring(md5(concat(lit("v|"), id.cast("string"), lit(s"|$j"))), 1, 1),
+        16, 10).cast("double") - 7.5
+    }: _*)
+
   /** Sign-concatenated LSH bucket signature over `planes` hyperplanes. */
   def lshSignature(v: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>

@@ -191,6 +191,47 @@ object OpsPack extends QueryPack {
            |SELECT c_vec, p, round(cs, 4) AS cos_sim
            |FROM pairs WHERE cs >= 0.2 ORDER BY c_vec, p""".stripMargin)),
 
+    // Continuously-maintained ANN index: documents stream through the
+    // checkpointed drain, each micro-batch embeds (deterministic synthetic
+    // encoder seam) and appends LSH bucket rows to a parquet index with a
+    // doc-keyed replay guard; retrieval probes ONLY same-bucket candidates
+    // against the accumulated index. The oracle recomputes vectors,
+    // signatures, and bucket-pruned top-5 cosine over the whole corpus in
+    // one shot — the streamed index ≡ the batch index, the vector twin of
+    // e18's streaming dedup.
+    QueryDef(
+      "e20_stream_vector_index",
+      (s, dir) => {
+        import s.implicits._
+        val root = graft.kfs.KfsSeed.seededDocsRoot(s, dir)
+        val index = Fixtures.tmp(dir, "vindex")
+        val ckpt = Fixtures.tmp(dir, "vindex_ckpt")
+        val nSegs = math.max(1,
+          math.ceil(Tables.load(s, dir, "documents").count() / 250.0).toInt)
+        graft.etl.VectorIndex.run(s, root, index, ckpt, planes = 4, dims = 16,
+          maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        val probes = Seq(0L, 1L, 2L).toDF("doc")
+        graft.etl.VectorIndex.topK(s, index, probes, k = 5)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(
+        s"""WITH ids AS (SELECT doc_id AS doc FROM documents),
+           |vec AS (
+           |  SELECT doc, list_transform(generate_series(1, 16),
+           |    j -> CAST('0x' || substr(md5('v|' || CAST(doc AS VARCHAR) || '|' || j), 1, 1) AS INTEGER) - 7.5) AS v
+           |  FROM ids),
+           |sig AS (SELECT doc, v, ${duckSignature("v", 4)} AS bucket FROM vec),
+           |j AS (
+           |  SELECT p.doc AS q, c.doc AS v2, ${duckCosine("p.v", "c.v")} AS c
+           |  FROM sig p JOIN sig c
+           |    ON p.bucket = c.bucket AND p.doc < 3 AND p.doc <> c.doc),
+           |r AS (
+           |  SELECT q, v2, c,
+           |         row_number() OVER (PARTITION BY q ORDER BY round(c, 6) DESC, v2) AS rank
+           |  FROM j)
+           |SELECT q, rank, v2 AS v, round(c, 4) AS cos_sim
+           |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
+
     // SemDeDup-shaped semantic dedup: LSH buckets bound the candidate set
     // (never an all-pairs cosine), same-bucket pairs >= threshold become
     // edges, transitive closure picks one representative (min id) per

@@ -302,6 +302,35 @@ class EtlSpec extends AnyFunSuite {
     assert(state() == expected)
   }
 
+  test("vector index: one row per doc, survives replay and checkpoint loss") {
+    val root = Files.createTempDirectory("vix").toString
+    (0 until 3).foreach { seg =>
+      val recs = (0 until 30).map(i => KfsCodec.Record((seg * 30 + i).toLong,
+        1706000000000L + i, s"${seg * 30 + i}".getBytes, "x".getBytes, Nil))
+      KfsLayout.writeSegment(root, "docs", 0, recs)
+    }
+    val index = Files.createTempDirectory("vix_ix").toString + "/ix"
+    def drain(ck: String): Unit = VectorIndex.run(spark, root, index, ck,
+      planes = 4, dims = 16, maxSegmentsPerTrigger = Some(1))
+    val ck1 = Files.createTempDirectory("vix_ck1").toString
+    drain(ck1)
+    def rows() = spark.read.parquet(index)
+    assert(rows().count() == 90)
+    assert(rows().select("doc").distinct().count() == 90)
+    drain(ck1) // same checkpoint: nothing new
+    assert(rows().count() == 90)
+    val ck2 = Files.createTempDirectory("vix_ck2").toString
+    drain(ck2) // checkpoint loss: doc-keyed guard still dedups
+    assert(rows().count() == 90)
+    // retrieval only surfaces same-bucket candidates
+    import spark.implicits._
+    val top = VectorIndex.topK(spark, index, Seq(0L).toDF("doc"), k = 5)
+    val buckets = rows().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    top.collect().foreach { r =>
+      assert(buckets(r.getLong(2)) == buckets(0L), "candidate outside probe bucket")
+    }
+  }
+
   test("TableSink.replace swaps content atomically and updates the schema") {
     import spark.implicits._
     val table = Files.createTempDirectory("repl_tbl").toString + "/t"
