@@ -39,10 +39,12 @@ object VectorIndex {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
+        // the index stores the EMBEDDING alongside the bucket: encoding
+        // runs once at ingest; retrieval must never re-embed the corpus
         val rows = batch.select(col("_offset").as("doc")).distinct()
           .withColumn("vec", Similarity.syntheticVector(col("doc"), dims))
           .withColumn("bucket", Similarity.lshSignature(col("vec"), planes, dims))
-          .select(col("doc"), col("bucket"))
+          .select(col("doc"), col("bucket"), col("vec"))
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(indexPath match {
             case p if p.contains("://") => p
@@ -60,18 +62,18 @@ object VectorIndex {
   }
 
   /** Bucket-pruned top-k retrieval against the maintained index: probe
-    * docs join candidates sharing their bucket, cosine on the (re-derived)
-    * vectors, rank-limit per probe (WindowGroupLimit). Cost ∝ bucket
-    * occupancy, never the corpus. */
+    * docs join candidates sharing their bucket, cosine on the STORED
+    * index vectors (nothing re-embeds at query time), rank-limit per
+    * probe (WindowGroupLimit). Cost ∝ bucket occupancy, never the
+    * corpus. */
   def topK(spark: SparkSession, indexPath: String, probeIds: DataFrame,
       k: Int, dims: Int = 16): DataFrame = {
     val index = spark.read.parquet(indexPath)
     val probes = probeIds.select(col("doc").as("q"))
-      .join(index.select(col("doc").as("q"), col("bucket")), Seq("q"))
-      .withColumn("qv", Similarity.syntheticVector(col("q"), dims))
+      .join(index.select(col("doc").as("q"), col("bucket"), col("vec").as("qv")),
+        Seq("q"))
       .withColumn("qn", Similarity.norm(col("qv")))
-    val cands = index.select(col("doc").as("v"), col("bucket"))
-      .withColumn("vv", Similarity.syntheticVector(col("v"), dims))
+    val cands = index.select(col("doc").as("v"), col("bucket"), col("vec").as("vv"))
       .withColumn("vn", Similarity.norm(col("vv")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
       .orderBy(round(col("c"), 6).desc, col("v"))

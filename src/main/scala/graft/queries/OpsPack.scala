@@ -204,8 +204,10 @@ object OpsPack extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val root = graft.kfs.KfsSeed.seededDocsRoot(s, dir)
-        val index = Fixtures.tmp(dir, "vindex")
-        val ckpt = Fixtures.tmp(dir, "vindex_ckpt")
+        // "v2" names: the index schema gained the stored vec column — a
+        // stale pre-vec index directory must never be resumed
+        val index = Fixtures.tmp(dir, "vindex_v2")
+        val ckpt = Fixtures.tmp(dir, "vindex_v2_ckpt")
         val nSegs = math.max(1,
           math.ceil(Tables.load(s, dir, "documents").count() / 250.0).toInt)
         graft.etl.VectorIndex.run(s, root, index, ckpt, planes = 4, dims = 16,
