@@ -407,7 +407,27 @@ object Dedup {
     * frees the result). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxShinglePostings: Option[Int] = Some(DefaultShinglePostingsCap)): DataFrame = {
+      maxShinglePostings: Option[Int] = Some(DefaultShinglePostingsCap)): DataFrame =
+    ngramPairsByMetric(docs, idCol, textCol, n, threshold, maxShinglePostings,
+      (i, na, nb) => i / (na + nb - i), "jac")
+
+  /** CONTAINMENT variant: metric = inter / min(na, nb) — "is the smaller
+    * document's n-gram set (mostly) inside the larger's?" Catches
+    * quote/subset duplication that symmetric Jaccard misses entirely (a
+    * 100-gram doc fully inside a 10,000-gram doc has jaccard ~0.01 but
+    * containment 1.0 — the RefinedWeb/quote-detection case). Same capped
+    * posting-list machinery and exactness contract as
+    * [[ngramJaccardPairs]]; containment is likewise monotone in the
+    * intersection, so the DF-cap upper-bound filter stays sound. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShinglePostings: Option[Int] = Some(DefaultShinglePostingsCap)): DataFrame =
+    ngramPairsByMetric(docs, idCol, textCol, n, threshold, maxShinglePostings,
+      (i, na, nb) => i / least(na, nb), "containment")
+
+  private def ngramPairsByMetric(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShinglePostings: Option[Int],
+      metric: (Column, Column, Column) => Column, metricName: String): DataFrame = {
     val sh0 = shinglesAuto(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -431,7 +451,7 @@ object Dedup {
             .join(hotCounts.select(col("doc").as("b"), col("h").as("hb")), Seq("b"), "left")
             .withColumn("hi", col("inter_lo") +
               least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
-            .where(col("hi") / (col("na") + col("nb") - col("hi")) >= threshold)
+            .where(metric(col("hi"), col("na"), col("nb")) >= threshold)
           val docSets = sh0.groupBy(col("doc")).agg(collect_list(col("sh")).as("shs"))
           bounded.select(col("a"), col("b"))
             .join(docSets.select(col("doc").as("a"), col("shs").as("sha")), "a")
@@ -446,10 +466,10 @@ object Dedup {
             .join(counts.select(col("doc").as("b"), col("n").as("nb")), "b")
       }
       result
-        .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
-        .where(col("jac") >= threshold)
+        .withColumn(metricName, metric(col("inter"), col("na"), col("nb")))
+        .where(col(metricName) >= threshold)
         .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
-          round(col("jac"), 4).as("jac"))
+          round(col(metricName), 4).as(metricName))
         .localCheckpoint() // eager: materializes before sh0 is released
     } finally sh0.unpersist(false)
   }

@@ -323,6 +323,33 @@ object DedupPack extends QueryPack {
            |FROM documents d, thr
            |ORDER BY doc""".stripMargin)),
 
+    // n-gram CONTAINMENT pairs: metric = inter / min(na, nb) — the
+    // asymmetric dedup check that catches a small document living inside
+    // a big one (quotes, excerpts), which symmetric Jaccard structurally
+    // misses. Same capped inverted-index machinery and exactness contract
+    // as d3; containment is monotone in the intersection so the DF-cap
+    // bound filter stays sound.
+    QueryDef(
+      "d14_containment",
+      (s, dir) => Dedup.ngramContainmentPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+        .orderBy(col("a"), col("b")),
+      Some(
+        s"""WITH $shinglesCte,
+           |counts AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+           |inter AS (
+           |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+           |  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc < r.doc
+           |  GROUP BY 1, 2)
+           |SELECT i.a, i.b, i.inter, ca.n AS na, cb.n AS nb,
+           |       round(i.inter / least(ca.n, cb.n), 4) AS containment
+           |FROM inter i
+           |JOIN counts ca ON ca.doc = i.a
+           |JOIN counts cb ON cb.doc = i.b
+           |WHERE i.inter / least(ca.n, cb.n) >= 0.8
+           |ORDER BY a, b""".stripMargin)),
+
     // Blocked entity resolution: same-block (8-char normalized prefix)
     // candidate pairs verified by exact Levenshtein on the 200-char
     // normalized prefix, kept when distance <= 20% of the longer side.

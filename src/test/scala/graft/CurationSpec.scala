@@ -222,6 +222,22 @@ class CurationSpec extends AnyFunSuite {
     assert(digests(ev) == digests(ev.repartition(11)))
   }
 
+  // ---- Containment dedup ------------------------------------------------
+
+  test("containment catches a document embedded in a larger one that Jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = ((1 to 12) ++ (100 to 200)).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big),
+      (3L, (300 to 340).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cont.toSeq == Seq((1L, 2L)), s"got ${cont.toSeq}")
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "jaccard must NOT flag the subset pair")
+  }
+
   // ---- EntityResolution -------------------------------------------------
 
   test("entity resolution finds exact copies at distance 0 and respects the cap") {
