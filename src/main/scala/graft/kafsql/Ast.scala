@@ -13,7 +13,7 @@ sealed trait Statement
 case object ShowTopics extends Statement
 final case class ShowPartitions(topic: String) extends Statement
 final case class DescribeTopic(topic: String) extends Statement
-final case class Explain(select: Select) extends Statement
+final case class Explain(select: Select, analyze: Boolean = false) extends Statement
 
 final case class Select(
     star: Boolean,

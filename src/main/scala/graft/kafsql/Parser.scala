@@ -141,7 +141,10 @@ object Parser {
           else if (kw("partitions")) { expectKw("from"); ShowPartitions(ident()) }
           else throw new KafsqlException("expected TOPICS or PARTITIONS after SHOW")
         } else if (kw("describe")) DescribeTopic(ident())
-        else if (kw("explain")) Explain(select())
+        else if (kw("explain")) {
+          val analyze = kw("analyze")
+          Explain(select(), analyze)
+        }
         else if (peek.isInstanceOf[Ident] &&
           peek.asInstanceOf[Ident].lower == "select") select()
         else throw new KafsqlException(s"expected show|describe|select|explain, got $peek")

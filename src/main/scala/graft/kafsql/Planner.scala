@@ -47,14 +47,24 @@ object Planner {
         d.schemaCols.map(sc => (sc.name, TopicRegistry.pgType(sc.typ), sc.path))
       rows.toDF("column", "type", "path")
 
-    case Explain(sel) =>
+    case Explain(sel, analyze) =>
       import spark.implicits._
       val df = planSelect(spark, reg, sel, env)
-      val lines =
+      val head =
         Seq(s"scan topic ${sel.from.topic}" +
-          sel.join.map(j => s" join ${j.table.topic} within ${j.withinMs}ms").getOrElse("")) ++
-          df.queryExecution.executedPlan.toString.linesIterator.take(30).toSeq
-      lines.toDF("plan")
+          sel.join.map(j => s" join ${j.table.topic} within ${j.withinMs}ms").getOrElse(""))
+      val planLines =
+        df.queryExecution.executedPlan.toString.linesIterator.take(30).toSeq
+      // ANALYZE: actually execute and report observed rows + wall time
+      // (the modern-engine superset of the reference's estimate-only
+      // EXPLAIN; estimates stay in the plan text above for comparison)
+      val tail = if (analyze) {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val ms = (System.nanoTime() - t0) / 1e6
+        Seq(f"analyze: rows=$n elapsed_ms=$ms%.1f")
+      } else Seq.empty
+      (head ++ planLines ++ tail).toDF("plan")
 
     case sel: Select => planSelect(spark, reg, sel, env)
   }

@@ -154,6 +154,20 @@ class KafsqlSpec extends AnyFunSuite {
     assert(rows.head.contains("scan topic events"))
   }
 
+  test("EXPLAIN ANALYZE executes and reports observed rows + elapsed time") {
+    val rows = q("EXPLAIN ANALYZE SELECT _offset FROM events " +
+      "WHERE _partition = 1 AND _offset <= 4 SCAN FULL")
+      .collect().map(_.getString(0))
+    assert(rows.head.contains("scan topic events"))
+    val analyzed = rows.last
+    assert(analyzed.startsWith("analyze: rows=5 elapsed_ms="),
+      s"expected observed-rows line, got: $analyzed")
+    // plain EXPLAIN must NOT execute (no analyze line)
+    val plain = q("EXPLAIN SELECT _offset FROM events LAST 5m")
+      .collect().map(_.getString(0))
+    assert(!plain.exists(_.startsWith("analyze:")))
+  }
+
   test("SHOW TOPICS lists registry topics") {
     val topics = q("SHOW TOPICS").collect().map(_.getString(0)).toSeq
     assert(topics == Seq("errors", "events", "kevents", "purchases"))
