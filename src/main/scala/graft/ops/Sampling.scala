@@ -76,6 +76,32 @@ object Sampling {
     ratios.map { case (cls, r) => cls -> r / binding }
   }
 
+  /** Temperature-sampling weights: w_c = (n_c / N)^(1/T) — the standard
+    * multilingual/pretraining rebalance (T=1 keeps natural proportions;
+    * higher T flattens toward uniform, upweighting low-resource classes).
+    * Feed into [[mixtureRates]]; normalization cancels there, so only the
+    * exponent matters. */
+  def temperatureWeights(sizes: Map[String, Long],
+      temperature: Double): Map[String, Double] = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    val total = sizes.values.sum.toDouble
+    sizes.collect { case (c, n) if n > 0 =>
+      c -> math.pow(n / total, 1.0 / temperature)
+    }
+  }
+
+  /** [[mixture]] with [[temperatureWeights]] derived from the observed
+    * class sizes — one metadata-scale count, then the same deterministic
+    * threshold filter (the binding class keeps everything). */
+  def temperatureMixture(df: DataFrame, idCol: String, classCol: String,
+      temperature: Double, hexDigits: Int = 4): DataFrame = {
+    val sizes = df.groupBy(col(classCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratified(df, idCol, classCol,
+      mixtureRates(sizes, temperatureWeights(sizes, temperature)),
+      defaultRate = 0.0, hexDigits = hexDigits)
+  }
+
   /** Deterministic weighted corpus mixing: one metadata-scale count per
     * class, then a [[stratified]] threshold filter with the
     * [[mixtureRates]] — classes without a weight are dropped. Same three

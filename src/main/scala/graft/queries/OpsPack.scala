@@ -612,6 +612,34 @@ object OpsPack extends QueryPack {
           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < t
           |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // Temperature-sampled corpus mix: keep-rates derived from
+    // (n_c/N)^(1/T) with T=2 — the standard multilingual rebalance that
+    // upweights low-resource classes (the smallest language keeps 100%,
+    // the dominant one is thinned). Same deterministic md5-threshold
+    // membership as t13, so DuckDB recomputes the exact kept set.
+    QueryDef(
+      "t32_temperature_mix",
+      (s, dir) => Sampling.temperatureMixture(
+        Tables.load(s, dir, "documents"), "doc_id", "lang", temperature = 2.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang")),
+      Some(
+        """WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM sz),
+          |r0 AS (SELECT lang, pow(n / tot.t, 0.5) / n AS ratio FROM sz, tot),
+          |rates AS (SELECT lang, ratio / (SELECT max(ratio) FROM r0) AS rate FROM r0),
+          |thr AS (
+          |  SELECT lang,
+          |         CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g'
+          |              WHEN CAST(round(rate * 65536) AS BIGINT) <= 0 THEN ''
+          |              ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS t
+          |  FROM rates)
+          |SELECT d.lang, count(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+          |FROM documents d JOIN thr ON d.lang = thr.lang
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < t
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     // Character-class quality metrics (the Gopher/C4 composition rules):
     // alpha/digit/symbol ratios + mean word length, all codegen'd
     // regexp-strip length arithmetic — both engines compute the identical

@@ -73,4 +73,28 @@ class SamplingSpec extends AnyFunSuite {
     val langs = mixed.select("lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "zh")))
   }
+
+  test("temperature mixing: T=1 is natural (keep all), higher T flattens") {
+    val sizes = Map("big" -> 10000L, "small" -> 100L)
+    // T=1: weights proportional to sizes -> every rate is 1.0
+    val natural = Sampling.mixtureRates(sizes,
+      Sampling.temperatureWeights(sizes, temperature = 1.0))
+    assert(natural.values.forall(r => math.abs(r - 1.0) < 1e-12))
+    // T=2: w = sqrt(share); the small class binds at 1.0 and the big
+    // class thins by sqrt(small/big) = 0.1
+    val flat = Sampling.mixtureRates(sizes,
+      Sampling.temperatureWeights(sizes, temperature = 2.0))
+    assert(flat("small") == 1.0)
+    assert(math.abs(flat("big") - 0.1) < 1e-9, s"got ${flat("big")}")
+    // end-to-end: dominant language keeps a smaller fraction than a rare one
+    val mixed = Sampling.temperatureMixture(docs, "doc_id", "lang", 2.0)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = byLang.minBy(_._2)._1
+    assert(kept(rarest) == byLang(rarest), "rarest class must keep everything")
+    val enFrac = kept.getOrElse("en", 0L).toDouble / byLang("en")
+    assert(enFrac < 1.0, s"dominant class must thin, kept $enFrac")
+  }
 }
