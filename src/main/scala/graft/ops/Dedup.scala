@@ -657,6 +657,31 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster representative: within each transitive dup
+    * cluster keep the HIGHEST-scoring member (ties → larger id), not the
+    * first-by-id — real curation keeps the best copy (longest, cleanest,
+    * highest classifier score), and min-id can systematically keep the
+    * truncated variant. Singleton documents are their own cluster.
+    * Returns (cluster, doc, score) — one row per cluster.
+    *
+    * Scale shape: the argmax is `max(struct(score, id))` — an
+    * ObjectHashAggregate, hash-partitioned on the cluster label, never a
+    * per-cluster sort window over the corpus; the cluster labels come
+    * from the adaptive [[duplicateClusters]] (edge set ≪ corpus). */
+  def bestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val cc = duplicateClusters(pairs).select(col("node"), col("cluster"))
+    docs.select(col(idCol).as("doc"), score.as("score"))
+      .join(cc, col("doc") === col("node"), "left")
+      .select(coalesce(col("cluster"), col("doc")).as("cluster"),
+        col("doc"), col("score"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("score"), col("doc"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("best.doc").as("doc"),
+        col("best.score").as("score"), col("n_members"))
+  }
+
   /** 60-bit word hash from md5 (identical in DuckDB via hex cast). */
   def wordHash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")

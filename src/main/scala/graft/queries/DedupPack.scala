@@ -323,6 +323,58 @@ object DedupPack extends QueryPack {
            |FROM documents d, thr
            |ORDER BY doc""".stripMargin)),
 
+    // Quality-aware cluster representatives: within each transitive dup
+    // cluster keep the LONGEST member (ties -> larger id), not the
+    // first-by-id — min-id dedup can systematically keep a truncated
+    // variant. Hash-only argmax (max over (score, id) structs keyed on
+    // the cluster label), never a per-cluster sort window; the oracle
+    // resolves the same closure recursively and re-runs the argmax.
+    QueryDef(
+      "d15_best_of_cluster",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          threshold = 0.5, k = k, bands = nBands)
+        val best = Dedup.bestPerCluster(docs, "doc_id", pairs,
+          size(split(col("text"), " ")).cast("long"))
+        Dedup.release(pairs)
+        best.where(col("n_members") > 1) // dup clusters only (focused diff)
+          .orderBy(col("cluster"))
+      },
+      Some(
+        s"""WITH RECURSIVE $shinglesCte,
+           |$sigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT l.doc AS a, r.doc AS b
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc),
+           |$jaccardCtes,
+           |pairs AS (
+           |  SELECT i.a, i.b FROM inter i
+           |  JOIN counts ca ON ca.doc = i.a
+           |  JOIN counts cb ON cb.doc = i.b
+           |  WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION ALL SELECT b, a FROM pairs),
+           |cc AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+           |labels AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node),
+           |scored AS (
+           |  SELECT COALESCE(l.cluster, d.doc_id) AS cluster, d.doc_id AS doc,
+           |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS score
+           |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+           |r AS (
+           |  SELECT *, count(*) OVER (PARTITION BY cluster) AS n_members,
+           |         row_number() OVER (PARTITION BY cluster
+           |             ORDER BY score DESC, doc DESC) AS rnk
+           |  FROM scored)
+           |SELECT cluster, doc, score, CAST(n_members AS BIGINT) AS n_members
+           |FROM r WHERE rnk = 1 AND n_members > 1
+           |ORDER BY cluster""".stripMargin)),
+
     // n-gram CONTAINMENT pairs: metric = inter / min(na, nb) — the
     // asymmetric dedup check that catches a small document living inside
     // a big one (quotes, excerpts), which symmetric Jaccard structurally

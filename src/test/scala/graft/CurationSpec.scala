@@ -222,6 +222,23 @@ class CurationSpec extends AnyFunSuite {
     assert(digests(ev) == digests(ev.repartition(11)))
   }
 
+  test("bestPerCluster keeps the highest-scoring member, singletons keep themselves") {
+    import spark.implicits._
+    val common = (1 to 30).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, common),                       // cluster {1,2,3}: 3 is longest
+      (2L, common + " extra"),
+      (3L, common + " extra extra more"),
+      (9L, (50 to 90).map(i => s"u$i").mkString(" "))) // singleton
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(df, "doc_id", "text", threshold = 0.5)
+    val best = Dedup.bestPerCluster(df, "doc_id", pairs,
+      size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(best == Set((1L, 3L, 3L), (9L, 9L, 1L)),
+      s"got $best") // cluster 1 keeps doc 3 (longest), singleton 9 keeps itself
+  }
+
   // ---- Containment dedup ------------------------------------------------
 
   test("containment catches a document embedded in a larger one that Jaccard misses") {
