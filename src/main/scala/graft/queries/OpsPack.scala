@@ -1829,6 +1829,53 @@ object OpsPack extends QueryPack {
           |       round((bucket * n_docs - sum_tokens) * 1.0 / (bucket * n_docs), 4) AS pad_ratio
           |FROM g ORDER BY bucket""".stripMargin)),
 
+    // Corpus datasheet: the one-row audit summary a dataset card ships
+    // with — sizes, diversity, token mass, short-doc and exact-dup rates —
+    // computed in ONE corpus scan (multi-aggregate) plus the exact-dedup
+    // hash aggregate, joined as two 1-row frames. Every figure is integer
+    // arithmetic, so the datasheet is reproducible to the digit.
+    QueryDef(
+      "t33_corpus_datasheet",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(TextAnalysis.tokenCount(col("text")) < 10, 1L)
+            .otherwise(0L)).as("short_docs"))
+        val dup = Dedup.exactGroups(docs, "doc_id", "text")
+          .agg(
+            count(when(col("n_docs") > 1, 1)).as("dup_groups"),
+            coalesce(sum(when(col("n_docs") > 1, col("n_docs"))), lit(0L))
+              .as("docs_in_dup_groups"))
+        base.crossJoin(dup)
+          .withColumn("dup_rate",
+            round((col("docs_in_dup_groups") - col("dup_groups")) /
+              col("n_docs"), 4))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT count(*) AS n_docs,
+          |         count(DISTINCT source) AS n_sources,
+          |         count(DISTINCT lang) AS n_langs,
+          |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+          |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |         CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 10
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+          |  FROM documents),
+          |dup AS (
+          |  SELECT count(*) FILTER (n_docs > 1) AS dup_groups,
+          |         CAST(COALESCE(SUM(n_docs) FILTER (n_docs > 1), 0) AS BIGINT)
+          |           AS docs_in_dup_groups
+          |  FROM (SELECT count(*) AS n_docs
+          |        FROM documents GROUP BY md5(lower(trim(text)))))
+          |SELECT base.*, dup.*,
+          |       round((docs_in_dup_groups - dup_groups) * 1.0 / n_docs, 4) AS dup_rate
+          |FROM base, dup""".stripMargin)),
+
     // Capstone corpus build: the full pretraining-data path in ONE plan —
     // exact dedup (hash-aggregate keepers + semi-join, never a window
     // sort), quality gate (codegen'd token count), per-source caps
