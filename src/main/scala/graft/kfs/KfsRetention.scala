@@ -1,0 +1,52 @@
+package graft.kfs
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+/** Kafka `retention.ms` semantics on the KFS segment estate: delete whole
+  * COMPLETED segments whose newest record (`maxTsMs`) is older than the
+  * cutoff, per (topic, partition). Retention is segment-granular by design
+  * — exactly Kafka's contract: a segment lives until its newest record
+  * expires, so a retained segment may still hold some records older than
+  * the cutoff (readers apply `_ts` predicates for exact bounds; the scan
+  * path already pushes them).
+  *
+  * Ordering: each partition's manifest FLIPS ATOMICALLY FIRST (manifest
+  * readers stop planning doomed segments immediately), then data +
+  * `.kfst`/`.kfsb` sidecars delete. A crash between the two strands
+  * orphan files (re-running `enforce` reclaims them), never a manifest
+  * pointing at deleted data. LIST-discovery readers observe deletions at
+  * the next TTL refresh; an in-flight scan holding refs to a deleted
+  * segment fails like a Kafka consumer past the retention horizon — the
+  * inherent race of time-based retention, not a defect. Cost is
+  * metadata-only: one listing + one manifest write per touched partition,
+  * no data reads. */
+object KfsRetention {
+
+  final case class Result(kept: Int, deleted: Int, reclaimedBytes: Long)
+
+  def enforce(root: String, topic: String, cutoffMs: Long): Result = {
+    val refs = KfsLayout.listCompleted(root, Some(Set(topic)))
+    var kept = 0
+    var deleted = 0
+    var bytes = 0L
+    refs.groupBy(_.partition).foreach { case (partition, rs) =>
+      val (keep, drop) = rs.partition(_.maxTsMs >= cutoffMs)
+      if (drop.nonEmpty) {
+        KfsLayout.writeManifest(root, topic, partition,
+          keep.sortBy(_.baseOffset))
+        drop.foreach { r =>
+          val p = new HPath(r.path)
+          val fs = p.getFileSystem(KfsLayout.hadoopConf)
+          fs.delete(p, false)
+          fs.delete(new HPath(r.path + ".kfst"), false)
+          fs.delete(new HPath(r.path + ".kfsb"), false)
+          bytes += r.sizeBytes
+        }
+      }
+      kept += keep.size
+      deleted += drop.size
+    }
+    KfsLayout.invalidateDiscoveryCache(root)
+    Result(kept, deleted, bytes)
+  }
+}

@@ -454,6 +454,58 @@ object KfsPack extends QueryPack {
           |  ON l._partition = r._partition AND l._key = r._key
           | AND l._offset < r._offset
           | AND r._ts_ms - l._ts_ms BETWEEN 0 AND 21600000
-          |GROUP BY l._partition ORDER BY l._partition""".stripMargin))
+          |GROUP BY l._partition ORDER BY l._partition""".stripMargin)),
+
+    // Kafka retention.ms on the storage estate: a dedicated single-
+    // partition topic (50-record segments, arrival = event_id order) gets
+    // KfsRetention.enforce at cutoff = midpoint(min_ts, max_ts) — whole
+    // segments whose NEWEST record is older than the cutoff are dropped
+    // (manifest flips atomically first, then files delete; metadata-only,
+    // no data reads). The scan of the retained estate is hash-checked
+    // against DuckDB computing the identical segment-granular rule — so
+    // Kafka's "a segment lives until its newest record expires" contract
+    // (retained segments may still hold some pre-cutoff rows) is proven,
+    // not approximated. Re-running is an idempotent no-op.
+    QueryDef(
+      "s23_kfs_retention",
+      (s, dir) => {
+        val root = Fixtures.tmp(dir, "kfs_retention")
+        val marker = java.nio.file.Paths.get(root, "_SEEDED")
+        if (!java.nio.file.Files.exists(marker)) {
+          val rows = Tables.events(s, dir)
+            .select(col("event_id"), col("ts_ms")).collect()
+            .sortBy(_.getAs[Long]("event_id"))
+          val records = rows.zipWithIndex.map { case (r, rn) =>
+            graft.kfs.KfsCodec.Record(rn.toLong, r.getAs[Long]("ts_ms"),
+              r.getAs[Long]("event_id").toString.getBytes("UTF-8"),
+              "x".getBytes("UTF-8"), Seq.empty)
+          }
+          val refs = records.grouped(50)
+            .map(g => KfsLayout.writeSegment(root, "ret", 0, g.toSeq)).toSeq
+          KfsLayout.writeManifest(root, "ret", 0, refs)
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.write(marker, Array.emptyByteArray)
+        }
+        val bounds = Tables.events(s, dir)
+          .agg(min(col("ts_ms")), max(col("ts_ms"))).collect().head
+        val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        graft.kfs.KfsRetention.enforce(root, "ret", cutoff)
+        s.read.format("kfs").option("path", root).load()
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("_offset")).as("off_sum"),
+            min(col("_ts_ms")).as("min_ts"),
+            max(col("_ts_ms")).as("max_ts"))
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, epoch_ms(ts) AS ts_ms,
+          |         row_number() OVER (ORDER BY event_id) - 1 AS rn
+          |  FROM events),
+          |cut AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS c FROM e),
+          |seg AS (SELECT rn // 50 AS sg, max(ts_ms) AS max_ts FROM e GROUP BY 1),
+          |kept AS (SELECT sg FROM seg, cut WHERE max_ts >= cut.c)
+          |SELECT count(*) AS cnt, CAST(SUM(e.rn) AS BIGINT) AS off_sum,
+          |       min(e.ts_ms) AS min_ts, max(e.ts_ms) AS max_ts
+          |FROM e JOIN kept ON e.rn // 50 = kept.sg""".stripMargin))
   )
 }

@@ -719,4 +719,37 @@ class KfsSpec extends AnyFunSuite {
     // the new estate is manifest-committed (not just loose segments)
     assert(KfsLayout.listFromManifest(dst, "t", 0).nonEmpty)
   }
+
+  test("retention drops whole expired segments, flips the manifest, idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("kfs_ret").toString
+    // 4 segments of 25 records, 1s per record -> segment maxTs at 25s steps
+    val recs = mkRecords(100)
+    val refs = recs.grouped(25).map(g =>
+      KfsLayout.writeSegment(root, "t", 0, g.toSeq)).toSeq
+    KfsLayout.writeManifest(root, "t", 0, refs)
+    // cutoff between segment 1's and segment 2's newest record: first two
+    // segments expire, later two stay
+    val cutoff = recs(49).timestampMs + 1
+    val r1 = graft.kfs.KfsRetention.enforce(root, "t", cutoff)
+    assert(r1.kept == 2 && r1.deleted == 2 && r1.reclaimedBytes > 0)
+    KfsLayout.invalidateDiscoveryCache(root)
+    val listed = KfsLayout.listCompleted(root, Some(Set("t")))
+    assert(listed.map(_.baseOffset).sorted == Seq(50L, 75L))
+    assert(KfsLayout.listFromManifest(root, "t", 0).map(_.baseOffset).sorted ==
+      Seq(50L, 75L))
+    // sidecars of deleted segments are gone too
+    val dir = java.nio.file.Paths.get(root, "t", "0")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!files.exists(_.startsWith(KfsLayout.segmentFileName(0L))))
+    // mid-segment cutoff: the segment holding the cutoff survives WHOLE
+    // (its pre-cutoff records included) — Kafka's segment-granular contract
+    val r3 = graft.kfs.KfsRetention.enforce(root, "t",
+      recs(60).timestampMs) // inside segment base 50
+    assert(r3.kept == 2 && r3.deleted == 0)
+    // idempotent: nothing further expires
+    val r2 = graft.kfs.KfsRetention.enforce(root, "t", cutoff)
+    assert(r2.kept == 2 && r2.deleted == 0)
+  }
 }
