@@ -24,13 +24,32 @@ object KfsRetention {
 
   final case class Result(kept: Int, deleted: Int, reclaimedBytes: Long)
 
-  def enforce(root: String, topic: String, cutoffMs: Long): Result = {
+  def enforce(root: String, topic: String, cutoffMs: Long): Result =
+    enforceWith(root, topic, rs => rs.partition(_.maxTsMs >= cutoffMs))
+
+  /** Kafka `retention.bytes`: per partition, keep the NEWEST segments (by
+    * base offset, descending) whose cumulative size fits the budget; the
+    * first over-budget segment and everything older delete. Kafka's rule
+    * exactly — the budget-straddling segment is dropped whole, never
+    * split. */
+  def enforceSize(root: String, topic: String, maxBytes: Long): Result =
+    enforceWith(root, topic, { rs =>
+      val newestFirst = rs.sortBy(-_.baseOffset)
+      val cum = newestFirst.scanLeft(0L)(_ + _.sizeBytes).tail
+      val keepSet = newestFirst.zip(cum).takeWhile(_._2 <= maxBytes)
+        .map(_._1.baseOffset).toSet
+      rs.partition(r => keepSet(r.baseOffset))
+    })
+
+  private def enforceWith(root: String, topic: String,
+      split: Seq[KfsLayout.SegmentRef] =>
+        (Seq[KfsLayout.SegmentRef], Seq[KfsLayout.SegmentRef])): Result = {
     val refs = KfsLayout.listCompleted(root, Some(Set(topic)))
     var kept = 0
     var deleted = 0
     var bytes = 0L
     refs.groupBy(_.partition).foreach { case (partition, rs) =>
-      val (keep, drop) = rs.partition(_.maxTsMs >= cutoffMs)
+      val (keep, drop) = split(rs)
       if (drop.nonEmpty) {
         KfsLayout.writeManifest(root, topic, partition,
           keep.sortBy(_.baseOffset))

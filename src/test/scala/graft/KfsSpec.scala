@@ -752,4 +752,24 @@ class KfsSpec extends AnyFunSuite {
     val r2 = graft.kfs.KfsRetention.enforce(root, "t", cutoff)
     assert(r2.kept == 2 && r2.deleted == 0)
   }
+
+  test("size retention keeps the newest segments within the byte budget") {
+    val root = java.nio.file.Files.createTempDirectory("kfs_retb").toString
+    val recs = mkRecords(100)
+    val refs = recs.grouped(25).map(g =>
+      KfsLayout.writeSegment(root, "t", 0, g.toSeq)).toSeq
+    KfsLayout.writeManifest(root, "t", 0, refs)
+    val segBytes = refs.head.sizeBytes
+    // budget for ~2.5 segments: newest two survive, the straddler drops whole
+    val r = graft.kfs.KfsRetention.enforceSize(root, "t",
+      (segBytes * 2.5).toLong)
+    assert(r.kept == 2 && r.deleted == 2, s"got $r")
+    KfsLayout.invalidateDiscoveryCache(root)
+    assert(KfsLayout.listCompleted(root, Some(Set("t")))
+      .map(_.baseOffset).sorted == Seq(50L, 75L))
+    // idempotent
+    val r2 = graft.kfs.KfsRetention.enforceSize(root, "t",
+      (segBytes * 2.5).toLong)
+    assert(r2.deleted == 0)
+  }
 }
