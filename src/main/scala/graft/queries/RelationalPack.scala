@@ -1722,6 +1722,43 @@ object RelationalPack extends QueryPack {
           |       count(DISTINCT user_id) AS n_users
           |FROM ev JOIN first USING (user_id)
           |WHERE day - cohort_day <= 7
-          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)))
+          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin))),
+
+    // Inter-arrival distribution: per-user event gaps (lag over the
+    // actor-keyed window, the same bounded per-user sort as sessionizing)
+    // bucketed into capped minute bins — the arrival-rate histogram
+    // capacity planning and anomaly detection read. One actor-keyed
+    // shuffle + one small aggregate; pure integer epoch-ms math.
+    QueryDef(
+      "w5_interarrival",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_ms"), col("event_id"))
+          .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .withColumn("gap_ms", col("ts_ms") - col("prev"))
+          .withColumn("bucket_min",
+            least(expr("gap_ms div 60000"), lit(60L)))
+          .groupBy(col("bucket_min"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap_ms")).as("min_gap_ms"),
+            max(col("gap_ms")).as("max_gap_ms"))
+          .orderBy(col("bucket_min"))
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+          |g AS (
+          |  SELECT ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+          |             ORDER BY ts_ms, event_id) AS gap_ms
+          |  FROM e)
+          |SELECT least(gap_ms // 60000, 60) AS bucket_min,
+          |       count(*) AS n_gaps,
+          |       min(gap_ms) AS min_gap_ms, max(gap_ms) AS max_gap_ms
+          |FROM g WHERE gap_ms IS NOT NULL
+          |GROUP BY 1 ORDER BY bucket_min""".stripMargin))
   )
 }
