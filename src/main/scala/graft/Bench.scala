@@ -57,13 +57,18 @@ object Bench {
     // sentinels is undiagnosable from the artifacts alone (round 7: 60
     // queries failed and the root cause needed a manual re-run to surface)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val detail = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val detail = SparkEntry.queryDefs.sortBy(_.name)
+      .filter(d => only.forall(_.contains(d.name)))
+      .map { d =>
+        val name = d.name
+        // (seedSec, execSec) per rep; declared seed phases (fixture estate
+        // writes) are timed apart from the operator so setup cost never
+        // inflates the query number — both still sum into the headline
+        // total for cross-round comparability
         val times = (1 to reps).map { r =>
           graft.queries.Fixtures.runSuffix = s"${benchId}_rep$r"
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
+          def guarded(body: => Unit): Boolean =
+            try { body; true }
             catch { case e: Throwable =>
               if (!errors.contains(name)) {
                 val msg = Option(e.toString).getOrElse(e.getClass.getName)
@@ -73,15 +78,20 @@ object Bench {
               }
               false
             }
+          val s0 = System.nanoTime()
+          val seedOk = guarded(d.seed.foreach(_(spark, sfDir)))
+          val seedSec = (System.nanoTime() - s0) / 1e9
+          val t0 = System.nanoTime()
+          val ok = seedOk && guarded(d.fn(spark, sfDir).count())
           val dt = (System.nanoTime() - t0) / 1e9
           // drop persisted intermediates so queries don't contend for
           // storage memory with later ones (r1: d7 was 65s in-suite vs 24s
           // standalone purely from leaked shingle-explode caches)
           spark.catalog.clearCache()
-          if (ok) dt else -1.0
+          (if (d.seed.isDefined) seedSec else 0.0, if (ok) dt else -1.0)
         }
         graft.queries.Fixtures.runSuffix = ""
-        name -> times
+        (name, times, d.seed.isDefined)
       }
     // best-effort scratch cleanup: the per-rep fixture roots are only
     // meaningful within this invocation
@@ -95,7 +105,12 @@ object Bench {
         }
       }
     } catch { case _: Throwable => }
-    val results = detail.map { case (name, times) =>
+    // headline per-query value = min over reps of seed+exec wall (the same
+    // quantity earlier rounds measured); seed/exec splits go to BENCH_FULL
+    val combined = detail.map { case (name, times, _) =>
+      name -> times.map { case (s, e) => if (e >= 0) s + e else -1.0 }
+    }
+    val results = combined.map { case (name, times) =>
       val good = times.filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
@@ -121,13 +136,34 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     // BENCH_FULL.json additionally carries every repetition's time so a
     // suspicious min can be checked against its spread without a re-run
-    val repQs = detail.map { case (k, ts) =>
+    val repQs = combined.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // percentiles across reps (nearest-rank) — with small rep counts p95 is
+    // effectively the max, which is exactly the outlier bound wanted
+    def pct(ts: Seq[Double], p: Double): Double = {
+      val good = ts.filter(_ >= 0).sorted
+      if (good.isEmpty) -1.0
+      else good(math.min(good.size - 1, math.ceil(p * good.size).toInt - 1).max(0))
+    }
+    val p50Qs = combined.map { case (k, ts) => "\"" + k + "\":" + f3(pct(ts, 0.50)) }
+      .mkString("{", ",", "}")
+    val p95Qs = combined.map { case (k, ts) => "\"" + k + "\":" + f3(pct(ts, 0.95)) }
+      .mkString("{", ",", "}")
+    // seed/exec split for composed queries with a declared seed phase: both
+    // are the min over reps (paired with the headline's agg)
+    val seeded = detail.filter(_._3)
+    val seedQs = seeded.map { case (k, ts, _) =>
+      "\"" + k + "\":" + f3(ts.map(_._1).min)
+    }.mkString("{", ",", "}")
+    val execQs = seeded.map { case (k, ts, _) =>
+      val good = ts.map(_._2).filter(_ >= 0)
+      "\"" + k + "\":" + f3(if (good.nonEmpty) good.min else -1.0)
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fullFile =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"errors":$errJson,"queries":$fullQs,"rep_times":$repQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -27,16 +27,20 @@ object KfsRetention {
   def enforce(root: String, topic: String, cutoffMs: Long): Result =
     enforceWith(root, topic, rs => rs.partition(_.maxTsMs >= cutoffMs))
 
-  /** Kafka `retention.bytes`: per partition, keep the NEWEST segments (by
-    * base offset, descending) whose cumulative size fits the budget; the
-    * first over-budget segment and everything older delete. Kafka's rule
-    * exactly — the budget-straddling segment is dropped whole, never
-    * split. */
+  /** Kafka `retention.bytes`: per partition, delete the OLDEST segment
+    * only while the log remaining after the deletion would still be at or
+    * over the budget — Kafka's rule exactly (`UnifiedLog`'s size-breach
+    * deletion: a segment is deletable iff `totalSize - deletedSoFar -
+    * segment.size >= retentionSize`). Equivalently, walking newest-first:
+    * a segment is KEPT while the cumulative size of strictly-newer kept
+    * segments is under the budget — so the budget-straddling segment
+    * survives whole and the log may exceed `maxBytes` by up to one
+    * segment, never split. */
   def enforceSize(root: String, topic: String, maxBytes: Long): Result =
     enforceWith(root, topic, { rs =>
       val newestFirst = rs.sortBy(-_.baseOffset)
-      val cum = newestFirst.scanLeft(0L)(_ + _.sizeBytes).tail
-      val keepSet = newestFirst.zip(cum).takeWhile(_._2 <= maxBytes)
+      val cumNewer = newestFirst.scanLeft(0L)(_ + _.sizeBytes).init
+      val keepSet = newestFirst.zip(cumNewer).takeWhile(_._2 < maxBytes)
         .map(_._1.baseOffset).toSet
       rs.partition(r => keepSet(r.baseOffset))
     })

@@ -22,6 +22,42 @@ object KfsPack extends QueryPack {
     KfsSource.read(s, root)
   }
 
+  /** Seed the retention estate THROUGH the DSv2 write path (the scale-safe
+    * shape: one clustering shuffle, writer tasks publish size-capped
+    * segments in parallel, manifest commit flips atomically) — not
+    * driver-serial tiny-segment writes. Single-partition topic `ret`,
+    * `_offset = event_id` (dense from 0 — driver testdata invariant the
+    * writer's `require_dense` re-asserts), 1000-record segments, arrival
+    * order = event_id order so segment time ranges are deterministic for
+    * the oracle's segment-granular retention rule. Idempotent via marker;
+    * a partial prior estate (crash between write and marker) is wiped
+    * first because the log is append-only. */
+  private def seedRetentionEstate(s: SparkSession, dir: String): String = {
+    // name carries the seeding generation (segment size / write path):
+    // the marker alone can't distinguish an estate left by an older build,
+    // and retention results are segment-granular, so generations must
+    // never mix
+    val root = Fixtures.tmp(dir, "kfs_retention_1k")
+    val marker = java.nio.file.Paths.get(root, "_SEEDED")
+    if (!java.nio.file.Files.exists(marker)) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(KfsLayout.hadoopConf)
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(root + "_staging"), true)
+      Tables.events(s, dir)
+        .select(lit("ret").as("_topic"), lit(0).as("_partition"),
+          col("event_id").as("_offset"),
+          col("ts_ms").as("_ts_ms"),
+          col("event_id").cast("string").cast("binary").as("_key"),
+          lit("x").cast("binary").as("_value"))
+        .write.format("kfs").mode("append").option("path", root)
+        .option("max_records_per_segment", "1000").save()
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    root
+  }
+
   override def entries: Seq[QueryDef] = Seq(
 
     // S1: full segment scan — decode header/batches/varint records
@@ -457,7 +493,7 @@ object KfsPack extends QueryPack {
           |GROUP BY l._partition ORDER BY l._partition""".stripMargin)),
 
     // Kafka retention.ms on the storage estate: a dedicated single-
-    // partition topic (50-record segments, arrival = event_id order) gets
+    // partition topic (1000-record segments, arrival = event_id order) gets
     // KfsRetention.enforce at cutoff = midpoint(min_ts, max_ts) — whole
     // segments whose NEWEST record is older than the cutoff are dropped
     // (manifest flips atomically first, then files delete; metadata-only,
@@ -469,23 +505,7 @@ object KfsPack extends QueryPack {
     QueryDef(
       "s23_kfs_retention",
       (s, dir) => {
-        val root = Fixtures.tmp(dir, "kfs_retention")
-        val marker = java.nio.file.Paths.get(root, "_SEEDED")
-        if (!java.nio.file.Files.exists(marker)) {
-          val rows = Tables.events(s, dir)
-            .select(col("event_id"), col("ts_ms")).collect()
-            .sortBy(_.getAs[Long]("event_id"))
-          val records = rows.zipWithIndex.map { case (r, rn) =>
-            graft.kfs.KfsCodec.Record(rn.toLong, r.getAs[Long]("ts_ms"),
-              r.getAs[Long]("event_id").toString.getBytes("UTF-8"),
-              "x".getBytes("UTF-8"), Seq.empty)
-          }
-          val refs = records.grouped(50)
-            .map(g => KfsLayout.writeSegment(root, "ret", 0, g.toSeq)).toSeq
-          KfsLayout.writeManifest(root, "ret", 0, refs)
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.write(marker, Array.emptyByteArray)
-        }
+        val root = seedRetentionEstate(s, dir) // idempotent (marker-gated)
         val bounds = Tables.events(s, dir)
           .agg(min(col("ts_ms")), max(col("ts_ms"))).collect().head
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
@@ -502,10 +522,11 @@ object KfsPack extends QueryPack {
           |         row_number() OVER (ORDER BY event_id) - 1 AS rn
           |  FROM events),
           |cut AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS c FROM e),
-          |seg AS (SELECT rn // 50 AS sg, max(ts_ms) AS max_ts FROM e GROUP BY 1),
+          |seg AS (SELECT rn // 1000 AS sg, max(ts_ms) AS max_ts FROM e GROUP BY 1),
           |kept AS (SELECT sg FROM seg, cut WHERE max_ts >= cut.c)
           |SELECT count(*) AS cnt, CAST(SUM(e.rn) AS BIGINT) AS off_sum,
           |       min(e.ts_ms) AS min_ts, max(e.ts_ms) AS max_ts
-          |FROM e JOIN kept ON e.rn // 50 = kept.sg""".stripMargin))
+          |FROM e JOIN kept ON e.rn // 1000 = kept.sg""".stripMargin),
+      seed = Some((s, dir) => { seedRetentionEstate(s, dir); () }))
   )
 }

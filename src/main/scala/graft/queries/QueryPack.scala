@@ -17,7 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Optional fixture-seeding phase for composed queries (estate writes,
+      * checkpoint drains that only stage inputs). Runs before `fn` and is
+      * timed SEPARATELY by the bench (`seed_s` vs `exec_s` in
+      * BENCH_FULL.json) so harness setup cost never masquerades as operator
+      * cost. Must be idempotent: `fn` may also invoke it defensively, and
+      * the driver's composed entry point runs seed-then-fn every time. */
+    seed: Option[(SparkSession, String) => Unit] = None)
 
 trait QueryPack {
   def entries: Seq[QueryDef]

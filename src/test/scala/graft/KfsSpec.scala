@@ -760,16 +760,23 @@ class KfsSpec extends AnyFunSuite {
       KfsLayout.writeSegment(root, "t", 0, g.toSeq)).toSeq
     KfsLayout.writeManifest(root, "t", 0, refs)
     val segBytes = refs.head.sizeBytes
-    // budget for ~2.5 segments: newest two survive, the straddler drops whole
+    // budget for ~2.5 segments: Kafka's rule deletes an oldest segment only
+    // while the remainder would still be >= the budget, so the straddler
+    // SURVIVES — 3 kept (log may exceed retention.bytes by < one segment)
     val r = graft.kfs.KfsRetention.enforceSize(root, "t",
       (segBytes * 2.5).toLong)
-    assert(r.kept == 2 && r.deleted == 2, s"got $r")
+    assert(r.kept == 3 && r.deleted == 1, s"got $r")
+    KfsLayout.invalidateDiscoveryCache(root)
+    assert(KfsLayout.listCompleted(root, Some(Set("t")))
+      .map(_.baseOffset).sorted == Seq(25L, 50L, 75L))
+    // an exact 2-segment budget drops the two oldest
+    val r2 = graft.kfs.KfsRetention.enforceSize(root, "t", segBytes * 2)
+    assert(r2.kept == 2 && r2.deleted == 1, s"got $r2")
     KfsLayout.invalidateDiscoveryCache(root)
     assert(KfsLayout.listCompleted(root, Some(Set("t")))
       .map(_.baseOffset).sorted == Seq(50L, 75L))
     // idempotent
-    val r2 = graft.kfs.KfsRetention.enforceSize(root, "t",
-      (segBytes * 2.5).toLong)
-    assert(r2.deleted == 0)
+    val r3 = graft.kfs.KfsRetention.enforceSize(root, "t", segBytes * 2)
+    assert(r3.deleted == 0)
   }
 }
