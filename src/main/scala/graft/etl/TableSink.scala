@@ -86,13 +86,34 @@ object TableSink {
       Paths.get(table).toAbsolutePath.normalize.toString, _ => new Object)
 
   /** If a crash between compact's swap steps left `data` missing but the
-    * previous generation present, restore it before proceeding. */
+    * previous generation present, restore it before proceeding. Also
+    * completes (or rolls back) a [[replace]] interrupted between its data
+    * and schema flips, so data and schema always agree: the staged schema
+    * (`_schema.json.new`) is applied iff the data flip provably completed
+    * — `data_replace` still on disk means it did not, so the staged schema
+    * is stale and dropped. */
   private def recoverSwap(table: String): Unit = {
     val dataDir = Paths.get(s"$table/data")
     val oldDir = Paths.get(s"$table/data_old")
     if (!Files.exists(dataDir) && Files.exists(oldDir))
       Files.move(oldDir, dataDir)
+    val staged = Paths.get(s"$table/_schema.json.new")
+    if (Files.exists(staged)) {
+      if (Files.exists(Paths.get(s"$table/data_replace")))
+        Files.delete(staged) // data flip never happened: old gen + old schema
+      else
+        Files.move(staged, schemaPath(table), // finish the interrupted flip
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
+
+  /** Run `body` holding this table's lock — for composed read-merge-replace
+    * maintenance (e.g. [[AggMaintenance.compact]]) that must not lose a
+    * concurrent [[append]] between resolving the table's file listing and
+    * swapping the folded generation in. Reentrant (Java monitors), so
+    * `body` may freely call append/replace/compact on the same table. */
+  def locked[A](table: String)(body: => A): A =
+    lockFor(table).synchronized(body)
 
   /** Append a batch, evolving the table schema when needed. */
   def append(spark: SparkSession, table: String, df: DataFrame): Unit =
@@ -129,16 +150,20 @@ object TableSink {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  def read(spark: SparkSession, table: String): DataFrame =
+  def read(spark: SparkSession, table: String): DataFrame = {
+    // only lock when crash leftovers are actually present (missing data
+    // dir, or a staged-but-unapplied schema from an interrupted replace):
+    // readers must not serialize behind a long compaction otherwise.
+    // Schema is re-read AFTER recovery so a completed-by-recovery replace
+    // is read with its own schema, never the superseded one.
+    if (!Files.exists(Paths.get(s"$table/data")) ||
+        Files.exists(Paths.get(s"$table/_schema.json.new")))
+      lockFor(table).synchronized(recoverSwap(table))
     tableSchema(table) match {
-      case Some(s) =>
-        // only lock when the data dir is actually missing (a crashed swap):
-        // readers must not serialize behind a long compaction otherwise
-        if (!Files.exists(Paths.get(s"$table/data")))
-          lockFor(table).synchronized(recoverSwap(table))
-        spark.read.schema(s).parquet(s"$table/data")
+      case Some(s) => spark.read.schema(s).parquet(s"$table/data")
       case None => spark.emptyDataFrame
     }
+  }
 
   private def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
@@ -187,7 +212,11 @@ object TableSink {
     * rename-aside swap (and crash recovery) as [[compact]], but with new
     * rows instead of a rewrite of the old ones. `df` may read from this
     * very table (it is materialized into the aside dir before the swap).
-    * The table schema becomes `df`'s schema. */
+    * The table schema becomes `df`'s schema; the schema flips WITH the
+    * data (staged to `_schema.json.new` before the move, renamed into
+    * place right after — [[recoverSwap]] completes or discards the staged
+    * file depending on whether the data move happened), so a crash can
+    * never leave new data readable under the old schema. */
   def replace(spark: SparkSession, table: String, df: DataFrame): Unit =
       lockFor(table).synchronized {
     recoverSwap(table)
@@ -197,9 +226,12 @@ object TableSink {
     val oldDir = Paths.get(s"$table/data_old")
     deleteRecursive(oldDir)
     Files.createDirectories(Paths.get(table))
+    val staged = Paths.get(s"$table/_schema.json.new")
+    Files.write(staged, df.schema.json.getBytes(StandardCharsets.UTF_8))
     if (Files.exists(dataDir)) Files.move(dataDir, oldDir)
     Files.move(Paths.get(tmp), dataDir)
-    Files.write(schemaPath(table), df.schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(staged, schemaPath(table),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     deleteRecursive(oldDir)
   }
 

@@ -454,9 +454,17 @@ object Multimodal {
   /** Video near-duplicates: two videos match when EVERY sampled keyframe
     * pair (same frame index) is within `maxDist` hamming — frame-level
     * 4×16-bit banding generates candidates per (frame, band, bucket),
-    * codegen'd hamming verifies, and a pair survives only with all
-    * `nFrames` frames matched. Emits (a, b, max_hamming). Same shuffle
-    * economics as [[aHashNearDups]], keyed one level finer. */
+    * codegen'd hamming verifies, and a pair survives only when all
+    * commonly-sampled frames matched: `n_matched = min(frames_a,
+    * frames_b)`, where the per-video frame counts come from `frameHashes`
+    * itself. The min (not the `nFrames` sampling target) keeps recall for
+    * videos shorter than the target and for frames a corrupt decode
+    * skipped — a fixed `=== nFrames` bar silently unmatches identical
+    * short videos. A shorter video thus matches a longer one on their
+    * common prefix (truncation is a near-dup). Emits (a, b, max_hamming).
+    * Same shuffle economics as [[aHashNearDups]], keyed one level finer;
+    * the frame-count side is an aggregate of |videos| rows joined back on
+    * id (AQE broadcasts it when small). */
   def videoNearDups(frameHashes: DataFrame, nFrames: Int,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, s"4x16 banding guarantees recall only to 3: $maxDist")
@@ -475,6 +483,8 @@ object Multimodal {
     val ham = (0 until 4).map(i =>
       bit_count(word(col("ha"), i).bitwiseXOR(word(col("hb"), i))))
       .reduce(_ + _)
+    val frameCounts = frameHashes.groupBy(col("id"))
+      .agg(countDistinct(col("frame_idx")).as("nf"))
     l.join(r, Seq("frame_idx", "band", "bucket")).where(col("a") < col("b"))
       .select(col("frame_idx"), col("a"), col("b"), col("ha"), col("hb")).distinct()
       .withColumn("hamming", ham.cast("long"))
@@ -482,7 +492,9 @@ object Multimodal {
       .groupBy(col("a"), col("b"))
       .agg(countDistinct(col("frame_idx")).as("n_matched"),
         max(col("hamming")).as("max_hamming"))
-      .where(col("n_matched") === nFrames)
+      .join(frameCounts.select(col("id").as("a"), col("nf").as("nf_a")), Seq("a"))
+      .join(frameCounts.select(col("id").as("b"), col("nf").as("nf_b")), Seq("b"))
+      .where(col("n_matched") === least(col("nf_a"), col("nf_b")))
       .select(col("a"), col("b"), col("max_hamming"))
   }
 

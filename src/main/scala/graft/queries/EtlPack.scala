@@ -618,17 +618,19 @@ object EtlPack extends QueryPack {
 
     // Incrementally-maintained materialized aggregate: per-partition
     // count + sum of a json field kept current micro-batch by micro-batch
-    // (merge-on-read partials stamped with the batch id — the replay
-    // guard — then folded into one generation by compact()). The oracle
-    // recomputes the aggregate over the whole topic in one shot: the
-    // incrementally-maintained view ≡ the full recompute, surviving both
-    // the multi-batch drain and the compaction fold.
+    // (merge-on-read partials plus per-batch offset-coverage rows — the
+    // replay guard — then folded into one generation by compact()). The
+    // oracle recomputes the aggregate over the whole topic in one shot:
+    // the incrementally-maintained view ≡ the full recompute, surviving
+    // both the multi-batch drain and the compaction fold.
     QueryDef(
       "e19_incremental_agg",
       (s, dir) => {
         val root = KfsSeed.seededRoot(s, dir)
-        val table = tmp(dir, "iagg_table")
-        val ckpt = tmp(dir, "iagg_ckpt")
+        // _cov suffix: the replay-guard schema changed (batch-id stamp →
+        // coverage rows); stable-path tables from older builds must not mix
+        val table = tmp(dir, "iagg_cov_table")
+        val ckpt = tmp(dir, "iagg_cov_ckpt")
         AggMaintenance.run(s, root, table, ckpt, Seq("_partition"),
           get_json_object(col("_value").cast("string"), "$.k"),
           maxSegmentsPerTrigger = Some(1))

@@ -190,6 +190,22 @@ class CurationSpec extends AnyFunSuite {
     assert(pairs == expected)
   }
 
+  test("video near-dups: identical short videos (fewer frames than the sampling target) still match") {
+    import spark.implicits._
+    val media = Seq(
+      (0L, Multimodal.gifFixtureVariant(0, 0, 16, 16, frames = 2), "image/gif"),
+      (1L, Multimodal.gifFixtureVariant(0, 0, 16, 16, frames = 2), "image/gif"),
+      (2L, Multimodal.gifFixtureVariant(1, 0, 16, 16, frames = 6), "image/gif"))
+      .toDF("id", "media", "content_type")
+    val prints = Multimodal.videoFingerprints(spark, media, n = 3, 16, 16)
+    // only 2 frames exist; the match bar is min(frames_a, frames_b), not n
+    val nShort = prints.where(col("id") === 0L).count()
+    assert(nShort == 2, s"sampled $nShort")
+    val pairs = Multimodal.videoNearDups(prints, nFrames = 3, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   // ---- Conversations ----------------------------------------------------
 
   test("conversation threading splits on the gap and orders turns in time") {

@@ -268,7 +268,7 @@ class EtlSpec extends AnyFunSuite {
     assert(out == Map(10L -> false, 11L -> true))
   }
 
-  test("incremental aggregate: batch-id replay guard survives even checkpoint loss") {
+  test("incremental aggregate: coverage replay guard survives checkpoint loss, even reconfigured") {
     val root = Files.createTempDirectory("iagg").toString
     (0 until 3).foreach { seg =>
       val recs = (0 until 40).map(i => KfsCodec.Record((seg * 40 + i).toLong,
@@ -277,29 +277,63 @@ class EtlSpec extends AnyFunSuite {
       KfsLayout.writeSegment(root, "nums", 0, recs)
     }
     val table = Files.createTempDirectory("iagg_tbl").toString + "/t"
-    def drain(ck: String): Unit = AggMaintenance.run(spark, root, table, ck,
-      Seq("_partition"), get_json_object(col("_value").cast("string"), "$.v"),
-      maxSegmentsPerTrigger = Some(1))
+    def drain(ck: String, perTrigger: Int): Unit =
+      AggMaintenance.run(spark, root, table, ck,
+        Seq("_partition"), get_json_object(col("_value").cast("string"), "$.v"),
+        maxSegmentsPerTrigger = Some(perTrigger))
     val ck1 = Files.createTempDirectory("iagg_ck1").toString
-    drain(ck1)
+    drain(ck1, 1)
     def state() = AggMaintenance.read(spark, table, Seq("_partition"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     val expected = Set((0, 120L, (0 until 120).sum.toDouble))
     assert(state() == expected)
     // same checkpoint: no new segments, nothing re-applied
-    drain(ck1)
+    drain(ck1, 1)
     assert(state() == expected)
-    // FRESH checkpoint (checkpoint loss): batches replay with the same
-    // ids; the batch-id anti-join drops them all — still exactly once
+    // FRESH checkpoint (checkpoint loss): the re-drained batches' offset
+    // ranges are contained in applied coverage — dropped, still exactly once
     val ck2 = Files.createTempDirectory("iagg_ck2").toString
-    drain(ck2)
+    drain(ck2, 1)
     assert(state() == expected)
-    // compaction folds partials to |keys| rows and preserves the view
+    // checkpoint loss AND a different trigger config: batch ids now cover
+    // different segment sets (the case a batch-id guard gets silently
+    // wrong), but offset coverage still proves containment — exactly once
+    val ck3 = Files.createTempDirectory("iagg_ck3").toString
+    drain(ck3, 3)
+    assert(state() == expected)
+    // compaction folds partials to |keys| data rows + 1 coverage row and
+    // preserves the view
     val before = TableSink.read(spark, table).count()
     AggMaintenance.compact(spark, table, Seq("_partition"))
     val after = TableSink.read(spark, table).count()
-    assert(before >= after && after == 1)
+    assert(before >= after && after == 2, s"before=$before after=$after")
     assert(state() == expected)
+    // ... and the guard still holds after the fold
+    val ck4 = Files.createTempDirectory("iagg_ck4").toString
+    drain(ck4, 2)
+    assert(state() == expected)
+  }
+
+  test("incremental aggregate: partially-overlapping replay fails loudly, disjoint extends") {
+    import AggMaintenance.{admit, mergeCov, parseCov, covString, mergeIntervals}
+    val applied = parseCov("nums/0:0-79")
+    // exact/contained replay: skip
+    assert(admit(applied, Map(("nums", 0) -> (0L, 39L))) == Right(false))
+    assert(admit(applied, Map(("nums", 0) -> (0L, 79L))) == Right(false))
+    // disjoint continuation: apply
+    assert(admit(applied, Map(("nums", 0) -> (80L, 119L))) == Right(true))
+    // new partition: apply
+    assert(admit(applied, Map(("nums", 1) -> (0L, 9L))) == Right(true))
+    // partial overlap (batch recomposed across a checkpoint loss): error
+    assert(admit(applied, Map(("nums", 0) -> (40L, 119L))).isLeft)
+    // mixed contained + fresh partitions: also unsound → error
+    assert(admit(applied,
+      Map(("nums", 0) -> (0L, 39L), ("nums", 1) -> (0L, 9L))).isLeft)
+    // canonical round-trip + adjacent-span merge
+    val merged = mergeCov(applied, parseCov("nums/0:80-119,nums/1:0-9"))
+    assert(covString(merged) == "nums/0:0-119,nums/1:0-9")
+    assert(mergeIntervals(Seq((10L, 20L), (0L, 5L), (6L, 9L), (30L, 40L))) ==
+      Seq((0L, 20L), (30L, 40L)))
   }
 
   test("vector index: one row per doc, survives replay and checkpoint loss") {
