@@ -92,9 +92,16 @@ object KfsCodec {
 
   // ---- segment encode ---------------------------------------------------
 
+  /** Hard ceiling on a single batch's decompressed size — a zip-bomb
+    * batch on untrusted bytes must fail the format check, not OOM the
+    * executor (Kafka bounds the same surface with `max.message.bytes`). */
+  val MaxDecompressedBatchBytes: Int = 1 << 30
+
   /** Build a complete segment (header + one or more v2 batches + footer).
-    * Records must be offset-ordered; batches of `batchSize` records each. */
-  def buildSegment(records: Seq[Record], batchSize: Int = 500): Array[Byte] = {
+    * Records must be offset-ordered; batches of `batchSize` records each.
+    * `compression` is a [[KfsCompression]] codec id applied per batch. */
+  def buildSegment(records: Seq[Record], batchSize: Int = 500,
+      compression: Int = KfsCompression.None): Array[Byte] = {
     require(records.nonEmpty, "empty segment")
     val base = records.head.offset
     val out = new ArrayBuffer[Byte](records.length * 64)
@@ -106,7 +113,7 @@ object KfsCodec {
       .putInt(records.length).putLong(System.currentTimeMillis()).putInt(0)
     out ++= hdr.array()
 
-    records.grouped(batchSize).foreach(b => out ++= buildBatch(b))
+    records.grouped(batchSize).foreach(b => out ++= buildBatch(b, compression))
 
     // Footer CRC is CRC32C (Castagnoli) over the batch body only — the bytes
     // between segment header and footer — matching the reference writer
@@ -119,8 +126,11 @@ object KfsCodec {
     all ++ foot.array()
   }
 
-  /** One Kafka-v2 record batch. */
-  def buildBatch(records: Seq[Record]): Array[Byte] = {
+  /** One Kafka-v2 record batch; `compression` compresses the records body
+    * (the 61-byte header stays plain — stats pruning and CRC semantics
+    * are codec-independent). */
+  def buildBatch(records: Seq[Record],
+      compression: Int = KfsCompression.None): Array[Byte] = {
     val base = records.head.offset
     val firstTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max
@@ -146,14 +156,19 @@ object KfsCodec {
       body ++= rec
     }
 
+    val encodedBody =
+      if (compression == KfsCompression.None) body.toArray
+      else KfsCompression.compress(compression, body.toArray)
+
     // 61-byte header; crc (CRC32C, Kafka semantics) covers attributes..end
+    // — i.e. the compressed body bytes as stored, matching Kafka clients
     val afterCrc = ByteBuffer.allocate(BatchHeaderLen - 21).order(ByteOrder.BIG_ENDIAN)
-    afterCrc.putShort(0) // attributes: no compression
+    afterCrc.putShort((compression & 0x07).toShort) // attributes bits 0-2: codec
       .putInt(records.length - 1) // lastOffsetDelta
       .putLong(firstTs).putLong(maxTs)
       .putLong(-1L).putShort(-1).putInt(-1) // producer id/epoch/baseSequence
       .putInt(records.length)
-    val crcInput = afterCrc.array() ++ body
+    val crcInput = afterCrc.array() ++ encodedBody
     val crc = new CRC32C
     crc.update(crcInput)
 
@@ -198,7 +213,8 @@ object KfsCodec {
 
   /** Decode every record in a segment. Lazy per-batch so a scan with a
     * pushed LIMIT stops early. */
-  def decodeSegment(buf: Array[Byte]): Iterator[Record] = {
+  def decodeSegment(buf: Array[Byte],
+      allowCompressed: Boolean = false): Iterator[Record] = {
     segmentInfo(buf) // validates magics + crc
     val end = buf.length - FooterLen
     new Iterator[Record] {
@@ -206,7 +222,7 @@ object KfsCodec {
       private var batch: Iterator[Record] = Iterator.empty
       private def advance(): Unit = {
         while (!batch.hasNext && pos < end) {
-          val (records, next) = decodeBatch(buf, pos)
+          val (records, next) = decodeBatch(buf, pos, allowCompressed)
           batch = records
           pos = next
         }
@@ -232,11 +248,12 @@ object KfsCodec {
     * Non-format throwables still fail the task — only provable corruption
     * is skipped. */
   def decodeSegmentLenient(buf: Array[Byte],
-      onCorrupt: String => Unit = _ => ()): Iterator[Record] =
+      onCorrupt: String => Unit = _ => (),
+      allowCompressed: Boolean = false): Iterator[Record] =
     try {
-      val dryRun = decodeSegment(buf)
+      val dryRun = decodeSegment(buf, allowCompressed)
       while (dryRun.hasNext) dryRun.next() // validate all, retain nothing
-      decodeSegment(buf)
+      decodeSegment(buf, allowCompressed)
     } catch {
       case e: KfsFormatException => onCorrupt(e.getMessage); Iterator.empty
     }
@@ -290,7 +307,8 @@ object KfsCodec {
     * emit any record of a corrupt segment should use the lenient buffer
     * path. The caller owns closing `in`. */
   def decodeSegmentStream(in: java.io.DataInputStream, size: Long,
-      bounds: Option[BatchBounds] = None): Iterator[Record] = {
+      bounds: Option[BatchBounds] = None,
+      allowCompressed: Boolean = false): Iterator[Record] = {
     if (size < SegmentHeaderLen + FooterLen)
       throw new KfsFormatException(s"segment too short: $size")
     val hdr = new Array[Byte](SegmentHeaderLen)
@@ -352,7 +370,7 @@ object KfsCodec {
                 throw new KfsFormatException(
                   s"batch CRC mismatch at body offset $bodyRead")
             } else crc.update(buf)
-            val (records, _) = decodeBatch(buf, 0)
+            val (records, _) = decodeBatch(buf, 0, allowCompressed)
             batch = records
           }
           bodyRead += total
@@ -374,8 +392,13 @@ object KfsCodec {
     }
   }
 
-  /** Decode one v2 batch at `pos`; returns records + next batch position. */
-  def decodeBatch(buf: Array[Byte], pos: Int): (Iterator[Record], Int) = {
+  /** Decode one v2 batch at `pos`; returns records + next batch position.
+    * `allowCompressed=false` (the default) mirrors the reference decoder,
+    * which rejects any batch with attribute bits 0–2 set
+    * (`decoder.go:198-201`); with it true the body is decompressed via
+    * [[KfsCompression]] (superset for real Kafka estates). */
+  def decodeBatch(buf: Array[Byte], pos: Int,
+      allowCompressed: Boolean = false): (Iterator[Record], Int) = {
     val r = new ByteReader(buf, pos)
     val baseOffset = r.i64()
     val batchLength = r.i32()
@@ -384,7 +407,8 @@ object KfsCodec {
     if (magic != 2) throw new KfsFormatException(s"unsupported batch magic $magic")
     val _crc = r.i32()
     val attributes = r.i16()
-    if ((attributes & 0x07) != 0)
+    val codec = attributes & 0x07
+    if (codec != 0 && !allowCompressed)
       throw new KfsFormatException("compressed batches not supported") // decoder.go:198-201
     val _lastOffsetDelta = r.i32()
     val firstTs = r.i64()
@@ -400,24 +424,37 @@ object KfsCodec {
     if (batchLength <= 0 || batchEnd <= pos || batchEnd > buf.length)
       throw new KfsFormatException(
         s"bad batch length $batchLength at $pos of ${buf.length}")
-    val records = (0 until recordCount).iterator.map { _ =>
-      val len = r.varint()
-      val recEnd = r.pos + len
-      r.i8() // record attributes
-      val tsDelta = r.varlong()
-      val offDelta = r.varint()
-      val keyLen = r.varint()
-      val key = if (keyLen < 0) null else r.bytes(keyLen)
-      val valLen = r.varint()
-      val value = if (valLen < 0) null else r.bytes(valLen)
-      val nHeaders = r.varint()
-      val headers = (0 until nHeaders).map { _ =>
-        val k = new String(r.bytes(r.varint()), "UTF-8")
-        val vl = r.varint()
-        Header(k, if (vl < 0) null else r.bytes(vl))
+    // records body: plain bytes read in place; compressed bytes inflate to
+    // a fresh buffer and parse from its start (Kafka compresses only the
+    // body — the header above is always plain)
+    val body =
+      if (codec == 0) r
+      else {
+        val compressed = r.bytes(batchEnd - r.pos)
+        new ByteReader(KfsCompression.decompress(codec, compressed,
+          MaxDecompressedBatchBytes), 0)
       }
-      if (r.pos != recEnd) throw new KfsFormatException(
-        s"record length mismatch: read ${r.pos} expected $recEnd")
+    val bodyEnd = if (codec == 0) batchEnd else -1 // -1: bounded by buffer
+    val records = (0 until recordCount).iterator.map { _ =>
+      val len = body.varint()
+      val recEnd = body.pos + len
+      if (bodyEnd >= 0 && recEnd > bodyEnd) throw new KfsFormatException(
+        s"record overruns batch: $recEnd > $bodyEnd")
+      body.i8() // record attributes
+      val tsDelta = body.varlong()
+      val offDelta = body.varint()
+      val keyLen = body.varint()
+      val key = if (keyLen < 0) null else body.bytes(keyLen)
+      val valLen = body.varint()
+      val value = if (valLen < 0) null else body.bytes(valLen)
+      val nHeaders = body.varint()
+      val headers = (0 until nHeaders).map { _ =>
+        val k = new String(body.bytes(body.varint()), "UTF-8")
+        val vl = body.varint()
+        Header(k, if (vl < 0) null else body.bytes(vl))
+      }
+      if (body.pos != recEnd) throw new KfsFormatException(
+        s"record length mismatch: read ${body.pos} expected $recEnd")
       Record(baseOffset + offDelta, firstTs + tsDelta, key, value, headers)
     }
     (records, batchEnd)

@@ -68,14 +68,15 @@ object KfsLayout {
   def writeSegment(
       root: String, topic: String, partition: Int,
       records: Seq[KfsCodec.Record], batchSize: Int = 500,
-      conf: Configuration = null): SegmentRef = {
+      conf: Configuration = null,
+      compression: Int = KfsCompression.None): SegmentRef = {
     require(!topic.exists(c => c == '"' || c == '\\'),
       s"topic name must not contain quotes or backslashes: $topic")
     val dir = new HPath(new HPath(root, topic), partition.toString)
     val fs = dir.getFileSystem(if (conf != null) conf else hadoopConf)
     fs.mkdirs(dir)
     val base = records.head.offset
-    val seg = KfsCodec.buildSegment(records, batchSize)
+    val seg = KfsCodec.buildSegment(records, batchSize, compression)
     val p = new HPath(dir, segmentFileName(base))
     val minTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max

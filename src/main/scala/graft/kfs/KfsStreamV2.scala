@@ -35,7 +35,8 @@ import graft.gov.Guardrails
   */
 class KfsMicroBatchStream(
     scan: KfsScan, maxSegsPerTrigger: Option[Int], rails: Guardrails,
-    fieldNames: Array[String], conf: SerializableHadoopConf)
+    fieldNames: Array[String], conf: SerializableHadoopConf,
+    allowCompressed: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def tpKey(r: KfsLayout.SegmentRef): String =
@@ -107,7 +108,7 @@ class KfsMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KfsReaderFactory(fieldNames, conf)
+    new KfsReaderFactory(fieldNames, conf, allowCompressed = allowCompressed)
 
   override def deserializeOffset(json: String): Offset =
     KfsStreamOffset.parse(json)

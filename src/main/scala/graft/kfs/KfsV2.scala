@@ -309,7 +309,11 @@ class KfsScanBuilder(root: String, options: Map[String, String])
       rails, options.get("max_segments_per_trigger").map(_.toInt),
       requiredSchema, conf, pushedAgg.map(KfsAggSpec.from),
       pushedLimit, assumeDense, pushedTopN, keyGroups,
-      options.getOrElse("copartitioned", "false").toBoolean)
+      options.getOrElse("copartitioned", "false").toBoolean,
+      // superset opt-in: decode gzip/snappy/lz4/zstd batches (attribute
+      // bits 0-2); default FALSE mirrors the reference decoder's reject
+      // (`decoder.go:198-201`)
+      options.getOrElse("allow_compressed", "false").toBoolean)
   }
 }
 
@@ -350,7 +354,8 @@ class KfsScan(
     limit: Option[Int] = None, assumeDense: Boolean = true,
     topN: Option[KfsTopN] = None,
     keyGroups: Seq[Seq[Array[Byte]]] = Nil,
-    copartitioned: Boolean = false)
+    copartitioned: Boolean = false,
+    allowCompressed: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -614,13 +619,13 @@ class KfsScan(
     if (aggSpec.isDefined) new KfsAggReaderFactory
     else new KfsReaderFactory(required.fieldNames, conf, limit,
       Some(KfsCodec.BatchBounds(offMin, offMax, tsMin, tsMax))
-        .filter(_.isBounded))
+        .filter(_.isBounded), allowCompressed)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(aggSpec.isEmpty, "aggregate pushdown is a batch-only path")
     new KfsMicroBatchStream(this, maxSegmentsPerTrigger, rails,
-      required.fieldNames, conf)
+      required.fieldNames, conf, allowCompressed)
   }
 }
 
@@ -655,11 +660,12 @@ class KfsAggReaderFactory extends PartitionReaderFactory {
 
 class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf,
     limit: Option[Int] = None,
-    bounds: Option[KfsCodec.BatchBounds] = None)
+    bounds: Option[KfsCodec.BatchBounds] = None,
+    allowCompressed: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KfsInputPartition]
-    new KfsPartitionReader(kp, fieldNames, conf, limit, bounds)
+    new KfsPartitionReader(kp, fieldNames, conf, limit, bounds, allowCompressed)
   }
 }
 
@@ -674,7 +680,8 @@ class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf,
   * record-level residual above the scan keeps results exact. */
 class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String],
     conf: SerializableHadoopConf, limit: Option[Int] = None,
-    bounds: Option[KfsCodec.BatchBounds] = None)
+    bounds: Option[KfsCodec.BatchBounds] = None,
+    allowCompressed: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   /** Rows still allowed under a pushed limit — decode stops mid-segment
@@ -687,7 +694,7 @@ class KfsPartitionReader(p: KfsInputPartition, fieldNames: Array[String],
     hp.getFileSystem(conf.value).open(hp)
   }
   private val iter: Iterator[KfsCodec.Record] =
-    KfsCodec.decodeSegmentStream(in, p.sizeBytes, bounds)
+    KfsCodec.decodeSegmentStream(in, p.sizeBytes, bounds, allowCompressed)
   private var current: KfsCodec.Record = _
   private val topicUtf = UTF8String.fromString(p.topic)
   private val segmentUtf = UTF8String.fromString(p.path)

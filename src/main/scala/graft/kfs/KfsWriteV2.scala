@@ -132,10 +132,18 @@ class KfsBatchWrite(root: String, idx: KfsWriteV2.FieldIdx,
       options.getOrElse("max_records_per_segment", "100000").toInt
     val batchRecords = options.getOrElse("batch_records", "500").toInt
     val requireDense = options.getOrElse("require_dense", "true").toBoolean
+    // per-batch codec (none|gzip|snappy|lz4|zstd) — superset of the
+    // reference, whose decoder rejects compressed batches; readers opt in
+    // with `allow_compressed=true`. Resolved + availability-checked at
+    // PLAN time so a missing codec jar fails the job before tasks launch.
+    val compression =
+      KfsCompression.forName(options.getOrElse("compression", "none"))
+    require(KfsCompression.supported(compression),
+      s"compression codec ${KfsCompression.name(compression)} not on classpath")
     require(maxRecords > 0 && batchRecords > 0,
       "max_records_per_segment and batch_records must be positive")
     new KfsWriterFactory(root, idx, maxRecords, batchRecords, requireDense,
-      conf)
+      conf, compression)
   }
 
   /** Merge task refs into each partition's manifest and publish. Existing
@@ -183,11 +191,12 @@ class KfsBatchWrite(root: String, idx: KfsWriteV2.FieldIdx,
 
 class KfsWriterFactory(root: String, idx: KfsWriteV2.FieldIdx,
     maxRecords: Int, batchRecords: Int, requireDense: Boolean,
-    conf: SerializableHadoopConf) extends DataWriterFactory {
+    conf: SerializableHadoopConf, compression: Int = KfsCompression.None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new KfsDataWriter(root, idx, maxRecords, batchRecords, requireDense,
-      conf)
+      conf, compression)
 }
 
 /** Streams clustered, offset-ordered rows into segments. Group changes
@@ -196,7 +205,8 @@ class KfsWriterFactory(root: String, idx: KfsWriteV2.FieldIdx,
   * task's commit message. */
 class KfsDataWriter(root: String, idx: KfsWriteV2.FieldIdx,
     maxRecords: Int, batchRecords: Int, requireDense: Boolean,
-    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
+    conf: SerializableHadoopConf, compression: Int = KfsCompression.None)
+    extends DataWriter[InternalRow] {
 
   private val refs = ArrayBuffer.empty[KfsLayout.SegmentRef]
   private val buf = ArrayBuffer.empty[KfsCodec.Record]
@@ -259,7 +269,7 @@ class KfsDataWriter(root: String, idx: KfsWriteV2.FieldIdx,
 
   private def flush(): Unit = if (buf.nonEmpty) {
     refs += KfsLayout.writeSegment(root, curTopic, curPartition, buf.toSeq,
-      batchRecords, conf.value)
+      batchRecords, conf.value, compression)
     buf.clear()
   }
 

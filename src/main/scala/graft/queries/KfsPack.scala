@@ -58,6 +58,31 @@ object KfsPack extends QueryPack {
     root
   }
 
+  /** Seed a COMPRESSED estate (zstd record batches — Kafka v2 attribute
+    * bits, the superset the reference's decoder rejects) through the DSv2
+    * write path: the events topic re-staged as topic `cz` with the same
+    * partition/offset layout as [[Tables.eventsTopic]]. */
+  private def seedCompressedEstate(s: SparkSession, dir: String): String = {
+    val root = Fixtures.tmp(dir, "kfs_compressed_zstd")
+    val marker = java.nio.file.Paths.get(root, "_SEEDED")
+    if (!java.nio.file.Files.exists(marker)) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(KfsLayout.hadoopConf)
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(root + "_staging"), true)
+      Tables.eventsTopic(s, dir)
+        .select(lit("cz").as("_topic"), col("_partition"), col("_offset"),
+          col("_ts_ms"), col("_key").cast("binary").as("_key"),
+          col("_value").cast("binary").as("_value"), col("_headers"))
+        .write.format("kfs").mode("append").option("path", root)
+        .option("compression", "zstd")
+        .option("max_records_per_segment", "2000").save()
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    root
+  }
+
   override def entries: Seq[QueryDef] = Seq(
 
     // S1: full segment scan — decode header/batches/varint records
@@ -527,6 +552,42 @@ object KfsPack extends QueryPack {
           |SELECT count(*) AS cnt, CAST(SUM(e.rn) AS BIGINT) AS off_sum,
           |       min(e.ts_ms) AS min_ts, max(e.ts_ms) AS max_ts
           |FROM e JOIN kept ON e.rn // 1000 = kept.sg""".stripMargin),
-      seed = Some((s, dir) => { seedRetentionEstate(s, dir); () }))
+      seed = Some((s, dir) => { seedRetentionEstate(s, dir); () })),
+
+    // Compressed record batches (SUPERSET — the reference decoder rejects
+    // attribute bits 0-2, decoder.go:198-201, and so does this scan by
+    // default): the events topic staged as zstd-compressed v2 batches via
+    // the DSv2 writer, then scanned back with `allow_compressed=true` and
+    // hash-checked against the SAME events_topic oracle as the plain scans
+    // — every byte (keys, values, headers, timestamps) must survive
+    // encode→compress→segment→decompress→decode exactly. Batch headers
+    // stay plain, so offset/ts pruning and per-batch CRC work unchanged on
+    // compressed estates (KfsSpec locks codec round-trips + corruption).
+    QueryDef(
+      "s24_kfs_compressed_scan",
+      (s, dir) => {
+        val root = seedCompressedEstate(s, dir) // idempotent (marker-gated)
+        s.read.format("kfs").option("path", root)
+          .option("allow_compressed", "true").load()
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("_offset")).as("min_off"), max(col("_offset")).as("max_off"),
+            sum(length(col("_value"))).as("value_bytes"),
+            sum(length(col("_key"))).as("key_bytes"),
+            count(when(element_at(col("_headers"), "src") === "click", 1))
+              .as("n_click"),
+            max(col("_ts_ms")).as("max_ts"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT _partition, count(*) AS cnt,
+          |       min(_offset) AS min_off, max(_offset) AS max_off,
+          |       CAST(SUM(length(_value)) AS BIGINT) AS value_bytes,
+          |       CAST(SUM(length(_key)) AS BIGINT) AS key_bytes,
+          |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          |       max(_ts_ms) AS max_ts
+          |FROM events_topic
+          |GROUP BY _partition ORDER BY _partition""".stripMargin),
+      seed = Some((s, dir) => { seedCompressedEstate(s, dir); () }))
   )
 }
