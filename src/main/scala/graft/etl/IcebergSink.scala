@@ -52,10 +52,11 @@ import graft.kfs.KfsLayout
   * reading with the current schema (Spark's vectorized parquet reader
   * upcasts int32→long / float→double in place).
   *
-  * Scope: flat schemas of Iceberg primitive types, unpartitioned spec
-  * (spec-id 0); append, replace (compaction) and row-level DELETE
-  * snapshots — deletes are v2 equality-delete files applied merge-on-read
-  * (see [[deleteWhere]]) and materialized by [[compact]].
+  * Scope: flat schemas of Iceberg primitive types; append, replace
+  * (compaction) and row-level DELETE snapshots in BOTH v2 shapes —
+  * equality-delete files ([[deleteWhere]]) and position-delete files
+  * ([[deleteWherePositions]]) — applied merge-on-read and materialized by
+  * [[compact]].
   */
 object IcebergSink {
 
@@ -500,6 +501,56 @@ object IcebergSink {
     append(spark, table, df, maxRetries)
   }
 
+  /** Spec columns of a POSITION delete file (reserved field ids
+    * 2147483546 / 2147483545): the target data file's path and the row's
+    * 0-based ordinal within it. */
+  private val posDeleteSchema = StructType(Seq(
+    StructField("file_path", StringType), StructField("pos", LongType)))
+
+  /** Row-level DELETE via Iceberg v2 POSITION DELETE FILES — the second
+    * merge-on-read delete shape (spec: position delete files): instead of
+    * key tuples, the delete file records `(file_path, pos)` coordinates of
+    * the doomed rows, harvested from Spark's `_metadata.file_path` /
+    * `_metadata.row_index` hidden columns (exactly Iceberg's definition of
+    * `pos`: the row ordinal within the data file). Data files are never
+    * rewritten; [[read]] subtracts the coordinates with a broadcast
+    * anti-join and [[compact]] materializes them.
+    *
+    * Scope rule per spec — note it differs from equality deletes: a
+    * position delete applies to data files with sequence number LESS THAN
+    * OR EQUAL to its own (it names concrete existing rows), where an
+    * equality delete applies only STRICTLY SMALLER (future rows with the
+    * key survive). Rows already deleted by an earlier snapshot may match
+    * `condition` again and re-emit their coordinates — a harmless
+    * idempotent subtraction. Tuples are written sorted by (file_path,
+    * pos) as the spec requires. */
+  def deleteWherePositions(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column, maxRetries: Int = 5): Unit = {
+    import org.apache.spark.sql.functions.col
+    val m = load(spark, table).getOrElse(return)
+    val snap = m.currentSnapshotId
+      .flatMap(id => m.snapshots.find(_.snapshotId == id)).getOrElse(return)
+    val dataFiles = planFiles(spark, snap.manifestList).filter(_.content == 0)
+    if (dataFiles.isEmpty) return
+    val hits = spark.read.schema(m.schemaFor(snap.schemaId))
+      .parquet(dataFiles.map(_.path): _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .where(condition)
+      .select(col("__file").as("file_path"), col("__pos").as("pos"))
+      .orderBy(col("file_path"), col("pos"))
+    val commitUuid = UUID.randomUUID().toString
+    val fileRecords = writeDataFiles(spark, table, hits, commitUuid)
+    if (fileRecords.map(_.records).sum == 0) {
+      val f = fs(new HPath(table))
+      fileRecords.foreach(i => f.delete(i.status.getPath, false))
+      return
+    }
+    commitSnapshot(spark, table, m.currentSchema, fileRecords, commitUuid,
+      carryPrior = true, operation = "delete", maxRetries,
+      positionDelete = true)
+  }
+
   /** Commit `keys` (columns = equality columns, any subset of the table
     * schema) as an equality-delete snapshot. Key columns are conformed to
     * the table's current types, so an int key frame deletes from a
@@ -684,7 +735,8 @@ object IcebergSink {
       incomingSchema: StructType,
       fileRecords: Seq[DataFileInfo],
       commitUuid: String, carryPrior: Boolean, operation: String,
-      maxRetries: Int, equalityIds: Seq[Int] = Nil): Unit = {
+      maxRetries: Int, equalityIds: Seq[Int] = Nil,
+      positionDelete: Boolean = false): Unit = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     val addedRecords = fileRecords.map(_.records).sum
@@ -717,7 +769,10 @@ object IcebergSink {
       // manifest for the added files
       val manifestPath = new HPath(metadataDir(table),
         s"$commitUuid-m$attempt.avro")
-      val isDelete = equalityIds.nonEmpty
+      val isDelete = equalityIds.nonEmpty || positionDelete
+      // spec data_file.content: 0 = data, 1 = POSITION deletes, 2 = EQUALITY
+      val fileContent =
+        if (equalityIds.nonEmpty) 2 else if (positionDelete) 1 else 0
       val idByName = fields.map(fl => fl.name -> fl.id).toMap
       val entries = fileRecords.map { info =>
         val e = new GenericData.Record(manifestEntrySchema)
@@ -727,7 +782,7 @@ object IcebergSink {
         e.put("file_sequence_number", seqNum)
         val d = new GenericData.Record(
           manifestEntrySchema.getField("data_file").schema())
-        d.put("content", if (isDelete) 2 else 0) // 2 = EQUALITY_DELETES
+        d.put("content", fileContent)
         d.put("file_path", info.status.getPath.toString)
         d.put("file_format", "PARQUET")
         d.put("partition", new GenericData.Record(
@@ -753,7 +808,7 @@ object IcebergSink {
           d.put("lower_bounds", kvArray("k126_v127", _._1))
           d.put("upper_bounds", kvArray("k129_v130", _._2))
         }
-        if (isDelete)
+        if (equalityIds.nonEmpty)
           d.put("equality_ids", equalityIds.map(Int.box).asJava)
         e.put("data_file", d)
         e
@@ -1025,25 +1080,35 @@ object IcebergSink {
             val planned = planFiles(spark, snap.manifestList)
             val dataFiles = planned.filter(_.content == 0)
               .filter(pf => ranges.forall(r => rangeIntersects(pf, r, snapFields)))
-            val deleteFiles = planned.filter(_.content == 2)
+            val eqDeleteFiles = planned.filter(_.content == 2)
+            val posDeleteFiles = planned.filter(_.content == 1)
             val base =
               if (dataFiles.isEmpty)
                 spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-              else if (deleteFiles.isEmpty)
+              else if (eqDeleteFiles.isEmpty && posDeleteFiles.isEmpty)
                 spark.read.schema(schema).parquet(dataFiles.map(_.path): _*)
               else {
                 import org.apache.spark.sql.functions.{broadcast, col, lit}
                 val fieldsById = m.schemasById
                   .getOrElse(snap.schemaId, m.fields).map(f => f.id -> f).toMap
                 val seqCol = "__graft_data_seq"
+                val fileCol = "__graft_data_file"
+                val posCol = "__graft_data_pos"
                 // per-sequence-number groups so the delete scope rule can be
-                // evaluated as a plain join predicate
+                // evaluated as a plain join predicate; position deletes also
+                // need each row's (file, ordinal) coordinates, read from the
+                // parquet source's hidden _metadata columns
                 val data = dataFiles.groupBy(_.seq).toSeq.sortBy(_._1)
                   .map { case (s, fsOfSeq) =>
-                    spark.read.schema(schema).parquet(fsOfSeq.map(_.path): _*)
-                      .withColumn(seqCol, lit(s))
+                    val df = spark.read.schema(schema).parquet(fsOfSeq.map(_.path): _*)
+                    val withSeq =
+                      if (posDeleteFiles.isEmpty) df
+                      else df.withColumn(fileCol, col("_metadata.file_path"))
+                        .withColumn(posCol, col("_metadata.row_index"))
+                    withSeq.withColumn(seqCol, lit(s))
                   }.reduce(_ union _)
-                val out = deleteFiles.groupBy(d => (d.seq, d.eqIds)).toSeq
+                // EQUALITY deletes: key applies to STRICTLY SMALLER data seq
+                val afterEq = eqDeleteFiles.groupBy(d => (d.seq, d.eqIds)).toSeq
                   .sortBy(_._1._1)
                   .foldLeft(data) { case (acc, ((dseq, eqIds), dfs)) =>
                     val eqFields = eqIds.map(id => fieldsById.getOrElse(id,
@@ -1060,7 +1125,21 @@ object IcebergSink {
                       .reduce(_ && _) && (lit(dseq) > acc(seqCol))
                     acc.join(del, cond, "left_anti")
                   }
-                out.drop(seqCol)
+                // POSITION deletes: coordinates apply to data seq <= delete
+                // seq (spec — they name concrete rows that already existed)
+                val afterPos = posDeleteFiles.groupBy(_.seq).toSeq
+                  .sortBy(_._1)
+                  .foldLeft(afterEq) { case (acc, (dseq, dfs)) =>
+                    val del = broadcast(spark.read.schema(posDeleteSchema)
+                      .parquet(dfs.map(_.path): _*)
+                      .select(col("file_path").as("__del_file"),
+                        col("pos").as("__del_pos")))
+                    val cond = acc(fileCol) === del("__del_file") &&
+                      acc(posCol) === del("__del_pos") &&
+                      (lit(dseq) >= acc(seqCol))
+                    acc.join(del, cond, "left_anti")
+                  }
+                afterPos.drop(seqCol, fileCol, posCol)
               }
             // residual row filter: pruning is a file-level OVER-approximation
             ranges.foldLeft(base) { (acc, r) =>
@@ -1251,7 +1330,7 @@ object IcebergSink {
           else Seq(meta(spark.read.schema(schema).parquet(fs: _*),
             "insert", ord, sn.snapshotId))
         case "delete" =>
-          ownFiles(2).groupBy(_._2).toSeq.map { case (eqIds, fsOfKey) =>
+          val eqFrames = ownFiles(2).groupBy(_._2).toSeq.map { case (eqIds, fsOfKey) =>
             val eqFields = eqIds.map(id => fieldsById.getOrElse(id,
               throw new IllegalStateException(
                 s"delete references unknown field id $id")))
@@ -1266,6 +1345,33 @@ object IcebergSink {
             }: _*)
             meta(padded, "delete", ord, sn.snapshotId)
           }
+          // POSITION deletes name concrete rows, so the changelog can emit
+          // FULL pre-images (equality deletes above can only pad the key):
+          // read just the referenced data files, semi-join on (file, pos).
+          // Cost ∝ files the delete touched, not the table.
+          val posFiles = ownFiles(1).map(_._1)
+          val posFrames =
+            if (posFiles.isEmpty) Nil
+            else {
+              import org.apache.spark.sql.functions.broadcast
+              val tuples = spark.read.schema(posDeleteSchema)
+                .parquet(posFiles: _*)
+              val targets = tuples.select(col("file_path")).distinct()
+                .collect().map(_.getString(0))
+              if (targets.isEmpty) Nil
+              else {
+                val pre = spark.read.schema(schema).parquet(targets.toSeq: _*)
+                  .withColumn("__file", col("_metadata.file_path"))
+                  .withColumn("__pos", col("_metadata.row_index"))
+                  .join(broadcast(tuples
+                    .withColumnRenamed("file_path", "__file")
+                    .withColumnRenamed("pos", "__pos")),
+                    Seq("__file", "__pos"), "left_semi")
+                  .drop("__file", "__pos")
+                Seq(meta(pre, "delete", ord, sn.snapshotId))
+              }
+            }
+          eqFrames ++ posFrames
         case _ => Nil // replace: bytes moved, no facts changed
       }
     }

@@ -345,6 +345,60 @@ object EtlPack extends QueryPack {
           |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
           |) GROUP BY partition ORDER BY partition""".stripMargin))),
 
+    // Iceberg v2 POSITION DELETES (the second merge-on-read delete shape):
+    // rows are deleted by (file_path, row ordinal) coordinates instead of
+    // key tuples — data files never rewritten. The fixture appends the
+    // events topic, positionally deletes every 'error' row, appends more
+    // rows (which, per the spec's sequence rule, a prior position delete
+    // cannot touch), then deletes odd-offset 'view' rows from the enlarged
+    // table. The oracle recomputes the surviving set relationally; the
+    // merge-on-read anti-joins must agree exactly.
+    QueryDef(
+      "e22_iceberg_position_deletes",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_posdel_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev.where(col("offset") % 3 =!= 0))
+        IcebergSink.deleteWherePositions(s, table,
+          col("event_type") === "error")
+        IcebergSink.append(s, table, ev.where(col("offset") % 3 === 0))
+        IcebergSink.deleteWherePositions(s, table,
+          col("event_type") === "view" && col("offset") % 2 === 1)
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            count(when(col("event_type") === "error", 1)).as("n_err"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT partition, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k,
+          |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+          |FROM (
+          |  -- first append (offsets not divisible by 3), minus its 'error'
+          |  -- rows (delete 1), minus odd 'view' rows (delete 2)
+          |  SELECT _partition AS partition, _offset AS offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         event_type
+          |  FROM events_topic
+          |  WHERE _offset % 3 <> 0 AND event_type <> 'error'
+          |    AND NOT (event_type = 'view' AND _offset % 2 = 1)
+          |  UNION ALL
+          |  -- second append (offsets divisible by 3): immune to delete 1
+          |  -- (smaller sequence), still hit by delete 2
+          |  SELECT _partition, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT),
+          |         event_type
+          |  FROM events_topic
+          |  WHERE _offset % 3 = 0
+          |    AND NOT (event_type = 'view' AND _offset % 2 = 1)
+          |) GROUP BY partition ORDER BY partition""".stripMargin))),
+
     // Iceberg INCREMENTAL APPEND read (CDC shape): three appends land as
     // snapshots; a consumer checkpointed at snapshot 1 reads exactly what
     // arrived after it — planned metadata-only from each in-range append's

@@ -295,6 +295,82 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergSink.load(spark, table).get.snapshots.length == 2)
   }
 
+  test("position delete: coordinate subtraction, spec-shaped file, later appends immune") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)).toDF("id", "cat", "v"))
+    IcebergSink.deleteWherePositions(spark, table, col("cat") === "a")
+    assert(IcebergSink.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // spec shape: list entry content=1 (deletes), data_file content=1
+    // (POSITION deletes), no equality_ids; rows are (file_path, pos)
+    val m = IcebergSink.load(spark, table).get
+    assert(m.snapshots.length == 2 && m.snapshots.last.operation == "delete")
+    val delEntry = IcebergSink.readAvro(spark, m.snapshots.last.manifestList)
+      ._2.find(_.get("content").asInstanceOf[Int] == 1).get
+    val (dm, dEntries) = IcebergSink.readAvro(spark,
+      delEntry.get("manifest_path").toString)
+    assert(dm("content") == "deletes")
+    val dFile = dEntries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(dFile.get("content").asInstanceOf[Int] == 1)
+    assert(dFile.get("equality_ids") == null)
+    val tuples = spark.read.parquet(dFile.get("file_path").toString)
+    assert(tuples.columns.toSeq == Seq("file_path", "pos"))
+    assert(tuples.count() == 2)
+
+    // a row with the same key APPENDED AFTER the positional delete is
+    // immune: the delete names coordinates in old files only (and per the
+    // spec applies to data seq <= delete seq)
+    IcebergSink.append(spark, table, Seq((1L, "a", 11)).toDF("id", "cat", "v"))
+    assert(IcebergSink.read(spark, table).orderBy(col("id")).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 11), (2L, 20)))
+
+    // deleting nothing commits nothing
+    IcebergSink.deleteWherePositions(spark, table, col("cat") === "zzz")
+    assert(IcebergSink.load(spark, table).get.snapshots.length == 3)
+
+    // time travel to the pre-delete snapshot still sees all rows
+    val firstSnap = m.snapshots.head.snapshotId
+    assert(IcebergSink.read(spark, table, Some(firstSnap)).count() == 3)
+
+    // compaction materializes: replace snapshot, no delete files, same rows
+    IcebergSink.compact(spark, table)
+    val m2 = IcebergSink.load(spark, table).get
+    assert(m2.snapshots.last.operation == "replace")
+    assert(IcebergSink.read(spark, table).orderBy(col("id")).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 11), (2L, 20)))
+    assert(IcebergSink.statsRecordCount(spark, table) == 2)
+
+    // changelog: the position-delete snapshot emits FULL pre-image rows
+    val log = IcebergSink.readChangelogFrom(spark, table, None,
+      Some(m.snapshots.last.snapshotId))
+    val dels = log.where(col("_change_type") === "delete")
+      .orderBy(col("id")).collect()
+    assert(dels.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a", 10), (3L, "a", 30)))
+  }
+
+  test("position and equality deletes compose on one table") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      (1L to 6L).map(i => (i, i * 10)).toDF("id", "v"))
+    IcebergSink.deleteWherePositions(spark, table, col("id") <= 2)
+    IcebergSink.deleteKeys(spark, table, Seq(5L).toDF("id"))
+    assert(IcebergSink.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 6L))
+    // pruned read applies both delete shapes too
+    val pruned = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("id", lower = Some(1L), upper = Some(5L))))
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+  }
+
   test("delete scope is sequence-bounded: re-appended key survives") {
     import spark.implicits._
     val table = tmpTable()
