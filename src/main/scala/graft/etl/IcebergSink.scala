@@ -102,6 +102,13 @@ object IcebergSink {
   /** One table column: spec field with a stable id. */
   final case class Field(id: Int, name: String, typ: String)
 
+  /** One IDENTITY partition field (spec: partition specs; field ids start
+    * at 1000). Identity is the transform the reference inherits from
+    * iceberg-go (`sink/iceberg.go:40-108`) and the primary file-pruning
+    * lever at 100 TB; other transforms (bucket/truncate/day…) are out of
+    * scope. The spec is fixed at table creation — no spec evolution. */
+  final case class PartitionField(fieldId: Int, sourceId: Int, name: String)
+
   final case class Snapshot(snapshotId: Long, parentId: Option[Long],
       sequenceNumber: Long, timestampMs: Long, manifestList: String,
       addedFiles: Long, addedRecords: Long, schemaId: Int,
@@ -113,7 +120,8 @@ object IcebergSink {
       fields: Seq[Field], snapshots: Seq[Snapshot],
       currentSnapshotId: Option[Long],
       metadataLog: Seq[(Long, String)],
-      schemasById: Map[Int, Seq[Field]] = Map.empty) {
+      schemasById: Map[Int, Seq[Field]] = Map.empty,
+      specFields: Seq[PartitionField] = Nil) {
     def currentSchema: StructType = sparkSchemaOf(fields)
     def schemaFor(schemaId: Int): StructType =
       sparkSchemaOf(schemasById.getOrElse(schemaId, fields))
@@ -184,6 +192,15 @@ object IcebergSink {
     val metaLog = n.path("metadata-log").elements().asScala
       .map(e => (e.path("timestamp-ms").asLong(), e.path("metadata-file").asText()))
       .toSeq
+    val defaultSpecId = n.path("default-spec-id").asInt()
+    val specFields = n.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt() == defaultSpecId)
+      .map(_.path("fields").elements().asScala.map { pf =>
+        require(pf.path("transform").asText() == "identity",
+          s"unsupported partition transform ${pf.path("transform").asText()}")
+        PartitionField(pf.path("field-id").asInt(),
+          pf.path("source-id").asInt(), pf.path("name").asText())
+      }.toSeq).getOrElse(Nil)
     TableMeta(version, n.path("table-uuid").asText(),
       n.path("location").asText(), n.path("last-sequence-number").asLong(),
       n.path("last-column-id").asInt(), schemaId, fields, snaps,
@@ -191,7 +208,7 @@ object IcebergSink {
         n.path("current-snapshot-id").asLong() != -1)
         Some(n.path("current-snapshot-id").asLong())
       else None,
-      metaLog, schemasById)
+      metaLog, schemasById, specFields)
   }
 
   // ---- schema evolution (spec: field ids stable, legal promotions) --------
@@ -255,11 +272,33 @@ object IcebergSink {
        |${avroField("deleted_rows_count", "\"long\"", 514, optional = false)}
        |]}""".stripMargin)
 
-  /** manifest_entry with nested data_file (spec ids 0-4, 100-104, 134-135).
-    * Unpartitioned: the partition struct has no fields. `content` is 0 for
-    * data files and 2 for EQUALITY delete files, whose `equality_ids` list
-    * the field ids forming the delete predicate (spec: row-level deletes). */
-  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+  /** Avro primitive for an identity-partitionable Iceberg type. Identity
+    * partitioning is restricted to these four source types (dates and
+    * timestamps partition via transforms, which are out of scope). */
+  private def partitionAvroType(typ: String): String = typ match {
+    case "int" => "\"int\""
+    case "long" => "\"long\""
+    case "string" => "\"string\""
+    case "boolean" => "\"boolean\""
+    case other => throw new IllegalArgumentException(
+      s"identity partition source type must be int/long/string/boolean, got $other")
+  }
+
+  /** manifest_entry with nested data_file (spec ids 0-4, 100-104, 134-135),
+    * generated per table because the `partition` struct (field-id 102)
+    * carries the SPEC'S identity partition values — field names = partition
+    * names, field ids = partition field ids (1000+). Unpartitioned tables
+    * get the empty struct. Partition fields are optional: delete files are
+    * committed with null partition values (global scope — our reader
+    * subtracts by key/coordinates, which need no partition). `content` is 0
+    * for data files, 1 for POSITION deletes, 2 for EQUALITY delete files,
+    * whose `equality_ids` list the field ids forming the delete predicate
+    * (spec: row-level deletes). */
+  private def manifestEntrySchema(spec: Seq[(PartitionField, String)]): Schema = {
+    val partFields = spec.map { case (pf, typ) =>
+      avroField(pf.name, partitionAvroType(typ), pf.fieldId, optional = true)
+    }.mkString(",\n")
+    new Schema.Parser().parse(
     s"""{"type": "record", "name": "manifest_entry", "fields": [
        |${avroField("status", "\"int\"", 0, optional = false)},
        |${avroField("snapshot_id", "\"long\"", 1, optional = true)},
@@ -269,7 +308,7 @@ object IcebergSink {
        |${avroField("content", "\"int\"", 134, optional = false)},
        |${avroField("file_path", "\"string\"", 100, optional = false)},
        |${avroField("file_format", "\"string\"", 101, optional = false)},
-       |{"name": "partition", "field-id": 102, "type": {"type": "record", "name": "r102", "fields": []}},
+       |{"name": "partition", "field-id": 102, "type": {"type": "record", "name": "r102", "fields": [$partFields]}},
        |${avroField("record_count", "\"long\"", 103, optional = false)},
        |${avroField("file_size_in_bytes", "\"long\"", 104, optional = false)},
        |{"name": "lower_bounds", "field-id": 125, "default": null,
@@ -285,6 +324,7 @@ object IcebergSink {
        |{"name": "equality_ids", "field-id": 135, "default": null,
        | "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
        |]}}]}""".stripMargin)
+  }
 
   private def writeAvro(f: FileSystem, path: HPath, schema: Schema,
       meta: Map[String, String], records: Seq[GenericRecord]): Long = {
@@ -342,9 +382,16 @@ object IcebergSink {
     schemas.foreach { case (id, fields) => schemasArr.add(schemaJson(id, fields)) }
     n.put("current-schema-id", m.currentSchemaId)
     val specs = n.putArray("partition-specs")
-    specs.addObject().put("spec-id", 0).putArray("fields")
+    val spec0 = specs.addObject().put("spec-id", 0)
+    val specArr = spec0.putArray("fields")
+    m.specFields.foreach { pf =>
+      specArr.addObject().put("name", pf.name).put("transform", "identity")
+        .put("source-id", pf.sourceId).put("field-id", pf.fieldId)
+    }
     n.put("default-spec-id", 0)
-    n.put("last-partition-id", 999) // spec: partition field ids start at 1000
+    // spec: partition field ids start at 1000
+    n.put("last-partition-id",
+      (999 +: m.specFields.map(_.fieldId)).max)
     val orders = n.putArray("sort-orders")
     orders.addObject().put("order-id", 0).putArray("fields")
     n.put("default-sort-order-id", 0)
@@ -408,12 +455,23 @@ object IcebergSink {
   /** Append `df` as a new snapshot; creates the table on first call.
     * Optimistic: on a version-claim loss the snapshot is re-based onto the
     * winner's metadata and retried (data files + manifest are reused).
+    *
+    * `partitionBy` declares an IDENTITY PARTITION SPEC at table creation
+    * (int/long/string/boolean source columns): every data file then
+    * belongs to exactly one partition tuple, recorded in its manifest
+    * entry's partition struct — the spec's file-pruning mechanism, which
+    * [[readPruned]] consults before any data IO. The spec is fixed for the
+    * table's lifetime; later appends may restate it (validated) or omit it
+    * (inherited).
+    *
     * `clusterBy` re-shuffles the batch so rows sharing the listed key(s)
     * land in the same data file(s): each file's manifest bounds on those
     * columns become TIGHT, which is what makes [[readPruned]] skip files —
-    * the unpartitioned-spec equivalent of identity partition pruning. */
+    * the in-partition complement of identity partition pruning (partition
+    * by the coarse key, cluster by the fine one). */
   def append(spark: SparkSession, table: String, df: DataFrame,
-      maxRetries: Int = 5, clusterBy: Seq[String] = Nil): Unit = {
+      maxRetries: Int = 5, clusterBy: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit = {
     val toWrite =
       if (clusterBy.isEmpty) df
       else {
@@ -426,10 +484,22 @@ object IcebergSink {
         df.repartitionByRange(clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       }
+    val specNames = load(spark, table) match {
+      case Some(m) =>
+        val existing = m.specFields.map(_.name)
+        require(partitionBy.isEmpty || partitionBy == existing,
+          s"table is partitioned by ${existing.mkString(",")}; " +
+            s"cannot append with partitionBy=${partitionBy.mkString(",")} " +
+            "(partition specs are fixed at creation)")
+        existing
+      case None => partitionBy
+    }
     val commitUuid = UUID.randomUUID().toString
-    val fileRecords = writeDataFiles(spark, table, toWrite, commitUuid)
+    val fileRecords = writeDataFiles(spark, table, toWrite, commitUuid,
+      specNames)
     commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
-      carryPrior = true, operation = "append", maxRetries)
+      carryPrior = true, operation = "append", maxRetries,
+      createSpecOn = specNames)
   }
 
   /** Compact the current snapshot's data files into `targetFiles` and
@@ -445,9 +515,13 @@ object IcebergSink {
       maxRetries: Int = 5): Unit = {
     val current = read(spark, table)
     if (current.isEmpty) return
+    // partitioned tables re-partition the rewrite (the spec is for life);
+    // targetFiles then bounds files PER PARTITION tuple, not per table
+    val specNames = load(spark, table).map(_.specFields.map(_.name))
+      .getOrElse(Nil)
     val commitUuid = UUID.randomUUID().toString
     val fileRecords = writeDataFiles(spark, table,
-      current.coalesce(math.max(1, targetFiles)), commitUuid)
+      current.coalesce(math.max(1, targetFiles)), commitUuid, specNames)
     commitSnapshot(spark, table, current.schema, fileRecords, commitUuid,
       carryPrior = false, operation = "replace", maxRetries)
   }
@@ -530,12 +604,14 @@ object IcebergSink {
     val m = load(spark, table).getOrElse(return)
     val snap = m.currentSnapshotId
       .flatMap(id => m.snapshots.find(_.snapshotId == id)).getOrElse(return)
-    val dataFiles = planFiles(spark, snap.manifestList).filter(_.content == 0)
+    val snapFields = m.schemasById.getOrElse(snap.schemaId, m.fields)
+    val spec = m.specFields.map(pf =>
+      (pf, snapFields.find(_.id == pf.sourceId).get))
+    val dataFiles = planFiles(spark, snap.manifestList, spec)
+      .filter(_.content == 0)
     if (dataFiles.isEmpty) return
-    val hits = spark.read.schema(m.schemaFor(snap.schemaId))
-      .parquet(dataFiles.map(_.path): _*)
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
+    val hits = readPlannedData(spark, m.schemaFor(snap.schemaId), spec,
+      dataFiles, withCoords = true, "__file", "__pos")
       .where(condition)
       .select(col("__file").as("file_path"), col("__pos").as("pos"))
       .orderBy(col("file_path"), col("pos"))
@@ -576,39 +652,97 @@ object IcebergSink {
       equalityIds = eqFields.map(_.id))
   }
 
-  /** One staged data (or delete) file: status, footer record count, and
+  /** One staged data (or delete) file: status, footer record count,
     * per-column [min, max] bounds in the spec's single-value binary
-    * serialization. */
+    * serialization, and (partitioned tables) the identity partition tuple
+    * — `name -> value` in spec-field order, null for the Hive default
+    * partition. */
   private[etl] final case class DataFileInfo(
       status: org.apache.hadoop.fs.FileStatus, records: Long,
-      bounds: Map[String, (Array[Byte], Array[Byte])])
+      bounds: Map[String, (Array[Byte], Array[Byte])],
+      partitionValues: Seq[(String, Any)] = Nil)
+
+  /** Reverse of Spark/Hive's partition-path escaping (`a%3Db` → `a=b`). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def parsePartitionValue(dt: DataType, raw: String): Any =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case BooleanType => raw.toBoolean
+      case StringType => raw
+      case other => throw new IllegalArgumentException(
+        s"identity partition source type must be int/long/string/boolean, got $other")
+    }
 
   /** Write `df` as parquet under data/ with commit-unique names; returns
     * each file's status + parquet-footer record count + column bounds
     * harvested from the SAME footer read (no extra IO — the footer is
-    * already open for the record count). */
+    * already open for the record count). With `partitionCols`, staging
+    * goes through `partitionBy` (one file set per partition tuple — the
+    * Iceberg invariant that a data file belongs to exactly one partition)
+    * and each file's tuple is harvested from its Hive-style staging path. */
   private def writeDataFiles(spark: SparkSession, table: String,
-      df: DataFrame, commitUuid: String): Seq[DataFileInfo] = {
+      df: DataFrame, commitUuid: String,
+      partitionCols: Seq[String] = Nil): Seq[DataFileInfo] = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     f.mkdirs(metadataDir(table))
     f.mkdirs(dataDir(table))
     val staging = new HPath(table, s"_staging_$commitUuid")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val moved = f.listStatus(staging).toSeq
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (st, i) =>
-        val dest = new HPath(dataDir(table), f"$commitUuid-$i%05d.parquet")
-        if (!f.rename(st.getPath, dest))
-          throw new java.io.IOException(s"cannot stage data file $dest")
-        f.getFileStatus(dest)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(staging.toString)
+    val partTypes = partitionCols.map(c => c -> df.schema(c).dataType)
+    // collect (file, partition tuple) pairs: unpartitioned stagings hold
+    // the files at the root; partitioned ones nest col=value directories
+    def collect(dir: HPath, values: Seq[(String, Any)])
+        : Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, Any)])] =
+      f.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("=")) {
+          val Array(k, raw) = name.split("=", 2)
+          val col = unescapePathName(k)
+          val dt = partTypes.collectFirst { case (c, t) if c == col => t }
+            .getOrElse(throw new IllegalStateException(
+              s"unexpected partition dir $name"))
+          collect(st.getPath,
+            values :+ (col -> parsePartitionValue(dt, unescapePathName(raw))))
+        } else if (name.endsWith(".parquet")) Seq((st, values))
+        else Nil
       }
+    val staged = collect(staging, Nil)
+    val moved = staged.zipWithIndex.map { case ((st, values), i) =>
+      val dest = new HPath(dataDir(table), f"$commitUuid-$i%05d.parquet")
+      if (!f.rename(st.getPath, dest))
+        throw new java.io.IOException(s"cannot stage data file $dest")
+      (f.getFileStatus(dest),
+        // re-order to declared partition-column order (directory nesting
+        // already follows it, but make it explicit)
+        partitionCols.map(c => c -> values.collectFirst {
+          case (k, v) if k == c => v
+        }.getOrElse(throw new IllegalStateException(
+          s"partition value for $c missing in staging path"))))
+    }
     f.delete(staging, true)
-    moved.map { st =>
+    moved.map { case (st, values) =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, KfsLayout.hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try DataFileInfo(st, r.getRecordCount, footerBounds(r, df.schema))
+      try DataFileInfo(st, r.getRecordCount, footerBounds(r, df.schema),
+        values)
       finally r.close()
     }
   }
@@ -736,7 +870,8 @@ object IcebergSink {
       fileRecords: Seq[DataFileInfo],
       commitUuid: String, carryPrior: Boolean, operation: String,
       maxRetries: Int, equalityIds: Seq[Int] = Nil,
-      positionDelete: Boolean = false): Unit = {
+      positionDelete: Boolean = false,
+      createSpecOn: Seq[String] = Nil): Unit = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     val addedRecords = fileRecords.map(_.records).sum
@@ -762,6 +897,20 @@ object IcebergSink {
         if (base.fields.isEmpty) 0
         else if (schemaChanged) base.currentSchemaId + 1
         else base.currentSchemaId
+      // identity partition spec: inherited from the table, or created with
+      // it on the first commit (field ids 1000+, source = table column id)
+      val specFields =
+        if (base.version > 0 || createSpecOn.isEmpty) base.specFields
+        else createSpecOn.zipWithIndex.map { case (name, i) =>
+          val src = fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition column $name not in schema"))
+          partitionAvroType(src.typ) // validates the source type
+          PartitionField(1000 + i, src.id, name)
+        }
+      val fieldTypById = fields.map(fl => fl.id -> fl.typ).toMap
+      val specWithTypes = specFields.map(pf => (pf, fieldTypById(pf.sourceId)))
+      val entrySchema = manifestEntrySchema(specWithTypes)
 
       val snapshotId = snapshotSeq.incrementAndGet()
       val seqNum = base.lastSequenceNumber + 1
@@ -775,18 +924,20 @@ object IcebergSink {
         if (equalityIds.nonEmpty) 2 else if (positionDelete) 1 else 0
       val idByName = fields.map(fl => fl.name -> fl.id).toMap
       val entries = fileRecords.map { info =>
-        val e = new GenericData.Record(manifestEntrySchema)
+        val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
         e.put("sequence_number", seqNum)
         e.put("file_sequence_number", seqNum)
         val d = new GenericData.Record(
-          manifestEntrySchema.getField("data_file").schema())
+          entrySchema.getField("data_file").schema())
         d.put("content", fileContent)
         d.put("file_path", info.status.getPath.toString)
         d.put("file_format", "PARQUET")
-        d.put("partition", new GenericData.Record(
-          d.getSchema.getField("partition").schema()))
+        val part = new GenericData.Record(
+          d.getSchema.getField("partition").schema())
+        info.partitionValues.foreach { case (name, v) => part.put(name, v) }
+        d.put("partition", part)
         d.put("record_count", info.records)
         d.put("file_size_in_bytes", info.status.getLen)
         // per-file column bounds keyed by FIELD ID (spec 125/128) — the
@@ -813,10 +964,18 @@ object IcebergSink {
         e.put("data_file", d)
         e
       }
-      val manifestLen = writeAvro(f, manifestPath, manifestEntrySchema,
+      val specJsonStr = {
+        val arr = mapper.createArrayNode()
+        specFields.foreach { pf =>
+          arr.addObject().put("name", pf.name).put("transform", "identity")
+            .put("source-id", pf.sourceId).put("field-id", pf.fieldId)
+        }
+        arr.toString
+      }
+      val manifestLen = writeAvro(f, manifestPath, entrySchema,
         Map(
           "schema" -> schemaJson(schemaId, fields).toString,
-          "partition-spec" -> "[]",
+          "partition-spec" -> specJsonStr,
           "partition-spec-id" -> "0",
           "format-version" -> "2",
           "content" -> (if (isDelete) "deletes" else "data")),
@@ -868,7 +1027,8 @@ object IcebergSink {
       val next = TableMeta(newVersion, base.uuid, tableDir.toString, seqNum,
         lastColId, schemaId, fields, base.snapshots :+ snap, Some(snapshotId),
         base.metadataLog ++ (if (base.version > 0)
-          Seq((nowMs, versionFile(table, base.version).toString)) else Nil))
+          Seq((nowMs, versionFile(table, base.version).toString)) else Nil),
+        specFields = specFields)
       val allSchemas =
         (prevSchemas.filterNot(_._1 == schemaId) :+ (schemaId -> fields))
           .sortBy(_._1)
@@ -973,10 +1133,13 @@ object IcebergSink {
 
   // ---- read (metadata-driven scan planning) --------------------------------
 
-  /** One planned file from the metadata chain. */
+  /** One planned file from the metadata chain. `partitionValues` is the
+    * identity partition tuple in spec order (sourceId → value; empty for
+    * unpartitioned tables and delete files). */
   private final case class PlannedFile(path: String, seq: Long,
       content: Int, eqIds: Seq[Int],
-      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      partitionValues: Seq[(Int, Any)] = Nil)
 
   private def boundsMap(v: AnyRef): Map[Int, Array[Byte]] = v match {
     case l: java.util.List[_] =>
@@ -997,8 +1160,30 @@ object IcebergSink {
   private def optField(r: GenericRecord, name: String): AnyRef =
     if (r.getSchema.getField(name) == null) null else r.get(name)
 
-  private def planFiles(spark: SparkSession, manifestList: String)
-      : Seq[PlannedFile] =
+  /** Identity partition tuple of a manifest entry's data_file, in spec
+    * order; Avro Utf8 strings normalize to String. Absent fields (older
+    * writers, delete files) read as null. */
+  private def partitionTuple(d: GenericRecord,
+      spec: Seq[PartitionField]): Seq[(Int, Any)] =
+    if (spec.isEmpty) Nil
+    else {
+      val part = optField(d, "partition") match {
+        case r: GenericRecord => r
+        case _ => null
+      }
+      spec.map { pf =>
+        val raw =
+          if (part == null || part.getSchema.getField(pf.name) == null) null
+          else part.get(pf.name)
+        pf.sourceId -> (raw match {
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case other => other
+        })
+      }
+    }
+
+  private def planFiles(spark: SparkSession, manifestList: String,
+      spec: Seq[(PartitionField, Field)] = Nil): Seq[PlannedFile] =
     readAvro(spark, manifestList)._2.flatMap { lm =>
       val listSeq = lm.get("sequence_number").asInstanceOf[Long]
       readAvro(spark, lm.get("manifest_path").toString)._2
@@ -1010,6 +1195,17 @@ object IcebergSink {
               l.asScala.map(_.asInstanceOf[Int]).toSeq
             case _ => Nil
           }
+          val pv = partitionTuple(d, spec.map(_._1))
+          // identity partition values double as EXACT per-file bounds on
+          // their source columns (lower = upper = the value): pruning via
+          // [[rangeIntersects]] then needs no special casing — partition
+          // pruning IS bounds pruning with a degenerate interval
+          val partBounds = pv.flatMap { case (srcId, v) =>
+            if (v == null) None
+            else spec.collectFirst { case (pf, fld) if pf.sourceId == srcId =>
+              encodeBound(fld.typ, v).map(srcId -> _)
+            }.flatten
+          }.toMap
           // spec: a null entry sequence number inherits the manifest list's
           PlannedFile(d.get("file_path").toString,
             Option(e.get("sequence_number"))
@@ -1017,8 +1213,9 @@ object IcebergSink {
             optField(d, "content") match {
               case i: Integer => i.intValue(); case _ => 0
             }, eqIds,
-            boundsMap(optField(d, "lower_bounds")),
-            boundsMap(optField(d, "upper_bounds")))
+            boundsMap(optField(d, "lower_bounds")) ++ partBounds,
+            boundsMap(optField(d, "upper_bounds")) ++ partBounds,
+            pv)
         }
     }
 
@@ -1077,7 +1274,11 @@ object IcebergSink {
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
           case Some(snap) =>
             val snapFields = m.schemasById.getOrElse(snap.schemaId, m.fields)
-            val planned = planFiles(spark, snap.manifestList)
+            val spec = m.specFields.map(pf =>
+              (pf, snapFields.find(_.id == pf.sourceId).getOrElse(
+                throw new IllegalStateException(
+                  s"partition source field ${pf.sourceId} missing"))))
+            val planned = planFiles(spark, snap.manifestList, spec)
             val dataFiles = planned.filter(_.content == 0)
               .filter(pf => ranges.forall(r => rangeIntersects(pf, r, snapFields)))
             val eqDeleteFiles = planned.filter(_.content == 2)
@@ -1086,7 +1287,7 @@ object IcebergSink {
               if (dataFiles.isEmpty)
                 spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
               else if (eqDeleteFiles.isEmpty && posDeleteFiles.isEmpty)
-                spark.read.schema(schema).parquet(dataFiles.map(_.path): _*)
+                readPlannedData(spark, schema, spec, dataFiles)
               else {
                 import org.apache.spark.sql.functions.{broadcast, col, lit}
                 val fieldsById = m.schemasById
@@ -1100,12 +1301,9 @@ object IcebergSink {
                 // parquet source's hidden _metadata columns
                 val data = dataFiles.groupBy(_.seq).toSeq.sortBy(_._1)
                   .map { case (s, fsOfSeq) =>
-                    val df = spark.read.schema(schema).parquet(fsOfSeq.map(_.path): _*)
-                    val withSeq =
-                      if (posDeleteFiles.isEmpty) df
-                      else df.withColumn(fileCol, col("_metadata.file_path"))
-                        .withColumn(posCol, col("_metadata.row_index"))
-                    withSeq.withColumn(seqCol, lit(s))
+                    readPlannedData(spark, schema, spec, fsOfSeq,
+                      withCoords = posDeleteFiles.nonEmpty, fileCol, posCol)
+                      .withColumn(seqCol, lit(s))
                   }.reduce(_ union _)
                 // EQUALITY deletes: key applies to STRICTLY SMALLER data seq
                 val afterEq = eqDeleteFiles.groupBy(d => (d.seq, d.eqIds)).toSeq
@@ -1150,6 +1348,46 @@ object IcebergSink {
             }
         }
     }
+
+  /** Read planned DATA files under `schema`, re-attaching identity
+    * partition columns — absent from the parquet files by construction
+    * (Hive-style staging strips them) — from each file's manifest
+    * partition tuple, grouped so one read covers each tuple. With
+    * `withCoords`, each row also carries its (file, ordinal) coordinates
+    * from the parquet `_metadata` hidden columns (captured at the source
+    * read, before any projection). */
+  private def readPlannedData(spark: SparkSession, schema: StructType,
+      spec: Seq[(PartitionField, Field)], files: Seq[PlannedFile],
+      withCoords: Boolean = false, fileCol: String = "__graft_data_file",
+      posCol: String = "__graft_data_pos"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val partNames = spec.map(_._1.name).toSet
+    val srcById = spec.map { case (pf, fld) => pf.sourceId -> fld }.toMap
+    def assemble(df0: DataFrame, pv: Seq[(Int, Any)]): DataFrame = {
+      val withC =
+        if (!withCoords) df0
+        else df0.withColumn(fileCol, col("_metadata.file_path"))
+          .withColumn(posCol, col("_metadata.row_index"))
+      val withP = pv.foldLeft(withC) { case (acc, (srcId, v)) =>
+        val fld = srcById(srcId)
+        acc.withColumn(fld.name, lit(v).cast(sparkType(fld.typ)))
+      }
+      val cols = schema.fieldNames.toSeq ++
+        (if (withCoords) Seq(fileCol, posCol) else Nil)
+      withP.select(cols.map(col): _*)
+    }
+    if (spec.isEmpty)
+      assemble(spark.read.schema(schema).parquet(files.map(_.path): _*), Nil)
+    else {
+      val fileSchema = StructType(schema.fields.filterNot(f => partNames(f.name)))
+      files.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.map { case (i, v) => s"$i=$v" }.mkString(","))
+        .map { case (pv, fsOfPart) =>
+          assemble(spark.read.schema(fileSchema)
+            .parquet(fsOfPart.map(_.path): _*), pv)
+        }.reduce(_ unionByName _)
+    }
+  }
 
   /** Can `pf` contain rows inside `range`? Missing bounds → yes (keep). */
   private def rangeIntersects(pf: PlannedFile, range: ColumnRange,
@@ -1219,6 +1457,9 @@ object IcebergSink {
     if (appends.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val snapFields = m.schemasById.getOrElse(to.schemaId, m.fields)
+    val spec = m.specFields.map(pf =>
+      (pf, snapFields.find(_.id == pf.sourceId).get))
     // Each append snapshot's OWN manifest list, filtered to the one
     // manifest it added (added_snapshot_id = it). Reading a later
     // snapshot's list instead would be wrong: a replace (compaction) in
@@ -1236,12 +1477,13 @@ object IcebergSink {
         .filter(d => (optField(d, "content") match {
           case i: Integer => i.intValue(); case _ => 0
         }) == 0)
-        .map(_.get("file_path").toString)
-    }
+        .map(d => PlannedFile(d.get("file_path").toString, 0L, 0, Nil,
+          Map.empty, Map.empty, partitionTuple(d, spec.map(_._1))))
+    }.groupBy(_.path).map(_._2.head).toSeq
     if (files.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(files.distinct: _*)
+    else readPlannedData(spark, schema, spec, files)
   }
 
   /** CHANGELOG read — the full CDC feed between two snapshots, deletes
@@ -1295,15 +1537,17 @@ object IcebergSink {
           s"${fromSnapshotId.get} is not an ancestor of ${to.snapshotId}")
     }
     val schema = m.schemaFor(to.schemaId)
-    val fieldsById = m.schemasById.getOrElse(to.schemaId, m.fields)
-      .map(f => f.id -> f).toMap
+    val chFields = m.schemasById.getOrElse(to.schemaId, m.fields)
+    val fieldsById = chFields.map(f => f.id -> f).toMap
+    val spec = m.specFields.map(pf =>
+      (pf, chFields.find(_.id == pf.sourceId).get))
     def meta(df: DataFrame, typ: String, ord: Int, snapId: Long): DataFrame =
       df.withColumn("_change_type", lit(typ))
         .withColumn("_change_ordinal", lit(ord))
         .withColumn("_commit_snapshot_id", lit(snapId))
     // oldest-first so ordinals read as commit order
     val frames = range.reverse.zipWithIndex.flatMap { case (sn, ord) =>
-      def ownFiles(wantContent: Int): Seq[(String, Seq[Int])] =
+      def ownFiles(wantContent: Int): Seq[(String, Seq[Int], Seq[(Int, Any)])] =
         readAvro(spark, sn.manifestList)._2
           .filter(_.get("added_snapshot_id").asInstanceOf[Long] == sn.snapshotId)
           .flatMap(lm => readAvro(spark, lm.get("manifest_path").toString)._2)
@@ -1321,13 +1565,15 @@ object IcebergSink {
                 l.asScala.map(_.asInstanceOf[Int]).toSeq
               case _ => Nil
             }
-            (d.get("file_path").toString, eq)
+            (d.get("file_path").toString, eq,
+              partitionTuple(d, spec.map(_._1)))
           }
       sn.operation match {
         case "append" =>
-          val fs = ownFiles(0).map(_._1)
+          val fs = ownFiles(0).map(t => PlannedFile(t._1, 0L, 0, Nil,
+            Map.empty, Map.empty, t._3))
           if (fs.isEmpty) Nil
-          else Seq(meta(spark.read.schema(schema).parquet(fs: _*),
+          else Seq(meta(readPlannedData(spark, schema, spec, fs),
             "insert", ord, sn.snapshotId))
         case "delete" =>
           val eqFrames = ownFiles(2).groupBy(_._2).toSeq.map { case (eqIds, fsOfKey) =>
@@ -1348,7 +1594,9 @@ object IcebergSink {
           // POSITION deletes name concrete rows, so the changelog can emit
           // FULL pre-images (equality deletes above can only pad the key):
           // read just the referenced data files, semi-join on (file, pos).
-          // Cost ∝ files the delete touched, not the table.
+          // Cost ∝ files the delete touched, not the table. Target files'
+          // partition tuples come from the delete snapshot's own manifest
+          // list (a delete commit carries prior manifests forward).
           val posFiles = ownFiles(1).map(_._1)
           val posFrames =
             if (posFiles.isEmpty) Nil
@@ -1357,12 +1605,13 @@ object IcebergSink {
               val tuples = spark.read.schema(posDeleteSchema)
                 .parquet(posFiles: _*)
               val targets = tuples.select(col("file_path")).distinct()
-                .collect().map(_.getString(0))
+                .collect().map(_.getString(0)).toSet
               if (targets.isEmpty) Nil
               else {
-                val pre = spark.read.schema(schema).parquet(targets.toSeq: _*)
-                  .withColumn("__file", col("_metadata.file_path"))
-                  .withColumn("__pos", col("_metadata.row_index"))
+                val targetFiles = planFiles(spark, sn.manifestList, spec)
+                  .filter(p => p.content == 0 && targets(p.path))
+                val pre = readPlannedData(spark, schema, spec, targetFiles,
+                  withCoords = true, "__file", "__pos")
                   .join(broadcast(tuples
                     .withColumnRenamed("file_path", "__file")
                     .withColumnRenamed("pos", "__pos")),

@@ -345,6 +345,41 @@ object EtlPack extends QueryPack {
           |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
           |) GROUP BY partition ORDER BY partition""".stripMargin))),
 
+    // Iceberg IDENTITY PARTITION SPEC: the events topic lands partitioned
+    // by event_type (spec field id 1000, values in each manifest entry's
+    // partition struct, data files one-partition-each per the spec's
+    // invariant); a partition-scoped readPruned plans ONLY that
+    // partition's files — zero data IO elsewhere, the primary pruning
+    // lever at 100 TB (IcebergSpec asserts the smaller inputFiles set).
+    // The residual filter keeps exactness, and the oracle recomputes the
+    // same slice relationally.
+    QueryDef(
+      "e21_iceberg_partitioned",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_part_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev, partitionBy = Seq("event_type"))
+        IcebergSink.readPruned(s, table,
+          Seq(IcebergSink.ColumnRange("event_type",
+            Some("purchase"), Some("purchase"))))
+          .groupBy(col("partition"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, event_type, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       max(_offset) AS max_off
+          |FROM events_topic
+          |WHERE event_type = 'purchase'
+          |GROUP BY 1, 2 ORDER BY partition""".stripMargin))),
+
     // Iceberg v2 POSITION DELETES (the second merge-on-read delete shape):
     // rows are deleted by (file_path, row ordinal) coordinates instead of
     // key tuples — data files never rewritten. The fixture appends the

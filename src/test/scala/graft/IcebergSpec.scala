@@ -295,6 +295,84 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergSink.load(spark, table).get.snapshots.length == 2)
   }
 
+  test("identity partition spec: metadata + manifests carry it, reads round-trip, pruning skips files") {
+    import spark.implicits._
+    val table = tmpTable()
+    val rows = (1L to 40L).map(i => (i, s"cat${i % 4}", (i * 10).toInt))
+    IcebergSink.append(spark, table, rows.toDF("id", "cat", "v"),
+      partitionBy = Seq("cat"))
+
+    // metadata: spec-id 0 carries the identity field with id 1000
+    val m = IcebergSink.load(spark, table).get
+    assert(m.specFields.map(p => (p.fieldId, p.name)) == Seq((1000, "cat")))
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "metadata", s"v${m.version}.metadata.json")), "UTF-8")
+    assert(json.contains("\"transform\" : \"identity\"") ||
+      json.contains("\"transform\":\"identity\""))
+
+    // manifest entries: partition struct holds the value; data files are
+    // one-partition-each and do NOT contain the partition column
+    val snap = m.snapshots.head
+    val entries = IcebergSink.readAvro(spark, IcebergSink.readAvro(spark,
+      snap.manifestList)._2.head.get("manifest_path").toString)._2
+    val parts = entries.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("cat").toString).toSet
+    assert(parts == Set("cat0", "cat1", "cat2", "cat3"))
+    val onePath = entries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("file_path").toString
+    assert(!spark.read.parquet(onePath).columns.contains("cat"))
+
+    // full read re-attaches partition columns exactly
+    val back = IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(back.toSeq == rows)
+
+    // partition-scoped read plans ONLY that partition's files
+    val pruned = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("cat", Some("cat2"), Some("cat2"))))
+    val allFiles = IcebergSink.read(spark, table).inputFiles.length
+    assert(pruned.inputFiles.length < allFiles,
+      s"pruned ${pruned.inputFiles.length} vs $allFiles")
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 40L).filter(_ % 4 == 2))
+
+    // the spec is for life: appends inherit it, restating wrong cols fails
+    IcebergSink.append(spark, table, Seq((41L, "cat1", 410)).toDF("id", "cat", "v"))
+    intercept[IllegalArgumentException] {
+      IcebergSink.append(spark, table,
+        Seq((42L, "cat1", 420)).toDF("id", "cat", "v"), partitionBy = Seq("id"))
+    }
+    assert(IcebergSink.read(spark, table).count() == 41)
+
+    // row-level deletes + compaction keep working on partitioned tables;
+    // compaction rewrites stay partitioned
+    IcebergSink.deleteWhere(spark, table, col("id") === 41L, Seq("id"))
+    IcebergSink.deleteWherePositions(spark, table, col("id") === 40L)
+    assert(IcebergSink.read(spark, table).count() == 39)
+    IcebergSink.compact(spark, table)
+    assert(IcebergSink.read(spark, table).count() == 39)
+    val m2 = IcebergSink.load(spark, table).get
+    assert(m2.specFields == m.specFields)
+    val pruned2 = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("cat", Some("cat2"), Some("cat2"))))
+    assert(pruned2.inputFiles.length <
+      IcebergSink.read(spark, table).inputFiles.length)
+
+    // incremental + changelog re-attach partition columns too
+    val snaps = m2.snapshots
+    val inc = IcebergSink.readIncremental(spark, table,
+      snaps.head.snapshotId, Some(snaps(1).snapshotId))
+    assert(inc.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((41L, "cat1")))
+    val log = IcebergSink.readChangelogFrom(spark, table, None,
+      Some(snaps.head.snapshotId))
+    assert(log.where(col("_change_type") === "insert").count() == 40)
+    assert(log.where(col("cat").isNull).count() == 0)
+  }
+
   test("position delete: coordinate subtraction, spec-shaped file, later appends immune") {
     import spark.implicits._
     val table = tmpTable()
