@@ -154,7 +154,13 @@ class PgWireServer(
                 else if (fmt == 0) new String(bytes, StandardCharsets.UTF_8)
                 else decodeBinaryParam(bytes, base.paramOids.lift(i).getOrElse(0))
               }
-              portals(portal) = PortalState(substituteParams(base.query, params), None)
+              // result-format codes (0=text, 1=binary): pgjdbc requests
+              // binary for int/float/timestamp/bytea on the extended path
+              val nResFmt = r.i16()
+              val resFmts = (0 until nResFmt).map(_ => r.i16())
+              portals(portal) = PortalState(
+                substituteParams(base.query, params), None,
+                resultFormats = resFmts)
               out.writeByte('2'); out.writeInt(4) // BindComplete
             } catch {
               case e: UnsupportedFormatException =>
@@ -172,7 +178,8 @@ class PgWireServer(
                     throw new KafsqlException(s"unknown portal: '$name'"))
                   val res = p.result.getOrElse(computeResult(p.sql))
                   portals(name) = p.copy(result = Some(res))
-                  rowDescription(out, res._1)
+                  rowDescription(out, res._1,
+                    effectiveFormats(res._1, p.resultFormats))
                 case _ =>
                   // statement describe: no parameter-type inference —
                   // ParameterDescription with 0 params + NoData
@@ -201,7 +208,8 @@ class PgWireServer(
               val emit =
                 if (maxRows > 0) rows.slice(from, from + maxRows)
                 else rows.drop(from)
-              emit.foreach(row => dataRow(out, schema, row))
+              val fmts = effectiveFormats(schema, p.resultFormats)
+              emit.foreach(row => dataRow(out, schema, row, fmts))
               val newCursor = from + emit.length
               portals(name) = p.copy(result = Some((schema, rows)), cursor = newCursor)
               if (maxRows > 0 && newCursor < rows.length) {
@@ -329,7 +337,29 @@ class PgWireServer(
   }
 
   private final case class PortalState(
-      sql: String, result: Option[(StructType, Array[Row])], cursor: Int = 0)
+      sql: String, result: Option[(StructType, Array[Row])], cursor: Int = 0,
+      resultFormats: Seq[Int] = Nil)
+
+  /** Resolve Bind's requested result-format codes against what each column
+    * type can actually serialize in binary (protocol: one code applies to
+    * all; none means all-text). A binary request on an unsupported type
+    * degrades to text — RowDescription reports the EFFECTIVE per-column
+    * code, which is what clients decode by. */
+  private def effectiveFormats(schema: StructType,
+      requested: Seq[Int]): Array[Int] = {
+    def supported(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | FloatType | DoubleType | BooleanType |
+           BinaryType | StringType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val want =
+        if (requested.isEmpty) 0
+        else if (requested.length == 1) requested.head
+        else requested.lift(i).getOrElse(0)
+      if (want == 1 && supported(f.dataType)) 1 else 0
+    }
+  }
 
   /** Bind-time rejection of protocol features we don't speak (SQLSTATE 0A000). */
   private final class UnsupportedFormatException(m: String) extends Exception(m)
@@ -583,19 +613,20 @@ class PgWireServer(
     case _ => 25
   }
 
-  private def rowDescription(out: DataOutputStream, schema: StructType): Unit = {
+  private def rowDescription(out: DataOutputStream, schema: StructType,
+      formats: Array[Int] = Array.empty): Unit = {
     val fields = schema.fields
     val payload = new java.io.ByteArrayOutputStream()
     val p = new DataOutputStream(payload)
     p.writeShort(fields.length)
-    fields.foreach { f =>
+    fields.zipWithIndex.foreach { case (f, i) =>
       p.write(f.name.getBytes(StandardCharsets.UTF_8)); p.writeByte(0)
       p.writeInt(0) // table oid
       p.writeShort(0) // column attr
       p.writeInt(pgOid(f.dataType))
       p.writeShort(-1) // typlen
       p.writeInt(-1) // typmod
-      p.writeShort(0) // text format
+      p.writeShort(formats.lift(i).getOrElse(0)) // 0=text, 1=binary
     }
     out.writeByte('T'); out.writeInt(4 + payload.size()); payload.writeTo(out)
   }
@@ -619,16 +650,59 @@ class PgWireServer(
     case other => other.toString
   }
 
-  private def dataRow(out: DataOutputStream, schema: StructType, row: Row): Unit = {
+  /** Microseconds between the Unix and Postgres (2000-01-01) epochs. */
+  private val PgEpochMicros = 946684800000000L
+
+  /** Binary (format-1) value encoding, network byte order per the protocol
+    * docs: ints/floats as their wire-width two's-complement/IEEE bits —
+    * sized to the DECLARED OID, so FloatType (declared float8/701) sends 8
+    * bytes; bool one byte; bytea/text raw bytes (binary text == its UTF-8
+    * bytes); timestamps int8 µs since 2000-01-01 (pg convention). Callers
+    * guarantee the type passed [[effectiveFormats]]' support check. */
+  private def binaryValue(dt: DataType, v: Any): Array[Byte] = {
+    def be(n: Int)(put: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n); put(b); b.array()
+    }
+    (dt, v) match {
+      case (IntegerType, i: Int) => be(4)(_.putInt(i))
+      case (LongType, l: Long) => be(8)(_.putLong(l))
+      case (FloatType, f: Float) => be(8)(_.putDouble(f.toDouble)) // oid 701
+      case (DoubleType, d: Double) => be(8)(_.putDouble(d))
+      case (BooleanType, b: Boolean) => Array[Byte](if (b) 1 else 0)
+      case (BinaryType, b: Array[Byte]) => b
+      case (StringType, s: String) => s.getBytes(StandardCharsets.UTF_8)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        val µs = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000L
+        be(8)(_.putLong(µs - PgEpochMicros))
+      case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+        val µs = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+        be(8)(_.putLong(µs - PgEpochMicros))
+      case (TimestampType, t: java.time.Instant) =>
+        val µs = t.getEpochSecond * 1000000L + t.getNano / 1000L
+        be(8)(_.putLong(µs - PgEpochMicros))
+      case _ => render(dt, v).getBytes(StandardCharsets.UTF_8) // safe fallback
+    }
+  }
+
+  private def dataRow(out: DataOutputStream, schema: StructType, row: Row,
+      formats: Array[Int] = Array.empty): Unit = {
     val payload = new java.io.ByteArrayOutputStream()
     val p = new DataOutputStream(payload)
     p.writeShort(schema.fields.length)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val s = render(f.dataType, row.get(i))
-      if (s == null) p.writeInt(-1)
-      else {
-        val b = s.getBytes(StandardCharsets.UTF_8)
+      val v = row.get(i)
+      if (v == null) p.writeInt(-1)
+      else if (formats.lift(i).contains(1)) {
+        val b = binaryValue(f.dataType, v)
         p.writeInt(b.length); p.write(b)
+      } else {
+        val s = render(f.dataType, v)
+        if (s == null) p.writeInt(-1)
+        else {
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          p.writeInt(b.length); p.write(b)
+        }
       }
     }
     out.writeByte('D'); out.writeInt(4 + payload.size()); payload.writeTo(out)

@@ -246,6 +246,83 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def dataRowRaw(body: Array[Byte]): Seq[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(body)
+    val n = bb.getShort
+    (0 until n).map { _ =>
+      val len = bb.getInt
+      if (len < 0) null
+      else { val a = new Array[Byte](len); bb.get(a); a }
+    }
+  }
+
+  test("binary result encoding: Bind format-1 results come back as wire binary") {
+    withWire { (in, out, send) =>
+      // int4 partition + int8 count + timestamp: all binary-encodable
+      send('P', cstr("br") ++ cstr(
+        "SELECT _partition, COUNT(*) AS n, MAX(_ts) AS latest " +
+          "FROM events GROUP BY _partition LAST 30d") ++ i16(0))
+      // no params; ONE result-format code 1 = all columns binary
+      send('B', cstr("") ++ cstr("br") ++ i16(0) ++ i16(0) ++ i16(1) ++ i16(1))
+      send('D', Array('P'.toByte) ++ cstr(""))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val msgs = readUntilReady(in)
+      assert(!msgs.map(_._1).contains('E'), s"unexpected error: ${msgs.map(_._1)}")
+      // RowDescription reports per-column format code 1
+      val rd = msgs.find(_._1 == 'T').get._2
+      val rb = java.nio.ByteBuffer.wrap(rd)
+      val nCols = rb.getShort
+      assert(nCols == 3)
+      val fmts = (0 until nCols).map { _ =>
+        while (rb.get() != 0) {} // skip name
+        rb.getInt; rb.getShort; rb.getInt; rb.getShort; rb.getInt // oid etc
+        rb.getShort // format code
+      }
+      assert(fmts == Seq(1, 1, 1), s"formats $fmts")
+      val rows = msgs.filter(_._1 == 'D').map(m => dataRowRaw(m._2))
+      assert(rows.length == 4)
+      rows.foreach { cols =>
+        assert(cols(0).length == 4 && cols(1).length == 8 && cols(2).length == 8)
+      }
+      val decoded = rows.map { cols =>
+        (java.nio.ByteBuffer.wrap(cols(0)).getInt,
+          java.nio.ByteBuffer.wrap(cols(1)).getLong)
+      }.toMap
+      assert(decoded == Map(0 -> 250L, 1 -> 250L, 2 -> 250L, 3 -> 250L))
+      // timestamp binary = µs since 2000-01-01; all four groups must land
+      // inside the events fixture's 2024-01 window
+      rows.foreach { cols =>
+        val micros = java.nio.ByteBuffer.wrap(cols(2)).getLong
+        val ldt = java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
+          .plusNanos(micros * 1000)
+        assert(ldt.getYear == 2024, s"decoded $ldt")
+      }
+    }
+  }
+
+  test("binary result encoding: mixed per-column formats and text fallback") {
+    withWire { (in, out, send) =>
+      send('P', cstr("br2") ++ cstr(
+        "SELECT _partition, COUNT(*) AS n FROM events " +
+          "GROUP BY _partition LAST 30d") ++ i16(0))
+      // per-column codes: _partition text, n binary
+      send('B', cstr("") ++ cstr("br2") ++ i16(0) ++ i16(0) ++
+        i16(2) ++ i16(0) ++ i16(1))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.emptyByteArray)
+      out.flush()
+      val msgs = readUntilReady(in)
+      assert(!msgs.map(_._1).contains('E'), s"unexpected error: ${msgs.map(_._1)}")
+      val rows = msgs.filter(_._1 == 'D').map(m => dataRowRaw(m._2))
+      val decoded = rows.map(cols =>
+        (new String(cols(0), "UTF-8"),
+          java.nio.ByteBuffer.wrap(cols(1)).getLong)).toMap
+      assert(decoded == Map("0" -> 250L, "1" -> 250L, "2" -> 250L, "3" -> 250L))
+    }
+  }
+
   test("BackendKeyData is per-connection; CancelRequest is a silent advisory no-op") {
     def connect(): (java.net.Socket, java.io.DataOutputStream,
         java.io.DataInputStream, (Int, Int)) = {
