@@ -29,6 +29,24 @@ object Bpe {
     * alphabet for the driver testdata. */
   val Eow = "</w>"
 
+  /** Fixed seed dictionary (common-English function words) from which
+    * [[FixedMerges]] trains — a CONSTANT merge table usable by static
+    * oracle SQL: the same table at every scale factor, independent of the
+    * corpus being encoded. The encode stage over a fixed table is
+    * SQL-expressible (rank-ordered iterated replaces, see OpsPack's
+    * `t34_bpe_encode` oracle), which is what makes the tokenizer
+    * hash-checkable even though training is not. */
+  val FixedSeedHistogram: Seq[(String, Long)] = Seq(
+    "the" -> 90L, "of" -> 70L, "and" -> 65L, "to" -> 60L, "in" -> 55L,
+    "is" -> 50L, "that" -> 45L, "for" -> 40L, "it" -> 38L, "with" -> 35L,
+    "as" -> 33L, "was" -> 30L, "on" -> 28L, "are" -> 26L, "this" -> 24L,
+    "be" -> 22L, "at" -> 20L, "by" -> 18L, "not" -> 16L, "or" -> 14L,
+    "an" -> 12L, "we" -> 10L)
+
+  /** 24 merges trained from [[FixedSeedHistogram]] — deterministic, so
+    * Spark encode and the SQL oracle share one table by construction. */
+  lazy val FixedMerges: Seq[Merge] = learnMerges(FixedSeedHistogram, 24)
+
   final case class Merge(a: String, b: String, rank: Int)
 
   /** Distributed word histogram, capped to the `maxVocab` most frequent

@@ -36,6 +36,42 @@ object OpsPack extends QueryPack {
        |  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
        |  (a, b) -> a * 16 + b)""".stripMargin
 
+  /** DuckDB oracle for the t34 BPE encode: each word becomes a
+    * separator-wrapped symbol string (`␟t␟␟h␟␟e␟␟</w>␟`), the 24
+    * [[graft.ops.Bpe.FixedMerges]] apply as rank-ordered replace() calls
+    * (wrapping makes every match an exact symbol-pair occurrence, and
+    * left-to-right non-overlapping replacement matches the merge
+    * semantics), then per-doc token streams hash. Built FROM the constant
+    * merge table, so the two sides cannot drift. */
+  private def bpeEncodeOracleSql: String = {
+    val sep = "\u001f" // unit separator: absent from the documents corpus
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    // NOTE: no stripMargin anywhere near generated SQL — `||` at a line
+    // start would lose a pipe to margin stripping
+    val wrapped =
+      s"list_aggregate(list_transform(string_split_regex(w, ''),\n" +
+        s"      x -> ${lit(sep)} || x || ${lit(sep)}), 'string_agg', '') || " +
+        lit(sep + graft.ops.Bpe.Eow + sep)
+    val replaced = graft.ops.Bpe.FixedMerges.foldLeft(wrapped) { (acc, m) =>
+      s"replace($acc,\n      ${lit(sep + m.a + sep + sep + m.b + sep)}, " +
+        lit(sep + m.a + m.b + sep) + ")"
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), enc AS (
+       |  SELECT doc_id, i,
+       |    replace(trim($replaced, ${lit(sep)}), ${lit(sep + sep)}, ' ') AS tokstr
+       |  FROM words WHERE length(w) > 0
+       |), streams AS (
+       |  SELECT doc_id, string_agg(tokstr, ' ' ORDER BY i) AS stream
+       |  FROM enc GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(len(string_split(stream, ' ')) AS BIGINT) AS n_tokens,
+       |       md5(stream) AS stream_md5
+       |FROM streams ORDER BY doc_id""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
 
     // ---- similarity search ---------------------------------------------
@@ -1608,6 +1644,29 @@ object OpsPack extends QueryPack {
           .orderBy(col("lang"))
       },
       None),
+
+    // BPE ENCODE with a FIXED merge table, hash-checked per document: the
+    // encode stage is SQL-expressible for a bounded merge count because
+    // applying merges in RANK ORDER (one global replace per merge over a
+    // separator-wrapped symbol string) equals the lowest-rank-first merge
+    // loop — any pair involving a composite symbol necessarily has a
+    // later rank than the merge that formed it, so earlier merges can
+    // never become applicable again (BpeSpec pins this equivalence law
+    // with a fuzz loop). The table is Bpe.FixedMerges — trained from a
+    // constant seed dictionary, identical at every scale factor — and the
+    // oracle SQL derives its 24 nested replace() calls from the very same
+    // constant. Training itself stays rows-only (t22).
+    QueryDef(
+      "t34_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Bpe.encode(s, docs.select(col("doc_id"), col("text")),
+            "doc_id", "text", Bpe.FixedMerges)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("tokens"))).as("stream_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracleSql)),
 
     // Row-level version diff (corpus audit): v2 of events drops all
     // purchases, doubles every click's value, and appends 100 synthetic

@@ -62,4 +62,37 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.learnMerges(Bpe.wordHistogram(docs, "text", 300), 80)
     assert(a == b && a.length == 80)
   }
+
+  test("rank-ordered global replaces equal the lowest-rank-first merge loop (oracle law)") {
+    // The t34 DuckDB oracle encodes by applying FixedMerges in rank order,
+    // one global replace over a separator-wrapped symbol string per merge.
+    // That equals Bpe.encodeWord's lowest-rank-first loop because a pair
+    // involving a composite symbol always out-ranks the merge that formed
+    // it. Pin the law with the mirror implementation + a fuzz sweep.
+    val sep = "\u001f"
+    val ranks = Bpe.FixedMerges.map(m => (m.a, m.b) -> m.rank).toMap
+    def replaceEncode(word: String): Seq[String] = {
+      val wrapped = word.map(c => sep + c + sep).mkString + sep + Bpe.Eow + sep
+      val out = Bpe.FixedMerges.foldLeft(wrapped) { (acc, m) =>
+        acc.replace(sep + m.a + sep + sep + m.b + sep, sep + m.a + m.b + sep)
+      }
+      out.stripPrefix(sep).stripSuffix(sep).split(sep + sep).toSeq
+    }
+    val fixedWords = Seq("the", "theirs", "then", "thisandthat", "aaa",
+      "forfor", "withwith", "x", "oror", "ananas", "notation", "waste")
+    fixedWords.foreach { w =>
+      assert(replaceEncode(w) == Bpe.encodeWord(w, ranks), s"word $w")
+    }
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "theofandtoinisarwbyx"
+    (0 until 500).foreach { _ =>
+      val w = (0 until (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(replaceEncode(w) == Bpe.encodeWord(w, ranks), s"word $w")
+    }
+    // and the constant really is what the trainer produces from the seed
+    assert(Bpe.FixedMerges ==
+      Bpe.learnMerges(Bpe.FixedSeedHistogram, 24))
+    assert(Bpe.FixedMerges.length == 24)
+  }
 }
