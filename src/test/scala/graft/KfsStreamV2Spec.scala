@@ -121,4 +121,68 @@ class KfsStreamV2Spec extends AnyFunSuite {
     assert(rows.count() == 55)
     assert(rows.select(col("_offset")).distinct().count() == 55)
   }
+
+  test("retention racing a checkpointed drain: never duplicates, skips like a consumer past the horizon") {
+    // The documented semantics (KfsRetention): manifest readers re-plan
+    // from the flipped manifest; a stream's checkpoint survives deletion
+    // of segments it ALREADY consumed (no replay), and a segment deleted
+    // BEFORE the stream reached it is simply skipped — exactly a Kafka
+    // consumer whose lag crossed retention.ms. Never a duplicate.
+    val root = Files.createTempDirectory("kfs_ret_race").toString
+    val ckpt = Files.createTempDirectory("kfs_ret_race_wal").toString
+    val out = Files.createTempDirectory("kfs_ret_race_out").toString
+    def seg(base: Long): Unit = {
+      val refs = KfsLayout.listFromManifest(root, "r", 0) :+
+        KfsLayout.writeSegment(root, "r", 0, mkRecords(10, baseOffset = base))
+      KfsLayout.writeManifest(root, "r", 0, refs.sortBy(_.baseOffset))
+      KfsLayout.invalidateDiscoveryCache(root)
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("kfs")
+        .option("path", root).option("max_segments_per_trigger", "2").load()
+        .select(col("_partition"), col("_offset"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    (0L until 40L by 10L).foreach(seg)
+    drain()
+    assert(spark.read.parquet(out).count() == 40)
+
+    // retention deletes the two OLDEST (already-consumed) segments: the
+    // checkpoint is untouched, later drains add nothing twice. Record ts
+    // = base + offset*1000, so cutoff ts of offset 20 keeps segs >= 20.
+    val r1 = graft.kfs.KfsRetention.enforce(root, "r", 1706000000000L + 20 * 1000L)
+    assert(r1.deleted == 2 && r1.kept == 2)
+    seg(40L) // new data arrives after retention
+    drain()
+    val afterConsumedDrop = spark.read.parquet(out)
+    assert(afterConsumedDrop.count() == 50)
+    assert(afterConsumedDrop.select(col("_offset")).distinct().count() == 50)
+
+    // retention now outruns the consumer: a segment lands (offsets 50-59)
+    // and expires BEFORE the stream ever drains it (cutoff 60s sweeps the
+    // whole remaining estate: 20, 30, 40, 50); a fresh segment (60-69)
+    // then survives. The drain must skip the horizon gap silently and
+    // deliver only the surviving segment — no failure, no duplicates, no
+    // resurrection of 50-59.
+    seg(50L)
+    val r2 = graft.kfs.KfsRetention.enforce(root, "r", 1706000000000L + 60 * 1000L)
+    assert(r2.deleted == 4 && r2.kept == 0, s"got $r2")
+    seg(60L)
+    drain()
+    val end = spark.read.parquet(out)
+    assert(end.count() == 60)
+    assert(end.select(col("_offset")).distinct().count() == 60)
+    val offs = end.select(col("_offset")).collect().map(_.getLong(0)).toSet
+    assert(!offs.exists(o => o >= 50 && o < 60), "expired segment resurrected")
+    assert((60L until 70L).forall(offs), "surviving segment not delivered")
+
+    // and a fresh BATCH scan (manifest re-plan) sees exactly the retained
+    // estate — only the post-retention segment
+    val batch = spark.read.format("kfs").option("path", root).load()
+    assert(batch.select(col("_offset")).collect().map(_.getLong(0)).sorted
+      .toSeq == (60L until 70L))
+  }
 }
