@@ -377,6 +377,42 @@ class EtlSpec extends AnyFunSuite {
       Seq((10L, "x", true)))
   }
 
+  test("TableSink.replace crash windows recover with data and schema in agreement") {
+    import spark.implicits._
+    // Window 1: crash AFTER the data flip, BEFORE the schema flip —
+    // on-disk state is new data + old _schema.json + staged new schema.
+    // read() must complete the flip, never read new files under the old
+    // schema (misprojection).
+    val t1 = Files.createTempDirectory("repl_cw1").toString + "/t"
+    TableSink.append(spark, t1, Seq((1, "a")).toDF("id", "s"))
+    val newDf = Seq((10L, "x", true)).toDF("id", "s", "flag")
+    TableSink.replace(spark, t1, newDf) // completes fully; now fake the crash:
+    val oldSchemaJson = Seq((1, "a")).toDF("id", "s").schema.json
+    Files.write(java.nio.file.Paths.get(s"$t1/_schema.json.new"),
+      TableSink.read(spark, t1).schema.json.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$t1/_schema.json"),
+      oldSchemaJson.getBytes("UTF-8")) // regress the applied schema
+    val r1 = TableSink.read(spark, t1)
+    assert(r1.columns.toSeq == Seq("id", "s", "flag"))
+    assert(r1.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSeq == Seq((10L, "x", true)))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$t1/_schema.json.new")))
+
+    // Window 2: crash BEFORE the data flip — data_replace still staged,
+    // staged schema present. The staged schema is stale and must be
+    // DISCARDED: the old generation keeps its old schema.
+    val t2 = Files.createTempDirectory("repl_cw2").toString + "/t"
+    TableSink.append(spark, t2, Seq((1, "a")).toDF("id", "s"))
+    newDf.write.mode("overwrite").parquet(s"$t2/data_replace")
+    Files.write(java.nio.file.Paths.get(s"$t2/_schema.json.new"),
+      newDf.schema.json.getBytes("UTF-8"))
+    val r2 = TableSink.read(spark, t2)
+    assert(r2.columns.toSeq == Seq("id", "s"))
+    assert(r2.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$t2/_schema.json.new")))
+  }
+
   // ---- LFS (consumer.go:59-91) -------------------------------------------
 
   test("lfs envelope parse detects claim checks only") {
