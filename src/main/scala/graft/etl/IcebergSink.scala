@@ -102,12 +102,91 @@ object IcebergSink {
   /** One table column: spec field with a stable id. */
   final case class Field(id: Int, name: String, typ: String)
 
-  /** One IDENTITY partition field (spec: partition specs; field ids start
-    * at 1000). Identity is the transform the reference inherits from
-    * iceberg-go (`sink/iceberg.go:40-108`) and the primary file-pruning
-    * lever at 100 TB; other transforms (bucket/truncate/day…) are out of
-    * scope. The spec is fixed at table creation — no spec evolution. */
-  final case class PartitionField(fieldId: Int, sourceId: Int, name: String)
+  /** One partition field (spec: partition specs; field ids start at
+    * 1000). Transforms: `identity` (the one the reference inherits from
+    * iceberg-go, `sink/iceberg.go:40-108`), `bucket[N]` (spec Appendix B
+    * 32-bit Murmur3 over the single-value binary form, mod N — the
+    * high-cardinality-key lever: point lookups prune to one bucket) and
+    * `truncate[W]` (width-truncated ints / prefix-truncated strings —
+    * range-prunable coarse partitioning). Temporal transforms
+    * (year/month/day/hour) are representable as truncate/identity over
+    * epoch columns and are out of scope. The spec is fixed at table
+    * creation — no spec evolution. */
+  final case class PartitionField(fieldId: Int, sourceId: Int, name: String,
+      transform: String = "identity") {
+    def isIdentity: Boolean = transform == "identity"
+    /** bucket[N] → N */
+    def bucketN: Option[Int] =
+      "^bucket\\[(\\d+)\\]$".r.findFirstMatchIn(transform).map(_.group(1).toInt)
+    /** truncate[W] → W */
+    def truncateW: Option[Int] =
+      "^truncate\\[(\\d+)\\]$".r.findFirstMatchIn(transform).map(_.group(1).toInt)
+  }
+
+  /** Spec Appendix B bucket hash: 32-bit Murmur3 (x86, seed 0) of the
+    * value's single-value binary serialization — 8-byte little-endian for
+    * int AND long (ints hash as longs so buckets stay stable across
+    * promotion), UTF-8 bytes for strings — then `(hash & MaxInt) % N`. */
+  private[graft] def murmur3x86(data: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0 // seed
+    val nBlocks = data.length / 4
+    var i = 0
+    while (i < nBlocks) {
+      val base = i * 4
+      var k = (data(base) & 0xff) | ((data(base + 1) & 0xff) << 8) |
+        ((data(base + 2) & 0xff) << 16) | ((data(base + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 1
+    }
+    var k = 0
+    val tail = nBlocks * 4
+    (data.length & 3) match {
+      case 3 =>
+        k ^= (data(tail + 2) & 0xff) << 16
+        k ^= (data(tail + 1) & 0xff) << 8
+        k ^= data(tail) & 0xff
+      case 2 =>
+        k ^= (data(tail + 1) & 0xff) << 8
+        k ^= data(tail) & 0xff
+      case 1 =>
+        k ^= data(tail) & 0xff
+      case _ =>
+    }
+    if ((data.length & 3) != 0) {
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  private[graft] def bucketOf(typ: String, v: Any, n: Int): Int = {
+    val bytes = (typ, v) match {
+      case ("int" | "long", num: Number) =>
+        ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putLong(num.longValue()).array()
+      case ("string", s: String) => s.getBytes(StandardCharsets.UTF_8)
+      case other => throw new IllegalArgumentException(
+        s"bucket transform source must be int/long/string, got $other")
+    }
+    (murmur3x86(bytes) & Int.MaxValue) % n
+  }
+
+  /** Spec truncate: ints/longs round toward negative infinity to a
+    * multiple of W; strings keep the first W characters. */
+  private[graft] def truncateOf(typ: String, v: Any, w: Int): Any =
+    (typ, v) match {
+      case ("int", num: Number) =>
+        val x = num.intValue(); x - java.lang.Math.floorMod(x, w)
+      case ("long", num: Number) =>
+        val x = num.longValue(); x - java.lang.Math.floorMod(x, w.toLong)
+      case ("string", s: String) => s.take(w)
+      case other => throw new IllegalArgumentException(
+        s"truncate transform source must be int/long/string, got $other")
+    }
 
   final case class Snapshot(snapshotId: Long, parentId: Option[Long],
       sequenceNumber: Long, timestampMs: Long, manifestList: String,
@@ -196,10 +275,13 @@ object IcebergSink {
     val specFields = n.path("partition-specs").elements().asScala
       .find(_.path("spec-id").asInt() == defaultSpecId)
       .map(_.path("fields").elements().asScala.map { pf =>
-        require(pf.path("transform").asText() == "identity",
-          s"unsupported partition transform ${pf.path("transform").asText()}")
+        val transform = pf.path("transform").asText()
+        require(transform == "identity" ||
+          transform.matches("bucket\\[\\d+\\]") ||
+          transform.matches("truncate\\[\\d+\\]"),
+          s"unsupported partition transform $transform")
         PartitionField(pf.path("field-id").asInt(),
-          pf.path("source-id").asInt(), pf.path("name").asText())
+          pf.path("source-id").asInt(), pf.path("name").asText(), transform)
       }.toSeq).getOrElse(Nil)
     TableMeta(version, n.path("table-uuid").asText(),
       n.path("location").asText(), n.path("last-sequence-number").asLong(),
@@ -274,7 +356,7 @@ object IcebergSink {
 
   /** Avro primitive for an identity-partitionable Iceberg type. Identity
     * partitioning is restricted to these four source types (dates and
-    * timestamps partition via transforms, which are out of scope). */
+    * timestamps partition via transforms). */
   private def partitionAvroType(typ: String): String = typ match {
     case "int" => "\"int\""
     case "long" => "\"long\""
@@ -283,6 +365,32 @@ object IcebergSink {
     case other => throw new IllegalArgumentException(
       s"identity partition source type must be int/long/string/boolean, got $other")
   }
+
+  /** A `partitionBy` declaration: `col` (identity), `bucket(N, col)` or
+    * `truncate(W, col)` → (source column, spec transform, field name —
+    * Iceberg's naming convention for derived transforms). */
+  private[graft] def parsePartitionDecl(s: String): (String, String, String) = {
+    val bucket = "^bucket\\(\\s*(\\d+)\\s*,\\s*([^)\\s]+)\\s*\\)$".r
+    val trunc = "^truncate\\(\\s*(\\d+)\\s*,\\s*([^)\\s]+)\\s*\\)$".r
+    s.trim match {
+      case bucket(n, col) => (col, s"bucket[$n]", s"${col}_bucket")
+      case trunc(w, col) => (col, s"truncate[$w]", s"${col}_trunc")
+      case col => (col, "identity", col)
+    }
+  }
+
+  /** Canonical declaration string of a spec field (for restated-spec
+    * validation on later appends). */
+  private def declOf(pf: PartitionField, sourceName: String): String =
+    (pf.bucketN, pf.truncateW) match {
+      case (Some(n), _) => s"bucket($n,$sourceName)"
+      case (_, Some(w)) => s"truncate($w,$sourceName)"
+      case _ => sourceName
+    }
+
+  /** The Avro/manifest type of a partition field's VALUE. */
+  private def partitionValueType(pf: PartitionField, sourceTyp: String): String =
+    if (pf.bucketN.isDefined) "int" else sourceTyp
 
   /** manifest_entry with nested data_file (spec ids 0-4, 100-104, 134-135),
     * generated per table because the `partition` struct (field-id 102)
@@ -296,7 +404,8 @@ object IcebergSink {
     * (spec: row-level deletes). */
   private def manifestEntrySchema(spec: Seq[(PartitionField, String)]): Schema = {
     val partFields = spec.map { case (pf, typ) =>
-      avroField(pf.name, partitionAvroType(typ), pf.fieldId, optional = true)
+      avroField(pf.name, partitionAvroType(partitionValueType(pf, typ)),
+        pf.fieldId, optional = true)
     }.mkString(",\n")
     new Schema.Parser().parse(
     s"""{"type": "record", "name": "manifest_entry", "fields": [
@@ -385,7 +494,7 @@ object IcebergSink {
     val spec0 = specs.addObject().put("spec-id", 0)
     val specArr = spec0.putArray("fields")
     m.specFields.foreach { pf =>
-      specArr.addObject().put("name", pf.name).put("transform", "identity")
+      specArr.addObject().put("name", pf.name).put("transform", pf.transform)
         .put("source-id", pf.sourceId).put("field-id", pf.fieldId)
     }
     n.put("default-spec-id", 0)
@@ -484,10 +593,15 @@ object IcebergSink {
         df.repartitionByRange(clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       }
-    val specNames = load(spark, table) match {
+    val specDecls = load(spark, table) match {
       case Some(m) =>
-        val existing = m.specFields.map(_.name)
-        require(partitionBy.isEmpty || partitionBy == existing,
+        val byId = m.fields.map(f => f.id -> f.name).toMap
+        val existing = m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
+        val canonical = partitionBy
+          .map(parsePartitionDecl)
+          .map { case (src, t, _) => declOf(
+            PartitionField(0, 0, "", t), src) }
+        require(partitionBy.isEmpty || canonical == existing,
           s"table is partitioned by ${existing.mkString(",")}; " +
             s"cannot append with partitionBy=${partitionBy.mkString(",")} " +
             "(partition specs are fixed at creation)")
@@ -496,10 +610,10 @@ object IcebergSink {
     }
     val commitUuid = UUID.randomUUID().toString
     val fileRecords = writeDataFiles(spark, table, toWrite, commitUuid,
-      specNames)
+      specDecls)
     commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
       carryPrior = true, operation = "append", maxRetries,
-      createSpecOn = specNames)
+      createSpecOn = specDecls)
   }
 
   /** Compact the current snapshot's data files into `targetFiles` and
@@ -517,11 +631,13 @@ object IcebergSink {
     if (current.isEmpty) return
     // partitioned tables re-partition the rewrite (the spec is for life);
     // targetFiles then bounds files PER PARTITION tuple, not per table
-    val specNames = load(spark, table).map(_.specFields.map(_.name))
-      .getOrElse(Nil)
+    val specDecls = load(spark, table).map { m =>
+      val byId = m.fields.map(f => f.id -> f.name).toMap
+      m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
+    }.getOrElse(Nil)
     val commitUuid = UUID.randomUUID().toString
     val fileRecords = writeDataFiles(spark, table,
-      current.coalesce(math.max(1, targetFiles)), commitUuid, specNames)
+      current.coalesce(math.max(1, targetFiles)), commitUuid, specDecls)
     commitSnapshot(spark, table, current.schema, fileRecords, commitUuid,
       carryPrior = false, operation = "replace", maxRetries)
   }
@@ -690,22 +806,67 @@ object IcebergSink {
   /** Write `df` as parquet under data/ with commit-unique names; returns
     * each file's status + parquet-footer record count + column bounds
     * harvested from the SAME footer read (no extra IO — the footer is
-    * already open for the record count). With `partitionCols`, staging
-    * goes through `partitionBy` (one file set per partition tuple — the
-    * Iceberg invariant that a data file belongs to exactly one partition)
-    * and each file's tuple is harvested from its Hive-style staging path. */
+    * already open for the record count). With `partitionDecls` (the
+    * `partitionBy` mini-syntax), staging derives one column per spec field
+    * — the source itself for identity, the spec-exact bucket/truncate
+    * value otherwise — and goes through `partitionBy` on those (one file
+    * set per partition tuple — the Iceberg invariant that a data file
+    * belongs to exactly one partition); each file's tuple is harvested
+    * from its Hive-style staging path. Identity source columns are
+    * stripped from the files (re-attached on read from manifest tuples);
+    * bucket/truncate SOURCE columns stay in the files — only the derived
+    * staging column is consumed by partitionBy. */
   private def writeDataFiles(spark: SparkSession, table: String,
       df: DataFrame, commitUuid: String,
-      partitionCols: Seq[String] = Nil): Seq[DataFileInfo] = {
+      partitionDecls: Seq[String] = Nil): Seq[DataFileInfo] = {
+    import org.apache.spark.sql.functions.{col, pmod, substring, udf}
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     f.mkdirs(metadataDir(table))
     f.mkdirs(dataDir(table))
     val staging = new HPath(table, s"_staging_$commitUuid")
-    val writer = df.write.mode("overwrite")
-    (if (partitionCols.isEmpty) writer
-     else writer.partitionBy(partitionCols: _*)).parquet(staging.toString)
-    val partTypes = partitionCols.map(c => c -> df.schema(c).dataType)
+    val parsed = partitionDecls.map(parsePartitionDecl)
+    val stagedDf = parsed.foldLeft(df) { case (acc, (src, transform, name)) =>
+      val srcType = icebergType(df.schema(src).dataType)
+      transform match {
+        case "identity" => acc // partitions on the source column itself
+        case t if t.startsWith("bucket[") =>
+          val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+          // write-path-only UDF: the spec's Murmur3 bucket function has no
+          // built-in equivalent (Spark's hash() uses seed 42 + its own
+          // encoding); runs once per append, never in a query plan
+          val b = srcType match {
+            case "int" | "long" => udf((v: java.lang.Long) =>
+              if (v == null) null
+              else Int.box(bucketOf("long", v, n))).apply(col(src).cast("long"))
+            case "string" => udf((v: String) =>
+              if (v == null) null
+              else Int.box(bucketOf("string", v, n))).apply(col(src))
+            case other => throw new IllegalArgumentException(
+              s"bucket source must be int/long/string, got $other")
+          }
+          acc.withColumn(name, b)
+        case t if t.startsWith("truncate[") =>
+          val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+          val tcol = srcType match {
+            case "int" | "long" => col(src) - pmod(col(src), org.apache.spark.sql.functions.lit(w))
+            case "string" => substring(col(src), 1, w)
+            case other => throw new IllegalArgumentException(
+              s"truncate source must be int/long/string, got $other")
+          }
+          acc.withColumn(name, tcol)
+        case other =>
+          throw new IllegalArgumentException(s"unknown transform $other")
+      }
+    }
+    val stagingCols = parsed.map(_._3)
+    val writer = stagedDf.write.mode("overwrite")
+    (if (stagingCols.isEmpty) writer
+     else writer.partitionBy(stagingCols: _*)).parquet(staging.toString)
+    val partTypes = parsed.map { case (src, transform, name) =>
+      name -> (if (transform.startsWith("bucket[")) IntegerType
+               else df.schema(src).dataType)
+    }
     // collect (file, partition tuple) pairs: unpartitioned stagings hold
     // the files at the root; partitioned ones nest col=value directories
     def collect(dir: HPath, values: Seq[(String, Any)])
@@ -731,7 +892,7 @@ object IcebergSink {
       (f.getFileStatus(dest),
         // re-order to declared partition-column order (directory nesting
         // already follows it, but make it explicit)
-        partitionCols.map(c => c -> values.collectFirst {
+        stagingCols.map(c => c -> values.collectFirst {
           case (k, v) if k == c => v
         }.getOrElse(throw new IllegalStateException(
           s"partition value for $c missing in staging path"))))
@@ -897,16 +1058,24 @@ object IcebergSink {
         if (base.fields.isEmpty) 0
         else if (schemaChanged) base.currentSchemaId + 1
         else base.currentSchemaId
-      // identity partition spec: inherited from the table, or created with
-      // it on the first commit (field ids 1000+, source = table column id)
+      // partition spec: inherited from the table, or created with it on
+      // the first commit (field ids 1000+, source = table column id)
       val specFields =
         if (base.version > 0 || createSpecOn.isEmpty) base.specFields
-        else createSpecOn.zipWithIndex.map { case (name, i) =>
-          val src = fields.find(_.name == name).getOrElse(
+        else createSpecOn.zipWithIndex.map { case (decl, i) =>
+          val (srcName, transform, fieldName) = parsePartitionDecl(decl)
+          val src = fields.find(_.name == srcName).getOrElse(
             throw new IllegalArgumentException(
-              s"partition column $name not in schema"))
-          partitionAvroType(src.typ) // validates the source type
-          PartitionField(1000 + i, src.id, name)
+              s"partition column $srcName not in schema"))
+          val pf = PartitionField(1000 + i, src.id, fieldName, transform)
+          // validates source/value types for the transform
+          partitionAvroType(partitionValueType(pf, src.typ))
+          if (!pf.isIdentity) partitionValueType(pf, src.typ) match {
+            case "int" | "long" | "string" =>
+            case other => throw new IllegalArgumentException(
+              s"$transform source must be int/long/string, got $other")
+          }
+          pf
         }
       val fieldTypById = fields.map(fl => fl.id -> fl.typ).toMap
       val specWithTypes = specFields.map(pf => (pf, fieldTypById(pf.sourceId)))
@@ -967,7 +1136,7 @@ object IcebergSink {
       val specJsonStr = {
         val arr = mapper.createArrayNode()
         specFields.foreach { pf =>
-          arr.addObject().put("name", pf.name).put("transform", "identity")
+          arr.addObject().put("name", pf.name).put("transform", pf.transform)
             .put("source-id", pf.sourceId).put("field-id", pf.fieldId)
         }
         arr.toString
@@ -1160,9 +1329,10 @@ object IcebergSink {
   private def optField(r: GenericRecord, name: String): AnyRef =
     if (r.getSchema.getField(name) == null) null else r.get(name)
 
-  /** Identity partition tuple of a manifest entry's data_file, in spec
-    * order; Avro Utf8 strings normalize to String. Absent fields (older
-    * writers, delete files) read as null. */
+  /** Partition tuple of a manifest entry's data_file, in spec order,
+    * keyed by PARTITION FIELD id (unique even when two transforms share a
+    * source column); Avro Utf8 strings normalize to String. Absent fields
+    * (older writers, delete files) read as null. */
   private def partitionTuple(d: GenericRecord,
       spec: Seq[PartitionField]): Seq[(Int, Any)] =
     if (spec.isEmpty) Nil
@@ -1175,7 +1345,7 @@ object IcebergSink {
         val raw =
           if (part == null || part.getSchema.getField(pf.name) == null) null
           else part.get(pf.name)
-        pf.sourceId -> (raw match {
+        pf.fieldId -> (raw match {
           case u: org.apache.avro.util.Utf8 => u.toString
           case other => other
         })
@@ -1196,16 +1366,42 @@ object IcebergSink {
             case _ => Nil
           }
           val pv = partitionTuple(d, spec.map(_._1))
-          // identity partition values double as EXACT per-file bounds on
-          // their source columns (lower = upper = the value): pruning via
-          // [[rangeIntersects]] then needs no special casing — partition
-          // pruning IS bounds pruning with a degenerate interval
-          val partBounds = pv.flatMap { case (srcId, v) =>
-            if (v == null) None
-            else spec.collectFirst { case (pf, fld) if pf.sourceId == srcId =>
-              encodeBound(fld.typ, v).map(srcId -> _)
-            }.flatten
+          val byFieldId = pv.toMap
+          // partition values double as per-file bounds on their SOURCE
+          // columns: identity → exact degenerate interval; truncate[W] →
+          // the covered interval ([t, t+W-1] for ints; [prefix,
+          // prefix·0xff…] for strings — a sound over-approximation);
+          // bucket values carry no order, so they contribute no bounds
+          // (equality pruning handles them in the planner instead).
+          // Pruning via [[rangeIntersects]] then needs no special casing —
+          // partition pruning IS bounds pruning.
+          def interval(pf: PartitionField, fld: Field, v: Any)
+              : Option[(Array[Byte], Array[Byte])] =
+            (pf.truncateW, fld.typ, v) match {
+              case _ if pf.isIdentity =>
+                encodeBound(fld.typ, v).map(b => (b, b))
+              case (Some(w), "int", t: Number) =>
+                for {
+                  lo <- encodeBound("int", Int.box(t.intValue()))
+                  hi <- encodeBound("int", Int.box(t.intValue() + w - 1))
+                } yield (lo, hi)
+              case (Some(w), "long", t: Number) =>
+                for {
+                  lo <- encodeBound("long", Long.box(t.longValue()))
+                  hi <- encodeBound("long", Long.box(t.longValue() + w - 1))
+                } yield (lo, hi)
+              case (Some(_), "string", t: String) =>
+                val p = t.getBytes(StandardCharsets.UTF_8)
+                Some((p, p ++ Array.fill(8)(0xff.toByte)))
+              case _ => None
+            }
+          val partIntervals = spec.flatMap { case (pf, fld) =>
+            Option(byFieldId.getOrElse(pf.fieldId, null))
+              .flatMap(v => interval(pf, fld, v))
+              .map(iv => fld.id -> iv)
           }.toMap
+          val partLower = partIntervals.view.mapValues(_._1).toMap
+          val partUpper = partIntervals.view.mapValues(_._2).toMap
           // spec: a null entry sequence number inherits the manifest list's
           PlannedFile(d.get("file_path").toString,
             Option(e.get("sequence_number"))
@@ -1213,8 +1409,8 @@ object IcebergSink {
             optField(d, "content") match {
               case i: Integer => i.intValue(); case _ => 0
             }, eqIds,
-            boundsMap(optField(d, "lower_bounds")) ++ partBounds,
-            boundsMap(optField(d, "upper_bounds")) ++ partBounds,
+            boundsMap(optField(d, "lower_bounds")) ++ partLower,
+            boundsMap(optField(d, "upper_bounds")) ++ partUpper,
             pv)
         }
     }
@@ -1280,7 +1476,8 @@ object IcebergSink {
                   s"partition source field ${pf.sourceId} missing"))))
             val planned = planFiles(spark, snap.manifestList, spec)
             val dataFiles = planned.filter(_.content == 0)
-              .filter(pf => ranges.forall(r => rangeIntersects(pf, r, snapFields)))
+              .filter(pf => ranges.forall(r =>
+                rangeIntersects(pf, r, snapFields) && bucketAdmits(pf, r, spec)))
             val eqDeleteFiles = planned.filter(_.content == 2)
             val posDeleteFiles = planned.filter(_.content == 1)
             val base =
@@ -1361,22 +1558,29 @@ object IcebergSink {
       withCoords: Boolean = false, fileCol: String = "__graft_data_file",
       posCol: String = "__graft_data_pos"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val partNames = spec.map(_._1.name).toSet
-    val srcById = spec.map { case (pf, fld) => pf.sourceId -> fld }.toMap
+    // only IDENTITY transforms strip their source column from the files
+    // (their manifest tuple IS the value); bucket/truncate files keep the
+    // source column — the derived staging column is what partitionBy ate
+    val identity = spec.filter(_._1.isIdentity)
+    val partNames = identity.map(_._2.name).toSet
+    val fldByFieldId = identity.map { case (pf, fld) => pf.fieldId -> fld }.toMap
     def assemble(df0: DataFrame, pv: Seq[(Int, Any)]): DataFrame = {
       val withC =
         if (!withCoords) df0
         else df0.withColumn(fileCol, col("_metadata.file_path"))
           .withColumn(posCol, col("_metadata.row_index"))
-      val withP = pv.foldLeft(withC) { case (acc, (srcId, v)) =>
-        val fld = srcById(srcId)
-        acc.withColumn(fld.name, lit(v).cast(sparkType(fld.typ)))
+      val withP = pv.foldLeft(withC) { case (acc, (fieldId, v)) =>
+        fldByFieldId.get(fieldId) match {
+          case Some(fld) =>
+            acc.withColumn(fld.name, lit(v).cast(sparkType(fld.typ)))
+          case None => acc // bucket/truncate value: metadata only
+        }
       }
       val cols = schema.fieldNames.toSeq ++
         (if (withCoords) Seq(fileCol, posCol) else Nil)
       withP.select(cols.map(col): _*)
     }
-    if (spec.isEmpty)
+    if (identity.isEmpty)
       assemble(spark.read.schema(schema).parquet(files.map(_.path): _*), Nil)
     else {
       val fileSchema = StructType(schema.fields.filterNot(f => partNames(f.name)))
@@ -1386,6 +1590,40 @@ object IcebergSink {
           assemble(spark.read.schema(fileSchema)
             .parquet(fsOfPart.map(_.path): _*), pv)
         }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Bucket-transform pruning: a POINT range (lower == upper) on a
+    * bucketed source column admits only files whose partition tuple holds
+    * that value's bucket — the high-cardinality point-lookup lever
+    * (ranges cannot prune buckets: bucket numbers carry no order).
+    * Missing/null tuple values or non-point ranges admit (sound). */
+  private def bucketAdmits(pfile: PlannedFile, range: ColumnRange,
+      spec: Seq[(PartitionField, Field)]): Boolean = {
+    val point = (range.lower, range.upper) match {
+      case (Some(a), Some(b)) if a == b => Some(a)
+      case _ => None
+    }
+    point match {
+      case None => true
+      case Some(v) =>
+        val pvMap = pfile.partitionValues.toMap
+        spec.forall { case (pf, fld) =>
+          pf.bucketN match {
+            case Some(n) if fld.name == range.column =>
+              val expected = (fld.typ, v) match {
+                case ("int" | "long", num: Number) =>
+                  Some(bucketOf("long", num, n))
+                case ("string", s: String) => Some(bucketOf("string", s, n))
+                case _ => None
+              }
+              expected.forall(e => pvMap.get(pf.fieldId) match {
+                case Some(actual: Number) => actual.intValue() == e
+                case _ => true
+              })
+            case _ => true
+          }
+        }
     }
   }
 

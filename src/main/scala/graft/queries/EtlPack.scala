@@ -380,6 +380,46 @@ object EtlPack extends QueryPack {
           |WHERE event_type = 'purchase'
           |GROUP BY 1, 2 ORDER BY partition""".stripMargin))),
 
+    // Iceberg BUCKET + TRUNCATE partition transforms (spec Appendix B:
+    // 32-bit Murmur3 buckets — hashes conform to the spec's published
+    // test values, IcebergSpec — and width-truncated ints): the events
+    // topic lands bucketed by user_id (the high-cardinality key) and
+    // truncated on _offset; a point lookup on user_id prunes to one
+    // bucket's files and the offset range prunes via the truncate-covered
+    // intervals, with residual filters keeping exactness. The oracle is
+    // the plain relational filter — transform pruning must be invisible
+    // in the result.
+    QueryDef(
+      "e23_iceberg_bucketed",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_bucket_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          expr("CAST(substring(_key, 6) AS LONG)").as("user_id"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev,
+          partitionBy = Seq("bucket(8,user_id)", "truncate(500,offset)"))
+        IcebergSink.readPruned(s, table,
+          Seq(IcebergSink.ColumnRange("user_id", Some(7L), Some(7L)),
+            IcebergSink.ColumnRange("offset", Some(100L), Some(1100L))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            min(col("offset")).as("min_off"), max(col("offset")).as("max_off"))
+          .orderBy(col("user_id"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT CAST(substring(_key, 6) AS BIGINT) AS user_id,
+          |       count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       min(_offset) AS min_off, max(_offset) AS max_off
+          |FROM events_topic
+          |WHERE CAST(substring(_key, 6) AS BIGINT) = 7
+          |  AND _offset BETWEEN 100 AND 1100
+          |GROUP BY 1 ORDER BY user_id""".stripMargin))),
+
     // Iceberg v2 POSITION DELETES (the second merge-on-read delete shape):
     // rows are deleted by (file_path, row ordinal) coordinates instead of
     // key tuples — data files never rewritten. The fixture appends the

@@ -373,6 +373,93 @@ class IcebergSpec extends AnyFunSuite {
     assert(log.where(col("cat").isNull).count() == 0)
   }
 
+  test("bucket transform hashes match the spec's published Appendix B values") {
+    // iceberg.apache.org/spec Appendix B test values: ints hash as 8-byte
+    // little-endian longs, strings as UTF-8 bytes, 32-bit Murmur3 seed 0
+    assert(IcebergSink.murmur3x86(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(34L).array()) == 2017239379)
+    assert(IcebergSink.murmur3x86("iceberg".getBytes("UTF-8")) == 1210000089)
+    assert(IcebergSink.bucketOf("long", Long.box(34L), 16) ==
+      IcebergSink.bucketOf("int", Int.box(34), 16)) // ints hash as longs
+    // truncate: proper modulus (negatives round toward -inf), string prefix
+    assert(IcebergSink.truncateOf("int", Int.box(-1), 10) == -10)
+    assert(IcebergSink.truncateOf("long", Long.box(17L), 10) == 10L)
+    assert(IcebergSink.truncateOf("string", "iceberg", 3) == "ice")
+  }
+
+  test("bucket + truncate partition specs: point lookups and ranges prune to the right files") {
+    import spark.implicits._
+    val table = tmpTable()
+    val rows = (1L to 64L).map(i => (i, s"name$i", (i * 3).toInt))
+    IcebergSink.append(spark, table, rows.toDF("id", "name", "v"),
+      partitionBy = Seq("bucket(8,id)", "truncate(20,v)"))
+
+    val m = IcebergSink.load(spark, table).get
+    assert(m.specFields.map(p => (p.fieldId, p.name, p.transform)) ==
+      Seq((1000, "id_bucket", "bucket[8]"), (1001, "v_trunc", "truncate[20]")))
+
+    // files keep the SOURCE columns (only identity strips them)
+    val snap = m.snapshots.head
+    val entries = IcebergSink.readAvro(spark, IcebergSink.readAvro(spark,
+      snap.manifestList)._2.head.get("manifest_path").toString)._2
+    val d0 = entries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(spark.read.parquet(d0.get("file_path").toString)
+      .columns.toSet == Set("id", "name", "v"))
+    val p0 = d0.get("partition")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(p0.getSchema.getFields.size() == 2)
+
+    // read round-trips exactly
+    val back = IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(back.toSeq == rows)
+
+    // point lookup on the bucketed key prunes to that key's bucket
+    val all = IcebergSink.read(spark, table).inputFiles.length
+    val point = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("id", Some(7L), Some(7L))))
+    assert(point.inputFiles.length < all,
+      s"bucket pruning: ${point.inputFiles.length} vs $all")
+    assert(point.select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+
+    // range on the truncated column prunes via the covered interval
+    // (v in [40, 59] lives in exactly the trunc=40 partition)
+    val range = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("v", Some(41), Some(58))))
+    assert(range.inputFiles.length < all,
+      s"truncate pruning: ${range.inputFiles.length} vs $all")
+    assert(range.select("v").collect().map(_.getInt(0)).sorted.toSeq ==
+      rows.map(_._3).filter(v => v >= 41 && v <= 58).sorted)
+
+    // a RANGE on the bucketed column cannot prune (no order) but stays
+    // correct
+    val idRange = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("id", Some(10L), Some(12L))))
+    assert(idRange.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 11L, 12L))
+
+    // restating the same spec is fine; a different one fails
+    IcebergSink.append(spark, table, Seq((65L, "name65", 195)).toDF("id", "name", "v"),
+      partitionBy = Seq("bucket(8,id)", "truncate(20,v)"))
+    intercept[IllegalArgumentException] {
+      IcebergSink.append(spark, table,
+        Seq((66L, "x", 0)).toDF("id", "name", "v"),
+        partitionBy = Seq("bucket(4,id)", "truncate(20,v)"))
+    }
+    assert(IcebergSink.read(spark, table).count() == 65)
+
+    // deletes + compaction compose; rewrite stays bucket-partitioned
+    IcebergSink.deleteWherePositions(spark, table, col("id") === 65L)
+    IcebergSink.compact(spark, table)
+    assert(IcebergSink.read(spark, table).count() == 64)
+    val point2 = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("id", Some(7L), Some(7L))))
+    assert(point2.inputFiles.length <
+      IcebergSink.read(spark, table).inputFiles.length)
+    assert(point2.select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("position delete: coordinate subtraction, spec-shaped file, later appends immune") {
     import spark.implicits._
     val table = tmpTable()
