@@ -182,6 +182,7 @@ class KfsBatchWrite(root: String, idx: KfsWriteV2.FieldIdx,
         val fs = p.getFileSystem(conf.value)
         fs.delete(p, false)
         fs.delete(new HPath(r.path + ".kfst"), false)
+        fs.delete(new HPath(r.path + ".kfsb"), false)
       }
       case _ =>
     }
@@ -284,6 +285,7 @@ class KfsDataWriter(root: String, idx: KfsWriteV2.FieldIdx,
       val fs = p.getFileSystem(conf.value)
       fs.delete(p, false)
       fs.delete(new HPath(r.path + ".kfst"), false)
+      fs.delete(new HPath(r.path + ".kfsb"), false)
     }
   }
 
