@@ -860,7 +860,15 @@ object IcebergSink {
       }
     }
     val stagingCols = parsed.map(_._3)
-    val writer = stagedDf.write.mode("overwrite")
+    // cluster rows by the partition tuple BEFORE the dynamic-partition
+    // write: without it every input task writes every tuple it sees —
+    // tasks × tuples files (3,200 instead of 400 on the e23 fixture, and
+    // catastrophic at real scale); clustered, file count ≈ tuple count
+    // and each file's manifest entry covers one whole tuple
+    val clustered =
+      if (stagingCols.isEmpty) stagedDf
+      else stagedDf.repartition(stagingCols.map(col): _*)
+    val writer = clustered.write.mode("overwrite")
     (if (stagingCols.isEmpty) writer
      else writer.partitionBy(stagingCols: _*)).parquet(staging.toString)
     val partTypes = parsed.map { case (src, transform, name) =>
@@ -898,13 +906,31 @@ object IcebergSink {
           s"partition value for $c missing in staging path"))))
     }
     f.delete(staging, true)
-    moved.map { case (st, values) =>
+    // footer harvesting (record counts + bounds) in parallel: a
+    // partition-transformed append can stage hundreds of files, and at
+    // commit scale a driver must not serialize one footer RPC per file
+    def harvest(st: org.apache.hadoop.fs.FileStatus,
+        values: Seq[(String, Any)]): DataFileInfo = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, KfsLayout.hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try DataFileInfo(st, r.getRecordCount, footerBounds(r, df.schema),
         values)
       finally r.close()
+    }
+    if (moved.size <= 1) moved.map((harvest _).tupled)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, moved.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = moved.map { case (st, values) =>
+          new java.util.concurrent.Callable[DataFileInfo] {
+            override def call(): DataFileInfo = harvest(st, values)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
     }
   }
 

@@ -386,7 +386,10 @@ object EtlPack extends QueryPack {
     // topic lands bucketed by user_id (the high-cardinality key) and
     // truncated on _offset; a point lookup on user_id prunes to one
     // bucket's files and the offset range prunes via the truncate-covered
-    // intervals, with residual filters keeping exactness. The oracle is
+    // intervals, with residual filters keeping exactness. Tuple count is
+    // sized to the fixture (8 buckets x ~6 offset widths) — a dynamic
+    // partitioned write's cost tracks output-file count, and file counts
+    // belong to table design, not the transform machinery. The oracle is
     // the plain relational filter — transform pruning must be invisible
     // in the result.
     QueryDef(
@@ -401,7 +404,7 @@ object EtlPack extends QueryPack {
           get_json_object(col("_value"), "$.k").cast("long").as("k"),
           col("event_type"))
         IcebergSink.append(s, table, ev,
-          partitionBy = Seq("bucket(8,user_id)", "truncate(500,offset)"))
+          partitionBy = Seq("bucket(8,user_id)", "truncate(5000,offset)"))
         IcebergSink.readPruned(s, table,
           Seq(IcebergSink.ColumnRange("user_id", Some(7L), Some(7L)),
             IcebergSink.ColumnRange("offset", Some(100L), Some(1100L))))
