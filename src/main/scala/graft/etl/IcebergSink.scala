@@ -1334,7 +1334,8 @@ object IcebergSink {
   private final case class PlannedFile(path: String, seq: Long,
       content: Int, eqIds: Seq[Int],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-      partitionValues: Seq[(Int, Any)] = Nil)
+      partitionValues: Seq[(Int, Any)] = Nil,
+      sizeBytes: Long = 0L, records: Long = 0L)
 
   private def boundsMap(v: AnyRef): Map[Int, Array[Byte]] = v match {
     case l: java.util.List[_] =>
@@ -1437,7 +1438,13 @@ object IcebergSink {
             }, eqIds,
             boundsMap(optField(d, "lower_bounds")) ++ partLower,
             boundsMap(optField(d, "upper_bounds")) ++ partUpper,
-            pv)
+            pv,
+            optField(d, "file_size_in_bytes") match {
+              case l: java.lang.Long => l.longValue(); case _ => 0L
+            },
+            optField(d, "record_count") match {
+              case l: java.lang.Long => l.longValue(); case _ => 0L
+            })
         }
     }
 
@@ -1897,6 +1904,49 @@ object IcebergSink {
         new java.util.ArrayList[org.apache.spark.sql.Row](), metaSchema)
     else frames.reduce(_ unionByName _)
   }
+
+  /** Metadata-only scan estimate for a (possibly pruned) read — the
+    * sink-side analog of the engine's `EXPLAIN` cost lines (reference
+    * `server.go:929-962` prints candidate segment counts + byte sums the
+    * same way): planned vs pruned data files/bytes/rows and the delete
+    * files a merge-on-read scan would apply, computed WITHOUT touching a
+    * data file. */
+  final case class ScanSummary(snapshotId: Long,
+      dataFiles: Int, dataBytes: Long, dataRecords: Long,
+      prunedFiles: Int, prunedBytes: Long,
+      eqDeleteFiles: Int, posDeleteFiles: Int) {
+    def render: String =
+      s"IcebergScan[snapshot=$snapshotId files=$dataFiles " +
+        s"bytes=$dataBytes rows~$dataRecords pruned=$prunedFiles " +
+        s"prunedBytes=$prunedBytes eqDeletes=$eqDeleteFiles " +
+        s"posDeletes=$posDeleteFiles]"
+  }
+
+  /** [[ScanSummary]] for the current (or a named) snapshot under the
+    * given pruning ranges. None when the table/snapshot is empty. */
+  def explainScan(spark: SparkSession, table: String,
+      ranges: Seq[ColumnRange] = Nil,
+      snapshotId: Option[Long] = None): Option[ScanSummary] =
+    load(spark, table).flatMap { m =>
+      val snapOpt = snapshotId match {
+        case Some(id) => m.snapshots.find(_.snapshotId == id)
+        case None =>
+          m.currentSnapshotId.flatMap(id => m.snapshots.find(_.snapshotId == id))
+      }
+      snapOpt.map { snap =>
+        val snapFields = m.schemasById.getOrElse(snap.schemaId, m.fields)
+        val spec = m.specFields.map(pf =>
+          (pf, snapFields.find(_.id == pf.sourceId).get))
+        val planned = planFiles(spark, snap.manifestList, spec)
+        val data = planned.filter(_.content == 0)
+        val (kept, pruned) = data.partition(pf => ranges.forall(r =>
+          rangeIntersects(pf, r, snapFields) && bucketAdmits(pf, r, spec)))
+        ScanSummary(snap.snapshotId,
+          kept.size, kept.map(_.sizeBytes).sum, kept.map(_.records).sum,
+          pruned.size, pruned.map(_.sizeBytes).sum,
+          planned.count(_.content == 2), planned.count(_.content == 1))
+      }
+    }
 
   /** Total DATA records according to MANIFEST STATS only (no data read) —
     * the kind of metadata-only query Iceberg serves from the snapshot

@@ -373,6 +373,29 @@ class IcebergSpec extends AnyFunSuite {
     assert(log.where(col("cat").isNull).count() == 0)
   }
 
+  test("explainScan estimates planned vs pruned files from metadata only") {
+    import spark.implicits._
+    val table = tmpTable()
+    val rows = (1L to 40L).map(i => (i, s"cat${i % 4}", (i * 10).toInt))
+    IcebergSink.append(spark, table, rows.toDF("id", "cat", "v"),
+      partitionBy = Seq("cat"))
+    val range = Seq(IcebergSink.ColumnRange("cat", Some("cat2"), Some("cat2")))
+    val sum = IcebergSink.explainScan(spark, table, range).get
+    // the estimate must agree exactly with what the scans actually plan
+    assert(sum.dataFiles ==
+      IcebergSink.readPruned(spark, table, range).inputFiles.length)
+    assert(sum.dataFiles + sum.prunedFiles ==
+      IcebergSink.read(spark, table).inputFiles.length)
+    assert(sum.prunedFiles > 0 && sum.dataBytes > 0 && sum.prunedBytes > 0)
+    assert(sum.dataRecords == 10) // footer-exact row counts, no data read
+    assert(sum.eqDeleteFiles == 0 && sum.posDeleteFiles == 0)
+    IcebergSink.deleteWhere(spark, table, col("id") === 2L, Seq("id"))
+    IcebergSink.deleteWherePositions(spark, table, col("id") === 3L)
+    val sum2 = IcebergSink.explainScan(spark, table).get
+    assert(sum2.eqDeleteFiles == 1 && sum2.posDeleteFiles == 1)
+    assert(sum2.render.contains("eqDeletes=1"))
+  }
+
   test("bucket transform hashes match the spec's published Appendix B values") {
     // iceberg.apache.org/spec Appendix B test values: ints hash as 8-byte
     // little-endian longs, strings as UTF-8 bytes, 32-bit Murmur3 seed 0

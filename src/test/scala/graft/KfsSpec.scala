@@ -75,6 +75,41 @@ class KfsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random records round-trip byte-exactly through every codec") {
+    val rnd = new scala.util.Random(99)
+    def randBytes(max: Int): Array[Byte] = {
+      val a = new Array[Byte](rnd.nextInt(max)); rnd.nextBytes(a); a
+    }
+    (0 until 20).foreach { trial =>
+      val base = rnd.nextInt(1000).toLong
+      val n = 1 + rnd.nextInt(120)
+      val recs = (0 until n).map { i =>
+        KfsCodec.Record(base + i,
+          1700000000000L + rnd.nextInt(1 << 20),
+          if (rnd.nextBoolean()) null else randBytes(40),
+          if (rnd.nextInt(10) == 0) null else randBytes(200),
+          (0 until rnd.nextInt(3)).map(h =>
+            KfsCodec.Header(s"h$h", if (rnd.nextBoolean()) null else randBytes(10))))
+      }
+      for (codec <- Seq(KfsCompression.None, KfsCompression.Gzip,
+          KfsCompression.Snappy, KfsCompression.Lz4, KfsCompression.Zstd)) {
+        val seg = KfsCodec.buildSegment(recs,
+          batchSize = 1 + rnd.nextInt(64), compression = codec)
+        val out = KfsCodec.decodeSegment(seg, allowCompressed = true).toSeq
+        assert(out.length == recs.length, s"trial $trial codec $codec")
+        out.zip(recs).foreach { case (a, b) =>
+          assert(a.offset == b.offset && a.timestampMs == b.timestampMs)
+          assert(java.util.Arrays.equals(a.key, b.key))
+          assert(java.util.Arrays.equals(a.value, b.value))
+          assert(a.headers.map(_.k) == b.headers.map(_.k))
+          a.headers.zip(b.headers).foreach { case (x, y) =>
+            assert(java.util.Arrays.equals(x.v, y.v))
+          }
+        }
+      }
+    }
+  }
+
   test("fuzz: corrupted compressed bodies surface as KfsFormatException, not codec crashes") {
     val recs = mkRecords(80)
     val rnd = new scala.util.Random(7)
