@@ -98,7 +98,13 @@ object Bench {
     try {
       val sfName = new java.io.File(sfDir).getName
       (1 to reps).foreach { r =>
-        val root = java.nio.file.Paths.get(s"/tmp/graft_etl/v2/$sfName/${benchId}_rep$r")
+        // derive from Fixtures so the path tracks its version bumps (this
+        // briefly pointed at a stale v2 root and cleaned nothing)
+        graft.queries.Fixtures.runSuffix = s"${benchId}_rep$r"
+        val repRoot = java.nio.file.Paths
+          .get(graft.queries.Fixtures.tmp(sfDir, "x")).getParent
+        graft.queries.Fixtures.runSuffix = ""
+        val root = repRoot
         if (java.nio.file.Files.exists(root)) {
           java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))

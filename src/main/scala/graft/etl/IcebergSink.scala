@@ -121,7 +121,47 @@ object IcebergSink {
     /** truncate[W] → W */
     def truncateW: Option[Int] =
       "^truncate\\[(\\d+)\\]$".r.findFirstMatchIn(transform).map(_.group(1).toInt)
+    /** year | month | day | hour */
+    def temporal: Option[String] =
+      Some(transform).filter(Set("year", "month", "day", "hour"))
   }
+
+  private val MicrosPerHour = 3600000000L
+  private val MicrosPerDay = 86400000000L
+
+  /** Spec temporal transform of an epoch-µs timestamp: ordinals since
+    * 1970-01-01 (years/months by calendar, days/hours by fixed width,
+    * floors toward negative infinity). */
+  private[graft] def temporalOf(unit: String, micros: Long): Int = unit match {
+    case "hour" => Math.floorDiv(micros, MicrosPerHour).toInt
+    case "day" => Math.floorDiv(micros, MicrosPerDay).toInt
+    case "month" =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, MicrosPerDay))
+      (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+    case "year" =>
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, MicrosPerDay))
+        .getYear - 1970
+    case other => throw new IllegalArgumentException(s"temporal unit $other")
+  }
+
+  /** Inclusive [start, end] µs interval a temporal ordinal covers. */
+  private[graft] def temporalInterval(unit: String, ordinal: Int): (Long, Long) =
+    unit match {
+      case "hour" =>
+        (ordinal * MicrosPerHour, (ordinal + 1) * MicrosPerHour - 1)
+      case "day" =>
+        (ordinal * MicrosPerDay, (ordinal + 1) * MicrosPerDay - 1)
+      case "month" =>
+        val start = java.time.LocalDate.of(1970 + Math.floorDiv(ordinal, 12),
+          Math.floorMod(ordinal, 12) + 1, 1)
+        (start.toEpochDay * MicrosPerDay,
+          start.plusMonths(1).toEpochDay * MicrosPerDay - 1)
+      case "year" =>
+        val start = java.time.LocalDate.of(1970 + ordinal, 1, 1)
+        (start.toEpochDay * MicrosPerDay,
+          start.plusYears(1).toEpochDay * MicrosPerDay - 1)
+      case other => throw new IllegalArgumentException(s"temporal unit $other")
+    }
 
   /** Spec Appendix B bucket hash: 32-bit Murmur3 (x86, seed 0) of the
     * value's single-value binary serialization — 8-byte little-endian for
@@ -278,7 +318,8 @@ object IcebergSink {
         val transform = pf.path("transform").asText()
         require(transform == "identity" ||
           transform.matches("bucket\\[\\d+\\]") ||
-          transform.matches("truncate\\[\\d+\\]"),
+          transform.matches("truncate\\[\\d+\\]") ||
+          Set("year", "month", "day", "hour")(transform),
           s"unsupported partition transform $transform")
         PartitionField(pf.path("field-id").asInt(),
           pf.path("source-id").asInt(), pf.path("name").asText(), transform)
@@ -366,15 +407,18 @@ object IcebergSink {
       s"identity partition source type must be int/long/string/boolean, got $other")
   }
 
-  /** A `partitionBy` declaration: `col` (identity), `bucket(N, col)` or
-    * `truncate(W, col)` → (source column, spec transform, field name —
-    * Iceberg's naming convention for derived transforms). */
+  /** A `partitionBy` declaration: `col` (identity), `bucket(N, col)`,
+    * `truncate(W, col)`, or `year|month|day|hour(col)` → (source column,
+    * spec transform, field name — Iceberg's naming convention for derived
+    * transforms). */
   private[graft] def parsePartitionDecl(s: String): (String, String, String) = {
     val bucket = "^bucket\\(\\s*(\\d+)\\s*,\\s*([^)\\s]+)\\s*\\)$".r
     val trunc = "^truncate\\(\\s*(\\d+)\\s*,\\s*([^)\\s]+)\\s*\\)$".r
+    val temporal = "^(year|month|day|hour)\\(\\s*([^)\\s]+)\\s*\\)$".r
     s.trim match {
       case bucket(n, col) => (col, s"bucket[$n]", s"${col}_bucket")
       case trunc(w, col) => (col, s"truncate[$w]", s"${col}_trunc")
+      case temporal(u, col) => (col, u, s"${col}_$u")
       case col => (col, "identity", col)
     }
   }
@@ -382,15 +426,16 @@ object IcebergSink {
   /** Canonical declaration string of a spec field (for restated-spec
     * validation on later appends). */
   private def declOf(pf: PartitionField, sourceName: String): String =
-    (pf.bucketN, pf.truncateW) match {
-      case (Some(n), _) => s"bucket($n,$sourceName)"
-      case (_, Some(w)) => s"truncate($w,$sourceName)"
+    (pf.bucketN, pf.truncateW, pf.temporal) match {
+      case (Some(n), _, _) => s"bucket($n,$sourceName)"
+      case (_, Some(w), _) => s"truncate($w,$sourceName)"
+      case (_, _, Some(u)) => s"$u($sourceName)"
       case _ => sourceName
     }
 
   /** The Avro/manifest type of a partition field's VALUE. */
   private def partitionValueType(pf: PartitionField, sourceTyp: String): String =
-    if (pf.bucketN.isDefined) "int" else sourceTyp
+    if (pf.bucketN.isDefined || pf.temporal.isDefined) "int" else sourceTyp
 
   /** manifest_entry with nested data_file (spec ids 0-4, 100-104, 134-135),
     * generated per table because the `partition` struct (field-id 102)
@@ -855,6 +900,32 @@ object IcebergSink {
               s"truncate source must be int/long/string, got $other")
           }
           acc.withColumn(name, tcol)
+        case "year" | "month" | "day" | "hour" =>
+          import org.apache.spark.sql.functions.{expr, floor, lit => flit, month, year}
+          // NTZ casts to TIMESTAMP value-preserving under the UTC session;
+          // dates go through epoch-day arithmetic. Ordinals floor toward
+          // negative infinity (spec), hence floor over a double divide is
+          // avoided in favor of integer floor-div expressions.
+          val µs = srcType match {
+            case "timestamp" | "timestamptz" =>
+              expr(s"unix_micros(CAST($src AS TIMESTAMP))")
+            case "date" if transform != "hour" =>
+              expr(s"CAST(datediff($src, DATE '1970-01-01') AS BIGINT)") *
+                flit(MicrosPerDay)
+            case other => throw new IllegalArgumentException(
+              s"$transform source must be a timestamp${
+                if (transform == "hour") "" else " or date"}, got $other")
+          }
+          val ordinal = transform match {
+            case "hour" => floor(µs.cast("decimal(28,6)") / flit(MicrosPerHour)).cast("int")
+            case "day" => floor(µs.cast("decimal(28,6)") / flit(MicrosPerDay)).cast("int")
+            case "month" =>
+              val ts = expr(s"CAST($src AS TIMESTAMP)")
+              ((year(ts) - flit(1970)) * flit(12) + month(ts) - flit(1)).cast("int")
+            case "year" =>
+              (year(expr(s"CAST($src AS TIMESTAMP)")) - flit(1970)).cast("int")
+          }
+          acc.withColumn(name, ordinal)
         case other =>
           throw new IllegalArgumentException(s"unknown transform $other")
       }
@@ -872,8 +943,9 @@ object IcebergSink {
     (if (stagingCols.isEmpty) writer
      else writer.partitionBy(stagingCols: _*)).parquet(staging.toString)
     val partTypes = parsed.map { case (src, transform, name) =>
-      name -> (if (transform.startsWith("bucket[")) IntegerType
-               else df.schema(src).dataType)
+      name -> (if (transform.startsWith("bucket[") ||
+          Set("year", "month", "day", "hour")(transform)) IntegerType
+        else df.schema(src).dataType)
     }
     // collect (file, partition tuple) pairs: unpartitioned stagings hold
     // the files at the root; partitioned ones nest col=value directories
@@ -1096,10 +1168,20 @@ object IcebergSink {
           val pf = PartitionField(1000 + i, src.id, fieldName, transform)
           // validates source/value types for the transform
           partitionAvroType(partitionValueType(pf, src.typ))
-          if (!pf.isIdentity) partitionValueType(pf, src.typ) match {
-            case "int" | "long" | "string" =>
-            case other => throw new IllegalArgumentException(
-              s"$transform source must be int/long/string, got $other")
+          pf.temporal match {
+            case Some("hour") => require(
+              src.typ == "timestamp" || src.typ == "timestamptz",
+              s"hour source must be a timestamp, got ${src.typ}")
+            case Some(u) => require(src.typ == "timestamp" ||
+              src.typ == "timestamptz" || src.typ == "date",
+              s"$u source must be a timestamp or date, got ${src.typ}")
+            case None if !pf.isIdentity =>
+              partitionValueType(pf, src.typ) match {
+                case "int" | "long" | "string" =>
+                case other => throw new IllegalArgumentException(
+                  s"$transform source must be int/long/string, got $other")
+              }
+            case None =>
           }
           pf
         }
@@ -1407,6 +1489,23 @@ object IcebergSink {
             (pf.truncateW, fld.typ, v) match {
               case _ if pf.isIdentity =>
                 encodeBound(fld.typ, v).map(b => (b, b))
+              case _ if pf.temporal.isDefined => (fld.typ, v) match {
+                // temporal ordinal → the µs interval it covers on the
+                // source timestamp; date sources compare in epoch days
+                case ("timestamp" | "timestamptz", ord: Number) =>
+                  val (lo, hi) = temporalInterval(pf.temporal.get, ord.intValue())
+                  for {
+                    l <- encodeBound(fld.typ, Long.box(lo))
+                    h <- encodeBound(fld.typ, Long.box(hi))
+                  } yield (l, h)
+                case ("date", ord: Number) =>
+                  val (loµs, hiµs) = temporalInterval(pf.temporal.get, ord.intValue())
+                  for {
+                    l <- encodeBound("date", Int.box((loµs / MicrosPerDay).toInt))
+                    h <- encodeBound("date", Int.box((hiµs / MicrosPerDay).toInt))
+                  } yield (l, h)
+                case _ => None
+              }
               case (Some(w), "int", t: Number) =>
                 for {
                   lo <- encodeBound("int", Int.box(t.intValue()))
@@ -1569,11 +1668,22 @@ object IcebergSink {
                   }
                 afterPos.drop(seqCol, fileCol, posCol)
               }
-            // residual row filter: pruning is a file-level OVER-approximation
+            // residual row filter: pruning is a file-level OVER-approximation.
+            // Timestamp columns take their bound values as epoch µs (the
+            // same domain the manifest bounds compare in) — the literal
+            // converts to the column's own type here.
             ranges.foldLeft(base) { (acc, r) =>
-              import org.apache.spark.sql.functions.{col, lit}
-              val lo = r.lower.map(v => col(r.column) >= lit(v))
-              val hi = r.upper.map(v => col(r.column) <= lit(v))
+              import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+              def boundLit(v: Any): org.apache.spark.sql.Column =
+                schema.find(_.name == r.column).map(_.dataType) match {
+                  case Some(TimestampNTZType) =>
+                    timestamp_micros(lit(v).cast("long")).cast(TimestampNTZType)
+                  case Some(TimestampType) =>
+                    timestamp_micros(lit(v).cast("long"))
+                  case _ => lit(v)
+                }
+              val lo = r.lower.map(v => col(r.column) >= boundLit(v))
+              val hi = r.upper.map(v => col(r.column) <= boundLit(v))
               (lo ++ hi).foldLeft(acc)(_ where _)
             }
         }

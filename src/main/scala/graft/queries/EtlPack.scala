@@ -423,6 +423,42 @@ object EtlPack extends QueryPack {
           |  AND _offset BETWEEN 100 AND 1100
           |GROUP BY 1 ORDER BY user_id""".stripMargin))),
 
+    // Iceberg TEMPORAL partition transform (day): the events topic lands
+    // day-partitioned on _ts — the most common production spec — and a
+    // one-week window reads only that week's files (ordinal intervals
+    // injected as per-file µs bounds; IcebergSpec pins the pruned
+    // file set and ordinal/interval laws). Residual filters keep results
+    // exact; the oracle is the plain relational window.
+    QueryDef(
+      "e24_iceberg_day_partitioned",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_day_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          col("_ts").as("ts"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"))
+        IcebergSink.append(s, table, ev, partitionBy = Seq("day(ts)"))
+        // 2024-01-08 .. 2024-01-14 inclusive, in epoch µs
+        val lo = java.time.LocalDate.of(2024, 1, 8).toEpochDay * 86400000000L
+        val hi = java.time.LocalDate.of(2024, 1, 15).toEpochDay * 86400000000L - 1
+        IcebergSink.readPruned(s, table,
+          Seq(IcebergSink.ColumnRange("ts", Some(Long.box(lo)), Some(Long.box(hi)))))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            min(col("offset")).as("min_off"), max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       min(_offset) AS min_off, max(_offset) AS max_off
+          |FROM events_topic
+          |WHERE _ts >= TIMESTAMP '2024-01-08 00:00:00'
+          |  AND _ts < TIMESTAMP '2024-01-15 00:00:00'
+          |GROUP BY 1 ORDER BY partition""".stripMargin))),
+
     // Iceberg v2 POSITION DELETES (the second merge-on-read delete shape):
     // rows are deleted by (file_path, row ordinal) coordinates instead of
     // key tuples — data files never rewritten. The fixture appends the

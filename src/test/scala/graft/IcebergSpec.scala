@@ -483,6 +483,47 @@ class IcebergSpec extends AnyFunSuite {
     assert(point2.select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("temporal transforms: day/month/year/hour ordinals, intervals, day-scoped pruning") {
+    import spark.implicits._
+    // ordinal + interval laws (spec: ordinals since 1970, floor semantics)
+    val µs20240115 = java.time.LocalDate.of(2024, 1, 15).toEpochDay * 86400000000L
+    assert(IcebergSink.temporalOf("day", µs20240115) ==
+      java.time.LocalDate.of(2024, 1, 15).toEpochDay.toInt)
+    assert(IcebergSink.temporalOf("month", µs20240115) == (2024 - 1970) * 12)
+    assert(IcebergSink.temporalOf("year", µs20240115) == 54)
+    assert(IcebergSink.temporalOf("hour", µs20240115 + 3600000000L * 5) ==
+      (µs20240115 / 3600000000L + 5).toInt)
+    assert(IcebergSink.temporalOf("day", -1L) == -1) // floors toward -inf
+    val (mLo, mHi) = IcebergSink.temporalInterval("month", (2024 - 1970) * 12)
+    assert(mLo == java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400000000L)
+    assert(mHi == java.time.LocalDate.of(2024, 2, 1).toEpochDay * 86400000000L - 1)
+
+    val table = tmpTable()
+    val base = java.time.LocalDateTime.of(2024, 1, 10, 0, 0)
+    val rows = (0 until 96).map(h => (h.toLong, base.plusHours(h), h * 2))
+    IcebergSink.append(spark, table, rows.toDF("id", "ts", "v"),
+      partitionBy = Seq("day(ts)"))
+    val m = IcebergSink.load(spark, table).get
+    assert(m.specFields.map(p => (p.name, p.transform)) == Seq(("ts_day", "day")))
+
+    // round trip
+    assert(IcebergSink.read(spark, table).count() == 96)
+
+    // a one-day _ts window prunes to that day's files (4 days on disk)
+    val dayStart = java.time.LocalDate.of(2024, 1, 11).toEpochDay * 86400000000L
+    val range = Seq(IcebergSink.ColumnRange("ts",
+      Some(Long.box(dayStart)), Some(Long.box(dayStart + 86400000000L - 1))))
+    val sum = IcebergSink.explainScan(spark, table, range).get
+    assert(sum.dataFiles < sum.dataFiles + sum.prunedFiles && sum.prunedFiles > 0,
+      s"got $sum")
+    assert(sum.dataRecords == 24)
+    val pruned = IcebergSink.readPruned(spark, table, range)
+    assert(pruned.inputFiles.length == sum.dataFiles)
+    // residual exactness: ids 24..47 are the Jan-11 hours
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (24L until 48L))
+  }
+
   test("position delete: coordinate subtraction, spec-shaped file, later appends immune") {
     import spark.implicits._
     val table = tmpTable()
