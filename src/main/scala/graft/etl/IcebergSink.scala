@@ -1408,6 +1408,52 @@ object IcebergSink {
     }
   }
 
+  /** Iceberg's `remove_orphan_files` maintenance op: delete files under
+    * the table location that NO retained snapshot references — crash
+    * leftovers (a committer that died between staging and commit) and
+    * lost-race artifacts. Reachability = every retained snapshot's
+    * manifest list + manifests + data/delete files, every metadata
+    * version file, and the version hint. `olderThanMs` is the safety
+    * fence (default 1 h): a file younger than it is NEVER deleted, so an
+    * in-flight commit's freshly staged files survive even though no
+    * metadata references them yet. Returns (deleted files, bytes). */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+      olderThanMs: Long = System.currentTimeMillis() - 3600000L): (Int, Long) = {
+    val tableDir = new HPath(table)
+    val f = fs(tableDir)
+    val m = load(spark, table).getOrElse(return (0, 0L))
+    val reachable = scala.collection.mutable.Set[String]()
+    (1 to m.version).foreach(v =>
+      reachable += versionFile(table, v).toString)
+    reachable += new HPath(metadataDir(table), "version-hint.text").toString
+    m.snapshots.foreach { s =>
+      reachable += s.manifestList
+      readAvro(spark, s.manifestList)._2.foreach { lm =>
+        val manifest = lm.get("manifest_path").toString
+        reachable += manifest
+        readAvro(spark, manifest)._2.foreach { e =>
+          reachable += e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString
+        }
+      }
+    }
+    // normalize to qualified URIs so comparisons are representation-proof
+    def qualify(p: HPath): String = f.makeQualified(p).toString
+    val reachableQ = reachable.map(p => qualify(new HPath(p)))
+    var deleted = 0
+    var bytes = 0L
+    Seq(metadataDir(table), dataDir(table)).foreach { dir =>
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        if (st.isFile && st.getModificationTime < olderThanMs &&
+            !reachableQ.contains(qualify(st.getPath))) {
+          bytes += st.getLen
+          if (f.delete(st.getPath, false)) deleted += 1
+        }
+      }
+    }
+    (deleted, bytes)
+  }
+
   // ---- read (metadata-driven scan planning) --------------------------------
 
   /** One planned file from the metadata chain. `partitionValues` is the

@@ -396,6 +396,39 @@ class IcebergSpec extends AnyFunSuite {
     assert(sum2.render.contains("eqDeletes=1"))
   }
 
+  test("removeOrphanFiles deletes only old unreferenced files, never live or fresh ones") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    IcebergSink.append(spark, table, Seq((3L, 30)).toDF("id", "v"))
+    val dataDir = java.nio.file.Paths.get(table, "data")
+    val metaDir = java.nio.file.Paths.get(table, "metadata")
+    // crash leftovers: an unreferenced data file + a stale tmp metadata file
+    val orphan = dataDir.resolve("deadbeef-00000.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val tmpMeta = metaDir.resolve("deadbeef-1.tmp.json")
+    java.nio.file.Files.write(tmpMeta, "{}".getBytes)
+    // a FRESH orphan (inside the safety fence) must survive
+    val fresh = dataDir.resolve("fresh-orphan.parquet")
+    java.nio.file.Files.write(fresh, Array[Byte](9))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    java.nio.file.Files.setLastModifiedTime(tmpMeta,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+
+    val (n, bytes) = IcebergSink.removeOrphanFiles(spark, table)
+    assert(n == 2 && bytes == 5, s"deleted $n/$bytes")
+    assert(!java.nio.file.Files.exists(orphan) && !java.nio.file.Files.exists(tmpMeta))
+    assert(java.nio.file.Files.exists(fresh))
+    // the table is fully intact: both snapshots readable, time travel too
+    assert(IcebergSink.read(spark, table).count() == 3)
+    val m = IcebergSink.load(spark, table).get
+    assert(IcebergSink.read(spark, table,
+      Some(m.snapshots.head.snapshotId)).count() == 2)
+    // idempotent
+    assert(IcebergSink.removeOrphanFiles(spark, table)._1 == 0)
+  }
+
   test("bucket transform hashes match the spec's published Appendix B values") {
     // iceberg.apache.org/spec Appendix B test values: ints hash as 8-byte
     // little-endian longs, strings as UTF-8 bytes, 32-bit Murmur3 seed 0
