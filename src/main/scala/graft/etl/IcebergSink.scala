@@ -240,7 +240,11 @@ object IcebergSink {
       currentSnapshotId: Option[Long],
       metadataLog: Seq[(Long, String)],
       schemasById: Map[Int, Seq[Field]] = Map.empty,
-      specFields: Seq[PartitionField] = Nil) {
+      specFields: Seq[PartitionField] = Nil,
+      /** Named refs (spec: snapshot references): name → (snapshot id,
+        * "tag" | "branch"). Ref'd snapshots are pinned against
+        * [[expireSnapshots]]. */
+      refs: Map[String, (Long, String)] = Map.empty) {
     def currentSchema: StructType = sparkSchemaOf(fields)
     def schemaFor(schemaId: Int): StructType =
       sparkSchemaOf(schemasById.getOrElse(schemaId, fields))
@@ -324,6 +328,12 @@ object IcebergSink {
         PartitionField(pf.path("field-id").asInt(),
           pf.path("source-id").asInt(), pf.path("name").asText(), transform)
       }.toSeq).getOrElse(Nil)
+    val refs = Option(n.get("refs")).map { r =>
+      r.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.path("snapshot-id").asLong(),
+          e.getValue.path("type").asText("tag"))
+      }.toMap
+    }.getOrElse(Map.empty[String, (Long, String)])
     TableMeta(version, n.path("table-uuid").asText(),
       n.path("location").asText(), n.path("last-sequence-number").asLong(),
       n.path("last-column-id").asInt(), schemaId, fields, snaps,
@@ -331,7 +341,7 @@ object IcebergSink {
         n.path("current-snapshot-id").asLong() != -1)
         Some(n.path("current-snapshot-id").asLong())
       else None,
-      metaLog, schemasById, specFields)
+      metaLog, schemasById, specFields, refs)
   }
 
   // ---- schema evolution (spec: field ids stable, legal promotions) --------
@@ -575,6 +585,12 @@ object IcebergSink {
     val mlog = n.putArray("metadata-log")
     m.metadataLog.foreach { case (ts, file) =>
       mlog.addObject().put("timestamp-ms", ts).put("metadata-file", file)
+    }
+    if (m.refs.nonEmpty) {
+      val refsNode = n.putObject("refs")
+      m.refs.toSeq.sortBy(_._1).foreach { case (name, (id, typ)) =>
+        refsNode.putObject(name).put("snapshot-id", id).put("type", typ)
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
@@ -1305,7 +1321,7 @@ object IcebergSink {
         lastColId, schemaId, fields, base.snapshots :+ snap, Some(snapshotId),
         base.metadataLog ++ (if (base.version > 0)
           Seq((nowMs, versionFile(table, base.version).toString)) else Nil),
-        specFields = specFields)
+        specFields = specFields, refs = base.refs)
       val allSchemas =
         (prevSchemas.filterNot(_._1 == schemaId) :+ (schemaId -> fields))
           .sortBy(_._1)
@@ -1333,6 +1349,83 @@ object IcebergSink {
     }
   }
 
+  /** Metadata-only optimistic commit: apply `mutate` to the current
+    * metadata and claim the next version slot (no new snapshot). */
+  private def commitMetadataOnly(spark: SparkSession, table: String,
+      maxRetries: Int)(mutate: TableMeta => Option[TableMeta]): Unit = {
+    val f = fs(new HPath(table))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new CommitConflictException(
+          s"lost $maxRetries metadata commit races on $table")
+      val m = load(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no Iceberg table at $table"))
+      val nowMs = System.currentTimeMillis()
+      mutate(m) match {
+        case None => return // no-op
+        case Some(mutated) =>
+          val next = mutated.copy(version = m.version + 1,
+            metadataLog = m.metadataLog :+
+              ((nowMs, versionFile(table, m.version).toString)))
+          val allSchemas = (historicalSchemas(f, table, m)
+            .filterNot(_._1 == m.currentSchemaId) :+
+            (m.currentSchemaId -> m.fields)).sortBy(_._1)
+          val tmp = new HPath(metadataDir(table),
+            s"meta-${UUID.randomUUID()}.tmp.json")
+          val out = f.create(tmp, true)
+          try out.write(metaJson(next, allSchemas, nowMs)
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val dest = versionFile(table, next.version)
+          if (!f.exists(dest) && f.rename(tmp, dest)) {
+            val hint = f.create(
+              new HPath(metadataDir(table), "version-hint.text"), true)
+            try hint.write(next.version.toString.getBytes(StandardCharsets.UTF_8))
+            finally hint.close()
+            return
+          } else f.delete(tmp, false)
+      }
+    }
+  }
+
+  /** Create or move a named snapshot ref (spec: snapshot references) —
+    * `type` is "tag" (immutable bookmark, the audit/compliance pin) or
+    * "branch". Defaults to the current snapshot. Ref'd snapshots are
+    * excluded from [[expireSnapshots]] until the ref is dropped, which is
+    * the point: `tag("training-run-7")` freezes exactly the corpus a
+    * model saw. Metadata-only optimistic commit. */
+  def setRef(spark: SparkSession, table: String, name: String,
+      refType: String = "tag", snapshotId: Option[Long] = None,
+      maxRetries: Int = 5): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag|branch, got $refType")
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      val id = snapshotId.orElse(m.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException("table has no snapshot to ref"))
+      require(m.snapshots.exists(_.snapshotId == id), s"unknown snapshot $id")
+      if (m.refs.get(name).contains((id, refType))) None
+      else Some(m.copy(refs = m.refs + (name -> (id, refType))))
+    }
+  }
+
+  def dropRef(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 5): Unit =
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      if (!m.refs.contains(name)) None
+      else Some(m.copy(refs = m.refs - name))
+    }
+
+  /** [[read]] pinned to a named ref's snapshot. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame = {
+    val m = load(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $table"))
+    val (id, _) = m.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown ref $name"))
+    read(spark, table, Some(id))
+  }
+
   /** Expire snapshots older than `olderThanMs` (always retaining the
     * current snapshot and the most recent `retainLast`) and DELETE the
     * files only they referenced — manifest lists, manifests, and data
@@ -1356,6 +1449,10 @@ object IcebergSink {
       val keepIds = (m.snapshots.sortBy(_.sequenceNumber).takeRight(
         math.max(1, retainLast)).map(_.snapshotId) ++
         m.currentSnapshotId.toSeq ++
+        // named refs PIN their snapshots: a tagged audit snapshot never
+        // expires until the tag is dropped (spec snapshot-reference
+        // retention semantics, minus per-ref age overrides)
+        m.refs.values.map(_._1) ++
         m.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
       val (kept, expired) = m.snapshots.partition(s => keepIds(s.snapshotId))
       if (expired.isEmpty) return

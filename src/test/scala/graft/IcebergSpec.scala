@@ -396,6 +396,48 @@ class IcebergSpec extends AnyFunSuite {
     assert(sum2.render.contains("eqDeletes=1"))
   }
 
+  test("snapshot refs: tags pin history against expiry, round-trip metadata, read by name") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, 10)).toDF("id", "v"))
+    val snap1 = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.setRef(spark, table, "corpus-v1") // tag the training corpus
+    IcebergSink.append(spark, table, Seq((2L, 20)).toDF("id", "v"))
+    IcebergSink.append(spark, table, Seq((3L, 30)).toDF("id", "v"))
+
+    val m = IcebergSink.load(spark, table).get
+    assert(m.refs == Map("corpus-v1" -> (snap1, "tag")))
+    assert(IcebergSink.readRef(spark, table, "corpus-v1").count() == 1)
+
+    // aggressive expiry: the TAGGED snapshot survives (plus current),
+    // untagged middle history goes
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000)
+    val m2 = IcebergSink.load(spark, table).get
+    assert(m2.snapshots.map(_.snapshotId).contains(snap1))
+    assert(m2.snapshots.length == 2, m2.snapshots.map(_.snapshotId))
+    assert(IcebergSink.readRef(spark, table, "corpus-v1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(IcebergSink.read(spark, table).count() == 3)
+
+    // idempotent re-set is a no-op (no new metadata version)
+    val vBefore = IcebergSink.load(spark, table).get.version
+    IcebergSink.setRef(spark, table, "corpus-v1", snapshotId = Some(snap1))
+    assert(IcebergSink.load(spark, table).get.version == vBefore)
+
+    // dropping the tag unpins: the snapshot expires on the next pass
+    IcebergSink.dropRef(spark, table, "corpus-v1")
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000)
+    val m3 = IcebergSink.load(spark, table).get
+    assert(!m3.snapshots.map(_.snapshotId).contains(snap1))
+    assert(m3.refs.isEmpty)
+    intercept[IllegalArgumentException] {
+      IcebergSink.readRef(spark, table, "corpus-v1")
+    }
+    assert(IcebergSink.read(spark, table).count() == 3)
+  }
+
   test("removeOrphanFiles deletes only old unreferenced files, never live or fresh ones") {
     import spark.implicits._
     val table = tmpTable()
