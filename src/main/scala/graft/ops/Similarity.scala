@@ -64,6 +64,20 @@ object Similarity {
     }.toArray
   }
 
+  /** Deterministic RANDOM PROJECTION to `k` dimensions: output dim p is
+    * the dot product with the same md5-nibble weight family as the LSH
+    * hyperplanes ([[planeWeights]]) — the standard cheap dimensionality
+    * reduction ahead of clustering/ANN (Johnson–Lindenstrauss: distances
+    * survive for k = O(log n / ε²); Achlioptas showed simple discrete
+    * weight distributions suffice, which is what the nibble weights are).
+    * One fused codegen'd dot per output dim, no shuffle — and exactly
+    * recomputable by any engine from the md5 definition, so projections
+    * are hash-checkable cross-engine (the t35 oracle recomputes them). */
+  def randomProjection(v: Column, k: Int, dims: Int): Column =
+    array((0 until k).map { p =>
+      dot(v.cast("array<double>"), typedLit(planeWeights(p, dims)))
+    }: _*)
+
   /** Deterministic synthetic embedding for a document id: dimension j is
     * `nibble(md5("v|id|j")) − 7.5` — a reproducible stand-in for a model
     * embedding that any engine recomputes exactly (the "v|" namespace

@@ -29,6 +29,15 @@ object OpsPack extends QueryPack {
   private def duckSignature(v: String, planes: Int): String =
     (0 until planes).map(p => duckPlaneBit(p, v)).mkString(" || ")
 
+  /** DuckDB twin of Similarity.randomProjection's output dim `p`: the
+    * sequential-fold dot with the md5-nibble weights (same index order,
+    * same double ops as the Spark side, so values are bit-identical). */
+  private def duckProjection(p: Int, v: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($v)),
+       |  i -> CAST($v[i] AS DOUBLE) *
+       |       (CAST('0x' || substr(md5($p || '|' || i), 1, 1) AS INTEGER) - 7.5)),
+       |  (x, y) -> x + y)""".stripMargin
+
   /** DuckDB twin of Sketches.hash60: first 15 hex chars of md5(expr),
     * folded base-16 (same value as Spark's conv(..., 16, 10)). */
   private def duckHash60(expr: String): String =
@@ -1667,6 +1676,30 @@ object OpsPack extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some(bpeEncodeOracleSql)),
+
+    // RANDOM PROJECTION (Johnson–Lindenstrauss dimensionality reduction):
+    // 64-dim embeddings project to 8 dims through the md5-nibble weight
+    // family — the cheap preprocessing step before clustering/ANN at
+    // corpus scale (projection is a narrow per-row map, no shuffle; the
+    // 8 weight vectors are plan literals). Both engines compute the SAME
+    // sequential-fold dot per output dim, so the doubles are
+    // bit-identical and the oracle hash-checks every projected value.
+    QueryDef(
+      "t35_random_projection",
+      (s, dir) => {
+        val proj = graft.ops.Similarity.randomProjection(
+          col("embedding"), 8, 64)
+        Tables.load(s, dir, "embeddings")
+          .withColumn("proj", proj)
+          .select(col("vec_id") +:
+            (0 until 8).map(p => col("proj")(p).as(s"p$p")): _*)
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        s"""SELECT vec_id,
+           |${(0 until 8).map(p => s"  ${duckProjection(p, "embedding")} AS p$p")
+               .mkString(",\n")}
+           |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // Row-level version diff (corpus audit): v2 of events drops all
     // purchases, doubles every click's value, and appends 100 synthetic
