@@ -38,6 +38,51 @@ object OpsPack extends QueryPack {
        |       (CAST('0x' || substr(md5($p || '|' || i), 1, 1) AS INTEGER) - 7.5)),
        |  (x, y) -> x + y)""".stripMargin
 
+  /** DuckDB replay of the ENTIRE quantized k-means fit (KMeansQ): the
+    * iteration chain — assign (exact integer distances, smallest-id
+    * ties), update (truncating integer-division means, empty clusters
+    * keep their center) — unrolled as CTEs. Everything is integer
+    * arithmetic, so the replay is bit-exact, not approximately equal. */
+  private def duckKmeansSql(k: Int, iters: Int, scale: Long): String = {
+    val half = scale / 32 // KMeansQ.initialCenters' spread divisor
+    def distCte(i: Int, cPrev: String) =
+      s"""d$i AS (
+         |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+         |  FROM q JOIN $cPrev c ON q.dim = c.dim GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, cl AS cluster FROM (
+         |    SELECT vec_id, cl,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |    FROM d$i) WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int, cPrev: String) =
+      s"""m$i AS (
+         |  SELECT a.cluster, q.dim, CAST(SUM(q.qv) AS BIGINT) AS s, COUNT(*) AS n
+         |  FROM q JOIN a$i a USING (vec_id) GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT c.cl, c.dim, COALESCE(m.s // m.n, c.c) AS c
+         |  FROM $cPrev c LEFT JOIN m$i m ON m.cluster = c.cl AND m.dim = c.dim)""".stripMargin
+    val chain = (1 to iters).map(i =>
+      distCte(i, s"c${i - 1}") + ",\n" + updateCte(i, s"c${i - 1}"))
+      .mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * $scale) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT p.cl, d.dim,
+       |         CAST((2 * CAST('0x' || substr(md5('c|' || p.cl || '|' || d.dim), 1, 1) AS INTEGER) - 15) * $half AS BIGINT) AS c
+       |  FROM range(0, $k) p(cl), range(1, 65) d(dim)),
+       |$chain,
+       |dF AS (
+       |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+       |  FROM q JOIN c$iters c ON q.dim = c.dim GROUP BY 1, 2)
+       |SELECT vec_id, cl AS cluster FROM (
+       |  SELECT vec_id, cl,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |  FROM dF) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB twin of Sketches.hash60: first 15 hex chars of md5(expr),
     * folded base-16 (same value as Spark's conv(..., 16, 10)). */
   private def duckHash60(expr: String): String =
@@ -1700,6 +1745,25 @@ object OpsPack extends QueryPack {
            |${(0 until 8).map(p => s"  ${duckProjection(p, "embedding")} AS p$p")
                .mkString(",\n")}
            |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Deterministic QUANTIZED K-MEANS over the embedding corpus (topic
+    // balancing / semantic grouping): integer quantization makes every
+    // step exact — no float summation order anywhere — so the oracle
+    // replays the WHOLE fit (2 iterations: integer-distance argmin with
+    // smallest-id ties, truncating-division means, empty-cluster
+    // carryover) and the final per-vector assignment hash-matches
+    // bit-exactly. Per iteration the engine runs one narrow assignment
+    // map (centers are plan literals) + one k·dims-row aggregate — the
+    // 100 TB shape: no joins, no shuffled centers.
+    QueryDef(
+      "t36_kmeans_embeddings",
+      (s, dir) => {
+        val (assigned, _) = graft.ops.KMeansQ.fitPredict(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2, dims = 64)
+        assigned.orderBy(col("vec_id"))
+      },
+      Some(duckKmeansSql(k = 4, iters = 2, scale = 1000000L))),
 
     // Row-level version diff (corpus audit): v2 of events drops all
     // purchases, doubles every click's value, and appends 100 synthetic

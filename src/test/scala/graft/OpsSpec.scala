@@ -861,4 +861,34 @@ class OpsSpec extends AnyFunSuite {
         assert(math.abs(cq - ce) <= 0.02, s"SQ8 cosine drift >0.02 at $pair: $cq vs $ce"))
     }
   }
+
+  test("quantized k-means: deterministic, non-degenerate, empty-cluster-safe") {
+    import graft.ops.KMeansQ
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (a1, c1) = KMeansQ.fitPredict(emb, "vec_id", "embedding",
+      k = 4, iters = 2, dims = 64)
+    val (a2, c2) = KMeansQ.fitPredict(emb, "vec_id", "embedding",
+      k = 4, iters = 2, dims = 64)
+    // rerun-identical: integer arithmetic end to end, no partition-order
+    // dependence anywhere
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val m1 = a1.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val m2 = a2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m1 == m2)
+    // non-degenerate on the fixture: more than one populated cluster
+    assert(m1.values.toSet.size > 1, s"collapsed to ${m1.values.toSet}")
+    // initial centers are a pure function of (k, dims, scale)
+    assert(KMeansQ.initialCenters(4, 64, 1000000L).map(_.toSeq).toSeq ==
+      KMeansQ.initialCenters(4, 64, 1000000L).map(_.toSeq).toSeq)
+    // an unreachable center (far outside the data) survives iterations
+    // unchanged via the empty-cluster carryover: k=2 where center 1 is
+    // pushed out by construction on a tiny 1-dim slice
+    import spark.implicits._
+    val tiny = Seq((1L, Seq(0.1f)), (2L, Seq(0.2f))).toDF("vec_id", "embedding")
+    val (_, cs) = KMeansQ.fitPredict(tiny, "vec_id", "embedding",
+      k = 2, iters = 2, dims = 1)
+    val init = KMeansQ.initialCenters(2, 1, 1000000L)
+    // whichever center never won kept its initial value
+    assert(cs.zipWithIndex.exists { case (c, i) => c.toSeq == init(i).toSeq })
+  }
 }
