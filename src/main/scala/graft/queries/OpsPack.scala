@@ -43,7 +43,7 @@ object OpsPack extends QueryPack {
     * ties), update (truncating integer-division means, empty clusters
     * keep their center) — unrolled as CTEs. Everything is integer
     * arithmetic, so the replay is bit-exact, not approximately equal. */
-  private def duckKmeansSql(k: Int, iters: Int, scale: Long): String = {
+  private def duckKmeansCtes(k: Int, iters: Int, scale: Long): String = {
     val half = scale / 32 // KMeansQ.initialCenters' spread divisor
     def distCte(i: Int, cPrev: String) =
       s"""d$i AS (
@@ -64,7 +64,9 @@ object OpsPack extends QueryPack {
     val chain = (1 to iters).map(i =>
       distCte(i, s"c${i - 1}") + ",\n" + updateCte(i, s"c${i - 1}"))
       .mkString(",\n")
-    s"""WITH q AS (
+    // the WITH body ends with `af(vec_id, cluster)` — the final
+    // assignment — so composing queries (t36, t37) append their own select
+    s"""q AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * $scale) AS BIGINT) AS qv
        |  FROM embeddings),
@@ -75,12 +77,12 @@ object OpsPack extends QueryPack {
        |$chain,
        |dF AS (
        |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
-       |  FROM q JOIN c$iters c ON q.dim = c.dim GROUP BY 1, 2)
-       |SELECT vec_id, cl AS cluster FROM (
-       |  SELECT vec_id, cl,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
-       |  FROM dF) WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
+       |  FROM q JOIN c$iters c ON q.dim = c.dim GROUP BY 1, 2),
+       |af AS (
+       |  SELECT vec_id, cl AS cluster FROM (
+       |    SELECT vec_id, cl,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |    FROM dF) WHERE rn = 1)""".stripMargin
   }
 
   /** DuckDB twin of Sketches.hash60: first 15 hex chars of md5(expr),
@@ -1763,7 +1765,56 @@ object OpsPack extends QueryPack {
           k = 4, iters = 2, dims = 64)
         assigned.orderBy(col("vec_id"))
       },
-      Some(duckKmeansSql(k = 4, iters = 2, scale = 1000000L))),
+      Some(s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L)}
+              |SELECT vec_id, cluster FROM af ORDER BY vec_id""".stripMargin)),
+
+    // CLUSTER-BALANCED SAMPLING (clustering → curation composition): the
+    // k-means assignment feeds a per-cluster deterministic downsample to
+    // the smallest cluster's size — the semantic-diversity rebalance
+    // (uniform sampling over-represents dense regions; per-cluster caps
+    // equalize them). Ranking is md5-deterministic and the rank<=target
+    // window truncates map-side (WindowGroupLimit), so at corpus scale
+    // this is one key shuffle, not a global sort. The oracle replays the
+    // fit AND the rebalance.
+    QueryDef(
+      "t37_cluster_balanced_sample",
+      (s, dir) => {
+        val (assigned, _) = graft.ops.KMeansQ.fitPredict(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2, dims = 64)
+        val a = assigned.persist()
+        try {
+          val target = a.groupBy(col("cluster"))
+            .agg(count(lit(1)).as("n"))
+            .agg(min(col("n"))).collect()(0).getLong(0)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster"))
+            .orderBy(md5(concat(lit("cb|"), col("vec_id"))), col("vec_id"))
+          a.withColumn("rk", row_number().over(w))
+            .where(col("rk") <= target)
+            .groupBy(col("cluster"))
+            .agg(count(lit(1)).as("kept"),
+              sum(col("vec_id")).as("id_sum"),
+              min(col("vec_id")).as("id_min"),
+              max(col("vec_id")).as("id_max"))
+            .orderBy(col("cluster"))
+        } finally a.unpersist()
+      },
+      Some(
+        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L)},
+           |target AS (
+           |  SELECT min(n) AS t FROM (
+           |    SELECT cluster, count(*) AS n FROM af GROUP BY 1)),
+           |ranked AS (
+           |  SELECT vec_id, cluster,
+           |         row_number() OVER (PARTITION BY cluster
+           |           ORDER BY md5('cb|' || vec_id), vec_id) AS rk
+           |  FROM af)
+           |SELECT cluster, count(*) AS kept,
+           |       CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           |       min(vec_id) AS id_min, max(vec_id) AS id_max
+           |FROM ranked, target WHERE rk <= target.t
+           |GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     // Row-level version diff (corpus audit): v2 of events drops all
     // purchases, doubles every click's value, and appends 100 synthetic
