@@ -362,4 +362,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"),
       s"transcript must assemble in-row, not via SortAggregate:\n$plan")
   }
+
+  test("t37: cluster rebalance ranks with WindowGroupLimit, assigns without joins") {
+    val plan = planOf("t37_cluster_balanced_sample")
+    // the rank<=target filter must pre-truncate per partition, never
+    // globally sort the assignment frame
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cluster cap should use WindowGroupLimit:\n$plan")
+    // assignment distances are plan-literal center expressions — there is
+    // no join against a centers table anywhere
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no join machinery in a literal-centers assignment:\n$plan")
+  }
 }
