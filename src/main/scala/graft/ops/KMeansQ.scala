@@ -46,20 +46,30 @@ object KMeansQ {
     array((0 until dims).map(d =>
       round(vecCol.getItem(d) * scale).cast("long")): _*)
 
-  /** Squared integer distance to each center + argmin with smallest-id
-    * tie-break (`<=` chains). */
-  private def assignExpr(centers: Array[Array[Long]], dims: Int): Column = {
-    val dists = centers.map { c =>
-      (0 until dims).map { d =>
-        val diff = col("q").getItem(d) - lit(c(d))
-        diff * diff
-      }.reduce(_ + _)
-    }
+  /** Attach the argmin-distance `cluster` column (smallest-id ties).
+    * Exactness trick that also keeps codegen small: comparing squared
+    * distances `|q−c_p|² ≤ |q−c_o|²` is identical (in exact integer
+    * arithmetic) to comparing scores `|c_p|² − 2·q·c_p ≤ |c_o|² − 2·q·c_o`
+    * — the shared `|q|²` term cancels. So one k-element score array is
+    * computed ONCE per row (k·dims multiply-adds) and the argmin chain
+    * references its items — an O(k·dims) expression tree instead of the
+    * O(k²·dims) tree a naive distance-per-comparison form generates
+    * (measured: the 4096-term tree spent more time in janino than in
+    * data at k=4, dims=64). */
+  private def withAssignment(df: DataFrame,
+      centers: Array[Array[Long]], dims: Int): DataFrame = {
+    val scores = array(centers.map { c =>
+      val dot = (0 until dims).map(d =>
+        col("q").getItem(d) * lit(c(d))).reduce(_ + _)
+      lit(c.map(x => x * x).sum) - lit(2L) * dot
+    }: _*)
     val k = centers.length
-    (0 until k - 1).foldRight(lit(k - 1): Column) { (p, rest) =>
-      when((p + 1 until k).map(o => dists(p) <= dists(o)).reduce(_ && _),
+    val argmin = (0 until k - 1).foldRight(lit(k - 1): Column) { (p, rest) =>
+      when((p + 1 until k).map(o =>
+        col("_sc").getItem(p) <= col("_sc").getItem(o)).reduce(_ && _),
         lit(p)).otherwise(rest)
     }
+    df.withColumn("_sc", scores).withColumn("cluster", argmin).drop("_sc")
   }
 
   /** Fit `iters` rounds and return (assignments, final centers): the
@@ -73,22 +83,28 @@ object KMeansQ {
     try {
       var centers = initialCenters(k, dims, scale)
       (1 to iters).foreach { _ =>
-        val assigned = qdf.withColumn("cluster", assignExpr(centers, dims))
-        val stats = assigned
-          .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
-          .groupBy(col("cluster"), col("dim"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        val assigned = withAssignment(qdf, centers, dims)
+        // One k-row hash aggregate with dims sum buffers (map-side partial,
+        // no row explosion): a posexplode would multiply the corpus by
+        // `dims` before the shuffle for the same exact long sums.
+        val aggs = (0 until dims).map(d =>
+          sum(col("q").getItem(d)).as(s"s$d")) :+ count(lit(1)).as("n")
+        val stats = assigned.groupBy(col("cluster"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+          .map { r =>
+            val sums = (0 until dims).map(d => r.getLong(d + 1)).toArray
+            r.getInt(0) -> ((sums, r.getLong(dims + 1)))
+          }
           .toMap
         centers = Array.tabulate(k, dims) { (p, d) =>
-          stats.get((p, d)) match {
-            case Some((s, n)) => s / n // truncating (== SQL integer div)
+          stats.get(p) match {
+            case Some((s, n)) => s(d) / n // truncating (== SQL integer div)
             case None => centers(p)(d) // empty cluster keeps its center
           }
         }
       }
-      (qdf.withColumn("cluster", assignExpr(centers, dims))
+      (withAssignment(qdf, centers, dims)
         .select(col(idCol), col("cluster")), centers)
     } finally qdf.unpersist()
   }
