@@ -3,7 +3,7 @@ package graft.gov
 import java.util.concurrent.ConcurrentHashMap
 
 import graft.kafsql.{DescribeTopic, Explain, Kafsql, Select, ShowPartitions,
-  ShowTopics, Statement}
+  ShowSegments, ShowTopics, Statement}
 
 /** Topic-level authorization — clean-room mirror of the reference proxy's
   * allow/deny glob ACL (`proxy/acl.go:28-68`):
@@ -173,6 +173,7 @@ object AclAuthorizer {
   def queryTopics(stmt: Statement): (Seq[String], Boolean) = stmt match {
     case ShowTopics => (Nil, true)
     case ShowPartitions(t) => (Seq(t), false)
+    case ShowSegments(t) => (Seq(t), false)
     case DescribeTopic(t) => (Seq(t), false)
     case e: Explain => queryTopics(e.select)
     case s: Select =>

@@ -12,6 +12,12 @@ sealed trait Statement
 
 case object ShowTopics extends Statement
 final case class ShowPartitions(topic: String) extends Statement
+
+/** `SHOW SEGMENTS FROM t` — segment-estate introspection (SUPERSET: the
+  * reference exposes per-topic segment/partition status through the ops
+  * console's `/ui/api/status` JSON, `internal/console/server.go:109,199`,
+  * not through SQL; surfacing it as a statement keeps one front door). */
+final case class ShowSegments(topic: String) extends Statement
 final case class DescribeTopic(topic: String) extends Statement
 final case class Explain(select: Select, analyze: Boolean = false) extends Statement
 

@@ -139,7 +139,9 @@ object Parser {
         if (kw("show")) {
           if (kw("topics")) ShowTopics
           else if (kw("partitions")) { expectKw("from"); ShowPartitions(ident()) }
-          else throw new KafsqlException("expected TOPICS or PARTITIONS after SHOW")
+          else if (kw("segments")) { expectKw("from"); ShowSegments(ident()) }
+          else throw new KafsqlException(
+            "expected TOPICS, PARTITIONS, or SEGMENTS after SHOW")
         } else if (kw("describe")) DescribeTopic(ident())
         else if (kw("explain")) {
           val analyze = kw("analyze")

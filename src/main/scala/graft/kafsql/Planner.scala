@@ -40,6 +40,17 @@ object Planner {
       import spark.implicits._
       reg.get(t).partitions.sorted.toDF("partition")
 
+    case ShowSegments(t) =>
+      import spark.implicits._
+      val d = reg.get(t)
+      val list = d.segments.getOrElse(throw new KafsqlException(
+        s"topic $t has no segment estate")).apply(spark)
+      list.sortBy(s => (s.partition, s.baseOffset))
+        .map(s => (s.partition, s.baseOffset, s.lastOffset, s.records,
+          s.minTsMs, s.maxTsMs, s.sizeBytes))
+        .toDF("partition", "base_offset", "last_offset", "records",
+          "min_ts", "max_ts", "size_bytes")
+
     case DescribeTopic(t) =>
       import spark.implicits._
       val d = reg.get(t)

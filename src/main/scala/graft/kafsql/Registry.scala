@@ -14,13 +14,29 @@ final case class SchemaCol(name: String, typ: String, path: String) {
     s"unsupported schema type: $typ") // config.go:346-353
 }
 
+/** Per-segment metadata for `SHOW SEGMENTS` — the console-status view of
+  * a topic's estate (`internal/console/server.go:199` surfaces the same
+  * per-partition segment stats as JSON). Engine-neutral so the registry
+  * does not depend on the KFS layout; the KFS-backed topics adapt
+  * [[graft.kfs.KfsLayout.SegmentRef]] into this. */
+final case class SegmentInfo(
+    partition: Int,
+    baseOffset: Long,
+    lastOffset: Long,
+    records: Long,
+    minTsMs: Long,
+    maxTsMs: Long,
+    sizeBytes: Long)
+
 /** One queryable topic: a frame supplier exposing the 8 implicit columns
-  * (+ `_ts_ms`), declared schema columns, and known partitions. */
+  * (+ `_ts_ms`), declared schema columns, known partitions, and an
+  * optional segment-estate introspection hook (`SHOW SEGMENTS`). */
 final case class TopicDef(
     name: String,
     frame: SparkSession => DataFrame,
     schemaCols: Seq[SchemaCol] = Nil,
-    partitions: Seq[Int] = Nil)
+    partitions: Seq[Int] = Nil,
+    segments: Option[SparkSession => Seq[SegmentInfo]] = None)
 
 final class TopicRegistry(defs: Seq[TopicDef]) {
   private val byName = defs.map(d => d.name -> d).toMap

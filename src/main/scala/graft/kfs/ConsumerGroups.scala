@@ -1,0 +1,147 @@
+package graft.kfs
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Consumer-group committed offsets + lag over the KFS estate — the
+  * metadata half of the reference's group coordinator re-expressed for an
+  * analytics engine.
+  *
+  * The reference persists one record per (group, topic, partition) under
+  * the etcd key `/kafscale/consumers/<group>/offsets/<topic>/<partition>`
+  * with `{offset, metadata, committed_at}` and last-write-wins Put
+  * semantics (`pkg/metadata/etcd_store.go:175-196`); a fetch of an
+  * uncommitted partition returns offset 0, not an error
+  * (`etcd_store.go:199-211`). The rebalance/generation state machine
+  * around commits (`pkg/broker/coordinator.go:353-397`) is a Kafka-client
+  * liveness concern and stays out of scope (SURVEY St6) — Spark's own
+  * scheduler replaces member leases. What an analytics engine DOES need
+  * from groups is the data: committed positions and consumer lag.
+  *
+  * Here the store is one JSON file per (group, topic, partition) under
+  * `<root>/_groups/…` on the same Hadoop `FileSystem` as the segment
+  * estate (file/hdfs/s3a). Lag is METADATA-ONLY: the log-end offset comes
+  * from the partition manifests' max committed offset + 1 — at 100 TB a
+  * lag report over thousands of partitions reads a few KB of manifests
+  * and zero segment bytes.
+  */
+object ConsumerGroups {
+
+  final case class Committed(
+      group: String, topic: String, partition: Int,
+      offset: Long, metadata: String, committedAtMs: Long)
+
+  private def offsetPath(root: String, group: String, topic: String,
+      partition: Int): HPath =
+    new HPath(new HPath(new HPath(new HPath(root, "_groups"), group),
+      s"offsets/$topic"), s"$partition.json")
+
+  private def fsFor(p: HPath): FileSystem =
+    p.getFileSystem(KfsLayout.hadoopConf)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Last-write-wins commit (the etcd Put, `etcd_store.go:180-196`):
+    * temp-write + rename so a concurrent fetch never reads a torn file. */
+  def commit(root: String, group: String, topic: String, partition: Int,
+      offset: Long, metadata: String = "",
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    val p = offsetPath(root, group, topic, partition)
+    val fs = fsFor(p)
+    fs.mkdirs(p.getParent)
+    val json =
+      s"""{"offset":$offset,"metadata":"${esc(metadata)}","committed_at_ms":$nowMs}"""
+    val tmp = new HPath(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"cannot commit offset at $p")
+    }
+  }
+
+  /** Committed offset, or None when the group never committed this
+    * partition — callers defaulting to 0 get the reference's fetch
+    * semantics (`etcd_store.go:206-208` returns 0 for a missing key). */
+  def fetch(root: String, group: String, topic: String, partition: Int)
+      : Option[Committed] = {
+    val p = offsetPath(root, group, topic, partition)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) return None
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val body = new String(bytes, StandardCharsets.UTF_8)
+    def field(n: String): Option[String] =
+      s""""$n"\\s*:\\s*("(?:[^"\\\\]|\\\\.)*"|-?\\d+)""".r
+        .findFirstMatchIn(body).map(_.group(1))
+    val off = field("offset").map(_.toLong).getOrElse(
+      throw new java.io.IOException(s"malformed offset record at $p"))
+    val meta = field("metadata").map { raw =>
+      val inner = raw.stripPrefix("\"").stripSuffix("\"")
+      val sb = new StringBuilder
+      var i = 0
+      while (i < inner.length) {
+        val c = inner.charAt(i)
+        if (c == '\\' && i + 1 < inner.length) {
+          inner.charAt(i + 1) match {
+            case 'u' if i + 5 < inner.length =>
+              sb.append(Integer.parseInt(inner.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case e => sb.append(e); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }.getOrElse("")
+    val at = field("committed_at_ms").map(_.toLong).getOrElse(0L)
+    Some(Committed(group, topic, partition, off, meta, at))
+  }
+
+  /** Groups that have committed anything under this root. */
+  def listGroups(root: String): Seq[String] = {
+    val dir = new HPath(root, "_groups")
+    val fs = fsFor(dir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  private val lagSchema = StructType(Seq(
+    StructField("group", StringType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("committed_offset", LongType, nullable = false),
+    StructField("log_end_offset", LongType, nullable = false),
+    StructField("lag", LongType, nullable = false)))
+
+  /** Per-partition lag for `group` on `topic`: log-end offset (manifest
+    * max offset + 1 — Kafka's high-water mark over a completed-segment
+    * estate) minus the committed offset (0 when never committed, the
+    * reference's fetch default). Metadata-only: reads manifests + one
+    * tiny JSON per partition, never a segment. */
+  def lag(spark: SparkSession, root: String, group: String, topic: String)
+      : DataFrame = {
+    val refs = KfsLayout.listCompletedCached(root, Some(Set(topic)))
+    val parts = refs.groupBy(_.partition).toSeq.sortBy(_._1)
+    val rows = parts.map { case (p, rs) =>
+      val logEnd = rs.map(_.lastOffset).max + 1
+      val committed = fetch(root, group, topic, p).map(_.offset).getOrElse(0L)
+      Row(group, topic, p, committed, logEnd, logEnd - committed)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      lagSchema)
+  }
+}

@@ -35,7 +35,16 @@ object KafsqlPack extends QueryPack {
       s => s.read.format("kfs")
         .option("path", graft.kfs.KfsSeed.seededRoot(s, dir)).load(),
       schemaCols = Seq(SchemaCol("k", "int", "$.k")),
-      partitions = 0 until Tables.TopicPartitions)))
+      partitions = 0 until Tables.TopicPartitions,
+      // SHOW SEGMENTS surface: manifest refs adapted to the registry's
+      // neutral SegmentInfo — metadata-only, no segment bytes touched
+      segments = Some { s =>
+        val root = graft.kfs.KfsSeed.seededRoot(s, dir)
+        graft.kfs.KfsLayout.listCompletedCached(root, Some(Set("events")))
+          .map(r => SegmentInfo(r.partition, r.baseOffset, r.lastOffset,
+            r.lastOffset - r.baseOffset + 1, r.minTsMs, r.maxTsMs,
+            r.sizeBytes))
+      })))
 
   private def run(q: String)(s: SparkSession, dir: String): DataFrame =
     Kafsql.sql(s, registry(dir), q, nowMs = Tables.FixedNowMs)
@@ -213,6 +222,29 @@ object KafsqlPack extends QueryPack {
         """SELECT _partition, count(*) AS cnt,
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
           |       max(_offset) AS max_off
-          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin))
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // SHOW SEGMENTS through the dialect (console-status introspection as a
+    // statement — the reference serves the same per-partition segment
+    // stats as ops-console JSON, `internal/console/server.go:109,199`).
+    // Metadata-only: every column comes from manifests + .kfst sidecars;
+    // the oracle recomputes segment boundaries from the seeded layout's
+    // 1000-record grouping — so the manifest stats are hash-proven against
+    // the data they claim to describe, without the engine reading any
+    // segment bytes. size_bytes is excluded (physical encoding detail, not
+    // SQL-derivable).
+    QueryDef(
+      "k13_show_segments",
+      (s, dir) => run("SHOW SEGMENTS FROM kevents")(s, dir)
+        .select(col("partition"), col("base_offset"), col("last_offset"),
+          col("records"), col("min_ts"), col("max_ts"))
+        .orderBy(col("partition"), col("base_offset")),
+      oracle(
+        """SELECT _partition AS "partition", min(_offset) AS base_offset,
+          |       max(_offset) AS last_offset, count(*) AS records,
+          |       min(_ts_ms) AS min_ts, max(_ts_ms) AS max_ts
+          |FROM events_topic
+          |GROUP BY _partition, _offset // 1000
+          |ORDER BY "partition", base_offset""".stripMargin))
   )
 }

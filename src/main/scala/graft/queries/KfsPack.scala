@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.kfs.{KfsCompaction, KfsLayout, KfsSeed, KfsSource}
+import graft.kfs.{ConsumerGroups, KfsCompaction, KfsLayout, KfsSeed, KfsSource}
 
 /** SURVEY §2.1 storage operators, oracle-checked: S1 segment scan (decode
   * Kafka-v2 batches), S2 discovery + completeness, S3 manifest discovery,
@@ -588,6 +588,37 @@ object KfsPack extends QueryPack {
           |       max(_ts_ms) AS max_ts
           |FROM events_topic
           |GROUP BY _partition ORDER BY _partition""".stripMargin),
-      seed = Some((s, dir) => { seedCompressedEstate(s, dir); () }))
+      seed = Some((s, dir) => { seedCompressedEstate(s, dir); () })),
+
+    // Consumer-group committed offsets + lag (the data half of the
+    // reference's group coordinator — `etcd_store.go:175-211` last-write-
+    // wins commits, fetch-missing → 0; the rebalance state machine stays
+    // out of scope per SURVEY St6). Each partition commits a deterministic
+    // mid-log position, then the lag report is computed METADATA-ONLY:
+    // log-end offsets come from manifest max offsets (+1), never a segment
+    // read — at 100 TB a fleet-wide lag dashboard costs a few KB of
+    // manifests. The oracle recomputes both sides from the raw topic.
+    QueryDef(
+      "s25_consumer_lag",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val refs = KfsLayout.listCompletedCached(root, Some(Set("events")))
+        refs.groupBy(_.partition).foreach { case (p, rs) =>
+          val logEnd = rs.map(_.lastOffset).max + 1
+          ConsumerGroups.commit(root, "g-etl", "events", p,
+            offset = logEnd / 2 + p, metadata = "bench",
+            nowMs = Tables.FixedNowMs)
+        }
+        ConsumerGroups.lag(s, root, "g-etl", "events")
+          .orderBy(col("partition"))
+      },
+      oracle(
+        """SELECT 'g-etl' AS "group", 'events' AS topic,
+          |       _partition AS "partition",
+          |       count(*) // 2 + _partition AS committed_offset,
+          |       count(*) AS log_end_offset,
+          |       count(*) - (count(*) // 2 + _partition) AS lag
+          |FROM events_topic
+          |GROUP BY _partition ORDER BY _partition""".stripMargin))
   )
 }

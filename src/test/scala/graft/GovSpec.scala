@@ -118,6 +118,9 @@ class GovSpec extends AnyFunSuite {
     val join = a.authorize(
       "SELECT o._key FROM orders o JOIN payments p ON o._key = p._key WITHIN 10m LAST 1h")
     assert(join.allowed && join.topics == Seq("orders", "payments"))
+    // SHOW SEGMENTS is topic-scoped like SHOW PARTITIONS
+    assert(a.authorize("SHOW SEGMENTS FROM orders").allowed)
+    assert(!a.authorize("SHOW SEGMENTS FROM shipments").allowed)
     // SHOW TOPICS denied when scoped; allowed on an open ACL
     val st = a.authorize("SHOW TOPICS;")
     assert(!st.allowed && st.reason == "show topics is not allowed by proxy ACL")

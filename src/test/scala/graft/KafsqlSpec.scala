@@ -42,6 +42,7 @@ class KafsqlSpec extends AnyFunSuite {
   test("statement dispatch parses show/describe/explain/select") {
     assert(Parser.parse("SHOW TOPICS") == ShowTopics)
     assert(Parser.parse("SHOW PARTITIONS FROM events") == ShowPartitions("events"))
+    assert(Parser.parse("SHOW SEGMENTS FROM events") == ShowSegments("events"))
     assert(Parser.parse("DESCRIBE events") == DescribeTopic("events"))
     assert(Parser.parse("EXPLAIN SELECT * FROM events LAST 5m").isInstanceOf[Explain])
     val sel = Parser.parse(
@@ -171,6 +172,16 @@ class KafsqlSpec extends AnyFunSuite {
   test("SHOW TOPICS lists registry topics") {
     val topics = q("SHOW TOPICS").collect().map(_.getString(0)).toSeq
     assert(topics == Seq("errors", "events", "kevents", "purchases"))
+  }
+
+  test("SHOW SEGMENTS: manifest stats per segment; topics without an estate refuse") {
+    // sf0.001: 1000 events over 4 partitions, 1000-record segment cap →
+    // exactly one segment per partition with dense offsets 0..249
+    val rows = q("SHOW SEGMENTS FROM kevents")
+      .select("partition", "base_offset", "last_offset", "records")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == (0 until 4).map(p => (p, 0L, 249L, 250L)))
+    assert(err("SHOW SEGMENTS FROM events").contains("no segment estate"))
   }
 
   test("KAFSQL over the DSv2 KFS topic pushes LAST/partition into the scan") {
