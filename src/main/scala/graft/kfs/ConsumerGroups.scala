@@ -126,6 +126,59 @@ object ConsumerGroups {
     StructField("log_end_offset", LongType, nullable = false),
     StructField("lag", LongType, nullable = false)))
 
+  /** One poll of the Kafka consume loop as a batch frame: records from
+    * each partition's committed offset (0 when never committed —
+    * `etcd_store.go:206-208`) capped at `maxPerPartition`, in offset
+    * order — the fetch-RPC bound re-expressed for incremental batch jobs
+    * (the broker fetch path itself, S7, stays out of scope).
+    *
+    * Scale shape: the global `_offset >= min(committed)` bound is a plain
+    * pushable predicate (segments prune via manifest stats before any
+    * read); the per-partition committed positions apply via a broadcast
+    * join against the tiny offsets frame; the cap is a per-partition
+    * rank window that truncates map-side (WindowGroupLimit) — no global
+    * sort, no shuffle of more than `partitions × maxPerPartition` rows. */
+  def consume(spark: SparkSession, root: String, group: String,
+      topic: String, maxPerPartition: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val refs = KfsLayout.listCompletedCached(root, Some(Set(topic)))
+    val parts = refs.map(_.partition).distinct.sorted
+    val committed = parts.map(p =>
+      p -> fetch(root, group, topic, p).map(_.offset).getOrElse(0L))
+    if (committed.isEmpty) return KfsSource.emptyTopicFrame(spark)
+    val cdf = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        committed.map { case (p, o) => Row(p, o) }: _*)),
+      StructType(Seq(StructField("_cpart", IntegerType, nullable = false),
+        StructField("_coff", LongType, nullable = false))))
+    val w = Window.partitionBy(col("_partition")).orderBy(col("_offset"))
+    KfsSource.read(spark, root, Some(Set(topic)))
+      .filter(col("_offset") >= committed.map(_._2).min) // pushable prune
+      .join(broadcast(cdf), col("_partition") === col("_cpart") &&
+        col("_offset") >= col("_coff"))
+      .drop("_cpart", "_coff")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerPartition)
+      .drop("_rk")
+  }
+
+  /** Advance the group past a consumed batch: per partition, commit
+    * max(_offset) + 1 (the next-to-read position, Kafka's commit
+    * convention). The aggregate collapses to one row per partition before
+    * the driver sees it. */
+  def commitConsumed(root: String, group: String, topic: String,
+      batch: DataFrame,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    import org.apache.spark.sql.functions._
+    batch.groupBy(col("_partition"))
+      .agg(max(col("_offset")).as("m")).collect()
+      .foreach { r =>
+        commit(root, group, topic, r.getInt(0), r.getLong(1) + 1,
+          nowMs = nowMs)
+      }
+  }
+
   /** Per-partition lag for `group` on `topic`: log-end offset (manifest
     * max offset + 1 — Kafka's high-water mark over a completed-segment
     * estate) minus the committed offset (0 when never committed, the

@@ -619,6 +619,48 @@ object KfsPack extends QueryPack {
           |       count(*) AS log_end_offset,
           |       count(*) - (count(*) // 2 + _partition) AS lag
           |FROM events_topic
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // One poll of the consume loop (the Kafka fetch bound as incremental
+    // batch): the group commits a deterministic mid-log position, then
+    // consume() returns each partition's next `max_records` from that
+    // position in offset order — min-committed bound pushed into segment
+    // pruning, per-partition positions via broadcast join, cap via
+    // map-side WindowGroupLimit. The oracle replays the same poll
+    // relationally; the agg proves exact batch composition per partition.
+    QueryDef(
+      "s26_kfs_consume",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val refs = KfsLayout.listCompletedCached(root, Some(Set("events")))
+        refs.groupBy(_.partition).foreach { case (p, rs) =>
+          val logEnd = rs.map(_.lastOffset).max + 1
+          ConsumerGroups.commit(root, "g-batch", "events", p,
+            offset = logEnd / 2 + p, nowMs = Tables.FixedNowMs)
+        }
+        ConsumerGroups.consume(s, root, "g-batch", "events",
+          maxPerPartition = 100)
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("_offset")).as("first_off"),
+            max(col("_offset")).as("last_off"),
+            max(col("_ts_ms")).as("max_ts"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """, c AS (
+          |  SELECT _partition AS p, count(*) // 2 + _partition AS co
+          |  FROM events_topic GROUP BY _partition),
+          |batch AS (
+          |  SELECT e._partition, e._offset, e._ts_ms,
+          |         row_number() OVER (PARTITION BY e._partition
+          |                            ORDER BY e._offset) AS rk
+          |  FROM events_topic e JOIN c ON e._partition = c.p
+          |  WHERE e._offset >= c.co)
+          |SELECT _partition, count(*) AS cnt,
+          |       min(_offset) AS first_off, max(_offset) AS last_off,
+          |       max(_ts_ms) AS max_ts
+          |FROM batch WHERE rk <= 100
           |GROUP BY _partition ORDER BY _partition""".stripMargin))
   )
 }

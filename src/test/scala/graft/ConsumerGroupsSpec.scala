@@ -67,6 +67,36 @@ class ConsumerGroupsSpec extends AnyFunSuite {
     assert(rows == Seq((0, 100L, 100L, 0L), (1, 25L, 60L, 35L)))
   }
 
+  test("consume/commitConsumed walks the log in capped chunks to exhaustion") {
+    val root = freshRoot()
+    seedPartition(root, "orders", 0, 25)
+    seedPartition(root, "orders", 1, 8)
+    KfsLayout.invalidateDiscoveryCache(root)
+    def poll() = ConsumerGroups.consume(spark, root, "g1", "orders", 10)
+    // first poll: from 0, capped at 10 per partition (p1 has only 8)
+    val b1 = poll().collect()
+    assert(b1.count(_.getAs[Int]("_partition") == 0) == 10)
+    assert(b1.count(_.getAs[Int]("_partition") == 1) == 8)
+    assert(b1.filter(_.getAs[Int]("_partition") == 0)
+      .map(_.getAs[Long]("_offset")).sorted.toSeq == (0L until 10L))
+    ConsumerGroups.commitConsumed(root, "g1", "orders", poll())
+    // second poll resumes where the commit left off
+    val b2 = poll().collect()
+    assert(b2.filter(_.getAs[Int]("_partition") == 0)
+      .map(_.getAs[Long]("_offset")).sorted.toSeq == (10L until 20L))
+    assert(b2.count(_.getAs[Int]("_partition") == 1) == 0) // exhausted
+    ConsumerGroups.commitConsumed(root, "g1", "orders", poll())
+    // third poll drains the tail; a fourth returns nothing
+    val b3 = poll().collect()
+    assert(b3.map(_.getAs[Long]("_offset")).sorted.toSeq == (20L until 25L))
+    ConsumerGroups.commitConsumed(root, "g1", "orders", poll())
+    assert(poll().count() == 0)
+    // and the group now reports zero lag everywhere
+    val lags = ConsumerGroups.lag(spark, root, "g1", "orders")
+      .collect().map(_.getAs[Long]("lag")).toSeq
+    assert(lags == Seq(0L, 0L))
+  }
+
   test("listGroups enumerates committing groups; _groups stays invisible to discovery") {
     val root = freshRoot()
     seedPartition(root, "orders", 0, 10)

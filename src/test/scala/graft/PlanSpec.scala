@@ -363,6 +363,16 @@ class PlanSpec extends AnyFunSuite {
       s"transcript must assemble in-row, not via SortAggregate:\n$plan")
   }
 
+  test("s26: consume poll caps map-side and broadcasts the offsets frame") {
+    val plan = planOf("s26_kfs_consume")
+    // per-partition fetch cap pre-truncates before the window shuffle
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-partition max_records cap should use WindowGroupLimit:\n$plan")
+    // the committed-offsets frame is tiny and must broadcast, never SMJ
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"committed positions should broadcast:\n$plan")
+  }
+
   test("t37: cluster rebalance ranks with WindowGroupLimit, assigns without joins") {
     val plan = planOf("t37_cluster_balanced_sample")
     // the rank<=target filter must pre-truncate per partition, never
