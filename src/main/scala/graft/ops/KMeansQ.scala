@@ -42,9 +42,28 @@ object KMeansQ {
     }
   }
 
-  private def quantize(vecCol: Column, dims: Int, scale: Long): Column =
+  private[ops] def quantize(vecCol: Column, dims: Int, scale: Long): Column =
     array((0 until dims).map(d =>
       round(vecCol.getItem(d) * scale).cast("long")): _*)
+
+  /** k-element score array over a pre-quantized vector column:
+    * `|c_p|² − 2·q·c_p` per center — squared distance minus the shared
+    * `|q|²` term, so argmin/comparisons over it are exactly squared-
+    * distance comparisons in integer arithmetic. */
+  private[ops] def scoresExpr(qCol: Column,
+      centers: Array[Array[Long]]): Column =
+    array(centers.map { c =>
+      val dot = c.indices.map(d => qCol.getItem(d) * lit(c(d))).reduce(_ + _)
+      lit(c.map(x => x * x).sum) - lit(2L) * dot
+    }: _*)
+
+  /** Argmin over a k-element score array column, smallest-index ties. */
+  private[ops] def argminExpr(scCol: Column, k: Int): Column =
+    (0 until k - 1).foldRight(lit(k - 1): Column) { (p, rest) =>
+      when((p + 1 until k).map(o =>
+        scCol.getItem(p) <= scCol.getItem(o)).reduce(_ && _),
+        lit(p)).otherwise(rest)
+    }
 
   /** Attach the argmin-distance `cluster` column (smallest-id ties).
     * Exactness trick that also keeps codegen small: comparing squared
@@ -57,20 +76,10 @@ object KMeansQ {
     * (measured: the 4096-term tree spent more time in janino than in
     * data at k=4, dims=64). */
   private def withAssignment(df: DataFrame,
-      centers: Array[Array[Long]], dims: Int): DataFrame = {
-    val scores = array(centers.map { c =>
-      val dot = (0 until dims).map(d =>
-        col("q").getItem(d) * lit(c(d))).reduce(_ + _)
-      lit(c.map(x => x * x).sum) - lit(2L) * dot
-    }: _*)
-    val k = centers.length
-    val argmin = (0 until k - 1).foldRight(lit(k - 1): Column) { (p, rest) =>
-      when((p + 1 until k).map(o =>
-        col("_sc").getItem(p) <= col("_sc").getItem(o)).reduce(_ && _),
-        lit(p)).otherwise(rest)
-    }
-    df.withColumn("_sc", scores).withColumn("cluster", argmin).drop("_sc")
-  }
+      centers: Array[Array[Long]], dims: Int): DataFrame =
+    df.withColumn("_sc", scoresExpr(col("q"), centers))
+      .withColumn("cluster", argminExpr(col("_sc"), centers.length))
+      .drop("_sc")
 
   /** Fit `iters` rounds and return (assignments, final centers): the
     * assignment frame is (idCol, cluster) under the final centers. */

@@ -179,6 +179,85 @@ object Similarity {
       .select(col("q"), col("rank"), col("v"), round(col("c"), 4).as("cos_q"))
   }
 
+  /** Fit PRODUCT-QUANTIZATION codebooks: the vector splits into `m`
+    * contiguous subspaces of `dims/m` dims, each fit with the
+    * deterministic integer k-means ([[KMeansQ]], so codebooks — and
+    * therefore codes and ADC scores — are bit-identical on any engine).
+    * Returns the per-subspace center tables. */
+  def pqFit(corpus: DataFrame, m: Int, codebookK: Int, iters: Int,
+      dims: Int, vecCol: String = "embedding", idCol: String = "vec_id",
+      scale: Long = 1000000L): Seq[Array[Array[Long]]] = {
+    val subDims = dims / m
+    require(subDims * m == dims, s"dims $dims not divisible by m $m")
+    (0 until m).map { i =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), i * subDims + 1, subDims).as("_sub"))
+      KMeansQ.fitPredict(sub, idCol, "_sub",
+        codebookK, iters, subDims, scale)._2
+    }
+  }
+
+  /** Encode each vector as `m` codebook indices (one per subspace) —
+    * PQ compression: dims floats → m small ints (16× here at 64→4).
+    * One narrow projection; centers are plan literals. */
+  def pqEncode(df: DataFrame, codebooks: Seq[Array[Array[Long]]],
+      dims: Int, vecCol: String = "embedding", idCol: String = "vec_id",
+      scale: Long = 1000000L): DataFrame = {
+    val m = codebooks.length
+    val subDims = dims / m
+    codebooks.zipWithIndex.foldLeft(
+      df.select(col(idCol), col(vecCol))) { case (acc, (cb, i)) =>
+      acc.withColumn(s"_q$i",
+          KMeansQ.quantize(slice(col(vecCol), i * subDims + 1, subDims),
+            subDims, scale))
+        .withColumn(s"_sc$i", KMeansQ.scoresExpr(col(s"_q$i"), cb))
+        .withColumn(s"code_$i", KMeansQ.argminExpr(col(s"_sc$i"), cb.length))
+        .drop(s"_q$i", s"_sc$i")
+    }.drop(vecCol)
+  }
+
+  /** PQ-ADC approximate top-k (the FAISS PQ shape minus IVF): the corpus
+    * is scanned as CODES ONLY (m ints per vector — 64× fewer bytes than
+    * the float vectors at 64 dims / m=4), each query carries its
+    * per-subspace exact-integer distance TABLE (k entries per subspace,
+    * computed once per query), and scoring is m array lookups + adds per
+    * (query, vector). At 100 TB: queries + tables broadcast, the code
+    * scan is the only full pass, and nothing wider than `m` ints ever
+    * shuffles into the per-query top-k window. The ADC distance is exact
+    * integer arithmetic end to end — hash-checkable, not just
+    * approximately right. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, codebookK: Int = 8, iters: Int = 1, dims: Int = 64,
+      scale: Long = 1000000L): DataFrame = {
+    val subDims = dims / m
+    val codebooks = pqFit(corpus, m, codebookK, iters, dims, scale = scale)
+    val codes = pqEncode(corpus, codebooks, dims, scale = scale)
+      .withColumnRenamed("vec_id", "v")
+    // query-side distance tables: exact |q_sub - c|^2 per center — the
+    // scores expr plus the |q_sub|^2 term it drops
+    val qdt = codebooks.zipWithIndex.foldLeft(
+      queries.select(col("vec_id").as("q"), col("embedding"))) {
+      case (acc, (cb, i)) =>
+        val qcol = KMeansQ.quantize(
+          slice(col("embedding"), i * subDims + 1, subDims), subDims, scale)
+        val qNormSq = (0 until subDims).map(d =>
+          col(s"_qq$i").getItem(d) * col(s"_qq$i").getItem(d)).reduce(_ + _)
+        acc.withColumn(s"_qq$i", qcol)
+          .withColumn(s"dt_$i",
+            transform(KMeansQ.scoresExpr(col(s"_qq$i"), cb), s => s + qNormSq))
+          .drop(s"_qq$i")
+    }.drop("embedding")
+    val adc = (0 until m).map(i =>
+      element_at(col(s"dt_$i"), col(s"code_$i").cast("int") + 1)).reduce(_ + _)
+    val joined = broadcast(qdt).crossJoin(codes)
+      .where(col("q") =!= col("v"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy(col("q")).orderBy(col("adc"), col("v"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("v"), col("adc"))
+  }
+
   /** Bucketed approximate top-k: candidates share the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, dims: Int = 64): DataFrame = {

@@ -85,6 +85,52 @@ object OpsPack extends QueryPack {
        |    FROM dF) WHERE rn = 1)""".stripMargin
   }
 
+  /** [[duckKmeansCtes]] generalized to a SUBSPACE: the same quantized
+    * k-means replay over `embedding[offset+1 .. offset+subDims]`, every
+    * CTE name suffixed so several subspace fits compose in one WITH —
+    * the oracle for product quantization (each PQ codebook is one
+    * KMeansQ fit on a contiguous slice). Ends with `af$sfx(vec_id,
+    * cluster)`; the per-iteration centers are `c<i>$sfx`. */
+  private def duckSubKmeansCtes(k: Int, iters: Int, scale: Long,
+      subDims: Int, offset: Int, sfx: String): String = {
+    val half = scale / 32
+    def distCte(i: Int, cPrev: String) =
+      s"""d$i$sfx AS (
+         |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+         |  FROM q$sfx q JOIN $cPrev c ON q.dim = c.dim GROUP BY 1, 2),
+         |a$i$sfx AS (
+         |  SELECT vec_id, cl AS cluster FROM (
+         |    SELECT vec_id, cl,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |    FROM d$i$sfx) WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int, cPrev: String) =
+      s"""m$i$sfx AS (
+         |  SELECT a.cluster, q.dim, CAST(SUM(q.qv) AS BIGINT) AS s, COUNT(*) AS n
+         |  FROM q$sfx q JOIN a$i$sfx a USING (vec_id) GROUP BY 1, 2),
+         |c$i$sfx AS (
+         |  SELECT c.cl, c.dim, COALESCE(m.s // m.n, c.c) AS c
+         |  FROM $cPrev c LEFT JOIN m$i$sfx m ON m.cluster = c.cl AND m.dim = c.dim)""".stripMargin
+    val chain = (1 to iters).map(i =>
+      distCte(i, s"c${i - 1}$sfx") + ",\n" + updateCte(i, s"c${i - 1}$sfx"))
+      .mkString(",\n")
+    s"""q$sfx AS (
+       |  SELECT e.vec_id, r.dim,
+       |         CAST(round(CAST(e.embedding[r.dim + $offset] AS DOUBLE) * $scale) AS BIGINT) AS qv
+       |  FROM embeddings e, range(1, ${subDims + 1}) r(dim)),
+       |c0$sfx AS (
+       |  SELECT p.cl, d.dim,
+       |         CAST((2 * CAST('0x' || substr(md5('c|' || p.cl || '|' || d.dim), 1, 1) AS INTEGER) - 15) * $half AS BIGINT) AS c
+       |  FROM range(0, $k) p(cl), range(1, ${subDims + 1}) d(dim)),
+       |$chain,
+       |af$sfx AS (
+       |  SELECT vec_id, cl AS cluster FROM (
+       |    SELECT q.vec_id, c.cl,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY SUM((q.qv - c.c) * (q.qv - c.c)), c.cl) AS rn
+       |    FROM q$sfx q JOIN c$iters$sfx c ON q.dim = c.dim GROUP BY 1, 2)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** DuckDB twin of Sketches.hash60: first 15 hex chars of md5(expr),
     * folded base-16 (same value as Spark's conv(..., 16, 10)). */
   private def duckHash60(expr: String): String =
@@ -214,6 +260,52 @@ object OpsPack extends QueryPack {
           |  FROM j)
           |SELECT q, rank, v, round(c, 4) AS cos_q
           |FROM r WHERE rank <= 10 ORDER BY q, rank""".stripMargin)),
+
+    // PRODUCT-QUANTIZATION ANN (the FAISS PQ shape minus IVF): 4 subspace
+    // codebooks fit with the deterministic integer k-means, the corpus
+    // scanned as 4 codes/vector (64x fewer bytes than the floats), queries
+    // broadcast with per-subspace exact-integer distance tables, scoring =
+    // 4 lookups + adds. The oracle replays ALL FOUR codebook fits, the
+    // encoding, and the ADC scores — bit-exact integer arithmetic end to
+    // end, so the approximation itself is hash-proven, not eyeballed.
+    QueryDef(
+      "s27_pq_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some {
+        val fits = (0 until 4).map(i =>
+          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
+            subDims = 16, offset = i * 16, sfx = s"_$i")).mkString(",\n")
+        val qds = (0 until 4).map(i =>
+          s"""qd$i AS (
+             |  SELECT q.vec_id, c.cl, CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS d
+             |  FROM q_$i q JOIN c1_$i c ON q.dim = c.dim
+             |  WHERE q.vec_id < 5 GROUP BY 1, 2)""".stripMargin).mkString(",\n")
+        s"""WITH $fits,
+           |codes AS (
+           |  SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+           |         a2.cluster AS k2, a3.cluster AS k3
+           |  FROM af_0 a0 JOIN af_1 a1 USING (vec_id)
+           |       JOIN af_2 a2 USING (vec_id) JOIN af_3 a3 USING (vec_id)),
+           |$qds,
+           |scored AS (
+           |  SELECT d0.vec_id AS q, v.vec_id AS v,
+           |         d0.d + d1.d + d2.d + d3.d AS adc
+           |  FROM codes v
+           |  JOIN qd0 d0 ON d0.cl = v.k0
+           |  JOIN qd1 d1 ON d1.cl = v.k1 AND d1.vec_id = d0.vec_id
+           |  JOIN qd2 d2 ON d2.cl = v.k2 AND d2.vec_id = d0.vec_id
+           |  JOIN qd3 d3 ON d3.cl = v.k3 AND d3.vec_id = d0.vec_id
+           |  WHERE v.vec_id <> d0.vec_id),
+           |r AS (
+           |  SELECT q, v, adc,
+           |         row_number() OVER (PARTITION BY q ORDER BY adc, v) AS rank
+           |  FROM scored)
+           |SELECT q, rank, v, adc FROM r WHERE rank <= 10 ORDER BY q, rank""".stripMargin
+      }),
 
     // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
     // cross product (d5) — only same-bucket pairs are scored

@@ -147,6 +147,42 @@ class OpsSpec extends AnyFunSuite {
     assert(cellSizes.sum == emb.count() && cellSizes.length == 8)
   }
 
+  test("PQ: codes cover every vector in range, ADC distance is exact per code, top-1 recalls") {
+    val codebooks = Similarity.pqFit(emb, m = 4, codebookK = 8, iters = 1,
+      dims = 64)
+    assert(codebooks.length == 4 &&
+      codebooks.forall(cb => cb.length == 8 && cb.forall(_.length == 16)))
+    val codes = Similarity.pqEncode(emb, codebooks, dims = 64).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      (0 until 4).foreach { i =>
+        val c = r.getAs[Int](s"code_$i")
+        assert(c >= 0 && c < 8)
+      }
+    }
+    // ADC distance of one (query, vector) pair recomputed by hand from
+    // the codebooks must equal the operator's output exactly
+    val top = Similarity.pqTopK(emb, emb.where(col("vec_id") === 0), k = 3)
+      .collect()
+    assert(top.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+    val q0 = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getAs[scala.collection.Seq[Float]](0)
+    val codeOf = codes.map(r => r.getAs[Long]("vec_id") ->
+      (0 until 4).map(i => r.getAs[Int](s"code_$i"))).toMap
+    top.foreach { r =>
+      val v = r.getAs[Long]("v")
+      val expect = (0 until 4).map { i =>
+        val cb = codebooks(i)(codeOf(v)(i))
+        (0 until 16).map { d =>
+          val qd = math.round(q0(i * 16 + d).toDouble * 1000000L)
+          val diff = qd - cb(d); diff * diff
+        }.sum
+      }.sum
+      assert(r.getAs[Long]("adc") == expect, s"ADC mismatch for v=$v")
+    }
+  }
+
   test("LSH buckets partition the corpus (sum of buckets = corpus size)") {
     val total = emb.count()
     val bucketed = emb.select(
