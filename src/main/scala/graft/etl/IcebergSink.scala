@@ -2201,6 +2201,77 @@ object IcebergSink {
       }
     }
 
+  /** Iceberg METADATA TABLES (spec: `SELECT * FROM tbl.snapshots` /
+    * `.files` / `.history` / `.manifests`) as DataFrames — the table
+    * introspecting itself, metadata-only at any data size:
+    *
+    *   - `snapshots`: one row per retained snapshot (id, parent, sequence
+    *     number, operation, added files/records, schema id, committed-at).
+    *   - `history`: the snapshot log with `is_current_ancestor` — whether
+    *     the row is on the current snapshot's parent chain (rolled-back /
+    *     expired-parent commits show false).
+    *   - `manifests`: the current snapshot's manifest list, verbatim
+    *     spec fields (content 0=data 1=deletes, counts).
+    *   - `files`: live files of the current snapshot — content,
+    *     record_count, partition values rendered as a `map<string,string>`
+    *     keyed by the spec's partition field names.
+    */
+  def metadataTable(spark: SparkSession, table: String, name: String)
+      : DataFrame = {
+    import spark.implicits._
+    val m = load(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    lazy val snapOpt =
+      m.currentSnapshotId.flatMap(id => m.snapshots.find(_.snapshotId == id))
+    name match {
+      case "snapshots" =>
+        m.snapshots.map(s => (s.snapshotId, s.parentId, s.sequenceNumber,
+          s.operation, s.addedFiles, s.addedRecords, s.schemaId,
+          s.timestampMs))
+          .toDF("snapshot_id", "parent_id", "sequence_number", "operation",
+            "added_files", "added_records", "schema_id", "committed_at_ms")
+      case "history" =>
+        val ancestry = Iterator.iterate(snapOpt)(s =>
+          s.flatMap(_.parentId).flatMap(id =>
+            m.snapshots.find(_.snapshotId == id)))
+          .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+        m.snapshots.map(s => (s.snapshotId, s.parentId,
+          ancestry.contains(s.snapshotId)))
+          .toDF("snapshot_id", "parent_id", "is_current_ancestor")
+      case "manifests" =>
+        val rows = snapOpt.toSeq.flatMap(s =>
+          readAvro(spark, s.manifestList)._2.map { lm =>
+            (lm.get("manifest_path").toString,
+              lm.get("content").asInstanceOf[Int],
+              lm.get("sequence_number").asInstanceOf[Long],
+              lm.get("added_snapshot_id").asInstanceOf[Long],
+              lm.get("added_files_count").asInstanceOf[Int],
+              lm.get("existing_files_count").asInstanceOf[Int],
+              lm.get("deleted_files_count").asInstanceOf[Int],
+              lm.get("added_rows_count").asInstanceOf[Long])
+          })
+        rows.toDF("path", "content", "sequence_number", "added_snapshot_id",
+          "added_files_count", "existing_files_count", "deleted_files_count",
+          "added_rows_count")
+      case "files" =>
+        val spec = m.specFields.map(pf =>
+          (pf, m.fields.find(_.id == pf.sourceId).getOrElse(
+            throw new IllegalStateException(
+              s"partition source field ${pf.sourceId} missing"))))
+        val byId = spec.map { case (pf, _) => pf.fieldId -> pf.name }.toMap
+        val rows = snapOpt.toSeq
+          .flatMap(s => planFiles(spark, s.manifestList, spec))
+          .map(pf => (pf.path, pf.content, pf.records,
+            pf.partitionValues.map { case (fid, v) =>
+              byId.getOrElse(fid, fid.toString) ->
+                (if (v == null) null else v.toString)
+            }.toMap))
+        rows.toDF("file_path", "content", "record_count", "partition")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table: $other (snapshots|history|manifests|files)")
+    }
+  }
+
   /** Total DATA records according to MANIFEST STATS only (no data read) —
     * the kind of metadata-only query Iceberg serves from the snapshot
     * summary. Delete manifests are excluded; pending equality deletes make

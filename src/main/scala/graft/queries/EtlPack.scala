@@ -459,6 +459,83 @@ object EtlPack extends QueryPack {
           |  AND _ts < TIMESTAMP '2024-01-15 00:00:00'
           |GROUP BY 1 ORDER BY partition""".stripMargin))),
 
+    // Iceberg METADATA TABLES — snapshots ⋈ history (the spec's
+    // `tbl.snapshots` / `tbl.history` views): three commits (two
+    // partitioned appends, one equality delete) then the table describes
+    // its own lineage. Projected columns are the commit-order-deterministic
+    // ones (sequence numbers, operations, manifest record counts, ancestry
+    // flags — snapshot ids and wall-clock timestamps excluded by design);
+    // the oracle recomputes every count from the raw topic, so the
+    // manifest bookkeeping is hash-proven against the data it describes.
+    // Metadata-only: nothing here reads a data file at any table size.
+    QueryDef(
+      "e25_iceberg_snapshots_metadata",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_meta_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_offset").as("offset"),
+          col("_partition").as("partition"),
+          col("event_type"))
+        IcebergSink.append(s, table,
+          ev.where(col("event_type") === "purchase"),
+          partitionBy = Seq("event_type"))
+        IcebergSink.append(s, table, ev.where(col("event_type") === "error"))
+        IcebergSink.deleteWhere(s, table,
+          col("event_type") === "purchase" && col("offset") < 100,
+          equalityCols = Seq("offset", "partition"))
+        val snaps = IcebergSink.metadataTable(s, table, "snapshots")
+        val hist = IcebergSink.metadataTable(s, table, "history")
+        snaps.join(hist, "snapshot_id")
+          .select(col("sequence_number"), col("operation"),
+            col("added_records"), col("is_current_ancestor"))
+          .orderBy(col("sequence_number"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT CAST(1 AS BIGINT) AS sequence_number,
+          |       'append' AS operation,
+          |       (SELECT count(*) FROM events_topic
+          |        WHERE event_type = 'purchase') AS added_records,
+          |       true AS is_current_ancestor
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), 'append',
+          |       (SELECT count(*) FROM events_topic
+          |        WHERE event_type = 'error'), true
+          |UNION ALL
+          |SELECT CAST(3 AS BIGINT), 'delete',
+          |       (SELECT count(DISTINCT (_offset, _partition))
+          |        FROM events_topic
+          |        WHERE event_type = 'purchase' AND _offset < 100), true
+          |ORDER BY sequence_number""".stripMargin))),
+
+    // Iceberg `tbl.files` metadata: live data files of the current
+    // snapshot with their manifest record counts and partition tuples
+    // (rendered name → value). Grouping by the partition value must
+    // reproduce the relational GROUP BY exactly — the partitioned write
+    // path's file-to-partition assignment is what's being proven.
+    QueryDef(
+      "e26_iceberg_files_metadata",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_files_meta_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_offset").as("offset"), col("event_type"))
+        IcebergSink.append(s, table,
+          ev.where(col("event_type").isin("purchase", "error", "click")),
+          partitionBy = Seq("event_type"))
+        IcebergSink.metadataTable(s, table, "files")
+          .where(col("content") === 0)
+          .groupBy(element_at(col("partition"), "event_type")
+            .as("event_type"))
+          .agg(sum(col("record_count")).as("records"))
+          .orderBy(col("event_type"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT event_type, count(*) AS records
+          |FROM events_topic
+          |WHERE event_type IN ('purchase', 'error', 'click')
+          |GROUP BY 1 ORDER BY event_type""".stripMargin))),
+
     // Iceberg v2 POSITION DELETES (the second merge-on-read delete shape):
     // rows are deleted by (file_path, row ordinal) coordinates instead of
     // key tuples — data files never rewritten. The fixture appends the

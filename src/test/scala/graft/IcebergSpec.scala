@@ -814,6 +814,45 @@ class IcebergSpec extends AnyFunSuite {
     assert(byName.count() == 10)
   }
 
+  test("metadata tables: snapshots/history/manifests/files describe the commit chain") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp"),
+      partitionBy = Seq("grp"))
+    IcebergSink.append(spark, table, Seq((4L, "b")).toDF("id", "grp"))
+    IcebergSink.deleteKeys(spark, table, Seq(2L).toDF("id"))
+
+    val snaps = IcebergSink.metadataTable(spark, table, "snapshots")
+      .orderBy("sequence_number").collect()
+    assert(snaps.map(r => (r.getAs[Long]("sequence_number"),
+      r.getAs[String]("operation"), r.getAs[Long]("added_records"))).toSeq ==
+      Seq((1L, "append", 3L), (2L, "append", 1L), (3L, "delete", 1L)))
+    // parent chain: each snapshot's parent is the previous one
+    assert(snaps(0).isNullAt(snaps(0).fieldIndex("parent_id")))
+    assert(snaps(1).getAs[Long]("parent_id") == snaps(0).getAs[Long]("snapshot_id"))
+    assert(snaps(2).getAs[Long]("parent_id") == snaps(1).getAs[Long]("snapshot_id"))
+
+    val hist = IcebergSink.metadataTable(spark, table, "history").collect()
+    assert(hist.length == 3 && hist.forall(_.getAs[Boolean]("is_current_ancestor")))
+
+    // files: three live data files (one per partition tuple per append)
+    // with partition values, plus the equality-delete file as content 2
+    val files = IcebergSink.metadataTable(spark, table, "files").collect()
+    val data = files.filter(_.getAs[Int]("content") == 0)
+    assert(data.map(_.getAs[Long]("record_count")).sum == 4L)
+    assert(data.flatMap(_.getAs[Map[String, String]]("partition").get("grp"))
+      .sorted.toSeq == Seq("a", "b", "b"))
+    assert(files.count(_.getAs[Int]("content") == 2) == 1)
+
+    val manifests = IcebergSink.metadataTable(spark, table, "manifests").collect()
+    assert(manifests.map(_.getAs[Int]("content")).sorted.toSeq == Seq(0, 0, 1))
+    assert(manifests.map(_.getAs[Long]("added_rows_count")).sum == 5L)
+
+    intercept[IllegalArgumentException](
+      IcebergSink.metadataTable(spark, table, "nope"))
+  }
+
   test("pruned read still applies equality deletes") {
     import spark.implicits._
     val table = tmpTable()
