@@ -2227,6 +2227,46 @@ object OpsPack extends QueryPack {
           |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
           |       CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
           |FROM a GROUP BY shard, seq_idx
-          |ORDER BY shard, seq_idx""".stripMargin))
+          |ORDER BY shard, seq_idx""".stripMargin)),
+
+    // TIME-SERIES RESAMPLE + FORWARD FILL (gap filling): each user's event
+    // stream regularized onto a daily grid spanning that user's OWN
+    // [first, last] activity, empty days synthesized and carrying the
+    // user's last non-empty day's value forward. Grid-from-own-span means
+    // one long-lived key can't explode every key's grid; the fill is a
+    // per-key running window (per-shard sort, never global); decimal sums
+    // make the values bit-reproducible. The oracle replays grid + fill
+    // with generate_series and IGNORE NULLS.
+    QueryDef(
+      "t38_resample_ffill",
+      (s, dir) => {
+        val ev = Tables.eventsTopic(s, dir)
+          .where(col("user_id") < 40)
+          .select(col("user_id"), col("_ts_ms"), col("value"))
+        graft.ops.Resample.ffill(ev, "user_id", "_ts_ms", "value",
+          intervalMs = 86400000L)
+          .withColumn("val", round(col("val"), 4))
+          .orderBy(col("user_id"), col("bucket"))
+      },
+      Some(Tables.withEventsTopic(
+        """, b AS (
+          |  SELECT user_id, _ts_ms // 86400000 AS bucket,
+          |         SUM(CAST(value AS DECIMAL(18,4))) AS v
+          |  FROM events_topic WHERE user_id < 40 GROUP BY 1, 2),
+          |spans AS (
+          |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+          |  FROM spans),
+          |j AS (
+          |  SELECT g.user_id, g.bucket, b.v
+          |  FROM grid g LEFT JOIN b ON g.user_id = b.user_id
+          |   AND g.bucket = b.bucket)
+          |SELECT user_id, bucket, v IS NULL AS filled,
+          |       round(CAST(last_value(v IGNORE NULLS) OVER (
+          |         PARTITION BY user_id ORDER BY bucket
+          |         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS val
+          |FROM j ORDER BY user_id, bucket""".stripMargin)))
   )
 }

@@ -183,6 +183,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resample ffill: per-key grid from own span, gaps carry last value") {
+    import TestSpark.spark.implicits._
+    // key A observes buckets 10, 13; key B only bucket 5 — grids must not
+    // leak across keys and every gap carries the prior value
+    val df = Seq(
+      ("A", 10L * 100 + 1, 1.0), ("A", 10L * 100 + 7, 2.0),
+      ("A", 13L * 100 + 2, 9.0), ("B", 5L * 100 + 0, 4.0))
+      .toDF("k", "ts", "v")
+    val out = graft.ops.Resample.ffill(df, "k", "ts", "v", intervalMs = 100L)
+      .orderBy("k", "bucket")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("A", 10L, false, 3.0), ("A", 11L, true, 3.0), ("A", 12L, true, 3.0),
+      ("A", 13L, false, 9.0), ("B", 5L, false, 4.0)))
+  }
+
   test("LSH buckets partition the corpus (sum of buckets = corpus size)") {
     val total = emb.count()
     val bucketed = emb.select(
