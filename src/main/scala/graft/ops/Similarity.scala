@@ -258,6 +258,40 @@ object Similarity {
       .select(col("q"), col("rank"), col("v"), col("adc"))
   }
 
+  /** IVF-FLAT with the DETERMINISTIC integer k-means as coarse quantizer
+    * (the oracle-replayable sibling of [[ivfTopK]], whose float centroids
+    * are engine-local): the corpus partitions into `kCells` cells, each
+    * query probes its `nProbe` nearest cells (exact integer center
+    * distances, smallest-id ties) and scores ONLY those cells' vectors
+    * with the exact cosine. At scale: cells are the persisted layout
+    * (cluster-pruned scan), the probe set broadcasts, and each query
+    * touches ~nProbe/kCells of the corpus. */
+  def ivfqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kCells: Int = 4, iters: Int = 2, nProbe: Int = 2, dims: Int = 64,
+      scale: Long = 1000000L): DataFrame = {
+    val (assigned, centers) = KMeansQ.fitPredict(
+      corpus, "vec_id", "embedding", kCells, iters, dims, scale)
+    val cells = corpus.select(col("vec_id"), col("embedding")).join(assigned, "vec_id")
+    val qq = queries.select(col("vec_id").as("q"), col("embedding").as("qe"))
+      .withColumn("_qq", KMeansQ.quantize(col("qe"), dims, scale))
+      .withColumn("_sc", KMeansQ.scoresExpr(col("_qq"), centers))
+    val pw = Window.partitionBy(col("q")).orderBy(col("score"), col("cl"))
+    val probes = qq
+      .select(col("q"), col("qe"), posexplode(col("_sc")).as(Seq("cl", "score")))
+      .withColumn("rn", row_number().over(pw))
+      .where(col("rn") <= nProbe)
+      .select(col("q"), col("qe"), col("cl"))
+    val cand = broadcast(probes)
+      .join(cells, col("cl") === col("cluster") && col("q") =!= col("vec_id"))
+      .withColumn("c", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(round(col("c"), 6).desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("vec_id").as("v"),
+        round(col("c"), 4).as("cos_sim"))
+  }
+
   /** Bucketed approximate top-k: candidates share the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, dims: Int = 64): DataFrame = {

@@ -307,6 +307,47 @@ object OpsPack extends QueryPack {
            |SELECT q, rank, v, adc FROM r WHERE rank <= 10 ORDER BY q, rank""".stripMargin
       }),
 
+    // IVF-FLAT over DETERMINISTIC integer-k-means cells: each query probes
+    // its 2 nearest cells (exact integer center distances) and scores only
+    // those cells' vectors with the exact cosine — the cluster-pruned scan
+    // shape (each query touches ~nProbe/kCells of the corpus; cells are
+    // the persisted layout at scale). Unlike the float-centroid ivfTopK
+    // (recall-tested in OpsSpec), every stage here — fit, cell assignment,
+    // probe selection, candidate set, scores — replays in DuckDB and the
+    // result hash-matches.
+    QueryDef(
+      "s28_ivfq_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfqTopK(e, e.where(col("vec_id") < 5), k = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(
+        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L)},
+           |qs AS (
+           |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS d
+           |  FROM q q JOIN c2 c ON q.dim = c.dim
+           |  WHERE q.vec_id < 5 GROUP BY 1, 2),
+           |probe AS (
+           |  SELECT vec_id, cl FROM (
+           |    SELECT vec_id, cl,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+           |    FROM qs) WHERE rn <= 2),
+           |cand AS (
+           |  SELECT p.vec_id AS q, a.vec_id AS v
+           |  FROM probe p JOIN af a ON a.cluster = p.cl AND a.vec_id <> p.vec_id),
+           |jx AS (
+           |  SELECT cand.q, cand.v,
+           |         ${duckCosine("qe.embedding", "ve.embedding")} AS c
+           |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q
+           |            JOIN embeddings ve ON ve.vec_id = cand.v),
+           |r AS (
+           |  SELECT q, v, c,
+           |         row_number() OVER (PARTITION BY q ORDER BY round(c, 6) DESC, v) AS rank
+           |  FROM jx)
+           |SELECT q, rank, v, round(c, 4) AS cos_sim
+           |FROM r WHERE rank <= 10 ORDER BY q, rank""".stripMargin)),
+
     // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
     // cross product (d5) — only same-bucket pairs are scored
     QueryDef(
