@@ -179,6 +179,33 @@ object ConsumerGroups {
       }
   }
 
+  /** Kafka's `offsetsForTimes`: per partition, the earliest offset whose
+    * timestamp is >= `tsMs` (partitions with no such record are absent —
+    * the client's null). The ts lower bound pushes into the DSv2 scan, so
+    * segments whose `.kfst` max timestamp predates the target never read
+    * — on a month-long estate a seek near the tail touches the tail
+    * segments only. */
+  def offsetsForTimes(spark: SparkSession, root: String, topic: String,
+      tsMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    KfsSource.read(spark, root, Some(Set(topic)),
+        tsRangeMs = Some((tsMs, Long.MaxValue)))
+      .groupBy(col("_partition").as("partition"))
+      .agg(min(col("_offset")).as("offset"))
+  }
+
+  /** Seek the group to a point in time: commit each partition's
+    * `offsetsForTimes` position (the replay-from-timestamp operation —
+    * reprocess everything since T). Partitions with no record at/after
+    * `tsMs` are left uncommitted/unchanged, mirroring the client
+    * convention of skipping null seek results. */
+  def seekToTime(root: String, group: String, topic: String, tsMs: Long,
+      spark: SparkSession,
+      nowMs: Long = System.currentTimeMillis()): Unit =
+    offsetsForTimes(spark, root, topic, tsMs).collect().foreach { r =>
+      commit(root, group, topic, r.getInt(0), r.getLong(1), nowMs = nowMs)
+    }
+
   /** Per-partition lag for `group` on `topic`: log-end offset (manifest
     * max offset + 1 — Kafka's high-water mark over a completed-segment
     * estate) minus the committed offset (0 when never committed, the

@@ -661,6 +661,35 @@ object KfsPack extends QueryPack {
           |       min(_offset) AS first_off, max(_offset) AS last_off,
           |       max(_ts_ms) AS max_ts
           |FROM batch WHERE rk <= 100
+          |GROUP BY _partition ORDER BY _partition""".stripMargin)),
+
+    // Seek-to-time (Kafka offsetsForTimes + commit): the group rewinds to
+    // "everything since Jan 15" — per partition, the earliest offset at or
+    // after the target timestamp, committed as the new position. The ts
+    // bound pushes into the DSv2 scan (segments whose .kfst max-ts
+    // predates the target never read), and the resulting positions are
+    // proven via the lag report against the oracle recomputing both
+    // sides. Replay-from-T is the recovery primitive every pipeline
+    // on a log estate eventually needs.
+    QueryDef(
+      "s29_seek_to_time",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val t = 1705276800000L // 2024-01-15 00:00:00 UTC, mid-estate
+        ConsumerGroups.seekToTime(root, "g-replay", "events", t, s,
+          nowMs = Tables.FixedNowMs)
+        ConsumerGroups.lag(s, root, "g-replay", "events")
+          .orderBy(col("partition"))
+      },
+      oracle(
+        """SELECT 'g-replay' AS "group", 'events' AS topic,
+          |       _partition AS "partition",
+          |       min(CASE WHEN _ts_ms >= 1705276800000 THEN _offset END)
+          |         AS committed_offset,
+          |       count(*) AS log_end_offset,
+          |       count(*) - min(CASE WHEN _ts_ms >= 1705276800000
+          |                      THEN _offset END) AS lag
+          |FROM events_topic
           |GROUP BY _partition ORDER BY _partition""".stripMargin))
   )
 }

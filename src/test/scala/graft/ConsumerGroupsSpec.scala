@@ -97,6 +97,21 @@ class ConsumerGroupsSpec extends AnyFunSuite {
     assert(lags == Seq(0L, 0L))
   }
 
+  test("seekToTime commits the earliest offset at/after T; no-match partitions untouched") {
+    val root = freshRoot()
+    // partition 0: ts 1706000000000 + i*1000 for offsets 0..19
+    seedPartition(root, "orders", 0, 20)
+    KfsLayout.invalidateDiscoveryCache(root)
+    // target lands mid-log: first qualifying offset is 5
+    ConsumerGroups.seekToTime(root, "g1", "orders",
+      1706000000000L + 4500L, spark)
+    assert(ConsumerGroups.fetch(root, "g1", "orders", 0).get.offset == 5L)
+    // a target past the newest record matches nothing: commit unchanged
+    ConsumerGroups.seekToTime(root, "g1", "orders",
+      1706000000000L + 999999L, spark)
+    assert(ConsumerGroups.fetch(root, "g1", "orders", 0).get.offset == 5L)
+  }
+
   test("listGroups enumerates committing groups; _groups stays invisible to discovery") {
     val root = freshRoot()
     seedPartition(root, "orders", 0, 10)
