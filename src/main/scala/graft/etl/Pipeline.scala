@@ -35,6 +35,16 @@ object Pipeline {
   case object Lenient extends Validation
   case object Strict extends Validation
 
+  /** SUPERSET of the reference's drop-and-count (`processor.go:209-215`
+    * only increments an `invalid` metric): invalid records land in a
+    * DEAD-LETTER table — the seven decoded log columns plus `missing`,
+    * the comma-joined required columns that failed to extract — instead
+    * of vanishing. The DLQ append rides the same log-coordinate
+    * offset-dedup as the main sink, so crash-replays never double a
+    * quarantined record, and re-ingesting a fixed payload later is a
+    * plain re-produce. */
+  final case class DeadLetter(dlqPath: String) extends Validation
+
   /** Sink table format: plain parquet directory ([[TableSink]]) or the
     * real Iceberg v2 layout ([[IcebergSink]]) — with Iceberg, EVERY
     * micro-batch commit becomes a snapshot, which is exactly the
@@ -236,6 +246,29 @@ object Pipeline {
     finally batch.unpersist()
   }
 
+  /** Append quarantined rows to the dead-letter table behind the same
+    * log-coordinate offset-dedup as the main sink: a crash-replayed batch
+    * re-derives the same DLQ rows and anti-joins them away. */
+  private def dlqAppend(spark: SparkSession, dlqPath: String,
+      rows: DataFrame): Unit = {
+    val existing = TableSink.read(spark, dlqPath)
+    val fresh =
+      if (existing.isEmpty) rows
+      else {
+        val range = rows.agg(
+          min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+          .collect().head
+        if (range.isNullAt(0)) rows
+        else rows.join(
+          existing.filter(col("offset").between(range.getLong(0), range.getLong(1)))
+            .select(col("topic"), col("partition"), col("offset")),
+          Seq("topic", "partition", "offset"), "left_anti")
+      }
+    val f = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (!f.isEmpty) TableSink.append(spark, dlqPath, f)
+    finally f.unpersist()
+  }
+
   private def sinkBatchInner(spark: SparkSession, batch: DataFrame,
       tablePath: String, schemaCols: Seq[SchemaCol], validation: Validation,
       validateCols: Option[Seq[SchemaCol]], format: SinkFormat): Unit = {
@@ -248,6 +281,16 @@ object Pipeline {
         val bad = withValid.filter(!col("_valid")).count()
         if (bad > 0) throw new ValidationException(bad)
         withValid
+      case dl: DeadLetter =>
+        val vc = validateCols.getOrElse(schemaCols)
+        val badBase = TableSink.withBaseFields(
+          withValid.filter(!col("_valid")).drop("_valid"))
+        // which required columns failed, as a stable comma-joined list
+        val reasons = concat_ws(",", filter(array(vc.map(sc =>
+          when(TopicRegistry.extract(col("value"), sc).isNull, lit(sc.name))
+            .otherwise(lit(null).cast("string"))): _*), x => x.isNotNull))
+        dlqAppend(spark, dl.dlqPath, badBase.withColumn("missing", reasons))
+        withValid.filter(col("_valid"))
     }
     val rows = TableSink.withBaseFields(valid.drop("_valid"))
     // extracted columns appended after the base fields (iceberg.go:889-900)

@@ -20,7 +20,75 @@ object EtlPack extends QueryPack {
   private def tmp(sfDir: String, name: String): String =
     Fixtures.tmp(sfDir, name) // shared versioned root (see Fixtures)
 
+  /** Estate with deliberately broken payloads: every 'error' event's value
+    * is replaced by a non-JSON blob, so a required `$.k` extraction fails
+    * for exactly those records — the dead-letter fixture. Marker-gated. */
+  private def seedDlqEstate(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root = tmp(dir, "kfs_dlq_estate")
+    val marker = Paths.get(root, "_SEEDED")
+    if (!Files.exists(marker)) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(graft.kfs.KfsLayout.hadoopConf)
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(root + "_staging"), true)
+      Tables.eventsTopic(s, dir)
+        .select(lit("dlq").as("_topic"), col("_partition"), col("_offset"),
+          col("_ts_ms"), col("_key").cast("binary").as("_key"),
+          when(col("event_type") === "error", lit("not json"))
+            .otherwise(col("_value")).cast("binary").as("_value"))
+        .write.format("kfs").mode("append").option("path", root).save()
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    root
+  }
+
   override def entries: Seq[QueryDef] = Seq(
+
+    // DEAD-LETTER QUEUE (superset of the reference's drop-and-count,
+    // processor.go:209-215): records whose required column fails to
+    // extract land in a quarantine table with the failing column names,
+    // instead of vanishing behind a metric. Both sides of the split are
+    // hash-checked — landed rows keep their payload aggregates, DLQ rows
+    // keep their log coordinates and reason — and the DLQ append rides
+    // the same offset-dedup as the main sink (crash-replays never double
+    // a quarantined record; EtlSpec pins that law).
+    QueryDef(
+      "e27_pipeline_dlq",
+      (s, dir) => {
+        val root = seedDlqEstate(s, dir)
+        val table = tmp(dir, "dlq_landed")
+        val ckpt = tmp(dir, "dlq_ckpt")
+        val dlq = tmp(dir, "dlq_quarantine")
+        Pipeline.run(s, root, table, ckpt,
+          schemaCols = Seq(SchemaCol("k", "long", "$.k")),
+          validation = Pipeline.DeadLetter(dlq))
+        val landed = TableSink.read(s, table)
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("offset")).as("off_sum"),
+            sum(col("k")).as("sum_k"))
+          .select(lit("landed").as("side"), col("cnt"), col("off_sum"),
+            col("sum_k"), lit(null).cast("string").as("missing"))
+        val quarantined = TableSink.read(s, dlq)
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("offset")).as("off_sum"),
+            max(col("missing")).as("m"))
+          .select(lit("dlq").as("side"), col("cnt"), col("off_sum"),
+            lit(null).cast("long").as("sum_k"), col("m").as("missing"))
+        quarantined.unionAll(landed).orderBy(col("side"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT 'dlq' AS side, count(*) AS cnt,
+          |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
+          |       CAST(NULL AS BIGINT) AS sum_k, 'k' AS missing
+          |FROM events_topic WHERE event_type = 'error'
+          |UNION ALL
+          |SELECT 'landed', count(*), CAST(SUM(_offset) AS BIGINT),
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT),
+          |       CAST(NULL AS VARCHAR)
+          |FROM events_topic WHERE event_type <> 'error'
+          |ORDER BY side""".stripMargin))),
 
     // S9/St2/St3: KFS → streaming decode → validated extraction → table
     // sink with checkpointed exactly-once-ish progress

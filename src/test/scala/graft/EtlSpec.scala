@@ -61,6 +61,36 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("dead-letter: invalid records quarantine with reasons; replay doubles nothing") {
+    val root = Files.createTempDirectory("etl_dlq_kfs").toString
+    val records = (0 until 50).map { i =>
+      val payload = if (i % 5 == 0) "broken" else s"""{"n":$i}"""
+      KfsCodec.Record(i.toLong, 1706000000000L + i, s"k$i".getBytes,
+        payload.getBytes, Nil)
+    }
+    KfsLayout.writeSegment(root, "t1", 0, records)
+    val table = Files.createTempDirectory("etl_dlq_tbl").toString + "/t"
+    val dlq = Files.createTempDirectory("etl_dlq_q").toString + "/q"
+    val cols = Seq(SchemaCol("n", "long", "$.n"))
+    def drain(): Unit = Pipeline.run(spark, root, table,
+      Files.createTempDirectory("etl_dlq_ck").toString, cols,
+      Pipeline.DeadLetter(dlq))
+
+    drain()
+    assert(TableSink.read(spark, table).count() == 40)
+    val q = TableSink.read(spark, dlq)
+    assert(q.count() == 10)
+    assert(q.select("missing").distinct().collect().map(_.getString(0)).toSeq == Seq("n"))
+    assert(q.agg(sum(col("offset"))).collect().head.getLong(0) ==
+      (0 until 50 by 5).sum)
+
+    // a fresh-checkpoint replay re-derives everything; both sinks' offset
+    // dedup must absorb it
+    drain()
+    assert(TableSink.read(spark, table).count() == 40)
+    assert(TableSink.read(spark, dlq).count() == 10)
+  }
+
   // ---- registry-driven sink schema (iceberg.go:779-828) ------------------
 
   test("registry schema doc derives sorted, mapped, required-aware columns") {
