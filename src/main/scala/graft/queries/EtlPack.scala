@@ -604,6 +604,43 @@ object EtlPack extends QueryPack {
           |WHERE event_type IN ('purchase', 'error', 'click')
           |GROUP BY 1 ORDER BY event_type""".stripMargin))),
 
+    // Z-ORDERED ICEBERG LAYOUT (multi-dimensional file pruning on the real
+    // table format): rows interleave (user_id, offset) onto the Morton
+    // curve and the commit clusters files by z, so per-file manifest
+    // bounds are tight on BOTH dimensions — a (user range × offset range)
+    // read prunes files on both predicates at once, where a single-column
+    // sort serves only its own column. One layout shuffle at write time,
+    // amortized over every later scan; the oracle is the plain relational
+    // filter (layout must be invisible in results).
+    QueryDef(
+      "e28_iceberg_zorder",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_zorder_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          expr("CAST(substring(_key, 6) AS LONG)").as("user_id"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"))
+        val z = graft.ops.ZOrder.withZ(ev, Seq("user_id", "offset"))
+        IcebergSink.append(s, table, z, clusterBy = Seq("z"))
+        IcebergSink.readPruned(s, table,
+          Seq(IcebergSink.ColumnRange("user_id", Some(3L), Some(5L)),
+            IcebergSink.ColumnRange("offset", Some(500L), Some(1500L))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            min(col("offset")).as("min_off"), max(col("offset")).as("max_off"))
+          .orderBy(col("user_id"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT CAST(substring(_key, 6) AS BIGINT) AS user_id,
+          |       count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       min(_offset) AS min_off, max(_offset) AS max_off
+          |FROM events_topic
+          |WHERE CAST(substring(_key, 6) AS BIGINT) BETWEEN 3 AND 5
+          |  AND _offset BETWEEN 500 AND 1500
+          |GROUP BY 1 ORDER BY user_id""".stripMargin))),
+
     // Iceberg v2 POSITION DELETES (the second merge-on-read delete shape):
     // rows are deleted by (file_path, row ordinal) coordinates instead of
     // key tuples — data files never rewritten. The fixture appends the

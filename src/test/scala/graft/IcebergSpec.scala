@@ -853,6 +853,35 @@ class IcebergSpec extends AnyFunSuite {
       IcebergSink.metadataTable(spark, table, "nope"))
   }
 
+  test("z-ordered layout prunes files on both interleaved dimensions") {
+    import spark.implicits._
+    // 4096 rows over a (u, v) grid; both layouts commit the same 16 files
+    val rows = (0 until 4096).map(i => (i % 64L, i / 64L, i.toLong))
+      .toDF("u", "v", "pay")
+    val zTable = tmpTable()
+    IcebergSink.append(spark, zTable,
+      graft.ops.ZOrder.cluster(rows, Seq("u", "v"), numFiles = 16))
+    val uTable = tmpTable()
+    IcebergSink.append(spark, uTable,
+      rows.withColumn("z", col("u"))
+        .repartitionByRange(16, col("z")).sortWithinPartitions(col("z")))
+    val ranges = Seq(
+      IcebergSink.ColumnRange("u", Some(2L), Some(13L)),
+      IcebergSink.ColumnRange("v", Some(2L), Some(13L)))
+    val zScan = IcebergSink.explainScan(spark, zTable, ranges).get
+    val uScan = IcebergSink.explainScan(spark, uTable, ranges).get
+    // the point of the curve: a box predicate prunes on BOTH dims, so the
+    // z layout must scan strictly fewer files than the u-sorted layout
+    // (which serves only its own column)
+    assert(zScan.prunedFiles > 0, s"z layout pruned nothing: $zScan")
+    assert(zScan.dataFiles < uScan.dataFiles,
+      s"z=$zScan should beat single-dim=$uScan on a 2-dim box")
+    // and both layouts return identical results
+    def result(t: String) = IcebergSink.readPruned(spark, t, ranges)
+      .agg(org.apache.spark.sql.functions.sum("pay")).collect()(0).getLong(0)
+    assert(result(zTable) == result(uTable))
+  }
+
   test("pruned read still applies equality deletes") {
     import spark.implicits._
     val table = tmpTable()
