@@ -625,7 +625,7 @@ object EtlPack extends QueryPack {
         IcebergSink.append(s, table, z, clusterBy = Seq("z"))
         IcebergSink.readPruned(s, table,
           Seq(IcebergSink.ColumnRange("user_id", Some(3L), Some(5L)),
-            IcebergSink.ColumnRange("offset", Some(500L), Some(1500L))))
+            IcebergSink.ColumnRange("offset", Some(50L), Some(200L))))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
             min(col("offset")).as("min_off"), max(col("offset")).as("max_off"))
@@ -638,7 +638,7 @@ object EtlPack extends QueryPack {
           |       min(_offset) AS min_off, max(_offset) AS max_off
           |FROM events_topic
           |WHERE CAST(substring(_key, 6) AS BIGINT) BETWEEN 3 AND 5
-          |  AND _offset BETWEEN 500 AND 1500
+          |  AND _offset BETWEEN 50 AND 200
           |GROUP BY 1 ORDER BY user_id""".stripMargin))),
 
     // Iceberg v2 POSITION DELETES (the second merge-on-read delete shape):
