@@ -30,6 +30,45 @@ class PackingPropertySpec extends AnyFunSuite {
     } yield ws.mkString(" "))
   } yield ids.zip(texts)
 
+  test("resample ffill laws: dense per-key grids, value conservation, no null after first") {
+    import spark.implicits._
+    val genSeries: Gen[Seq[(String, Long, Double)]] = for {
+      n <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        ts <- Gen.choose(0L, 2000L)
+        v <- Gen.choose(-50, 50)
+      } yield (k, ts, v.toDouble))
+    } yield rows
+    (1L to 8L).foreach { seed =>
+      val rows = sample(genSeries, seed)
+      val out = graft.ops.Resample.ffill(
+        rows.toDF("k", "ts", "v"), "k", "ts", "v", intervalMs = 100L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) null else r.getDouble(3).asInstanceOf[Any]))
+      val byKey = rows.groupBy(_._1)
+      out.groupBy(_._1).foreach { case (k, os) =>
+        val buckets = byKey(k).map(_._2 / 100L)
+        // grid is dense over exactly the key's own [min, max] span
+        assert(os.map(_._2).sorted.toSeq == (buckets.min to buckets.max),
+          s"seed=$seed key=$k grid must be dense over the key's span")
+        // observed buckets are unfilled; synthesized ones are flagged
+        val observed = buckets.toSet
+        os.foreach { case (_, b, filled, v) =>
+          assert(filled == !observed.contains(b), s"seed=$seed filled flag")
+          assert(v != null, s"seed=$seed no null after first observation")
+        }
+        // every observed bucket's value is that bucket's exact sum
+        val sums = byKey(k).groupBy(_._2 / 100L)
+          .view.mapValues(_.map(_._3).sum).toMap
+        os.filter(!_._3).foreach { case (_, b, _, v) =>
+          assert(v.asInstanceOf[Double] == sums(b), s"seed=$seed bucket sum")
+        }
+      }
+    }
+  }
+
   test("packedRows: token mass conserved, all-but-last chunks full, digests stable") {
     import spark.implicits._
     (1L to 6L).foreach { seed =>
