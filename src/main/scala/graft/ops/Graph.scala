@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph ranking for corpus curation — the web-graph half of
+  * training-data quality weighting (crawl frontiers and quality weights
+  * are classically PageRank-derived; the reference's analytics surface has
+  * no graph operator, so this is superset, same family as the transitive
+  * duplicate clustering in [[Dedup]]).
+  *
+  * Deterministic INTEGER PageRank: ranks are maintained as integer
+  * micro-units (`scale` = 1.0), every division is truncating integer
+  * division, and every per-node combine is an integer SUM — so the result
+  * is bit-identical on any engine and the t39 oracle replays the full
+  * iteration unrolled in DuckDB. A float PageRank is NOT cross-engine
+  * reproducible (per-node contribution sums depend on partition order);
+  * the integer formulation loses < 1 micro-unit per in-edge to truncation,
+  * which is noise at rank scale and buys exactness.
+  *
+  * Per iteration:
+  * {{{
+  *   pr'(v) = baseline + (dampNum * Σ_{u→v} (pr(u) / outdeg(u))) / dampDen
+  * }}}
+  * with `baseline = ((dampDen−dampNum) · scale / dampDen) / n` (all `/`
+  * truncating). Dangling mass (nodes with no out-edges) is dropped, the
+  * standard simplification when ranks are only compared, not summed to 1.
+  *
+  * Scale shape (the Pregel-on-DataFrames loop, same discipline as
+  * [[Dedup]] label propagation): the edge list is hash-partitioned on
+  * `src` ONCE and persisted; each round shuffles only the rank frame
+  * (O(nodes), never O(edges)) into the join, aggregates contributions
+  * map-side-partial by `dst`, and eagerly `localCheckpoint`s the new rank
+  * frame so lineage (and recomputation cost) never compounds across
+  * rounds. Iteration count is a fixed small constant — rank queries use
+  * 3–20 rounds, not convergence-to-epsilon.
+  */
+object Graph {
+
+  /** Run `iters` rounds of integer PageRank over a directed edge list.
+    *
+    * @param edges distinct directed edges; self-loops allowed (a page
+    *              linking itself contributes to its own rank)
+    * @return (node, pr) — `pr` in integer micro-units of `scale`
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .localCheckpoint() // nodes reused every round — never re-derived
+      val n = nodes.count()
+      val baseline = ((dampDen - dampNum) * scale / dampDen) / n
+      val outdeg = e.groupBy(col("src"))
+        .agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()
+      var pr = nodes.withColumn("pr", lit(scale / n))
+      (1 to iters).foreach { _ =>
+        // `div` (not `/`): Spark's `/` on longs is a DOUBLE divide; `div`
+        // is the exact truncating integer division the oracle replays
+        val contrib = pr.join(e, pr("node") === e("src"))
+          .join(outdeg, "src")
+          .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .withColumn("inflow", coalesce(col("inflow"), lit(0L)))
+          .select(col("node"),
+            (lit(baseline) + expr(s"($dampNum * inflow) div $dampDen"))
+              .as("pr"))
+          .localCheckpoint()
+      }
+      pr
+    } finally e.unpersist()
+  }
+}

@@ -2308,6 +2308,74 @@ object OpsPack extends QueryPack {
           |       round(CAST(last_value(v IGNORE NULLS) OVER (
           |         PARTITION BY user_id ORDER BY bucket
           |         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS val
-          |FROM j ORDER BY user_id, bucket""".stripMargin)))
+          |FROM j ORDER BY user_id, bucket""".stripMargin))),
+
+    // LINK-GRAPH PAGERANK (integer, oracle-replayed): the navigation graph
+    // is rebuilt from raw events (per-user lag over view/click pages), then
+    // ranked with 3 rounds of deterministic INTEGER PageRank — truncating
+    // divisions and integer sums only, so the ranks are bit-identical on
+    // any engine and the oracle unrolls all 3 rounds relationally. Scale
+    // shape: edges partition once on src, each round shuffles O(nodes) not
+    // O(edges), rank frames are eagerly checkpointed (lineage never
+    // compounds) — the crawl-graph quality-weighting pass of a pretraining
+    // corpus, as a Spark loop.
+    QueryDef(
+      "t39_pagerank",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = Tables.load(s, dir, "events")
+          .where(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("page"))
+          .withColumn("prev", lag(col("page"), 1).over(w))
+          .where(col("prev").isNotNull && col("prev") =!= col("page"))
+          .select(col("prev").as("src"), col("page").as("dst"))
+        val pr = graft.ops.Graph.pagerank(edges, "src", "dst", iters = 3)
+        val rw = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr").desc, col("node"))
+        pr.orderBy(col("pr").desc, col("node")).limit(20)
+          .withColumn("rank", row_number().over(rw))
+          .select(col("rank"), col("node"), col("pr"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          val prev = if (i == 1) "pr0" else s"it${i - 1}"
+          s"""it$i AS (
+             |  SELECT nd.node,
+             |         ((15 * CAST(1000000000 AS BIGINT) // 100) // p.n)
+             |           + (85 * COALESCE(fl.inflow, 0)) // 100 AS pr
+             |  FROM nodes nd CROSS JOIN params p
+             |  LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |           CAST(SUM(r.pr // o.outdeg) AS BIGINT) AS inflow
+             |    FROM $prev r JOIN edges e ON e.src = r.node
+             |    JOIN outdeg o ON o.src = e.src
+             |    GROUP BY 1) fl ON fl.node = nd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (
+           |  SELECT user_id, ts, event_id,
+           |         CAST(json_extract_string(props, '$$.k') AS INTEGER) AS page
+           |  FROM events WHERE event_type IN ('view', 'click')),
+           |nav AS (
+           |  SELECT page, lag(page) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM ev),
+           |edges AS (
+           |  SELECT DISTINCT prev AS src, page AS dst FROM nav
+           |  WHERE prev IS NOT NULL AND prev <> page),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+           |params AS (SELECT count(*) AS n FROM nodes),
+           |pr0 AS (SELECT node, 1000000000 // p.n AS pr
+           |        FROM nodes CROSS JOIN params p),
+           |$rounds
+           |SELECT rank, node, pr FROM (
+           |  SELECT node, pr,
+           |         row_number() OVER (ORDER BY pr DESC, node) AS rank
+           |  FROM it3)
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin
+      })
   )
 }

@@ -944,4 +944,36 @@ class OpsSpec extends AnyFunSuite {
     // whichever center never won kept its initial value
     assert(cs.zipWithIndex.exists { case (c, i) => c.toSeq == init(i).toSeq })
   }
+
+  test("integer pagerank matches a driver-side reference on a known graph") {
+    import spark.implicits._
+    // star-plus-cycle: 1->2 1->3 2->3 3->1 4->1 (4 is a source-only node)
+    val edges = Seq((1, 2), (1, 3), (2, 3), (3, 1), (4, 1))
+    val got = Graph.pagerank(edges.toDF("src", "dst"), "src", "dst",
+      iters = 3, scale = 1000000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // independent reimplementation of the same integer recurrence
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val baseline = ((100L - 85L) * 1000000L / 100L) / n
+    var pr = nodes.map(_ -> 1000000L / n).toMap
+    (1 to 3).foreach { _ =>
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map(e => pr(e._1) / outdeg(e._1)).sum).toMap
+      pr = nodes.map(v =>
+        v -> (baseline + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got == pr)
+    // sink-heavy node 3 outranks everything; source-only node 4 has only
+    // the teleport baseline
+    assert(got(3) > got(1) && got(3) > got(2))
+    assert(got(4) == baseline)
+    // rerun-identical (integer arithmetic, no partition-order dependence)
+    val again = Graph.pagerank(edges.toDF("src", "dst"), "src", "dst",
+      iters = 3, scale = 1000000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
