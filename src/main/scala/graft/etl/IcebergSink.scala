@@ -1417,6 +1417,23 @@ object IcebergSink {
       else Some(m.copy(refs = m.refs - name))
     }
 
+  /** Roll the table back to an earlier snapshot (the recovery op after a
+    * bad commit — Iceberg's `rollback_to_snapshot` procedure): metadata-
+    * only, flips `current-snapshot-id` to `snapshotId` through the same
+    * optimistic rename. NOTHING is deleted: the abandoned snapshots stay
+    * in the metadata and remain time-travelable (and expire later via
+    * [[expireSnapshots]] once unreferenced); a subsequent [[append]]
+    * parents off the restored snapshot, so the abandoned line becomes a
+    * dead fork exactly as the spec's ancestry model describes. */
+  def rollbackTo(spark: SparkSession, table: String, snapshotId: Long,
+      maxRetries: Int = 5): Unit =
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      require(m.snapshots.exists(_.snapshotId == snapshotId),
+        s"unknown snapshot $snapshotId")
+      if (m.currentSnapshotId.contains(snapshotId)) None
+      else Some(m.copy(currentSnapshotId = Some(snapshotId)))
+    }
+
   /** [[read]] pinned to a named ref's snapshot. */
   def readRef(spark: SparkSession, table: String, name: String): DataFrame = {
     val m = load(spark, table).getOrElse(

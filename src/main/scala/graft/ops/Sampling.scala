@@ -114,4 +114,48 @@ object Sampling {
     stratified(df, idCol, classCol, mixtureRates(sizes, weights),
       defaultRate = 0.0, hexDigits = hexDigits)
   }
+
+  /** 48-bit uniform hash for weighted priorities: first 12 hex chars of
+    * md5(id). 48 bits (not 60) so the integer is EXACTLY representable in
+    * a double — the priority `u / w` is then one IEEE division of two
+    * exact values, bit-identical on every engine (a 60-bit hash would
+    * round differently depending on the engine's int→double path). */
+  def hash48(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Sequential Poisson priority (Ohlsson 1998): `u / w` with `u` the
+    * row's 48-bit hash and `w` its positive integer weight. Sorting
+    * ascending and keeping the first n gives a fixed-size sample whose
+    * inclusion probabilities are ≈ proportional to the weights — the
+    * survey-statistics way to weight a corpus sample by document length,
+    * dwell time, or quality score while staying deterministic: no RNG, so
+    * membership is a pure function of (id, weight) and replays anywhere. */
+  def weightedPriority(id: Column, weight: Column): Column =
+    hash48(id).cast("double") / weight.cast("double")
+
+  /** Global fixed-size weighted sample: the n smallest priorities.
+    * `orderBy().limit()` plans as TakeOrderedAndProject — per-partition
+    * heaps of size n and a driver merge, never a global sort, so the
+    * selection cost is one scan at any corpus size. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame =
+    df.withColumn("_pri", weightedPriority(col(idCol), col(weightCol)))
+      .orderBy(col("_pri"), col(idCol))
+      .limit(n)
+      .drop("_pri")
+
+  /** Per-class fixed-size weighted sample: n smallest priorities within
+    * each `classCol` group. The rank filter compiles to WindowGroupLimit
+    * (map-side per-task truncation to n rows per group before the
+    * exchange), the same celebrity-safe shape as the source caps. */
+  def weightedSampleGrouped(df: DataFrame, idCol: String, weightCol: String,
+      classCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(col("_pri"), col(idCol))
+    df.withColumn("_pri", weightedPriority(col(idCol), col(weightCol)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .drop("_pri", "_rn")
+  }
 }

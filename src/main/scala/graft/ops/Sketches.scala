@@ -102,6 +102,54 @@ object Sketches {
     pmod(conv(substring(md5(concat(j.cast("string"), lit("|"),
       token.cast("string"))), 1, 15), 16, 10).cast("long"), lit(w.toLong))
 
+  /** HyperLogLog registers (Flajolet et al. 2007), exact-arithmetic
+    * variant: per group, bucket = low `p` bits of the 60-bit hash, and the
+    * register is the max over values of `rho` = 1 + leading zeros of the
+    * remaining 54-bit window. Output rows are (grp, bucket, reg) — only
+    * POPULATED registers, ≤ 2^p per group no matter the data size, and
+    * `max` makes them mergeable across shards/days by a plain
+    * `groupBy(grp, bucket).max(reg)` (property-tested in SketchSpec).
+    * `rho` uses `bin()` string length, not log2 — integer on both engines,
+    * so sketches are bit-identical cross-engine. */
+  def hllSketch(df: DataFrame, grp: Column, value: Column,
+      p: Int = 6): DataFrame = {
+    val m = 1L << p
+    df.select(grp.as("grp"), hash60(value).as("h"))
+      .select(col("grp"), pmod(col("h"), lit(m)).as("bucket"),
+        expr(s"h div $m").as("r"))
+      .withColumn("rho", when(col("r") === 0, lit(55))
+        .otherwise(lit(55) - length(expr("bin(r)"))))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** HLL α_m constant (m = 2^p registers). */
+  def hllAlpha(p: Int): Double = (1 << p) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case m => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Raw HLL estimate from sketch rows: α_m·m² / Σ_j 2^(−M_j). The
+    * harmonic-mean denominator is computed as the INTEGER
+    * Σ_j 2^(55−M_j) (empty registers contribute 2^55) — dyadic terms sum
+    * exactly in any order, and the single double division at the end is
+    * IEEE-identical on every engine, so the estimate hash-checks against
+    * DuckDB. (The small-range linear-counting correction is deliberately
+    * omitted — it needs ln(), whose last ulp is libm-dependent; the raw
+    * estimator is the cross-engine-reproducible one.)
+    * Output: (grp, hll_distinct bigint). */
+  def hllEstimate(sk: DataFrame, p: Int = 6): DataFrame = {
+    val m = 1L << p
+    sk.groupBy(col("grp"))
+      .agg((sum(expr("shiftleft(cast(1 as bigint), 55 - reg)"))
+        + (lit(m) - count(lit(1))) * lit(1L << 55)).as("t"))
+      .select(col("grp"),
+        floor(lit(hllAlpha(p) * m * m) * lit((1L << 55).toDouble)
+          / col("t").cast("double")).cast("long").as("hll_distinct"))
+  }
+
   /** Point-query the grid for each row of `candidates(tok)`:
     * est = min over j of grid(j, bucket_j(tok)). The grid side is tiny —
     * broadcast it so probing any number of candidates is shuffle-free on

@@ -138,6 +138,12 @@ object OpsPack extends QueryPack {
        |  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
        |  (a, b) -> a * 16 + b)""".stripMargin
 
+  /** DuckDB twin of Sampling.hash48 (12 hex chars — exact in a double). */
+  private def duckHash48(expr: String): String =
+    s"""list_reduce(list_transform(string_split(substr(md5($expr), 1, 12), ''),
+       |  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+       |  (a, b) -> a * 16 + b)""".stripMargin
+
   /** DuckDB oracle for the t34 BPE encode: each word becomes a
     * separator-wrapped symbol string (`␟t␟␟h␟␟e␟␟</w>␟`), the 24
     * [[graft.ops.Bpe.FixedMerges]] apply as rank-ordered replace() calls
@@ -2376,6 +2382,143 @@ object OpsPack extends QueryPack {
            |         row_number() OVER (ORDER BY pr DESC, node) AS rank
            |  FROM it3)
            |WHERE rank <= 20 ORDER BY rank""".stripMargin
-      })
+      }),
+
+    // SEQUENTIAL POISSON WEIGHTED SAMPLING (Ohlsson): fixed-size per-class
+    // samples with inclusion probability ∝ n_chars — the survey-statistics
+    // way to length-weight a corpus sample with NO RNG: priority u/w uses
+    // a 48-bit hash (exact in a double, so the one IEEE division is
+    // bit-identical cross-engine) and the rank filter compiles to
+    // WindowGroupLimit — per-task truncation to n rows per class before
+    // the exchange, so the shuffle is O(n·classes) at any corpus size.
+    QueryDef(
+      "t40_weighted_sample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.weightedSampleGrouped(docs, "doc_id", "n_chars",
+          "source", n = 5)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(
+        s"""WITH p AS (
+           |  SELECT source, doc_id, n_chars,
+           |         CAST(${duckHash48("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+           |           / CAST(n_chars AS DOUBLE) AS pri
+           |  FROM documents),
+           |r AS (
+           |  SELECT source, doc_id, n_chars, row_number() OVER (
+           |    PARTITION BY source ORDER BY pri, doc_id) AS rn
+           |  FROM p)
+           |SELECT source, doc_id, n_chars FROM r WHERE rn <= 5
+           |ORDER BY source, doc_id""".stripMargin)),
+
+    // HYPERLOGLOG distinct sketch (Flajolet 2007), exact-arithmetic form:
+    // 64 registers per group — state is 2^p rows NO MATTER the corpus
+    // size, registers merge across shards/days with a plain max (property-
+    // tested) — and the estimate's harmonic denominator is the INTEGER
+    // Σ 2^(55−M_j), so the one double division at the end is IEEE-
+    // identical on both engines and the approximation itself hash-checks.
+    // The exact countDistinct runs alongside only to expose the error the
+    // sketch trades for mergeable O(m) state.
+    QueryDef(
+      "u11_hll_distinct",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val est = Sketches.hllEstimate(
+          Sketches.hllSketch(ev, col("event_type"), col("user_id"), p = 6),
+          p = 6)
+          .select(col("grp").as("event_type"), col("hll_distinct"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        est.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("exact_distinct"), col("hll_distinct"),
+            round(abs(col("hll_distinct") - col("exact_distinct")).cast("double")
+              * lit(100.0) / col("exact_distinct").cast("double"), 2)
+              .as("err_pct"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        s"""WITH h AS (
+           |  SELECT event_type AS grp,
+           |         ${duckHash60("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM events),
+           |reg AS (
+           |  SELECT grp, h % 64 AS bucket,
+           |         MAX(CASE WHEN h // 64 = 0 THEN 55
+           |             ELSE 55 - length(bin(h // 64)) END) AS reg
+           |  FROM h GROUP BY 1, 2),
+           |t AS (
+           |  SELECT grp,
+           |         CAST(SUM(1::BIGINT << (55 - reg)) AS BIGINT)
+           |           + (64 - count(*)) * (1::BIGINT << 55) AS t
+           |  FROM reg GROUP BY 1),
+           |est AS (
+           |  SELECT grp,
+           |         CAST(floor(CAST(0.709 AS DOUBLE) * 64 * 64
+           |           * CAST(1::BIGINT << 55 AS DOUBLE)
+           |           / CAST(t AS DOUBLE)) AS BIGINT) AS hll_distinct
+           |  FROM t),
+           |x AS (
+           |  SELECT event_type AS grp,
+           |         count(DISTINCT user_id) AS exact_distinct
+           |  FROM events GROUP BY 1)
+           |SELECT grp AS event_type, exact_distinct, hll_distinct,
+           |       round(CAST(abs(hll_distinct - exact_distinct) AS DOUBLE)
+           |             * 100.0 / CAST(exact_distinct AS DOUBLE), 2) AS err_pct
+           |FROM est JOIN x USING (grp) ORDER BY event_type""".stripMargin)),
+
+    // HASHED N-GRAM IMPORTANCE WEIGHTING (the DSIR data-selection family):
+    // every document scored by how much its hashed-bigram distribution
+    // resembles a target domain's vs the raw corpus — integer ratio
+    // weights with add-one smoothing instead of DSIR's log-likelihood sums
+    // (logs are libm-dependent; these scores are bit-exact cross-engine).
+    // One gram explode projected to ~16-byte rows feeds both the
+    // 1024-row bucket table (broadcast back) and the per-doc scorer; the
+    // bucket table is corpus-size-independent, which is the entire point
+    // of hashing the grams.
+    QueryDef(
+      "t41_importance_weights",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sc = graft.ops.Importance.importanceScores(docs, "doc_id", "text",
+          isTarget = col("source").isin("src1", "src2", "src3"))
+        val rw = org.apache.spark.sql.expressions.Window
+          .orderBy(col("importance").desc, col("doc"))
+        sc.orderBy(col("importance").desc, col("doc")).limit(30)
+          .withColumn("rank", row_number().over(rw))
+          .select(col("rank"), col("doc"), col("n_grams"), col("importance"))
+          .orderBy(col("rank"))
+      },
+      Some(
+        s"""WITH d AS (
+           |  SELECT doc_id, source IN ('src1', 'src2', 'src3') AS tgt,
+           |         string_split(text, ' ') AS w
+           |  FROM documents),
+           |g0 AS (
+           |  SELECT doc_id AS doc, tgt,
+           |         unnest(list_transform(generate_series(1, len(w) - 1),
+           |                               i -> w[i] || ' ' || w[i+1])) AS g
+           |  FROM d),
+           |g AS (
+           |  SELECT doc, tgt, ${duckHash60("g")} % 1024 AS bucket FROM g0),
+           |stats AS (
+           |  SELECT bucket, CAST(count(*) AS BIGINT) AS raw,
+           |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t
+           |  FROM g GROUP BY 1),
+           |wgt AS (
+           |  SELECT doc, ((s.t + 1) * 1000000) // (s.raw + 1) AS wgt
+           |  FROM g JOIN stats s USING (bucket)),
+           |sc AS (
+           |  SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+           |         CAST(SUM(wgt) AS BIGINT) // CAST(count(*) AS BIGINT)
+           |           AS importance
+           |  FROM wgt GROUP BY 1),
+           |r AS (
+           |  SELECT doc, n_grams, importance, row_number() OVER (
+           |    ORDER BY importance DESC, doc) AS rank
+           |  FROM sc)
+           |SELECT rank, doc, n_grams, importance FROM r
+           |WHERE rank <= 30 ORDER BY rank""".stripMargin))
   )
 }

@@ -976,4 +976,24 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("importance weighting: target domain scores itself highest") {
+    val tgt = col("source").isin("src1", "src2", "src3")
+    val scores = Importance.importanceScores(docs, "doc_id", "text", tgt)
+      .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+    val byDomain = scores
+      .withColumn("is_tgt", col("source").isin("src1", "src2", "src3"))
+      .groupBy(col("is_tgt")).agg(avg(col("importance")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // a domain's own documents must look more like the domain than the
+    // rest of the corpus does — the property DSIR selection relies on
+    assert(byDomain(true) > byDomain(false),
+      s"target mean ${byDomain(true)} vs rest ${byDomain(false)}")
+    // partition-order independence (integer arithmetic end to end)
+    val a = Importance.importanceScores(docs, "doc_id", "text", tgt)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Importance.importanceScores(docs.repartition(17), "doc_id",
+      "text", tgt).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
 }

@@ -97,4 +97,47 @@ class SamplingSpec extends AnyFunSuite {
     val enFrac = kept.getOrElse("en", 0L).toDouble / byLang("en")
     assert(enFrac < 1.0, s"dominant class must thin, kept $enFrac")
   }
+
+  test("weighted sample: fixed size, deterministic, length-biased") {
+    val n = 60
+    val s1 = Sampling.weightedSample(docs, "doc_id", "n_chars", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSample(docs.repartition(13), "doc_id",
+      "n_chars", n).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "membership must be a pure function of (id, weight)")
+    assert(s1.size == n)
+    // inclusion prob ∝ weight: the sample's mean doc length must exceed
+    // the corpus mean by a clear margin on this fixture
+    val all = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusMean = all.values.sum.toDouble / all.size
+    val sampleMean = s1.toSeq.map(all).sum.toDouble / n
+    assert(sampleMean > corpusMean * 1.1,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
+  test("weighted sample grouped: n per class via WindowGroupLimit") {
+    val g = Sampling.weightedSampleGrouped(docs, "doc_id", "n_chars",
+      "source", n = 3)
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side per-group truncation:\n$plan")
+    val counts = g.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ <= 3))
+  }
+
+  test("weighted priority: uniform weights degenerate to hash order") {
+    // with w == 1 everywhere the priority IS the 48-bit hash, so the
+    // weighted sample equals the n smallest hashes — ties to plain
+    // deterministic sampling
+    val n = 20
+    val got = Sampling.weightedSample(
+      docs.withColumn("one", lit(1L)), "doc_id", "one", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = docs.select(col("doc_id"),
+      Sampling.hash48(col("doc_id")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
 }

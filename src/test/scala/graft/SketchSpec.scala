@@ -87,4 +87,41 @@ class SketchSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
+
+  test("HLL sketches merge by register max: shards == whole corpus") {
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllSketch(df, col("event_type"), col("user_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val whole = regs(events)
+    val a = regs(events.where(col("event_id") % 2 === 0))
+    val b = regs(events.where(col("event_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+    assert(merged == whole)
+  }
+
+  test("HLL estimate lands within 30% of exact in the raw regime") {
+    // the raw (correction-free) estimator is only unbiased for
+    // n > 2.5·m — use all event_ids in one group (~1k distinct), not
+    // user_id (150 distinct, the linear-counting regime we deliberately
+    // skip for cross-engine exactness; u11's err_pct column exposes it)
+    val est = Sketches.hllEstimate(
+      Sketches.hllSketch(events, lit("all"), col("event_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy(lit("all").as("grp"))
+      .agg(countDistinct(col("event_id")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, x) =>
+      val e = est(k)
+      assert(math.abs(e - x).toDouble / x < 0.30,
+        s"$k: est=$e exact=$x off by ${math.abs(e - x).toDouble / x}")
+    }
+  }
+
+  test("HLL state is register-bounded: <= 2^p rows per group") {
+    val sk = Sketches.hllSketch(events, col("event_type"), col("user_id"), p = 6)
+    val perGroup = sk.groupBy(col("grp")).count().collect()
+    assert(perGroup.nonEmpty)
+    perGroup.foreach(r => assert(r.getLong(1) <= 64))
+  }
 }
