@@ -49,6 +49,45 @@ object Bpe {
 
   final case class Merge(a: String, b: String, rank: Int)
 
+  /** The t22 merge table FROZEN: `learnMerges(wordHistogram(sf0.01
+    * documents, maxVocab = 2000), 200)` — training exhausts all adjacent
+    * pairs of the 31-word synthetic vocabulary after 106 merges. The
+    * constant exists so t22's DuckDB oracle can be GENERATED from it (the
+    * t34 pattern): the live query still trains from the corpus, and the
+    * sf0.01 hash-match therefore proves the training loop reproduces this
+    * exact table bit-for-bit (BpeSpec asserts the same reproduction
+    * directly). Only valid against the sf0.01 fixture corpus — a different
+    * corpus trains a different table, which is the point of t22. */
+  val CorpusMergesSf001: Seq[Merge] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er</w>"),
+    ("a", "l"), ("al", "l"), ("all", "</w>"), ("m", "all</w>"),
+    ("s", "mall</w>"), ("er", "g"), ("erg", "e</w>"), ("l", "ow</w>"),
+    ("m", "erge</w>"), ("s", "low</w>"), ("c", "t"), ("ct", "or"),
+    ("ctor", "</w>"), ("d", "er</w>"), ("e", "ctor</w>"), ("or", "der</w>"),
+    ("v", "ector</w>"), ("in", "e</w>"), ("l", "ine</w>"), ("a", "b"),
+    ("ab", "l"), ("abl", "e</w>"), ("at", "a</w>"), ("d", "ata</w>"),
+    ("t", "able</w>"), ("p", "</w>"), ("u", "p</w>"), ("a", "g"),
+    ("ag", "g</w>"), ("a", "lu"), ("alu", "e</w>"), ("v", "alue</w>"),
+    ("e", "y</w>"), ("k", "ey</w>"), ("a", "m"), ("am", "</w>"),
+    ("e", "am</w>"), ("r", "eam</w>"), ("st", "ream</w>"), ("d", "ow</w>"),
+    ("in", "dow</w>"), ("w", "indow</w>"), ("k", "</w>"), ("par", "k</w>"),
+    ("s", "park</w>"), ("g", "r"), ("gr", "o"), ("gro", "up</w>"),
+    ("par", "t</w>"), ("b", "i"), ("bi", "g</w>"), ("or", "t</w>"),
+    ("s", "ort</w>"), ("er", "y</w>"), ("q", "u"), ("qu", "ery</w>"),
+    ("a", "st"), ("ast", "</w>"), ("f", "ast</w>"), ("h", "e</w>"),
+    ("t", "he</w>"), ("d", "up</w>")
+  ).zipWithIndex.map { case ((a, b), r) => Merge(a, b, r) }
+
   /** Distributed word histogram, capped to the `maxVocab` most frequent
     * words (deterministic tie-break) — the trainer's working set. */
   def wordHistogram(docs: DataFrame, textCol: String,

@@ -44,6 +44,28 @@ object EtlPack extends QueryPack {
     root
   }
 
+  /** e16's fixture-staging phase: wipe the changelog fixture trio and land
+    * the initial bulk append (commit #1) in the Iceberg source table. The
+    * `_ready` marker is written LAST and consumed (deleted) by e16's fn —
+    * the operator's interleaved commits/drains mutate the table, so a
+    * rerun of fn after the marker is gone re-seeds from scratch instead of
+    * double-applying deletes to an already-mutated table. */
+  private def seedCdcSource(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val table = tmp(dir, "cdc_stream_table")
+    val marker = Paths.get(table + "_ready")
+    if (Files.exists(marker)) return
+    Seq(table, tmp(dir, "cdc_stream_sink"), tmp(dir, "cdc_stream_ckpt"))
+      .foreach(p => TableSink.deleteRecursive(Paths.get(p)))
+    val ev = Tables.eventsTopic(s, dir).select(
+      col("_partition").as("partition"),
+      col("_offset").as("offset"),
+      get_json_object(col("_value"), "$.k").cast("long").as("k"),
+      col("event_type"))
+    IcebergSink.append(s, table, ev)
+    Files.write(marker, Array.emptyByteArray)
+  }
+
   override def entries: Seq[QueryDef] = Seq(
 
     // DEAD-LETTER QUEUE (superset of the reference's drop-and-count,
@@ -88,7 +110,8 @@ object EtlPack extends QueryPack {
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT),
           |       CAST(NULL AS VARCHAR)
           |FROM events_topic WHERE event_type <> 'error'
-          |ORDER BY side""".stripMargin))),
+          |ORDER BY side""".stripMargin)),
+      seed = Some((s, dir) => { seedDlqEstate(s, dir); () })),
 
     // S9/St2/St3: KFS → streaming decode → validated extraction → table
     // sink with checkpointed exactly-once-ish progress
@@ -369,7 +392,8 @@ object EtlPack extends QueryPack {
         """SELECT _partition AS partition, count(*) AS cnt,
           |       max(_offset) AS max_off,
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
-          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin))),
+          |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin)),
+      seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
 
     // Iceberg v2 ROW-LEVEL DELETES (equality-delete files, merge-on-read):
     // the opt-out/takedown shape of a 100 TB corpus — delete every 'click'
@@ -838,15 +862,17 @@ object EtlPack extends QueryPack {
         val table = tmp(dir, "cdc_stream_table")
         val sink = tmp(dir, "cdc_stream_sink")
         val ckpt = tmp(dir, "cdc_stream_ckpt")
-        Seq(table, sink, ckpt).foreach(p =>
-          TableSink.deleteRecursive(Paths.get(p)))
+        // consume the seeded source table (the marker flips exactly once:
+        // a rerun of fn re-seeds so the interleaved commits start from a
+        // virgin table+sink+checkpoint every time)
+        seedCdcSource(s, dir) // no-op when the seed phase already ran
+        Files.delete(Paths.get(table + "_ready"))
         val ckptFile = ckpt + "/snapshot.ckpt"
         val ev = Tables.eventsTopic(s, dir).select(
           col("_partition").as("partition"),
           col("_offset").as("offset"),
           get_json_object(col("_value"), "$.k").cast("long").as("k"),
           col("event_type"))
-        IcebergSink.append(s, table, ev)
         ChangelogStream.drain(s, table, sink, ckptFile) // initial load
         IcebergSink.deleteWhere(s, table,
           col("event_type") === "click", Seq("partition", "offset"))
@@ -881,7 +907,8 @@ object EtlPack extends QueryPack {
           |       CAST(SUM(k) AS BIGINT) AS sum_k,
           |       CAST(SUM(off) AS BIGINT) AS sum_off,
           |       count(event_type) AS n_typed
-          |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin))),
+          |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin)),
+      seed = Some(seedCdcSource)),
 
     // Streaming CURATION: the quality gate runs INSIDE the checkpointed
     // ingest query (Pipeline's `transform` hook) — class filter on the
@@ -964,7 +991,8 @@ object EtlPack extends QueryPack {
            |SELECT d.doc_id AS doc,
            |       NOT EXISTS (SELECT 1 FROM dups WHERE dups.b = d.doc_id) AS accepted
            |FROM documents d
-           |ORDER BY doc""".stripMargin)),
+           |ORDER BY doc""".stripMargin),
+      seed = Some((s, dir) => { KfsSeed.seededDocsRoot(s, dir); () })),
 
     // Incrementally-maintained materialized aggregate: per-partition
     // count + sum of a json field kept current micro-batch by micro-batch

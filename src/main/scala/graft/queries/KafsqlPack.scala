@@ -222,7 +222,8 @@ object KafsqlPack extends QueryPack {
         """SELECT _partition, count(*) AS cnt,
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
           |       max(_offset) AS max_off
-          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin),
+      seed = Some((s, dir) => { graft.kfs.KfsSeed.seededRoot(s, dir); () })),
 
     // SHOW SEGMENTS through the dialect (console-status introspection as a
     // statement — the reference serves the same per-partition segment

@@ -58,6 +58,31 @@ object KfsPack extends QueryPack {
     root
   }
 
+  /** s15's fixture-staging phase: materialize `documents` as log records
+    * (partition = doc_id % 4, dense per-partition offsets via the
+    * row_number window) into a parquet scratch. The window sort is input
+    * PREP, not the write path under test — splitting it out means the
+    * benched number is the DSv2 clustering-shuffle write + segment encode
+    * + read-back, nothing else. Overwrite-idempotent (deterministic
+    * content), so reruns and the driver's seed-then-fn composition are
+    * safe. */
+  private def stageWriteInput(s: SparkSession, dir: String): Unit = {
+    val staged = Fixtures.tmp(dir, "kfs_write_input")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_partition")).orderBy(col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(lit("docs").as("_topic"),
+        (col("doc_id") % 4).cast("int").as("_partition"),
+        col("doc_id"), col("text"), col("lang"))
+      .withColumn("_offset", row_number().over(w).cast("long") - 1)
+      .select(col("_topic"), col("_partition"), col("_offset"),
+        (lit(1706000000000L) + col("doc_id") * 1000).as("_ts_ms"),
+        col("doc_id").cast("string").cast("binary").as("_key"),
+        col("text").cast("binary").as("_value"),
+        map(lit("lang"), col("lang")).as("_headers"))
+      .write.mode("overwrite").parquet(staged)
+  }
+
   /** Seed a COMPRESSED estate (zstd record batches — Kafka v2 attribute
     * bits, the superset the reference's decoder rejects) through the DSv2
     * write path: the events topic re-staged as topic `cz` with the same
@@ -322,7 +347,8 @@ object KfsPack extends QueryPack {
       oracle(
         """SELECT _partition, count(*) AS cnt, min(_offset) AS min_off,
           |       max(_offset) AS max_off
-          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin)),
+          |FROM events_topic GROUP BY _partition ORDER BY _partition""".stripMargin),
+      seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
 
     // Key point-lookup through the Bloom sidecar path: `_key = X` pushes
     // into the DSv2 scan, plan-time discovery probes each candidate
@@ -372,7 +398,8 @@ object KfsPack extends QueryPack {
           |       md5(max_by(_value, _offset)) AS value_md5
           |FROM events_topic
           |GROUP BY _partition, _key
-          |ORDER BY _partition, key_str""".stripMargin)),
+          |ORDER BY _partition, key_str""".stripMargin),
+      seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
 
     // DSv2 WRITE path round trip: stage `documents` as log records
     // (partition = doc_id % 4, dense per-partition offsets), bulk-write
@@ -392,18 +419,10 @@ object KfsPack extends QueryPack {
         val fs = p.getFileSystem(KfsLayout.hadoopConf)
         fs.delete(p, true)
         fs.delete(new org.apache.hadoop.fs.Path(root + "_staging"), true)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_partition")).orderBy(col("doc_id"))
-        Tables.load(s, dir, "documents")
-          .select(lit("docs").as("_topic"),
-            (col("doc_id") % 4).cast("int").as("_partition"),
-            col("doc_id"), col("text"), col("lang"))
-          .withColumn("_offset", row_number().over(w).cast("long") - 1)
-          .select(col("_topic"), col("_partition"), col("_offset"),
-            (lit(1706000000000L) + col("doc_id") * 1000).as("_ts_ms"),
-            col("doc_id").cast("string").cast("binary").as("_key"),
-            col("text").cast("binary").as("_value"),
-            map(lit("lang"), col("lang")).as("_headers"))
+        val staged = Fixtures.tmp(dir, "kfs_write_input")
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged)))
+          stageWriteInput(s, dir) // defensive: seed normally ran first
+        s.read.parquet(staged)
           .write.format("kfs").mode("append").option("path", root)
           .option("max_records_per_segment", "64").save()
         s.read.format("kfs").option("path", root).load()
@@ -427,7 +446,8 @@ object KfsPack extends QueryPack {
           |       CAST(SUM(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS key_bytes,
           |       CAST(1706000000000 + max(doc_id) * 1000 AS BIGINT) AS max_ts,
           |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
-          |FROM documents GROUP BY 1 ORDER BY _partition""".stripMargin)),
+          |FROM documents GROUP BY 1 ORDER BY _partition""".stripMargin),
+      seed = Some((s, dir) => stageWriteInput(s, dir))),
 
     // DSv2 TableCatalog: the same engine surface through PLAIN SQL — the
     // catalog resolves `<cat>.events` to the pruned KFS scan (partition

@@ -151,7 +151,11 @@ object OpsPack extends QueryPack {
     * left-to-right non-overlapping replacement matches the merge
     * semantics), then per-doc token streams hash. Built FROM the constant
     * merge table, so the two sides cannot drift. */
-  private def bpeEncodeOracleSql: String = {
+  /** The rank-ordered replace chain over a separator-wrapped symbol
+    * string for an arbitrary merge table — the SQL-expressible form of
+    * BPE encoding (see t34's equivalence-law comment). Shared by the t34
+    * (24 fixed merges) and t22 (106 corpus-trained merges) oracles. */
+  private def bpeChainSql(merges: Seq[graft.ops.Bpe.Merge]): String = {
     val sep = "\u001f" // unit separator: absent from the documents corpus
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     // NOTE: no stripMargin anywhere near generated SQL — `||` at a line
@@ -160,10 +164,45 @@ object OpsPack extends QueryPack {
       s"list_aggregate(list_transform(string_split_regex(w, ''),\n" +
         s"      x -> ${lit(sep)} || x || ${lit(sep)}), 'string_agg', '') || " +
         lit(sep + graft.ops.Bpe.Eow + sep)
-    val replaced = graft.ops.Bpe.FixedMerges.foldLeft(wrapped) { (acc, m) =>
+    merges.foldLeft(wrapped) { (acc, m) =>
       s"replace($acc,\n      ${lit(sep + m.a + sep + sep + m.b + sep)}, " +
         lit(sep + m.a + m.b + sep) + ")"
     }
+  }
+
+  /** t22's oracle, GENERATED from the frozen sf0.01-trained merge table
+    * ([[graft.ops.Bpe.CorpusMergesSf001]]): per-doc token counts via the
+    * replace chain, then the per-lang aggregate. The live query trains
+    * from the corpus, so the sf0.01 hash-match proves the training loop
+    * reproduces the frozen table — training itself is now hash-proven,
+    * not just ScalaTest-pinned. LEFT JOIN keeps empty-text docs (0
+    * tokens), matching the engine's encode-everything semantics. */
+  private def bpeT22OracleSql: String = {
+    val sep = "\u001f"
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val chain = bpeChainSql(graft.ops.Bpe.CorpusMergesSf001)
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), enc AS (
+       |  SELECT doc_id,
+       |    len(string_split(trim($chain, ${lit(sep)}), ${lit(sep + sep)})) AS n_tok
+       |  FROM words WHERE length(w) > 0
+       |), per_doc AS (
+       |  SELECT doc_id, sum(n_tok) AS n_tokens FROM enc GROUP BY doc_id
+       |)
+       |SELECT d.lang, count(*) AS n_docs,
+       |       CAST(sum(coalesce(p.n_tokens, 0)) AS BIGINT) AS total_bpe_tokens,
+       |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       |       round(CAST(sum(d.n_chars) AS DOUBLE)
+       |             / CAST(sum(coalesce(p.n_tokens, 0)) AS DOUBLE), 3) AS chars_per_token
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  private def bpeEncodeOracleSql: String = {
+    val sep = "\u001f"
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val replaced = bpeChainSql(graft.ops.Bpe.FixedMerges)
     s"""WITH words AS (
        |  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
@@ -1816,11 +1855,14 @@ object OpsPack extends QueryPack {
     // + TakeOrdered vocabulary cap; the classic merge loop then runs on
     // that tiny capped dictionary driver-side, exactly how production BPE
     // trainers work), then encode every document with the broadcast merge
-    // ranks. Per-word merging is inherently imperative — the documented
-    // mapPartitions seam, narrow per-row work, no shuffle — and therefore
-    // NOT SQL-expressible: no oracle, the driver records a rows-only
-    // check; BpeSpec locks the textbook merge order, lossless round-trip,
-    // determinism, and driver≡distributed encoding instead.
+    // ranks. HASH-CHECKED end to end: training is deterministic, so the
+    // oracle is generated from the FROZEN sf0.01-trained table
+    // (Bpe.CorpusMergesSf001) — a hash match means the live training loop
+    // reproduced the frozen table bit-for-bit AND the encode matched the
+    // rank-ordered replace chain (the t34 equivalence law, BpeSpec-fuzzed).
+    // BpeSpec additionally locks textbook merge order, lossless
+    // round-trip, determinism, driver≡distributed encoding, and the
+    // frozen-table reproduction itself.
     QueryDef(
       "t22_bpe_tokens",
       (s, dir) => {
@@ -1838,7 +1880,7 @@ object OpsPack extends QueryPack {
               / sum(col("n_tokens")).cast("double"), 3).as("chars_per_token"))
           .orderBy(col("lang"))
       },
-      None),
+      Some(bpeT22OracleSql)),
 
     // BPE ENCODE with a FIXED merge table, hash-checked per document: the
     // encode stage is SQL-expressible for a bounded merge count because

@@ -95,4 +95,18 @@ class BpeSpec extends AnyFunSuite {
       Bpe.learnMerges(Bpe.FixedSeedHistogram, 24))
     assert(Bpe.FixedMerges.length == 24)
   }
+
+  test("training reproduces the frozen sf0.01 merge table bit-for-bit") {
+    // t22's oracle is GENERATED from Bpe.CorpusMergesSf001; this law is
+    // what licenses that: the live training path (distributed histogram,
+    // capped vocabulary, merge loop) run against the same corpus must
+    // yield the identical table. If the fixture corpus or the trainer
+    // ever changes, this fails before the driver's hash gate does —
+    // regenerate the constant with graft.tools.FreezeBpe.
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val trained = Bpe.learnMerges(
+      Bpe.wordHistogram(docs, "text", maxVocab = 2000), numMerges = 200)
+    assert(trained.size == Bpe.CorpusMergesSf001.size)
+    assert(trained == Bpe.CorpusMergesSf001)
+  }
 }
