@@ -81,6 +81,18 @@ object KMeansQ {
       .withColumn("cluster", argminExpr(col("_sc"), centers.length))
       .drop("_sc")
 
+  /** Assign every row to its nearest center (smallest-id ties) under a
+    * FIXED center table — the narrow post-fit map (centers are plan
+    * literals; no join, no shuffle). Lets a sampled fit label the full
+    * corpus. */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Long]], dims: Int,
+      scale: Long = 1000000L): DataFrame =
+    withAssignment(
+      df.select(col(idCol), quantize(col(vecCol), dims, scale).as("q")),
+      centers, dims)
+      .select(col(idCol), col("cluster"))
+
   /** Fit `iters` rounds and return (assignments, final centers): the
     * assignment frame is (idCol, cluster) under the final centers. */
   def fitPredict(df: DataFrame, idCol: String, vecCol: String,
@@ -115,6 +127,68 @@ object KMeansQ {
       }
       (withAssignment(qdf, centers, dims)
         .select(col(idCol), col("cluster")), centers)
+    } finally qdf.unpersist()
+  }
+
+  /** Fit `m` independent k-means — one per contiguous `subDims` slice of
+    * `vecCol` — in ONE corpus pass per iteration (the PQ-codebook fit,
+    * fused): where the sequential form runs m separate
+    * assignment+aggregate jobs per iteration, this computes every
+    * subspace's assignment in the same projection, stacks the m narrow
+    * (subspace, cluster, sub-vector) tuples per row, and folds them
+    * through one m·k-group hash aggregate with subDims+1 buffers —
+    * map-side partials collapse the stack immediately, so the shuffle is
+    * m·k rows and the codegen stays small (a flat m·k·subDims-buffer
+    * global aggregate was measured 2× SLOWER here: janino compile of the
+    * 500+-buffer update dominated). The stack multiplies only the narrow
+    * subDims-wide payload — the same bytes as the original row, never a
+    * dims× explosion. Centers are bit-identical to m sequential
+    * [[fitPredict]] calls (same data-independent init, same integer
+    * assignment, same truncating-division update; OpsSpec pins the
+    * equivalence), so oracles replaying the sequential fit still
+    * hash-match. */
+  def fitMulti(df: DataFrame, vecCol: String, m: Int, k: Int, iters: Int,
+      dims: Int, scale: Long = 1000000L): Seq[Array[Array[Long]]] = {
+    val subDims = dims / m
+    require(subDims * m == dims, s"dims $dims not divisible by m $m")
+    val qdf = df.select((0 until m).map(i =>
+        quantize(slice(col(vecCol), i * subDims + 1, subDims), subDims, scale)
+          .as(s"q$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centers = Array.fill(m)(initialCenters(k, subDims, scale))
+      (1 to iters).foreach { _ =>
+        // score arrays materialize as columns BEFORE the argmin references
+        // them (the withAssignment trick): inlining scoresExpr into the
+        // argmin's O(k²) comparison sites re-expands the k·subDims
+        // multiply-adds at every site — a janino-compile blowup, measured
+        // 2-4× slower than the whole aggregate
+        val assigned = (0 until m).foldLeft(qdf) { (acc, i) =>
+          acc.withColumn(s"_sc$i", scoresExpr(col(s"q$i"), centers(i)))
+            .withColumn(s"c$i", argminExpr(col(s"_sc$i"), k))
+        }
+        val stacked = assigned.select(explode(array((0 until m).map { i =>
+          struct(lit(i).as("sub"), col(s"c$i").as("cluster"),
+            col(s"q$i").as("qs"))
+        }: _*)).as("t"))
+          .select(col("t.sub"), col("t.cluster"), col("t.qs"))
+        val aggs = (0 until subDims).map(d =>
+          sum(col("qs").getItem(d)).as(s"s$d")) :+ count(lit(1)).as("n")
+        val stats = stacked.groupBy(col("sub"), col("cluster"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val sums = (0 until subDims).map(d => r.getLong(d + 2)).toArray
+            (r.getInt(0), r.getInt(1)) -> ((sums, r.getLong(subDims + 2)))
+          }
+          .toMap
+        for (i <- 0 until m; p <- 0 until k) stats.get((i, p)).foreach {
+          case (s, n) => // empty clusters keep their center (no stats row)
+            for (d <- 0 until subDims)
+              centers(i)(p)(d) = s(d) / n // truncating (== SQL integer div)
+        }
+      }
+      centers.toSeq
     } finally qdf.unpersist()
   }
 }

@@ -186,15 +186,17 @@ object Similarity {
     * Returns the per-subspace center tables. */
   def pqFit(corpus: DataFrame, m: Int, codebookK: Int, iters: Int,
       dims: Int, vecCol: String = "embedding", idCol: String = "vec_id",
-      scale: Long = 1000000L): Seq[Array[Array[Long]]] = {
-    val subDims = dims / m
-    require(subDims * m == dims, s"dims $dims not divisible by m $m")
-    (0 until m).map { i =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), i * subDims + 1, subDims).as("_sub"))
-      KMeansQ.fitPredict(sub, idCol, "_sub",
-        codebookK, iters, subDims, scale)._2
-    }
+      scale: Long = 1000000L, fitSampleRate: Double = 1.0)
+      : Seq[Array[Array[Long]]] = {
+    // fit on a deterministic md5 sample: codebook quality needs a
+    // representative subset, not the corpus — at 100 TB the fit input is
+    // rate-bounded while encode/search still cover every vector. The
+    // sample is engine-recomputable (md5 threshold), so oracles replay
+    // the sampled fit exactly.
+    val fitInput =
+      if (fitSampleRate >= 1.0) corpus
+      else Sampling.deterministicSample(corpus, idCol, fitSampleRate)
+    KMeansQ.fitMulti(fitInput, vecCol, m, codebookK, iters, dims, scale)
   }
 
   /** Encode each vector as `m` codebook indices (one per subspace) —
@@ -228,9 +230,10 @@ object Similarity {
     * approximately right. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 4, codebookK: Int = 8, iters: Int = 1, dims: Int = 64,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, fitSampleRate: Double = 1.0): DataFrame = {
     val subDims = dims / m
-    val codebooks = pqFit(corpus, m, codebookK, iters, dims, scale = scale)
+    val codebooks = pqFit(corpus, m, codebookK, iters, dims, scale = scale,
+      fitSampleRate = fitSampleRate)
     val codes = pqEncode(corpus, codebooks, dims, scale = scale)
       .withColumnRenamed("vec_id", "v")
     // query-side distance tables: exact |q_sub - c|^2 per center — the
@@ -268,9 +271,18 @@ object Similarity {
     * touches ~nProbe/kCells of the corpus. */
   def ivfqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kCells: Int = 4, iters: Int = 2, nProbe: Int = 2, dims: Int = 64,
-      scale: Long = 1000000L): DataFrame = {
-    val (assigned, centers) = KMeansQ.fitPredict(
-      corpus, "vec_id", "embedding", kCells, iters, dims, scale)
+      scale: Long = 1000000L, fitSampleRate: Double = 1.0): DataFrame = {
+    // coarse centroids fit on a deterministic md5 sample (rate-bounded
+    // fit cost; see pqFit); EVERY corpus vector is then cell-assigned
+    // with the fitted centers as plan literals — one narrow map, so the
+    // cells partition the full corpus regardless of the fit sample.
+    val fitInput =
+      if (fitSampleRate >= 1.0) corpus
+      else Sampling.deterministicSample(corpus, "vec_id", fitSampleRate)
+    val centers = KMeansQ.fitMulti(
+      fitInput, "embedding", m = 1, kCells, iters, dims, scale).head
+    val assigned = KMeansQ.assign(
+      corpus, "vec_id", "embedding", centers, dims, scale)
     val cells = corpus.select(col("vec_id"), col("embedding")).join(assigned, "vec_id")
     val qq = queries.select(col("vec_id").as("q"), col("embedding").as("qe"))
       .withColumn("_qq", KMeansQ.quantize(col("qe"), dims, scale))

@@ -43,12 +43,28 @@ object OpsPack extends QueryPack {
     * ties), update (truncating integer-division means, empty clusters
     * keep their center) — unrolled as CTEs. Everything is integer
     * arithmetic, so the replay is bit-exact, not approximately equal. */
-  private def duckKmeansCtes(k: Int, iters: Int, scale: Long): String = {
+  /** DuckDB twin of Sampling.deterministicSample's predicate on vec_id
+    * (md5-prefix threshold) — the fit-sample filter shared by the engine
+    * and the fit-replay oracles, derived from the same thresholdHex so
+    * the two sides cannot drift. */
+  private def duckSampleWhere(rate: Double): String =
+    s"substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < " +
+      s"'${graft.ops.Sampling.thresholdHex(rate)}'"
+
+  private def duckKmeansCtes(k: Int, iters: Int, scale: Long,
+      fitWhere: String = ""): String = {
     val half = scale / 32 // KMeansQ.initialCenters' spread divisor
+    // sampled fit (s28 at fitSampleRate < 1): the iteration chain reads
+    // qfit, the FINAL assignment still reads the full q — every vector is
+    // cell-assigned, only the fit input is rate-bounded
+    val fitSrc = if (fitWhere.isEmpty) "q" else "qfit"
+    val fitCte =
+      if (fitWhere.isEmpty) ""
+      else s"qfit AS (SELECT * FROM q WHERE $fitWhere),\n"
     def distCte(i: Int, cPrev: String) =
       s"""d$i AS (
          |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
-         |  FROM q JOIN $cPrev c ON q.dim = c.dim GROUP BY 1, 2),
+         |  FROM $fitSrc q JOIN $cPrev c ON q.dim = c.dim GROUP BY 1, 2),
          |a$i AS (
          |  SELECT vec_id, cl AS cluster FROM (
          |    SELECT vec_id, cl,
@@ -57,7 +73,7 @@ object OpsPack extends QueryPack {
     def updateCte(i: Int, cPrev: String) =
       s"""m$i AS (
          |  SELECT a.cluster, q.dim, CAST(SUM(q.qv) AS BIGINT) AS s, COUNT(*) AS n
-         |  FROM q JOIN a$i a USING (vec_id) GROUP BY 1, 2),
+         |  FROM $fitSrc q JOIN a$i a USING (vec_id) GROUP BY 1, 2),
          |c$i AS (
          |  SELECT c.cl, c.dim, COALESCE(m.s // m.n, c.c) AS c
          |  FROM $cPrev c LEFT JOIN m$i m ON m.cluster = c.cl AND m.dim = c.dim)""".stripMargin
@@ -70,7 +86,7 @@ object OpsPack extends QueryPack {
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * $scale) AS BIGINT) AS qv
        |  FROM embeddings),
-       |c0 AS (
+       |${fitCte}c0 AS (
        |  SELECT p.cl, d.dim,
        |         CAST((2 * CAST('0x' || substr(md5('c|' || p.cl || '|' || d.dim), 1, 1) AS INTEGER) - 15) * $half AS BIGINT) AS c
        |  FROM range(0, $k) p(cl), range(1, 65) d(dim)),
@@ -92,12 +108,19 @@ object OpsPack extends QueryPack {
     * KMeansQ fit on a contiguous slice). Ends with `af$sfx(vec_id,
     * cluster)`; the per-iteration centers are `c<i>$sfx`. */
   private def duckSubKmeansCtes(k: Int, iters: Int, scale: Long,
-      subDims: Int, offset: Int, sfx: String): String = {
+      subDims: Int, offset: Int, sfx: String,
+      fitWhere: String = ""): String = {
     val half = scale / 32
+    // sampled fit (s27 at fitSampleRate < 1): iteration chain over
+    // qfit$sfx, final per-vector codes still over the full q$sfx
+    val fitSrc = if (fitWhere.isEmpty) s"q$sfx" else s"qfit$sfx"
+    val fitCte =
+      if (fitWhere.isEmpty) ""
+      else s"qfit$sfx AS (SELECT * FROM q$sfx WHERE $fitWhere),\n"
     def distCte(i: Int, cPrev: String) =
       s"""d$i$sfx AS (
          |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
-         |  FROM q$sfx q JOIN $cPrev c ON q.dim = c.dim GROUP BY 1, 2),
+         |  FROM $fitSrc q JOIN $cPrev c ON q.dim = c.dim GROUP BY 1, 2),
          |a$i$sfx AS (
          |  SELECT vec_id, cl AS cluster FROM (
          |    SELECT vec_id, cl,
@@ -106,7 +129,7 @@ object OpsPack extends QueryPack {
     def updateCte(i: Int, cPrev: String) =
       s"""m$i$sfx AS (
          |  SELECT a.cluster, q.dim, CAST(SUM(q.qv) AS BIGINT) AS s, COUNT(*) AS n
-         |  FROM q$sfx q JOIN a$i$sfx a USING (vec_id) GROUP BY 1, 2),
+         |  FROM $fitSrc q JOIN a$i$sfx a USING (vec_id) GROUP BY 1, 2),
          |c$i$sfx AS (
          |  SELECT c.cl, c.dim, COALESCE(m.s // m.n, c.c) AS c
          |  FROM $cPrev c LEFT JOIN m$i$sfx m ON m.cluster = c.cl AND m.dim = c.dim)""".stripMargin
@@ -117,7 +140,7 @@ object OpsPack extends QueryPack {
        |  SELECT e.vec_id, r.dim,
        |         CAST(round(CAST(e.embedding[r.dim + $offset] AS DOUBLE) * $scale) AS BIGINT) AS qv
        |  FROM embeddings e, range(1, ${subDims + 1}) r(dim)),
-       |c0$sfx AS (
+       |${fitCte}c0$sfx AS (
        |  SELECT p.cl, d.dim,
        |         CAST((2 * CAST('0x' || substr(md5('c|' || p.cl || '|' || d.dim), 1, 1) AS INTEGER) - 15) * $half AS BIGINT) AS c
        |  FROM range(0, $k) p(cl), range(1, ${subDims + 1}) d(dim)),
@@ -317,13 +340,15 @@ object OpsPack extends QueryPack {
       "s27_pq_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10)
+        Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10,
+            fitSampleRate = 0.5)
           .orderBy(col("q"), col("rank"))
       },
       Some {
         val fits = (0 until 4).map(i =>
           duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
-            subDims = 16, offset = i * 16, sfx = s"_$i")).mkString(",\n")
+            subDims = 16, offset = i * 16, sfx = s"_$i",
+            fitWhere = duckSampleWhere(0.5))).mkString(",\n")
         val qds = (0 until 4).map(i =>
           s"""qd$i AS (
              |  SELECT q.vec_id, c.cl, CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS d
@@ -364,11 +389,13 @@ object OpsPack extends QueryPack {
       "s28_ivfq_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        Similarity.ivfqTopK(e, e.where(col("vec_id") < 5), k = 10)
+        Similarity.ivfqTopK(e, e.where(col("vec_id") < 5), k = 10,
+            fitSampleRate = 0.5)
           .orderBy(col("q"), col("rank"))
       },
       Some(
-        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L)},
+        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L,
+               fitWhere = duckSampleWhere(0.5))},
            |qs AS (
            |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS d
            |  FROM q q JOIN c2 c ON q.dim = c.dim

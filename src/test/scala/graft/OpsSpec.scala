@@ -945,6 +945,52 @@ class OpsSpec extends AnyFunSuite {
     assert(cs.zipWithIndex.exists { case (c, i) => c.toSeq == init(i).toSeq })
   }
 
+  test("fused multi-subspace fit equals m sequential fits bit-for-bit") {
+    import graft.ops.KMeansQ
+    // fitMulti is the one-pass-per-iteration form of pqFit's m sequential
+    // KMeansQ fits; the s27 oracle replays the SEQUENTIAL recurrence, so
+    // the fusion must be math-identical, not just close
+    val subDims = 16
+    val fused = KMeansQ.fitMulti(emb, "embedding", m = 4, k = 8,
+      iters = 2, dims = 64)
+    val sequential = (0 until 4).map { i =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), i * subDims + 1, subDims).as("_sub"))
+      KMeansQ.fitPredict(sub, "vec_id", "_sub", k = 8, iters = 2,
+        dims = subDims)._2
+    }
+    assert(fused.map(_.map(_.toSeq).toSeq) ==
+      sequential.map(_.map(_.toSeq).toSeq))
+    // m = 1 degenerates to a plain fit (the s28 coarse-quantizer path)
+    val one = KMeansQ.fitMulti(emb, "embedding", m = 1, k = 4,
+      iters = 2, dims = 64).head
+    val plain = KMeansQ.fitPredict(emb, "vec_id", "embedding",
+      k = 4, iters = 2, dims = 64)._2
+    assert(one.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+    // and assign() under the fitted centers equals fitPredict's labels
+    val viaAssign = KMeansQ.assign(emb, "vec_id", "embedding", plain, 64)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaFit = KMeansQ.fitPredict(emb, "vec_id", "embedding",
+      k = 4, iters = 2, dims = 64)._1
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaAssign == viaFit)
+  }
+
+  test("sample-fit IVF keeps high recall vs brute force on the fixture") {
+    // the 100 TB shape: codebooks fit on a deterministic md5 sample
+    // (rate-bounded input), every vector still cell-assigned + searched.
+    // Recall can differ from the full fit — the oracle replays the
+    // sampled fit exactly, and this law bounds the quality cost.
+    val queries = emb.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = Similarity.ivfqTopK(emb, queries, k = 5,
+        fitSampleRate = 0.5)
+      .select("q", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = sampled.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"sampled-fit IVF recall too low: $recall")
+  }
+
   test("integer pagerank matches a driver-side reference on a known graph") {
     import spark.implicits._
     // star-plus-cycle: 1->2 1->3 2->3 3->1 4->1 (4 is a source-only node)
