@@ -244,10 +244,18 @@ object IcebergSink {
       /** Named refs (spec: snapshot references): name → (snapshot id,
         * "tag" | "branch"). Ref'd snapshots are pinned against
         * [[expireSnapshots]]. */
-      refs: Map[String, (Long, String)] = Map.empty) {
+      refs: Map[String, (Long, String)] = Map.empty,
+      /** Every partition spec ever declared, by spec-id (spec: partition
+        * evolution — old data files keep the spec they were written
+        * under; `specFields` is the DEFAULT spec's fields). Empty map =
+        * single-spec table (spec 0). */
+      specsById: Map[Int, Seq[PartitionField]] = Map.empty,
+      defaultSpecId: Int = 0) {
     def currentSchema: StructType = sparkSchemaOf(fields)
     def schemaFor(schemaId: Int): StructType =
       sparkSchemaOf(schemasById.getOrElse(schemaId, fields))
+    def allSpecs: Map[Int, Seq[PartitionField]] =
+      if (specsById.isEmpty) Map(0 -> specFields) else specsById
   }
 
   private def sparkSchemaOf(fields: Seq[Field]): StructType =
@@ -316,18 +324,20 @@ object IcebergSink {
       .map(e => (e.path("timestamp-ms").asLong(), e.path("metadata-file").asText()))
       .toSeq
     val defaultSpecId = n.path("default-spec-id").asInt()
-    val specFields = n.path("partition-specs").elements().asScala
-      .find(_.path("spec-id").asInt() == defaultSpecId)
-      .map(_.path("fields").elements().asScala.map { pf =>
-        val transform = pf.path("transform").asText()
-        require(transform == "identity" ||
-          transform.matches("bucket\\[\\d+\\]") ||
-          transform.matches("truncate\\[\\d+\\]") ||
-          Set("year", "month", "day", "hour")(transform),
-          s"unsupported partition transform $transform")
-        PartitionField(pf.path("field-id").asInt(),
-          pf.path("source-id").asInt(), pf.path("name").asText(), transform)
-      }.toSeq).getOrElse(Nil)
+    val specsById = n.path("partition-specs").elements().asScala.map { sp =>
+      sp.path("spec-id").asInt() ->
+        sp.path("fields").elements().asScala.map { pf =>
+          val transform = pf.path("transform").asText()
+          require(transform == "identity" ||
+            transform.matches("bucket\\[\\d+\\]") ||
+            transform.matches("truncate\\[\\d+\\]") ||
+            Set("year", "month", "day", "hour")(transform),
+            s"unsupported partition transform $transform")
+          PartitionField(pf.path("field-id").asInt(),
+            pf.path("source-id").asInt(), pf.path("name").asText(), transform)
+        }.toSeq
+    }.toMap
+    val specFields = specsById.getOrElse(defaultSpecId, Nil)
     val refs = Option(n.get("refs")).map { r =>
       r.properties().asScala.map { e =>
         e.getKey -> (e.getValue.path("snapshot-id").asLong(),
@@ -341,7 +351,7 @@ object IcebergSink {
         n.path("current-snapshot-id").asLong() != -1)
         Some(n.path("current-snapshot-id").asLong())
       else None,
-      metaLog, schemasById, specFields, refs)
+      metaLog, schemasById, specFields, refs, specsById, defaultSpecId)
   }
 
   // ---- schema evolution (spec: field ids stable, legal promotions) --------
@@ -546,16 +556,18 @@ object IcebergSink {
     schemas.foreach { case (id, fields) => schemasArr.add(schemaJson(id, fields)) }
     n.put("current-schema-id", m.currentSchemaId)
     val specs = n.putArray("partition-specs")
-    val spec0 = specs.addObject().put("spec-id", 0)
-    val specArr = spec0.putArray("fields")
-    m.specFields.foreach { pf =>
-      specArr.addObject().put("name", pf.name).put("transform", pf.transform)
-        .put("source-id", pf.sourceId).put("field-id", pf.fieldId)
+    m.allSpecs.toSeq.sortBy(_._1).foreach { case (id, pfs) =>
+      val sp = specs.addObject().put("spec-id", id)
+      val specArr = sp.putArray("fields")
+      pfs.foreach { pf =>
+        specArr.addObject().put("name", pf.name).put("transform", pf.transform)
+          .put("source-id", pf.sourceId).put("field-id", pf.fieldId)
+      }
     }
-    n.put("default-spec-id", 0)
+    n.put("default-spec-id", m.defaultSpecId)
     // spec: partition field ids start at 1000
     n.put("last-partition-id",
-      (999 +: m.specFields.map(_.fieldId)).max)
+      (999 +: m.allSpecs.values.flatten.map(_.fieldId).toSeq).max)
     val orders = n.putArray("sort-orders")
     orders.addObject().put("order-id", 0).putArray("fields")
     n.put("default-sort-order-id", 0)
@@ -663,9 +675,10 @@ object IcebergSink {
           .map { case (src, t, _) => declOf(
             PartitionField(0, 0, "", t), src) }
         require(partitionBy.isEmpty || canonical == existing,
-          s"table is partitioned by ${existing.mkString(",")}; " +
+          s"table's default spec partitions by ${existing.mkString(",")}; " +
             s"cannot append with partitionBy=${partitionBy.mkString(",")} " +
-            "(partition specs are fixed at creation)")
+            "(evolve the spec with addPartitionField, then append without " +
+            "restating it)")
         existing
       case None => partitionBy
     }
@@ -782,8 +795,7 @@ object IcebergSink {
     val snap = m.currentSnapshotId
       .flatMap(id => m.snapshots.find(_.snapshotId == id)).getOrElse(return)
     val snapFields = m.schemasById.getOrElse(snap.schemaId, m.fields)
-    val spec = m.specFields.map(pf =>
-      (pf, snapFields.find(_.id == pf.sourceId).get))
+    val spec = specsWithFields(m, snapFields)
     val dataFiles = planFiles(spark, snap.manifestList, spec)
       .filter(_.content == 0)
     if (dataFiles.isEmpty) return
@@ -1140,6 +1152,36 @@ object IcebergSink {
     * snapshot's manifests forward), compact (replaces them) and delete
     * (appends an equality-delete manifest: `equalityIds` non-empty flips
     * the committed files to content=2 / list-entry content=1). */
+  /** Build + validate one partition field from a `partitionBy` decl
+    * against the table schema (shared by table creation and
+    * [[addPartitionField]]). */
+  private def specFieldOf(decl: String, fieldId: Int,
+      fields: Seq[Field]): PartitionField = {
+    val (srcName, transform, fieldName) = parsePartitionDecl(decl)
+    val src = fields.find(_.name == srcName).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column $srcName not in schema"))
+    val pf = PartitionField(fieldId, src.id, fieldName, transform)
+    // validates source/value types for the transform
+    partitionAvroType(partitionValueType(pf, src.typ))
+    pf.temporal match {
+      case Some("hour") => require(
+        src.typ == "timestamp" || src.typ == "timestamptz",
+        s"hour source must be a timestamp, got ${src.typ}")
+      case Some(u) => require(src.typ == "timestamp" ||
+        src.typ == "timestamptz" || src.typ == "date",
+        s"$u source must be a timestamp or date, got ${src.typ}")
+      case None if !pf.isIdentity =>
+        partitionValueType(pf, src.typ) match {
+          case "int" | "long" | "string" =>
+          case other => throw new IllegalArgumentException(
+            s"$transform source must be int/long/string, got $other")
+        }
+      case None =>
+    }
+    pf
+  }
+
   private def commitSnapshot(spark: SparkSession, table: String,
       incomingSchema: StructType,
       fileRecords: Seq[DataFileInfo],
@@ -1177,30 +1219,9 @@ object IcebergSink {
       val specFields =
         if (base.version > 0 || createSpecOn.isEmpty) base.specFields
         else createSpecOn.zipWithIndex.map { case (decl, i) =>
-          val (srcName, transform, fieldName) = parsePartitionDecl(decl)
-          val src = fields.find(_.name == srcName).getOrElse(
-            throw new IllegalArgumentException(
-              s"partition column $srcName not in schema"))
-          val pf = PartitionField(1000 + i, src.id, fieldName, transform)
-          // validates source/value types for the transform
-          partitionAvroType(partitionValueType(pf, src.typ))
-          pf.temporal match {
-            case Some("hour") => require(
-              src.typ == "timestamp" || src.typ == "timestamptz",
-              s"hour source must be a timestamp, got ${src.typ}")
-            case Some(u) => require(src.typ == "timestamp" ||
-              src.typ == "timestamptz" || src.typ == "date",
-              s"$u source must be a timestamp or date, got ${src.typ}")
-            case None if !pf.isIdentity =>
-              partitionValueType(pf, src.typ) match {
-                case "int" | "long" | "string" =>
-                case other => throw new IllegalArgumentException(
-                  s"$transform source must be int/long/string, got $other")
-              }
-            case None =>
-          }
-          pf
+          specFieldOf(decl, 1000 + i, fields)
         }
+      val specId = if (base.version == 0) 0 else base.defaultSpecId
       val fieldTypById = fields.map(fl => fl.id -> fl.typ).toMap
       val specWithTypes = specFields.map(pf => (pf, fieldTypById(pf.sourceId)))
       val entrySchema = manifestEntrySchema(specWithTypes)
@@ -1269,7 +1290,7 @@ object IcebergSink {
         Map(
           "schema" -> schemaJson(schemaId, fields).toString,
           "partition-spec" -> specJsonStr,
-          "partition-spec-id" -> "0",
+          "partition-spec-id" -> specId.toString,
           "format-version" -> "2",
           "content" -> (if (isDelete) "deletes" else "data")),
         entries)
@@ -1286,7 +1307,7 @@ object IcebergSink {
       val newEntry = new GenericData.Record(manifestListSchema)
       newEntry.put("manifest_path", manifestPath.toString)
       newEntry.put("manifest_length", manifestLen)
-      newEntry.put("partition_spec_id", 0)
+      newEntry.put("partition_spec_id", specId)
       newEntry.put("content", if (isDelete) 1 else 0) // spec: 1 = deletes
       newEntry.put("sequence_number", seqNum)
       newEntry.put("min_sequence_number", seqNum)
@@ -1321,7 +1342,10 @@ object IcebergSink {
         lastColId, schemaId, fields, base.snapshots :+ snap, Some(snapshotId),
         base.metadataLog ++ (if (base.version > 0)
           Seq((nowMs, versionFile(table, base.version).toString)) else Nil),
-        specFields = specFields, refs = base.refs)
+        specFields = specFields, refs = base.refs,
+        specsById =
+          if (base.version == 0) Map(0 -> specFields) else base.specsById,
+        defaultSpecId = specId)
       val allSchemas =
         (prevSchemas.filterNot(_._1 == schemaId) :+ (schemaId -> fields))
           .sortBy(_._1)
@@ -1348,6 +1372,41 @@ object IcebergSink {
       }
     }
   }
+
+  /** PARTITION-SPEC EVOLUTION (spec: `ADD PARTITION FIELD`): commit a
+    * new DEFAULT spec — the current default's fields plus `decl` (the
+    * `partitionBy` mini-syntax: `col`, `bucket(N, col)`,
+    * `truncate(W, col)`, `year/month/day/hour(col)`). Metadata-only: no
+    * snapshot, no data IO. Existing data files keep the spec they were
+    * written under (their manifests carry its spec-id) and future appends
+    * write under the new spec; scans plan each manifest with its OWN spec
+    * (multi-spec planning), so pruning on the new field applies to
+    * new-spec files while old-spec files are soundly kept. Re-declaring a
+    * spec identical to one already in the table reuses its id (made
+    * default again) instead of minting a duplicate — Iceberg's
+    * spec-dedup behavior. */
+  def addPartitionField(spark: SparkSession, table: String, decl: String,
+      maxRetries: Int = 5): Unit =
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      val lastPartitionId =
+        (999 +: m.allSpecs.values.flatten.map(_.fieldId).toSeq).max
+      val pf = specFieldOf(decl, lastPartitionId + 1, m.fields)
+      require(!m.specFields.exists(e =>
+        e.sourceId == pf.sourceId && e.transform == pf.transform),
+        s"default spec already partitions by $decl")
+      val newSpec = m.specFields :+ pf
+      def sig(s: Seq[PartitionField]) =
+        s.map(x => (x.sourceId, x.transform, x.name))
+      val (specId, specs) =
+        m.allSpecs.find { case (_, s) => sig(s) == sig(newSpec) } match {
+          case Some((id, _)) => (id, m.allSpecs)
+          case None =>
+            val id = m.allSpecs.keys.max + 1
+            (id, m.allSpecs + (id -> newSpec))
+        }
+      Some(m.copy(specFields = specs(specId), specsById = specs,
+        defaultSpecId = specId))
+    }
 
   /** Metadata-only optimistic commit: apply `mutate` to the current
     * metadata and claim the next version slot (no new snapshot). */
@@ -1577,7 +1636,10 @@ object IcebergSink {
       content: Int, eqIds: Seq[Int],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       partitionValues: Seq[(Int, Any)] = Nil,
-      sizeBytes: Long = 0L, records: Long = 0L)
+      sizeBytes: Long = 0L, records: Long = 0L,
+      /** The spec this file's manifest was written under (partition-spec
+        * evolution: files keep their spec for life). */
+      specId: Int = 0)
 
   private def boundsMap(v: AnyRef): Map[Int, Array[Byte]] = v match {
     case l: java.util.List[_] =>
@@ -1621,10 +1683,27 @@ object IcebergSink {
       }
     }
 
+  /** Resolve specs → (PartitionField, source Field) pairs for a snapshot's
+    * schema — the per-spec planning input (multi-spec after
+    * [[addPartitionField]]; a missing spec-id plans as unpartitioned). */
+  private def specsWithFields(m: TableMeta, snapFields: Seq[Field])
+      : Map[Int, Seq[(PartitionField, Field)]] =
+    m.allSpecs.view.mapValues(_.map(pf =>
+      (pf, snapFields.find(_.id == pf.sourceId).getOrElse(
+        throw new IllegalStateException(
+          s"partition source field ${pf.sourceId} missing"))))).toMap
+
   private def planFiles(spark: SparkSession, manifestList: String,
-      spec: Seq[(PartitionField, Field)] = Nil): Seq[PlannedFile] =
+      specs: Map[Int, Seq[(PartitionField, Field)]] = Map.empty)
+      : Seq[PlannedFile] =
     readAvro(spark, manifestList)._2.flatMap { lm =>
       val listSeq = lm.get("sequence_number").asInstanceOf[Long]
+      // spec evolution: each manifest's files decode under the spec the
+      // manifest was written with, not the table's current default
+      val manSpecId = lm.get("partition_spec_id") match {
+        case i: Integer => i.intValue(); case _ => 0
+      }
+      val spec = specs.getOrElse(manSpecId, Nil)
       readAvro(spark, lm.get("manifest_path").toString)._2
         .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
         .map { e =>
@@ -1703,7 +1782,8 @@ object IcebergSink {
             },
             optField(d, "record_count") match {
               case l: java.lang.Long => l.longValue(); case _ => 0L
-            })
+            },
+            manSpecId)
         }
     }
 
@@ -1762,10 +1842,7 @@ object IcebergSink {
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
           case Some(snap) =>
             val snapFields = m.schemasById.getOrElse(snap.schemaId, m.fields)
-            val spec = m.specFields.map(pf =>
-              (pf, snapFields.find(_.id == pf.sourceId).getOrElse(
-                throw new IllegalStateException(
-                  s"partition source field ${pf.sourceId} missing"))))
+            val spec = specsWithFields(m, snapFields)
             val planned = planFiles(spark, snap.manifestList, spec)
             val dataFiles = planned.filter(_.content == 0)
               .filter(pf => ranges.forall(r =>
@@ -1857,17 +1934,17 @@ object IcebergSink {
     * from the parquet `_metadata` hidden columns (captured at the source
     * read, before any projection). */
   private def readPlannedData(spark: SparkSession, schema: StructType,
-      spec: Seq[(PartitionField, Field)], files: Seq[PlannedFile],
+      specs: Map[Int, Seq[(PartitionField, Field)]], files: Seq[PlannedFile],
       withCoords: Boolean = false, fileCol: String = "__graft_data_file",
       posCol: String = "__graft_data_pos"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     // only IDENTITY transforms strip their source column from the files
     // (their manifest tuple IS the value); bucket/truncate files keep the
-    // source column — the derived staging column is what partitionBy ate
-    val identity = spec.filter(_._1.isIdentity)
-    val partNames = identity.map(_._2.name).toSet
-    val fldByFieldId = identity.map { case (pf, fld) => pf.fieldId -> fld }.toMap
-    def assemble(df0: DataFrame, pv: Seq[(Int, Any)]): DataFrame = {
+    // source column — the derived staging column is what partitionBy ate.
+    // Which columns were stripped depends on each file's OWN spec
+    // (partition evolution), so files group by (spec-id, tuple).
+    def assemble(df0: DataFrame, pv: Seq[(Int, Any)],
+        fldByFieldId: Map[Int, Field]): DataFrame = {
       val withC =
         if (!withCoords) df0
         else df0.withColumn(fileCol, col("_metadata.file_path"))
@@ -1883,17 +1960,19 @@ object IcebergSink {
         (if (withCoords) Seq(fileCol, posCol) else Nil)
       withP.select(cols.map(col): _*)
     }
-    if (identity.isEmpty)
-      assemble(spark.read.schema(schema).parquet(files.map(_.path): _*), Nil)
-    else {
-      val fileSchema = StructType(schema.fields.filterNot(f => partNames(f.name)))
-      files.groupBy(_.partitionValues).toSeq
-        .sortBy(_._1.map { case (i, v) => s"$i=$v" }.mkString(","))
-        .map { case (pv, fsOfPart) =>
-          assemble(spark.read.schema(fileSchema)
-            .parquet(fsOfPart.map(_.path): _*), pv)
-        }.reduce(_ unionByName _)
-    }
+    files.groupBy(f => (f.specId, f.partitionValues)).toSeq
+      .sortBy { case ((sid, pv), _) =>
+        s"$sid|" + pv.map { case (i, v) => s"$i=$v" }.mkString(",") }
+      .map { case ((sid, pv), fsOfPart) =>
+        val identity = specs.getOrElse(sid, Nil).filter(_._1.isIdentity)
+        val partNames = identity.map(_._2.name).toSet
+        val fldByFieldId =
+          identity.map { case (pf, fld) => pf.fieldId -> fld }.toMap
+        val fileSchema =
+          StructType(schema.fields.filterNot(f => partNames(f.name)))
+        assemble(spark.read.schema(fileSchema)
+          .parquet(fsOfPart.map(_.path): _*), pv, fldByFieldId)
+      }.reduce(_ unionByName _)
   }
 
   /** Bucket-transform pruning: a POINT range (lower == upper) on a
@@ -1902,7 +1981,8 @@ object IcebergSink {
     * (ranges cannot prune buckets: bucket numbers carry no order).
     * Missing/null tuple values or non-point ranges admit (sound). */
   private def bucketAdmits(pfile: PlannedFile, range: ColumnRange,
-      spec: Seq[(PartitionField, Field)]): Boolean = {
+      specs: Map[Int, Seq[(PartitionField, Field)]]): Boolean = {
+    val spec = specs.getOrElse(pfile.specId, Nil)
     val point = (range.lower, range.upper) match {
       case (Some(a), Some(b)) if a == b => Some(a)
       case _ => None
@@ -1999,8 +2079,7 @@ object IcebergSink {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val snapFields = m.schemasById.getOrElse(to.schemaId, m.fields)
-    val spec = m.specFields.map(pf =>
-      (pf, snapFields.find(_.id == pf.sourceId).get))
+    val spec = specsWithFields(m, snapFields)
     // Each append snapshot's OWN manifest list, filtered to the one
     // manifest it added (added_snapshot_id = it). Reading a later
     // snapshot's list instead would be wrong: a replace (compaction) in
@@ -2009,17 +2088,29 @@ object IcebergSink {
     val files = appends.flatMap { sn =>
       readAvro(spark, sn.manifestList)._2
         .filter(_.get("added_snapshot_id").asInstanceOf[Long] == sn.snapshotId)
-        .flatMap(lm => readAvro(spark, lm.get("manifest_path").toString)._2)
-        .filter { e =>
+        .flatMap { lm =>
+          val sid = lm.get("partition_spec_id") match {
+            case i: Integer => i.intValue(); case _ => 0
+          }
+          readAvro(spark, lm.get("manifest_path").toString)._2
+            .map(e => (sid, e))
+        }
+        .filter { case (_, e) =>
           e.get("status").asInstanceOf[Int] == 1 &&
             e.get("snapshot_id").asInstanceOf[Long] == sn.snapshotId
         }
-        .map(_.get("data_file").asInstanceOf[GenericRecord])
-        .filter(d => (optField(d, "content") match {
+        .map { case (sid, e) =>
+          (sid, e.get("data_file").asInstanceOf[GenericRecord])
+        }
+        .filter { case (_, d) => (optField(d, "content") match {
           case i: Integer => i.intValue(); case _ => 0
-        }) == 0)
-        .map(d => PlannedFile(d.get("file_path").toString, 0L, 0, Nil,
-          Map.empty, Map.empty, partitionTuple(d, spec.map(_._1))))
+        }) == 0 }
+        .map { case (sid, d) =>
+          PlannedFile(d.get("file_path").toString, 0L, 0, Nil,
+            Map.empty, Map.empty,
+            partitionTuple(d, spec.getOrElse(sid, Nil).map(_._1)),
+            specId = sid)
+        }
     }.groupBy(_.path).map(_._2.head).toSeq
     if (files.isEmpty)
       spark.createDataFrame(
@@ -2080,39 +2171,47 @@ object IcebergSink {
     val schema = m.schemaFor(to.schemaId)
     val chFields = m.schemasById.getOrElse(to.schemaId, m.fields)
     val fieldsById = chFields.map(f => f.id -> f).toMap
-    val spec = m.specFields.map(pf =>
-      (pf, chFields.find(_.id == pf.sourceId).get))
+    val spec = specsWithFields(m, chFields)
     def meta(df: DataFrame, typ: String, ord: Int, snapId: Long): DataFrame =
       df.withColumn("_change_type", lit(typ))
         .withColumn("_change_ordinal", lit(ord))
         .withColumn("_commit_snapshot_id", lit(snapId))
     // oldest-first so ordinals read as commit order
     val frames = range.reverse.zipWithIndex.flatMap { case (sn, ord) =>
-      def ownFiles(wantContent: Int): Seq[(String, Seq[Int], Seq[(Int, Any)])] =
+      def ownFiles(wantContent: Int)
+          : Seq[(String, Seq[Int], Seq[(Int, Any)], Int)] =
         readAvro(spark, sn.manifestList)._2
           .filter(_.get("added_snapshot_id").asInstanceOf[Long] == sn.snapshotId)
-          .flatMap(lm => readAvro(spark, lm.get("manifest_path").toString)._2)
-          .filter { e =>
+          .flatMap { lm =>
+            val sid = lm.get("partition_spec_id") match {
+              case i: Integer => i.intValue(); case _ => 0
+            }
+            readAvro(spark, lm.get("manifest_path").toString)._2
+              .map(e => (sid, e))
+          }
+          .filter { case (_, e) =>
             e.get("status").asInstanceOf[Int] == 1 &&
               e.get("snapshot_id").asInstanceOf[Long] == sn.snapshotId
           }
-          .map(_.get("data_file").asInstanceOf[GenericRecord])
-          .filter(d => (optField(d, "content") match {
+          .map { case (sid, e) =>
+            (sid, e.get("data_file").asInstanceOf[GenericRecord])
+          }
+          .filter { case (_, d) => (optField(d, "content") match {
             case i: Integer => i.intValue(); case _ => 0
-          }) == wantContent)
-          .map { d =>
+          }) == wantContent }
+          .map { case (sid, d) =>
             val eq = optField(d, "equality_ids") match {
               case l: java.util.List[_] =>
                 l.asScala.map(_.asInstanceOf[Int]).toSeq
               case _ => Nil
             }
             (d.get("file_path").toString, eq,
-              partitionTuple(d, spec.map(_._1)))
+              partitionTuple(d, spec.getOrElse(sid, Nil).map(_._1)), sid)
           }
       sn.operation match {
         case "append" =>
           val fs = ownFiles(0).map(t => PlannedFile(t._1, 0L, 0, Nil,
-            Map.empty, Map.empty, t._3))
+            Map.empty, Map.empty, t._3, specId = t._4))
           if (fs.isEmpty) Nil
           else Seq(meta(readPlannedData(spark, schema, spec, fs),
             "insert", ord, sn.snapshotId))
@@ -2205,8 +2304,7 @@ object IcebergSink {
       }
       snapOpt.map { snap =>
         val snapFields = m.schemasById.getOrElse(snap.schemaId, m.fields)
-        val spec = m.specFields.map(pf =>
-          (pf, snapFields.find(_.id == pf.sourceId).get))
+        val spec = specsWithFields(m, snapFields)
         val planned = planFiles(spark, snap.manifestList, spec)
         val data = planned.filter(_.content == 0)
         val (kept, pruned) = data.partition(pf => ranges.forall(r =>
@@ -2271,11 +2369,9 @@ object IcebergSink {
           "added_files_count", "existing_files_count", "deleted_files_count",
           "added_rows_count")
       case "files" =>
-        val spec = m.specFields.map(pf =>
-          (pf, m.fields.find(_.id == pf.sourceId).getOrElse(
-            throw new IllegalStateException(
-              s"partition source field ${pf.sourceId} missing"))))
-        val byId = spec.map { case (pf, _) => pf.fieldId -> pf.name }.toMap
+        val spec = specsWithFields(m, m.fields)
+        val byId = spec.values.flatten
+          .map { case (pf, _) => pf.fieldId -> pf.name }.toMap
         val rows = snapOpt.toSeq
           .flatMap(s => planFiles(spark, s.manifestList, spec))
           .map(pf => (pf.path, pf.content, pf.records,

@@ -910,6 +910,44 @@ object EtlPack extends QueryPack {
           |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin)),
       seed = Some(seedCdcSource)),
 
+    // PARTITION-SPEC EVOLUTION (spec: ADD PARTITION FIELD): the table
+    // starts identity-partitioned by event_type (spec 0), half the topic
+    // lands, then the spec evolves (+ bucket(8, offset) -> spec 1,
+    // metadata-only commit) and the other half lands under spec 1.
+    // The partition-scoped read below therefore plans MANIFESTS OF BOTH
+    // SPECS — old files keep their spec for life, identity pruning
+    // applies across both, and the hash-match against the raw topic
+    // proves the multi-spec union loses and duplicates nothing.
+    // IcebergSpec covers the pruning counts, spec-id bookkeeping, and
+    // compaction-unifies-specs; this query pins end-to-end correctness.
+    QueryDef(
+      "e29_iceberg_spec_evolution",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_evo_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev.where(col("partition").isin(0, 1)),
+          partitionBy = Seq("event_type"))
+        IcebergSink.addPartitionField(s, table, "bucket(8, offset)")
+        IcebergSink.append(s, table, ev.where(col("partition").isin(2, 3)))
+        IcebergSink.readPruned(s, table, Seq(IcebergSink.ColumnRange(
+            "event_type", Some("click"), Some("click"))))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT _partition AS partition, count(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       max(_offset) AS max_off
+          |FROM events_topic WHERE event_type = 'click'
+          |GROUP BY _partition ORDER BY partition""".stripMargin))),
+
     // Streaming CURATION: the quality gate runs INSIDE the checkpointed
     // ingest query (Pipeline's `transform` hook) — class filter on the
     // record header + payload predicate on the JSON value — so curation

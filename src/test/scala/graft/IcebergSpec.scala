@@ -1046,4 +1046,90 @@ class IcebergSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 5)
     assert(ChangelogStream.drain(spark, table, sink, ckpt) == 0)
   }
+
+  test("partition-spec evolution: old files keep their spec, new files prune, compaction unifies") {
+    import spark.implicits._
+    val table = tmpTable()
+    // spec 0: identity on cat
+    val b1 = (1L to 40L).map(i => (i, s"cat${i % 4}", (i * 10).toInt))
+    IcebergSink.append(spark, table, b1.toDF("id", "cat", "v"),
+      partitionBy = Seq("cat"))
+
+    // evolve: ADD PARTITION FIELD bucket(8, id) -> spec 1 becomes default
+    IcebergSink.addPartitionField(spark, table, "bucket(8, id)")
+    val m1 = IcebergSink.load(spark, table).get
+    assert(m1.defaultSpecId == 1)
+    assert(m1.specsById.keySet == Set(0, 1))
+    assert(m1.specsById(0).map(_.name) == Seq("cat"))
+    assert(m1.specsById(1).map(p => (p.fieldId, p.name)) ==
+      Seq((1000, "cat"), (1001, "id_bucket")))
+    // metadata-only: no new snapshot
+    assert(m1.snapshots.size == 1)
+
+    // append under spec 1 WITHOUT restating partitionBy
+    val b2 = (41L to 80L).map(i => (i, s"cat${i % 4}", (i * 10).toInt))
+    IcebergSink.append(spark, table, b2.toDF("id", "cat", "v"))
+    val m2 = IcebergSink.load(spark, table).get
+    // manifest-list entries carry each manifest's own spec id
+    val snap = m2.snapshots.last
+    val specIds = IcebergSink.readAvro(spark, snap.manifestList)._2
+      .map(_.get("partition_spec_id").asInstanceOf[Int]).toSet
+    assert(specIds == Set(0, 1), s"got $specIds")
+
+    // the union read is exact across both specs
+    val back = IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(back.toSeq == b1 ++ b2)
+
+    // identity pruning still prunes across BOTH specs
+    val catScan = IcebergSink.explainScan(spark, table,
+      Seq(IcebergSink.ColumnRange("cat", Some("cat2"), Some("cat2")))).get
+    assert(catScan.prunedFiles > 0)
+    val catRows = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("cat", Some("cat2"), Some("cat2"))))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(catRows == (1L to 80L).filter(_ % 4 == 2))
+
+    // bucket point-pruning applies to NEW-spec files; OLD-spec files are
+    // soundly kept (they predate the bucket field)
+    val full = IcebergSink.explainScan(spark, table, Nil).get
+    val pt = IcebergSink.explainScan(spark, table,
+      Seq(IcebergSink.ColumnRange("id", Some(41L), Some(41L)))).get
+    assert(pt.dataFiles < full.dataFiles,
+      s"bucket pruning planned ${pt.dataFiles} of ${full.dataFiles}")
+    val ptRows = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("id", Some(41L), Some(41L))))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ptRows == Seq(41L))
+
+    // re-declaring the same evolution reuses spec 1, no duplicate
+    intercept[IllegalArgumentException] {
+      IcebergSink.addPartitionField(spark, table, "bucket(8, id)")
+    }
+    // a further evolution mints spec 2 with the next field id
+    IcebergSink.addPartitionField(spark, table, "truncate(10, v)")
+    val m3 = IcebergSink.load(spark, table).get
+    assert(m3.defaultSpecId == 2)
+    assert(m3.specsById(2).map(_.fieldId) == Seq(1000, 1001, 1002))
+
+    // deletes keep working across specs
+    IcebergSink.deleteWhere(spark, table, col("id") === 80L, Seq("id"))
+    assert(IcebergSink.read(spark, table).count() == 79)
+
+    // compaction rewrites everything under the CURRENT default spec,
+    // unifying the table to one spec going forward
+    IcebergSink.compact(spark, table)
+    val m4 = IcebergSink.load(spark, table).get
+    val unifiedSpecIds = IcebergSink.readAvro(spark,
+      m4.snapshots.last.manifestList)._2
+      .map(_.get("partition_spec_id").asInstanceOf[Int]).toSet
+    assert(unifiedSpecIds == Set(2), s"got $unifiedSpecIds")
+    val after = IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(after.toSeq == (b1 ++ b2).filterNot(_._1 == 80L))
+    // time travel to the pre-evolution snapshot still reads spec-0 files
+    val tt = IcebergSink.read(spark, table,
+      snapshotId = Some(m2.snapshots.head.snapshotId))
+    assert(tt.count() == 40)
+  }
 }
