@@ -49,21 +49,21 @@ object KMeansQ {
   /** k-element score array over a pre-quantized vector column:
     * `|c_p|² − 2·q·c_p` per center — squared distance minus the shared
     * `|q|²` term, so argmin/comparisons over it are exactly squared-
-    * distance comparisons in integer arithmetic. */
+    * distance comparisons in integer arithmetic. A native loop expression
+    * ([[org.apache.spark.sql.graft.QuantScores]]): the unrolled
+    * `array(k literal dot products)` form inlined k·dims multiply-adds
+    * into whichever generated method consumed it, blowing janino's 64 KB
+    * cap on the PQ fit's hash aggregate and dropping the hottest loop to
+    * interpreted eval. */
   private[ops] def scoresExpr(qCol: Column,
       centers: Array[Array[Long]]): Column =
-    array(centers.map { c =>
-      val dot = c.indices.map(d => qCol.getItem(d) * lit(c(d))).reduce(_ + _)
-      lit(c.map(x => x * x).sum) - lit(2L) * dot
-    }: _*)
+    org.apache.spark.sql.graft.QuantOps.scores(qCol, centers)
 
-  /** Argmin over a k-element score array column, smallest-index ties. */
+  /** Argmin over a k-element score array column, smallest-index ties —
+    * an O(k) native scan ([[org.apache.spark.sql.graft.ArgMinLong]])
+    * replacing the O(k²) `when`-chain for the same first-min-wins result. */
   private[ops] def argminExpr(scCol: Column, k: Int): Column =
-    (0 until k - 1).foldRight(lit(k - 1): Column) { (p, rest) =>
-      when((p + 1 until k).map(o =>
-        scCol.getItem(p) <= scCol.getItem(o)).reduce(_ && _),
-        lit(p)).otherwise(rest)
-    }
+    org.apache.spark.sql.graft.QuantOps.argmin(scCol)
 
   /** Attach the argmin-distance `cluster` column (smallest-id ties).
     * Exactness trick that also keeps codegen small: comparing squared

@@ -976,6 +976,27 @@ class OpsSpec extends AnyFunSuite {
     assert(viaAssign == viaFit)
   }
 
+  test("quantizer pipeline stays inside whole-stage codegen (no 64 KB fallback)") {
+    // round-10 finding: the unrolled score/argmin expression trees blew
+    // janino's 64 KB per-method cap inside hashAgg_doAggregateWithKeys and
+    // silently dropped the hottest loop to interpreted eval. The native
+    // loop kernels (QuantScores/ArgMinLong) keep generated-code size
+    // independent of k·dims; with codegen fallback DISABLED a compile
+    // failure now throws instead of degrading, so a regression fails here.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val queries = emb.where(col("vec_id") < 3)
+      assert(Similarity.pqTopK(emb, queries, k = 3,
+        fitSampleRate = 0.5).count() > 0)
+      assert(Similarity.ivfqTopK(emb, queries, k = 3,
+        fitSampleRate = 0.5).count() > 0)
+      assert(graft.ops.KMeansQ.fitPredict(
+        emb, "vec_id", "embedding", k = 4, iters = 1, dims = 64)._1
+        .count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("sample-fit IVF keeps high recall vs brute force on the fixture") {
     // the 100 TB shape: codebooks fit on a deterministic md5 sample
     // (rate-bounded input), every vector still cell-assigned + searched.
