@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
   * cache is a driver-memory concern only — it never holds more than
   * `maxRows` small rows per entry.
   */
-final class Governor(rails: Guardrails = Guardrails()) {
+final class Governor(val rails: Guardrails = Guardrails()) {
 
   // ---- result cache -----------------------------------------------------
 

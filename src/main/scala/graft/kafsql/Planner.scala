@@ -152,8 +152,15 @@ object Planner {
 
   private def effectiveLimit(sel: Select, env: Env): Int = {
     val base = sel.limit.getOrElse(env.rails.defaultLimit)
-    if (sel.window.contains(ScanFull)) math.min(base, env.rails.maxUnboundedScan)
-    else base
+    val capped =
+      if (sel.window.contains(ScanFull)) math.min(base, env.rails.maxUnboundedScan)
+      else base
+    // structural max_rows cap: EVERY planned Select ends in `.limit(n)` with
+    // n ≤ max_rows, so no downstream collect (Governor result cache, pg-wire
+    // row stream, COPY TO) can materialize more than the guardrail — even if
+    // default_limit is misconfigured above max_rows. Explicit over-limit
+    // requests are still rejected loudly in validate() (row_collector.go:24-67).
+    math.min(capped, env.rails.maxRows)
   }
 
   /** Resolved _ts_ms bounds: explicit predicates merged with LAST

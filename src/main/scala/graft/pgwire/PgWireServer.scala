@@ -411,7 +411,7 @@ class PgWireServer(
     catalogFrame(sql, lower) match {
       case Some(df) => (df.schema, df.collect())
       case None => Kafsql.governedRows(spark, registry, gov, sql,
-        nowMs = nowMs(), authorizer = authorizer,
+        nowMs = nowMs(), rails = gov.rails, authorizer = authorizer,
         onGroup = g => {
           // expose this query's job group to the out-of-band canceller
           val h = currentHandle.get()

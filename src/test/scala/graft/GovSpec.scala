@@ -70,6 +70,42 @@ class GovSpec extends AnyFunSuite {
     t.join()
   }
 
+  test("max_rows is enforced before materialization on every collect path") {
+    // The audit question: can a hostile query make the driver collect an
+    // unbounded result? Enforcement is STRUCTURAL — every planned Select
+    // ends in .limit(n) with n ≤ max_rows (Planner.effectiveLimit), so the
+    // cap is in the plan before Governor.cachedOrRunRows / Kafsql.sql /
+    // pg-wire ever call collect (row_collector.go:24-67).
+    val rails = Guardrails(maxRows = 7, defaultLimit = 1000)
+    val gov = new Governor(rails)
+    val reg = KafsqlPack.registry(sf)
+    // 1. an explicit LIMIT above max_rows is rejected at validation — before
+    //    planning, admission, or any materialization (cache stays empty)
+    intercept[graft.kafsql.KafsqlException] {
+      Kafsql.governedRows(spark, reg, gov,
+        "SELECT _offset FROM events LIMIT 8 LAST 30d",
+        nowMs = Tables.FixedNowMs, rails = rails)
+    }
+    assert(gov.cacheSize == 0 && gov.hits == 0)
+    // 2. a query with NO limit over a 1000-row topic: the default limit is
+    //    capped at max_rows inside the plan — exactly 7 rows reach collect
+    val (_, rows) = Kafsql.governedRows(spark, reg, gov,
+      "SELECT _offset FROM events LAST 30d",
+      nowMs = Tables.FixedNowMs, rails = rails)
+    assert(rows.length == 7)
+    // 3. the ungoverned Kafsql.sql path is equally bounded: the cap lives
+    //    in the PLAN, not in the governor wrapper
+    assert(Kafsql.sql(spark, reg, "SELECT _offset FROM events LAST 30d",
+      nowMs = Tables.FixedNowMs, rails = rails).collect().length == 7)
+    // 4. even a misconfigured default_limit > max_rows cannot leak through:
+    //    SCAN FULL (cache-exempt, maxUnboundedScan-capped) also min()s with
+    //    max_rows
+    val scanRails = Guardrails(maxRows = 5, defaultLimit = 1000,
+      maxUnboundedScan = 1000)
+    assert(Kafsql.sql(spark, reg, "SELECT _offset FROM events SCAN FULL",
+      nowMs = Tables.FixedNowMs, rails = scanRails).collect().length == 5)
+  }
+
   test("timeout cancels long queries (server.go:2847-2852)") {
     val gov = new Governor(Guardrails(queryTimeoutMs = 300))
     intercept[Exception] {

@@ -23,11 +23,14 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (server != null) server.stop()
 
-  private def psql(sql: String): (Int, String, String) = {
+  private def psql(sql: String): (Int, String, String) =
+    psqlAt(server.boundPort, sql)
+
+  private def psqlAt(port: Int, sql: String): (Int, String, String) = {
     val outB = new StringBuilder
     val errB = new StringBuilder
     val cmd = Seq("psql",
-      s"host=127.0.0.1 port=${server.boundPort} dbname=graft user=graft",
+      s"host=127.0.0.1 port=$port dbname=graft user=graft",
       "-X", "-At", "-c", sql)
     val code = cmd ! ProcessLogger(l => outB.append(l).append('\n'),
       l => errB.append(l).append('\n'))
@@ -121,8 +124,13 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Open a socket, run the startup handshake, hand (in, out, send) to f. */
   private def withWire(f: (java.io.DataInputStream, java.io.DataOutputStream,
-      (Char, Array[Byte]) => Unit) => Unit): Unit = {
-    val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      (Char, Array[Byte]) => Unit) => Unit): Unit =
+    withWireAt(server.boundPort)(f)
+
+  private def withWireAt(port: Int)(
+      f: (java.io.DataInputStream, java.io.DataOutputStream,
+          (Char, Array[Byte]) => Unit) => Unit): Unit = {
+    val sock = new java.net.Socket("127.0.0.1", port)
     try {
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(sock.getOutputStream))
@@ -181,6 +189,65 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
         new String(b._2.takeWhile(_ != 0), "UTF-8"))
       assert(cc.contains("SELECT 1"), s"got $cc")
     }
+  }
+
+  test("max_rows bounds every wire path: simple, COPY TO, portal-paged Execute") {
+    // round-9 governance audit: prove the max_rows guardrail caps what the
+    // server materializes on ALL client-visible paths — the cap is planned
+    // into every Select (.limit ≤ max_rows) before any collect, and the
+    // pg-wire server now plans with ITS governor's rails rather than
+    // defaults. A dedicated server with maxRows=5 over the 1000-row topic:
+    val tiny = new PgWireServer(spark, KafsqlPack.registry(sf),
+      gov = new graft.gov.Governor(graft.gov.Guardrails(maxRows = 5)),
+      nowMs = () => Tables.FixedNowMs).start()
+    try {
+      // simple protocol: explicit over-limit is an error, not a big result
+      val (c1, _, e1) = psqlAt(tiny.boundPort,
+        "SELECT _offset FROM events LIMIT 6 LAST 30d")
+      assert(c1 != 0 && e1.contains("max_rows"), s"got $e1")
+      // no-limit query: the plan itself caps at max_rows rows
+      val (c2, o2, _) = psqlAt(tiny.boundPort,
+        "SELECT _offset FROM events LAST 30d")
+      assert(c2 == 0 && o2.trim.split("\n").length == 5, s"got $o2")
+      // COPY TO (bulk export) rides the same planned cap — and rejects an
+      // explicit over-limit inner query before streaming anything
+      val (c3, o3, _) = psqlAt(tiny.boundPort,
+        "COPY (SELECT _offset FROM events LAST 30d) TO STDOUT")
+      assert(c3 == 0 && o3.trim.split("\n").length == 5, s"got $o3")
+      val (c4, _, e4) = psqlAt(tiny.boundPort,
+        "COPY (SELECT _offset FROM events LIMIT 9 LAST 30d) TO STDOUT")
+      assert(c4 != 0 && e4.contains("max_rows"), s"got $e4")
+      // portal-suspended Execute: page with rowLimit=2 until complete —
+      // the cursor drains exactly max_rows rows in total, never more
+      withWireAt(tiny.boundPort) { (in, out, send) =>
+        send('P', cstr("pl") ++
+          cstr("SELECT _offset FROM events LAST 30d") ++ i16(0))
+        send('B', cstr("cl") ++ cstr("pl") ++ i16(0) ++ i16(0) ++ i16(0))
+        var total = 0
+        var pages = 0
+        var done = false
+        while (!done && pages < 10) {
+          send('E', cstr("cl") ++ i32(2))
+          send('H', Array.emptyByteArray)
+          out.flush()
+          var page = true
+          while (page) {
+            val t = in.readByte().toChar; val len = in.readInt()
+            val body = new Array[Byte](len - 4); in.readFully(body)
+            t match {
+              case 'D' => total += 1
+              case 's' => page = false            // PortalSuspended
+              case 'C' => page = false; done = true // CommandComplete
+              case _ => ()
+            }
+          }
+          pages += 1
+        }
+        assert(done && total == 5, s"portal drained $total rows over $pages pages")
+        send('S', Array.emptyByteArray); out.flush()
+        readUntilReady(in)
+      }
+    } finally tiny.stop()
   }
 
   test("binary-format parameter with a declared OID binds and executes") {
