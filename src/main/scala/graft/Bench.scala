@@ -57,14 +57,35 @@ object Bench {
     // sentinels is undiagnosable from the artifacts alone (round 7: 60
     // queries failed and the root cause needed a manual re-run to surface)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Machine-load probe: fixed, query-independent work (one tiny shuffle
+    // job) timed adjacent to every rep. Two consecutive rounds ended a
+    // regression hunt at "external machine load" (r9 e4, r10 e14) — the
+    // probe series lets the verdict-writer separate noise (probe slow too)
+    // from a real regression (probe steady, query slow) WITHOUT re-runs.
+    def loadProbe(): Double = {
+      val p0 = System.nanoTime()
+      spark.range(1 << 18).selectExpr("count(distinct (id % 1024))").collect()
+      (System.nanoTime() - p0) / 1e9
+    }
+    loadProbe() // untimed first call absorbs the probe's own codegen cost
+    // SPARK_GRAFT_WARMUP=0 disables the untimed warm-up rep (on by default:
+    // rep-1 times previously carried each query's janino/JIT warm-up, which
+    // read as 1.5-2.5x rep spread in BENCH_FULL)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val detail = SparkEntry.queryDefs.sortBy(_.name)
       .filter(d => only.forall(_.contains(d.name)))
       .map { d =>
         val name = d.name
-        // (seedSec, execSec) per rep; declared seed phases (fixture estate
-        // writes) are timed apart from the operator so setup cost never
-        // inflates the query number — both still sum into the headline
-        // total for cross-round comparability
+        // (seedSec, execSec, probeSec) per rep; declared seed phases
+        // (fixture estate writes) are timed apart from the operator so
+        // setup cost never inflates the query number — both still sum into
+        // the headline total for cross-round comparability
+        if (warmup) {
+          graft.queries.Fixtures.runSuffix = s"${benchId}_rep0"
+          try { d.seed.foreach(_(spark, sfDir)); d.fn(spark, sfDir).count() }
+          catch { case _: Throwable => () } // real reps will report it
+          spark.catalog.clearCache()
+        }
         val times = (1 to reps).map { r =>
           graft.queries.Fixtures.runSuffix = s"${benchId}_rep$r"
           def guarded(body: => Unit): Boolean =
@@ -78,6 +99,7 @@ object Bench {
               }
               false
             }
+          val probeSec = loadProbe()
           val s0 = System.nanoTime()
           val seedOk = guarded(d.seed.foreach(_(spark, sfDir)))
           val seedSec = (System.nanoTime() - s0) / 1e9
@@ -88,7 +110,8 @@ object Bench {
           // storage memory with later ones (r1: d7 was 65s in-suite vs 24s
           // standalone purely from leaked shingle-explode caches)
           spark.catalog.clearCache()
-          (if (d.seed.isDefined) seedSec else 0.0, if (ok) dt else -1.0)
+          (if (d.seed.isDefined) seedSec else 0.0, if (ok) dt else -1.0,
+            probeSec)
         }
         graft.queries.Fixtures.runSuffix = ""
         (name, times, d.seed.isDefined)
@@ -97,7 +120,7 @@ object Bench {
     // meaningful within this invocation
     try {
       val sfName = new java.io.File(sfDir).getName
-      (1 to reps).foreach { r =>
+      (0 to reps).foreach { r =>
         // derive from Fixtures so the path tracks its version bumps (this
         // briefly pointed at a stale v2 root and cleaned nothing)
         graft.queries.Fixtures.runSuffix = s"${benchId}_rep$r"
@@ -114,7 +137,7 @@ object Bench {
     // headline per-query value = min over reps of seed+exec wall (the same
     // quantity earlier rounds measured); seed/exec splits go to BENCH_FULL
     val combined = detail.map { case (name, times, _) =>
-      name -> times.map { case (s, e) => if (e >= 0) s + e else -1.0 }
+      name -> times.map { case (s, e, _) => if (e >= 0) s + e else -1.0 }
     }
     val results = combined.map { case (name, times) =>
       val good = times.filter(_ >= 0)
@@ -166,10 +189,15 @@ object Bench {
       val good = ts.map(_._2).filter(_ >= 0)
       "\"" + k + "\":" + f3(if (good.nonEmpty) good.min else -1.0)
     }.mkString("{", ",", "}")
+    // per-rep machine-load probe series: a slow rep with a slow adjacent
+    // probe is environment drift, not a regression
+    val probeQs = detail.map { case (k, ts, _) =>
+      "\"" + k + "\":[" + ts.map(t => f3(t._3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fullFile =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","warmup":$warmup,"failed":${failed.size},"failed_queries":$failedJson,"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"probe_s":$probeQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

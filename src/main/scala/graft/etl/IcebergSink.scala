@@ -512,22 +512,47 @@ object IcebergSink {
     f.getFileStatus(path).getLen
   }
 
+  // Manifests (`<commitUuid>-m<attempt>.avro`) and manifest lists
+  // (`snap-<id>-<commitUuid>.avro`) are written ONCE under UUID-unique
+  // names and never mutated — the spec makes them immutable — so a
+  // bounded driver-side LRU keyed by path is sound (the same lever as
+  // Iceberg's own manifest cache, `io.manifest.cache-enabled`). A
+  // composed op like upsert (dup-check + equality delete + append + read)
+  // re-plans the metadata chain per step; the cache turns the repeated
+  // avro decodes into map hits. Version JSON files are deliberately NOT
+  // cached: `version-N.json` paths repeat when a test wipes and recreates
+  // a table at the same location.
+  private val avroCacheMax = 256
+  private val avroCache = new java.util.LinkedHashMap[
+      String, (Map[String, String], Seq[GenericRecord])](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, (Map[String, String], Seq[GenericRecord])])
+        : Boolean = size() > avroCacheMax
+  }
+
   /** Read every record of an Avro file (+ its file metadata) — public so
     * tooling and tests can inspect manifests without a real Iceberg
-    * runtime on the classpath. */
+    * runtime on the classpath. Served from the immutable-manifest LRU on
+    * repeat reads. */
   def readAvro(spark: SparkSession, path: String)
       : (Map[String, String], Seq[GenericRecord]) = {
-    val p = new HPath(path)
-    val in = fs(p).open(p)
-    val stream = new DataFileStream[GenericRecord](in,
-      new GenericDatumReader[GenericRecord]())
-    try {
-      val metaKeys = stream.getMetaKeys.asScala.toSeq
-      val meta = metaKeys.filterNot(_.startsWith("avro."))
-        .map(k => k -> new String(stream.getMeta(k), StandardCharsets.UTF_8))
-        .toMap
-      (meta, stream.iterator().asScala.toVector)
-    } finally stream.close()
+    avroCache.synchronized(Option(avroCache.get(path))) match {
+      case Some(hit) => hit
+      case None =>
+        val p = new HPath(path)
+        val in = fs(p).open(p)
+        val stream = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        val r = try {
+          val metaKeys = stream.getMetaKeys.asScala.toSeq
+          val meta = metaKeys.filterNot(_.startsWith("avro."))
+            .map(k => k -> new String(stream.getMeta(k), StandardCharsets.UTF_8))
+            .toMap
+          (meta, stream.iterator().asScala.toVector)
+        } finally stream.close()
+        avroCache.synchronized(avroCache.put(path, r))
+        r
+    }
   }
 
   // ---- metadata json -------------------------------------------------------
@@ -1390,7 +1415,15 @@ object IcebergSink {
     commitMetadataOnly(spark, table, maxRetries) { m =>
       val lastPartitionId =
         (999 +: m.allSpecs.values.flatten.map(_.fieldId).toSeq).max
-      val pf = specFieldOf(decl, lastPartitionId + 1, m.fields)
+      val fresh = specFieldOf(decl, lastPartitionId + 1, m.fields)
+      // spec rule: an identical (source-id, transform) pair keeps the SAME
+      // partition field id across evolved specs — external readers key
+      // field identity on it. Only mint a new id when no prior spec ever
+      // carried this pair.
+      val pf = m.allSpecs.values.flatten.find(e =>
+          e.sourceId == fresh.sourceId && e.transform == fresh.transform)
+        .map(prior => fresh.copy(fieldId = prior.fieldId, name = prior.name))
+        .getOrElse(fresh)
       require(!m.specFields.exists(e =>
         e.sourceId == pf.sourceId && e.transform == pf.transform),
         s"default spec already partitions by $decl")
@@ -1938,6 +1971,18 @@ object IcebergSink {
       withCoords: Boolean = false, fileCol: String = "__graft_data_file",
       posCol: String = "__graft_data_pos"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // empty plans short-circuit to an empty frame of the right shape: the
+    // groupBy(...).reduce below would throw on an empty file list, and the
+    // changelog position-delete path can legitimately plan zero targets
+    // when a pos-delete references paths absent from a snapshot's manifests
+    if (files.isEmpty) {
+      val outSchema =
+        if (withCoords) StructType(schema.fields ++ Seq(
+          StructField(fileCol, StringType), StructField(posCol, LongType)))
+        else schema
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    }
     // only IDENTITY transforms strip their source column from the files
     // (their manifest tuple IS the value); bucket/truncate files keep the
     // source column — the derived staging column is what partitionBy ate.
