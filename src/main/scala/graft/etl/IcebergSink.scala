@@ -1441,6 +1441,35 @@ object IcebergSink {
         defaultSpecId = specId))
     }
 
+  /** Partition-spec evolution, the shrinking direction (spec: Partition
+    * Evolution — v2 specs may REMOVE fields; v1 keeps a void-transform
+    * placeholder, which this v2 writer does not need): drop `decl` from
+    * the DEFAULT spec under a new spec-id (or reuse a prior spec with the
+    * identical field list — e.g. dropping the only field returns to the
+    * original unpartitioned spec 0). Existing data files keep the spec-id
+    * they were written under and still decode/prune through it; only new
+    * writes use the reduced spec. Metadata-only, no snapshot. */
+  def dropPartitionField(spark: SparkSession, table: String, decl: String,
+      maxRetries: Int = 5): Unit =
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      val probe = specFieldOf(decl, 0, m.fields)
+      val remaining = m.specFields.filterNot(e =>
+        e.sourceId == probe.sourceId && e.transform == probe.transform)
+      require(remaining.size != m.specFields.size,
+        s"default spec does not partition by $decl")
+      def sig(s: Seq[PartitionField]) =
+        s.map(x => (x.sourceId, x.transform, x.name))
+      val (specId, specs) =
+        m.allSpecs.find { case (_, s) => sig(s) == sig(remaining) } match {
+          case Some((id, _)) => (id, m.allSpecs)
+          case None =>
+            val id = m.allSpecs.keys.max + 1
+            (id, m.allSpecs + (id -> remaining))
+        }
+      Some(m.copy(specFields = specs(specId), specsById = specs,
+        defaultSpecId = specId))
+    }
+
   /** Metadata-only optimistic commit: apply `mutate` to the current
     * metadata and claim the next version slot (no new snapshot). */
   private def commitMetadataOnly(spark: SparkSession, table: String,

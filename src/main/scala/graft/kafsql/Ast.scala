@@ -19,6 +19,12 @@ final case class ShowPartitions(topic: String) extends Statement
   * not through SQL; surfacing it as a statement keeps one front door). */
 final case class ShowSegments(topic: String) extends Statement
 final case class DescribeTopic(topic: String) extends Statement
+
+/** `DESCRIBE CONFIGS t` — admin-config introspection as a statement (the
+  * data half of the reference's DescribeConfigs admin API, key 32,
+  * `kafscale-spec.md:185-208` / `cmd/broker/main.go:1354-1422`; the broker
+  * wire protocol is out of scope, the config surface is not). */
+final case class DescribeConfigs(topic: String) extends Statement
 final case class Explain(select: Select, analyze: Boolean = false) extends Statement
 
 final case class Select(

@@ -142,7 +142,10 @@ object Parser {
           else if (kw("segments")) { expectKw("from"); ShowSegments(ident()) }
           else throw new KafsqlException(
             "expected TOPICS, PARTITIONS, or SEGMENTS after SHOW")
-        } else if (kw("describe")) DescribeTopic(ident())
+        } else if (kw("describe")) {
+          if (kw("configs")) DescribeConfigs(ident())
+          else DescribeTopic(ident())
+        }
         else if (kw("explain")) {
           val analyze = kw("analyze")
           Explain(select(), analyze)

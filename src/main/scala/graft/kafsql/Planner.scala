@@ -58,6 +58,15 @@ object Planner {
         d.schemaCols.map(sc => (sc.name, TopicRegistry.pgType(sc.typ), sc.path))
       rows.toDF("column", "type", "path")
 
+    case DescribeConfigs(t) =>
+      import spark.implicits._
+      val d = reg.get(t)
+      val list = d.configs.getOrElse(throw new KafsqlException(
+        s"topic $t has no config estate")).apply(spark)
+      list.sortBy(_.name)
+        .map(c => (c.name, c.value, c.isDefault, c.readOnly, c.source))
+        .toDF("name", "value", "is_default", "read_only", "source")
+
     case Explain(sel, analyze) =>
       import spark.implicits._
       val df = planSelect(spark, reg, sel, env)

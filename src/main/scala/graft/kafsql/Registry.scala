@@ -28,15 +28,28 @@ final case class SegmentInfo(
     maxTsMs: Long,
     sizeBytes: Long)
 
+/** One DescribeConfigs-style entry for `DESCRIBE CONFIGS` — the data half
+  * of the reference's admin config API (`kafscale-spec.md:185-208`, key 32;
+  * entry shape mirrors `DescribeConfigsResponseResourceConfig`,
+  * `cmd/broker/main.go:1634-1650`). Engine-neutral like [[SegmentInfo]];
+  * KFS-backed topics adapt [[graft.kfs.TopicConfigs.ConfigEntry]]. */
+final case class ConfigInfo(
+    name: String,
+    value: String,
+    isDefault: Boolean,
+    readOnly: Boolean,
+    source: String)
+
 /** One queryable topic: a frame supplier exposing the 8 implicit columns
-  * (+ `_ts_ms`), declared schema columns, known partitions, and an
-  * optional segment-estate introspection hook (`SHOW SEGMENTS`). */
+  * (+ `_ts_ms`), declared schema columns, known partitions, and optional
+  * estate introspection hooks (`SHOW SEGMENTS`, `DESCRIBE CONFIGS`). */
 final case class TopicDef(
     name: String,
     frame: SparkSession => DataFrame,
     schemaCols: Seq[SchemaCol] = Nil,
     partitions: Seq[Int] = Nil,
-    segments: Option[SparkSession => Seq[SegmentInfo]] = None)
+    segments: Option[SparkSession => Seq[SegmentInfo]] = None,
+    configs: Option[SparkSession => Seq[ConfigInfo]] = None)
 
 final class TopicRegistry(defs: Seq[TopicDef]) {
   private val byName = defs.map(d => d.name -> d).toMap

@@ -140,7 +140,11 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
 
   private def kfsTable(ident: Identifier, extra: Map[String, String]): Table =
     new KfsTable(passthrough ++ Map(
-      "path" -> root, "topics" -> ident.name()) ++ extra)
+      "path" -> root, "topics" -> ident.name()) ++
+      // stored admin-config overrides surface as table properties, so
+      // `SHOW TBLPROPERTIES kfs.topic` is the DescribeConfigs read path
+      TopicConfigs.fetch(root, ident.name())
+        .map { case (k, v) => k -> v.toString } ++ extra)
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && acl.allows(ident.name()) && {
@@ -165,9 +169,32 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
     kfsTable(ident, Map.empty)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "kfs topics have a fixed schema; ALTER TABLE is not supported")
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES over the admin-config whitelist
+    * — the AlterConfigs analog (key 33, `cmd/broker/main.go:1424-1500`):
+    * only {retention.ms, retention.bytes, segment.bytes} mutate, with the
+    * reference's validation; schema changes stay rejected (fixed topic
+    * schema). SQL property semantics are incremental (SET merges, UNSET
+    * removes), layered over the stored config. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireAllowed(ident.name())
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val stored = TopicConfigs.fetch(root, ident.name())
+      .map { case (k, v) => k -> v.toString }
+    val updated = changes.foldLeft(stored) {
+      case (acc, set: TableChange.SetProperty) =>
+        if (!TopicConfigs.Alterable.contains(set.property))
+          throw new TopicConfigs.InvalidConfigException(
+            s"invalid config: unknown key '${set.property}' " +
+              s"(alterable: ${TopicConfigs.Alterable.toSeq.sorted.mkString(", ")})")
+        acc + (set.property -> set.value)
+      case (acc, rm: TableChange.RemoveProperty) => acc - rm.property
+      case _ => throw new UnsupportedOperationException(
+        "kfs topics have a fixed schema; only SET/UNSET TBLPROPERTIES of " +
+          s"{${TopicConfigs.Alterable.toSeq.sorted.mkString(", ")}} is supported")
+    }
+    TopicConfigs.alter(root, ident.name(), updated)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     requireAllowed(ident.name())

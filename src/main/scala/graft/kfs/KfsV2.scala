@@ -77,6 +77,13 @@ class KfsTable(options: Map[String, String],
   override def name(): String = s"kfs:$root"
   override def schema(): StructType =
     if (providedSchema == null) KfsV2.Schema else providedSchema
+  /** Surfaces the creation options (incl. any stored admin-config
+    * overrides the catalog merged in) to `SHOW TBLPROPERTIES`. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    options.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)

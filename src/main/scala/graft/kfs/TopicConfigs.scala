@@ -1,0 +1,154 @@
+package graft.kfs
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+/** Admin-config introspection/mutation for topic estates — the data half
+  * of the reference's Kafka admin config APIs (`kafscale-spec.md:185-208`:
+  * DescribeConfigs key 32, AlterConfigs key 33), re-expressed over the
+  * estate filesystem instead of etcd:
+  *
+  *   - per-topic overrides live in `<root>/<topic>/config.json` (the
+  *     `TopicConfig` record the reference keeps in its metadata store);
+  *   - [[describe]] mirrors `topicConfigEntries` (`cmd/broker/main.go:
+  *     1593-1604`): the three mutable topic keys with the reference's
+  *     normalization — unset retention reads as `-1`/default
+  *     (`normalizeRetention`, `main.go:1660-1665`), unset segment.bytes
+  *     falls back to the broker default and reads as default
+  *     (`normalizeSegmentBytes`, `main.go:1667-1672`);
+  *   - [[describeBroker]] mirrors `brokerConfigEntries` (`main.go:
+  *     1606-1618`): read-only engine-level entries;
+  *   - [[alter]] mirrors `handleAlterConfigs` (`main.go:1424-1500`):
+  *     whitelist {retention.ms, retention.bytes, segment.bytes}, retention
+  *     accepts `>= 0` or the `-1` sentinel, segment.bytes must be `> 0`,
+  *     anything else is INVALID_CONFIG — with `validateOnly` skipping the
+  *     write exactly like the protocol flag.
+  *
+  * Everything is driver-side metadata IO (one tiny JSON per topic); at
+  * 100 TB this surface never touches segment bytes.
+  */
+object TopicConfigs {
+
+  val RetentionMs = "retention.ms" // main.go:1276
+  val RetentionBytes = "retention.bytes"
+  val SegmentBytes = "segment.bytes"
+  /** AlterConfigs whitelist (main.go:1470-1489). */
+  val Alterable: Set[String] = Set(RetentionMs, RetentionBytes, SegmentBytes)
+  /** Broker default for segment.bytes (KAFSCALE_SEGMENT_BYTES default,
+    * main.go:2052). */
+  val DefaultSegmentBytes: Long = 4L << 20
+
+  final class InvalidConfigException(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** One DescribeConfigs entry (DescribeConfigsResponseResourceConfig). */
+  final case class ConfigEntry(name: String, value: String,
+      isDefault: Boolean, readOnly: Boolean, source: String,
+      configType: String)
+
+  private def configPath(root: String, topic: String): HPath =
+    new HPath(new HPath(root, topic), "config.json")
+
+  /** Stored per-topic overrides; absent file = all defaults. */
+  def fetch(root: String, topic: String): Map[String, Long] = {
+    val p = configPath(root, topic)
+    val f = p.getFileSystem(KfsLayout.hadoopConf)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val json =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    Alterable.flatMap { k =>
+      Option(node.get(k)).map(v => k -> v.asLong())
+    }.toMap
+  }
+
+  /** DescribeConfigs for a topic resource: the three mutable entries with
+    * reference normalization; `names` (ConfigNames) filters when non-empty. */
+  def describe(root: String, topic: String, names: Seq[String] = Nil,
+      brokerSegmentBytes: Long = DefaultSegmentBytes): Seq[ConfigEntry] = {
+    val stored = fetch(root, topic)
+    def retention(key: String): ConfigEntry = {
+      // normalizeRetention: unset/0 -> the -1 infinite sentinel, default
+      val v = stored.get(key).filter(_ != 0L).getOrElse(-1L)
+      ConfigEntry(key, v.toString, isDefault = v == -1L, readOnly = false,
+        source = if (v == -1L) "DEFAULT_CONFIG" else "DYNAMIC_TOPIC_CONFIG",
+        configType = "LONG")
+    }
+    val seg = {
+      // normalizeSegmentBytes: unset/<=0 -> broker default, default
+      val v = stored.get(SegmentBytes).filter(_ > 0L)
+      ConfigEntry(SegmentBytes,
+        v.getOrElse(brokerSegmentBytes).toString,
+        isDefault = v.isEmpty, readOnly = false,
+        source = if (v.isEmpty) "DEFAULT_CONFIG" else "DYNAMIC_TOPIC_CONFIG",
+        configType = "INT")
+    }
+    val all = Seq(retention(RetentionMs), retention(RetentionBytes), seg)
+    if (names.isEmpty) all else all.filter(e => names.contains(e.name))
+  }
+
+  /** Broker-resource DescribeConfigs analog: read-only engine-level
+    * entries (the subset with a data-plane meaning here). */
+  def describeBroker(root: String, names: Seq[String] = Nil,
+      brokerSegmentBytes: Long = DefaultSegmentBytes): Seq[ConfigEntry] = {
+    val all = Seq(
+      ConfigEntry("kfs.root", root, isDefault = true, readOnly = true,
+        "STATIC_BROKER_CONFIG", "STRING"),
+      ConfigEntry("kafscale.segment.bytes", brokerSegmentBytes.toString,
+        isDefault = true, readOnly = true, "STATIC_BROKER_CONFIG", "INT"))
+    if (names.isEmpty) all else all.filter(e => names.contains(e.name))
+  }
+
+  /** AlterConfigs for a topic resource. Reference semantics: the FULL
+    * entry set replaces the stored config (AlterConfigs is a replace, not
+    * an incremental patch), validation errors reject the whole resource,
+    * `validateOnly` runs every check but writes nothing. */
+  def alter(root: String, topic: String, entries: Map[String, String],
+      validateOnly: Boolean = false): Unit = {
+    val parsed = entries.map { case (name, value) =>
+      if (!Alterable.contains(name))
+        throw new InvalidConfigException(s"invalid config: unknown key '$name'")
+      val v =
+        try value.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new InvalidConfigException(
+              s"invalid config: $name expects an integer, got '$value'")
+        }
+      name match {
+        case RetentionMs | RetentionBytes =>
+          if (v < 0 && v != -1L)
+            throw new InvalidConfigException(
+              s"invalid config: $name must be >= 0 or -1, got $v")
+        case SegmentBytes =>
+          if (v <= 0)
+            throw new InvalidConfigException(
+              s"invalid config: $name must be > 0, got $v")
+      }
+      name -> v
+    }
+    if (validateOnly) return
+    val p = configPath(root, topic)
+    val f = p.getFileSystem(KfsLayout.hadoopConf)
+    if (!f.exists(p.getParent))
+      throw new IllegalArgumentException(s"unknown topic '$topic' under $root")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    parsed.foreach { case (k, v) => node.put(k, v) }
+    // atomic replace: write-temp + rename, the same commit discipline as
+    // segment manifests
+    val tmp = new HPath(p.getParent,
+      s".config-${java.util.UUID.randomUUID()}.tmp.json")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsString(node)
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"config commit failed for $topic")
+  }
+}

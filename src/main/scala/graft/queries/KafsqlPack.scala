@@ -44,6 +44,14 @@ object KafsqlPack extends QueryPack {
           .map(r => SegmentInfo(r.partition, r.baseOffset, r.lastOffset,
             r.lastOffset - r.baseOffset + 1, r.minTsMs, r.maxTsMs,
             r.sizeBytes))
+      },
+      // DESCRIBE CONFIGS surface: the estate's stored config.json overrides
+      // plus reference-normalized defaults, adapted to the neutral shape
+      configs = Some { s =>
+        val root = graft.kfs.KfsSeed.seededRoot(s, dir)
+        graft.kfs.TopicConfigs.describe(root, "events")
+          .map(e => ConfigInfo(e.name, e.value, e.isDefault, e.readOnly,
+            e.source))
       })))
 
   private def run(q: String)(s: SparkSession, dir: String): DataFrame =
@@ -246,6 +254,36 @@ object KafsqlPack extends QueryPack {
           |       min(_ts_ms) AS min_ts, max(_ts_ms) AS max_ts
           |FROM events_topic
           |GROUP BY _partition, _offset // 1000
-          |ORDER BY "partition", base_offset""".stripMargin))
+          |ORDER BY "partition", base_offset""".stripMargin)),
+
+    // DESCRIBE CONFIGS through the dialect — the data half of the
+    // reference's Kafka admin config APIs (DescribeConfigs key 32 /
+    // AlterConfigs key 33, kafscale-spec.md:185-208): the seed ALTERs
+    // retention.ms on the estate (whitelist + validation mirroring
+    // handleAlterConfigs, cmd/broker/main.go:1424-1500), then the
+    // statement reads it back with the reference's normalization — unset
+    // retention.bytes reads as the -1/default sentinel, unset
+    // segment.bytes falls back to the broker default (4 MiB,
+    // main.go:2052). The oracle is the expected entry table verbatim, so
+    // the normalization rules are hash-pinned.
+    QueryDef(
+      "k14_describe_configs",
+      (s, dir) => run("DESCRIBE CONFIGS kevents")(s, dir)
+        .orderBy(col("name")),
+      Some(
+        """SELECT * FROM (VALUES
+          |  ('retention.bytes', '-1', true, false, 'DEFAULT_CONFIG'),
+          |  ('retention.ms', '604800000', false, false, 'DYNAMIC_TOPIC_CONFIG'),
+          |  ('segment.bytes', '4194304', true, false, 'DEFAULT_CONFIG'))
+          |  AS t(name, value, is_default, read_only, source)
+          |ORDER BY name""".stripMargin),
+      seed = Some((s, dir) => {
+        val root = graft.kfs.KfsSeed.seededRoot(s, dir)
+        // idempotent: same value every rep; validateOnly path exercised too
+        graft.kfs.TopicConfigs.alter(root, "events",
+          Map("retention.ms" -> "604800000"), validateOnly = true)
+        graft.kfs.TopicConfigs.alter(root, "events",
+          Map("retention.ms" -> "604800000"))
+      }))
   )
 }

@@ -1132,4 +1132,73 @@ class IcebergSpec extends AnyFunSuite {
       snapshotId = Some(m2.snapshots.head.snapshotId))
     assert(tt.count() == 40)
   }
+
+  test("dropPartitionField: v2 field removal, spec reuse, compaction over mixed specs") {
+    import spark.implicits._
+    val table = tmpTable()
+    // spec 0: identity(cat); spec 1 adds bucket(8, id)
+    val b1 = (1L to 20L).map(i => (i, s"cat${i % 4}", (i * 10).toInt))
+    IcebergSink.append(spark, table, b1.toDF("id", "cat", "v"),
+      partitionBy = Seq("cat"))
+    IcebergSink.addPartitionField(spark, table, "bucket(8, id)")
+    val b2 = (21L to 40L).map(i => (i, s"cat${i % 4}", (i * 10).toInt))
+    IcebergSink.append(spark, table, b2.toDF("id", "cat", "v"))
+
+    // DROP the bucket field: the reduced field list equals spec 0, so the
+    // default REUSES spec-id 0 instead of minting a new one
+    IcebergSink.dropPartitionField(spark, table, "bucket(8, id)")
+    val m1 = IcebergSink.load(spark, table).get
+    assert(m1.defaultSpecId == 0, s"expected spec-0 reuse, got ${m1.defaultSpecId}")
+    assert(m1.specsById.keySet == Set(0, 1)) // no new spec minted
+    // metadata-only: no new snapshot
+    assert(m1.snapshots.size == 2)
+    // dropping a field the default spec lacks is an error
+    intercept[IllegalArgumentException](
+      IcebergSink.dropPartitionField(spark, table, "bucket(8, id)"))
+
+    // new writes land under the reduced spec; old files keep theirs
+    val b3 = (41L to 60L).map(i => (i, s"cat${i % 4}", (i * 10).toInt))
+    IcebergSink.append(spark, table, b3.toDF("id", "cat", "v"))
+    val m2 = IcebergSink.load(spark, table).get
+    val specIds = IcebergSink.readAvro(spark, m2.snapshots.last.manifestList)._2
+      .map(_.get("partition_spec_id").asInstanceOf[Int]).toSet
+    assert(specIds == Set(0, 1), s"got $specIds")
+    // exact union read + identity pruning still work across mixed specs
+    assert(IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSeq == b1 ++ b2 ++ b3)
+    val catRows = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("cat", Some("cat1"), Some("cat1"))))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(catRows == (1L to 60L).filter(_ % 4 == 1))
+
+    // drop the last field: a genuinely NEW (unpartitioned) spec is minted
+    IcebergSink.dropPartitionField(spark, table, "cat")
+    val m3 = IcebergSink.load(spark, table).get
+    assert(m3.defaultSpecId == 2 && m3.specsById(2).isEmpty)
+    val b4 = Seq((61L, "cat1", 610))
+    IcebergSink.append(spark, table, b4.toDF("id", "cat", "v"))
+    assert(IcebergSink.read(spark, table).count() == 61)
+
+    // compaction over the three-spec estate unifies under the CURRENT
+    // default (unpartitioned spec 2) with history intact
+    IcebergSink.compact(spark, table)
+    val m4 = IcebergSink.load(spark, table).get
+    val unified = IcebergSink.readAvro(spark, m4.snapshots.last.manifestList)._2
+      .map(_.get("partition_spec_id").asInstanceOf[Int]).toSet
+    assert(unified == Set(2), s"got $unified")
+    assert(IcebergSink.read(spark, table).count() == 61)
+    // time travel to the spec-{0,1} era still decodes those files
+    assert(IcebergSink.read(spark, table,
+      snapshotId = Some(m2.snapshots.last.snapshotId)).count() == 60)
+
+    // re-adding the dropped pair REUSES its original partition field id
+    // (spec rule: field identity keys on (source-id, transform))
+    IcebergSink.addPartitionField(spark, table, "cat")
+    IcebergSink.addPartitionField(spark, table, "bucket(8, id)")
+    val m5 = IcebergSink.load(spark, table).get
+    assert(m5.specsById(m5.defaultSpecId).map(p => (p.fieldId, p.name)) ==
+      Seq((1000, "cat"), (1001, "id_bucket")),
+      s"got ${m5.specsById(m5.defaultSpecId)}")
+  }
 }

@@ -115,6 +115,49 @@ class KfsCatalogSpec extends AnyFunSuite {
   private def cast_ts(id: org.apache.spark.sql.Column) =
     timestamp_micros((lit(1706000000000L) + id) * 1000).cast("timestamp_ntz")
 
+  test("ALTER TABLE TBLPROPERTIES round-trips admin configs (AlterConfigs analog)") {
+    root
+    spark.sql("DROP TABLE IF EXISTS kfscat.cfgtopic")
+    spark.sql("CREATE TABLE kfscat.cfgtopic")
+    try {
+      // SET: whitelist keys persist to the estate's config.json
+      spark.sql("ALTER TABLE kfscat.cfgtopic SET TBLPROPERTIES(" +
+        "'retention.ms'='604800000','segment.bytes'='1048576')")
+      val props = spark.sql("SHOW TBLPROPERTIES kfscat.cfgtopic").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("retention.ms").contains("604800000"))
+      assert(props.get("segment.bytes").contains("1048576"))
+      // DescribeConfigs view reads the same store with normalization
+      val d = TopicConfigs.describe(root, "cfgtopic").map(e => e.name -> e).toMap
+      assert(d("retention.ms").value == "604800000" && !d("retention.ms").isDefault)
+      assert(d("retention.bytes").value == "-1" && d("retention.bytes").isDefault)
+      assert(d("segment.bytes").value == "1048576" && !d("segment.bytes").isDefault)
+      // UNSET returns a key to its default (normalizeSegmentBytes fallback)
+      spark.sql("ALTER TABLE kfscat.cfgtopic UNSET TBLPROPERTIES('segment.bytes')")
+      val d2 = TopicConfigs.describe(root, "cfgtopic").map(e => e.name -> e).toMap
+      assert(d2("segment.bytes").value == TopicConfigs.DefaultSegmentBytes.toString
+        && d2("segment.bytes").isDefault)
+      // AlterConfigs whitelist + validation (main.go:1470-1489): unknown
+      // key, -2 retention, non-positive segment, non-integer all rejected
+      intercept[Exception](
+        spark.sql("ALTER TABLE kfscat.cfgtopic SET TBLPROPERTIES('nope'='1')"))
+      intercept[TopicConfigs.InvalidConfigException](
+        TopicConfigs.alter(root, "cfgtopic", Map("retention.ms" -> "-2")))
+      intercept[TopicConfigs.InvalidConfigException](
+        TopicConfigs.alter(root, "cfgtopic", Map("segment.bytes" -> "0")))
+      intercept[TopicConfigs.InvalidConfigException](
+        TopicConfigs.alter(root, "cfgtopic", Map("retention.bytes" -> "abc")))
+      // validateOnly checks everything but writes nothing
+      TopicConfigs.alter(root, "cfgtopic", Map("retention.ms" -> "5"),
+        validateOnly = true)
+      assert(!TopicConfigs.fetch(root, "cfgtopic").get("retention.ms")
+        .contains(5L))
+      // the broker-resource analog is read-only engine entries
+      val b = TopicConfigs.describeBroker(root).map(e => e.name -> e).toMap
+      assert(b("kafscale.segment.bytes").readOnly && b("kfs.root").readOnly)
+    } finally spark.sql("DROP TABLE IF EXISTS kfscat.cfgtopic")
+  }
+
   test("streaming read through the catalog drains the topic incrementally") {
     root
     val out = java.nio.file.Files.createTempDirectory("cat_stream_out").toString
