@@ -250,13 +250,33 @@ object IcebergSink {
         * under; `specFields` is the DEFAULT spec's fields). Empty map =
         * single-spec table (spec 0). */
       specsById: Map[Int, Seq[PartitionField]] = Map.empty,
-      defaultSpecId: Int = 0) {
+      defaultSpecId: Int = 0,
+      /** Declared write orders by order-id (spec: Sort Orders — order 0 is
+        * always the unsorted order). The default order records how NEW
+        * data files are clustered at append time; readers use it to know
+        * which columns carry tight per-file bounds. */
+      sortOrders: Map[Int, Seq[SortField]] = Map.empty,
+      defaultSortOrderId: Int = 0) {
     def currentSchema: StructType = sparkSchemaOf(fields)
     def schemaFor(schemaId: Int): StructType =
       sparkSchemaOf(schemasById.getOrElse(schemaId, fields))
     def allSpecs: Map[Int, Seq[PartitionField]] =
       if (specsById.isEmpty) Map(0 -> specFields) else specsById
+    def allSortOrders: Map[Int, Seq[SortField]] =
+      if (sortOrders.contains(0)) sortOrders else sortOrders + (0 -> Nil)
+    /** The default write order's source columns, in order (empty =
+      * unsorted order 0). */
+    def writeOrderColumns: Seq[String] = {
+      val byId = fields.map(f => f.id -> f.name).toMap
+      allSortOrders.getOrElse(defaultSortOrderId, Nil)
+        .flatMap(sf => byId.get(sf.sourceId))
+    }
   }
+
+  /** One field of a sort order (spec: Sort Orders — transform, source-id,
+    * direction asc|desc, null-order nulls-first|nulls-last). */
+  final case class SortField(sourceId: Int, transform: String = "identity",
+      direction: String = "asc", nullOrder: String = "nulls-first")
 
   private def sparkSchemaOf(fields: Seq[Field]): StructType =
     StructType(fields.map(f => StructField(f.name, sparkType(f.typ))))
@@ -344,6 +364,14 @@ object IcebergSink {
           e.getValue.path("type").asText("tag"))
       }.toMap
     }.getOrElse(Map.empty[String, (Long, String)])
+    val sortOrders = n.path("sort-orders").elements().asScala.map { o =>
+      o.path("order-id").asInt() ->
+        o.path("fields").elements().asScala.map(sf =>
+          SortField(sf.path("source-id").asInt(),
+            sf.path("transform").asText("identity"),
+            sf.path("direction").asText("asc"),
+            sf.path("null-order").asText("nulls-first"))).toSeq
+    }.toMap
     TableMeta(version, n.path("table-uuid").asText(),
       n.path("location").asText(), n.path("last-sequence-number").asLong(),
       n.path("last-column-id").asInt(), schemaId, fields, snaps,
@@ -351,7 +379,8 @@ object IcebergSink {
         n.path("current-snapshot-id").asLong() != -1)
         Some(n.path("current-snapshot-id").asLong())
       else None,
-      metaLog, schemasById, specFields, refs, specsById, defaultSpecId)
+      metaLog, schemasById, specFields, refs, specsById, defaultSpecId,
+      sortOrders, n.path("default-sort-order-id").asInt())
   }
 
   // ---- schema evolution (spec: field ids stable, legal promotions) --------
@@ -594,8 +623,17 @@ object IcebergSink {
     n.put("last-partition-id",
       (999 +: m.allSpecs.values.flatten.map(_.fieldId).toSeq).max)
     val orders = n.putArray("sort-orders")
-    orders.addObject().put("order-id", 0).putArray("fields")
-    n.put("default-sort-order-id", 0)
+    m.allSortOrders.toSeq.sortBy(_._1).foreach { case (oid, sfs) =>
+      val o = orders.addObject().put("order-id", oid)
+      val fArr = o.putArray("fields")
+      sfs.foreach { sf =>
+        fArr.addObject().put("transform", sf.transform)
+          .put("source-id", sf.sourceId)
+          .put("direction", sf.direction)
+          .put("null-order", sf.nullOrder)
+      }
+    }
+    n.put("default-sort-order-id", m.defaultSortOrderId)
     n.putObject("properties").put("write.format.default", "parquet")
     m.currentSnapshotId match {
       case Some(id) => n.put("current-snapshot-id", id)
@@ -712,7 +750,7 @@ object IcebergSink {
       specDecls)
     commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
       carryPrior = true, operation = "append", maxRetries,
-      createSpecOn = specDecls)
+      createSpecOn = specDecls, writeOrder = clusterBy)
   }
 
   /** Compact the current snapshot's data files into `targetFiles` and
@@ -1213,7 +1251,8 @@ object IcebergSink {
       commitUuid: String, carryPrior: Boolean, operation: String,
       maxRetries: Int, equalityIds: Seq[Int] = Nil,
       positionDelete: Boolean = false,
-      createSpecOn: Seq[String] = Nil): Unit = {
+      createSpecOn: Seq[String] = Nil,
+      writeOrder: Seq[String] = Nil): Unit = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     val addedRecords = fileRecords.map(_.records).sum
@@ -1363,6 +1402,27 @@ object IcebergSink {
         listPath.toString, fileRecords.size.toLong, addedRecords, schemaId,
         operation)
       val newVersion = base.version + 1
+      // a clusterBy append DECLARES its write order in metadata (spec:
+      // Sort Orders): resolve the columns to source-ids against the
+      // committed schema, reuse an existing identical order's id, else
+      // mint the next one; the default order id then points at it so
+      // readers know which columns carry tight per-file bounds
+      val (sortOrders, sortOrderId) =
+        if (writeOrder.isEmpty) (base.sortOrders, base.defaultSortOrderId)
+        else {
+          val byName = fields.map(f => f.name -> f.id).toMap
+          val sfs = writeOrder.map(c => SortField(byName.getOrElse(c,
+            throw new IllegalArgumentException(
+              s"write-order column '$c' not in schema"))))
+          val all = if (base.sortOrders.contains(0)) base.sortOrders
+            else base.sortOrders + (0 -> Nil)
+          all.find(_._2 == sfs) match {
+            case Some((oid, _)) => (all, oid)
+            case None =>
+              val oid = all.keys.max + 1
+              (all + (oid -> sfs), oid)
+          }
+        }
       val next = TableMeta(newVersion, base.uuid, tableDir.toString, seqNum,
         lastColId, schemaId, fields, base.snapshots :+ snap, Some(snapshotId),
         base.metadataLog ++ (if (base.version > 0)
@@ -1370,7 +1430,8 @@ object IcebergSink {
         specFields = specFields, refs = base.refs,
         specsById =
           if (base.version == 0) Map(0 -> specFields) else base.specsById,
-        defaultSpecId = specId)
+        defaultSpecId = specId,
+        sortOrders = sortOrders, defaultSortOrderId = sortOrderId)
       val allSchemas =
         (prevSchemas.filterNot(_._1 == schemaId) :+ (schemaId -> fields))
           .sortBy(_._1)
@@ -2357,12 +2418,18 @@ object IcebergSink {
   final case class ScanSummary(snapshotId: Long,
       dataFiles: Int, dataBytes: Long, dataRecords: Long,
       prunedFiles: Int, prunedBytes: Long,
-      eqDeleteFiles: Int, posDeleteFiles: Int) {
+      eqDeleteFiles: Int, posDeleteFiles: Int,
+      /** The table's declared default write order (empty = unsorted):
+        * ranges on these columns prune tightly because clustered files
+        * carry disjoint bounds. */
+      writeOrder: Seq[String] = Nil) {
     def render: String =
       s"IcebergScan[snapshot=$snapshotId files=$dataFiles " +
         s"bytes=$dataBytes rows~$dataRecords pruned=$prunedFiles " +
         s"prunedBytes=$prunedBytes eqDeletes=$eqDeleteFiles " +
-        s"posDeletes=$posDeleteFiles]"
+        s"posDeletes=$posDeleteFiles" +
+        (if (writeOrder.isEmpty) "" else
+          s" writeOrder=${writeOrder.mkString(",")}") + "]"
   }
 
   /** [[ScanSummary]] for the current (or a named) snapshot under the
@@ -2386,7 +2453,8 @@ object IcebergSink {
         ScanSummary(snap.snapshotId,
           kept.size, kept.map(_.sizeBytes).sum, kept.map(_.records).sum,
           pruned.size, pruned.map(_.sizeBytes).sum,
-          planned.count(_.content == 2), planned.count(_.content == 1))
+          planned.count(_.content == 2), planned.count(_.content == 1),
+          writeOrder = m.writeOrderColumns)
       }
     }
 

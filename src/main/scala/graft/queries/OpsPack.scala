@@ -199,7 +199,16 @@ object OpsPack extends QueryPack {
     * from the corpus, so the sf0.01 hash-match proves the training loop
     * reproduces the frozen table — training itself is now hash-proven,
     * not just ScalaTest-pinned. LEFT JOIN keeps empty-text docs (0
-    * tokens), matching the engine's encode-everything semantics. */
+    * tokens), matching the engine's encode-everything semantics.
+    *
+    * SF CONTRACT: this oracle is valid ONLY at the driver's correctness
+    * scale factor (sf0.01) — at any other SF the live query trains a
+    * DIFFERENT merge table and a hash mismatch here means "oracle frozen
+    * at the wrong SF", not an engine defect. If the correctness SF ever
+    * changes, regenerate the frozen table with `runMain
+    * graft.tools.FreezeBpe <new-sf-dir>` and update
+    * Bpe.CorpusMergesSf001. (t34 is the SF-independent sibling: its
+    * FixedMerges table is constant at every scale.) */
   private def bpeT22OracleSql: String = {
     val sep = "\u001f"
     def lit(s: String) = "'" + s.replace("'", "''") + "'"

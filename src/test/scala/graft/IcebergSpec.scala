@@ -1133,6 +1133,51 @@ class IcebergSpec extends AnyFunSuite {
     assert(tt.count() == 40)
   }
 
+  test("sort orders: clusterBy appends declare the write order, metadata round-trips") {
+    import spark.implicits._
+    val table = tmpTable()
+    // unclustered append: only the unsorted order 0 exists
+    IcebergSink.append(spark, table,
+      Seq((3L, "c", 30), (1L, "a", 10)).toDF("id", "name", "qty"))
+    val m0 = IcebergSink.load(spark, table).get
+    assert(m0.allSortOrders == Map(0 -> Nil) && m0.defaultSortOrderId == 0)
+    assert(m0.writeOrderColumns.isEmpty)
+
+    // clusterBy append DECLARES the order: order 1 = identity(id) asc
+    IcebergSink.append(spark, table,
+      (10L to 30L).map(i => (i, s"n$i", i.toInt)).toDF("id", "name", "qty"),
+      clusterBy = Seq("id"))
+    val m1 = IcebergSink.load(spark, table).get
+    assert(m1.defaultSortOrderId == 1)
+    assert(m1.sortOrders(1) ==
+      Seq(IcebergSink.SortField(1, "identity", "asc", "nulls-first")))
+    assert(m1.writeOrderColumns == Seq("id"))
+    // raw JSON is spec-shaped (order-id / fields / direction / null-order)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "metadata",
+        s"v${m1.version}.metadata.json")), "UTF-8")
+    assert(json.contains("\"sort-orders\""))
+    assert("\"default-sort-order-id\"\\s*:\\s*1".r.findFirstIn(json).isDefined)
+    assert("\"null-order\"\\s*:\\s*\"nulls-first\"".r.findFirstIn(json).isDefined)
+
+    // identical clusterBy reuses order 1; a different one mints order 2
+    IcebergSink.append(spark, table,
+      Seq((31L, "x", 31)).toDF("id", "name", "qty"), clusterBy = Seq("id"))
+    assert(IcebergSink.load(spark, table).get.defaultSortOrderId == 1)
+    IcebergSink.append(spark, table,
+      Seq((32L, "y", 32)).toDF("id", "name", "qty"), clusterBy = Seq("qty"))
+    val m3 = IcebergSink.load(spark, table).get
+    assert(m3.defaultSortOrderId == 2 &&
+      m3.sortOrders(2).map(_.sourceId) == Seq(3))
+    // an unclustered append leaves the declared default order untouched
+    IcebergSink.append(spark, table,
+      Seq((33L, "z", 33)).toDF("id", "name", "qty"))
+    assert(IcebergSink.load(spark, table).get.defaultSortOrderId == 2)
+    // explainScan reports the clustered columns
+    assert(IcebergSink.explainScan(spark, table, Nil).get.writeOrder ==
+      Seq("qty"))
+  }
+
   test("dropPartitionField: v2 field removal, spec reuse, compaction over mixed specs") {
     import spark.implicits._
     val table = tmpTable()
