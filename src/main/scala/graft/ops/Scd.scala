@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (Kimball Type 2) history built from a CDC
+  * changelog feed — the warehouse-side consumer of the Iceberg changelog
+  * (IcebergSink.readChangelogFrom) or any (key, payload, change_type,
+  * change_ordinal) stream: every 'insert' opens a version at its ordinal,
+  * and the first 'delete' for the same key at a LATER ordinal closes it.
+  * A delete at the SAME ordinal as an insert is the retraction half of a
+  * merge/upsert commit: it closes the previous version, never the one the
+  * commit itself opens (deletes order before inserts within an ordinal).
+  *
+  * 100 TB shape: one window over the changelog partitioned by key — the
+  * same key-hash shuffle a GROUP BY on the key would pay, no join, no
+  * second corpus pass. Per-key change chains are short (bounded by commit
+  * count, not corpus size), so the window frame never spills.
+  */
+object Scd {
+
+  /** Versioned history: the 'insert' rows of `changes` with `valid_from`
+    * (the opening ordinal), `valid_to` (the closing delete's ordinal, null
+    * while current) and `is_current` appended; the ordinal and change-type
+    * columns are consumed. Delete rows only need their key columns
+    * populated — payload nulls (Iceberg key-level retractions) are fine. */
+  def scd2(changes: DataFrame, keyCols: Seq[String],
+      ordCol: String = "_change_ordinal",
+      typeCol: String = "_change_type"): DataFrame = {
+    // 'delete' < 'insert' lexicographically, so a same-ordinal delete sits
+    // BEFORE the insert and the strictly-following frame can't see it
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol), col(typeCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    changes
+      .withColumn("_next_del",
+        min(when(col(typeCol) === "delete", col(ordCol))).over(w))
+      .where(col(typeCol) === "insert")
+      .withColumn("valid_from", col(ordCol))
+      .withColumn("valid_to", col("_next_del"))
+      .withColumn("is_current", col("_next_del").isNull)
+      .drop("_next_del", ordCol, typeCol)
+  }
+}

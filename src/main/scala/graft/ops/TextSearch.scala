@@ -96,6 +96,73 @@ object TextSearch {
         round(col("score"), 4).as("score"))
   }
 
+  /** Feature-hashed bag-of-words embedding (the hashing trick): each token
+    * adds ±1 to one of `dims` buckets, with both the bucket index and the
+    * sign derived from md5(token) so any engine replays the exact map.
+    * Components are therefore small INTEGERS stored in doubles — the fold
+    * order can't change the result, and downstream dot products / norms
+    * stay bit-identical across engines with no rounding guard. One in-row
+    * higher-order-function pass, no shuffle, no UDF. `dims` ≤ 256 (the
+    * index is the first md5 byte mod dims). */
+  def hashedEmbedding(text: Column, dims: Int): Column = {
+    require(dims > 0 && dims <= 256, s"dims must be in [1,256], got $dims")
+    aggregate(tokens(text), array_repeat(lit(0.0d), dims), (acc, t) => {
+      val h = md5(t)
+      val idx = pmod(conv(substring(h, 1, 2), 16, 10).cast("int"), lit(dims))
+      val sgn = when(conv(substring(h, 3, 1), 16, 10).cast("int") < 8,
+        lit(1.0d)).otherwise(lit(-1.0d))
+      transform(acc, (v, i) => v + when(i === idx, sgn).otherwise(lit(0.0d)))
+    })
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    * 2009): a lexical BM25 leg and a semantic cosine leg over the
+    * [[hashedEmbedding]], each contributing `1/(kRrf + rank)` for its
+    * top-`legK`, fused and re-ranked to the final top-`k`. The modern
+    * RAG-retrieval default — sparse recall catches exact terms, dense
+    * recall catches paraphrase, RRF needs no score calibration between
+    * legs.
+    *
+    * 100 TB shape: the query set is tiny and BROADCAST onto both legs, so
+    * the corpus pays one postings pass (BM25) plus one narrow
+    * embed-and-score pass (dense); the fusion join touches only
+    * `queries × legK` candidate rows. Ranks are computed on values that
+    * are either rounded at birth (BM25) or integer-exact (cosine of
+    * integer vectors), with the doc id as tiebreak, so the fused order is
+    * reproducible anywhere. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, legK: Int = 10, kRrf: Int = 60,
+      dims: Int = 16): DataFrame = {
+    val lex = bm25TopK(docs, idCol, textCol, queries, legK)
+      .select(col("q"), col("doc"), col("rank").as("lex_rank"))
+    val dv = docs
+      .select(col(idCol).as("doc"), hashedEmbedding(col(textCol), dims).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .where(col("nrm") > 0)
+    val qv = queries
+      .select(col("qid").as("q"), hashedEmbedding(col("qtext"), dims).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .where(col("qn") > 0)
+    val ws = Window.partitionBy(col("q"))
+      .orderBy(round(col("cs"), 6).desc, col("doc"))
+    val sem = dv.crossJoin(broadcast(qv))
+      .select(col("q"), col("doc"),
+        (Similarity.dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cs"))
+      .withColumn("sem_rank", row_number().over(ws))
+      .where(col("sem_rank") <= legK)
+      .select(col("q"), col("doc"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("q", "doc"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)))
+    val wf = Window.partitionBy(col("q"))
+      .orderBy(round(col("rrf"), 6).desc, col("doc"))
+    fused.withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("doc"), col("lex_rank"),
+        col("sem_rank"), round(col("rrf"), 5).as("rrf"))
+  }
+
   /** Top-`m` characteristic terms per document by TF-IDF
     * (`tf/dl · ln(N/df)`). The document-frequency aggregate runs over the
     * full corpus (one term-keyed shuffle, partial aggs map-side); the

@@ -948,6 +948,70 @@ object EtlPack extends QueryPack {
           |FROM events_topic WHERE event_type = 'click'
           |GROUP BY _partition ORDER BY partition""".stripMargin))),
 
+    // SCD TYPE-2 DIMENSION BUILD from the Iceberg changelog — the classic
+    // warehouse consumer of a CDC feed: base load (ordinal 0), an upsert
+    // that retracts every click row and re-inserts it at k*1000 (the
+    // delete and append commits land as ordinals 1 and 2), then a key
+    // delete of every offset % 5 == 0 row (ordinal 3). Scd.scd2 folds the
+    // feed into versioned history — each insert opens a version, the next
+    // later delete for the key closes it — and the aggregate below hashes
+    // the full (valid_from, valid_to, is_current) version shape against
+    // the oracle's relational reconstruction of the same four commits.
+    QueryDef(
+      "e30_scd2_history",
+      (s, dir) => {
+        val table = tmp(dir, "scd2_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev)
+        IcebergSink.upsert(s, table,
+          ev.where(col("event_type") === "click")
+            .withColumn("k", col("k") * 1000),
+          Seq("partition", "offset"))
+        IcebergSink.deleteWhere(s, table, col("offset") % 5 === 0,
+          Seq("partition", "offset"))
+        val feed = IcebergSink.readChangelogFrom(s, table, None)
+          .select(col("partition"), col("offset"), col("k"),
+            col("_change_type"), col("_change_ordinal"))
+        graft.ops.Scd.scd2(feed, Seq("partition", "offset"))
+          .groupBy(col("valid_from"), col("valid_to"), col("is_current"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+          .orderBy(col("valid_from"), col("valid_to").asc_nulls_first)
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT _partition AS p, _offset AS o,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         event_type
+          |  FROM events_topic),
+          |ch AS (
+          |  SELECT 'insert' AS t, 0 AS ord, p, o, k FROM base
+          |  UNION ALL
+          |  SELECT 'delete', 1, p, o, CAST(NULL AS BIGINT)
+          |  FROM base WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 'insert', 2, p, o, k * 1000
+          |  FROM base WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 'delete', 3, p, o, CAST(NULL AS BIGINT)
+          |  FROM base WHERE o % 5 = 0),
+          |v AS (
+          |  SELECT t, k, ord AS valid_from,
+          |         min(CASE WHEN t = 'delete' THEN ord END) OVER (
+          |           PARTITION BY p, o ORDER BY ord, t
+          |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+          |         ) AS valid_to
+          |  FROM ch)
+          |SELECT valid_from, valid_to, valid_to IS NULL AS is_current,
+          |       count(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+          |FROM v WHERE t = 'insert'
+          |GROUP BY 1, 2, 3
+          |ORDER BY valid_from, valid_to NULLS FIRST""".stripMargin))),
+
     // Streaming CURATION: the quality gate runs INSIDE the checkpointed
     // ingest query (Pipeline's `transform` hook) — class filter on the
     // record header + payload predicate on the JSON value — so curation

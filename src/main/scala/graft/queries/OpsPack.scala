@@ -1613,6 +1613,91 @@ object OpsPack extends QueryPack {
           |SELECT doc, rank, term, round(tfidf, 5) AS tfidf
           |FROM r WHERE rank <= 3 AND doc < 10 ORDER BY doc, rank""".stripMargin)),
 
+    // HYBRID RETRIEVAL with reciprocal-rank fusion: the BM25 lexical leg
+    // (t15's machinery) and a dense cosine leg over the feature-hashed
+    // bag-of-words embedding, each contributing 1/(60+rank) for its
+    // top-10, fused to a final top-5 — the standard RAG retrieval stack.
+    // Embedding components are integer-exact (±1 bucket increments), so
+    // the dense scores are bit-identical cross-engine with no rounding
+    // guard; the oracle replays both legs and the fusion relationally.
+    QueryDef(
+      "s30_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((0, "hash join merge"), (1, "stream window data"),
+          (2, "vector scan filter")).toDF("qid", "qtext")
+        TextSearch.hybridTopK(Tables.load(s, dir, "documents"),
+            "doc_id", "text", qs, k = 5)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some {
+        val embed = (toks: String) =>
+          s"""list_transform(generate_series(0, 15), dd ->
+             |  list_reduce([CAST(0 AS DOUBLE)] || list_transform($toks, t ->
+             |    CAST(CASE WHEN CAST('0x' || substr(md5(t), 1, 2) AS INTEGER) % 16 = dd
+             |         THEN CASE WHEN CAST('0x' || substr(md5(t), 3, 1) AS INTEGER) < 8
+             |                   THEN 1 ELSE -1 END
+             |         ELSE 0 END AS DOUBLE)),
+             |    (a, b) -> a + b))""".stripMargin
+        s"""WITH q(qid, qtext) AS (VALUES (0, 'hash join merge'),
+           |    (1, 'stream window data'), (2, 'vector scan filter')),
+           |d AS (SELECT doc_id AS doc,
+           |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           |      FROM documents),
+           |p AS (SELECT doc, dl, term, count(*) AS tf
+           |      FROM (SELECT doc, len(w) AS dl, unnest(w) AS term FROM d)
+           |      GROUP BY doc, dl, term),
+           |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+           |          FROM (SELECT doc, any_value(dl) AS dl FROM p GROUP BY doc)),
+           |qt AS (SELECT DISTINCT qid, unnest(string_split(lower(qtext), ' ')) AS term
+           |       FROM q),
+           |m AS (SELECT qt.qid, p.doc, p.dl, p.term, p.tf
+           |      FROM p JOIN qt USING (term)),
+           |dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM m GROUP BY term),
+           |contrib AS (
+           |  SELECT m.qid, m.doc, m.term,
+           |         round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)), 6) *
+           |         (m.tf * (1.2 + 1.0) /
+           |          (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl))) AS c
+           |  FROM m JOIN dfreq f USING (term) CROSS JOIN stats s),
+           |scored AS (
+           |  SELECT qid, doc,
+           |         list_reduce(list_transform(
+           |           list_sort(list(struct_pack(t := term, c := c))), x -> x.c),
+           |           (a, b) -> a + b) AS score
+           |  FROM contrib GROUP BY qid, doc),
+           |lex AS (SELECT qid AS q, doc, lex_rank FROM (
+           |          SELECT qid, doc,
+           |                 row_number() OVER (PARTITION BY qid
+           |                   ORDER BY round(score, 6) DESC, doc) AS lex_rank
+           |          FROM scored) WHERE lex_rank <= 10),
+           |emb AS (SELECT doc, ${embed("w")} AS v FROM d),
+           |qemb AS (SELECT qid,
+           |                ${embed("list_filter(string_split(lower(qtext), ' '), x -> x <> '')")} AS v
+           |         FROM q),
+           |cosj AS (SELECT qe.qid AS q, e.doc, ${duckCosine("e.v", "qe.v")} AS cs
+           |         FROM emb e CROSS JOIN qemb qe
+           |         WHERE (${duckDot("e.v", "e.v")}) > 0
+           |           AND (${duckDot("qe.v", "qe.v")}) > 0),
+           |sem AS (SELECT q, doc, sem_rank FROM (
+           |          SELECT q, doc,
+           |                 row_number() OVER (PARTITION BY q
+           |                   ORDER BY round(cs, 6) DESC, doc) AS sem_rank
+           |          FROM cosj) WHERE sem_rank <= 10),
+           |f AS (SELECT COALESCE(l.q, se.q) AS q, COALESCE(l.doc, se.doc) AS doc,
+           |             l.lex_rank, se.sem_rank,
+           |             COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0) +
+           |             COALESCE(CAST(1 AS DOUBLE) / (60 + se.sem_rank), 0) AS rrf
+           |      FROM lex l FULL OUTER JOIN sem se
+           |        ON l.q = se.q AND l.doc = se.doc),
+           |fr AS (SELECT q, doc, lex_rank, sem_rank, rrf,
+           |              row_number() OVER (PARTITION BY q
+           |                ORDER BY round(rrf, 6) DESC, doc) AS rank
+           |       FROM f)
+           |SELECT q, rank, doc, lex_rank, sem_rank, round(rrf, 5) AS rrf
+           |FROM fr WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+      }),
+
     // RAG/context-window chunking: 64-token windows, 16-token overlap
     // (stride 48). A pure shuffle-free projection (split once → explode
     // chunk index → slice) whose layout law the DuckDB oracle recomputes

@@ -1063,4 +1063,62 @@ class OpsSpec extends AnyFunSuite {
       "text", tgt).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(a == b)
   }
+
+  test("hashed embedding: integer-exact components, token-order invariant") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha alpha")).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"),
+        TextSearch.hashedEmbedding(col("text"), 16).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.values.foreach { v =>
+      assert(v.length == 16)
+      v.foreach(x => assert(x == math.rint(x))) // integer-exact doubles
+    }
+    // a bag-of-words map: permuting tokens can't change the vector
+    assert(rows(1L) == rows(2L))
+    // doubled token doubles its bucket: v(3) = 2 * bucket(alpha)
+    assert(rows(3L).map(math.abs).sum == 2.0)
+  }
+
+  test("hybrid rrf: a doc topping both legs tops the fusion; legs differ") {
+    import spark.implicits._
+    val q = Seq((0, "hash join merge")).toDF("qid", "qtext")
+    val out = TextSearch.hybridTopK(docs, "doc_id", "text", q, k = 5)
+      .collect()
+    assert(out.length == 5)
+    val top = out.find(_.getInt(1) == 1).get
+    // rrf of the winner >= every later rank's rrf, and both leg ranks are
+    // carried through for audit (nullable when a leg missed the doc)
+    val rrfs = out.sortBy(_.getInt(1)).map(_.getDouble(5))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // fusing a doc ranked #1 lexically and #1 semantically would score
+    // 2/61; no single-leg doc can beat that (max 1/61 + 0 < 2/61) — so if
+    // such a doc exists it must be the fusion winner
+    val lex1 = TextSearch.bm25TopK(docs, "doc_id", "text", q, 1)
+      .collect().head.getLong(2)
+    if (!top.isNullAt(3) && !top.isNullAt(4) &&
+        top.getInt(3) == 1 && top.getInt(4) == 1)
+      assert(top.getLong(2) == lex1)
+  }
+
+  test("scd2: upsert closes the prior version, not its own insert") {
+    import spark.implicits._
+    // key A: insert@0, merge-upsert@1 (delete+insert SAME ordinal),
+    // delete@3; key B: insert@0 only (still current)
+    val ch = Seq(
+      ("A", Some(10L), "insert", 0), ("A", None, "delete", 1),
+      ("A", Some(20L), "insert", 1), ("A", None, "delete", 3),
+      ("B", Some(7L), "insert", 0)
+    ).toDF("k", "payload", "_change_type", "_change_ordinal")
+    val h = Scd.scd2(ch, Seq("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Any]("payload"),
+        r.getInt(2), Option(r.getAs[Any]("valid_to")), r.getBoolean(4)))
+      .toSet
+    assert(h == Set(
+      ("A", 10L, 0, Some(1), false),  // closed by the upsert's retraction
+      ("A", 20L, 1, Some(3), false),  // the upsert's insert survives to 3
+      ("B", 7L, 0, None, true)))      // never deleted -> current
+  }
 }
