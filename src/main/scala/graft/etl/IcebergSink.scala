@@ -818,14 +818,21 @@ object IcebergSink {
       keyCols: Seq[String], maxRetries: Int = 5): Unit = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     import org.apache.spark.sql.functions.{col, count, lit}
-    val dupes = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
-    if (dupes.nonEmpty)
-      throw new IllegalArgumentException(
-        s"upsert batch has multiple rows for key ${dupes.head}")
-    if (load(spark, table).isDefined)
-      deleteKeys(spark, table, df.select(keyCols.map(col): _*), maxRetries)
-    append(spark, table, df, maxRetries)
+    // the batch is the MERGE delta — consumed three times (dup-key check,
+    // equality-delete write, data append), so materialize it once instead
+    // of recomputing its lineage per pass; a delta is bounded by the
+    // commit, not the table, so this never caches anything table-sized
+    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupes = batch.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+      if (dupes.nonEmpty)
+        throw new IllegalArgumentException(
+          s"upsert batch has multiple rows for key ${dupes.head}")
+      if (load(spark, table).isDefined)
+        deleteKeys(spark, table, batch.select(keyCols.map(col): _*), maxRetries)
+      append(spark, table, batch, maxRetries)
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Spec columns of a POSITION delete file (reserved field ids

@@ -948,6 +948,61 @@ object EtlPack extends QueryPack {
           |FROM events_topic WHERE event_type = 'click'
           |GROUP BY _partition ORDER BY partition""".stripMargin))),
 
+    // WRITE-AUDIT-PUBLISH over Iceberg refs — the staging workflow the
+    // spec's branch refs exist for: the candidate batch commits, a branch
+    // ref pins it, and main is rolled back to the pre-stage snapshot so
+    // readers see NOTHING of the staged work; the audit reads the branch,
+    // and only a passing audit fast-forwards main onto the staged
+    // snapshot (a failing one would drop the ref and leave main clean —
+    // the staged snapshot then ages out via expireSnapshots). The result
+    // carries the mid-flight main count next to the final aggregate, so
+    // the hash proves BOTH the isolation moment and the published state.
+    QueryDef(
+      "e31_iceberg_wap",
+      (s, dir) => {
+        val table = tmp(dir, "wap_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev.where(col("partition").isin(0, 1)))
+        val base = IcebergSink.load(s, table).get.currentSnapshotId.get
+        // stage: commit the candidate batch, pin it to a branch, hide it
+        IcebergSink.append(s, table, ev.where(col("partition").isin(2, 3)))
+        val staged = IcebergSink.load(s, table).get.currentSnapshotId.get
+        IcebergSink.setRef(s, table, "audit", "branch", Some(staged))
+        IcebergSink.rollbackTo(s, table, base)
+        // observed NOW, while staged work is hidden (a 1-row bounded count)
+        val stagedMainCnt = IcebergSink.read(s, table).count()
+        // audit the branch: the candidate must add rows and no key may be
+        // null — a real quality gate, evaluated on the branch only
+        val audit = IcebergSink.readRef(s, table, "audit")
+          .agg(count(lit(1)).as("audit_cnt"),
+            count(when(col("offset").isNull, 1)).as("null_keys")).collect()(0)
+        if (audit.getLong(1) == 0 && audit.getLong(0) > 0) {
+          IcebergSink.rollbackTo(s, table, staged) // fast-forward publish
+          IcebergSink.dropRef(s, table, "audit")
+        }
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+          .withColumn("staged_main_cnt", lit(stagedMainCnt))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT _partition AS partition,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k
+          |  FROM events_topic),
+          |iso AS (SELECT count(*) AS staged_main_cnt FROM base
+          |        WHERE partition IN (0, 1))
+          |SELECT partition, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k,
+          |       (SELECT staged_main_cnt FROM iso) AS staged_main_cnt
+          |FROM base GROUP BY partition ORDER BY partition""".stripMargin))),
+
     // SCD TYPE-2 DIMENSION BUILD from the Iceberg changelog — the classic
     // warehouse consumer of a CDC feed: base load (ordinal 0), an upsert
     // that retracts every click row and re-inserts it at k*1000 (the

@@ -970,6 +970,36 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 4)
   }
 
+  test("write-audit-publish: failed audit leaves main clean, staged work recoverable") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    val base = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    // stage a bad batch (null-ish sentinel), pin to branch, hide from main
+    IcebergSink.append(spark, table, Seq((3L, -1)).toDF("id", "v"))
+    val staged = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.setRef(spark, table, "audit", "branch", Some(staged))
+    IcebergSink.rollbackTo(spark, table, base)
+    // isolation: main readers never see the staged row
+    assert(IcebergSink.read(spark, table).count() == 2)
+    // audit on the branch fails -> abandon: drop the ref, main untouched
+    val bad = IcebergSink.readRef(spark, table, "audit")
+      .where(col("v") < 0).count()
+    assert(bad == 1)
+    IcebergSink.dropRef(spark, table, "audit")
+    assert(IcebergSink.read(spark, table).count() == 2)
+    assert(IcebergSink.load(spark, table).get.refs.isEmpty)
+    // the staged snapshot is still time-travelable until expiry
+    assert(IcebergSink.read(spark, table, Some(staged)).count() == 3)
+    // and a later good batch parents off the restored main, dead-forking it
+    IcebergSink.append(spark, table, Seq((4L, 40)).toDF("id", "v"))
+    val m = IcebergSink.load(spark, table).get
+    val cur = m.snapshots.find(s =>
+      m.currentSnapshotId.contains(s.snapshotId)).get
+    assert(cur.parentId.contains(base))
+    assert(IcebergSink.read(spark, table).count() == 3)
+  }
+
   test("changelog emits inserts and key-level deletes in commit order") {
     import spark.implicits._
     val table = tmpTable()
