@@ -151,10 +151,19 @@ object TextSearch {
       .withColumn("sem_rank", row_number().over(ws))
       .where(col("sem_rank") <= legK)
       .select(col("q"), col("doc"), col("sem_rank"))
-    val fused = lex.join(sem, Seq("q", "doc"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)))
+    // fuse by union + hash aggregate, not an outer join: each leg emits
+    // (q, doc, 1/(kRrf+rank)) and the sum per (q, doc) IS the RRF score —
+    // a two-row-max group, commutative double add, no join operator at all
+    val fused = lex
+      .select(col("q"), col("doc"),
+        (lit(1.0) / (lit(kRrf) + col("lex_rank"))).as("c"),
+        col("lex_rank"), lit(null).cast("int").as("sem_rank"))
+      .unionByName(sem.select(col("q"), col("doc"),
+        (lit(1.0) / (lit(kRrf) + col("sem_rank"))).as("c"),
+        lit(null).cast("int").as("lex_rank"), col("sem_rank")))
+      .groupBy(col("q"), col("doc"))
+      .agg(sum(col("c")).as("rrf"), max(col("lex_rank")).as("lex_rank"),
+        max(col("sem_rank")).as("sem_rank"))
     val wf = Window.partitionBy(col("q"))
       .orderBy(round(col("rrf"), 6).desc, col("doc"))
     fused.withColumn("rank", row_number().over(wf))

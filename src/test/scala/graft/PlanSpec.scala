@@ -295,6 +295,20 @@ class PlanSpec extends AnyFunSuite {
       s"top-k should use WindowGroupLimit:\n$plan")
   }
 
+  test("s30: hybrid legs pre-truncate map-side; no cartesian beyond the query broadcast") {
+    val plan = planOf("s30_hybrid_rrf")
+    // both per-query rank <= legK filters must compile to WindowGroupLimit
+    // (map-side partial top-k) — with 3 query partitions a plain window
+    // would funnel the WHOLE scored corpus through 3 tasks
+    val wgl = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(wgl >= 2, s"both legs should rank via WindowGroupLimit, saw $wgl:\n$plan")
+    // the only nested-loop allowed is the tiny query-vector broadcast
+    assert(!plan.contains("CartesianProduct"),
+      s"dense leg must broadcast the queries, not cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate fusion join is queries x legK rows — must not SMJ:\n$plan")
+  }
+
   test("s17: compacted view is hash-only — no SortAggregate, no sort-merge") {
     val plan = planOf("s17_kfs_compacted_view")
     // max_by over binary payloads would force SortAggregate (a full sort
