@@ -2682,6 +2682,56 @@ object OpsPack extends QueryPack {
            |    ORDER BY importance DESC, doc) AS rank
            |  FROM sc)
            |SELECT rank, doc, n_grams, importance FROM r
-           |WHERE rank <= 30 ORDER BY rank""".stripMargin))
+           |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
+
+    // ROLLING Z-SCORE INGEST MONITORING: each record's metric is tested
+    // against the mean/variance of its partition's previous 10 values,
+    // with the z-test cross-multiplied into pure BIGINT arithmetic
+    // ((n·v−s)²(n−1) > z²n(n·q−s²)) so the SAME rows flag in any engine —
+    // float stddev (Welford vs naive) flips boundary flags. Faults are
+    // injected deterministically (a +500 spike every offset % 97 == 0,
+    // the t9-PII pattern) so the monitor has real positives to find; the
+    // hash checks flag placement, not just counts.
+    QueryDef(
+      "t42_rolling_anomaly",
+      (s, dir) => {
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          (get_json_object(col("_value"), "$.k").cast("long") +
+            when(col("_offset") % 97 === 0, 500L).otherwise(0L)).as("v"))
+        graft.ops.Anomaly.rollingZ(ev, Seq("partition"), "offset", "v",
+            n = 10, z = 3)
+          .groupBy(col("partition"))
+          .agg(sum(when(col("n_prior") === 10, 1L).otherwise(0L)).as("n_tested"),
+            sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+            sum(when(col("is_anomaly"), col("offset"))).as("sum_anom_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT _partition AS p, _offset AS o,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) +
+          |         CASE WHEN _offset % 97 = 0 THEN 500 ELSE 0 END AS v
+          |  FROM events_topic),
+          |w AS (
+          |  SELECT p, o, v,
+          |         CAST(COALESCE(sum(v) OVER win, 0) AS BIGINT) AS s,
+          |         CAST(COALESCE(sum(v * v) OVER win, 0) AS BIGINT) AS q,
+          |         count(v) OVER win AS np
+          |  FROM base
+          |  WINDOW win AS (PARTITION BY p ORDER BY o
+          |                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+          |f AS (
+          |  SELECT p, o, np,
+          |         np = 10 AND
+          |         (10 * v - s) * (10 * v - s) * 9 > 9 * 10 * (10 * q - s * s)
+          |           AS is_anomaly
+          |  FROM w)
+          |SELECT p AS partition,
+          |       CAST(SUM(CASE WHEN np = 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_tested,
+          |       CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+          |       CAST(SUM(CASE WHEN is_anomaly THEN o END) AS BIGINT) AS sum_anom_off
+          |FROM f GROUP BY p ORDER BY partition""".stripMargin)))
   )
 }

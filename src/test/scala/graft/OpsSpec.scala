@@ -1102,6 +1102,41 @@ class OpsSpec extends AnyFunSuite {
       assert(top.getLong(2) == lex1)
   }
 
+  test("rolling z-score: integer test equals the float z-test, cold start never flags") {
+    import spark.implicits._
+    // key A: stable 10-sample baseline (values 4..6), then a spike and a
+    // normal value; key B interleaved to prove per-key isolation
+    val base = (0 until 10).map(i => ("A", i.toLong, 4L + (i % 3)))
+    val rows = base ++ Seq(("A", 10L, 50L), ("A", 11L, 5L)) ++
+      (0 until 12).map(i => ("B", i.toLong, 100L))
+    val out = Anomaly.rollingZ(rows.toDF("k", "o", "v"), Seq("k"), "o", "v",
+        n = 10, z = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getBoolean(r.fieldIndex("is_anomaly")), r.getLong(r.fieldIndex("n_prior"))))
+      .toMap
+    // cold start (fewer than n priors) never flags, even B's constant run
+    (0 until 10).foreach { i =>
+      assert(!out(("A", i.toLong))._1 && out(("A", i.toLong))._2 == i.toLong)
+    }
+    assert(out(("A", 10L))._1)   // the spike flags
+    assert(!out(("A", 11L))._1)  // the window absorbs it; 5 is typical
+    // B is constant: variance 0, value == mean -> lhs = rhs = 0, no flag
+    assert(!out(("B", 10L))._1 && !out(("B", 11L))._1)
+    // the integer inequality is EXACTLY |v - mean| > z*stddev_samp:
+    // replay the float test for every tested row and compare decisions
+    rows.groupBy(_._1).foreach { case (k, ks) =>
+      val sorted = ks.sortBy(_._2)
+      sorted.indices.drop(10).foreach { i =>
+        val prior = sorted.slice(i - 10, i).map(_._3.toDouble)
+        val mean = prior.sum / 10
+        val sd = math.sqrt(prior.map(x => (x - mean) * (x - mean)).sum / 9)
+        val floatFlag = math.abs(sorted(i)._3 - mean) > 3 * sd
+        assert(out((k, sorted(i)._2))._1 == floatFlag,
+          s"row ($k, ${sorted(i)._2}) integer/float disagreement")
+      }
+    }
+  }
+
   test("scd2: upsert closes the prior version, not its own insert") {
     import spark.implicits._
     // key A: insert@0, merge-upsert@1 (delete+insert SAME ordinal),
