@@ -1102,6 +1102,47 @@ class OpsSpec extends AnyFunSuite {
       assert(top.getLong(2) == lex1)
   }
 
+  test("scd2 laws hold for random legal changelogs") {
+    import spark.implicits._
+    // legal per-key feed: alternating insert/delete starting with insert,
+    // sequenced either on distinct ordinals or with upsert-style
+    // same-ordinal (delete, insert) pairs
+    val rnd = new scala.util.Random(4242)
+    val feed = (0 until 40).flatMap { key =>
+      var ord = 0
+      var open = false
+      val nOps = 1 + rnd.nextInt(8)
+      (0 until nOps).flatMap { _ =>
+        val rows =
+          if (!open) { open = true; Seq((s"k$key", "insert", ord)) }
+          else if (rnd.nextBoolean()) { open = false; Seq((s"k$key", "delete", ord)) }
+          else Seq((s"k$key", "delete", ord), (s"k$key", "insert", ord)) // upsert
+        ord += 1 + rnd.nextInt(2)
+        rows
+      }
+    }
+    val h = Scd.scd2(feed.toDF("k", "_change_type", "_change_ordinal"), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getBoolean(3)))
+    val byKey = h.groupBy(_._1)
+    feed.map(_._1).distinct.foreach { k =>
+      val versions = byKey(k).sortBy(_._2)
+      // one version per insert, no losses
+      assert(versions.length == feed.count(r => r._1 == k && r._2 == "insert"))
+      versions.foreach { case (_, from, to, current) =>
+        assert(to.forall(_ > from), s"$k version [$from,$to) must be forward")
+        assert(current == to.isEmpty)
+      }
+      // versions never overlap: each closes at or before the next opens
+      versions.zip(versions.drop(1)).foreach { case ((_, _, to, _), (_, from2, _, _)) =>
+        assert(to.exists(_ <= from2), s"$k overlapping versions")
+      }
+      // at most one current, and only when the key's last op was an insert
+      val lastIsInsert = feed.filter(_._1 == k).maxBy(r => (r._3, r._2))._2 == "insert"
+      assert(versions.count(_._4) == (if (lastIsInsert) 1 else 0))
+    }
+  }
+
   test("rolling z-score: integer test equals the float z-test, cold start never flags") {
     import spark.implicits._
     // key A: stable 10-sample baseline (values 4..6), then a spike and a
