@@ -768,13 +768,29 @@ object IcebergSink {
     if (current.isEmpty) return
     // partitioned tables re-partition the rewrite (the spec is for life);
     // targetFiles then bounds files PER PARTITION tuple, not per table
-    val specDecls = load(spark, table).map { m =>
-      val byId = m.fields.map(f => f.id -> f.name).toMap
-      m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
+    val m = load(spark, table)
+    val specDecls = m.map { meta =>
+      val byId = meta.fields.map(f => f.id -> f.name).toMap
+      meta.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
     }.getOrElse(Nil)
+    // a table with a DECLARED write order (sort-orders metadata from
+    // clusterBy appends) is rewritten range-clustered on it — the sorted
+    // rewrite_data_files strategy. A coalesce here would silently destroy
+    // the layout the declaration advertises and the file-skipping it buys;
+    // range partitioning restores disjoint per-file bounds without a
+    // global single-task sort.
+    val orderCols = m.map(_.writeOrderColumns).getOrElse(Nil)
+    val rewritten =
+      if (orderCols.isEmpty) current.coalesce(math.max(1, targetFiles))
+      else {
+        import org.apache.spark.sql.functions.col
+        current.repartitionByRange(math.max(1, targetFiles),
+            orderCols.map(col): _*)
+          .sortWithinPartitions(orderCols.map(col): _*)
+      }
     val commitUuid = UUID.randomUUID().toString
-    val fileRecords = writeDataFiles(spark, table,
-      current.coalesce(math.max(1, targetFiles)), commitUuid, specDecls)
+    val fileRecords = writeDataFiles(spark, table, rewritten, commitUuid,
+      specDecls)
     commitSnapshot(spark, table, current.schema, fileRecords, commitUuid,
       carryPrior = false, operation = "replace", maxRetries)
   }

@@ -1208,6 +1208,40 @@ class IcebergSpec extends AnyFunSuite {
       Seq("qty"))
   }
 
+  test("compaction honors the declared write order: rewritten files stay prunable") {
+    import spark.implicits._
+    val table = tmpTable()
+    // three clusterBy appends, each covering the FULL key range — every
+    // append's files are internally clustered but the table's files
+    // overlap, and the fragmentation is what compaction must fix WITHOUT
+    // losing the layout the sort-orders declaration advertises
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try (0 until 3).foreach { gen =>
+      IcebergSink.append(spark, table,
+        spark.range(0, 300)
+          .select((col("id") % 30).as("bucket"), (col("id") + gen * 1000).as("id"))
+          .repartition(4),
+        clusterBy = Seq("bucket"))
+    } finally spark.conf.set(coalesceKey, prior)
+    IcebergSink.compact(spark, table, targetFiles = 3)
+    val m = IcebergSink.load(spark, table).get
+    assert(m.writeOrderColumns == Seq("bucket")) // declaration survives
+    val all = IcebergSink.read(spark, table).inputFiles.toSet
+    assert(all.size == 3, s"expected 3 rewritten files, got ${all.size}")
+    // range-clustered rewrite => disjoint per-file bounds => a point read
+    // plans exactly ONE of the three files (a coalesce would leave every
+    // file spanning [0,29] and prune nothing)
+    val pruned = IcebergSink.readPruned(spark, table,
+      Seq(IcebergSink.ColumnRange("bucket", Some(7L), Some(7L))))
+    assert(pruned.inputFiles.length == 1,
+      s"sorted rewrite must keep point reads at one file: " +
+        s"${pruned.inputFiles.length} of ${all.size} planned")
+    assert(pruned.count() == 30 &&
+      IcebergSink.read(spark, table).count() == 900)
+  }
+
   test("dropPartitionField: v2 field removal, spec reuse, compaction over mixed specs") {
     import spark.implicits._
     val table = tmpTable()
