@@ -115,6 +115,28 @@ object TextSearch {
     })
   }
 
+  /** [[hashedEmbedding]] as CODEGEN-FRIENDLY wide columns: explode the
+    * tokens and hash-aggregate `dims` conditional sums (`_d0.._d{dims-1}`)
+    * per id. Same integers as the array form, but every expression is a
+    * codegen'd built-in — the higher-order `aggregate` lambda has no
+    * `doGenCode`, runs interpreted, and gets DUPLICATED when projection
+    * collapse inlines the array into each consumer (norm, dot). One
+    * map-side-combined shuffle of (id, dims partials); the per-token md5
+    * is evaluated exactly once. The KMeansQ wide-center-update pattern. */
+  private def hashedEmbeddingCols(df: DataFrame, idCol: String,
+      textCol: String, dims: Int): DataFrame = {
+    val h = md5(col("_t"))
+    val idx = pmod(conv(substring(h, 1, 2), 16, 10).cast("int"), lit(dims))
+    val sgn = when(conv(substring(h, 3, 1), 16, 10).cast("int") < 8,
+      lit(1L)).otherwise(lit(-1L))
+    val sums = (0 until dims).map(i =>
+      sum(when(col("_dim") === i, col("_sgn")).otherwise(lit(0L))).as(s"_d$i"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .select(col(idCol), idx.as("_dim"), sgn.as("_sgn"))
+      .groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack/Clarke/Buettcher
     * 2009): a lexical BM25 leg and a semantic cosine leg over the
     * [[hashedEmbedding]], each contributing `1/(kRrf + rank)` for its
@@ -124,30 +146,38 @@ object TextSearch {
     * legs.
     *
     * 100 TB shape: the query set is tiny and BROADCAST onto both legs, so
-    * the corpus pays one postings pass (BM25) plus one narrow
-    * embed-and-score pass (dense); the fusion join touches only
-    * `queries × legK` candidate rows. Ranks are computed on values that
-    * are either rounded at birth (BM25) or integer-exact (cosine of
-    * integer vectors), with the doc id as tiebreak, so the fused order is
-    * reproducible anywhere. */
+    * the corpus pays one postings pass (BM25) plus one embed pass (the
+    * wide hash aggregate above, fully codegen'd); the fusion aggregate
+    * touches only `queries × legK` candidate rows. Ranks are computed on
+    * values that are either rounded at birth (BM25) or integer-exact
+    * (cosine of integer vectors), with the doc id as tiebreak, so the
+    * fused order is reproducible anywhere. */
   def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int, legK: Int = 10, kRrf: Int = 60,
       dims: Int = 16): DataFrame = {
     val lex = bm25TopK(docs, idCol, textCol, queries, legK)
       .select(col("q"), col("doc"), col("rank").as("lex_rank"))
-    val dv = docs
-      .select(col(idCol).as("doc"), hashedEmbedding(col(textCol), dims).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-      .where(col("nrm") > 0)
-    val qv = queries
-      .select(col("qid").as("q"), hashedEmbedding(col("qtext"), dims).as("qv"))
-      .withColumn("qn", Similarity.norm(col("qv")))
-      .where(col("qn") > 0)
+    val n2 = (0 until dims).map(i => col(s"_d$i") * col(s"_d$i")).reduce(_ + _)
+    val dv = hashedEmbeddingCols(
+        docs.select(col(idCol).as("doc"), col(textCol)), "doc", textCol, dims)
+      .withColumn("_n2", n2)
+      .where(col("_n2") > 0)
+    val qv = hashedEmbeddingCols(queries, "qid", "qtext", dims)
+      .withColumn("_qn2", n2)
+      .where(col("_qn2") > 0)
+      .select(col("qid").as("q"),
+        array((0 until dims).map(i => col(s"_d$i").cast("double")): _*).as("qa"),
+        sqrt(col("_qn2").cast("double")).as("qn"))
+    // dot = 16 codegen'd multiply-adds against the broadcast query array;
+    // every term is an integer-valued double, so cs is engine-exact
+    val dot = (0 until dims)
+      .map(i => col(s"_d$i").cast("double") * element_at(col("qa"), i + 1))
+      .reduce(_ + _)
     val ws = Window.partitionBy(col("q"))
       .orderBy(round(col("cs"), 6).desc, col("doc"))
     val sem = dv.crossJoin(broadcast(qv))
       .select(col("q"), col("doc"),
-        (Similarity.dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cs"))
+        (dot / (sqrt(col("_n2").cast("double")) * col("qn"))).as("cs"))
       .withColumn("sem_rank", row_number().over(ws))
       .where(col("sem_rank") <= legK)
       .select(col("q"), col("doc"), col("sem_rank"))
