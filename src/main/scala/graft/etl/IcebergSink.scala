@@ -256,7 +256,13 @@ object IcebergSink {
         * data files are clustered at append time; readers use it to know
         * which columns carry tight per-file bounds. */
       sortOrders: Map[Int, Seq[SortField]] = Map.empty,
-      defaultSortOrderId: Int = 0) {
+      defaultSortOrderId: Int = 0,
+      /** Statistics files (spec: `statistics` — one entry per analyzed
+        * snapshot, replaced on re-analyze). The payload is a JSON stats
+        * file (where Iceberg proper writes Puffin theta sketches) with
+        * per-column NDV estimates + null counts; [[explainScan]] reports
+        * them for the scanned snapshot. */
+      statistics: Seq[StatsFile] = Nil) {
     def currentSchema: StructType = sparkSchemaOf(fields)
     def schemaFor(schemaId: Int): StructType =
       sparkSchemaOf(schemasById.getOrElse(schemaId, fields))
@@ -277,6 +283,18 @@ object IcebergSink {
     * direction asc|desc, null-order nulls-first|nulls-last). */
   final case class SortField(sourceId: Int, transform: String = "identity",
       direction: String = "asc", nullOrder: String = "nulls-first")
+
+  /** One `statistics` entry (spec: statistics files list — snapshot-id,
+    * statistics-path, file-size-in-bytes). */
+  final case class StatsFile(snapshotId: Long, path: String,
+      fileSizeBytes: Long)
+
+  /** Per-column statistics payload of one analyzed snapshot. */
+  final case class ColumnStats(ndv: Long, nullCount: Long)
+
+  /** The whole stats payload: table row count + per-column stats. */
+  final case class TableStats(rowCount: Long,
+      columns: Map[String, ColumnStats])
 
   private def sparkSchemaOf(fields: Seq[Field]): StructType =
     StructType(fields.map(f => StructField(f.name, sparkType(f.typ))))
@@ -372,6 +390,10 @@ object IcebergSink {
             sf.path("direction").asText("asc"),
             sf.path("null-order").asText("nulls-first"))).toSeq
     }.toMap
+    val statistics = n.path("statistics").elements().asScala.map(st =>
+      StatsFile(st.path("snapshot-id").asLong(),
+        st.path("statistics-path").asText(),
+        st.path("file-size-in-bytes").asLong())).toSeq
     TableMeta(version, n.path("table-uuid").asText(),
       n.path("location").asText(), n.path("last-sequence-number").asLong(),
       n.path("last-column-id").asInt(), schemaId, fields, snaps,
@@ -380,7 +402,7 @@ object IcebergSink {
         Some(n.path("current-snapshot-id").asLong())
       else None,
       metaLog, schemasById, specFields, refs, specsById, defaultSpecId,
-      sortOrders, n.path("default-sort-order-id").asInt())
+      sortOrders, n.path("default-sort-order-id").asInt(), statistics)
   }
 
   // ---- schema evolution (spec: field ids stable, legal promotions) --------
@@ -634,6 +656,14 @@ object IcebergSink {
       }
     }
     n.put("default-sort-order-id", m.defaultSortOrderId)
+    if (m.statistics.nonEmpty) {
+      val stArr = n.putArray("statistics")
+      m.statistics.foreach { st =>
+        stArr.addObject().put("snapshot-id", st.snapshotId)
+          .put("statistics-path", st.path)
+          .put("file-size-in-bytes", st.fileSizeBytes)
+      }
+    }
     n.putObject("properties").put("write.format.default", "parquet")
     m.currentSnapshotId match {
       case Some(id) => n.put("current-snapshot-id", id)
@@ -1454,7 +1484,8 @@ object IcebergSink {
         specsById =
           if (base.version == 0) Map(0 -> specFields) else base.specsById,
         defaultSpecId = specId,
-        sortOrders = sortOrders, defaultSortOrderId = sortOrderId)
+        sortOrders = sortOrders, defaultSortOrderId = sortOrderId,
+        statistics = base.statistics)
       val allSchemas =
         (prevSchemas.filterNot(_._1 == schemaId) :+ (schemaId -> fields))
           .sortBy(_._1)
@@ -1699,7 +1730,11 @@ object IcebergSink {
         s.copy(parentId = parent)
       }
       val nowMs = System.currentTimeMillis()
+      // statistics entries describe exactly one snapshot: expire theirs too
+      val (keptStats, expiredStats) =
+        m.statistics.partition(st => keepIds(st.snapshotId))
       val next = m.copy(version = m.version + 1, snapshots = relinked,
+        statistics = keptStats,
         metadataLog = m.metadataLog :+
           ((nowMs, versionFile(table, m.version).toString)))
       val allSchemas = historicalSchemas(f, table, m)
@@ -1723,6 +1758,7 @@ object IcebergSink {
         expired.foreach(s => f.delete(new HPath(s.manifestList), false))
         expiredManifests.foreach(p => f.delete(new HPath(p), false))
         expiredData.foreach(p => f.delete(new HPath(p), false))
+        expiredStats.foreach(st => f.delete(new HPath(st.path), false))
       } else f.delete(tmp, false)
     }
   }
@@ -1745,6 +1781,7 @@ object IcebergSink {
     (1 to m.version).foreach(v =>
       reachable += versionFile(table, v).toString)
     reachable += new HPath(metadataDir(table), "version-hint.text").toString
+    m.statistics.foreach(st => reachable += st.path)
     m.snapshots.foreach { s =>
       reachable += s.manifestList
       readAvro(spark, s.manifestList)._2.foreach { lm =>
@@ -2438,6 +2475,76 @@ object IcebergSink {
     * same way): planned vs pruned data files/bytes/rows and the delete
     * files a merge-on-read scan would apply, computed WITHOUT touching a
     * data file. */
+  /** ANALYZE TABLE (spec: statistics files — Iceberg proper writes Puffin
+    * `apache-datasketches-theta-v1` blobs; this writes the same
+    * `statistics` metadata list with a JSON payload): ONE pass over the
+    * current snapshot computes the row count plus per-column NDV estimates
+    * (Spark's mergeable HLL++, the scale-correct sketch) and null counts,
+    * lands them as a stats file, and commits the entry metadata-only.
+    * Re-analyzing a snapshot REPLACES its entry (commit-then-delete: the
+    * old file is removed only after the new metadata version wins).
+    * Readers get the numbers through [[tableStats]] / [[explainScan]]
+    * without touching a data file. */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil, maxRetries: Int = 5): Unit = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, sum, when}
+    val m0 = load(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no Iceberg table at $table"))
+    val snapId = m0.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException("table has no snapshot to analyze"))
+    val df = read(spark, table)
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns ${bad.mkString(",")}")
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap(c => Seq(
+      approx_count_distinct(col(c)).as(s"_ndv_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val stats = mapper.createObjectNode()
+    stats.put("snapshot-id", snapId)
+    stats.put("row-count", row.getAs[Long]("_rows"))
+    val colsNode = stats.putObject("columns")
+    cols.foreach(c => colsNode.putObject(c)
+      .put("ndv", row.getAs[Long](s"_ndv_$c"))
+      .put("null-count",
+        Option(row.getAs[Any](s"_nulls_$c")).fold(0L)(_.asInstanceOf[Long])))
+    val path = new HPath(metadataDir(table),
+      s"stats-$snapId-${UUID.randomUUID()}.json")
+    val f = fs(path)
+    val out = f.create(path, true)
+    try out.write(mapper.writeValueAsBytes(stats)) finally out.close()
+    val size = f.getFileStatus(path).getLen
+    val stale = m0.statistics.filter(_.snapshotId == snapId).map(_.path)
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      Some(m.copy(statistics = m.statistics.filterNot(_.snapshotId == snapId)
+        :+ StatsFile(snapId, path.toString, size)))
+    }
+    stale.foreach(p => f.delete(new HPath(p), false))
+  }
+
+  /** The stats payload for a snapshot (default: current), if that exact
+    * snapshot was analyzed. No nearest-ancestor fallback — stats describe
+    * one immutable snapshot; serving a parent's numbers for a child would
+    * quietly misestimate every append. */
+  def tableStats(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): Option[TableStats] =
+    load(spark, table).flatMap(m => statsFor(m, snapshotId))
+
+  private def statsFor(m: TableMeta, snapshotId: Option[Long])
+      : Option[TableStats] = {
+    val sid = snapshotId.orElse(m.currentSnapshotId)
+    m.statistics.find(st => sid.contains(st.snapshotId)).map { st =>
+      val p = new HPath(st.path)
+      val in = fs(p).open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val n = mapper.readTree(bytes)
+      TableStats(n.path("row-count").asLong(),
+        n.path("columns").properties().asScala.map(e =>
+          e.getKey -> ColumnStats(e.getValue.path("ndv").asLong(),
+            e.getValue.path("null-count").asLong())).toMap)
+    }
+  }
+
   final case class ScanSummary(snapshotId: Long,
       dataFiles: Int, dataBytes: Long, dataRecords: Long,
       prunedFiles: Int, prunedBytes: Long,
@@ -2445,14 +2552,21 @@ object IcebergSink {
       /** The table's declared default write order (empty = unsorted):
         * ranges on these columns prune tightly because clustered files
         * carry disjoint bounds. */
-      writeOrder: Seq[String] = Nil) {
+      writeOrder: Seq[String] = Nil,
+      /** Per-column NDV estimates from the scanned snapshot's statistics
+        * file, when one exists (empty otherwise) — the numbers a
+        * cost-based join planner keys on. */
+      ndv: Map[String, Long] = Map.empty) {
     def render: String =
       s"IcebergScan[snapshot=$snapshotId files=$dataFiles " +
         s"bytes=$dataBytes rows~$dataRecords pruned=$prunedFiles " +
         s"prunedBytes=$prunedBytes eqDeletes=$eqDeleteFiles " +
         s"posDeletes=$posDeleteFiles" +
         (if (writeOrder.isEmpty) "" else
-          s" writeOrder=${writeOrder.mkString(",")}") + "]"
+          s" writeOrder=${writeOrder.mkString(",")}") +
+        (if (ndv.isEmpty) "" else
+          s" ndv=${ndv.toSeq.sortBy(_._1)
+            .map { case (c, n) => s"$c:$n" }.mkString(",")}") + "]"
   }
 
   /** [[ScanSummary]] for the current (or a named) snapshot under the
@@ -2477,7 +2591,10 @@ object IcebergSink {
           kept.size, kept.map(_.sizeBytes).sum, kept.map(_.records).sum,
           pruned.size, pruned.map(_.sizeBytes).sum,
           planned.count(_.content == 2), planned.count(_.content == 1),
-          writeOrder = m.writeOrderColumns)
+          writeOrder = m.writeOrderColumns,
+          ndv = statsFor(m, Some(snap.snapshotId))
+            .map(_.columns.map { case (c, s) => c -> s.ndv })
+            .getOrElse(Map.empty))
       }
     }
 

@@ -948,6 +948,43 @@ object EtlPack extends QueryPack {
           |FROM events_topic WHERE event_type = 'click'
           |GROUP BY _partition ORDER BY partition""".stripMargin))),
 
+    // ANALYZE TABLE → statistics file → read-back: the spec's statistics
+    // list (Iceberg proper: Puffin NDV blobs) written from one corpus
+    // pass and served metadata-only to planners via tableStats /
+    // explainScan. The EXACT stats half (row count, per-column null
+    // counts) hash-checks against the raw topic; the NDV estimates are
+    // sketch-bounded in IcebergSpec (HLL++ is not DuckDB-replayable).
+    QueryDef(
+      "e32_iceberg_analyze",
+      (s, dir) => {
+        import s.implicits._
+        val table = tmp(dir, "analyze_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          when(col("event_type") === "click", col("event_type")).as("click_only"))
+        IcebergSink.append(s, table, ev)
+        IcebergSink.analyze(s, table)
+        val st = IcebergSink.tableStats(s, table).get
+        st.columns.toSeq.map { case (c, cs) => (c, cs.nullCount, st.rowCount) }
+          .toDF("col_name", "null_count", "row_count")
+          .orderBy(col("col_name"))
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT count(*) AS n,
+          |         CAST(SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)
+          |              AS BIGINT) AS click_nulls
+          |  FROM events_topic)
+          |SELECT col_name, null_count, n AS row_count FROM base,
+          |  (VALUES ('partition', CAST(0 AS BIGINT)), ('offset', CAST(0 AS BIGINT)),
+          |          ('k', CAST(0 AS BIGINT))) AS t(col_name, null_count)
+          |UNION ALL
+          |SELECT 'click_only', click_nulls, n FROM base
+          |ORDER BY col_name""".stripMargin))),
+
     // WRITE-AUDIT-PUBLISH over Iceberg refs — the staging workflow the
     // spec's branch refs exist for: the candidate batch commits, a branch
     // ref pins it, and main is rolled back to the pre-stage snapshot so

@@ -1208,6 +1208,63 @@ class IcebergSpec extends AnyFunSuite {
       Seq("qty"))
   }
 
+  test("analyze: statistics files round-trip, replace on re-analyze, expire with their snapshot") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      spark.range(0, 500).select(col("id"), (col("id") % 7).as("cat"),
+        when(col("id") % 5 === 0, null).otherwise(col("id") % 50).as("v")))
+    IcebergSink.analyze(spark, table)
+    val m1 = IcebergSink.load(spark, table).get
+    assert(m1.statistics.map(_.snapshotId) == Seq(m1.currentSnapshotId.get))
+    // the metadata JSON carries the spec's statistics list
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "metadata",
+        s"v${m1.version}.metadata.json")), "UTF-8")
+    assert(json.contains("\"statistics\"") && json.contains("\"statistics-path\""))
+    val st = IcebergSink.tableStats(spark, table).get
+    assert(st.rowCount == 500)
+    assert(st.columns("cat").ndv >= 6 && st.columns("cat").ndv <= 8)
+    assert(st.columns("id").nullCount == 0 && st.columns("v").nullCount == 100)
+    // explainScan reports the NDVs for the analyzed snapshot
+    assert(IcebergSink.explainScan(spark, table, Nil).get.ndv
+      .get("cat").exists(n => n >= 6 && n <= 8))
+    // a NEW snapshot has no stats (exact-match rule, no ancestor fallback)
+    IcebergSink.append(spark, table,
+      Seq((9999L, 99L, 1L)).toDF("id", "cat", "v"))
+    assert(IcebergSink.tableStats(spark, table).isEmpty)
+    assert(IcebergSink.explainScan(spark, table, Nil).get.ndv.isEmpty)
+    // re-analyze: one entry per snapshot, the old current's entry retained
+    IcebergSink.analyze(spark, table)
+    val m2 = IcebergSink.load(spark, table).get
+    assert(m2.statistics.map(_.snapshotId).toSet ==
+      m2.snapshots.map(_.snapshotId).toSet)
+    assert(IcebergSink.tableStats(spark, table).get.rowCount == 501)
+    // re-analyzing the SAME snapshot replaces its entry and file
+    val before = m2.statistics.find(st =>
+      m2.currentSnapshotId.contains(st.snapshotId)).get.path
+    IcebergSink.analyze(spark, table)
+    val m3 = IcebergSink.load(spark, table).get
+    assert(m3.statistics.count(st =>
+      m3.currentSnapshotId.contains(st.snapshotId)) == 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(before).getPath)))
+    // orphan cleanup never touches a referenced stats file
+    val (deletedN, _) = IcebergSink.removeOrphanFiles(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000)
+    assert(IcebergSink.tableStats(spark, table).isDefined)
+    // expiring the first snapshot drops its stats entry and file
+    val firstStats = m3.statistics.filterNot(st =>
+      m3.currentSnapshotId.contains(st.snapshotId)).head
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val m4 = IcebergSink.load(spark, table).get
+    assert(m4.statistics.map(_.snapshotId) ==
+      Seq(m4.currentSnapshotId.get))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(firstStats.path).getPath)))
+  }
+
   test("compaction honors the declared write order: rewritten files stay prunable") {
     import spark.implicits._
     val table = tmpTable()
