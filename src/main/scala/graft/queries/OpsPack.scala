@@ -497,6 +497,55 @@ object OpsPack extends QueryPack {
            |SELECT c_vec, p, round(cs, 4) AS cos_sim
            |FROM pairs WHERE cs >= 0.2 ORDER BY c_vec, p""".stripMargin)),
 
+    // FILTERED vector search (every vector store's "metadata filter"
+    // feature): the label predicate cuts the corpus BEFORE any scoring —
+    // pushed below the LSH bucket join, so the probe side joins against
+    // only the filtered slice's buckets, never post-filtering a top-k
+    // that the predicate would starve. Same LSH approximation contract
+    // as s6/d6; the oracle replays filter, buckets, and ranking.
+    QueryDef(
+      "s31_filtered_ann",
+      (s, dir) => {
+        val sim = Similarity
+        val e = Tables.load(s, dir, "embeddings")
+        val b = e.select(col("vec_id"), col("embedding"), col("label"),
+          sim.norm(col("embedding")).as("nrm"),
+          sim.lshSignature(col("embedding"), 4, 64).as("bucket"))
+        val probes = b.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q"), col("embedding").as("ep"),
+            col("nrm").as("np"), col("bucket"))
+        val corpus = b.where(col("label").isin(2, 5) && col("vec_id") >= 3)
+          .select(col("vec_id").as("v"), col("label"),
+            col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q"))
+          .orderBy(round(col("cs"), 6).desc, col("v"))
+        corpus.join(broadcast(probes), Seq("bucket"))
+          .withColumn("cs",
+            sim.dot(col("ec"), col("ep")) / (col("nc") * col("np")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("q"), col("rank"), col("v"), col("label"),
+            round(col("cs"), 4).as("cos_sim"))
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, label,
+           |         ${duckSignature("embedding", 4)} AS bucket
+           |  FROM embeddings),
+           |j AS (
+           |  SELECT p.vec_id AS q, c.vec_id AS v, c.label,
+           |         ${duckCosine("c.embedding", "p.embedding")} AS cs
+           |  FROM b c JOIN b p ON c.bucket = p.bucket
+           |  WHERE p.vec_id < 3 AND c.vec_id >= 3 AND c.label IN (2, 5)),
+           |r AS (
+           |  SELECT q, v, label, cs, row_number() OVER (
+           |    PARTITION BY q ORDER BY round(cs, 6) DESC, v) AS rank
+           |  FROM j)
+           |SELECT q, rank, v, label, round(cs, 4) AS cos_sim
+           |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
+
     // Continuously-maintained ANN index: documents stream through the
     // checkpointed drain, each micro-batch embeds (deterministic synthetic
     // encoder seam) and appends LSH bucket rows to a parquet index with a

@@ -309,6 +309,16 @@ class PlanSpec extends AnyFunSuite {
       s"candidate fusion join is queries x legK rows — must not SMJ:\n$plan")
   }
 
+  test("s31: the metadata filter reaches the corpus parquet scan") {
+    val plan = planOf("s31_filtered_ann")
+    // filtered vector search must cut the corpus AT THE SCAN — a filter
+    // above the bucket join would score the whole corpus first
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      s"label predicate should push into the scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-probe top-k should pre-truncate map-side:\n$plan")
+  }
+
   test("s17: compacted view is hash-only — no SortAggregate, no sort-merge") {
     val plan = planOf("s17_kfs_compacted_view")
     // max_by over binary payloads would force SortAggregate (a full sort
