@@ -2367,10 +2367,15 @@ object IcebergSink {
     val chFields = m.schemasById.getOrElse(to.schemaId, m.fields)
     val fieldsById = chFields.map(f => f.id -> f).toMap
     val spec = specsWithFields(m, chFields)
-    def meta(df: DataFrame, typ: String, ord: Int, snapId: Long): DataFrame =
+    def meta(df: DataFrame, typ: String, ord: Int, sn: Snapshot): DataFrame =
       df.withColumn("_change_type", lit(typ))
         .withColumn("_change_ordinal", lit(ord))
-        .withColumn("_commit_snapshot_id", lit(snapId))
+        .withColumn("_commit_snapshot_id", lit(sn.snapshotId))
+        // unlike the per-call ordinal, the commit SEQUENCE NUMBER is
+        // table-global and monotone — feeds accumulated across several
+        // incremental pulls stay totally ordered by it (what an SCD2
+        // fold over a checkpointed CDC sink keys on)
+        .withColumn("_commit_sequence_number", lit(sn.sequenceNumber))
     // oldest-first so ordinals read as commit order
     val frames = range.reverse.zipWithIndex.flatMap { case (sn, ord) =>
       def ownFiles(wantContent: Int)
@@ -2409,7 +2414,7 @@ object IcebergSink {
             Map.empty, Map.empty, t._3, specId = t._4))
           if (fs.isEmpty) Nil
           else Seq(meta(readPlannedData(spark, schema, spec, fs),
-            "insert", ord, sn.snapshotId))
+            "insert", ord, sn))
         case "delete" =>
           val eqFrames = ownFiles(2).groupBy(_._2).toSeq.map { case (eqIds, fsOfKey) =>
             val eqFields = eqIds.map(id => fieldsById.getOrElse(id,
@@ -2424,7 +2429,7 @@ object IcebergSink {
               if (delSchema.fieldNames.contains(n)) col(n)
               else lit(null).cast(schema(n).dataType).as(n)
             }: _*)
-            meta(padded, "delete", ord, sn.snapshotId)
+            meta(padded, "delete", ord, sn)
           }
           // POSITION deletes name concrete rows, so the changelog can emit
           // FULL pre-images (equality deletes above can only pad the key):
@@ -2452,7 +2457,7 @@ object IcebergSink {
                     .withColumnRenamed("pos", "__pos")),
                     Seq("__file", "__pos"), "left_semi")
                   .drop("__file", "__pos")
-                Seq(meta(pre, "delete", ord, sn.snapshotId))
+                Seq(meta(pre, "delete", ord, sn))
               }
             }
           eqFrames ++ posFrames

@@ -123,7 +123,7 @@ object TextSearch {
     * collapse inlines the array into each consumer (norm, dot). One
     * map-side-combined shuffle of (id, dims partials); the per-token md5
     * is evaluated exactly once. The KMeansQ wide-center-update pattern. */
-  private def hashedEmbeddingCols(df: DataFrame, idCol: String,
+  private[graft] def hashedEmbeddingCols(df: DataFrame, idCol: String,
       textCol: String, dims: Int): DataFrame = {
     val h = md5(col("_t"))
     val idx = pmod(conv(substring(h, 1, 2), 16, 10).cast("int"), lit(dims))

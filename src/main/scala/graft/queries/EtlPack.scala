@@ -948,6 +948,77 @@ object EtlPack extends QueryPack {
           |FROM events_topic WHERE event_type = 'click'
           |GROUP BY _partition ORDER BY partition""".stripMargin))),
 
+    // STREAMING SCD2 — the dimension-maintenance loop: a checkpointed CDC
+    // subscription drains the changelog commit by commit, and the
+    // accumulated sink folds into Type-2 history keyed on the commit
+    // SEQUENCE NUMBER (table-global and monotone, unlike the per-pull
+    // ordinal, so feeds from separate incremental drains stay totally
+    // ordered). Four drains — initial load, post-upsert, post-delete,
+    // caught-up no-op — and the folded history must equal e30's one-shot
+    // batch fold of the same commits: stream ≡ batch for SCD2.
+    QueryDef(
+      "e33_scd2_stream",
+      (s, dir) => {
+        val table = tmp(dir, "scd2_stream_table")
+        val sink = tmp(dir, "scd2_stream_sink")
+        val ckpt = tmp(dir, "scd2_stream_ckpt") + "/snapshot.ckpt"
+        Seq(table, sink).foreach(p => TableSink.deleteRecursive(Paths.get(p)))
+        Files.deleteIfExists(Paths.get(ckpt))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev) // seq 1
+        ChangelogStream.drain(s, table, sink, ckpt) // initial load
+        IcebergSink.upsert(s, table, // seqs 2 (delete) + 3 (append)
+          ev.where(col("event_type") === "click")
+            .withColumn("k", col("k") * 1000),
+          Seq("partition", "offset"))
+        ChangelogStream.drain(s, table, sink, ckpt) // the two commits
+        IcebergSink.deleteWhere(s, table, col("offset") % 5 === 0, // seq 4
+          Seq("partition", "offset"))
+        ChangelogStream.drain(s, table, sink, ckpt)
+        ChangelogStream.drain(s, table, sink, ckpt) // caught up: no-op
+        val feed = s.read.parquet(sink).select(col("partition"),
+          col("offset"), col("k"), col("_change_type"),
+          col("_commit_sequence_number"))
+        graft.ops.Scd.scd2(feed, Seq("partition", "offset"),
+            ordCol = "_commit_sequence_number")
+          .groupBy(col("valid_from"), col("valid_to"), col("is_current"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+          .orderBy(col("valid_from"), col("valid_to").asc_nulls_first)
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT _partition AS p, _offset AS o,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         event_type
+          |  FROM events_topic),
+          |ch AS (
+          |  SELECT 'insert' AS t, CAST(1 AS BIGINT) AS ord, p, o, k FROM base
+          |  UNION ALL
+          |  SELECT 'delete', 2, p, o, CAST(NULL AS BIGINT)
+          |  FROM base WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 'insert', 3, p, o, k * 1000
+          |  FROM base WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 'delete', 4, p, o, CAST(NULL AS BIGINT)
+          |  FROM base WHERE o % 5 = 0),
+          |v AS (
+          |  SELECT t, k, ord AS valid_from,
+          |         min(CASE WHEN t = 'delete' THEN ord END) OVER (
+          |           PARTITION BY p, o ORDER BY ord, t
+          |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+          |         ) AS valid_to
+          |  FROM ch)
+          |SELECT valid_from, valid_to, valid_to IS NULL AS is_current,
+          |       count(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+          |FROM v WHERE t = 'insert'
+          |GROUP BY 1, 2, 3
+          |ORDER BY valid_from, valid_to NULLS FIRST""".stripMargin))),
+
     // ANALYZE TABLE → statistics file → read-back: the spec's statistics
     // list (Iceberg proper: Puffin NDV blobs) written from one corpus
     // pass and served metadata-only to planners via tableStats /

@@ -1081,6 +1081,22 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(3L).map(math.abs).sum == 2.0)
   }
 
+  test("wide-agg embedding path equals the array HOF path bit-for-bit") {
+    import spark.implicits._
+    // the dense leg's codegen'd explode+aggregate form must produce the
+    // SAME integers as the hashedEmbedding array fold — they share the
+    // oracle, so a divergence would be a silent correctness bug
+    val d = docs.where(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    val wide = TextSearch.hashedEmbeddingCols(d, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 16).map(i => r.getLong(r.fieldIndex(s"_d$i")).toDouble)).toMap
+    val hof = d.select(col("doc_id"),
+        TextSearch.hashedEmbedding(col("text"), 16).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(wide.keySet == hof.keySet && wide.nonEmpty)
+    wide.foreach { case (id, v) => assert(v == hof(id), s"doc $id diverged") }
+  }
+
   test("hybrid rrf: a doc topping both legs tops the fusion; legs differ") {
     import spark.implicits._
     val q = Seq((0, "hash join merge")).toDF("qid", "qtext")
