@@ -98,6 +98,55 @@ object Packing {
             _.getField("tok")))).as("seq_md5"))
   }
 
+  /** SFT packing with LOSS MASKS: conversations serialize turn by turn
+    * into the concatenate-then-chunk token stream (same layout law as
+    * [[packedRows]]), and every token carries its turn's trainable bit —
+    * 1 where the loss applies (assistant turns), 0 where it is masked
+    * (prompt/user turns). Emits one row per training sequence: token
+    * mass, trainable mass, conversations touched, and order-sensitive
+    * digests of BOTH the token stream and the mask bits, so a training
+    * row and its loss mask are auditable cross-engine byte for byte.
+    *
+    * Same scale shape as packedRows: one shard-keyed shuffle, per-shard
+    * window sort (the order you pay to write shards anyway), in-row
+    * digest assembly — never an ordered aggregate over a whole partition.
+    * `orderCols` must totally order turns within a conversation. */
+  def packWithMasks(turns: DataFrame, convCol: String,
+      orderCols: Seq[String], textCol: String, trainableCol: Column,
+      seqLen: Int, shards: Int = 1024): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(shards > 0, s"shards must be positive: $shards")
+    require(orderCols.nonEmpty, "orderCols must totally order turns")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy((col("conv") +: orderCols.map(col)): _*)
+    val base = turns
+      .select((Seq(col(convCol).as("conv"),
+        (col(convCol) % shards).cast("int").as("shard"),
+        split(col(textCol), " ").as("toks"),
+        trainableCol.cast("int").as("trainable")) ++ orderCols.map(col)): _*)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    base
+      .select(col("conv"), col("shard"), col("trainable"), col("tok_start"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("gpos", col("tok_start") + col("pos"))
+      .withColumn("seq_idx", expr(s"gpos div $seqLen"))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("trainable")).cast("long").as("n_train_tokens"),
+        countDistinct(col("conv")).as("n_convos"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("gpos"), col("tok")))),
+            _.getField("tok")))).as("seq_md5"),
+        md5(concat_ws("",
+          transform(
+            array_sort(collect_list(struct(col("gpos"), col("trainable")))),
+            _.getField("trainable").cast("string")))).as("mask_md5"))
+  }
+
   /** Per-sequence summary — what a packing audit reads: how many docs
     * start in each sequence, their token mass, and how many straddle out. */
   def sequenceStats(packed: DataFrame, idCol: String): DataFrame =

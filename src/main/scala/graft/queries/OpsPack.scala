@@ -2733,6 +2733,61 @@ object OpsPack extends QueryPack {
            |SELECT rank, doc, n_grams, importance FROM r
            |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
 
+    // SFT LOSS-MASK PACKING: the event log becomes per-user conversations
+    // (turns in event_id order), serialized into 64-token training
+    // sequences where every token carries its turn's trainable bit —
+    // loss on assistant turns (purchase/error), masked on user turns
+    // (click/view/scroll). Both the token stream AND the mask bits are
+    // digest-checked per sequence, so the training rows and their loss
+    // masks are byte-auditable cross-engine — the step between t29's
+    // threading and the trainer's dataloader.
+    QueryDef(
+      "t43_sft_loss_masks",
+      (s, dir) => {
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("user_id"), col("event_id"),
+          concat_ws(" ", col("event_type"),
+            get_json_object(col("_value"), "$.k")).as("turn"),
+          col("event_type").isin("purchase", "error").as("assistant"))
+        graft.ops.Packing.packWithMasks(ev, "user_id", Seq("event_id"),
+            "turn", col("assistant"), seqLen = 64, shards = 8)
+          .orderBy(col("shard"), col("seq_idx"))
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT user_id AS conv, CAST(user_id % 8 AS INTEGER) AS shard,
+          |         event_id,
+          |         string_split(event_type || ' ' ||
+          |           json_extract_string(_value, '$.k'), ' ') AS toks,
+          |         CASE WHEN event_type IN ('purchase', 'error')
+          |              THEN 1 ELSE 0 END AS trainable
+          |  FROM events_topic),
+          |c AS (
+          |  SELECT *, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |         COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+          |           PARTITION BY shard ORDER BY conv, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |           AS tok_start
+          |  FROM base),
+          |tok AS (
+          |  SELECT conv, shard, trainable,
+          |         UNNEST(list_transform(range(1, CAST(n_tokens AS INTEGER) + 1),
+          |                i -> {'gpos': tok_start + i - 1, 'tok': toks[i]})) AS u
+          |  FROM c),
+          |t2 AS (
+          |  SELECT conv, shard, trainable,
+          |         CAST(u.gpos AS BIGINT) AS gpos, u.tok AS tok
+          |  FROM tok)
+          |SELECT shard, CAST(gpos // 64 AS BIGINT) AS seq_idx,
+          |       count(*) AS n_tokens,
+          |       CAST(SUM(trainable) AS BIGINT) AS n_train_tokens,
+          |       count(DISTINCT conv) AS n_convos,
+          |       md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5,
+          |       md5(string_agg(CAST(trainable AS VARCHAR), '' ORDER BY gpos))
+          |         AS mask_md5
+          |FROM t2 GROUP BY shard, seq_idx
+          |ORDER BY shard, seq_idx""".stripMargin))),
+
     // ROLLING Z-SCORE INGEST MONITORING: each record's metric is tested
     // against the mean/variance of its partition's previous 10 values,
     // with the z-test cross-multiplied into pure BIGINT arithmetic

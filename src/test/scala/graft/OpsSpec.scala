@@ -1118,6 +1118,32 @@ class OpsSpec extends AnyFunSuite {
       assert(top.getLong(2) == lex1)
   }
 
+  test("loss-mask packing: masks track turn roles across sequence straddles") {
+    import spark.implicits._
+    // one conversation, three turns: user (3 toks), assistant (4 toks),
+    // user (2 toks) — 9 tokens packed at seqLen=4 => sequences of
+    // masks 000|1, 111|0, 0
+    val turns = Seq(
+      (1L, 0L, "u1 u2 u3", false),
+      (1L, 1L, "a1 a2 a3 a4", true),
+      (1L, 2L, "u4 u5", false)
+    ).toDF("conv", "ord", "turn", "assistant")
+    val out = Packing.packWithMasks(turns, "conv", Seq("ord"), "turn",
+        col("assistant"), seqLen = 4, shards = 1)
+      .orderBy(col("seq_idx")).collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("n_tokens"))).toSeq ==
+      Seq(4L, 4L, 1L))
+    assert(out.map(_.getLong(out.head.fieldIndex("n_train_tokens"))).toSeq ==
+      Seq(1L, 3L, 0L))
+    // digests are the md5 of exactly the expected streams
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.map(_.getString(out.head.fieldIndex("seq_md5"))).toSeq ==
+      Seq(m("u1 u2 u3 a1"), m("a2 a3 a4 u4"), m("u5")))
+    assert(out.map(_.getString(out.head.fieldIndex("mask_md5"))).toSeq ==
+      Seq(m("0001"), m("1110"), m("0")))
+  }
+
   test("scd2 laws hold for random legal changelogs") {
     import spark.implicits._
     // legal per-key feed: alternating insert/delete starting with insert,
