@@ -2733,6 +2733,63 @@ object OpsPack extends QueryPack {
            |SELECT rank, doc, n_grams, importance FROM r
            |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
 
+    // PREFERENCE-PAIR CONSTRUCTION (reward-model / DPO data prep): per
+    // source group, the most corpus-typical document (lowest bigram NLL)
+    // becomes 'chosen' and the least typical 'rejected', with the score
+    // margin carried for curriculum/thresholding. Scoring is t14's
+    // deterministic LM; pairing is ONE hash aggregate via min/max over
+    // (score, doc) structs — no window, no per-group sort, ties broken on
+    // the 4dp-rounded score then doc id so both engines pick identical
+    // pairs.
+    QueryDef(
+      "t44_preference_pairs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 80)
+        val sc = LanguageModel.bigramNll(docs, "doc_id", "text")
+        docs.select(col("doc_id").as("doc"), col("source"))
+          .join(sc, Seq("doc"))
+          .groupBy(col("source"))
+          .agg(min(struct(col("nll"), col("doc"))).as("ch"),
+            max(struct(col("nll"), col("doc"))).as("rj"),
+            count(lit(1)).as("n_candidates"))
+          .select(col("source"),
+            col("ch.doc").as("chosen_doc"), col("ch.nll").as("chosen_nll"),
+            col("rj.doc").as("rejected_doc"), col("rj.nll").as("rejected_nll"),
+            round(col("rj.nll") - col("ch.nll"), 4).as("margin"),
+            col("n_candidates"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH g0 AS (
+          |  SELECT doc_id AS doc,
+          |         UNNEST(list_transform(generate_series(1, length(text) - 1),
+          |                i -> {'pos': i, 'g': substr(text, i, 2)})) AS u
+          |  FROM documents WHERE doc_id < 80 AND length(text) >= 2),
+          |grams AS (SELECT doc, u.pos AS pos, u.g AS g FROM g0),
+          |lm AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+          |t AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM lm),
+          |lmp AS (SELECT g, round(ln(CAST(c AS DOUBLE) / tot), 6) AS logp FROM lm, t),
+          |d AS (
+          |  SELECT doc, count(*) AS n,
+          |         list_reduce(list(logp ORDER BY pos), (a, x) -> a + x) AS s
+          |  FROM grams JOIN lmp USING (g) GROUP BY doc),
+          |sc AS (SELECT doc, round(-s / n, 4) AS nll FROM d),
+          |j AS (SELECT dd.source, sc.doc, sc.nll
+          |      FROM sc JOIN documents dd ON dd.doc_id = sc.doc),
+          |r AS (SELECT source, doc, nll,
+          |        row_number() OVER (PARTITION BY source
+          |          ORDER BY nll, doc) AS rk_asc,
+          |        row_number() OVER (PARTITION BY source
+          |          ORDER BY nll DESC, doc DESC) AS rk_desc,
+          |        count(*) OVER (PARTITION BY source) AS n_candidates
+          |      FROM j)
+          |SELECT a.source, a.doc AS chosen_doc, a.nll AS chosen_nll,
+          |       b.doc AS rejected_doc, b.nll AS rejected_nll,
+          |       round(b.nll - a.nll, 4) AS margin, a.n_candidates
+          |FROM r a JOIN r b ON a.source = b.source
+          |WHERE a.rk_asc = 1 AND b.rk_desc = 1
+          |ORDER BY a.source""".stripMargin)),
+
     // SFT LOSS-MASK PACKING: the event log becomes per-user conversations
     // (turns in event_id order), serialized into 64-token training
     // sequences where every token carries its turn's trainable bit —
