@@ -1144,6 +1144,42 @@ class OpsSpec extends AnyFunSuite {
       Seq(m("0001"), m("1110"), m("0")))
   }
 
+  test("loss-mask packing laws: token/mask mass conserved, repartition-stable") {
+    import spark.implicits._
+    val ev = Tables.eventsTopic(spark, sf).select(
+      col("user_id"), col("event_id"),
+      concat_ws(" ", col("event_type"),
+        get_json_object(col("_value"), "$.k")).as("turn"),
+      col("event_type").isin("purchase", "error").as("assistant"))
+      .where(col("user_id") < 30)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packWithMasks(df, "user_id", Seq("event_id"), "turn",
+        col("assistant"), seqLen = 64, shards = 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getString(5), r.getString(6))).toMap
+    val a = run(ev)
+    // conservation: every token lands in exactly one sequence; trainable
+    // mass equals the assistant-turn token mass
+    val toks = ev.select(size(split(col("turn"), " ")).cast("long").as("n"),
+      col("assistant")).collect()
+    assert(a.values.map(_._1).sum == toks.map(_.getLong(0)).sum)
+    assert(a.values.map(_._2).sum ==
+      toks.filter(_.getBoolean(1)).map(_.getLong(0)).sum)
+    // layout is a pure function of the data, not the physical partitioning
+    assert(run(ev.repartition(13)) == a)
+  }
+
+  test("rolling z-score flags are repartition-stable") {
+    val ev = Tables.eventsTopic(spark, sf).select(
+      col("_partition").as("p"), col("_offset").as("o"),
+      get_json_object(col("_value"), "$.k").cast("long").as("v"))
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      Anomaly.rollingZ(df, Seq("p"), "o", "v", n = 10, z = 2)
+        .where(col("is_anomaly")).select("p", "o")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(flags(ev) == flags(ev.repartition(17)))
+  }
+
   test("scd2 laws hold for random legal changelogs") {
     import spark.implicits._
     // legal per-key feed: alternating insert/delete starting with insert,
