@@ -2733,6 +2733,68 @@ object OpsPack extends QueryPack {
            |SELECT rank, doc, n_grams, importance FROM r
            |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
 
+    // TRIANGLE COUNTING over the navigation graph (t39's edges): the
+    // degree-ordered node-iterator builds every wedge at its lowest-rank
+    // apex — the O(m^{3/2}) bound that keeps a hub's d² wedge set from
+    // detonating — and each triangle lands exactly once before exploding
+    // to its three corners. The oracle re-derives orientation, wedges,
+    // and closure relationally, so the count AND its per-node attribution
+    // hash-check.
+    QueryDef(
+      "t45_triangle_count",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = Tables.load(s, dir, "events")
+          .where(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("page"))
+          .withColumn("prev", lag(col("page"), 1).over(w))
+          .where(col("prev").isNotNull && col("prev") =!= col("page"))
+          .select(col("prev").as("src"), col("page").as("dst"))
+        val rw = org.apache.spark.sql.expressions.Window
+          .orderBy(col("triangles").desc, col("node"))
+        graft.ops.Graph.triangles(edges, "src", "dst")
+          .orderBy(col("triangles").desc, col("node")).limit(20)
+          .withColumn("rank", row_number().over(rw))
+          .select(col("rank"), col("node"), col("triangles"))
+          .orderBy(col("rank"))
+      },
+      Some(
+        """WITH nav AS (
+          |  SELECT user_id, ts, event_id,
+          |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS page,
+          |         lag(CAST(json_extract_string(props, '$.k') AS INTEGER))
+          |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events WHERE event_type IN ('view', 'click')),
+          |e AS (SELECT prev AS src, page AS dst FROM nav
+          |      WHERE prev IS NOT NULL AND prev <> page),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |        FROM e WHERE src <> dst),
+          |deg AS (SELECT n, count(*) AS c FROM (
+          |          SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+          |        GROUP BY n),
+          |o AS (SELECT
+          |        CASE WHEN (da.c, a) < (db.c, b) THEN a ELSE b END AS u,
+          |        CASE WHEN (da.c, a) < (db.c, b) THEN b ELSE a END AS v,
+          |        CASE WHEN (da.c, a) < (db.c, b) THEN db.c ELSE da.c END AS cv
+          |      FROM und JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+          |tri AS (
+          |  SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+          |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+          |   AND (e1.cv, e1.v) < (e2.cv, e2.v)
+          |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+          |pn AS (SELECT n, count(*) AS triangles FROM (
+          |         SELECT apex AS n FROM tri
+          |         UNION ALL SELECT x FROM tri
+          |         UNION ALL SELECT y FROM tri)
+          |       GROUP BY n),
+          |r AS (SELECT n AS node, triangles, row_number() OVER (
+          |        ORDER BY triangles DESC, n) AS rank
+          |      FROM pn)
+          |SELECT rank, node, triangles FROM r
+          |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     // PREFERENCE-PAIR CONSTRUCTION (reward-model / DPO data prep): per
     // source group, the most corpus-typical document (lowest bigram NLL)
     // becomes 'chosen' and the least typical 'rejected', with the score

@@ -1144,6 +1144,19 @@ class OpsSpec extends AnyFunSuite {
       Seq(m("0001"), m("1110"), m("0")))
   }
 
+  test("triangles: known graph, direction/duplicate/self-loop insensitive") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    // and noise: duplicates, reversed directions, a self-loop
+    val edges = Seq((1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 2), (2, 4),
+      (3, 4), (4, 5), (5, 5), (1, 2)).toDF("src", "dst")
+    val out = Graph.triangles(edges, "src", "dst")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    // total incidences / 3 = triangle count
+    assert(out.values.sum == 4 * 3)
+  }
+
   test("loss-mask packing laws: token/mask mass conserved, repartition-stable") {
     import spark.implicits._
     val ev = Tables.eventsTopic(spark, sf).select(
