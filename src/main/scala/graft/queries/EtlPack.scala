@@ -948,6 +948,66 @@ object EtlPack extends QueryPack {
           |FROM events_topic WHERE event_type = 'click'
           |GROUP BY _partition ORDER BY partition""".stripMargin))),
 
+    // SNAPSHOT DRIFT (PSI): "has ingest drifted since the snapshot the
+    // model was trained on?" — the base distribution reads via time
+    // travel, the comparison side via readIncremental (exactly the rows
+    // landed since), and Drift.psiBins folds both into fixed-bin
+    // Population Stability Index terms. The second append deliberately
+    // shifts the metric (+offset%40) so the drift is real; every count,
+    // smoothed proportion, and 6dp-guarded log term hash-checks.
+    QueryDef(
+      "e34_snapshot_drift",
+      (s, dir) => {
+        val table = tmp(dir, "drift_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"))
+        IcebergSink.append(s, table, ev.where(col("offset") % 2 === 0))
+        val base = IcebergSink.load(s, table).get.currentSnapshotId.get
+        IcebergSink.append(s, table,
+          ev.where(col("offset") % 2 === 1)
+            .withColumn("k", col("k") + col("offset") % 40))
+        graft.ops.Drift.psiBins(
+            IcebergSink.read(s, table, Some(base)),
+            IcebergSink.readIncremental(s, table, base),
+            "k", bins = 10, lo = 0.0, hi = 140.0)
+          .orderBy(col("bin"))
+      },
+      Some(Tables.withEventsTopic(
+        """, src AS (
+          |  SELECT CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         _offset AS o
+          |  FROM events_topic),
+          |b0 AS (
+          |  SELECT LEAST(GREATEST(CAST(floor(CAST(k AS DOUBLE) / 14.0) AS BIGINT), 0), 9) AS bin,
+          |         count(*) AS c
+          |  FROM src WHERE o % 2 = 0 GROUP BY 1),
+          |c0 AS (
+          |  SELECT LEAST(GREATEST(CAST(floor(CAST(k + o % 40 AS DOUBLE) / 14.0) AS BIGINT), 0), 9) AS bin,
+          |         count(*) AS c
+          |  FROM src WHERE o % 2 = 1 GROUP BY 1),
+          |grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+          |j AS (
+          |  SELECT g.bin, COALESCE(b0.c, 0) AS base_cnt, COALESCE(c0.c, 0) AS cur_cnt
+          |  FROM grid g LEFT JOIN b0 ON b0.bin = g.bin LEFT JOIN c0 ON c0.bin = g.bin),
+          |t AS (SELECT CAST(SUM(base_cnt) AS BIGINT) AS nb,
+          |             CAST(SUM(cur_cnt) AS BIGINT) AS nc FROM j),
+          |f AS (
+          |  SELECT bin, base_cnt, cur_cnt,
+          |         CAST(base_cnt + 1 AS DOUBLE) / (nb + 10) AS p,
+          |         CAST(cur_cnt + 1 AS DOUBLE) / (nc + 10) AS q
+          |  FROM j, t)
+          |SELECT CAST(bin AS INTEGER) AS bin,
+          |       round(bin * 14.0, 6) AS bin_lo,
+          |       round((bin + 1) * 14.0, 6) AS bin_hi,
+          |       CAST(base_cnt AS BIGINT) AS base_cnt,
+          |       CAST(cur_cnt AS BIGINT) AS cur_cnt,
+          |       round(p, 6) AS p, round(q, 6) AS q,
+          |       round((p - q) * round(ln(p / q), 6), 8) AS psi_term
+          |FROM f ORDER BY bin""".stripMargin))),
+
     // STREAMING SCD2 — the dimension-maintenance loop: a checkpointed CDC
     // subscription drains the changelog commit by commit, and the
     // accumulated sink folds into Type-2 history keyed on the commit

@@ -1144,6 +1144,23 @@ class OpsSpec extends AnyFunSuite {
       Seq(m("0001"), m("1110"), m("0")))
   }
 
+  test("psi drift: zero for identical distributions, positive under shift, clamped edges") {
+    import spark.implicits._
+    val a = (0 until 1000).map(i => i % 100).toDF("v")
+    val same = Drift.psiBins(a, a, "v", bins = 10, lo = 0, hi = 100)
+      .agg(sum(col("psi_term"))).collect()(0).getDouble(0)
+    assert(math.abs(same) < 1e-9, s"identical dists must give PSI~0, got $same")
+    val shifted = (0 until 1000).map(i => i % 100 + 40).toDF("v")
+    val out = Drift.psiBins(a, shifted, "v", bins = 10, lo = 0, hi = 100)
+      .collect()
+    val psi = out.map(_.getDouble(out.head.fieldIndex("psi_term"))).sum
+    assert(psi > 0.25, s"a 40-point shift is a major-drift alarm, got $psi")
+    // out-of-domain values clamp to the top bin, never vanish
+    assert(out.map(r => r.getLong(r.fieldIndex("cur_cnt"))).sum == 1000)
+    val top = out.find(_.getInt(0) == 9).get
+    assert(top.getLong(top.fieldIndex("cur_cnt")) == 500) // 100..139 -> bin 9
+  }
+
   test("triangles: known graph, direction/duplicate/self-loop insensitive") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
