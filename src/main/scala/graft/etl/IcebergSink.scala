@@ -2467,7 +2467,8 @@ object IcebergSink {
     val metaSchema = StructType(schema.fields ++ Seq(
       StructField("_change_type", StringType),
       StructField("_change_ordinal", IntegerType),
-      StructField("_commit_snapshot_id", LongType)))
+      StructField("_commit_snapshot_id", LongType),
+      StructField("_commit_sequence_number", LongType)))
     if (frames.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), metaSchema)

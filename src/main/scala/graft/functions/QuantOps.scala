@@ -94,7 +94,9 @@ case class QuantScores(child: Expression, centers: Array[Array[Long]])
   * as INT — the argmin over a [[QuantScores]] array. One linear scan with
   * a strict `<`, so the first occurrence of the minimum wins: identical to
   * the `when(sc[p] <= sc[o] ∀ o>p)` chain it replaces, in O(k) generated
-  * code instead of O(k²). */
+  * code instead of O(k²) — including its null discipline: an empty array
+  * or any null element yields SQL NULL (never a fabricated index or a
+  * task-killing bounds error). */
 case class ArgMinLong(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -104,14 +106,17 @@ case class ArgMinLong(child: Expression) extends UnaryExpression {
   }
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    if (n == 0 || a.isNullAt(0)) return null
     var best = 0
     var bestV = a.getLong(0)
     var i = 1
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val v = a.getLong(i)
       if (v < bestV) { best = i; bestV = v }
       i += 1
@@ -128,13 +133,18 @@ case class ArgMinLong(child: Expression) extends UnaryExpression {
       val bestV = ctx.freshName("bestV")
       s"""
          |int $n = $a.numElements();
-         |int $best = 0;
-         |long $bestV = $a.getLong(0);
-         |for (int $i = 1; $i < $n; $i++) {
-         |  long $v = $a.getLong($i);
-         |  if ($v < $bestV) { $best = $i; $bestV = $v; }
+         |if ($n == 0 || $a.isNullAt(0)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = 0;
+         |  long $bestV = $a.getLong(0);
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $v = $a.getLong($i);
+         |    if ($v < $bestV) { $best = $i; $bestV = $v; }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $best; }
          |}
-         |${ev.value} = $best;
        """.stripMargin
     })
 

@@ -77,11 +77,16 @@ class KfsTable(options: Map[String, String],
   override def name(): String = s"kfs:$root"
   override def schema(): StructType =
     if (providedSchema == null) KfsV2.Schema else providedSchema
-  /** Surfaces the creation options (incl. any stored admin-config
-    * overrides the catalog merged in) to `SHOW TBLPROPERTIES`. */
+  /** Surfaces ONLY the admin-config keys (retention.ms & co) to
+    * `SHOW TBLPROPERTIES` — never the raw creation options: the catalog
+    * forwards every catalog-level option (which may carry filesystem
+    * credentials) into each table's option map, and echoing those back to
+    * any user allowed to SHOW TBLPROPERTIES would be an information leak. */
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
-    options.foreach { case (k, v) => m.put(k, v) }
+    options.foreach { case (k, v) =>
+      if (TopicConfigs.Alterable.contains(k)) m.put(k, v)
+    }
     m
   }
   override def capabilities(): java.util.Set[TableCapability] =

@@ -51,19 +51,39 @@ object TopicConfigs {
     new HPath(new HPath(root, topic), "config.json")
 
   /** Stored per-topic overrides; absent file = all defaults. */
+  // short-TTL memo: every catalog loadTable reads the config, which on an
+  // object store is an exists() probe + a GET per query per table even
+  // though configs almost never change — the same per-query metadata-IO
+  // class KfsLayout's TTL-cached listings exist for. alter() evicts its
+  // key, so same-JVM writers read their own writes immediately.
+  private val fetchTtlMs = 5000L
+  private val fetchMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (Long, Map[String, Long])]()
+
   def fetch(root: String, topic: String): Map[String, Long] = {
+    val key = (root, topic)
+    val now = System.currentTimeMillis()
+    val hit = fetchMemo.get(key)
+    if (hit != null && now - hit._1 < fetchTtlMs) return hit._2
     val p = configPath(root, topic)
     val f = p.getFileSystem(KfsLayout.hadoopConf)
-    if (!f.exists(p)) return Map.empty
-    val in = f.open(p)
-    val json =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8)
-      finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    Alterable.flatMap { k =>
-      Option(node.get(k)).map(v => k -> v.asLong())
-    }.toMap
+    val loaded =
+      if (!f.exists(p)) Map.empty[String, Long]
+      else {
+        val in = f.open(p)
+        val json =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+        val node =
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        Alterable.flatMap { k =>
+          Option(node.get(k)).map(v => k -> v.asLong())
+        }.toMap
+      }
+    fetchMemo.put(key, (now, loaded))
+    loaded
   }
 
   /** DescribeConfigs for a topic resource: the three mutable entries with
@@ -131,11 +151,13 @@ object TopicConfigs {
       }
       name -> v
     }
-    if (validateOnly) return
+    // the resource check runs in BOTH modes — a dry run that green-lights
+    // an unknown topic defeats the point of validateOnly
     val p = configPath(root, topic)
     val f = p.getFileSystem(KfsLayout.hadoopConf)
     if (!f.exists(p.getParent))
       throw new IllegalArgumentException(s"unknown topic '$topic' under $root")
+    if (validateOnly) return
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     parsed.foreach { case (k, v) => node.put(k, v) }
@@ -150,5 +172,6 @@ object TopicConfigs {
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new IllegalStateException(s"config commit failed for $topic")
+    fetchMemo.remove((root, topic)) // read-your-writes within the JVM
   }
 }

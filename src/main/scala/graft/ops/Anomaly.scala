@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * `|v − mean| > z·stddev` cross-multiplies into pure integer arithmetic:
   * with s = Σ prior, q = Σ prior², the flag is
   * `(n·v − s)² · (n−1)  >  z² · n · (n·q − s²)`
-  * — every term a BIGINT, so the SAME rows flag in any engine, no
-  * rounding guard, no epsilon.
+  * — every term exact, so the SAME rows flag in any engine, no rounding
+  * guard, no epsilon. The terms are carried as DECIMAL(38,0), not BIGINT:
+  * both sides are O(z²n³·v²), so 64-bit longs would wrap SILENTLY at
+  * |v| ≈ √(2⁶³/z²n³) ≈ 5·10⁷ for the defaults — byte counters and
+  * epoch-millis timestamps (the realistic garbage-detector inputs) blow
+  * that instantly, and a wrapped comparison flags pseudo-random rows. 38
+  * exact decimal digits push the bound to |v| ≈ 7·10¹⁶, and inputs beyond
+  * it degrade to SQL NULL (→ not flagged) instead of wrapping.
   *
   * 100 TB shape: one window over (key, order) — the per-key shuffle +
   * per-shard sort the layout pays anyway; frames are `n` rows, state never
@@ -34,15 +40,18 @@ object Anomaly {
     require(n >= 2, s"window must have at least 2 prior values, got $n")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(ordCol)).rowsBetween(-n, -1)
-    val v = col(valCol).cast("long")
-    val nn = lit(n.toLong)
-    df.withColumn("_s", sum(v).over(w))
-      .withColumn("_q", sum(v * v).over(w))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(valCol).cast(dec)
+    val nn = lit(n.toLong).cast(dec)
+    df.withColumn("_s", sum(v).over(w).cast(dec))
+      .withColumn("_q", sum(v * v).over(w).cast(dec))
       .withColumn("n_prior", count(v).over(w))
       .withColumn("lhs",
-        (nn * v - col("_s")) * (nn * v - col("_s")) * lit((n - 1).toLong))
+        ((nn * v - col("_s")) * (nn * v - col("_s")) *
+          lit((n - 1).toLong).cast(dec)).cast(dec))
       .withColumn("rhs",
-        lit(z.toLong * z) * nn * (nn * col("_q") - col("_s") * col("_s")))
+        (lit(z.toLong * z).cast(dec) * nn *
+          (nn * col("_q") - col("_s") * col("_s"))).cast(dec))
       .withColumn("is_anomaly",
         col("n_prior") === n && col("lhs") > col("rhs"))
       .drop("_s", "_q")

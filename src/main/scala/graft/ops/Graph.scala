@@ -113,14 +113,25 @@ object Graph {
         when(struct(col("ca"), col("a")) < struct(col("cb"), col("b")),
           struct(col("b").as("id"), col("cb").as("c")))
           .otherwise(struct(col("a").as("id"), col("ca").as("c"))).as("v"))
-    val e1 = o.select(col("u.id").as("apex"), col("v.id").as("x"),
-      struct(col("v.c"), col("v.id")).as("rx"))
-    val e2 = o.select(col("u.id").as("apex"), col("v.id").as("y"),
-      struct(col("v.c"), col("v.id")).as("ry"))
-    val wedges = e1.join(e2, Seq("apex")).where(col("rx") < col("ry"))
-    val closing = o.select(col("u.id").as("x"), col("v.id").as("y"))
-    wedges.join(closing, Seq("x", "y"))
-      .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    // the oriented edge list feeds three join sides; persist it so the
+    // canonicalize/degree lineage runs once, not per consumer (same rule
+    // as pagerank's edge persist above)
+    val oc = o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val e1 = oc.select(col("u.id").as("apex"), col("v.id").as("x"),
+        struct(col("v.c"), col("v.id")).as("rx"))
+      val e2 = oc.select(col("u.id").as("apex"), col("v.id").as("y"),
+        struct(col("v.c"), col("v.id")).as("ry"))
+      val wedges = e1.join(e2, Seq("apex")).where(col("rx") < col("ry"))
+      val closing = oc.select(col("u.id").as("x"), col("v.id").as("y"))
+      // eager local checkpoint: the |V|-bounded result materializes ONCE
+      // while the edge cache is alive and its lineage is cut, so the
+      // caller's action reads the checkpoint instead of re-deriving o
+      // after the unpersist below
+      wedges.join(closing, Seq("x", "y"))
+        .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+        .localCheckpoint(true)
+    } finally oc.unpersist(blocking = false)
   }
 }

@@ -988,7 +988,7 @@ object EtlPack extends QueryPack {
           |  SELECT LEAST(GREATEST(CAST(floor(CAST(k + o % 40 AS DOUBLE) / 14.0) AS BIGINT), 0), 9) AS bin,
           |         count(*) AS c
           |  FROM src WHERE o % 2 = 1 GROUP BY 1),
-          |grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+          |grid AS (SELECT unnest(generate_series(-1, 9)) AS bin),
           |j AS (
           |  SELECT g.bin, COALESCE(b0.c, 0) AS base_cnt, COALESCE(c0.c, 0) AS cur_cnt
           |  FROM grid g LEFT JOIN b0 ON b0.bin = g.bin LEFT JOIN c0 ON c0.bin = g.bin),
@@ -996,12 +996,12 @@ object EtlPack extends QueryPack {
           |             CAST(SUM(cur_cnt) AS BIGINT) AS nc FROM j),
           |f AS (
           |  SELECT bin, base_cnt, cur_cnt,
-          |         CAST(base_cnt + 1 AS DOUBLE) / (nb + 10) AS p,
-          |         CAST(cur_cnt + 1 AS DOUBLE) / (nc + 10) AS q
+          |         CAST(base_cnt + 1 AS DOUBLE) / (nb + 11) AS p,
+          |         CAST(cur_cnt + 1 AS DOUBLE) / (nc + 11) AS q
           |  FROM j, t)
           |SELECT CAST(bin AS INTEGER) AS bin,
-          |       round(bin * 14.0, 6) AS bin_lo,
-          |       round((bin + 1) * 14.0, 6) AS bin_hi,
+          |       CASE WHEN bin >= 0 THEN round(bin * 14.0, 6) END AS bin_lo,
+          |       CASE WHEN bin >= 0 THEN round((bin + 1) * 14.0, 6) END AS bin_hi,
           |       CAST(base_cnt AS BIGINT) AS base_cnt,
           |       CAST(cur_cnt AS BIGINT) AS cur_cnt,
           |       round(p, 6) AS p, round(q, 6) AS q,

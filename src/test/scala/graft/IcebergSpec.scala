@@ -1075,6 +1075,15 @@ class IcebergSpec extends AnyFunSuite {
     assert(ChangelogStream.drain(spark, table, sink, ckpt) == 1)
     assert(spark.read.parquet(sink).count() == 5)
     assert(ChangelogStream.drain(spark, table, sink, ckpt) == 0)
+    // a compaction-only (all-replace) drain appends an EMPTY frame whose
+    // schema must still carry every changelog meta column — a narrower
+    // empty-range schema would poison later sink reads (regression:
+    // _commit_sequence_number was missing from the empty-range fallback)
+    val cols = spark.read.parquet(sink).columns.toSet
+    assert(Set("_change_type", "_change_ordinal", "_commit_snapshot_id",
+      "_commit_sequence_number").subsetOf(cols), s"sink schema lost meta: $cols")
+    assert(spark.read.parquet(sink)
+      .where(col("_commit_sequence_number").isNotNull).count() == 5)
   }
 
   test("partition-spec evolution: old files keep their spec, new files prune, compaction unifies") {

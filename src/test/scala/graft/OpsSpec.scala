@@ -1199,6 +1199,21 @@ class OpsSpec extends AnyFunSuite {
     assert(run(ev.repartition(13)) == a)
   }
 
+  test("rolling z-score survives byte-counter magnitudes without wrapping") {
+    import spark.implicits._
+    // |v| ~ 1.5e9: sum(v*v) alone wraps a BIGINT; the decimal-carried test
+    // must still flag the spike and nothing else
+    val base = 1500000000L
+    val rows = (0 until 10).map(i => ("A", i.toLong, base + (i % 3))) ++
+      Seq(("A", 10L, base + 500L), ("A", 11L, base + 1L))
+    val out = Anomaly.rollingZ(rows.toDF("k", "o", "v"), Seq("k"), "o", "v",
+        n = 10, z = 3)
+      .collect().map(r => r.getLong(1) ->
+        r.getBoolean(r.fieldIndex("is_anomaly"))).toMap
+    assert(out(10L), "the +500 spike over a tight 1.5e9 baseline must flag")
+    assert(!out(11L) && (0 until 10).forall(i => !out(i.toLong)))
+  }
+
   test("rolling z-score flags are repartition-stable") {
     val ev = Tables.eventsTopic(spark, sf).select(
       col("_partition").as("p"), col("_offset").as("o"),
