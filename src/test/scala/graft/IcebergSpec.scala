@@ -1274,6 +1274,27 @@ class IcebergSpec extends AnyFunSuite {
       new java.net.URI(firstStats.path).getPath)))
   }
 
+  test("analyze after schema evolution covers the new column under the new snapshot") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    IcebergSink.analyze(spark, table)
+    // evolution adds a column; old rows read it as null
+    IcebergSink.append(spark, table,
+      Seq((3L, 30, "x"), (4L, 40, "y")).toDF("id", "v", "tag"))
+    IcebergSink.analyze(spark, table)
+    val st = IcebergSink.tableStats(spark, table).get
+    assert(st.rowCount == 4)
+    assert(st.columns.keySet == Set("id", "v", "tag"))
+    assert(st.columns("tag").nullCount == 2) // pre-evolution rows
+    assert(st.columns("id").ndv >= 3 && st.columns("id").ndv <= 5)
+    // the pre-evolution snapshot's stats remain queryable with OLD columns
+    val first = IcebergSink.load(spark, table).get.snapshots
+      .minBy(_.sequenceNumber).snapshotId
+    val old = IcebergSink.tableStats(spark, table, Some(first)).get
+    assert(old.rowCount == 2 && old.columns.keySet == Set("id", "v"))
+  }
+
   test("compaction honors the declared write order: rewritten files stay prunable") {
     import spark.implicits._
     val table = tmpTable()
