@@ -948,6 +948,54 @@ object EtlPack extends QueryPack {
           |FROM events_topic WHERE event_type = 'click'
           |GROUP BY _partition ORDER BY partition""".stripMargin))),
 
+    // RIGHT-TO-BE-FORGOTTEN: the full takedown pipeline composed —
+    // equality-delete the user's keys (merge-on-read, corpus untouched),
+    // COMPACT to physically rewrite survivors, EXPIRE the pre-delete
+    // snapshots (time travel to the user's data becomes impossible — the
+    // spec's documented trade), REMOVE-ORPHANS for crash leftovers. The
+    // result carries the post-delete aggregate next to two erasure
+    // proofs: zero rows for the user, and zero retained snapshots that
+    // predate the delete. What a compliance audit actually checks.
+    QueryDef(
+      "e35_forget_user",
+      (s, dir) => {
+        val table = tmp(dir, "forget_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          col("user_id"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"))
+        IcebergSink.append(s, table, ev)
+        // takedown: user 7 invokes erasure
+        IcebergSink.deleteWhere(s, table, col("user_id") === 7,
+          Seq("partition", "offset"))
+        IcebergSink.compact(s, table)
+        IcebergSink.expireSnapshots(s, table,
+          olderThanMs = System.currentTimeMillis() + 3600000L, retainLast = 1)
+        IcebergSink.removeOrphanFiles(s, table,
+          olderThanMs = System.currentTimeMillis() + 3600000L)
+        val m = IcebergSink.load(s, table).get
+        val leftRows = IcebergSink.read(s, table)
+          .where(col("user_id") === 7).count()
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+          .withColumn("user7_rows", lit(leftRows))
+          .withColumn("retained_snapshots", lit(m.snapshots.length.toLong))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT _partition AS partition,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k
+          |  FROM events_topic WHERE user_id <> 7)
+          |SELECT partition, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k,
+          |       CAST(0 AS BIGINT) AS user7_rows,
+          |       CAST(1 AS BIGINT) AS retained_snapshots
+          |FROM base GROUP BY partition ORDER BY partition""".stripMargin))),
+
     // SNAPSHOT DRIFT (PSI): "has ingest drifted since the snapshot the
     // model was trained on?" — the base distribution reads via time
     // travel, the comparison side via readIncremental (exactly the rows

@@ -1274,6 +1274,34 @@ class IcebergSpec extends AnyFunSuite {
       new java.net.URI(firstStats.path).getPath)))
   }
 
+  test("forget-user pipeline: erased rows are physically unreachable, not just filtered") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, 7L, "secret"), (2L, 8L, "keep"), (3L, 7L, "secret2"))
+        .toDF("id", "user", "payload"))
+    val preDelete = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    IcebergSink.deleteWhere(spark, table, col("user") === 7, Seq("id"))
+    IcebergSink.compact(spark, table)
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 3600000L, retainLast = 1)
+    IcebergSink.removeOrphanFiles(spark, table,
+      olderThanMs = System.currentTimeMillis() + 3600000L)
+    // logical erasure
+    assert(IcebergSink.read(spark, table).where(col("user") === 7).count() == 0)
+    // time travel to the pre-delete snapshot is IMPOSSIBLE (expired)
+    intercept[Exception](
+      IcebergSink.read(spark, table, Some(preDelete)).count())
+    // physical erasure: no live data file byte-contains the payload
+    val dataDir = java.nio.file.Paths.get(table, "data")
+    val leaked = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .exists(p => new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.ISO_8859_1).contains("secret"))
+    assert(!leaked, "erased payload bytes survive on disk")
+    assert(IcebergSink.read(spark, table).count() == 1)
+  }
+
   test("analyze after schema evolution covers the new column under the new snapshot") {
     import spark.implicits._
     val table = tmpTable()
