@@ -937,6 +937,37 @@ object RelationalPack extends QueryPack {
           |ORDER BY g_flag, g_status,
           |         l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // Explicit GROUPING SETS (superset — SURVEY §2.7, completing the
+    // cube/rollup family): exactly the two business groupings — per
+    // (flag, status) and per ship-year — in ONE pass, not the 4-set cube;
+    // spark.sql GROUPING SETS compiles to a single Expand + hash agg.
+    QueryDef(
+      "u12_grouping_sets",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_yr,
+            |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+            |       count(*) AS n_items,
+            |       CAST(grouping_id() AS BIGINT) AS gid
+            |FROM li_gs
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+            |                        (year(l_shipdate)))
+            |ORDER BY gid, l_returnflag NULLS FIRST,
+            |         l_linestatus NULLS FIRST, ship_yr NULLS FIRST""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(year(l_shipdate) AS INTEGER) AS ship_yr,
+          |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+          |       count(*) AS n_items,
+          |       CAST(GROUPING(l_returnflag, l_linestatus, year(l_shipdate)) AS BIGINT) AS gid
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (year(l_shipdate)))
+          |ORDER BY gid, l_returnflag NULLS FIRST,
+          |         l_linestatus NULLS FIRST, ship_yr NULLS FIRST""".stripMargin)),
+
     // PIVOT (superset — SURVEY §2.7): event counts cross-tabbed by type.
     // With explicit pivot values Spark compiles this to conditional
     // aggregation — one shuffle, no per-value passes; the oracle IS that
