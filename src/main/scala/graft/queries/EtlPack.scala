@@ -948,6 +948,75 @@ object EtlPack extends QueryPack {
           |FROM events_topic WHERE event_type = 'click'
           |GROUP BY _partition ORDER BY partition""".stripMargin))),
 
+    // POINT-IN-TIME dimension census — the query SCD2 history exists to
+    // serve: "what did the dimension look like as of commit T?" for every
+    // T, answered from ONE history table (versions live at T satisfy
+    // valid_from <= T < valid_to). The five censuses below walk the same
+    // four-commit choreography as e30 and must show the base load, the
+    // upsert's retraction dip and k*1000 re-insert, and the final delete —
+    // each count/sum hash-checked against the relational reconstruction.
+    QueryDef(
+      "e36_scd2_point_in_time",
+      (s, dir) => {
+        import s.implicits._
+        val table = tmp(dir, "scd2_pit_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev)
+        IcebergSink.upsert(s, table,
+          ev.where(col("event_type") === "click")
+            .withColumn("k", col("k") * 1000),
+          Seq("partition", "offset"))
+        IcebergSink.deleteWhere(s, table, col("offset") % 5 === 0,
+          Seq("partition", "offset"))
+        val hist = graft.ops.Scd.scd2(
+          IcebergSink.readChangelogFrom(s, table, None)
+            .select(col("partition"), col("offset"), col("k"),
+              col("_change_type"), col("_change_ordinal")),
+          Seq("partition", "offset"))
+        hist.crossJoin(broadcast((0 to 4).toDF("as_of")))
+          .where(col("valid_from") <= col("as_of") &&
+            (col("valid_to").isNull || col("valid_to") > col("as_of")))
+          .groupBy(col("as_of"))
+          .agg(count(lit(1)).as("live_keys"), sum(col("k")).as("sum_k"))
+          .orderBy(col("as_of"))
+      },
+      Some(Tables.withEventsTopic(
+        """, base AS (
+          |  SELECT _partition AS p, _offset AS o,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         event_type
+          |  FROM events_topic),
+          |ch AS (
+          |  SELECT 'insert' AS t, 0 AS ord, p, o, k FROM base
+          |  UNION ALL
+          |  SELECT 'delete', 1, p, o, CAST(NULL AS BIGINT)
+          |  FROM base WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 'insert', 2, p, o, k * 1000
+          |  FROM base WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT 'delete', 3, p, o, CAST(NULL AS BIGINT)
+          |  FROM base WHERE o % 5 = 0),
+          |v AS (
+          |  SELECT t, k, ord AS valid_from,
+          |         min(CASE WHEN t = 'delete' THEN ord END) OVER (
+          |           PARTITION BY p, o ORDER BY ord, t
+          |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+          |         ) AS valid_to
+          |  FROM ch),
+          |h AS (SELECT * FROM v WHERE t = 'insert'),
+          |q AS (SELECT unnest(generate_series(0, 4)) AS as_of)
+          |SELECT CAST(as_of AS INTEGER) AS as_of, count(*) AS live_keys,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k
+          |FROM h JOIN q ON valid_from <= as_of
+          |              AND (valid_to IS NULL OR valid_to > as_of)
+          |GROUP BY as_of ORDER BY as_of""".stripMargin))),
+
     // RIGHT-TO-BE-FORGOTTEN: the full takedown pipeline composed —
     // equality-delete the user's keys (merge-on-read, corpus untouched),
     // COMPACT to physically rewrite survivors, EXPIRE the pre-delete
