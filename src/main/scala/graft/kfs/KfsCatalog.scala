@@ -178,7 +178,10 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireAllowed(ident.name())
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val stored = TopicConfigs.fetch(root, ident.name())
+    // fresh read: folding SET/UNSET over a memoized snapshot would
+    // silently drop a config change another process committed within the
+    // memo TTL (a lost update)
+    val stored = TopicConfigs.fetch(root, ident.name(), fresh = true)
       .map { case (k, v) => k -> v.toString }
     val updated = changes.foldLeft(stored) {
       case (acc, set: TableChange.SetProperty) =>
@@ -201,6 +204,7 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
     tableExists(ident) && {
       val (f, _) = fs
       KfsLayout.invalidateDiscoveryCache(root)
+      TopicConfigs.memoEvict(root, ident.name()) // dead table's overrides
       f.delete(topicPath(ident), true)
     }
   }
@@ -211,6 +215,8 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val (f, _) = fs
     KfsLayout.invalidateDiscoveryCache(root)
+    TopicConfigs.memoEvict(root, oldIdent.name())
+    TopicConfigs.memoEvict(root, newIdent.name())
     if (!f.rename(topicPath(oldIdent), topicPath(newIdent)))
       throw new IllegalStateException(
         s"rename ${oldIdent.name()} -> ${newIdent.name()} failed")

@@ -54,18 +54,33 @@ object TopicConfigs {
   // short-TTL memo: every catalog loadTable reads the config, which on an
   // object store is an exists() probe + a GET per query per table even
   // though configs almost never change — the same per-query metadata-IO
-  // class KfsLayout's TTL-cached listings exist for. alter() evicts its
-  // key, so same-JVM writers read their own writes immediately.
+  // class KfsLayout's TTL-cached listings exist for. Bounded like
+  // KfsLayout's statsCache (LRU, removeEldestEntry); mutators write
+  // through or evict, and a loader may only publish over the entry it
+  // observed at start, so a concurrent alter's fresher value is never
+  // clobbered by a stale load. Cross-JVM writers are still only
+  // TTL-visible — read-modify-write callers must use `fresh = true`.
   private val fetchTtlMs = 5000L
   private val fetchMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String),
-      (Long, Map[String, Long])]()
+    new java.util.LinkedHashMap[(String, String), (Long, Map[String, Long])](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), (Long, Map[String, Long])])
+          : Boolean = size() > 10000
+    }
 
-  def fetch(root: String, topic: String): Map[String, Long] = {
+  private[kfs] def memoEvict(root: String, topic: String): Unit =
+    fetchMemo.synchronized { fetchMemo.remove((root, topic)); () }
+
+  def fetch(root: String, topic: String, fresh: Boolean = false)
+      : Map[String, Long] = {
     val key = (root, topic)
     val now = System.currentTimeMillis()
-    val hit = fetchMemo.get(key)
-    if (hit != null && now - hit._1 < fetchTtlMs) return hit._2
+    val seen = fetchMemo.synchronized(Option(fetchMemo.get(key)))
+    seen match {
+      case Some(hit) if !fresh && now - hit._1 < fetchTtlMs => return hit._2
+      case _ =>
+    }
     val p = configPath(root, topic)
     val f = p.getFileSystem(KfsLayout.hadoopConf)
     val loaded =
@@ -82,7 +97,12 @@ object TopicConfigs {
           Option(node.get(k)).map(v => k -> v.asLong())
         }.toMap
       }
-    fetchMemo.put(key, (now, loaded))
+    fetchMemo.synchronized {
+      // publish only over the entry observed at load start: if a writer
+      // (alter/drop) intervened, its view wins and this load is discarded
+      if (Option(fetchMemo.get(key)) == seen)
+        fetchMemo.put(key, (now, loaded))
+    }
     loaded
   }
 
@@ -172,6 +192,12 @@ object TopicConfigs {
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new IllegalStateException(s"config commit failed for $topic")
-    fetchMemo.remove((root, topic)) // read-your-writes within the JVM
+    // write-through (not just evict): an in-flight stale load can no
+    // longer reinstate the old value, because loaders only publish over
+    // the entry they observed before reading
+    fetchMemo.synchronized {
+      fetchMemo.put((root, topic),
+        (System.currentTimeMillis(), parsed.toMap)); ()
+    }
   }
 }

@@ -34,10 +34,14 @@ object Drift {
       bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins > 0 && hi > lo, s"need a positive domain, got [$lo,$hi)x$bins")
     val width = (hi - lo) / bins
+    // the null test must be EXPLICIT: Spark's greatest/least SKIP null
+    // arguments (null only when all inputs are null), so a
+    // coalesce-around-clamp would quietly count nulls in bin 0
     def binned(df: DataFrame, cnt: String) = df
-      .select(coalesce(least(greatest(
-        floor((col(valCol).cast("double") - lit(lo)) / lit(width)), lit(0L)),
-        lit(bins - 1L)).cast("int"), lit(-1)).as("bin"))
+      .select(when(col(valCol).isNull, lit(-1))
+        .otherwise(least(greatest(
+          floor((col(valCol).cast("double") - lit(lo)) / lit(width)), lit(0L)),
+          lit(bins - 1L)).cast("int")).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
     val grid = base.sparkSession.range(-1, bins)
       .select(col("id").cast("int").as("bin"))

@@ -124,14 +124,18 @@ object Graph {
         struct(col("v.c"), col("v.id")).as("ry"))
       val wedges = e1.join(e2, Seq("apex")).where(col("rx") < col("ry"))
       val closing = oc.select(col("u.id").as("x"), col("v.id").as("y"))
-      // eager local checkpoint: the |V|-bounded result materializes ONCE
-      // while the edge cache is alive and its lineage is cut, so the
-      // caller's action reads the checkpoint instead of re-deriving o
-      // after the unpersist below
-      wedges.join(closing, Seq("x", "y"))
+      // materialize the |V|-bounded result into the block cache while the
+      // edge cache is alive, so the caller's action reads cached counts
+      // instead of re-deriving o after the unpersist below. A CACHE, not
+      // a localCheckpoint: lineage stays intact, so a lost executor
+      // recomputes (slower, from the unpersisted plan) rather than
+      // failing permanently, and the caller can unpersist when done.
+      val tri = wedges.join(closing, Seq("x", "y"))
         .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tri.count()
+      tri
     } finally oc.unpersist(blocking = false)
   }
 }

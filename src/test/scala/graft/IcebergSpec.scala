@@ -1294,10 +1294,13 @@ class IcebergSpec extends AnyFunSuite {
       IcebergSink.read(spark, table, Some(preDelete)).count())
     // physical erasure: no live data file byte-contains the payload
     val dataDir = java.nio.file.Paths.get(table, "data")
-    val leaked = java.nio.file.Files.walk(dataDir).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .exists(p => new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.ISO_8859_1).contains("secret"))
+    val walk = java.nio.file.Files.walk(dataDir)
+    val leaked =
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .exists(p => new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.ISO_8859_1).contains("secret"))
+      finally walk.close()
     assert(!leaked, "erased payload bytes survive on disk")
     assert(IcebergSink.read(spark, table).count() == 1)
   }

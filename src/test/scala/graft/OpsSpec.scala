@@ -1159,6 +1159,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(r => r.getLong(r.fieldIndex("cur_cnt"))).sum == 1000)
     val top = out.find(_.getInt(0) == 9).get
     assert(top.getLong(top.fieldIndex("cur_cnt")) == 500) // 100..139 -> bin 9
+    // a null-rate explosion lands in the missing bin (-1) and ALARMS —
+    // it must never renormalize away or leak into bin 0
+    val nulled = (0 until 1000)
+      .map(i => if (i % 2 == 0) Some(i % 100) else None).toDF("v")
+    val nd = Drift.psiBins(a, nulled, "v", bins = 10, lo = 0, hi = 100)
+      .collect()
+    val missing = nd.find(_.getInt(0) == -1).get
+    assert(missing.getLong(missing.fieldIndex("cur_cnt")) == 500)
+    assert(missing.getLong(missing.fieldIndex("base_cnt")) == 0)
+    val bin0 = nd.find(_.getInt(0) == 0).get
+    assert(bin0.getLong(bin0.fieldIndex("cur_cnt")) == 50) // nulls NOT in bin 0
+    assert(nd.map(_.getDouble(nd.head.fieldIndex("psi_term"))).sum > 0.25,
+      "a 50% null explosion must alarm")
   }
 
   test("triangles: known graph, direction/duplicate/self-loop insensitive") {
