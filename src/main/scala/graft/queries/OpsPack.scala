@@ -296,6 +296,72 @@ object OpsPack extends QueryPack {
            |SELECT q, rank, v, round(c, 4) AS cos_sim
            |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
 
+    // ANN RECALL AUDIT — the evaluation every approximate index needs
+    // before it replaces the exact scan: per probe, |LSH top-k ∩ brute
+    // top-k| / k, plus the bucket's candidate count (the speedup side of
+    // the trade). Both rankings are the s5/s6 pipelines verbatim, so this
+    // quantifies in-engine the approximation the suite otherwise only
+    // spot-checks; the oracle recomputes both and intersects them.
+    QueryDef(
+      "s32_ann_recall",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val probes = e.where(col("vec_id") < 5)
+        val brute = Similarity.bruteForceTopK(e, probes, k = 10)
+          .select(col("q"), col("v"))
+        val lsh = Similarity.lshTopK(e, probes, k = 10, planes = 4)
+          .select(col("q"), col("v"), lit(1).as("hit"))
+        val cand = e.select(col("vec_id"),
+            Similarity.lshSignature(col("embedding"), 4, 64).as("bucket"))
+        val nCand = cand.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q"), col("bucket"))
+          .join(cand.select(col("vec_id").as("v"), col("bucket")), Seq("bucket"))
+          .where(col("q") =!= col("v"))
+          .groupBy(col("q")).agg(count(lit(1)).as("n_candidates"))
+        brute.join(lsh, Seq("q", "v"), "left")
+          .groupBy(col("q"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+          .join(nCand, Seq("q"))
+          .orderBy(col("q"))
+      },
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${duckSignature("embedding", 4)} AS bucket
+           |  FROM embeddings),
+           |bj AS (
+           |  SELECT q.vec_id AS q, v.vec_id AS v,
+           |         ${duckCosine("q.embedding", "v.embedding")} AS c
+           |  FROM embeddings q JOIN embeddings v
+           |    ON q.vec_id < 5 AND q.vec_id <> v.vec_id),
+           |brute AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q
+           |      ORDER BY round(c, 6) DESC, v) AS rank FROM bj)
+           |  WHERE rank <= 10),
+           |lj AS (
+           |  SELECT q.vec_id AS q, v.vec_id AS v,
+           |         ${duckCosine("q.embedding", "v.embedding")} AS c
+           |  FROM b q JOIN b v ON q.bucket = v.bucket
+           |   AND q.vec_id < 5 AND q.vec_id <> v.vec_id),
+           |lsh AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q
+           |      ORDER BY round(c, 6) DESC, v) AS rank FROM lj)
+           |  WHERE rank <= 10),
+           |cand AS (
+           |  SELECT p.vec_id AS q, count(*) AS n_candidates
+           |  FROM b p JOIN b v ON p.bucket = v.bucket
+           |   AND p.vec_id < 5 AND p.vec_id <> v.vec_id
+           |  GROUP BY 1)
+           |SELECT br.q,
+           |       SUM(CASE WHEN l.v IS NOT NULL THEN 1 ELSE 0 END) / 10.0
+           |         AS recall_at_10,
+           |       any_value(c.n_candidates) AS n_candidates
+           |FROM brute br
+           |LEFT JOIN lsh l ON l.q = br.q AND l.v = br.v
+           |JOIN cand c ON c.q = br.q
+           |GROUP BY br.q ORDER BY br.q""".stripMargin)),
+
     // SQ8 quantized ANN: int8 scalar quantization (FAISS-SQ shape) cuts
     // vector bytes 4x — at 100 TB the brute-force scan is bandwidth-bound,
     // so the quantized scan reads a quarter of the data. The quantized
