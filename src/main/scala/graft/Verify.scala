@@ -43,7 +43,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // sf-pinned oracles (frozen fixtures like t22's sf0.01-trained BPE
+    // table) are only valid at their pinned scale: at any other SF the
+    // live query computes from different data and a hash mismatch would
+    // mean "oracle frozen at the wrong SF", not an engine defect. Omit
+    // them — loudly — so the driver records a rows-only check instead.
+    val sfBase = Paths.get(sfDir).getFileName.toString
+    val pinnedOut = SparkEntry.queryDefs.flatMap { d =>
+      d.oracleSfPin.filter(_ != sfBase).map(d.name -> _)
+    }.toMap
+    pinnedOut.foreach { case (name, pin) =>
+      System.err.println(s"[verify] $name: oracle is sf-pinned to $pin but " +
+        s"this run is $sfBase -- omitting the oracle (rows-only check). " +
+        "Regenerate the frozen fixture (see the QueryDef's doc) to re-pin.")
+    }
     val json = SparkEntry.oracleSql
+      .filterNot { case (k, _) => pinnedOut.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * independent of k and dims and the whole pipeline stays inside
   * whole-stage codegen.
   *
-  * Semantics are IDENTICAL to the unrolled form — exact integer arithmetic,
-  * `|c_p|² − 2·q·c_p` scores, first-index-wins argmin — so the DuckDB
-  * oracles that replay the fit relationally keep hash-matching.
+  * Semantics match the unrolled form on well-formed input — exact integer
+  * arithmetic, `|c_p|² − 2·q·c_p` scores, first-index-wins argmin — so the
+  * DuckDB oracles that replay the fit relationally keep hash-matching. On
+  * MALFORMED vectors the two differ deliberately: a too-short or
+  * null-element vector yields SQL NULL here (the old `getItem` chain
+  * null-propagated scores and its `when`-chain argmin could fabricate
+  * `k-1`); every quantizer path feeds fixed-length non-null vectors, so
+  * only the failure mode changed, not fixture results.
   *
   * Lives under org.apache.spark.sql.* because the Column↔Expression bridge
   * (`classic.ExpressionUtils`) is private[sql] in Spark 4.
@@ -47,9 +52,20 @@ case class QuantScores(child: Expression, centers: Array[Array[Long]])
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // a malformed (short / null-element) vector yields NULL even when the
+  // child column is declared non-null
+  override def nullable: Boolean = true
 
+  /** Well-formedness: the kernel reads exactly `dims` long elements; a
+    * shorter vector or a null element would be a silent out-of-bounds /
+    * garbage read. Such vectors null out (the downstream argmin then also
+    * returns NULL) instead of erroring — matching the old composable
+    * form's null propagation. */
   override def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
+    if (q.numElements() < dims) return null
+    var d0 = 0
+    while (d0 < dims) { if (q.isNullAt(d0)) return null; d0 += 1 }
     val out = new Array[Long](k)
     var p = 0
     while (p < k) {
@@ -70,18 +86,28 @@ case class QuantScores(child: Expression, centers: Array[Array[Long]])
       val out = ctx.freshName("out")
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
+      val d0 = ctx.freshName("d0")
       val dot = ctx.freshName("dot")
+      val ok = ctx.freshName("ok")
       s"""
-         |long[] $out = new long[$k];
-         |for (int $p = 0; $p < $k; $p++) {
-         |  long $dot = 0L;
-         |  for (int $d = 0; $d < $dims; $d++) {
-         |    $dot += $q.getLong($d) * $flatRef[$p * $dims + $d];
-         |  }
-         |  $out[$p] = $normsRef[$p] - 2L * $dot;
+         |boolean $ok = $q.numElements() >= $dims;
+         |for (int $d0 = 0; $ok && $d0 < $dims; $d0++) {
+         |  if ($q.isNullAt($d0)) { $ok = false; }
          |}
-         |${ev.value} =
-         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$k];
+         |  for (int $p = 0; $p < $k; $p++) {
+         |    long $dot = 0L;
+         |    for (int $d = 0; $d < $dims; $d++) {
+         |      $dot += $q.getLong($d) * $flatRef[$p * $dims + $d];
+         |    }
+         |    $out[$p] = $normsRef[$p] - 2L * $dot;
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
        """.stripMargin
     })
   }

@@ -190,7 +190,14 @@ class KfsCatalog extends TableCatalog with SupportsNamespaces {
             s"invalid config: unknown key '${set.property}' " +
               s"(alterable: ${TopicConfigs.Alterable.toSeq.sorted.mkString(", ")})")
         acc + (set.property -> set.value)
-      case (acc, rm: TableChange.RemoveProperty) => acc - rm.property
+      case (acc, rm: TableChange.RemoveProperty) =>
+        // same whitelist as SET: the reference's AlterConfigs validation
+        // rejects unknown keys regardless of operation (main.go:1470-1489)
+        if (!TopicConfigs.Alterable.contains(rm.property))
+          throw new TopicConfigs.InvalidConfigException(
+            s"invalid config: unknown key '${rm.property}' " +
+              s"(alterable: ${TopicConfigs.Alterable.toSeq.sorted.mkString(", ")})")
+        acc - rm.property
       case _ => throw new UnsupportedOperationException(
         "kfs topics have a fixed schema; only SET/UNSET TBLPROPERTIES of " +
           s"{${TopicConfigs.Alterable.toSeq.sorted.mkString(", ")}} is supported")

@@ -69,14 +69,35 @@ object TopicConfigs {
           : Boolean = size() > 10000
     }
 
+  // per-key eviction generation: memoEvict bumps it, and a loader may only
+  // publish if the generation it observed at start is still current. Plain
+  // removal is not enough — an in-flight loader that observed seen=None
+  // would republish the dead/old topic's config right after the evict
+  // (drop/rename would then serve stale overrides for up to the TTL).
+  // Bounded the same way as fetchMemo (LRU cap).
+  private val evictGen =
+    new java.util.LinkedHashMap[(String, String), java.lang.Long](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean =
+        size() > 10000
+    }
+
   private[kfs] def memoEvict(root: String, topic: String): Unit =
-    fetchMemo.synchronized { fetchMemo.remove((root, topic)); () }
+    fetchMemo.synchronized {
+      val key = (root, topic)
+      fetchMemo.remove(key)
+      evictGen.put(key,
+        Long.box(Option(evictGen.get(key)).map(_.longValue + 1).getOrElse(1L)))
+      ()
+    }
 
   def fetch(root: String, topic: String, fresh: Boolean = false)
       : Map[String, Long] = {
     val key = (root, topic)
     val now = System.currentTimeMillis()
-    val seen = fetchMemo.synchronized(Option(fetchMemo.get(key)))
+    val (seen, genAtStart) = fetchMemo.synchronized(
+      (Option(fetchMemo.get(key)), Option(evictGen.get(key))))
     seen match {
       case Some(hit) if !fresh && now - hit._1 < fetchTtlMs => return hit._2
       case _ =>
@@ -98,9 +119,11 @@ object TopicConfigs {
         }.toMap
       }
     fetchMemo.synchronized {
-      // publish only over the entry observed at load start: if a writer
-      // (alter/drop) intervened, its view wins and this load is discarded
-      if (Option(fetchMemo.get(key)) == seen)
+      // publish only over the entry observed at load start AND only if no
+      // memoEvict intervened: if a writer (alter/drop/rename) acted, its
+      // view wins and this load's publish is discarded
+      if (Option(fetchMemo.get(key)) == seen &&
+          Option(evictGen.get(key)) == genAtStart)
         fetchMemo.put(key, (now, loaded))
     }
     loaded
@@ -181,17 +204,24 @@ object TopicConfigs {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     parsed.foreach { case (k, v) => node.put(k, v) }
-    // atomic replace: write-temp + rename, the same commit discipline as
-    // segment manifests
+    // atomic replace: write-temp + OVERWRITING rename (FileContext honors
+    // Options.Rename.OVERWRITE as a single atomic step on posix/HDFS).
+    // The delete-then-rename alternative has a crash window with NO config
+    // file present — a crash there would silently revert every override to
+    // defaults.
     val tmp = new HPath(p.getParent,
       s".config-${java.util.UUID.randomUUID()}.tmp.json")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsString(node)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new IllegalStateException(s"config commit failed for $topic")
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, KfsLayout.hadoopConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: java.io.IOException =>
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"config commit failed for $topic", e)
+    }
     // write-through (not just evict): an in-flight stale load can no
     // longer reinstate the old value, because loaders only publish over
     // the entry they observed before reading

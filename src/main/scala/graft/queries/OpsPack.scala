@@ -2116,7 +2116,8 @@ object OpsPack extends QueryPack {
               / sum(col("n_tokens")).cast("double"), 3).as("chars_per_token"))
           .orderBy(col("lang"))
       },
-      Some(bpeT22OracleSql)),
+      Some(bpeT22OracleSql),
+      oracleSfPin = Some("sf0.01")),
 
     // BPE ENCODE with a FIXED merge table, hash-checked per document: the
     // encode stage is SQL-expressible for a bounded merge count because

@@ -24,7 +24,13 @@ final case class QueryDef(
       * BENCH_FULL.json) so harness setup cost never masquerades as operator
       * cost. Must be idempotent: `fn` may also invoke it defensively, and
       * the driver's composed entry point runs seed-then-fn every time. */
-    seed: Option[(SparkSession, String) => Unit] = None)
+    seed: Option[(SparkSession, String) => Unit] = None,
+    /** Scale-factor pin for oracles frozen against one fixture (e.g. t22's
+      * BPE merge table trained at sf0.01): the sf-dir basename the oracle
+      * is valid for. Verify OMITS a pinned oracle when dumping at any other
+      * SF — with a loud diagnostic — so a run at the wrong scale records a
+      * rows-only check instead of a spurious hash mismatch. */
+    oracleSfPin: Option[String] = None)
 
 trait QueryPack {
   def entries: Seq[QueryDef]

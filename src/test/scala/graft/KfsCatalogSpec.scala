@@ -141,6 +141,11 @@ class KfsCatalogSpec extends AnyFunSuite {
       // key, -2 retention, non-positive segment, non-integer all rejected
       intercept[Exception](
         spark.sql("ALTER TABLE kfscat.cfgtopic SET TBLPROPERTIES('nope'='1')"))
+      // UNSET of an unknown key is validated by the same whitelist — the
+      // reference rejects unknown keys regardless of operation
+      intercept[Exception](
+        spark.sql(
+          "ALTER TABLE kfscat.cfgtopic UNSET TBLPROPERTIES('no.such.key')"))
       intercept[TopicConfigs.InvalidConfigException](
         TopicConfigs.alter(root, "cfgtopic", Map("retention.ms" -> "-2")))
       intercept[TopicConfigs.InvalidConfigException](
@@ -156,6 +161,34 @@ class KfsCatalogSpec extends AnyFunSuite {
       val b = TopicConfigs.describeBroker(root).map(e => e.name -> e).toMap
       assert(b("kafscale.segment.bytes").readOnly && b("kfs.root").readOnly)
     } finally spark.sql("DROP TABLE IF EXISTS kfscat.cfgtopic")
+  }
+
+  test("config commits overwrite atomically and drop evicts the memo") {
+    root
+    spark.sql("DROP TABLE IF EXISTS kfscat.cfgatom")
+    spark.sql("CREATE TABLE kfscat.cfgatom")
+    try {
+      TopicConfigs.alter(root, "cfgatom", Map("retention.ms" -> "111"))
+      // overwriting an EXISTING config is one atomic rename — no
+      // delete-then-rename window with no file present, no tmp leftovers
+      TopicConfigs.alter(root, "cfgatom", Map("retention.ms" -> "222"))
+      assert(TopicConfigs.fetch(root, "cfgatom", fresh = true)
+        .get("retention.ms").contains(222L))
+      val dir = new org.apache.hadoop.fs.Path(root, "cfgatom")
+      val f = dir.getFileSystem(KfsLayout.hadoopConf)
+      val strays = f.listStatus(dir)
+        .map(_.getPath.getName).filter(_.startsWith(".config-"))
+      assert(strays.isEmpty, s"tmp files left behind: ${strays.mkString(",")}")
+      // memo eviction through the public path: the memo holds 222, the
+      // table is dropped + recreated (drop evicts), and a fetch within the
+      // TTL must see the RECREATED topic's empty config — never the dead
+      // topic's overrides
+      assert(TopicConfigs.fetch(root, "cfgatom")
+        .get("retention.ms").contains(222L)) // memoized
+      spark.sql("DROP TABLE kfscat.cfgatom")
+      spark.sql("CREATE TABLE kfscat.cfgatom")
+      assert(TopicConfigs.fetch(root, "cfgatom").isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS kfscat.cfgatom")
   }
 
   test("streaming read through the catalog drains the topic incrementally") {

@@ -997,6 +997,41 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("quant kernels null out malformed vectors instead of misreading") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.QuantOps
+    // the kernel reads exactly `dims` elements: a short vector or a null
+    // element must yield SQL NULL (old getItem null-propagation), never an
+    // out-of-bounds read or a fabricated argmin index — in BOTH the
+    // interpreted and the codegen path
+    val centers = Array(Array(1L, 2L), Array(3L, 4L))
+    val df = Seq(
+      (1L, Seq[java.lang.Long](5L, 6L)),         // well-formed
+      (2L, Seq[java.lang.Long](7L)),             // too short
+      (3L, Seq[java.lang.Long](8L, null)),       // null element
+      (4L, Seq.empty[java.lang.Long])            // empty
+    ).toDF("id", "v")
+    def run(codegen: Boolean): Map[Long, (Option[Seq[Long]], Option[Int])] = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try df.select(col("id"),
+          QuantOps.scores(col("v"), centers).as("sc"),
+          QuantOps.argmin(QuantOps.scores(col("v"), centers)).as("am"))
+        .collect().map(r => r.getLong(0) -> (
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1).toSeq)),
+          (if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    for (codegen <- Seq(true, false)) {
+      val got = run(codegen)
+      // |c|²-2qc: c0: 5-2*(5+12)=-29, c1: 25-2*(15+24)=-53 → argmin 1
+      assert(got(1L) == (Some(Seq(-29L, -53L)), Some(1)), s"codegen=$codegen")
+      assert(got(2L) == (None, None), s"codegen=$codegen")
+      assert(got(3L) == (None, None), s"codegen=$codegen")
+      assert(got(4L) == (None, None), s"codegen=$codegen")
+    }
+  }
+
   test("sample-fit IVF keeps high recall vs brute force on the fixture") {
     // the 100 TB shape: codebooks fit on a deterministic md5 sample
     // (rate-bounded input), every vector still cell-assigned + searched.
