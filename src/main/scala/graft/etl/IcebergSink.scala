@@ -258,10 +258,12 @@ object IcebergSink {
       sortOrders: Map[Int, Seq[SortField]] = Map.empty,
       defaultSortOrderId: Int = 0,
       /** Statistics files (spec: `statistics` — one entry per analyzed
-        * snapshot, replaced on re-analyze). The payload is a JSON stats
-        * file (where Iceberg proper writes Puffin theta sketches) with
-        * per-column NDV estimates + null counts; [[explainScan]] reports
-        * them for the scanned snapshot. */
+        * snapshot, replaced on re-analyze). Each entry points at a PUFFIN
+        * file ([[Puffin]]) holding per-column NDV estimates + null counts
+        * as `graft-ndv-json-v1` blobs, with spec-complete entry fields
+        * (file-footer-size-in-bytes, blob-metadata) so external readers
+        * parse the framing; [[explainScan]] reports the numbers for the
+        * scanned snapshot. */
       statistics: Seq[StatsFile] = Nil) {
     def currentSchema: StructType = sparkSchemaOf(fields)
     def schemaFor(schemaId: Int): StructType =
@@ -284,10 +286,19 @@ object IcebergSink {
   final case class SortField(sourceId: Int, transform: String = "identity",
       direction: String = "asc", nullOrder: String = "nulls-first")
 
+  /** Blob metadata of one statistics-file blob, as recorded in the table
+    * metadata's `statistics` entry (spec: Blob metadata — type, source
+    * field ids, snapshot-id, sequence-number, properties). */
+  final case class StatsBlobMeta(blobType: String, fields: Seq[Int],
+      snapshotId: Long, sequenceNumber: Long,
+      properties: Map[String, String])
+
   /** One `statistics` entry (spec: statistics files list — snapshot-id,
-    * statistics-path, file-size-in-bytes). */
+    * statistics-path, file-size-in-bytes, file-footer-size-in-bytes,
+    * blob-metadata). The path points at a Puffin file ([[Puffin]]). */
   final case class StatsFile(snapshotId: Long, path: String,
-      fileSizeBytes: Long)
+      fileSizeBytes: Long, fileFooterSizeBytes: Long = 0L,
+      blobMeta: Seq[StatsBlobMeta] = Nil)
 
   /** Per-column statistics payload of one analyzed snapshot. */
   final case class ColumnStats(ndv: Long, nullCount: Long)
@@ -393,7 +404,16 @@ object IcebergSink {
     val statistics = n.path("statistics").elements().asScala.map(st =>
       StatsFile(st.path("snapshot-id").asLong(),
         st.path("statistics-path").asText(),
-        st.path("file-size-in-bytes").asLong())).toSeq
+        st.path("file-size-in-bytes").asLong(),
+        st.path("file-footer-size-in-bytes").asLong(),
+        st.path("blob-metadata").elements().asScala.map(b =>
+          StatsBlobMeta(b.path("type").asText(),
+            b.path("fields").elements().asScala.map(_.asInt()).toSeq,
+            b.path("snapshot-id").asLong(),
+            b.path("sequence-number").asLong(),
+            Option(b.get("properties")).map(_.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap)
+              .getOrElse(Map.empty))).toSeq)).toSeq
     TableMeta(version, n.path("table-uuid").asText(),
       n.path("location").asText(), n.path("last-sequence-number").asLong(),
       n.path("last-column-id").asInt(), schemaId, fields, snaps,
@@ -659,9 +679,21 @@ object IcebergSink {
     if (m.statistics.nonEmpty) {
       val stArr = n.putArray("statistics")
       m.statistics.foreach { st =>
-        stArr.addObject().put("snapshot-id", st.snapshotId)
+        val stn = stArr.addObject().put("snapshot-id", st.snapshotId)
           .put("statistics-path", st.path)
           .put("file-size-in-bytes", st.fileSizeBytes)
+          .put("file-footer-size-in-bytes", st.fileFooterSizeBytes)
+        val blobs = stn.putArray("blob-metadata")
+        st.blobMeta.foreach { b =>
+          val bn = blobs.addObject().put("type", b.blobType)
+          val fArr = bn.putArray("fields")
+          b.fields.foreach(fArr.add)
+          bn.put("snapshot-id", b.snapshotId)
+          bn.put("sequence-number", b.sequenceNumber)
+          val props = bn.putObject("properties")
+          b.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            props.put(k, v) }
+        }
       }
     }
     n.putObject("properties").put("write.format.default", "parquet")
@@ -2481,12 +2513,12 @@ object IcebergSink {
     * same way): planned vs pruned data files/bytes/rows and the delete
     * files a merge-on-read scan would apply, computed WITHOUT touching a
     * data file. */
-  /** ANALYZE TABLE (spec: statistics files — Iceberg proper writes Puffin
-    * `apache-datasketches-theta-v1` blobs; this writes the same
-    * `statistics` metadata list with a JSON payload): ONE pass over the
+  /** ANALYZE TABLE (spec: statistics files): ONE pass over the
     * current snapshot computes the row count plus per-column NDV estimates
     * (Spark's mergeable HLL++, the scale-correct sketch) and null counts,
-    * lands them as a stats file, and commits the entry metadata-only.
+    * lands them as a PUFFIN file (spec framing; documented custom
+    * `graft-ndv-json-v1` blobs where Iceberg proper writes
+    * `apache-datasketches-theta-v1`), and commits the entry metadata-only.
     * Re-analyzing a snapshot REPLACES its entry (commit-then-delete: the
     * old file is removed only after the new metadata version wins).
     * Readers get the numbers through [[tableStats]] / [[explainScan]]
@@ -2506,24 +2538,38 @@ object IcebergSink {
       approx_count_distinct(col(c)).as(s"_ndv_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val stats = mapper.createObjectNode()
-    stats.put("snapshot-id", snapId)
-    stats.put("row-count", row.getAs[Long]("_rows"))
-    val colsNode = stats.putObject("columns")
-    cols.foreach(c => colsNode.putObject(c)
-      .put("ndv", row.getAs[Long](s"_ndv_$c"))
-      .put("null-count",
-        Option(row.getAs[Any](s"_nulls_$c")).fold(0L)(_.asInstanceOf[Long])))
+    // statistics land as a PUFFIN file (spec: statistics files point at
+    // Puffin): one blob per analyzed column under the documented custom
+    // type graft-ndv-json-v1, with the NDV mirrored into blob properties
+    // the way theta blobs do, so external readers get the estimates from
+    // the table metadata alone — no payload decode needed.
+    val snapSeq = m0.snapshots.find(_.snapshotId == snapId)
+      .map(_.sequenceNumber).getOrElse(0L)
+    val idByName = m0.fields.map(fl => fl.name -> fl.id).toMap
+    val rowCount = row.getAs[Long]("_rows")
+    val blobs = cols.map { c =>
+      val ndv = row.getAs[Long](s"_ndv_$c")
+      val nulls =
+        Option(row.getAs[Any](s"_nulls_$c")).fold(0L)(_.asInstanceOf[Long])
+      Puffin.Blob(Puffin.NdvBlobType, Seq(idByName(c)), snapId, snapSeq,
+        mapper.writeValueAsBytes(mapper.createObjectNode()
+          .put("ndv", ndv).put("null-count", nulls)),
+        Map("ndv" -> ndv.toString, "null-count" -> nulls.toString))
+    }
+    val written = Puffin.write(blobs,
+      Map("created-by" -> "graft", "row-count" -> rowCount.toString))
     val path = new HPath(metadataDir(table),
-      s"stats-$snapId-${UUID.randomUUID()}.json")
+      s"stats-$snapId-${UUID.randomUUID()}.puffin")
     val f = fs(path)
     val out = f.create(path, true)
-    try out.write(mapper.writeValueAsBytes(stats)) finally out.close()
+    try out.write(written.bytes) finally out.close()
     val size = f.getFileStatus(path).getLen
     val stale = m0.statistics.filter(_.snapshotId == snapId).map(_.path)
     commitMetadataOnly(spark, table, maxRetries) { m =>
       Some(m.copy(statistics = m.statistics.filterNot(_.snapshotId == snapId)
-        :+ StatsFile(snapId, path.toString, size)))
+        :+ StatsFile(snapId, path.toString, size, written.footerSize.toLong,
+          blobs.map(b => StatsBlobMeta(b.blobType, b.fields, b.snapshotId,
+            b.sequenceNumber, b.properties)))))
     }
     stale.foreach(p => f.delete(new HPath(p), false))
   }
@@ -2543,11 +2589,16 @@ object IcebergSink {
       val p = new HPath(st.path)
       val in = fs(p).open(p)
       val bytes = try in.readAllBytes() finally in.close()
-      val n = mapper.readTree(bytes)
-      TableStats(n.path("row-count").asLong(),
-        n.path("columns").properties().asScala.map(e =>
-          e.getKey -> ColumnStats(e.getValue.path("ndv").asLong(),
-            e.getValue.path("null-count").asLong())).toMap)
+      val (blobs, props) = Puffin.read(bytes)
+      val nameById = m.fields.map(f => f.id -> f.name).toMap
+      val columns = blobs.filter(_.blobType == Puffin.NdvBlobType).flatMap {
+        b =>
+          val n = mapper.readTree(b.payload)
+          b.fields.headOption.flatMap(nameById.get).map(
+            _ -> ColumnStats(n.path("ndv").asLong(),
+              n.path("null-count").asLong()))
+      }.toMap
+      TableStats(props.get("row-count").map(_.toLong).getOrElse(0L), columns)
     }
   }
 
