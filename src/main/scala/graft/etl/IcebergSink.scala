@@ -2027,6 +2027,45 @@ object IcebergSink {
       snapshotId: Option[Long] = None): DataFrame =
     readInternal(spark, table, snapshotId, Nil)
 
+  /** [[read]] with a COST-BASED broadcast hint (the reference's X7 join
+    * strategy analog, driven by ANALYZE statistics instead of a fixed
+    * rule): when the scanned snapshot's stats prove the table small — row
+    * count × a conservative per-column width under the session's
+    * autoBroadcastJoinThreshold — the frame carries an explicit broadcast
+    * hint, so joining it against any fact side hash-broadcasts instead of
+    * shuffling both sides. The decision is metadata-only (one Puffin stats
+    * read, no data IO) and independent of Spark's file-size estimation —
+    * which under-serves this reader because the merge-on-read union hides
+    * file sizes behind unions/anti-joins. Without stats, or with
+    * auto-broadcast disabled (threshold <= 0), this is exactly [[read]]:
+    * never guess a table small. */
+  def readForJoin(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val df = read(spark, table, snapshotId)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) df
+    else tableStats(spark, table, snapshotId) match {
+      case Some(st) if st.rowCount * estimateRowBytes(df.schema) <= threshold =>
+        org.apache.spark.sql.functions.broadcast(df)
+      case _ => df
+    }
+  }
+
+  /** Conservative in-memory row width for the stats→bytes cost model:
+    * fixed widths for numerics, a pessimistic average for
+    * strings/binaries. Over-estimating only forgoes a broadcast; the
+    * dangerous direction (under-estimate → OOM broadcast) needs a 4×+
+    * average string width, at which point the table is not a dim. */
+  private def estimateRowBytes(schema: StructType): Long =
+    schema.fields.map(_.dataType match {
+      case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+      case IntegerType | FloatType | DateType => 4L
+      case BooleanType => 1L
+      case _: DecimalType => 16L
+      case StringType | BinaryType => 32L
+      case _ => 64L
+    }).sum + 8L
+
   /** [[read]] with METADATA FILE SKIPPING: data files whose manifest
     * bounds (125/128) cannot intersect every `range` are dropped at plan
     * time — zero data-file IO for the skipped files, which is how a point

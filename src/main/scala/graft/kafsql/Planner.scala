@@ -434,7 +434,26 @@ object Planner {
     val right = reg.frame(spark, j.table.topic)
 
     val l = left.alias("l")
-    val r = right.alias("r")
+    // COST-BASED BROADCAST from estate stats (the reference's X7 analog):
+    // the right side of a WITHIN join is the FULL topic history by design
+    // (never time-pruned), so its size is exactly the estate's segment
+    // byte sum — metadata the `segments` introspection hook already
+    // serves without touching a segment. When that sum fits under the
+    // session's broadcast threshold, hint broadcast explicitly: the DSv2
+    // KFS scan reports no size statistics, so Spark's own estimator would
+    // conservatively shuffle BOTH sides of what is usually a
+    // small-history × big-stream join.
+    val r = {
+      val aliased = right.alias("r")
+      val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val estateBytes = reg.get(j.table.topic).segments
+        .map(hook => hook(spark).map(_.sizeBytes).sum)
+      estateBytes match {
+        case Some(b) if threshold > 0 && b <= threshold =>
+          org.apache.spark.sql.functions.broadcast(aliased)
+        case _ => aliased
+      }
+    }
 
     def sideCol(side: String, e: Expr): Column = e match {
       case ColRef(_, n) => col(s"$side.$n")

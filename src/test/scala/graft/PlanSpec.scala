@@ -408,4 +408,66 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"no join machinery in a literal-centers assignment:\n$plan")
   }
+
+  test("Iceberg readForJoin: ANALYZE stats alone add the broadcast hint") {
+    import spark.implicits._
+    import graft.etl.IcebergSink
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files
+      .createTempDirectory("iceberg_stats_join").toString + "/t"
+    IcebergSink.append(spark, table,
+      Seq((0L, "us"), (1L, "eu"), (2L, "ap")).toDF("rid", "rname"))
+    // un-analyzed: no stats, no hint — never guess a table small
+    val before = IcebergSink.readForJoin(spark, table)
+    assert(!before.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "no hint may appear without statistics")
+    // analyzed: the stats file alone (rowCount × width, no file-size
+    // estimation involved) proves it a dim and injects the hint
+    IcebergSink.analyze(spark, table)
+    val after = IcebergSink.readForJoin(spark, table)
+    assert(after.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "post-ANALYZE readForJoin must carry a broadcast hint")
+    // and the hinted dim physically broadcasts against a fact side
+    val fact = graft.core.Tables.load(spark, sf, "orders")
+    val plan = fact.join(after, col("o_custkey") % 3 === col("rid"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats-hinted dim should broadcast:\n$plan")
+    // auto-broadcast disabled = user opted out: hint must not appear
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(!IcebergSink.readForJoin(spark, table)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("KAFSQL WITHIN join broadcasts when estate stats prove the right small") {
+    import graft.kafsql._
+    import graft.core.Tables
+    // a 1 KB threshold turns OFF Spark's own size-based auto-broadcast
+    // (the parquet-backed frames are bigger) — any BroadcastHashJoin below
+    // can only come from the estate-stats hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try {
+      def reg(withStats: Boolean) = new TopicRegistry(Seq(
+        TopicDef("big", s => Tables.eventsTopic(s, sf)),
+        TopicDef("dim",
+          s => Tables.eventsTopic(s, sf)
+            .filter(org.apache.spark.sql.functions.col("event_type") === "error"),
+          segments =
+            if (!withStats) None
+            else Some(_ => Seq(SegmentInfo(0, 0L, 9L, 10L, 0L, 0L, 512L))))))
+      val q = "SELECT * FROM big o JOIN dim p ON o._key = p._key " +
+        "WITHIN 6h LIMIT 1000 LAST 14d"
+      val withHint = Kafsql.sql(spark, reg(withStats = true), q,
+        nowMs = Tables.FixedNowMs).queryExecution.executedPlan.toString
+      assert(withHint.contains("BroadcastHashJoin"),
+        s"segment stats under threshold must broadcast the right side:\n$withHint")
+      val noStats = Kafsql.sql(spark, reg(withStats = false), q,
+        nowMs = Tables.FixedNowMs).queryExecution.executedPlan.toString
+      assert(!noStats.contains("BroadcastHashJoin"),
+        s"without estate stats nothing may claim the side small:\n$noStats")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
