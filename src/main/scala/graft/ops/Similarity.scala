@@ -304,6 +304,54 @@ object Similarity {
         round(col("c"), 4).as("cos_sim"))
   }
 
+  /** [[ivfqTopK]] with a metadata predicate applied BELOW the cell probe —
+    * the s31 filter-then-search discipline on the IVF index path. The
+    * corpus is filtered BEFORE quantization/assignment/scoring, so the
+    * predicate composes with the corpus scan (Catalyst pushes it into the
+    * parquet read: `PushedFilters`) and non-matching vectors are never
+    * quantized, cell-assigned, or cosine-scored. Centers still fit on the
+    * UNfiltered (sampled) corpus: the index is built once for everyone
+    * while predicates vary per query — and because assignment is a
+    * per-vector map with plan-literal centers, filtering before or after
+    * assignment yields identical cells for the survivors. `keep` lists
+    * metadata columns to carry into the result (after the rank). */
+  def ivfqTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusFilter: Column, keep: Seq[String] = Nil,
+      kCells: Int = 4, iters: Int = 2, nProbe: Int = 2, dims: Int = 64,
+      scale: Long = 1000000L, fitSampleRate: Double = 1.0): DataFrame = {
+    val fitInput =
+      if (fitSampleRate >= 1.0) corpus
+      else Sampling.deterministicSample(corpus, "vec_id", fitSampleRate)
+    val centers = KMeansQ.fitMulti(
+      fitInput, "embedding", m = 1, kCells, iters, dims, scale).head
+    // the filter lands on the corpus scan; everything downstream —
+    // assignment included — only touches survivors
+    val filtered = corpus.where(corpusFilter)
+    val assigned = KMeansQ.assign(
+      filtered, "vec_id", "embedding", centers, dims, scale)
+    val cells = filtered
+      .select((Seq("vec_id", "embedding") ++ keep).map(col): _*)
+      .join(assigned, "vec_id")
+    val qq = queries.select(col("vec_id").as("q"), col("embedding").as("qe"))
+      .withColumn("_qq", KMeansQ.quantize(col("qe"), dims, scale))
+      .withColumn("_sc", KMeansQ.scoresExpr(col("_qq"), centers))
+    val pw = Window.partitionBy(col("q")).orderBy(col("score"), col("cl"))
+    val probes = qq
+      .select(col("q"), col("qe"), posexplode(col("_sc")).as(Seq("cl", "score")))
+      .withColumn("rn", row_number().over(pw))
+      .where(col("rn") <= nProbe)
+      .select(col("q"), col("qe"), col("cl"))
+    val cand = broadcast(probes)
+      .join(cells, col("cl") === col("cluster") && col("q") =!= col("vec_id"))
+      .withColumn("c", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(round(col("c"), 6).desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select((Seq(col("q"), col("rank"), col("vec_id").as("v")) ++
+        keep.map(col) :+ round(col("c"), 4).as("cos_sim")): _*)
+  }
+
   /** Bucketed approximate top-k: candidates share the query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, dims: Int = 64): DataFrame = {

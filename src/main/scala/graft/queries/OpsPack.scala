@@ -362,6 +362,54 @@ object OpsPack extends QueryPack {
            |JOIN cand c ON c.q = br.q
            |GROUP BY br.q ORDER BY br.q""".stripMargin)),
 
+    // Filtered ANN on the IVF path: the s31 filter-then-search discipline
+    // applied to the coarse-quantizer index. The metadata predicate is
+    // applied BELOW the cell probe — it reaches the corpus parquet scan
+    // (PlanSpec asserts PushedFilters) and non-matching vectors are never
+    // quantized, cell-assigned, or scored. Assignment is a per-vector map
+    // with plan-literal centers, so filtering before assignment yields
+    // identical cells for survivors — which is what makes the DuckDB
+    // oracle (full-corpus assignment CTE, then the predicate at candidate
+    // time) replay it exactly.
+    QueryDef(
+      "s33_filtered_ivf_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfqTopKFiltered(e, e.where(col("vec_id") < 3), k = 5,
+            corpusFilter = col("label").isin(2, 5) && col("vec_id") >= 3,
+            keep = Seq("label"), fitSampleRate = 0.5)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(
+        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L,
+               fitWhere = duckSampleWhere(0.5))},
+           |qs AS (
+           |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS d
+           |  FROM q q JOIN c2 c ON q.dim = c.dim
+           |  WHERE q.vec_id < 3 GROUP BY 1, 2),
+           |probe AS (
+           |  SELECT vec_id, cl FROM (
+           |    SELECT vec_id, cl,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+           |    FROM qs) WHERE rn <= 2),
+           |cand AS (
+           |  SELECT p.vec_id AS q, a.vec_id AS v, em.label
+           |  FROM probe p
+           |  JOIN af a ON a.cluster = p.cl AND a.vec_id <> p.vec_id
+           |  JOIN embeddings em ON em.vec_id = a.vec_id
+           |  WHERE em.label IN (2, 5) AND em.vec_id >= 3),
+           |jx AS (
+           |  SELECT cand.q, cand.v, cand.label,
+           |         ${duckCosine("qe.embedding", "ve.embedding")} AS c
+           |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q
+           |            JOIN embeddings ve ON ve.vec_id = cand.v),
+           |r AS (
+           |  SELECT q, v, label, c,
+           |         row_number() OVER (PARTITION BY q ORDER BY round(c, 6) DESC, v) AS rank
+           |  FROM jx)
+           |SELECT q, rank, v, label, round(c, 4) AS cos_sim
+           |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
+
     // SQ8 quantized ANN: int8 scalar quantization (FAISS-SQ shape) cuts
     // vector bytes 4x — at 100 TB the brute-force scan is bandwidth-bound,
     // so the quantized scan reads a quarter of the data. The quantized

@@ -319,6 +319,16 @@ class PlanSpec extends AnyFunSuite {
       s"per-probe top-k should pre-truncate map-side:\n$plan")
   }
 
+  test("s33: the metadata filter reaches the IVF corpus parquet scan") {
+    val plan = planOf("s33_filtered_ivf_ann")
+    // filtered IVF search must cut the corpus AT THE SCAN, below the cell
+    // probe join — never assign-and-score, then filter
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      s"label predicate should push into the IVF corpus scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-probe top-k should pre-truncate map-side:\n$plan")
+  }
+
   test("s17: compacted view is hash-only — no SortAggregate, no sort-merge") {
     val plan = planOf("s17_kfs_compacted_view")
     // max_by over binary payloads would force SortAggregate (a full sort
