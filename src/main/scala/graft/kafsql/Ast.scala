@@ -25,6 +25,22 @@ final case class DescribeTopic(topic: String) extends Statement
   * `kafscale-spec.md:185-208` / `cmd/broker/main.go:1354-1422`; the broker
   * wire protocol is out of scope, the config surface is not). */
 final case class DescribeConfigs(topic: String) extends Statement
+
+/** `SHOW GROUPS` — the ListGroups data half (key 16,
+  * `pkg/broker/coordinator.go:449-486`): one row per consumer group known
+  * to the committed-offset estate, with the reference's state/protocol
+  * normalization (an offsets-only group is `Empty`, protocol type
+  * defaults to `consumer`, group type `classic`). The join/sync/heartbeat
+  * state machine stays out of scope (SURVEY St6). */
+case object ShowGroups extends Statement
+
+/** `DESCRIBE GROUP g` — the DescribeGroups (key 15,
+  * `coordinator.go:425-447,614-652`) + OffsetFetch (key 9) data halves,
+  * shaped like `kafka-consumer-groups.sh --describe`: per-partition
+  * committed position, commit metadata, commit time, log-end offset, and
+  * lag. Unknown group raises (the GROUP_ID_NOT_FOUND analog,
+  * `coordinator.go:438-443`). */
+final case class DescribeGroup(group: String) extends Statement
 final case class Explain(select: Select, analyze: Boolean = false) extends Statement
 
 final case class Select(

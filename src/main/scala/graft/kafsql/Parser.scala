@@ -140,10 +140,12 @@ object Parser {
           if (kw("topics")) ShowTopics
           else if (kw("partitions")) { expectKw("from"); ShowPartitions(ident()) }
           else if (kw("segments")) { expectKw("from"); ShowSegments(ident()) }
+          else if (kw("groups")) ShowGroups
           else throw new KafsqlException(
-            "expected TOPICS, PARTITIONS, or SEGMENTS after SHOW")
+            "expected TOPICS, PARTITIONS, SEGMENTS, or GROUPS after SHOW")
         } else if (kw("describe")) {
           if (kw("configs")) DescribeConfigs(ident())
+          else if (kw("group")) DescribeGroup(ident())
           else DescribeTopic(ident())
         }
         else if (kw("explain")) {

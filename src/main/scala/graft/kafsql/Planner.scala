@@ -67,6 +67,32 @@ object Planner {
         .map(c => (c.name, c.value, c.isDefault, c.readOnly, c.source))
         .toDF("name", "value", "is_default", "read_only", "source")
 
+    case ShowGroups =>
+      import spark.implicits._
+      // ListGroups data half (coordinator.go:449-486): the estate knows
+      // committed offsets, not live members, so every listed group is in
+      // the Kafka `Empty` state (members gone, offsets retained) with the
+      // reference's defaults — protocolType "" -> "consumer", group type
+      // "classic"
+      val list = reg.groupPositions.getOrElse(throw new KafsqlException(
+        "this registry has no consumer-group estate")).apply(spark)
+      list.map(_.group).distinct.sorted
+        .map(g => (g, "Empty", "consumer", "classic"))
+        .toDF("group", "state", "protocol_type", "group_type")
+
+    case DescribeGroup(g) =>
+      import spark.implicits._
+      val list = reg.groupPositions.getOrElse(throw new KafsqlException(
+        "this registry has no consumer-group estate")).apply(spark)
+      val rows = list.filter(_.group == g)
+      // GROUP_ID_NOT_FOUND analog (coordinator.go:438-443)
+      if (rows.isEmpty) throw new KafsqlException(s"group not found: $g")
+      rows.sortBy(p => (p.topic, p.partition))
+        .map(p => (p.topic, p.partition, p.committedOffset, p.metadata,
+          p.committedAtMs, p.logEndOffset, p.lag))
+        .toDF("topic", "partition", "committed_offset", "metadata",
+          "committed_at", "log_end_offset", "lag")
+
     case Explain(sel, analyze) =>
       import spark.implicits._
       val df = planSelect(spark, reg, sel, env)

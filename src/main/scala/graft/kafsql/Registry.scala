@@ -40,6 +40,22 @@ final case class ConfigInfo(
     readOnly: Boolean,
     source: String)
 
+/** One group × partition committed position for `SHOW GROUPS` /
+  * `DESCRIBE GROUP` — the ListGroups/DescribeGroups/OffsetFetch data
+  * halves (`pkg/broker/coordinator.go:425-486,614-652`). Engine-neutral
+  * like [[SegmentInfo]]; KFS-backed estates adapt
+  * [[graft.kfs.ConsumerGroups]]' metadata-only positions. */
+final case class GroupPositionInfo(
+    group: String,
+    topic: String,
+    partition: Int,
+    committedOffset: Long,
+    metadata: String,
+    committedAtMs: Long,
+    logEndOffset: Long) {
+  def lag: Long = logEndOffset - committedOffset
+}
+
 /** One queryable topic: a frame supplier exposing the 8 implicit columns
   * (+ `_ts_ms`), declared schema columns, known partitions, and optional
   * estate introspection hooks (`SHOW SEGMENTS`, `DESCRIBE CONFIGS`). */
@@ -51,7 +67,12 @@ final case class TopicDef(
     segments: Option[SparkSession => Seq[SegmentInfo]] = None,
     configs: Option[SparkSession => Seq[ConfigInfo]] = None)
 
-final class TopicRegistry(defs: Seq[TopicDef]) {
+final class TopicRegistry(defs: Seq[TopicDef],
+    /** Optional estate-level hook serving every group's per-partition
+      * committed positions (metadata-only) — powers `SHOW GROUPS` and
+      * `DESCRIBE GROUP`. Root-scoped, not per topic: a group's
+      * subscriptions span topics. */
+    val groupPositions: Option[SparkSession => Seq[GroupPositionInfo]] = None) {
   private val byName = defs.map(d => d.name -> d).toMap
 
   def topicNames: Seq[String] = defs.map(_.name).sorted

@@ -206,6 +206,36 @@ object ConsumerGroups {
       commit(root, group, topic, r.getInt(0), r.getLong(1), nowMs = nowMs)
     }
 
+  /** One group × partition committed position, lag included. */
+  final case class GroupPosition(group: String, topic: String,
+      partition: Int, committedOffset: Long, metadata: String,
+      committedAtMs: Long, logEndOffset: Long) {
+    def lag: Long = logEndOffset - committedOffset
+  }
+
+  /** Every group's per-partition position on `topic` — the ListGroups
+    * (key 16) + DescribeGroups (key 15) + OffsetFetch (key 9) data halves
+    * in one metadata-only pass (`pkg/broker/coordinator.go:425-486,
+    * 614-652`): manifests give each partition's log-end, one tiny JSON
+    * per committed partition gives the position; never a segment byte.
+    * Partitions a group never committed read as offset 0 with empty
+    * metadata (`etcd_store.go:206-208`), so lag there is the full log —
+    * exactly what `kafka-consumer-groups.sh --describe` reports. */
+  def describeGroups(root: String, topic: String): Seq[GroupPosition] = {
+    val refs = KfsLayout.listCompletedCached(root, Some(Set(topic)))
+    val logEnds = refs.groupBy(_.partition).view
+      .mapValues(_.map(_.lastOffset).max + 1).toSeq.sortBy(_._1)
+    for {
+      g <- listGroups(root)
+      (p, logEnd) <- logEnds
+    } yield {
+      val c = fetch(root, g, topic, p)
+      GroupPosition(g, topic, p, c.map(_.offset).getOrElse(0L),
+        c.map(_.metadata).getOrElse(""),
+        c.map(_.committedAtMs).getOrElse(0L), logEnd)
+    }
+  }
+
   /** Per-partition lag for `group` on `topic`: log-end offset (manifest
     * max offset + 1 — Kafka's high-water mark over a completed-segment
     * estate) minus the committed offset (0 when never committed, the

@@ -52,7 +52,16 @@ object KafsqlPack extends QueryPack {
         graft.kfs.TopicConfigs.describe(root, "events")
           .map(e => ConfigInfo(e.name, e.value, e.isDefault, e.readOnly,
             e.source))
-      })))
+      })),
+    // SHOW GROUPS / DESCRIBE GROUP surface: the committed-offset estate's
+    // per-partition positions, adapted to the registry's neutral shape —
+    // metadata-only (manifest log-ends + one tiny JSON per commit)
+    groupPositions = Some { s =>
+      val root = graft.kfs.KfsSeed.seededRoot(s, dir)
+      graft.kfs.ConsumerGroups.describeGroups(root, "events")
+        .map(p => GroupPositionInfo(p.group, p.topic, p.partition,
+          p.committedOffset, p.metadata, p.committedAtMs, p.logEndOffset))
+    })
 
   private def run(q: String)(s: SparkSession, dir: String): DataFrame =
     Kafsql.sql(s, registry(dir), q, nowMs = Tables.FixedNowMs)
@@ -284,6 +293,38 @@ object KafsqlPack extends QueryPack {
           Map("retention.ms" -> "604800000"), validateOnly = true)
         graft.kfs.TopicConfigs.alter(root, "events",
           Map("retention.ms" -> "604800000"))
+      })),
+
+    // DESCRIBE GROUP through the dialect — the DescribeGroups (key 15) +
+    // OffsetFetch (key 9) data halves (coordinator.go:425-447,614-652),
+    // shaped like `kafka-consumer-groups.sh --describe`: the seed commits
+    // positions for two partitions of a fixture group (fixed clock), the
+    // statement reports EVERY partition — uncommitted ones read offset 0
+    // with empty metadata (etcd_store.go:206-208) and full-log lag. The
+    // oracle recomputes log-end per partition from the same events the
+    // estate was seeded from, so committed/lag arithmetic is hash-pinned.
+    QueryDef(
+      "k15_describe_group",
+      (s, dir) => run("DESCRIBE GROUP k15_group")(s, dir)
+        .orderBy(col("partition")),
+      oracle(
+        s"""SELECT 'events' AS topic, _partition AS "partition",
+           |  CAST(CASE WHEN _partition < 2 THEN 100 ELSE 0 END AS BIGINT)
+           |    AS committed_offset,
+           |  CASE WHEN _partition < 2 THEN 'seeded' ELSE '' END AS metadata,
+           |  CAST(CASE WHEN _partition < 2 THEN ${Tables.FixedNowMs}
+           |    ELSE 0 END AS BIGINT) AS committed_at,
+           |  CAST(max(_offset) + 1 AS BIGINT) AS log_end_offset,
+           |  CAST(max(_offset) + 1
+           |    - CASE WHEN _partition < 2 THEN 100 ELSE 0 END AS BIGINT) AS lag
+           |FROM events_topic
+           |GROUP BY _partition ORDER BY "partition"""".stripMargin),
+      seed = Some((s, dir) => {
+        val root = graft.kfs.KfsSeed.seededRoot(s, dir)
+        // idempotent: fixed offsets, fixed clock, same rows every rep
+        Seq(0, 1).foreach(p => graft.kfs.ConsumerGroups.commit(
+          root, "k15_group", "events", p, 100L, metadata = "seeded",
+          nowMs = Tables.FixedNowMs))
       }))
   )
 }

@@ -243,4 +243,41 @@ class KafsqlSpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(1)))
     assert(rows.forall(!_.isNullAt(2)))
   }
+
+  test("SHOW GROUPS / DESCRIBE GROUP serve the committed-offset estate") {
+    val root = graft.kfs.KfsSeed.seededRoot(spark, sf)
+    graft.kfs.ConsumerGroups.commit(root, "spec_group", "events", 0, 7L,
+      metadata = "m", nowMs = Tables.FixedNowMs)
+    try {
+      // ListGroups data half: reference normalization — offsets-only
+      // groups are Empty, protocol type defaults to consumer, classic
+      val groups = q("SHOW GROUPS").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3)))
+      assert(groups.contains(("spec_group", "Empty", "consumer", "classic")))
+      assert(groups.map(_._1).sorted.toSeq == groups.map(_._1).toSeq)
+      // DescribeGroups + OffsetFetch: every partition reported;
+      // uncommitted ones read 0/'' with full-log lag (etcd_store defaults)
+      val d = q("DESCRIBE GROUP spec_group").collect()
+        .map(r => r.getInt(1) -> r).toMap
+      assert(d.size == Tables.TopicPartitions)
+      assert(d(0).getLong(2) == 7L && d(0).getString(3) == "m")
+      assert(d(1).getLong(2) == 0L && d(1).getString(3) == "")
+      d.values.foreach { r =>
+        assert(r.getLong(6) == r.getLong(5) - r.getLong(2)) // lag law
+      }
+      // GROUP_ID_NOT_FOUND analog
+      assert(err("DESCRIBE GROUP no_such_group").contains("group not found"))
+      // a registry without a group estate says so
+      val bare = new TopicRegistry(Seq(TopicDef("events",
+        s => Tables.eventsTopic(s, sf))))
+      assert(intercept[KafsqlException](Kafsql.sql(spark, bare,
+        "SHOW GROUPS", nowMs = Tables.FixedNowMs)).getMessage
+        .contains("no consumer-group estate"))
+    } finally {
+      // drop the spec group so other estate consumers never see it
+      val p = new org.apache.hadoop.fs.Path(root, "_groups/spec_group")
+      p.getFileSystem(graft.kfs.KfsLayout.hadoopConf).delete(p, true)
+    }
+  }
 }
