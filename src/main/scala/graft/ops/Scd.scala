@@ -24,16 +24,50 @@ object Scd {
     * (the opening ordinal), `valid_to` (the closing delete's ordinal, null
     * while current) and `is_current` appended; the ordinal and change-type
     * columns are consumed. Delete rows only need their key columns
-    * populated — payload nulls (Iceberg key-level retractions) are fine. */
+    * populated — payload nulls (Iceberg key-level retractions) are fine.
+    *
+    * ILLEGAL-FEED DISCIPLINE (what a real at-least-once CDC pipe
+    * produces): EXACT duplicate deliveries — the same (key, ordinal,
+    * type, payload) row twice — collapse silently; CONFLICTING
+    * duplicates — two DIFFERING rows claiming the same (key, ordinal,
+    * type) slot — raise at execution time, because either choice would
+    * silently fork history. Out-of-order delivery needs no special case:
+    * the fold orders by ordinal inside the key window, so any
+    * arrival/drain order produces the same history (ScdSpec pins this).
+    * Both guards ride the SAME key-hash shuffle as the fold (duplicates
+    * are made adjacent by the sort; no extra shuffle, no groupBy pass).
+    * Payload columns must be hashable (no map columns) for the
+    * adjacency sort. */
   def scd2(changes: DataFrame, keyCols: Seq[String],
       ordCol: String = "_change_ordinal",
       typeCol: String = "_change_type"): DataFrame = {
+    val rowStruct = struct(changes.columns.map(col): _*)
+    // duplicates of one (key, ordinal, type) slot sort adjacent: equal
+    // rows share the hash tiebreaker, so an exact dup always follows its
+    // original, and a slot with two DISTINCT rows always has some
+    // adjacent differing pair — which is exactly the conflict signal
+    val dw = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol), col(typeCol), hash(rowStruct))
+    val sameSlot = col("_prev_ord") === col(ordCol) &&
+      col("_prev_type") === col(typeCol)
+    val dupOfPrev = sameSlot && (col("_prev_row") <=> rowStruct)
+    val conflict = sameSlot && !(col("_prev_row") <=> rowStruct)
+    val deduped = changes
+      .withColumn("_prev_row", lag(rowStruct, 1).over(dw))
+      .withColumn("_prev_ord", lag(col(ordCol), 1).over(dw))
+      .withColumn("_prev_type", lag(col(typeCol), 1).over(dw))
+      .where(when(conflict, raise_error(concat(
+          lit("conflicting changelog duplicates: differing rows claim " +
+            "one (key, ordinal, type) slot at ordinal "),
+          col(ordCol).cast("string"))))
+        .otherwise(!coalesce(dupOfPrev, lit(false))))
+      .drop("_prev_row", "_prev_ord", "_prev_type")
     // 'delete' < 'insert' lexicographically, so a same-ordinal delete sits
     // BEFORE the insert and the strictly-following frame can't see it
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(ordCol), col(typeCol))
       .rowsBetween(1, Window.unboundedFollowing)
-    changes
+    deduped
       .withColumn("_next_del",
         min(when(col(typeCol) === "delete", col(ordCol))).over(w))
       .where(col(typeCol) === "insert")

@@ -1368,4 +1368,56 @@ class OpsSpec extends AnyFunSuite {
       ("A", 20L, 1, Some(3), false),  // the upsert's insert survives to 3
       ("B", 7L, 0, None, true)))      // never deleted -> current
   }
+
+  test("scd2: at-least-once duplicates collapse, history never doubles") {
+    import spark.implicits._
+    val clean = Seq(
+      ("A", Some(10L), "insert", 0), ("A", None, "delete", 2),
+      ("B", Some(7L), "insert", 1))
+    // every row delivered twice, one of them three times
+    val dup = clean ++ clean ++ Seq(("A", Option.empty[Long], "delete", 2))
+    def fold(rows: Seq[(String, Option[Long], String, Int)]) =
+      Scd.scd2(rows.toDF("k", "payload", "_change_type", "_change_ordinal"),
+        Seq("k")).collect()
+        .map(r => (r.getString(0), r.getAs[Any]("payload"), r.getInt(2),
+          Option(r.getAs[Any]("valid_to")), r.getBoolean(4))).toSet
+    assert(fold(dup) == fold(clean))
+    assert(fold(clean) == Set(
+      ("A", 10L, 0, Some(2), false),
+      ("B", 7L, 1, None, true)))
+  }
+
+  test("scd2: conflicting duplicates fail loudly, never fork history") {
+    import spark.implicits._
+    // two DIFFERING inserts claim (A, 0): either choice would silently
+    // fork history — the fold must raise at execution time
+    val ch = Seq(
+      ("A", Some(10L), "insert", 0), ("A", Some(99L), "insert", 0),
+      ("B", Some(7L), "insert", 1)
+    ).toDF("k", "payload", "_change_type", "_change_ordinal")
+    val e = intercept[Exception](Scd.scd2(ch, Seq("k")).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("conflicting changelog duplicates")),
+      s"expected the conflict guard, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("scd2: drain/arrival order never changes the folded history") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val feed = (0 until 12).flatMap { key =>
+      Seq((s"k$key", Some(key.toLong), "insert", 0),
+        (s"k$key", Option.empty[Long], "delete", 2),
+        (s"k$key", Some(key * 10L), "insert", 2),
+        (s"k$key", Option.empty[Long], "delete", 5))
+    }
+    def fold(rows: Seq[(String, Option[Long], String, Int)]) =
+      Scd.scd2(rows.toDF("k", "payload", "_change_type", "_change_ordinal")
+          .repartition(7), Seq("k")).collect()
+        .map(r => (r.getString(0), r.getAs[Any]("payload"), r.getInt(2),
+          Option(r.getAs[Any]("valid_to")), r.getBoolean(4))).toSet
+    // a late drain = the same rows in any order; the ordinal sort inside
+    // the key window makes the fold order-independent
+    assert(fold(rnd.shuffle(feed)) == fold(feed))
+  }
 }
