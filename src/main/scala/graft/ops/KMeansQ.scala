@@ -42,9 +42,13 @@ object KMeansQ {
     }
   }
 
+  /** Fixed-point quantization as a native loop kernel
+    * ([[org.apache.spark.sql.graft.QuantizeVec]]): the composable
+    * `array(dims × round·cast)` constructor generated ~60 lines per
+    * element, and pipelines that evaluate it in more than one stage
+    * blew janino's 64 KB method cap (see the kernel's scaladoc). */
   private[ops] def quantize(vecCol: Column, dims: Int, scale: Long): Column =
-    array((0 until dims).map(d =>
-      round(vecCol.getItem(d) * scale).cast("long")): _*)
+    org.apache.spark.sql.graft.QuantOps.quantize(vecCol, dims, scale)
 
   /** k-element score array over a pre-quantized vector column:
     * `|c_p|² − 2·q·c_p` per center — squared distance minus the shared

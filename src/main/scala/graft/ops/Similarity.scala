@@ -304,6 +304,41 @@ object Similarity {
         round(col("c"), 4).as("cos_sim"))
   }
 
+  /** Two-stage PQ search — ADC shortlist, then EXACT re-rank (the FAISS
+    * refine/`RefineFlat` recipe): [[pqTopK]] retrieves `kCand` candidates
+    * per query from the compressed code scan, and only those
+    * queries×kCand rows pay a full-vector distance — computed in the
+    * QUANTIZED integer domain (`Σ(a_d−b_d)²` as BIGINT via
+    * [[org.apache.spark.sql.graft.L2SqLong]]), so the refined ranking is
+    * hash-replayable, not approximately right.
+    *
+    * 100 TB shape: stage 1 is the only corpus-wide pass (codes, m ints
+    * per vector); stage 2 broadcasts the tiny shortlist against the
+    * corpus scan to fetch raw vectors for exactly queries×kCand rows —
+    * the classic retrieve-then-rerank cost split. Recall improves from
+    * ADC's quantization-error floor toward brute force as kCand/k grows,
+    * at kCand/corpus of the exact-distance cost. */
+  def pqRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kCand: Int, m: Int = 4, codebookK: Int = 8, iters: Int = 1,
+      dims: Int = 64, scale: Long = 1000000L,
+      fitSampleRate: Double = 1.0): DataFrame = {
+    require(kCand >= k, "shortlist must be at least the final k")
+    val shortlist = pqTopK(corpus, queries, kCand, m, codebookK, iters,
+      dims, scale, fitSampleRate).select(col("q"), col("v"))
+    val cq = corpus.select(col("vec_id").as("v"),
+      KMeansQ.quantize(col("embedding"), dims, scale).as("_vq"))
+    val qq = queries.select(col("vec_id").as("q"),
+      KMeansQ.quantize(col("embedding"), dims, scale).as("_qq"))
+    val w = Window.partitionBy(col("q")).orderBy(col("d2"), col("v"))
+    cq.join(broadcast(shortlist), "v")
+      .join(broadcast(qq), "q")
+      .withColumn("d2",
+        org.apache.spark.sql.graft.QuantOps.l2sq(col("_qq"), col("_vq")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("v"), col("d2"))
+  }
+
   /** [[ivfqTopK]] with a metadata predicate applied BELOW the cell probe —
     * the s31 filter-then-search discipline on the IVF index path. The
     * corpus is filtered BEFORE quantization/assignment/scoring, so the

@@ -500,6 +500,68 @@ object OpsPack extends QueryPack {
            |SELECT q, rank, v, adc FROM r WHERE rank <= 10 ORDER BY q, rank""".stripMargin
       }),
 
+    // PQ + EXACT REFINE (the FAISS RefineFlat recipe): stage 1 is s27's
+    // compressed ADC scan retrieving kCand=10 candidates per query; stage
+    // 2 re-ranks ONLY those rows with the exact quantized-integer squared
+    // distance over the full 64-dim vectors (BIGINT Σ(a−b)² — L2SqLong),
+    // keeping top-5. The oracle replays the codebook fits, the ADC
+    // shortlist, AND the integer refine — the two-stage result is
+    // hash-proven end to end, recall recovered at kCand/corpus of the
+    // exact-distance cost.
+    QueryDef(
+      "s34_pq_refine_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.pqRefineTopK(e, e.where(col("vec_id") < 5), k = 5,
+            kCand = 10, fitSampleRate = 0.5)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some {
+        val fits = (0 until 4).map(i =>
+          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
+            subDims = 16, offset = i * 16, sfx = s"_$i",
+            fitWhere = duckSampleWhere(0.5))).mkString(",\n")
+        val qds = (0 until 4).map(i =>
+          s"""qd$i AS (
+             |  SELECT q.vec_id, c.cl, CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS d
+             |  FROM q_$i q JOIN c1_$i c ON q.dim = c.dim
+             |  WHERE q.vec_id < 5 GROUP BY 1, 2)""".stripMargin).mkString(",\n")
+        s"""WITH $fits,
+           |codes AS (
+           |  SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+           |         a2.cluster AS k2, a3.cluster AS k3
+           |  FROM af_0 a0 JOIN af_1 a1 USING (vec_id)
+           |       JOIN af_2 a2 USING (vec_id) JOIN af_3 a3 USING (vec_id)),
+           |$qds,
+           |scored AS (
+           |  SELECT d0.vec_id AS q, v.vec_id AS v,
+           |         d0.d + d1.d + d2.d + d3.d AS adc
+           |  FROM codes v
+           |  JOIN qd0 d0 ON d0.cl = v.k0
+           |  JOIN qd1 d1 ON d1.cl = v.k1 AND d1.vec_id = d0.vec_id
+           |  JOIN qd2 d2 ON d2.cl = v.k2 AND d2.vec_id = d0.vec_id
+           |  JOIN qd3 d3 ON d3.cl = v.k3 AND d3.vec_id = d0.vec_id
+           |  WHERE v.vec_id <> d0.vec_id),
+           |sl AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY adc, v) AS rank
+           |    FROM scored) WHERE rank <= 10),
+           |qfull AS (
+           |  SELECT e.vec_id, r.dim,
+           |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           |  FROM embeddings e, range(1, 65) r(dim)),
+           |ref AS (
+           |  SELECT s.q, s.v, CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+           |  FROM sl s JOIN qfull a ON a.vec_id = s.q
+           |  JOIN qfull b ON b.vec_id = s.v AND b.dim = a.dim
+           |  GROUP BY 1, 2),
+           |rr AS (
+           |  SELECT q, v, d2,
+           |         row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rank
+           |  FROM ref)
+           |SELECT q, rank, v, d2 FROM rr WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+      }),
+
     // IVF-FLAT over DETERMINISTIC integer-k-means cells: each query probes
     // its 2 nearest cells (exact integer center distances) and scores only
     // those cells' vectors with the exact cosine — the cluster-pruned scan
@@ -2847,6 +2909,55 @@ object OpsPack extends QueryPack {
            |  FROM sc)
            |SELECT rank, doc, n_grams, importance FROM r
            |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
+
+    // QUALITY-RULE BANK (C4 + Gopher/MassiveText document filters) with
+    // per-rule attrition accounting: every named rule's rejection count
+    // plus the surviving-document total, from ONE scan and one
+    // conditional-sum hash aggregate. Integer-exact thresholds (cross-
+    // multiplied, token arithmetic) so the DuckDB replay lands on
+    // identical counts.
+    QueryDef(
+      "t46_quality_rules",
+      (s, dir) => graft.ops.QualityRules.attrition(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(
+        """WITH f AS (
+          |  SELECT text,
+          |         len(string_split(text, ' ')) AS n,
+          |         length(replace(text, ' ', '')) AS totlen,
+          |         len(list_distinct(string_split(text, ' '))) AS dst,
+          |         (CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END
+          |          + CASE WHEN list_contains(string_split(text, ' '), 'a') THEN 1 ELSE 0 END
+          |          + CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END
+          |          + CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END
+          |          + CASE WHEN list_contains(string_split(text, ' '), 'in') THEN 1 ELSE 0 END
+          |          + CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END) AS stop
+          |  FROM documents),
+          |g AS (
+          |  SELECT
+          |    CASE WHEN n < 40 THEN 1 ELSE 0 END AS r1,
+          |    CASE WHEN n > 5000 THEN 1 ELSE 0 END AS r2,
+          |    CASE WHEN totlen < n * 3 OR totlen > n * 10 THEN 1 ELSE 0 END AS r3,
+          |    CASE WHEN stop < 2 THEN 1 ELSE 0 END AS r4,
+          |    CASE WHEN dst * 10 < n * 3 THEN 1 ELSE 0 END AS r5,
+          |    CASE WHEN contains(text, '{')
+          |           OR contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS r6
+          |  FROM f),
+          |s AS (
+          |  SELECT CAST(SUM(r1) AS BIGINT) AS r1, CAST(SUM(r2) AS BIGINT) AS r2,
+          |         CAST(SUM(r3) AS BIGINT) AS r3, CAST(SUM(r4) AS BIGINT) AS r4,
+          |         CAST(SUM(r5) AS BIGINT) AS r5, CAST(SUM(r6) AS BIGINT) AS r6,
+          |         CAST(SUM(CASE WHEN r1 + r2 + r3 + r4 + r5 + r6 = 0
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS pass
+          |  FROM g)
+          |SELECT 'r1_too_short' AS rule, r1 AS docs FROM s
+          |UNION ALL SELECT 'r2_too_long', r2 FROM s
+          |UNION ALL SELECT 'r3_word_len', r3 FROM s
+          |UNION ALL SELECT 'r4_stopword_poor', r4 FROM s
+          |UNION ALL SELECT 'r5_low_diversity', r5 FROM s
+          |UNION ALL SELECT 'r6_boilerplate', r6 FROM s
+          |UNION ALL SELECT 'z_survivors', pass FROM s
+          |ORDER BY rule""".stripMargin)),
 
     // TRIANGLE COUNTING over the navigation graph (t39's edges): the
     // degree-ordered node-iterator builds every wedge at its lowest-rank

@@ -968,6 +968,45 @@ object RelationalPack extends QueryPack {
           |ORDER BY gid, l_returnflag NULLS FIRST,
           |         l_linestatus NULLS FIRST, ship_yr NULLS FIRST""".stripMargin)),
 
+    // RECURSIVE hierarchy rollup (superset — SURVEY §2.7): Catalyst has no
+    // WITH RECURSIVE, so `ops/Hierarchy.reachability` runs the iterative
+    // frontier BFS (one hash join per LEVEL, localCheckpointed lineage) and
+    // the oracle replays it with DuckDB's real recursive CTE — the
+    // strongest cross-engine check a recursion can get. The forest is
+    // derived deterministically from the part table (parent = partkey DIV 8,
+    // partkeys 0-7 are roots), and the rollup is integer-exact: retail
+    // prices carry 2 decimals, so cents are BIGINTs on both engines.
+    QueryDef(
+      "u13_recursive_rollup",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        val forest = part.select(
+          col("p_partkey").as("node"),
+          when(col("p_partkey") >= 8, expr("p_partkey DIV 8")).as("parent"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+        graft.ops.Hierarchy.reachability(forest, "node", "parent", maxDepth = 8)
+          .join(forest.select(col("node"), col("cents")), "node")
+          .groupBy(col("root"))
+          .agg(
+            count(lit(1)).as("subtree_nodes"),
+            max(col("depth")).cast("long").as("max_depth"),
+            sum(col("cents")).as("retail_cents"))
+          .orderBy(col("root"))
+      },
+      Some(
+        """WITH RECURSIVE walk(node, root, depth) AS (
+          |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 8
+          |  UNION ALL
+          |  SELECT c.p_partkey, w.root, w.depth + 1
+          |  FROM part c JOIN walk w ON c.p_partkey // 8 = w.node
+          |  WHERE c.p_partkey >= 8)
+          |SELECT root, count(*) AS subtree_nodes,
+          |       CAST(max(depth) AS BIGINT) AS max_depth,
+          |       CAST(SUM(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS retail_cents
+          |FROM walk JOIN part p ON p.p_partkey = walk.node
+          |GROUP BY root ORDER BY root""".stripMargin)),
+
     // PIVOT (superset — SURVEY §2.7): event counts cross-tabbed by type.
     // With explicit pivot values Spark compiles this to conditional
     // aggregation — one shuffle, no per-value passes; the oracle IS that

@@ -1222,6 +1222,122 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.sum == 4 * 3)
   }
 
+  test("l2sq kernel is exact and null-safe; full-shortlist refine equals brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.QuantOps
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 6L, 3L)),
+      (2L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (3L, Seq[java.lang.Long](7L, 7L), Seq[java.lang.Long](7L, 7L))
+    ).toDF("id", "a", "b")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      val got = df.select(col("id"), QuantOps.l2sq(col("a"), col("b")).as("d"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == Map(1L -> Some(25L), 2L -> None, 3L -> Some(0L)),
+        s"codegen=$codegen")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // refine law: a shortlist covering the whole corpus makes the refined
+    // ranking EXACTLY the quantized-integer brute-force ranking
+    val sub = emb.where(col("vec_id") < 40)
+    val queries = sub.where(col("vec_id") < 2)
+    val refined = Similarity.pqRefineTopK(sub, queries, k = 5, kCand = 39)
+      .select("q", "rank", "v").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val qv = org.apache.spark.sql.graft.QuantOps
+    val brute = sub.select(col("vec_id").as("q"),
+        qv.quantize(col("embedding"), 64, 1000000L).as("qa"))
+      .where(col("q") < 2)
+      .crossJoin(sub.select(col("vec_id").as("v"),
+        qv.quantize(col("embedding"), 64, 1000000L).as("qb")))
+      .where(col("q") =!= col("v"))
+      .withColumn("d2", qv.l2sq(col("qa"), col("qb")))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("q")).orderBy(col("d2"), col("v"))))
+      .where(col("rank") <= 5)
+      .select("q", "rank", "v").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(refined == brute)
+  }
+
+  test("quality-rule bank: each rule fires on its construction, pass is conjunction") {
+    import spark.implicits._
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val good = (1 to 20).map(i => s"word$i").mkString(" ") +
+      " the of " + (21 to 43).map(i => s"term$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // passes the whole bank
+      (2L, "the of " + (1 to 10).map("w" + _).mkString(" ")), // r1 short
+      (3L, words("ab", 50) + " the of " + words("cd", 10)),   // r3 short words (r5 too)
+      (4L, (1 to 50).map(i => s"unique$i").mkString(" ")),    // r4 no stopwords
+      (5L, "the of " + words("same", 60)),                    // r5 low diversity
+      (6L, good + " lorem ipsum"),                            // r6 boilerplate
+      (7L, good + " {")                                       // r6 brace
+    ).toDF("doc_id", "text")
+    val f = QualityRules.flags(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(f(1L) == (false, false, false, false, false, false, true))
+    assert(f(2L)._1 && !f(2L)._7)              // r1 fired
+    assert(f(3L)._3 && !f(3L)._7)              // r3 fired
+    assert(f(4L)._4 && !f(4L)._7)              // r4 fired
+    assert(f(5L)._5 && !f(5L)._7)              // r5 fired
+    assert(f(6L)._6 && f(7L)._6)               // r6 fired both ways
+    val att = QualityRules.attrition(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(att("z_survivors") == 1L)
+    assert(att("r6_boilerplate") == 2L)
+    assert(att("r2_too_long") == 0L)
+    // rules fire independently: totals can exceed the doc count
+    assert(att.values.sum >= docs.count())
+  }
+
+  test("hierarchy reachability: forest expands to exact (node, root, depth)") {
+    import spark.implicits._
+    // two trees: 1-{2,3}, 3-{4}; 10-{11}; node 20 is an isolated root
+    val forest = Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(3L)),
+      (10L, None), (11L, Some(10L)), (20L, None))
+      .toDF("node", "parent")
+    val got = Hierarchy.reachability(forest, "node", "parent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 1), (4L, 1L, 2),
+      (10L, 10L, 0), (11L, 10L, 1), (20L, 20L, 0)))
+  }
+
+  test("hierarchy reachability: a parent-chain cycle raises, never spins") {
+    import spark.implicits._
+    // in a (node, parent) model a cycle can never be REACHED from a root
+    // (its members all have parents), so it silently drops as unreachable;
+    // the runaway case the guard must catch is a chain deeper than the
+    // declared maxDepth — that raises instead of grinding through levels.
+    val deep = ((1L, Option.empty[Long]) +:
+      (2L to 12L).map(n => (n, Some(n - 1)))).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.reachability(deep, "node", "parent", maxDepth = 5).count()
+    }
+    assert(e.getMessage.contains("maxDepth"))
+    // and the same chain under a sufficient guard resolves completely
+    val ok = Hierarchy.reachability(deep, "node", "parent", maxDepth = 12)
+    assert(ok.count() == 12)
+    assert(ok.agg(max(col("depth"))).head().getInt(0) == 11)
+  }
+
+  test("hierarchy reachability: orphans (parent not in the node set) drop") {
+    import spark.implicits._
+    val forest = Seq((1L, None), (2L, Some(1L)), (9L, Some(99L)))
+      .toDF("node", "parent")
+    val got = Hierarchy.reachability(forest, "node", "parent")
+      .select("node").as[Long].collect().toSet
+    // 9's parent 99 does not exist: 9 is unreachable from any root and is
+    // absent from the result — never attributed to a wrong root
+    assert(got == Set(1L, 2L))
+  }
+
   test("loss-mask packing laws: token/mask mass conserved, repartition-stable") {
     import spark.implicits._
     val ev = Tables.eventsTopic(spark, sf).select(
