@@ -112,6 +112,89 @@ object StreamPack extends QueryPack {
           |SELECT _key AS key, min(_ts_ms) AS session_start_ms,
           |       max(_ts_ms) AS session_end_ms, count(*) AS n_events
           |FROM s GROUP BY _key, sess
-          |ORDER BY key, session_start_ms""".stripMargin))
+          |ORDER BY key, session_start_ms""".stripMargin)),
+
+    // LEFT-OUTER watermarked stream-stream interval join: views that see a
+    // same-user purchase within ±2 h join it; views that never will EMIT
+    // WITH NULLS once the watermark passes their band — the attribution
+    // answer a continuous pipeline must produce ("this impression did not
+    // convert") that an inner join simply drops. The stream is driven to
+    // completion the way a real bounded backfill ends: all data in batch
+    // one, then sentinel rows on BOTH sides push the watermark beyond
+    // every live band so expiring state flushes its unmatched rows —
+    // Spark emits outer-join nulls only on state EVICTION, never eagerly,
+    // so without the final advance the tail of the stream would be
+    // silently incomplete. Final answer ≡ the batch LEFT JOIN, per user.
+    // State at scale: each side keeps rate × (delay + band) rows, never
+    // total history.
+    QueryDef(
+      "e37_stream_left_outer_join",
+      (s, dir) => {
+        import java.nio.file.Paths
+        val stageL = Fixtures.tmp(dir, "lo_join_left")
+        val stageR = Fixtures.tmp(dir, "lo_join_right")
+        val sink = Fixtures.tmp(dir, "lo_join_sink")
+        val ckpt = Fixtures.tmp(dir, "lo_join_ckpt")
+        Seq(stageL, stageR, sink, ckpt).foreach(p =>
+          graft.etl.TableSink.deleteRecursive(Paths.get(p)))
+        // watermarks demand TIMESTAMP (not NTZ); the session is pinned UTC,
+        // so the cast keeps the exact microseconds the oracle sees
+        val ev = Tables.load(s, dir, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id").as("key"), col("ts").cast("timestamp").as("ts"),
+            col("event_id").as("value"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("key"), col("ts").cast("timestamp").as("ts"),
+            col("event_id").as("value"))
+        views.write.parquet(stageL)
+        purchases.write.parquet(stageR)
+        val joined = graft.streaming.StreamJoins.within(
+          s.readStream.schema(views.schema).parquet(stageL),
+          s.readStream.schema(views.schema).parquet(stageR),
+          withinMs = 7200000L, joinType = "leftOuter")
+        val q = joined.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: all real rows, matches emit
+          // sentinel rows past every live band (max ts + band + watermark
+          // delay + margin) advance the watermark; two rounds because
+          // eviction flushes on the batch AFTER the advance lands
+          val hi = views.select(
+            (max(col("ts")) + expr("INTERVAL 3 HOURS")).as("hi"))
+          for (bump <- Seq(0, 1)) {
+            val sentinel = hi.select(
+              lit(Long.MinValue).as("key"),
+              (col("hi") + expr(s"INTERVAL $bump HOURS")).as("ts"),
+              lit(-1L).as("value"))
+            sentinel.write.mode("append").parquet(stageL)
+            sentinel.write.mode("append").parquet(stageR)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(sink)
+          .where(col("l_key") =!= Long.MinValue) // sentinels never matter
+          .groupBy(col("l_key").as("u"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("r_value")).as("n_matched"),
+            sum(when(col("r_value").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+            coalesce(sum(col("r_value")), lit(0L)).as("matched_id_sum"))
+          .orderBy(col("u"))
+      },
+      Some(
+        """WITH v AS (SELECT user_id AS u, event_id AS vid, ts
+          |           FROM events WHERE event_type = 'view'),
+          |p AS (SELECT user_id AS u, event_id AS pid, ts
+          |      FROM events WHERE event_type = 'purchase'),
+          |j AS (SELECT v.u, v.vid, p.pid
+          |      FROM v LEFT JOIN p ON p.u = v.u
+          |        AND p.ts >= v.ts - INTERVAL 2 HOUR
+          |        AND p.ts <= v.ts + INTERVAL 2 HOUR)
+          |SELECT u, count(*) AS n_rows,
+          |       CAST(count(pid) AS BIGINT) AS n_matched,
+          |       CAST(SUM(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_unmatched,
+          |       CAST(COALESCE(SUM(pid), 0) AS BIGINT) AS matched_id_sum
+          |FROM j GROUP BY u ORDER BY u""".stripMargin))
   )
 }

@@ -225,6 +225,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer WITHIN join: unmatched rows emit nulls only on watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(String, Timestamp, String)]
+    val rIn = MemoryStream[(String, Timestamp, String)]
+    val t0 = 1706000000000L
+    def ts(ms: Long) = new Timestamp(ms)
+    val joined = StreamJoins.within(
+      lIn.toDF().toDF("key", "ts", "value"),
+      rIn.toDF().toDF("key", "ts", "value"),
+      withinMs = 5000, joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("loj")
+      .outputMode("append").start()
+    try {
+      lIn.addData(("u1", ts(t0), "l-matched"), ("u2", ts(t0), "l-lonely"))
+      rIn.addData(("u1", ts(t0 + 2000), "r1"))
+      q.processAllAvailable()
+      def rows() = spark.table("loj").collect()
+        .map(r => (r.getAs[String]("l_value"), r.getAs[String]("r_value"))).toSet
+      // before the watermark passes u2's band, only the match is out —
+      // the null row CANNOT be emitted yet (u2 might still match)
+      assert(rows() == Set(("l-matched", "r1")))
+      // advance watermarks far past t0 + band on BOTH sides; eviction
+      // flushes on the following batch
+      for (bump <- Seq(0, 1)) {
+        lIn.addData(("w", ts(t0 + 300000 + bump), "wm"))
+        rIn.addData(("w2", ts(t0 + 300000 + bump), "wm"))
+        q.processAllAvailable()
+      }
+      assert(rows().contains(("l-lonely", null)),
+        s"expected the lonely left row to flush with nulls, got ${rows()}")
+    } finally q.stop()
+  }
+
   test("compat MIN/MAX: first-kind-wins over mixed untyped values") {
     import spark.implicits._
     // number first -> strings ignored; numeric strings compare numerically
