@@ -527,6 +527,40 @@ object Dedup {
       case _ =>
     }
 
+  /** Duplication-aware SOFT dedup: instead of keeping one member per
+    * near-dup cluster (hard dedup deletes every paraphrase/mirror of
+    * over-represented content), each member of a size-`c` cluster is kept
+    * with probability 1/c — the expected mass per cluster is exactly one
+    * document, so over-represented content is flattened while the corpus
+    * still samples the VARIANTS (the practical middle ground the
+    * data-constrained-scaling literature argues for: repeated content has
+    * sharply diminishing value, but nonzero — Muennighoff et al. 2023 —
+    * so down-weight, don't annihilate).
+    *
+    * Keep decisions are the house deterministic coin: `hash48(id) · c <
+    * 2^48` — membership is a pure function of (id, cluster size), no RNG,
+    * replayable on any engine in exact BIGINT arithmetic (hash48 < 2^48
+    * and c ≤ corpus keeps the product far inside int64). Docs in no
+    * cluster have c = 1 and always survive.
+    *
+    * Returns (idCol, c, kept). Cost on top of the LSH pipeline: one
+    * cluster-size aggregate and a broadcast-sized join back to the corpus
+    * — clusters are the small side at any scale. */
+  def dupWeightedKeep(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, threshold, k, bands)
+    val cc = duplicateClusters(pairs)
+    release(pairs)
+    val member = cc.join(
+        cc.groupBy(col("cluster")).agg(count(lit(1)).as("_c")), "cluster")
+      .select(col("node").as(idCol), col("_c"))
+    docs.select(col(idCol)).join(broadcast(member), Seq(idCol), "left")
+      .withColumn("c", coalesce(col("_c"), lit(1L)))
+      .withColumn("kept",
+        Sampling.hash48(col(idCol)) * col("c") < lit(281474976710656L))
+      .select(col(idCol), col("c"), col("kept"))
+  }
+
   /** Edge-count threshold below which connected components runs as
     * driver-side union-find instead of the distributed label-propagation
     * loop. The near-dup EDGE set is orders of magnitude smaller than the

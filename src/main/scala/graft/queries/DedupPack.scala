@@ -212,6 +212,64 @@ object DedupPack extends QueryPack {
            |SELECT cluster, count(*) AS n_docs, max(node) AS max_doc
            |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    // SOFT dedup (duplication-aware sampling): every member of a size-c
+    // near-dup cluster keeps with probability 1/c via the deterministic
+    // hash48 coin — expected mass per cluster is one document, variants
+    // stay sampled instead of annihilated (the data-constrained-scaling
+    // posture: repeated content has diminishing, not zero, value). The
+    // oracle replays the full LSH+verify+cluster pipeline of d7 PLUS the
+    // integer keep arithmetic, and pins per-cluster-size counts AND the
+    // kept-membership id sum.
+    QueryDef(
+      "d16_soft_dedup",
+      (s, dir) => {
+        val r = Dedup.dupWeightedKeep(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, k = k, bands = nBands)
+        r.groupBy(col("c"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept").cast("long")).as("n_kept"),
+            sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+          .orderBy(col("c"))
+      },
+      Some(
+        s"""WITH RECURSIVE $shinglesCte,
+           |$sigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT l.doc AS a, r.doc AS b
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc),
+           |$jaccardCtes,
+           |pairs AS (
+           |  SELECT i.a, i.b FROM inter i
+           |  JOIN counts ca ON ca.doc = i.a
+           |  JOIN counts cb ON cb.doc = i.b
+           |  WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION ALL SELECT b, a FROM pairs),
+           |cc AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+           |labels AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node),
+           |sizes AS (SELECT cluster, count(*) AS c FROM labels GROUP BY 1),
+           |m AS (SELECT l.node, s.c FROM labels l JOIN sizes s USING (cluster)),
+           |alld AS (
+           |  SELECT d.doc_id, COALESCE(m.c, 1) AS c
+           |  FROM documents d LEFT JOIN m ON m.node = d.doc_id),
+           |kk AS (
+           |  SELECT doc_id, c,
+           |         list_reduce(list_transform(string_split(substr(
+           |             md5(CAST(doc_id AS VARCHAR)), 1, 12), ''),
+           |           x -> CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)),
+           |           (a, b) -> a * 16 + b) * c < 281474976710656 AS kept
+           |  FROM alld)
+           |SELECT c, count(*) AS n_docs,
+           |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |       CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
+           |FROM kk GROUP BY c ORDER BY c""".stripMargin)),
+
     // Benchmark decontamination: docs 0-9 stand in as the held-out
     // benchmark; corpus docs sharing >= 3 distinct 3-grams with any of
     // them are flagged. One shingle pass per side + a broadcast equi-join

@@ -1222,6 +1222,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.sum == 4 * 3)
   }
 
+  test("soft dedup: every doc decided once, singletons always survive, coin is pure") {
+    val r1 = Dedup.dupWeightedKeep(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r1.length == docs.count())
+    assert(r1.map(_._1).distinct.length == r1.length)
+    // c = 1 ⇒ hash48 · 1 < 2^48 always: no singleton is ever dropped
+    assert(r1.filter(_._2 == 1L).forall(_._3))
+    // the fixture has real near-dup clusters, and the keep decision is a
+    // pure function of (id, c): a rerun reproduces the exact membership
+    assert(r1.exists(_._2 > 1L))
+    val r2 = Dedup.dupWeightedKeep(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r1.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
+  }
+
   test("l2sq kernel is exact and null-safe; full-shortlist refine equals brute force") {
     import spark.implicits._
     import org.apache.spark.sql.graft.QuantOps
