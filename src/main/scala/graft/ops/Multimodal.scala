@@ -698,4 +698,29 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Image-text PAIR dedup (the LAION-style curation step): the same image
+    * crawls in under many alt-texts; near-dup image clusters (perceptual-
+    * hash pairs → connected components) collapse to ONE pair each, keeping
+    * the member with the LONGEST caption (ties to the smallest id) — the
+    * alt-text most worth training on. Docs whose image matches nothing
+    * form their own cluster and survive untouched.
+    *
+    * One struct-max hash aggregate picks every keeper — no window, no
+    * per-cluster sort; the cluster frame is the small side and broadcasts.
+    * Returns (cluster, n_members, keeper, keeper_cap_len). */
+  def captionAwareKeepers(pairs: DataFrame, docs: DataFrame,
+      idCol: String, capCol: String): DataFrame = {
+    val cc = Dedup.duplicateClusters(pairs.select(col("a"), col("b")))
+    docs.select(col(idCol).as("node"),
+        length(col(capCol)).cast("long").as("cap_len"))
+      .join(broadcast(cc), Seq("node"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("node")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("cap_len"), (-col("node")).as("negid"))).as("_best"))
+      .select(col("cluster"), col("n_members"),
+        (-col("_best.negid")).as("keeper"),
+        col("_best.cap_len").as("keeper_cap_len"))
+  }
 }

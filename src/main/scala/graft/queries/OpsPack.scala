@@ -1589,6 +1589,81 @@ object OpsPack extends QueryPack {
           |SELECT a, b2 AS b, hamming FROM ham
           |WHERE hamming <= 3 ORDER BY a, b""".stripMargin)),
 
+    // IMAGE-TEXT PAIR DEDUP (LAION-style curation): near-dup image
+    // clusters (m7's perceptual-hash pairs → connected components)
+    // collapse to one pair each, keeping the member with the longest
+    // caption (ties to smallest id); unmatched images survive as their
+    // own cluster. The oracle replays the pixel ahash, the banded
+    // candidate join, the hamming verify, the transitive closure, AND the
+    // caption argmax — the whole curation decision is hash-proven.
+    QueryDef(
+      "m10_pair_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 40)
+        val ids = docs.select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .map(id => (id, Multimodal.pngFixtureVariant(id / 4, id % 4, 16, 16),
+            "image/png"))
+          .toDF("id", "media", "content_type")
+        val pairs = Multimodal.aHashNearDups(
+          Multimodal.imageHashes(s, media, Multimodal.ImageIoDecoder, 16, 16),
+          maxDist = 3)
+        Multimodal.captionAwareKeepers(pairs, docs, "doc_id", "text")
+          .orderBy(col("cluster"))
+      },
+      Some(
+        """WITH RECURSIVE px AS (
+          |  SELECT doc_id AS id,
+          |         list_transform(range(0, 256),
+          |           i -> ((doc_id // 4 * 31 + i * 7) % 120) + 1 +
+          |                CASE WHEN i % 37 = doc_id % 4 THEN 4 ELSE 0 END) AS vals
+          |  FROM documents WHERE doc_id < 40),
+          |tot AS (SELECT id, vals, list_reduce(vals, (a, b) -> a + b) AS total FROM px),
+          |bits AS (
+          |  SELECT id, array_to_string(list_transform(range(0, 64), b ->
+          |    CASE WHEN (
+          |      vals[CAST((b // 8) * 32 + (b % 8) * 2 + 1 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + (b % 8) * 2 + 2 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + 16 + (b % 8) * 2 + 1 AS INT)] +
+          |      vals[CAST((b // 8) * 32 + 16 + (b % 8) * 2 + 2 AS INT)]) * 256 > total * 4
+          |    THEN '1' ELSE '0' END), '') AS ahash
+          |  FROM tot),
+          |bands AS (
+          |  SELECT id, ahash, b AS band, substr(ahash, CAST(b * 16 + 1 AS INT), 16) AS bucket
+          |  FROM bits, unnest(generate_series(0, 3)) AS t(b)),
+          |cand AS (
+          |  SELECT DISTINCT l.id AS a, r.id AS b2, l.ahash AS ha, r.ahash AS hb
+          |  FROM bands l JOIN bands r
+          |    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+          |ham AS (
+          |  SELECT a, b2, CAST(list_sum(list_transform(range(1, 65), i ->
+          |    CASE WHEN substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)
+          |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+          |  FROM cand),
+          |pr AS (SELECT a, b2 AS b FROM ham WHERE hamming <= 3),
+          |edges AS (SELECT a AS src, b AS dst FROM pr
+          |          UNION ALL SELECT b, a FROM pr),
+          |cc AS (
+          |  SELECT DISTINCT src AS node, src AS label FROM edges
+          |  UNION
+          |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+          |labels AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node),
+          |alld AS (
+          |  SELECT d.doc_id AS node, CAST(length(d.text) AS BIGINT) AS cap_len,
+          |         COALESCE(l.cluster, d.doc_id) AS cluster
+          |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+          |  WHERE d.doc_id < 40),
+          |pick AS (
+          |  SELECT cluster, node, cap_len,
+          |         row_number() OVER (PARTITION BY cluster
+          |           ORDER BY cap_len DESC, node) AS rn,
+          |         count(*) OVER (PARTITION BY cluster) AS n_members
+          |  FROM alld)
+          |SELECT cluster, n_members, node AS keeper, cap_len AS keeper_cap_len
+          |FROM pick WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
     // Audio near-dup dedup by ACOUSTIC FINGERPRINT over real PCM: WAVs
     // parse through the real RIFF codec on executors, the 64-frame
     // energy-envelope fingerprint is computed in the same pass (integer

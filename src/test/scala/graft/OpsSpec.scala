@@ -1222,6 +1222,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.sum == 4 * 3)
   }
 
+  test("pair dedup keepers: longest caption wins, ties to smallest id, singletons kept") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val docsDf = Seq(
+      (1L, "short"), (2L, "the longest caption here"), (3L, "medium one"),
+      (10L, "same len"), (11L, "半角 len!"), // equal lengths → smaller id
+      (20L, "loner")).toDF("doc_id", "text")
+    val got = Multimodal.captionAwareKeepers(pairs, docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (3L, 2L, 24L))   // transitive {1,2,3}: 2 wins
+    assert(got(10L) == (2L, 10L, 8L))  // equal-length tie: smallest id
+    assert(got(20L) == (1L, 20L, 5L))  // unmatched: own cluster, survives
+    assert(got.size == 3)
+  }
+
   test("soft dedup: every doc decided once, singletons always survive, coin is pure") {
     val r1 = Dedup.dupWeightedKeep(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
