@@ -2624,20 +2624,35 @@ object IcebergSink {
   private def statsFor(m: TableMeta, snapshotId: Option[Long])
       : Option[TableStats] = {
     val sid = snapshotId.orElse(m.currentSnapshotId)
-    m.statistics.find(st => sid.contains(st.snapshotId)).map { st =>
+    m.statistics.find(st => sid.contains(st.snapshotId)).flatMap { st =>
       val p = new HPath(st.path)
       val in = fs(p).open(p)
       val bytes = try in.readAllBytes() finally in.close()
-      val (blobs, props) = Puffin.read(bytes)
-      val nameById = m.fields.map(f => f.id -> f.name).toMap
-      val columns = blobs.filter(_.blobType == Puffin.NdvBlobType).flatMap {
-        b =>
-          val n = mapper.readTree(b.payload)
-          b.fields.headOption.flatMap(nameById.get).map(
-            _ -> ColumnStats(n.path("ndv").asLong(),
-              n.path("null-count").asLong()))
-      }.toMap
-      TableStats(props.get("row-count").map(_.toLong).getOrElse(0L), columns)
+      if (bytes.length >= 4 && bytes.startsWith(Puffin.Magic)) {
+        val (blobs, props) = Puffin.read(bytes)
+        val nameById = m.fields.map(f => f.id -> f.name).toMap
+        val columns = blobs.filter(_.blobType == Puffin.NdvBlobType).flatMap {
+          b =>
+            val n = mapper.readTree(b.payload)
+            b.fields.headOption.flatMap(nameById.get).map(
+              _ -> ColumnStats(n.path("ndv").asLong(),
+                n.path("null-count").asLong()))
+        }.toMap
+        // an absent row-count means a foreign writer we don't understand:
+        // UNKNOWN size, not size zero — a zero here would flow into
+        // readForJoin's cost check and "prove" any table broadcastable
+        props.get("row-count").map(rc => TableStats(rc.toLong, columns))
+      } else {
+        // pre-Puffin stats file (the r11 JSON payload): tables analyzed
+        // before the framing change keep serving stats until re-analyzed
+        // instead of crashing every metadata read
+        val n = mapper.readTree(bytes)
+        if (!n.has("row-count")) None
+        else Some(TableStats(n.path("row-count").asLong(),
+          n.path("columns").properties().asScala.map(e =>
+            e.getKey -> ColumnStats(e.getValue.path("ndv").asLong(),
+              e.getValue.path("null-count").asLong())).toMap))
+      }
     }
   }
 

@@ -279,7 +279,15 @@ case class QuantizeVec(child: Expression, dims: Int, scale: Long)
   * Null elements null the result ([[QuantScores]] discipline). Used by the
   * PQ refine stage: quantized-domain exact re-ranking of an ADC shortlist.
   * Same addNewFunction split as the other kernels; a squared distance is
-  * never negative, so −1 encodes NULL at the call site. */
+  * never negative, so −1 encodes NULL at the call site.
+  *
+  * Overflow discipline: the accumulator only ever grows, so a wrap shows
+  * up as a negative value — both the interpreted and the codegen path
+  * check after every add and null out (identical answers whichever path
+  * runs; consumers must treat NULL as "not rankable", never "closest").
+  * The unguardable case is a single `(a_d − b_d)²` wrapping POSITIVE,
+  * which needs |diff| > 3·10⁹ — quantized magnitudes > 3,000 at the
+  * default 10⁶ scale, far outside any normalized-embedding domain. */
 case class L2SqLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -304,6 +312,7 @@ case class L2SqLong(left: Expression, right: Expression)
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i)
       acc += d * d
+      if (acc < 0L) return null // overflow wrap, same as the codegen path
       i += 1
     }
     acc
@@ -321,6 +330,7 @@ case class L2SqLong(left: Expression, right: Expression)
          |    if (a.isNullAt(i) || b.isNullAt(i)) return -1L;
          |    long d = a.getLong(i) - b.getLong(i);
          |    acc += d * d;
+         |    if (acc < 0L) return -1L; // overflow wrap nulls out
          |  }
          |  return acc;
          |}

@@ -472,10 +472,15 @@ object Planner {
     val r = {
       val aliased = right.alias("r")
       val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-      val estateBytes = reg.get(j.table.topic).segments
-        .map(hook => hook(spark).map(_.sizeBytes).sum)
+      // threshold gate FIRST: when auto-broadcast is disabled the estate
+      // listing (a manifest scan) would be pure plan-time IO with its
+      // result ignored
+      val estateBytes =
+        if (threshold <= 0) None
+        else reg.get(j.table.topic).segments
+          .map(hook => hook(spark).map(_.sizeBytes).sum)
       estateBytes match {
-        case Some(b) if threshold > 0 && b <= threshold =>
+        case Some(b) if b <= threshold =>
           org.apache.spark.sql.functions.broadcast(aliased)
         case _ => aliased
       }

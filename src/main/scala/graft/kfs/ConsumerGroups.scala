@@ -221,35 +221,35 @@ object ConsumerGroups {
     * Partitions a group never committed read as offset 0 with empty
     * metadata (`etcd_store.go:206-208`), so lag there is the full log —
     * exactly what `kafka-consumer-groups.sh --describe` reports. */
-  def describeGroups(root: String, topic: String): Seq[GroupPosition] = {
+  def describeGroups(root: String, topic: String): Seq[GroupPosition] =
+    listGroups(root).flatMap(g => groupPositions(root, g, topic))
+
+  /** The ONE place the high-water-mark / committed-default arithmetic
+    * lives (log end = manifest max offset + 1; uncommitted partitions
+    * read offset 0 with empty metadata, the reference's fetch default) —
+    * `describeGroups`, `lag`, and through them SHOW GROUPS / DESCRIBE
+    * GROUP all serve these positions, so the rule cannot drift between
+    * surfaces. Metadata-only: manifests + one tiny JSON per commit. */
+  def groupPositions(root: String, group: String, topic: String)
+      : Seq[GroupPosition] = {
     val refs = KfsLayout.listCompletedCached(root, Some(Set(topic)))
-    val logEnds = refs.groupBy(_.partition).view
+    refs.groupBy(_.partition).view
       .mapValues(_.map(_.lastOffset).max + 1).toSeq.sortBy(_._1)
-    for {
-      g <- listGroups(root)
-      (p, logEnd) <- logEnds
-    } yield {
-      val c = fetch(root, g, topic, p)
-      GroupPosition(g, topic, p, c.map(_.offset).getOrElse(0L),
-        c.map(_.metadata).getOrElse(""),
-        c.map(_.committedAtMs).getOrElse(0L), logEnd)
-    }
+      .map { case (p, logEnd) =>
+        val c = fetch(root, group, topic, p)
+        GroupPosition(group, topic, p, c.map(_.offset).getOrElse(0L),
+          c.map(_.metadata).getOrElse(""),
+          c.map(_.committedAtMs).getOrElse(0L), logEnd)
+      }
   }
 
-  /** Per-partition lag for `group` on `topic`: log-end offset (manifest
-    * max offset + 1 — Kafka's high-water mark over a completed-segment
-    * estate) minus the committed offset (0 when never committed, the
-    * reference's fetch default). Metadata-only: reads manifests + one
-    * tiny JSON per partition, never a segment. */
+  /** Per-partition lag for `group` on `topic` as a DataFrame — the same
+    * [[groupPositions]] arithmetic, framed. */
   def lag(spark: SparkSession, root: String, group: String, topic: String)
       : DataFrame = {
-    val refs = KfsLayout.listCompletedCached(root, Some(Set(topic)))
-    val parts = refs.groupBy(_.partition).toSeq.sortBy(_._1)
-    val rows = parts.map { case (p, rs) =>
-      val logEnd = rs.map(_.lastOffset).max + 1
-      val committed = fetch(root, group, topic, p).map(_.offset).getOrElse(0L)
-      Row(group, topic, p, committed, logEnd, logEnd - committed)
-    }
+    val rows = groupPositions(root, group, topic).map(gp =>
+      Row(gp.group, gp.topic, gp.partition, gp.committedOffset,
+        gp.logEndOffset, gp.lag))
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       lagSchema)

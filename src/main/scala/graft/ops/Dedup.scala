@@ -537,10 +537,13 @@ object Dedup {
     * sharply diminishing value, but nonzero — Muennighoff et al. 2023 —
     * so down-weight, don't annihilate).
     *
-    * Keep decisions are the house deterministic coin: `hash48(id) · c <
-    * 2^48` — membership is a pure function of (id, cluster size), no RNG,
-    * replayable on any engine in exact BIGINT arithmetic (hash48 < 2^48
-    * and c ≤ corpus keeps the product far inside int64). Docs in no
+    * Keep decisions are the house deterministic coin, written in the
+    * overflow-free division form: `hash48(id) ≤ (2^48 − 1) div c`
+    * (algebraically identical to `hash48 · c < 2^48` for integers, but a
+    * boilerplate cluster of c > 2^15 members would overflow the product —
+    * and over-represented content is exactly where c explodes).
+    * Membership is a pure function of (id, cluster size), no RNG,
+    * replayable on any engine in exact BIGINT arithmetic. Docs in no
     * cluster have c = 1 and always survive.
     *
     * Returns (idCol, c, kept). Cost on top of the LSH pipeline: one
@@ -557,7 +560,7 @@ object Dedup {
     docs.select(col(idCol)).join(broadcast(member), Seq(idCol), "left")
       .withColumn("c", coalesce(col("_c"), lit(1L)))
       .withColumn("kept",
-        Sampling.hash48(col(idCol)) * col("c") < lit(281474976710656L))
+        Sampling.hash48(col(idCol)) <= expr("281474976710655 div c"))
       .select(col(idCol), col("c"), col("kept"))
   }
 

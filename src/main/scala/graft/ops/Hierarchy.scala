@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   * number of actions equals the tree DEPTH (logarithmic for any sanely
   * bushy hierarchy), not the node count, and every level is
   * `localCheckpoint`ed so lineage stays flat no matter how deep the
-  * recursion goes. A `maxDepth` guard turns an accidental cycle into a loud
-  * error instead of an infinite loop (exactly what DuckDB/Postgres do with
-  * a runaway recursive CTE: they never terminate — we fail fast instead).
+  * recursion goes.
+  *
+  * Termination discipline: in a (node, parent) model a cycle's members all
+  * carry parents, so a cycle can never be REACHED from a root — like
+  * orphans (parents outside the node set), its members are simply absent
+  * from the result, never mis-rooted. The runaway the `maxDepth` guard
+  * exists for is a root-reachable chain deeper than declared (data bug or
+  * undersized bound): that raises loudly instead of grinding through
+  * thousands of levels, and only when rows actually exist PAST `maxDepth`
+  * — a forest whose deepest node sits exactly at `maxDepth` resolves.
   */
 object Hierarchy {
 
@@ -47,13 +54,17 @@ object Hierarchy {
       var depth = 0
       while (!frontier.isEmpty) {
         depth += 1
-        if (depth > maxDepth) throw new IllegalArgumentException(
-          s"hierarchy deeper than maxDepth=$maxDepth — cycle in the " +
-            "parent chain, or raise maxDepth")
         frontier = edges.join(frontier, edges("parent") === frontier("node"))
           .select(edges("child").as("node"), frontier("root"),
             (frontier("depth") + 1).as("depth"))
           .localCheckpoint() // flat lineage per level, reused twice below
+        // guard AFTER discovering the level: only rows that actually sit
+        // past maxDepth are an error — depth == maxDepth with an empty
+        // next frontier is a legal forest, not a runaway
+        if (depth > maxDepth && !frontier.isEmpty) throw
+          new IllegalArgumentException(
+            s"hierarchy deeper than maxDepth=$maxDepth — runaway parent " +
+              "chain, or raise maxDepth")
         levels += frontier
       }
       // the last frontier is empty — harmless in the union, keeps the code

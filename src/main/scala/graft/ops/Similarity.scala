@@ -271,38 +271,12 @@ object Similarity {
     * touches ~nProbe/kCells of the corpus. */
   def ivfqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kCells: Int = 4, iters: Int = 2, nProbe: Int = 2, dims: Int = 64,
-      scale: Long = 1000000L, fitSampleRate: Double = 1.0): DataFrame = {
-    // coarse centroids fit on a deterministic md5 sample (rate-bounded
-    // fit cost; see pqFit); EVERY corpus vector is then cell-assigned
-    // with the fitted centers as plan literals — one narrow map, so the
-    // cells partition the full corpus regardless of the fit sample.
-    val fitInput =
-      if (fitSampleRate >= 1.0) corpus
-      else Sampling.deterministicSample(corpus, "vec_id", fitSampleRate)
-    val centers = KMeansQ.fitMulti(
-      fitInput, "embedding", m = 1, kCells, iters, dims, scale).head
-    val assigned = KMeansQ.assign(
-      corpus, "vec_id", "embedding", centers, dims, scale)
-    val cells = corpus.select(col("vec_id"), col("embedding")).join(assigned, "vec_id")
-    val qq = queries.select(col("vec_id").as("q"), col("embedding").as("qe"))
-      .withColumn("_qq", KMeansQ.quantize(col("qe"), dims, scale))
-      .withColumn("_sc", KMeansQ.scoresExpr(col("_qq"), centers))
-    val pw = Window.partitionBy(col("q")).orderBy(col("score"), col("cl"))
-    val probes = qq
-      .select(col("q"), col("qe"), posexplode(col("_sc")).as(Seq("cl", "score")))
-      .withColumn("rn", row_number().over(pw))
-      .where(col("rn") <= nProbe)
-      .select(col("q"), col("qe"), col("cl"))
-    val cand = broadcast(probes)
-      .join(cells, col("cl") === col("cluster") && col("q") =!= col("vec_id"))
-      .withColumn("c", cosine(col("qe"), col("embedding")))
-    val w = Window.partitionBy(col("q"))
-      .orderBy(round(col("c"), 6).desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q"), col("rank"), col("vec_id").as("v"),
-        round(col("c"), 4).as("cos_sim"))
-  }
+      scale: Long = 1000000L, fitSampleRate: Double = 1.0): DataFrame =
+    // the unfiltered search IS the filtered search with a vacuous
+    // predicate (Catalyst folds the `true` filter away) — one pipeline to
+    // maintain, so probe/tie-break tuning can never silently diverge
+    ivfqTopKFiltered(corpus, queries, k, lit(true), Nil,
+      kCells, iters, nProbe, dims, scale, fitSampleRate)
 
   /** Two-stage PQ search — ADC shortlist, then EXACT re-rank (the FAISS
     * refine/`RefineFlat` recipe): [[pqTopK]] retrieves `kCand` candidates
@@ -334,6 +308,9 @@ object Similarity {
       .join(broadcast(qq), "q")
       .withColumn("d2",
         org.apache.spark.sql.graft.QuantOps.l2sq(col("_qq"), col("_vq")))
+      // a NULL d2 (malformed vector or overflow wrap) must never rank —
+      // ascending NULLS FIRST would crown it the nearest neighbor
+      .where(col("d2").isNotNull)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q"), col("rank"), col("v"), col("d2"))

@@ -263,7 +263,7 @@ object DedupPack extends QueryPack {
            |         list_reduce(list_transform(string_split(substr(
            |             md5(CAST(doc_id AS VARCHAR)), 1, 12), ''),
            |           x -> CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)),
-           |           (a, b) -> a * 16 + b) * c < 281474976710656 AS kept
+           |           (a, b) -> a * 16 + b) <= 281474976710655 // c AS kept
            |  FROM alld)
            |SELECT c, count(*) AS n_docs,
            |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

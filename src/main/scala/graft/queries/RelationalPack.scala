@@ -984,7 +984,9 @@ object RelationalPack extends QueryPack {
           col("p_partkey").as("node"),
           when(col("p_partkey") >= 8, expr("p_partkey DIV 8")).as("parent"),
           expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
-        graft.ops.Hierarchy.reachability(forest, "node", "parent", maxDepth = 8)
+        // depth = ceil(log8(max partkey)) grows with SF: ~4 at sf0.01 but
+        // 9+ past sf~84; 24 covers any conceivable partkey in int64
+        graft.ops.Hierarchy.reachability(forest, "node", "parent", maxDepth = 24)
           .join(forest.select(col("node"), col("cents")), "node")
           .groupBy(col("root"))
           .agg(

@@ -1343,19 +1343,24 @@ class OpsSpec extends AnyFunSuite {
   test("hierarchy reachability: a parent-chain cycle raises, never spins") {
     import spark.implicits._
     // in a (node, parent) model a cycle can never be REACHED from a root
-    // (its members all have parents), so it silently drops as unreachable;
-    // the runaway case the guard must catch is a chain deeper than the
-    // declared maxDepth — that raises instead of grinding through levels.
+    // (its members all have parents), so it drops as unreachable like an
+    // orphan; the runaway case the guard must catch is a chain deeper
+    // than the declared maxDepth — that raises instead of grinding
+    // through levels.
     val deep = ((1L, Option.empty[Long]) +:
       (2L to 12L).map(n => (n, Some(n - 1)))).toDF("node", "parent")
     val e = intercept[IllegalArgumentException] {
       Hierarchy.reachability(deep, "node", "parent", maxDepth = 5).count()
     }
     assert(e.getMessage.contains("maxDepth"))
-    // and the same chain under a sufficient guard resolves completely
+    // a forest whose deepest node sits EXACTLY at maxDepth is legal (the
+    // guard fires only on rows past the bound)...
+    val exact = Hierarchy.reachability(deep, "node", "parent", maxDepth = 11)
+    assert(exact.count() == 12)
+    assert(exact.agg(max(col("depth"))).head().getInt(0) == 11)
+    // ...and a roomier guard resolves identically
     val ok = Hierarchy.reachability(deep, "node", "parent", maxDepth = 12)
     assert(ok.count() == 12)
-    assert(ok.agg(max(col("depth"))).head().getInt(0) == 11)
   }
 
   test("hierarchy reachability: orphans (parent not in the node set) drop") {
