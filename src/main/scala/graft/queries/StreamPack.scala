@@ -146,12 +146,19 @@ object StreamPack extends QueryPack {
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("user_id").as("key"), col("ts").cast("timestamp").as("ts"),
             col("event_id").as("value"))
-        views.write.parquet(stageL)
-        purchases.write.parquet(stageR)
+        views.coalesce(2).write.parquet(stageL)
+        purchases.coalesce(2).write.parquet(stageR)
         val joined = graft.streaming.StreamJoins.within(
           s.readStream.schema(views.schema).parquet(stageL),
           s.readStream.schema(views.schema).parquet(stageR),
           withinMs = 7200000L, joinType = "leftOuter")
+        // a stream-stream join keeps TWO state stores per shuffle
+        // partition per micro-batch; at this volume 32 partitions are
+        // pure store-commit overhead (~5 batches × 64 stores), so pin the
+        // stateful query narrow — the checkpoint freezes the value, and
+        // the session conf is restored after the drive
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val q = joined.writeStream.format("parquet")
           .option("path", sink).option("checkpointLocation", ckpt)
           .outputMode("append").start()
@@ -171,7 +178,10 @@ object StreamPack extends QueryPack {
             sentinel.write.mode("append").parquet(stageR)
             q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         s.read.parquet(sink)
           .where(col("l_key") =!= Long.MinValue) // sentinels never matter
           .groupBy(col("l_key").as("u"))
