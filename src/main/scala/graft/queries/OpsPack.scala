@@ -562,6 +562,109 @@ object OpsPack extends QueryPack {
            |SELECT q, rank, v, d2 FROM rr WHERE rank <= 5 ORDER BY q, rank""".stripMargin
       }),
 
+    // REFINE-RECALL AUDIT (completes the s32 pattern for the two-stage
+    // path): per query, top-5 recall of the raw ADC ranking vs the
+    // refined ranking, both against the EXACT quantized-integer ground
+    // truth — the number that justifies paying the refine stage. On this
+    // fixture ADC alone recalls 0–0.2 while re-ranking a 50-of-500
+    // shortlist (10% of the corpus at full-vector cost) lifts it to
+    // 0.2–0.8 — the quantization error lives in the RANKING, not the
+    // candidate set, which is exactly what RefineFlat exploits. Every
+    // leg is replayed relationally, so the audit itself is hash-proven.
+    QueryDef(
+      "s35_refine_recall",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val probes = e.where(col("vec_id") < 5)
+        val qv = org.apache.spark.sql.graft.QuantOps
+        val exW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q")).orderBy(col("d2"), col("v"))
+        val exact = probes.select(col("vec_id").as("q"),
+            qv.quantize(col("embedding"), 64, 1000000L).as("qa"))
+          .crossJoin(e.select(col("vec_id").as("v"),
+            qv.quantize(col("embedding"), 64, 1000000L).as("qb")))
+          .where(col("q") =!= col("v"))
+          .withColumn("d2", qv.l2sq(col("qa"), col("qb")))
+          .withColumn("rank", row_number().over(exW))
+          .where(col("rank") <= 5)
+          .select(col("q"), col("v"))
+        val adc = Similarity.pqTopK(e, probes, k = 5, fitSampleRate = 0.5)
+          .select(col("q"), col("v"), lit(1).as("hit_a"))
+        val ref = Similarity.pqRefineTopK(e, probes, k = 5, kCand = 50,
+            fitSampleRate = 0.5)
+          .select(col("q"), col("v"), lit(1).as("hit_r"))
+        exact.join(adc, Seq("q", "v"), "left")
+          .join(ref, Seq("q", "v"), "left")
+          .groupBy(col("q"))
+          .agg((sum(coalesce(col("hit_a"), lit(0))) / 5.0).as("recall_adc"),
+            (sum(coalesce(col("hit_r"), lit(0))) / 5.0).as("recall_refined"))
+          .orderBy(col("q"))
+      },
+      Some {
+        val fits = (0 until 4).map(i =>
+          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
+            subDims = 16, offset = i * 16, sfx = s"_$i",
+            fitWhere = duckSampleWhere(0.5))).mkString(",\n")
+        val qds = (0 until 4).map(i =>
+          s"""qd$i AS (
+             |  SELECT q.vec_id, c.cl, CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS d
+             |  FROM q_$i q JOIN c1_$i c ON q.dim = c.dim
+             |  WHERE q.vec_id < 5 GROUP BY 1, 2)""".stripMargin).mkString(",\n")
+        s"""WITH $fits,
+           |codes AS (
+           |  SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+           |         a2.cluster AS k2, a3.cluster AS k3
+           |  FROM af_0 a0 JOIN af_1 a1 USING (vec_id)
+           |       JOIN af_2 a2 USING (vec_id) JOIN af_3 a3 USING (vec_id)),
+           |$qds,
+           |scored AS (
+           |  SELECT d0.vec_id AS q, v.vec_id AS v,
+           |         d0.d + d1.d + d2.d + d3.d AS adc
+           |  FROM codes v
+           |  JOIN qd0 d0 ON d0.cl = v.k0
+           |  JOIN qd1 d1 ON d1.cl = v.k1 AND d1.vec_id = d0.vec_id
+           |  JOIN qd2 d2 ON d2.cl = v.k2 AND d2.vec_id = d0.vec_id
+           |  JOIN qd3 d3 ON d3.cl = v.k3 AND d3.vec_id = d0.vec_id
+           |  WHERE v.vec_id <> d0.vec_id),
+           |ranked AS (
+           |  SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY adc, v) AS rank
+           |  FROM scored),
+           |adc5 AS (SELECT q, v FROM ranked WHERE rank <= 5),
+           |sl AS (SELECT q, v FROM ranked WHERE rank <= 50),
+           |qfull AS (
+           |  SELECT e.vec_id, r.dim,
+           |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           |  FROM embeddings e, range(1, 65) r(dim)),
+           |refd AS (
+           |  SELECT s.q, s.v, SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+           |  FROM sl s JOIN qfull a ON a.vec_id = s.q
+           |  JOIN qfull b ON b.vec_id = s.v AND b.dim = a.dim
+           |  GROUP BY 1, 2),
+           |ref5 AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rank
+           |    FROM refd) WHERE rank <= 5),
+           |ex AS (
+           |  SELECT a.vec_id AS q, b.vec_id AS v,
+           |         SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+           |  JOIN qfull qa ON qa.vec_id = a.vec_id
+           |  JOIN qfull qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+           |  GROUP BY 1, 2),
+           |exact AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rank
+           |    FROM ex) WHERE rank <= 5)
+           |SELECT e.q,
+           |       SUM(CASE WHEN a.v IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall_adc,
+           |       SUM(CASE WHEN r.v IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall_refined
+           |FROM exact e
+           |LEFT JOIN adc5 a ON a.q = e.q AND a.v = e.v
+           |LEFT JOIN ref5 r ON r.q = e.q AND r.v = e.v
+           |GROUP BY e.q ORDER BY e.q""".stripMargin
+      }),
+
     // IVF-FLAT over DETERMINISTIC integer-k-means cells: each query probes
     // its 2 nearest cells (exact integer center distances) and scores only
     // those cells' vectors with the exact cosine — the cluster-pruned scan
