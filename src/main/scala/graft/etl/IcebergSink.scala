@@ -2045,7 +2045,12 @@ object IcebergSink {
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     if (threshold <= 0) df
     else tableStats(spark, table, snapshotId) match {
-      case Some(st) if st.rowCount * estimateRowBytes(df.schema) <= threshold =>
+      // divide instead of multiply: a huge/corrupt rowCount would overflow
+      // the product negative and pass `<= threshold`, broadcasting an
+      // enormous table — the one direction this hint must never err.
+      // estimateRowBytes >= 8 (the +8 floor), so the division is safe.
+      case Some(st) if st.rowCount >= 0 &&
+          st.rowCount <= threshold / estimateRowBytes(df.schema) =>
         org.apache.spark.sql.functions.broadcast(df)
       case _ => df
     }

@@ -100,6 +100,11 @@ object Puffin {
     val payloadSize = tail.getInt()
     val flags = tail.getInt()
     require((flags & 1) == 0, "compressed Puffin footer payload unsupported")
+    // range-check BEFORE dereferencing: a corrupt/negative size must fail
+    // with this diagnostic, not an ArrayIndexOutOfBoundsException inside
+    // magicAt. 20 = head magic (4) + footer magic (4) + tail (12).
+    require(payloadSize >= 0 && payloadSize <= bytes.length - 20,
+      s"bad Puffin footer payload size $payloadSize (file ${bytes.length}B)")
     val payloadStart = bytes.length - 12 - payloadSize
     require(payloadStart >= 8 && magicAt(payloadStart - 4),
       "bad Puffin footer magic")
@@ -108,7 +113,11 @@ object Puffin {
     val blobs = meta.path("blobs").elements().asScala.map { n =>
       val off = n.path("offset").asLong()
       val len = n.path("length").asLong()
-      require(off >= 4 && off + len <= payloadStart - 4,
+      // len >= 0 and off <= Int.MaxValue first, so off + len cannot
+      // overflow before the region check; in-memory Puffin caps at 2GB
+      // (Array[Byte]), so Int casts below are then exact
+      require(off >= 4 && len >= 0 && off <= Int.MaxValue &&
+          len <= Int.MaxValue && off + len <= payloadStart - 4,
         s"blob [$off,+$len] outside data region")
       Blob(
         n.path("type").asText(),

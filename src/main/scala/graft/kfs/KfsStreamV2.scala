@@ -2,7 +2,8 @@ package graft.kfs
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+  MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl,
+  SupportsTriggerAvailableNow}
 
 import graft.gov.Guardrails
 
@@ -31,13 +32,25 @@ import graft.gov.Guardrails
   * The per-trigger selection round-robins across (topic, partition) so a
   * hot partition cannot starve the others.
   *
+  * `Trigger.AvailableNow` drains implement [[SupportsTriggerAvailableNow]]
+  * so the SAME admission envelope meters a bounded backfill: without it,
+  * Spark wraps the source in a single-batch fallback that silently ignores
+  * the read limit — at estate scale that is the exact unbounded batch the
+  * cap exists to prevent. `prepareForTriggerAvailableNow` freezes one
+  * listing and a per-partition offset fence; every subsequent trigger
+  * selects from that frozen listing (segments are immutable, so the
+  * listing cannot go stale within the fence), and the drain terminates
+  * when the fence is reached — segments produced after prepare belong to
+  * the next run.
+  *
   * `spark.readStream.format("kfs").option("path", root).load()`
   */
 class KfsMicroBatchStream(
     scan: KfsScan, maxSegsPerTrigger: Option[Int], rails: Guardrails,
     fieldNames: Array[String], conf: SerializableHadoopConf,
     allowCompressed: Boolean = false)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def tpKey(r: KfsLayout.SegmentRef): String =
     r.topic + "/" + r.partition
@@ -50,6 +63,22 @@ class KfsMicroBatchStream(
     * trigger anyway. */
   @volatile private var lastListing: Seq[KfsLayout.SegmentRef] = Nil
 
+  /** AvailableNow fence: per-(topic/partition) next-record-offset captured
+    * at prepare time. While set, triggers select only from the frozen
+    * prepare-time listing and the drain ends when every partition reaches
+    * its fence. None under ProcessingTime/Once triggers. */
+  @volatile private var availableNowFence: Option[Map[String, Long]] = None
+  @volatile private var frozenListing: Seq[KfsLayout.SegmentRef] = Nil
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val listing = scan.listPruned()
+    frozenListing = listing
+    availableNowFence = Some(
+      listing.groupBy(tpKey).map { case (k, refs) =>
+        k -> (refs.map(_.lastOffset).max + 1)
+      })
+  }
+
   override def initialOffset(): Offset = KfsStreamOffset(Map.empty)
 
   override def getDefaultReadLimit: ReadLimit =
@@ -61,10 +90,20 @@ class KfsMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[KfsStreamOffset].next
-    val listing = scan.listPruned()
+    // under an AvailableNow fence, reuse the prepare-time listing: no
+    // per-trigger relisting IO during the drain, and segments landing
+    // after prepare stay out of this run by construction
+    val listing = availableNowFence match {
+      case Some(_) => frozenListing
+      case None => scan.listPruned()
+    }
     lastListing = listing
     val fresh = listing
-      .filter(r => r.baseOffset >= startMap.getOrElse(tpKey(r), 0L))
+      .filter { r =>
+        r.baseOffset >= startMap.getOrElse(tpKey(r), 0L) &&
+          availableNowFence.forall(f =>
+            r.lastOffset < f.getOrElse(tpKey(r), Long.MinValue))
+      }
     val cap = limit match {
       case mf: ReadMaxFiles => mf.maxFiles()
       case _ => Int.MaxValue
@@ -89,6 +128,13 @@ class KfsMicroBatchStream(
     }
     KfsStreamOffset(next)
   }
+
+  /** Under AvailableNow, the fence is the known latest offset — Spark
+    * surfaces it in progress reporting and uses it to decide the drain is
+    * done. Outside a fence we keep the default (null = unknown) rather
+    * than pay a listing just for the progress line. */
+  override def reportLatestOffset(): Offset =
+    availableNowFence.map(KfsStreamOffset(_)).orNull
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KfsStreamOffset].next

@@ -69,26 +69,24 @@ object TopicConfigs {
           : Boolean = size() > 10000
     }
 
-  // per-key eviction generation: memoEvict bumps it, and a loader may only
-  // publish if the generation it observed at start is still current. Plain
-  // removal is not enough — an in-flight loader that observed seen=None
-  // would republish the dead/old topic's config right after the evict
-  // (drop/rename would then serve stale overrides for up to the TTL).
-  // Bounded the same way as fetchMemo (LRU cap).
-  private val evictGen =
-    new java.util.LinkedHashMap[(String, String), java.lang.Long](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean =
-        size() > 10000
-    }
+  // global eviction stamp: memoEvict bumps it, and a loader may only
+  // publish if NO evict (for any key) intervened since it observed the
+  // memo. Plain removal is not enough — an in-flight loader that observed
+  // seen=None would republish the dead/old topic's config right after the
+  // evict (drop/rename would then serve stale overrides for up to the
+  // TTL). A single global counter instead of a per-key map: a bounded
+  // per-key map reintroduces the race when the key's generation entry is
+  // LRU-evicted mid-load (gen reads None both times), and an unbounded one
+  // leaks. Discarding a publish on ANY concurrent evict is conservative —
+  // the load still returns correct data, it just skips the memo — and
+  // config mutations (topic DDL) are rare enough that the false-discard
+  // rate is noise.
+  private val evictStamp = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[kfs] def memoEvict(root: String, topic: String): Unit =
     fetchMemo.synchronized {
-      val key = (root, topic)
-      fetchMemo.remove(key)
-      evictGen.put(key,
-        Long.box(Option(evictGen.get(key)).map(_.longValue + 1).getOrElse(1L)))
+      fetchMemo.remove((root, topic))
+      evictStamp.incrementAndGet()
       ()
     }
 
@@ -96,8 +94,8 @@ object TopicConfigs {
       : Map[String, Long] = {
     val key = (root, topic)
     val now = System.currentTimeMillis()
-    val (seen, genAtStart) = fetchMemo.synchronized(
-      (Option(fetchMemo.get(key)), Option(evictGen.get(key))))
+    val (seen, stampAtStart) = fetchMemo.synchronized(
+      (Option(fetchMemo.get(key)), evictStamp.get()))
     seen match {
       case Some(hit) if !fresh && now - hit._1 < fetchTtlMs => return hit._2
       case _ =>
@@ -123,7 +121,7 @@ object TopicConfigs {
       // memoEvict intervened: if a writer (alter/drop/rename) acted, its
       // view wins and this load's publish is discarded
       if (Option(fetchMemo.get(key)) == seen &&
-          Option(evictGen.get(key)) == genAtStart)
+          evictStamp.get() == stampAtStart)
         fetchMemo.put(key, (now, loaded))
     }
     loaded

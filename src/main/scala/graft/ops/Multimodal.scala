@@ -702,8 +702,9 @@ object Multimodal {
   /** Image-text PAIR dedup (the LAION-style curation step): the same image
     * crawls in under many alt-texts; near-dup image clusters (perceptual-
     * hash pairs → connected components) collapse to ONE pair each, keeping
-    * the member with the LONGEST caption (ties to the smallest id) — the
-    * alt-text most worth training on. Docs whose image matches nothing
+    * the member with the LONGEST caption (ties to the smallest id, under
+    * the id column's natural ordering — numeric or string ids both work) —
+    * the alt-text most worth training on. Docs whose image matches nothing
     * form their own cluster and survive untouched.
     *
     * One struct-max hash aggregate picks every keeper — no window, no
@@ -717,10 +718,14 @@ object Multimodal {
       .join(broadcast(cc), Seq("node"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("node")))
       .groupBy(col("cluster"))
+      // min over (-cap_len, node): largest caption wins, ties to the
+      // smallest node under its own ordering. cap_len is a length() —
+      // always >= 0 — so the negation cannot overflow, and node is never
+      // negated, so string ids are fine.
       .agg(count(lit(1)).as("n_members"),
-        max(struct(col("cap_len"), (-col("node")).as("negid"))).as("_best"))
+        min(struct((-col("cap_len")).as("neg_cap"), col("node"))).as("_best"))
       .select(col("cluster"), col("n_members"),
-        (-col("_best.negid")).as("keeper"),
-        col("_best.cap_len").as("keeper_cap_len"))
+        col("_best.node").as("keeper"),
+        (-col("_best.neg_cap")).as("keeper_cap_len"))
   }
 }

@@ -585,6 +585,9 @@ object OpsPack extends QueryPack {
             qv.quantize(col("embedding"), 64, 1000000L).as("qb")))
           .where(col("q") =!= col("v"))
           .withColumn("d2", qv.l2sq(col("qa"), col("qb")))
+          // same mandatory guard as pqRefineTopK: ascending NULLS FIRST
+          // would crown a malformed/overflowed vector the nearest neighbor
+          .where(col("d2").isNotNull)
           .withColumn("rank", row_number().over(exW))
           .where(col("rank") <= 5)
           .select(col("q"), col("v"))

@@ -95,6 +95,73 @@ class KfsStreamV2Spec extends AnyFunSuite {
       org.apache.spark.sql.connector.read.streaming.ReadMaxFiles])
   }
 
+  test("Trigger.AvailableNow drains under admission control (multi-batch, capped)") {
+    // Without SupportsTriggerAvailableNow, Spark falls back to a single
+    // unbounded batch that silently ignores max_segments_per_trigger — at
+    // estate scale, exactly the failure admission control exists to
+    // prevent. This drives a real AvailableNow drain and asserts the cap
+    // held per micro-batch.
+    val root = Files.createTempDirectory("kfs_avail_now").toString
+    (0 until 5).foreach(i =>
+      KfsLayout.writeSegment(root, "t", 0, mkRecords(10, baseOffset = i * 10L)))
+
+    val q = spark.readStream.format("kfs").option("path", root)
+      .option("max_segments_per_trigger", "2").load()
+      .select(col("_offset"))
+      .writeStream.format("memory").queryName("kfs_avail_now")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow drain did not terminate")
+      val rows = spark.table("kfs_avail_now")
+      assert(rows.count() == 50)
+      assert(rows.distinct().count() == 50)
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length >= 3,
+        s"expected >=3 metered micro-batches (5 segments / cap 2), got ${batches.mkString(",")}")
+      assert(batches.forall(_ <= 20),
+        s"a batch exceeded the 2-segment admission cap: ${batches.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("AvailableNow fence: segments landing after prepare belong to the next run") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = Files.createTempDirectory("kfs_avail_fence").toString
+    KfsLayout.writeSegment(root, "t", 0, mkRecords(10))
+    KfsLayout.writeSegment(root, "t", 0, mkRecords(10, baseOffset = 10))
+
+    val scan = new graft.kfs.KfsScan(root, None, None, None, None, None, None,
+      graft.gov.Guardrails(), Some(1), graft.kfs.KfsV2.Schema,
+      new graft.kfs.SerializableHadoopConf(graft.kfs.KfsLayout.hadoopConf))
+    val stream = scan.toMicroBatchStream("unused")
+      .asInstanceOf[graft.kfs.KfsMicroBatchStream]
+    stream.prepareForTriggerAvailableNow()
+
+    // a segment lands mid-drain: it must NOT be admitted into this run
+    KfsLayout.writeSegment(root, "t", 0, mkRecords(10, baseOffset = 20))
+    graft.kfs.KfsLayout.invalidateDiscoveryCache(root)
+
+    var cur = stream.initialOffset()
+    var steps = 0
+    var advanced = true
+    while (advanced && steps < 10) {
+      val next = stream.latestOffset(cur, ReadLimit.maxFiles(1))
+      advanced = next != cur
+      if (advanced) {
+        // each metered step admits exactly one segment
+        assert(stream.planInputPartitions(cur, next).length == 1)
+        cur = next
+      }
+      steps += 1
+    }
+    // the drain stops AT the fence (offset 20), not at the new tail (30)
+    assert(cur.asInstanceOf[KfsStreamOffset].next == Map("t/0" -> 20L))
+    // and the fence is what progress reporting sees as "latest"
+    assert(stream.reportLatestOffset()
+      .asInstanceOf[KfsStreamOffset].next == Map("t/0" -> 20L))
+  }
+
   test("restart from checkpoint resumes after consumed segments") {
     val root = Files.createTempDirectory("kfs_stream_ckpt").toString
     val ckpt = Files.createTempDirectory("kfs_stream_ckpt_wal").toString
