@@ -187,7 +187,98 @@ object KfsLayout {
   def invalidateDiscoveryCache(root: String): Unit = {
     val it = discoveryCache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(s"$root|")) it.remove()
+    val it2 = logStartCache.keySet().iterator()
+    while (it2.hasNext) if (it2.next().startsWith(s"$root|")) it2.remove()
+    val it3 = logStartTopicsCache.keySet().iterator()
+    while (it3.hasNext) if (it3.next().startsWith(s"$root|")) it3.remove()
   }
+
+  // ---- log start offsets (DeleteRecords horizon) -------------------------
+
+  /** Per-partition LOG START OFFSETS — the Kafka DeleteRecords horizon:
+    * records with `offset < logStart(partition)` are LOGICALLY deleted even
+    * when their segment straddles the horizon (whole segments below it are
+    * physically deleted by [[KfsRetention.deleteRecords]]). One small JSON
+    * per topic, atomic-rename published like manifests, TTL-memoized like
+    * discovery. The file is absent for topics never touched by
+    * DeleteRecords — the common case pays one negative glob per root per
+    * TTL window, nothing per topic. */
+  def logStartPath(root: String, topic: String): HPath =
+    new HPath(new HPath(root, topic), "logstart.json")
+
+  def writeLogStarts(root: String, topic: String,
+      starts: Map[Int, Long]): Unit = {
+    val entries = starts.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString(",")
+    val p = logStartPath(root, topic)
+    val fs = fsFor(p)
+    fs.mkdirs(p.getParent)
+    val stagingDir = new HPath(root.stripSuffix("/") + "_staging")
+    fs.mkdirs(stagingDir)
+    val tmp = new HPath(stagingDir,
+      s"$topic-logstart.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"{$entries}".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"cannot publish log starts $p")
+    }
+    invalidateDiscoveryCache(root)
+  }
+
+  private val logStartCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[Int, Long])]()
+  private val LogStartEntry = "\"(\\d+)\"\\s*:\\s*(\\d+)".r
+
+  def readLogStarts(root: String, topic: String,
+      fresh: Boolean = false): Map[Int, Long] = {
+    val key = s"$root|logstart|$topic"
+    val now = System.currentTimeMillis()
+    if (!fresh) {
+      val hit = logStartCache.get(key)
+      if (hit != null && now - hit._1 <= discoveryTtlMs) return hit._2
+    }
+    val p = logStartPath(root, topic)
+    val fs = fsFor(p)
+    val loaded =
+      if (!fs.exists(p)) Map.empty[Int, Long]
+      else {
+        val in = fs.open(p)
+        val json =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+        LogStartEntry.findAllMatchIn(json)
+          .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+      }
+    logStartCache.put(key, (now, loaded))
+    loaded
+  }
+
+  /** Topics under `root` that carry a DeleteRecords horizon — ONE glob per
+    * root per TTL window, so topics without one cost nothing per query.
+    * Scans use this to read logstart files only where they exist, and the
+    * metadata-aggregate pushdown uses it as its veto probe. */
+  def topicsWithLogStarts(root: String): Set[String] = {
+    val key = s"$root|logstart-topics|"
+    val now = System.currentTimeMillis()
+    val hit = logStartTopicsCache.get(key)
+    if (hit != null && now - hit._1 <= discoveryTtlMs) return hit._2
+    val fs = fsFor(new HPath(root))
+    val found =
+      try fs.globStatus(new HPath(root, "*/logstart.json")) match {
+        case null => Set.empty[String]
+        case arr => arr.map(_.getPath.getParent.getName).toSet
+      }
+      catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+    logStartTopicsCache.put(key, (now, found))
+    found
+  }
+
+  private val logStartTopicsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
 
   // ---- discovery --------------------------------------------------------
 

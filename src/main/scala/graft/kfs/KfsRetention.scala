@@ -45,6 +45,68 @@ object KfsRetention {
       rs.partition(r => keepSet(r.baseOffset))
     })
 
+  /** Kafka `DeleteRecords` — the data half (the reference broker reports
+    * `LogStartOffset: 0` but never serves the API, `cmd/broker/main.go:407`;
+    * this is the superset): per partition, advance the log start offset to
+    * `target`. Whole segments below the horizon are physically deleted
+    * (manifest flips first, same crash ordering as [[enforce]]); the
+    * straddling segment SURVIVES WHOLE and readers trim its sub-horizon
+    * records via the persisted horizon ([[KfsLayout.writeLogStarts]]) —
+    * record-exact deletion without rewriting a byte of data, exactly
+    * Kafka's `UnifiedLog.maybeIncrementLogStartOffset` + async segment
+    * delete. Monotonic (a target at or below the current horizon is a
+    * no-op) and capped at the log end (Kafka's OFFSET_OUT_OF_RANGE guard,
+    * relaxed to a clamp). The horizon publishes BEFORE any file delete,
+    * so a crash mid-delete leaves only logically-invisible segments that
+    * a re-run reclaims.
+    *
+    * Plan-path consequences, all handled in [[KfsV2]]: segments wholly
+    * below the horizon never plan; the straddler plans with a per-task
+    * `minOffset` the reader enforces (batch-granular seek + record trim);
+    * pushed-limit / top-N covering arithmetic counts the straddler as its
+    * trimmed size; metadata-only aggregate pushdown is VETOED for topics
+    * carrying a horizon (a trimmed segment's min-ts is unknowable from
+    * flush-time stats). */
+  def deleteRecords(root: String, topic: String,
+      targets: Map[Int, Long]): Result = {
+    val existing = KfsLayout.readLogStarts(root, topic, fresh = true)
+    val refs = KfsLayout.listCompleted(root, Some(Set(topic)))
+    val merged = collection.mutable.Map[Int, Long](existing.toSeq: _*)
+    val toDrop = collection.mutable.Map[Int,
+      (Seq[KfsLayout.SegmentRef], Seq[KfsLayout.SegmentRef])]()
+    targets.foreach { case (partition, rawTarget) =>
+      val rs = refs.filter(_.partition == partition)
+      val logEnd = if (rs.isEmpty) 0L else rs.map(_.lastOffset).max + 1
+      val target = math.max(0L, math.min(rawTarget, logEnd))
+      if (target > merged.getOrElse(partition, 0L)) {
+        merged(partition) = target
+        toDrop(partition) = rs.partition(_.lastOffset >= target)
+      }
+    }
+    if (merged != existing) KfsLayout.writeLogStarts(root, topic, merged.toMap)
+    var kept = 0
+    var deleted = 0
+    var bytes = 0L
+    toDrop.foreach { case (partition, (keep, drop)) =>
+      if (drop.nonEmpty) {
+        KfsLayout.writeManifest(root, topic, partition,
+          keep.sortBy(_.baseOffset))
+        drop.foreach { r =>
+          val p = new HPath(r.path)
+          val fs = p.getFileSystem(KfsLayout.hadoopConf)
+          fs.delete(p, false)
+          fs.delete(new HPath(r.path + ".kfst"), false)
+          fs.delete(new HPath(r.path + ".kfsb"), false)
+          bytes += r.sizeBytes
+        }
+      }
+      kept += keep.size
+      deleted += drop.size
+    }
+    KfsLayout.invalidateDiscoveryCache(root)
+    Result(kept, deleted, bytes)
+  }
+
   private def enforceWith(root: String, topic: String,
       split: Seq[KfsLayout.SegmentRef] =>
         (Seq[KfsLayout.SegmentRef], Seq[KfsLayout.SegmentRef])): Result = {

@@ -68,6 +68,49 @@ object KfsSeed {
     root
   }
 
+  /** [[seededDocsRoot]] plus RE-CRAWLS: after the full corpus, every doc
+    * with doc_id % 5 == 0 is re-sent VERBATIM at a later offset and later
+    * timestamp — the duplicate shape of a crawler retry / mirror post /
+    * at-least-once producer. Streaming exact dedup must collapse each
+    * re-send onto its original; the distinct-content set is unchanged,
+    * which is what makes the stream oracle-checkable against the plain
+    * documents table. */
+  def seededRecrawlDocsRoot(spark: SparkSession, sfDir: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = s"/tmp/graft_kfs_docs_recrawl/v1/$sfName"
+    this.synchronized {
+      val marker = Paths.get(root, "_SEEDED")
+      if (!Files.exists(marker)) {
+        val rows = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+          .collect()
+          .sortBy(_.getAs[Long]("doc_id"))
+        def rec(offset: Long, id: Long, text: String) = KfsCodec.Record(
+          offset = offset,
+          timestampMs = 1700000000000L + offset,
+          key = id.toString.getBytes("UTF-8"),
+          value = text.getBytes("UTF-8"),
+          headers = Seq.empty)
+        val maxId = rows.map(_.getAs[Long]("doc_id")).max
+        val originals = rows.map(r =>
+          rec(r.getAs[Long]("doc_id"), r.getAs[Long]("doc_id"),
+            r.getAs[String]("text")))
+        val resends = rows.filter(_.getAs[Long]("doc_id") % 5 == 0)
+          .zipWithIndex.map { case (r, i) =>
+            rec(maxId + 1 + i, r.getAs[Long]("doc_id"),
+              r.getAs[String]("text"))
+          }
+        val refs = (originals ++ resends).grouped(250).map { group =>
+          KfsLayout.writeSegment(root, "docs", 0, group.toSeq)
+        }.toSeq
+        KfsLayout.writeManifest(root, "docs", 0, refs)
+        Files.createDirectories(marker.getParent)
+        Files.write(marker, Array.emptyByteArray)
+      }
+    }
+    root
+  }
+
   private def seed(spark: SparkSession, sfDir: String, root: String): Unit = {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts_ms"), col("user_id"),

@@ -149,7 +149,7 @@ class KfsMicroBatchStream(
       }
       .sortBy(r => (r.topic, r.partition, r.baseOffset))
       .map(r => KfsInputPartition(r.topic, r.partition, r.path,
-        r.sizeBytes): InputPartition)
+        r.sizeBytes, scan.minOffsetFor(r)): InputPartition)
       .toArray
   }
 

@@ -233,7 +233,18 @@ class KfsScanBuilder(root: String, options: Map[String, String])
       case m: Max => refName(m.column).exists(n => n == "_offset" || n == "_ts_ms")
       case _ => false
     }
-    noRangeRestriction && groupsOk && aggsOk &&
+    // DeleteRecords horizon veto: a trimmed straddling segment's min-ts is
+    // unknowable from flush-time stats and its count is no longer
+    // last-base+1 — a topic carrying a horizon answers aggregates by
+    // scanning (readers trim exactly). One TTL-memoized glob per root; the
+    // option-restricted topic set narrows the veto to topics actually read.
+    val horizonFree = {
+      val withHorizon = KfsLayout.topicsWithLogStarts(root)
+      withHorizon.isEmpty ||
+        options.get("topics").exists(
+          _.split(',').toSet.intersect(withHorizon).isEmpty)
+    }
+    noRangeRestriction && groupsOk && aggsOk && horizonFree &&
       agg.aggregateExpressions.nonEmpty
   }
 
@@ -388,13 +399,40 @@ class KfsScan(
       case (a, b) => b.orElse(a)
     }
 
+  /** DeleteRecords horizons for the topics this scan touches — read only
+    * for topics the one-glob-per-root probe says carry one (zero cost for
+    * untouched topics). Refreshed with each listing; [[minOffsetFor]]
+    * serves the per-task record trim from the same snapshot. */
+  @volatile private var logStarts: Map[(String, Int), Long] = Map.empty
+
+  private[kfs] def minOffsetFor(r: KfsLayout.SegmentRef): Long =
+    logStarts.getOrElse((r.topic, r.partition), 0L)
+
+  /** Rows a segment contributes AFTER the horizon trim — the dense-offset
+    * count every limit/top-N covering computation must use, or a trimmed
+    * straddler would over-claim and the prefix under-plan. */
+  private def rowsOf(s: KfsLayout.SegmentRef): Long =
+    s.lastOffset - math.max(s.baseOffset, minOffsetFor(s)) + 1
+
   /** Fresh pruned listing — called once per batch plan, and once per
     * micro-batch trigger by the streaming side (segments are immutable and
-    * append-only, so re-listing is the only way new data appears). */
-  private[kfs] def listPruned(): Seq[KfsLayout.SegmentRef] =
-    KfsLayout.prune(
+    * append-only, so re-listing is the only way new data appears).
+    * Segments wholly below a DeleteRecords horizon never plan. */
+  private[kfs] def listPruned(): Seq[KfsLayout.SegmentRef] = {
+    val listed = KfsLayout.prune(
       KfsLayout.listCompleted(root, topics, effectivePartitions),
       offMin, offMax, tsMin, tsMax)
+    val horizonTopics = KfsLayout.topicsWithLogStarts(root)
+    val ls =
+      if (horizonTopics.isEmpty) Map.empty[(String, Int), Long]
+      else listed.iterator.map(_.topic).toSet.intersect(horizonTopics)
+        .flatMap { t =>
+          KfsLayout.readLogStarts(root, t).map { case (p, o) => ((t, p), o) }
+        }.toMap
+    logStarts = ls
+    if (ls.isEmpty) listed
+    else listed.filter(r => r.lastOffset >= minOffsetFor(r))
+  }
 
   private def refs: Seq[KfsLayout.SegmentRef] = {
     var r = cachedRefs
@@ -424,7 +462,11 @@ class KfsScan(
         def bounds(s: KfsLayout.SegmentRef, key: String): (Long, Long) =
           key match {
             case "_partition" => (s.partition.toLong, s.partition.toLong)
-            case "_offset" => (s.baseOffset, s.lastOffset)
+            // lo respects the DeleteRecords horizon (trimmed records can't
+            // rank); a straddler's ts lo stays the flush-time min — looser
+            // bound → superset kept → still exact above
+            case "_offset" =>
+              (math.max(s.baseOffset, minOffsetFor(s)), s.lastOffset)
             case _ => (s.minTsMs, s.maxTsMs)
           }
         // per-key best/worst, direction-normalized: for a descending key
@@ -454,7 +496,7 @@ class KfsScan(
         val it = ranked.iterator
         while (cum < n && it.hasNext) {
           val s = it.next()
-          cum += s.lastOffset - s.baseOffset + 1
+          cum += rowsOf(s)
           val w = worst(s)
           if (theta == null || !leq(w, theta)) theta = w
         }
@@ -477,7 +519,7 @@ class KfsScan(
         while (remaining > 0 && it.hasNext) {
           val s = it.next()
           b += s
-          remaining -= (s.lastOffset - s.baseOffset + 1)
+          remaining -= rowsOf(s)
         }
         b.result()
       case _ => r
@@ -599,7 +641,7 @@ class KfsScan(
       val r = refs
       lastPlannedSegments = r.size
       r.map(x => KfsInputPartition(x.topic, x.partition, x.path,
-        x.sizeBytes): InputPartition).toArray
+        x.sizeBytes, minOffsetFor(x)): InputPartition).toArray
   }
 
   /** Exact aggregates from segment stats: min/max come from the flush-time
@@ -642,9 +684,12 @@ class KfsScan(
 }
 
 /** `sizeBytes` rides along from discovery so the reader needs zero metadata
-  * RPCs — one open, one sequential read per task. */
+  * RPCs — one open, one sequential read per task. `minOffset` is the
+  * DeleteRecords horizon for the segment's partition (0 = none): the
+  * reader folds it into its batch-granular bounds, so sub-horizon record
+  * batches seek past un-decoded and sub-horizon records never emit. */
 case class KfsInputPartition(topic: String, partition: Int, path: String,
-    sizeBytes: Long)
+    sizeBytes: Long, minOffset: Long = 0L)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** Key for storage-partitioned grouping — matches the
@@ -677,7 +722,15 @@ class KfsReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KfsInputPartition]
-    new KfsPartitionReader(kp, fieldNames, conf, limit, bounds, allowCompressed)
+    // fold the partition's DeleteRecords horizon into the batch bounds:
+    // sub-horizon batches seek past, sub-horizon records never qualify
+    val effBounds =
+      if (kp.minOffset <= 0L) bounds
+      else Some(bounds.getOrElse(KfsCodec.BatchBounds(None, None, None, None)))
+        .map(b => b.copy(offMin =
+          Some(b.offMin.fold(kp.minOffset)(math.max(_, kp.minOffset)))))
+    new KfsPartitionReader(kp, fieldNames, conf, limit, effBounds,
+      allowCompressed)
   }
 }
 

@@ -140,6 +140,57 @@ object Dedup {
     }
   }
 
+  /** Bloom-prefiltered decontamination: flag corpus documents whose
+    * distinct n-grams hit a Bloom filter built over the probe set's
+    * n-grams at least `minHits` times. The 100 TB form of [[contamination]]
+    * for a LARGE probe side: d8 broadcasts the benchmark n-grams raw,
+    * which stops working when the held-out suite is itself millions of
+    * documents — the Bloom compresses the probe set ~50–100× into a
+    * ≤ mBits/32-row bitmap ([[Sketches.bloomBuild]]) that always
+    * broadcasts.
+    *
+    * Plan shape: the corpus gram stream gets k (word, mask) probe columns,
+    * then k broadcast-hash left joins against the bitmap — every join is
+    * map-side, the corpus NEVER shuffles on the gram; the only exchange is
+    * the final per-doc count combine. A gram "hits" iff all k bits are
+    * set, so a flagged doc is contaminated up to the filter's
+    * false-positive rate ((1−e^(−k·n/mBits))^k per gram) and a clean doc
+    * is PROVABLY clean — Bloom filters have no false negatives, which is
+    * the direction decontamination must never err. Feed flagged docs to
+    * [[contamination]] for exact confirmation when the FPR matters.
+    *
+    * Returns (doc, n_grams, bloom_hits) for docs with
+    * bloom_hits >= minHits. */
+  def bloomContamination(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, mBits: Int = 1 << 16, k: Int = 4,
+      minHits: Long = 5): DataFrame = {
+    val p = shinglesAuto(probes, idCol, textCol, n).select(col("sh")).distinct()
+    val bloom = Sketches.bloomBuild(p, col("sh"), mBits, k)
+    val grams = shinglesAuto(corpus, idCol, textCol, n)
+    val withPos = grams.select(
+      col("doc") +: (0 until k).map { j =>
+        pmod(Sketches.hash60(col("sh"), salt = s"$j|"), lit(mBits.toLong))
+          .cast("int").as(s"p$j")
+      }: _*)
+      .select(
+        col("doc") +: (0 until k).flatMap(j => Seq(
+          shiftright(col(s"p$j"), 5).cast("long").as(s"w$j"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), p$j & 31)").as(s"m$j"))): _*)
+    val joined = (0 until k).foldLeft(withPos) { (df, j) =>
+      df.join(
+        org.apache.spark.sql.functions.broadcast(
+          bloom.select(col("word").as(s"w$j"), col("bits").as(s"b$j"))),
+        Seq(s"w$j"), "left")
+    }
+    val hit = (0 until k).map(j =>
+      coalesce(col(s"b$j").bitwiseAND(col(s"m$j")) === col(s"m$j"), lit(false)))
+      .reduce(_ && _)
+    joined.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(hit, 1L).otherwise(0L)).as("bloom_hits"))
+      .where(col("bloom_hits") >= minHits)
+  }
+
   /** Exact duplicate groups by content hash (optionally normalized). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String,
       normalized: Boolean = true): DataFrame = {

@@ -75,4 +75,50 @@ object QualityRules {
     sums.selectExpr(s"stack(${names.size + 1}, $stackArgs) AS (rule, docs)")
       .orderBy(col("rule"))
   }
+
+  /** CALIBRATED quality gate: instead of a fixed threshold, find the score
+    * cutoff that retains (at least) a target fraction of the corpus — the
+    * way production pipelines tune a filter to a token budget ("keep the
+    * best 70%"), re-run per crawl as the score distribution drifts.
+    *
+    * Exact WITHOUT a global row sort — the 100 TB shape: scores are
+    * bounded integers (here 0..10000), so the calibration runs on the
+    * score HISTOGRAM (one map-side-combined aggregate, ≤ 10001 rows), a
+    * single-partition cumulative window over that tiny frame, and one
+    * broadcast of the 1-row cutoff back onto the corpus pass. Ranking
+    * rows (row_number over everything) would be a full sort of the
+    * corpus; the histogram is invariant to corpus size.
+    *
+    * Cutoff rule: the LARGEST score c with |{score >= c}| >= k,
+    * k = n·targetNum/targetDen (integer-exact) — keep-all-ties, so the
+    * achieved rate is >= target with minimal over-keep and no
+    * nondeterministic boundary row. Score: lexical diversity
+    * `distinct_tokens · 10000 div tokens` — integer division, replayable
+    * bit-exactly in any engine.
+    *
+    * Returns per-language audit rows (lang, n_docs, n_kept, threshold). */
+  def calibratedGate(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, targetNum: Int = 7, targetDen: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val scored = docs
+      .select(col(idCol).as("doc"), col(langCol).as("lang"),
+        (size(array_distinct(toks)).cast("long") * 10000L).as("_num"),
+        greatest(size(toks), lit(1)).cast("long").as("_den"))
+      .select(col("doc"), col("lang"), expr("_num DIV _den").as("score"))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+    // single-partition window: the histogram is <= 10001 rows by
+    // construction, never corpus-sized
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val cutoff = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(scored.agg(count(lit(1)).as("n")))
+      .where(col("cum") >= expr(s"n * $targetNum DIV $targetDen"))
+      .agg(max(col("score")).as("threshold"))
+    scored.crossJoin(broadcast(cutoff))
+      .groupBy(col("lang"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("threshold"))
+  }
 }

@@ -75,6 +75,32 @@ object Sketches {
   def kmvMerge(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
+  /** Bloom filter as a relational bitmap (Bloom 1970): rows
+    * (word, bits) where `word = pos / 32` and `bits` ORs `1 << (pos % 32)`
+    * over every inserted value's k positions, position_j =
+    * hash60(value, salt="j|") mod mBits. 32 bits per BIGINT word keeps
+    * every mask positive, so the build and probe replay bit-identically in
+    * any engine with 64-bit integers and md5 — no sign-extension or
+    * shift-overflow divergence.
+    *
+    * The table is ≤ mBits/32 rows REGARDLESS of the inserted set's size —
+    * that is the whole point: a contaminated-n-gram set too big to
+    * broadcast raw (d8's shape) compresses ~50–100× into bits and still
+    * broadcasts. Mergeable by construction: bit_or of two builds over the
+    * same (mBits, k) is the filter of the union. False-positive rate
+    * ≈ (1 − e^(−k·n/mBits))^k; never a false negative. */
+  def bloomBuild(values: DataFrame, value: Column, mBits: Int, k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32: $mBits")
+    val pos = (0 until k).map(j =>
+      pmod(hash60(value, salt = s"$j|"), lit(mBits.toLong)).cast("int"))
+    values.select(explode(array(pos: _*)).as("p"))
+      .select(shiftright(col("p"), 5).cast("long").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), p & 31)").as("m"))
+      .groupBy(col("word"))
+      .agg(bit_or(col("m")).as("bits"))
+  }
+
   /** Count-min grid over `token`: rows (j, bucket, cnt) for j in 0..d-1.
     * d·w cells total; map-side partial agg means the shuffle is O(d·w)
     * per task regardless of corpus size. */

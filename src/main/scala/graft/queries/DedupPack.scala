@@ -292,6 +292,51 @@ object DedupPack extends QueryPack {
            |GROUP BY 1, 2 HAVING count(*) >= 3
            |ORDER BY c_doc, p_doc""".stripMargin)),
 
+    // Bloom-prefiltered decontamination — d8's 100 TB form for a LARGE
+    // probe side: the benchmark n-grams compress into a 2048-row bitmap
+    // (65536 bits / 32 per word) that always broadcasts; the corpus gram
+    // stream takes k=4 map-side broadcast joins and one per-doc combine,
+    // never a gram shuffle. No false negatives by construction; the
+    // oracle replays the identical build + probe bit-for-bit.
+    QueryDef(
+      "d17_bloom_decontamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.bloomContamination(
+          docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+          "doc_id", "text", n = 3, mBits = 1 << 16, k = 4, minHits = 3)
+          .orderBy(col("doc"))
+      },
+      Some(
+        s"""WITH $shinglesCte,
+           |c AS (SELECT doc, sh FROM sh WHERE doc >= 10),
+           |p AS (SELECT DISTINCT sh FROM sh WHERE doc < 10),
+           |bpos AS (
+           |  SELECT DISTINCT
+           |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 15)
+           |         AS BIGINT) % 65536 AS pos
+           |  FROM p CROSS JOIN range(4) t(j)),
+           |bloom AS (
+           |  SELECT pos // 32 AS word,
+           |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+           |  FROM bpos GROUP BY 1),
+           |cpos AS (
+           |  SELECT c.doc, c.sh,
+           |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 15)
+           |         AS BIGINT) % 65536 AS pos
+           |  FROM c CROSS JOIN range(4) t(j)),
+           |gram AS (
+           |  SELECT doc, sh,
+           |         count(*) FILTER (
+           |           WHERE ((bits >> CAST(pos % 32 AS INT)) & 1) = 1) AS setbits
+           |  FROM cpos LEFT JOIN bloom ON cpos.pos // 32 = bloom.word
+           |  GROUP BY doc, sh)
+           |SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(count(*) FILTER (WHERE setbits = 4) AS BIGINT) AS bloom_hits
+           |FROM gram GROUP BY doc
+           |HAVING count(*) FILTER (WHERE setbits = 4) >= 3
+           |ORDER BY doc""".stripMargin)),
+
     // Inter-document span dedup (the Falcon/RefinedWeb line-dedup stage;
     // spans = consecutive 8-word windows since these documents carry no
     // newlines): a span instance is dropped when the same text occurred

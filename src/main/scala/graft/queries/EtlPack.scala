@@ -1464,6 +1464,42 @@ object EtlPack extends QueryPack {
         """SELECT _partition AS partition, count(*) AS cnt,
           |       CAST(SUM(CAST(json_extract_string(_value, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
           |FROM events_topic
-          |GROUP BY _partition ORDER BY partition""".stripMargin)))
+          |GROUP BY _partition ORDER BY partition""".stripMargin))),
+
+    // Watermark-bounded streaming exact dedup: the documents corpus plus
+    // verbatim RE-CRAWLS (every 5th doc re-sent at a later offset/ts — the
+    // at-least-once duplicate shape) drains through
+    // dropDuplicatesWithinWatermark under Trigger.AvailableNow, which this
+    // build meters through admission control (SupportsTriggerAvailableNow:
+    // the 2-segment cap really bounds each micro-batch of the drain).
+    // State is rate × watermark-delay, never stream age — the only exact
+    // dedup that survives an unbounded ingest feed. The surviving
+    // content-hash SET equals the batch distinct set: every re-send
+    // collapsed onto its original across micro-batch boundaries.
+    QueryDef(
+      "e38_stream_watermark_dedup",
+      (s, dir) => {
+        val root = KfsSeed.seededRecrawlDocsRoot(s, dir)
+        val out = tmp(dir, "wdedup_out")
+        val ckpt = tmp(dir, "wdedup_ckpt")
+        val stream = s.readStream.format("kfs").option("path", root)
+          .option("max_segments_per_trigger", "2").load()
+          .select(col("_value").cast("string").as("text"),
+            timestamp_millis(col("_ts_ms")).as("_ts"))
+        val q = graft.streaming.StreamDedup
+          .exactByContent(stream, "text", "_ts", watermarkDelay = "30 days")
+          .select(col("_content_hash").as("content_hash"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy(col("content_hash"))
+      },
+      Some(
+        """SELECT DISTINCT md5(lower(trim(text))) AS content_hash
+          |FROM documents ORDER BY content_hash""".stripMargin),
+      seed = Some((s, dir) => { KfsSeed.seededRecrawlDocsRoot(s, dir); () }))
   )
 }

@@ -58,6 +58,32 @@ object KfsPack extends QueryPack {
     root
   }
 
+  /** s36's estate: the documents table as topic `docs` (offset = doc_id,
+    * 250 records/segment so the DeleteRecords horizon at 300 lands strictly
+    * INSIDE the second segment — one segment wholly deleted, one straddled
+    * and trimmed per record, the rest untouched). Marker-gated. */
+  private def seedDeleteRecordsEstate(s: SparkSession, dir: String): String = {
+    val root = Fixtures.tmp(dir, "kfs_delrecs_250")
+    val marker = java.nio.file.Paths.get(root, "_SEEDED")
+    if (!java.nio.file.Files.exists(marker)) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(KfsLayout.hadoopConf)
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(root + "_staging"), true)
+      Tables.load(s, dir, "documents")
+        .select(lit("docs").as("_topic"), lit(0).as("_partition"),
+          col("doc_id").as("_offset"),
+          (lit(1700000000000L) + col("doc_id")).as("_ts_ms"),
+          col("doc_id").cast("string").cast("binary").as("_key"),
+          col("text").cast("binary").as("_value"))
+        .write.format("kfs").mode("append").option("path", root)
+        .option("max_records_per_segment", "250").save()
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    root
+  }
+
   /** s15's fixture-staging phase: materialize `documents` as log records
     * (partition = doc_id % 4, dense per-partition offsets via the
     * row_number window) into a parquet scratch. The window sort is input
@@ -573,6 +599,30 @@ object KfsPack extends QueryPack {
           |       min(e.ts_ms) AS min_ts, max(e.ts_ms) AS max_ts
           |FROM e JOIN kept ON e.rn // 1000 = kept.sg""".stripMargin),
       seed = Some((s, dir) => { seedRetentionEstate(s, dir); () })),
+
+    // Kafka DeleteRecords — the data half (superset: the reference broker
+    // reports LogStartOffset but never serves the API): advance partition
+    // 0's log start to 300, which deletes the first 250-record segment
+    // whole and TRIMS the straddling one per record via the persisted
+    // horizon — record-exact deletion without rewriting a byte. The scan
+    // must show exactly doc_id >= 300: segments below never plan, the
+    // straddler's sub-horizon batches seek past un-decoded. Idempotent
+    // (monotonic horizon: a repeat target is a no-op). KfsSpec locks the
+    // law across limit/top-N/aggregate pushdowns and the stream source.
+    QueryDef(
+      "s36_delete_records",
+      (s, dir) => {
+        val root = seedDeleteRecordsEstate(s, dir)
+        graft.kfs.KfsRetention.deleteRecords(root, "docs", Map(0 -> 300L))
+        s.read.format("kfs").option("path", root).load()
+          .select(col("_offset").as("doc"),
+            length(col("_value").cast("string")).as("n_chars"))
+          .orderBy(col("doc"))
+      },
+      Some(
+        """SELECT doc_id AS doc, CAST(length(text) AS INTEGER) AS n_chars
+          |FROM documents WHERE doc_id >= 300 ORDER BY doc""".stripMargin),
+      seed = Some((s, dir) => { seedDeleteRecordsEstate(s, dir); () })),
 
     // Compressed record batches (SUPERSET — the reference decoder rejects
     // attribute bits 0-2, decoder.go:198-201, and so does this scan by

@@ -1770,6 +1770,41 @@ object OpsPack extends QueryPack {
           |SELECT cluster, n_members, node AS keeper, cap_len AS keeper_cap_len
           |FROM pick WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
+    // CLIP-SCORE pair-alignment filter (the other LAION gate, beside
+    // m10's dedup): each pair i couples an "image" embedding (vec i) with
+    // a "text" embedding (vec (i*7+3) mod 500 — a deterministic
+    // misalignment shuffle, so scores span the whole range); pairs whose
+    // cosine clears the threshold survive. One equi-join on the pair id
+    // (the only corpus-sized shuffle) + the codegen'd dot kernel; the
+    // oracle replays the identical sequential-fold float math.
+    QueryDef(
+      "m11_pair_alignment",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings").where(col("vec_id") < 500)
+        val img = e.select(col("vec_id").as("pair"),
+          col("embedding").as("img_emb"))
+        val txt = e.select(col("vec_id").as("tkey"),
+          col("embedding").as("txt_emb"))
+        val pairs = img
+          .withColumn("tkey", pmod(col("pair") * 7 + 3, lit(500L)))
+          .join(txt, Seq("tkey"))
+        graft.ops.Multimodal
+          .alignmentFilter(pairs, "img_emb", "txt_emb", threshold = 0.2)
+          .select(col("pair"), round(col("alignment"), 4).as("alignment"))
+          .orderBy(col("pair"))
+      },
+      Some(
+        s"""WITH img AS (
+           |  SELECT vec_id AS pair, embedding AS img_emb,
+           |         (vec_id * 7 + 3) % 500 AS tkey
+           |  FROM embeddings WHERE vec_id < 500),
+           |sc AS (
+           |  SELECT img.pair,
+           |         ${duckCosine("img.img_emb", "t.embedding")} AS alignment
+           |  FROM img JOIN embeddings t ON t.vec_id = img.tkey)
+           |SELECT pair, round(alignment, 4) AS alignment
+           |FROM sc WHERE alignment >= 0.2 ORDER BY pair""".stripMargin)),
+
     // Audio near-dup dedup by ACOUSTIC FINGERPRINT over real PCM: WAVs
     // parse through the real RIFF codec on executors, the 64-frame
     // energy-envelope fingerprint is computed in the same pass (integer
@@ -3139,6 +3174,41 @@ object OpsPack extends QueryPack {
           |UNION ALL SELECT 'r6_boilerplate', r6 FROM s
           |UNION ALL SELECT 'z_survivors', pass FROM s
           |ORDER BY rule""".stripMargin)),
+
+    // CALIBRATED quality gate: find the lexical-diversity cutoff that
+    // keeps (at least) 70% of the corpus — threshold-from-budget instead
+    // of budget-from-threshold, re-runnable per crawl as the distribution
+    // drifts. Exact WITHOUT a global row sort: scores are bounded
+    // integers (0..10000), so calibration runs on the score histogram
+    // (<= 10001 rows) + one cumulative window over that tiny frame + a
+    // broadcast 1-row cutoff back onto the corpus pass. Keep-all-ties at
+    // the boundary score — no nondeterministic boundary row.
+    QueryDef(
+      "t47_calibrated_gate",
+      (s, dir) => graft.ops.QualityRules.calibratedGate(
+        Tables.load(s, dir, "documents"), "doc_id", "lang", "text",
+        targetNum = 7, targetDen = 10)
+        .orderBy(col("lang")),
+      Some(
+        """WITH sc AS (
+          |  SELECT lang,
+          |         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+          |          * 10000)
+          |         // greatest(len(string_split(text, ' ')), 1) AS score
+          |  FROM documents),
+          |hist AS (SELECT score, count(*) AS cnt FROM sc GROUP BY score),
+          |cum AS (
+          |  SELECT score, SUM(cnt) OVER (ORDER BY score DESC
+          |                               ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM hist),
+          |tot AS (SELECT count(*) AS n FROM sc),
+          |cut AS (SELECT max(score) AS threshold FROM cum, tot
+          |        WHERE cum >= (n * 7) // 10)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(count(*) FILTER (WHERE score >= threshold) AS BIGINT)
+          |         AS n_kept,
+          |       threshold
+          |FROM sc, cut GROUP BY lang, threshold ORDER BY lang""".stripMargin)),
 
     // TRIANGLE COUNTING over the navigation graph (t39's edges): the
     // degree-ordered node-iterator builds every wedge at its lowest-rank

@@ -583,6 +583,67 @@ class KfsSpec extends AnyFunSuite {
     assert(scanOf(sparse).lastPlannedSegments == 4)
   }
 
+  test("DeleteRecords: horizon is record-exact across scan, limit, agg, and stream") {
+    val root = Files.createTempDirectory("kfs_delrecs").toString
+    // p0: 3 segments of 100 (offsets 0-299); p1: one segment of 100
+    (0 until 3).foreach(seg =>
+      KfsLayout.writeSegment(root, "t", 0,
+        mkRecords(100).map(r => r.copy(offset = r.offset + seg * 100))))
+    KfsLayout.writeSegment(root, "t", 1, mkRecords(100))
+
+    // p0 -> 150 straddles its middle segment; p1 -> 30 straddles its only one
+    val res = KfsRetention.deleteRecords(root, "t", Map(0 -> 150L, 1 -> 30L))
+    assert(res.deleted == 1, "exactly p0's first segment is wholly below")
+
+    def freshDf = spark.read.format("kfs").option("path", root).load()
+    def offsetsOf(p: Int) = freshDf.where(col("_partition") === p)
+      .select(col("_offset")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(offsetsOf(0) == (150L until 300L))
+    assert(offsetsOf(1) == (30L until 100L))
+
+    // aggregate pushdown is vetoed (trimmed stats are not exact) but the
+    // scan-computed answer honors the horizon
+    val agg = freshDf.groupBy(col("_partition"))
+      .agg(count(lit(1)).as("cnt"), min(col("_offset")).as("min_off"),
+        max(col("_offset")).as("max_off"))
+      .orderBy(col("_partition"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("aggPushed"))
+    val rows = agg.collect()
+    assert(rows(0).getLong(1) == 150L && rows(0).getLong(2) == 150L &&
+      rows(0).getLong(3) == 299L)
+    assert(rows(1).getLong(1) == 70L && rows(1).getLong(2) == 30L &&
+      rows(1).getLong(3) == 99L)
+
+    // limit prefix must count the straddler as its TRIMMED size: 60 rows
+    // need TWO p0 segments (50 visible + 100), not one claiming 100
+    val lim = freshDf.limit(60)
+    assert(lim.collect().length == 60)
+    assert(scanOf(lim).lastPlannedSegments >= 2)
+
+    // monotonic: a target at/below the horizon is a no-op
+    val res2 = KfsRetention.deleteRecords(root, "t", Map(0 -> 100L))
+    assert(res2.deleted == 0)
+    assert(offsetsOf(0) == (150L until 300L))
+
+    // capped at log end: a huge target empties the partition, never throws
+    KfsRetention.deleteRecords(root, "t", Map(1 -> 1000000L))
+    assert(offsetsOf(1).isEmpty)
+    assert(offsetsOf(0) == (150L until 300L), "other partition untouched")
+
+    // the micro-batch stream starts at the horizon, not offset 0
+    val out = Files.createTempDirectory("kfs_delrecs_out").toString
+    val ckpt = Files.createTempDirectory("kfs_delrecs_ckpt").toString
+    val q = spark.readStream.format("kfs").option("path", root).load()
+      .select(col("_partition"), col("_offset"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() == 150)
+    assert(streamed.agg(min(col("_offset"))).head.getLong(0) == 150L)
+  }
+
   test("DSv2 top-N pushdown: ORDER BY _offset/_ts LIMIT plans only covering segments") {
     val root = Files.createTempDirectory("kfs_topn").toString
     val base = 1706000000000L

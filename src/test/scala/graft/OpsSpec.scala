@@ -89,6 +89,76 @@ class OpsSpec extends AnyFunSuite {
       "duplicateClusters leaked persisted RDDs")
   }
 
+  test("bloom decontamination: no false negatives vs exact, bitmap stays bounded") {
+    val corpus = docs.where(col("doc_id") >= 10)
+    val probes = docs.where(col("doc_id") < 10)
+
+    // exact contaminated docs (d8 semantics, same minShared)
+    val exact = Dedup.contamination(corpus, probes, "doc_id", "text",
+        minShared = 3)
+      .select(col("c_doc")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+
+    // bloom-flagged docs must be a SUPERSET — a Bloom filter has no false
+    // negatives, the one direction decontamination must never err
+    val flagged = Dedup.bloomContamination(corpus, probes, "doc_id", "text",
+        mBits = 1 << 16, k = 4, minHits = 3)
+      .select(col("doc")).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"bloom missed exact-contaminated docs: ${(exact -- flagged).take(5)}")
+
+    // the bloom's own semantic is the UNION of probe grams (not per-pair
+    // like d8): compare against the exact union-count to measure true
+    // false positives — at 65536 bits the per-gram FPR is ~2e-4, so the
+    // flagged set should match the exact-union set (tiny slack allowed)
+    val exactUnion = Dedup.shinglesAuto(corpus, "doc_id", "text")
+      .join(Dedup.shinglesAuto(probes, "doc_id", "text")
+        .select(col("sh")).distinct(), "sh")
+      .groupBy(col("doc")).agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= 3)
+      .select(col("doc")).collect().map(_.getLong(0)).toSet
+    assert(exactUnion.subsetOf(flagged))
+    assert(flagged.size <= exactUnion.size + 2,
+      s"excessive bloom false positives: ${flagged.size} vs exact-union ${exactUnion.size}")
+
+    // the bitmap is bounded by mBits/32 rows regardless of input size
+    val bloomRows = Sketches.bloomBuild(
+      Dedup.shinglesAuto(probes, "doc_id", "text").select(col("sh")).distinct(),
+      col("sh"), mBits = 1 << 16, k = 4).count()
+    assert(bloomRows <= (1 << 16) / 32)
+
+    // a tiny filter saturates: every word present, all bits on per FPR→1,
+    // so everything gets flagged — the degenerate-but-safe direction
+    val saturated = Dedup.bloomContamination(corpus, probes, "doc_id",
+        "text", mBits = 32, k = 2, minHits = 3)
+      .select(col("doc")).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(saturated))
+  }
+
+  test("calibrated gate: achieved rate >= target with minimal over-keep, ties kept") {
+    val audit = QualityRules.calibratedGate(docs, "doc_id", "lang", "text",
+      targetNum = 7, targetDen = 10).collect()
+    val n = audit.map(_.getAs[Long]("n_docs")).sum
+    val kept = audit.map(_.getAs[Long]("n_kept")).sum
+    val threshold = audit.head.getAs[Long]("threshold")
+    assert(kept * 10 >= n * 7, s"kept $kept of $n misses the 70% target")
+
+    // minimal over-keep: raising the cutoff past the boundary score drops
+    // below target — the keep-all-ties rule admits no smaller threshold set
+    val toks = split(col("text"), " ")
+    val scored = docs.select(
+        (size(array_distinct(toks)).cast("long") * 10000L).as("_num"),
+        greatest(size(toks), lit(1)).cast("long").as("_den"))
+      .selectExpr("_num DIV _den AS score")
+    val above = scored.where(col("score") > threshold).count()
+    assert(above * 10 < n * 7,
+      s"threshold not minimal: $above docs above $threshold still meet target")
+    // keep-all-ties: every boundary-score doc is in the kept count
+    val atOrAbove = scored.where(col("score") >= threshold).count()
+    assert(atOrAbove == kept)
+  }
+
   test("simhash of identical texts collide; near-dups have low hamming") {
     import spark.implicits._
     val d = Seq(
