@@ -165,7 +165,15 @@ object Dedup {
       textCol: String, n: Int = 3, mBits: Int = 1 << 16, k: Int = 4,
       minHits: Long = 5): DataFrame = {
     val p = shinglesAuto(probes, idCol, textCol, n).select(col("sh")).distinct()
+    // materialize the bitmap ONCE: it is bounded (≤ mBits/32 rows — 32 KB
+    // of longs at 2^16 bits, 4 MB at 2^30) and re-enters the plan as a
+    // local relation, so the k probe joins below never recompute the
+    // probe-side build k times
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val bloom = Sketches.bloomBuild(p, col("sh"), mBits, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("word", "bits")
     val grams = shinglesAuto(corpus, idCol, textCol, n)
     val withPos = grams.select(
       col("doc") +: (0 until k).map { j =>

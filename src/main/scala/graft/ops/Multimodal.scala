@@ -593,6 +593,87 @@ object Multimodal {
     }.toDF("id", "ahash")
   }
 
+  /** Deterministic speech-like WAV: every third 200-sample block is
+    * SILENCE (zero samples), the rest carry a seeded integer tone —
+    * `s(i) = ((i·13 + seed·31) mod 256 − 128) · 200` — so silence
+    * segmentation has real islands to find and the oracle can recompute
+    * every sample from the formula (the m8 fixture discipline). */
+  def wavSpeechFixture(seed: Long, n: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      val silent = (i / 200 + seed) % 3 == 0
+      val s = if (silent) 0L else ((i * 13 + seed * 31) % 256 - 128) * 200
+      bb.putShort(s.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** VAD-style SILENCE SEGMENTATION — the trim-silence step of audio
+    * corpus prep: PCM frames of `frameLen` samples score an integer energy
+    * Σs²; a frame is SPEECH iff its energy is strictly above the
+    * clip-mean frame energy (cross-multiplied `fe·nFrames > total`, the
+    * m8 threshold rule — engine-exact, no floats); consecutive speech
+    * frames merge into segments. Returns one row per speech segment:
+    * (id, seg, start_frame, end_frame, n_frames, energy).
+    *
+    * Scale shape: decode, framing, thresholding AND the gaps-and-islands
+    * merge all happen IN ROW inside one mapPartitions pass — a clip's
+    * frames never leave their task, so the operator is shuffle-free at
+    * any corpus size (the 100 TB audio estate is embarrassingly parallel
+    * here). Non-WAV / too-short media rows skip, like the fingerprint. */
+  def speechSegments(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 50): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        parseWav(row.media).toSeq.flatMap { case (_, samples) =>
+          val nf = samples.length / frameLen
+          if (nf == 0) Seq.empty
+          else {
+            val fe = new Array[Long](nf)
+            var tot = 0L
+            var f = 0
+            while (f < nf) {
+              var e = 0L
+              var j = 0
+              while (j < frameLen) {
+                val s = samples(f * frameLen + j).toLong; e += s * s; j += 1
+              }
+              fe(f) = e; tot += e; f += 1
+            }
+            val out = Seq.newBuilder[(Long, Int, Int, Int, Int, Long)]
+            var seg = 0
+            var start = -1
+            var segEnergy = 0L
+            var i = 0
+            while (i <= nf) {
+              val speech = i < nf && fe(i) * nf > tot
+              if (speech) {
+                if (start < 0) { seg += 1; start = i; segEnergy = 0L }
+                segEnergy += fe(i)
+              } else if (start >= 0) {
+                out += ((row.id, seg, start, i - 1, i - start, segEnergy))
+                start = -1
+              }
+              i += 1
+            }
+            out.result()
+          }
+        }
+      }
+    }.toDF("id", "seg", "start_frame", "end_frame", "n_frames", "energy")
+  }
+
   /** Wrap each media row's bytes into a WAV (synthesis stage of the audio
     * path) — same narrow mapPartitions shape as decode. */
   def synthesizeWav(spark: SparkSession, media: DataFrame,

@@ -316,6 +316,86 @@ object Similarity {
       .select(col("q"), col("rank"), col("v"), col("d2"))
   }
 
+  /** MMR-DIVERSIFIED top-k (Maximal Marginal Relevance, Carbonell &
+    * Goldstein 1998): greedy selection balancing relevance against
+    * redundancy — round 1 picks the nearest candidate, every later round
+    * picks argmax of `λ·rel(q,d) − (1−λ)·max_sim(d, picked)`, so near-dup
+    * results can't crowd the answer. The retrieval-diversification step a
+    * training-data / RAG pipeline runs after ANN, here in the quantized
+    * INTEGER domain: with distances (smaller = more similar) the score to
+    * MAXIMIZE becomes `−num·d²(q,d) + (den−num)·min_{s∈picked} d²(d,s)`
+    * (λ = num/den cross-multiplied) — every term BIGINT-exact, ties to
+    * the smallest id, so the whole greedy trajectory hash-replays.
+    *
+    * Scale shape: candidate generation is one exact integer top-kCand per
+    * query (swap in [[pqTopK]]'s shortlist at corpus scale — MMR only
+    * needs SOME relevance-ordered candidate set); after that, every round
+    * touches queries × kCand² PAIR rows (bounded by kCand, independent of
+    * corpus size), distributed by query. k driver-side rounds of
+    * fixed-size joins — actions ∝ k, like the KMeansQ iteration chain —
+    * each `localCheckpoint`ed flat so lineage doesn't nest.
+    *
+    * Returns (q, round, v): the pick order IS the diversified ranking. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kCand: Int = 20, lambdaNum: Long = 7, lambdaDen: Long = 10,
+      dims: Int = 64, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && kCand >= k, "need kCand >= k >= 1")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be a fraction in [0,1]: $lambdaNum/$lambdaDen")
+    val qv = org.apache.spark.sql.graft.QuantOps
+    val qq = queries.select(col("vec_id").as("q"),
+      qv.quantize(col("embedding"), dims, scale).as("_qq"))
+    val cc = corpus.select(col("vec_id").as("v"),
+      qv.quantize(col("embedding"), dims, scale).as("_cv"))
+    val wRel = Window.partitionBy(col("q")).orderBy(col("rel"), col("v"))
+    val cands = qq.crossJoin(cc).where(col("q") =!= col("v"))
+      .withColumn("rel", qv.l2sq(col("_qq"), col("_cv")))
+      .where(col("rel").isNotNull) // malformed vectors must never rank
+      .withColumn("rn", row_number().over(wRel))
+      .where(col("rn") <= kCand)
+      .select(col("q"), col("v"), col("rel"), col("_cv"))
+      .localCheckpoint()
+    // candidate-pair distances, computed ONCE: queries × kCand² rows
+    val pd = cands.select(col("q"), col("v").as("d"), col("_cv").as("_a"))
+      .join(cands.select(col("q"), col("v").as("s"), col("_cv").as("_b")),
+        Seq("q"))
+      .where(col("d") =!= col("s"))
+      .select(col("q"), col("d"), col("s"),
+        qv.l2sq(col("_a"), col("_b")).as("dist"))
+      .where(col("dist").isNotNull)
+      .localCheckpoint()
+    val slim = cands.select(col("q"), col("v"), col("rel"))
+    // round 1: pure relevance (standard MMR seed — nothing picked yet)
+    val wPick = Window.partitionBy(col("q"))
+      .orderBy(col("score").desc, col("v"))
+    var picked = slim
+      .withColumn("score", -col("rel"))
+      .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+      .select(col("q"), lit(1).as("round"), col("v"))
+      .localCheckpoint()
+    (2 to k).foreach { i =>
+      val minD = pd
+        .join(picked.select(col("q"), col("v").as("s")), Seq("q", "s"))
+        .groupBy(col("q"), col("d")).agg(min(col("dist")).as("min_d"))
+        .select(col("q").as("mq"), col("d"), col("min_d"))
+      val pick = slim
+        .join(picked.select(col("q"), col("v")), Seq("q", "v"), "left_anti")
+        .join(minD, col("q") === col("mq") && col("v") === col("d"))
+        .withColumn("score",
+          lit(-lambdaNum) * col("rel") +
+            lit(lambdaDen - lambdaNum) * col("min_d"))
+        .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+        .select(col("q"), lit(i).as("round"), col("v"))
+      val stale = picked
+      picked = picked.union(pick).localCheckpoint()
+      Dedup.release(stale)
+    }
+    Dedup.release(cands); Dedup.release(pd)
+    // like nearDuplicates: the result is localCheckpoint-backed — callers
+    // that care free it with Dedup.release when done
+    picked
+  }
+
   /** [[ivfqTopK]] with a metadata predicate applied BELOW the cell probe —
     * the s31 filter-then-search discipline on the IVF index path. The
     * corpus is filtered BEFORE quantization/assignment/scoring, so the

@@ -1451,9 +1451,15 @@ object EtlPack extends QueryPack {
         // coverage rows); stable-path tables from older builds must not mix
         val table = tmp(dir, "iagg_cov_table")
         val ckpt = tmp(dir, "iagg_cov_ckpt")
+        // ~2 micro-batches at any SF (the e18 rule): now that AvailableNow
+        // honors admission control, a FIXED 1-segment cap would mean one
+        // checkpointed batch per segment — ~120 batches and ~50 s at
+        // sf0.1 for a fixture whose point is just "the increment spans
+        // batch boundaries"
+        val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
         AggMaintenance.run(s, root, table, ckpt, Seq("_partition"),
           get_json_object(col("_value").cast("string"), "$.k"),
-          maxSegmentsPerTrigger = Some(1))
+          maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
         AggMaintenance.compact(s, table, Seq("_partition"))
         AggMaintenance.read(s, table, Seq("_partition"))
           .select(col("_partition").as("partition"), col("cnt"),
@@ -1482,8 +1488,12 @@ object EtlPack extends QueryPack {
         val root = KfsSeed.seededRecrawlDocsRoot(s, dir)
         val out = tmp(dir, "wdedup_out")
         val ckpt = tmp(dir, "wdedup_ckpt")
+        // ~3 metered micro-batches at any SF (scale the cap with the
+        // estate, not a constant — the e19 lesson)
+        val nDocs = Tables.load(s, dir, "documents").count()
+        val cap = math.max(2, ((nDocs + nDocs / 5) / 250 / 3 + 1).toInt)
         val stream = s.readStream.format("kfs").option("path", root)
-          .option("max_segments_per_trigger", "2").load()
+          .option("max_segments_per_trigger", cap.toString).load()
           .select(col("_value").cast("string").as("text"),
             timestamp_millis(col("_ts_ms")).as("_ts"))
         val q = graft.streaming.StreamDedup

@@ -668,6 +668,73 @@ object OpsPack extends QueryPack {
            |GROUP BY e.q ORDER BY e.q""".stripMargin
       }),
 
+    // MMR-DIVERSIFIED retrieval (Carbonell & Goldstein 1998): after the
+    // top-20 relevance shortlist, 5 greedy rounds of
+    // `λ·rel − (1−λ)·max_sim(picked)` pick the answer set — near-dup
+    // results can't crowd it. Everything runs in the quantized INTEGER
+    // domain with cross-multiplied λ = 7/10, ties to the smallest id, so
+    // the ENTIRE greedy trajectory (shortlist, candidate-pair distances,
+    // all five argmax rounds) replays in DuckDB as unrolled CTEs — the
+    // KMeansQ iteration-chain discipline applied to greedy selection.
+    // Post-shortlist cost is queries × kCand² pairs per round, corpus-
+    // size-independent.
+    QueryDef(
+      "s37_mmr_diversified",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.mmrTopK(e, e.where(col("vec_id") < 5), k = 5,
+          kCand = 20, lambdaNum = 7, lambdaDen = 10)
+          .orderBy(col("q"), col("round"))
+      },
+      Some {
+        val rounds = (2 to 5).map { i =>
+          s"""p$i AS (SELECT q, $i AS round, v FROM (
+             |  SELECT c.q, c.v,
+             |         row_number() OVER (PARTITION BY c.q
+             |           ORDER BY (-7 * c.rel + 3 * m.min_d) DESC, c.v) AS rn
+             |  FROM cands c
+             |  JOIN (SELECT pd.q, pd.d AS v, min(pd.dist) AS min_d
+             |        FROM pd JOIN s${i - 1} sp
+             |          ON sp.q = pd.q AND sp.v = pd.s
+             |        GROUP BY 1, 2) m ON m.q = c.q AND m.v = c.v
+             |  WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} sx
+             |                    WHERE sx.q = c.q AND sx.v = c.v)
+             |  ) WHERE rn = 1),
+             |s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM p$i)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH qfull AS (
+           |  SELECT e.vec_id, r.dim,
+           |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000)
+           |              AS BIGINT) AS qv
+           |  FROM embeddings e, range(1, 65) r(dim)),
+           |relv AS (
+           |  SELECT a.vec_id AS q, b.vec_id AS v,
+           |         SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS rel
+           |  FROM embeddings a
+           |  JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+           |  JOIN qfull qa ON qa.vec_id = a.vec_id
+           |  JOIN qfull qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+           |  GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT q, v, rel FROM (
+           |    SELECT q, v, rel,
+           |           row_number() OVER (PARTITION BY q ORDER BY rel, v) AS rn
+           |    FROM relv) WHERE rn <= 20),
+           |pd AS (
+           |  SELECT a.q, a.v AS d, b.v AS s,
+           |         SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS dist
+           |  FROM cands a JOIN cands b ON a.q = b.q AND a.v <> b.v
+           |  JOIN qfull qa ON qa.vec_id = a.v
+           |  JOIN qfull qb ON qb.vec_id = b.v AND qb.dim = qa.dim
+           |  GROUP BY 1, 2, 3),
+           |s1 AS (SELECT q, 1 AS round, v FROM (
+           |  SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY rel, v) AS rn
+           |  FROM cands) WHERE rn = 1),
+           |$rounds
+           |SELECT q, round, v FROM s5 ORDER BY q, round""".stripMargin
+      }),
+
     // IVF-FLAT over DETERMINISTIC integer-k-means cells: each query probes
     // its 2 nearest cells (exact integer center distances) and scores only
     // those cells' vectors with the exact cosine — the cluster-pruned scan
@@ -1804,6 +1871,58 @@ object OpsPack extends QueryPack {
            |  FROM img JOIN embeddings t ON t.vec_id = img.tkey)
            |SELECT pair, round(alignment, 4) AS alignment
            |FROM sc WHERE alignment >= 0.2 ORDER BY pair""".stripMargin)),
+
+    // VAD-STYLE SILENCE SEGMENTATION (trim-silence for audio corpus
+    // prep): real WAVs decode on executors, 50-sample frames score an
+    // integer energy, frames strictly above the clip-mean merge into
+    // speech segments — decode, threshold AND the gaps-and-islands merge
+    // all in-row inside ONE mapPartitions pass, so the operator is
+    // shuffle-free at any corpus size. Fixture: every third 200-sample
+    // block is silence; the oracle recomputes every sample from the
+    // formula, then replays framing, the cross-multiplied threshold, and
+    // the island numbering relationally.
+    QueryDef(
+      "m12_speech_segments",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 30)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .map(id => (id, Multimodal.wavSpeechFixture(id, 2400), "audio/wav"))
+          .toDF("id", "media", "content_type")
+        Multimodal.speechSegments(s, media, frameLen = 50)
+          .orderBy(col("id"), col("seg"))
+      },
+      Some(
+        """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 30),
+          |sm AS (
+          |  SELECT id, i,
+          |         CASE WHEN ((i // 200 + id) % 3) = 0 THEN 0
+          |              ELSE ((i * 13 + id * 31) % 256 - 128) * 200
+          |         END AS s
+          |  FROM ids, range(0, 2400) r(i)),
+          |fr AS (SELECT id, i // 50 AS f, SUM(s * s) AS fe FROM sm GROUP BY 1, 2),
+          |tt AS (SELECT id, SUM(fe) AS tot, count(*) AS nf FROM fr GROUP BY 1),
+          |fl AS (SELECT fr.id, f, fe, fe * nf > tot AS speech
+          |       FROM fr JOIN tt USING (id)),
+          |br AS (SELECT id, f, fe, speech,
+          |         CASE WHEN speech AND COALESCE(
+          |             lag(speech) OVER (PARTITION BY id ORDER BY f), false)
+          |             = false
+          |           THEN 1 ELSE 0 END AS brk
+          |       FROM fl),
+          |sg AS (SELECT id, f, fe, speech,
+          |         SUM(brk) OVER (PARTITION BY id ORDER BY f
+          |                        ROWS UNBOUNDED PRECEDING) AS seg
+          |       FROM br)
+          |SELECT id, CAST(seg AS INT) AS seg,
+          |       CAST(min(f) AS INT) AS start_frame,
+          |       CAST(max(f) AS INT) AS end_frame,
+          |       CAST(count(*) AS INT) AS n_frames,
+          |       CAST(SUM(fe) AS BIGINT) AS energy
+          |FROM sg WHERE speech GROUP BY id, seg
+          |ORDER BY id, seg""".stripMargin)),
 
     // Audio near-dup dedup by ACOUSTIC FINGERPRINT over real PCM: WAVs
     // parse through the real RIFF codec on executors, the 64-frame

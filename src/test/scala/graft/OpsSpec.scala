@@ -159,6 +159,46 @@ class OpsSpec extends AnyFunSuite {
     assert(atOrAbove == kept)
   }
 
+  test("MMR: lambda=1 is pure relevance; diversity skips the duplicate") {
+    import spark.implicits._
+    def vec(x: Float, y: Float) = Array.fill(64)(0f)
+      .updated(0, x).updated(1, y)
+    // corpus: two IDENTICAL vectors right next to the query, one slightly
+    // farther but distinct
+    val corpus = Seq(
+      (10L, vec(1.0f, 0.0f)), // dup A — nearest
+      (11L, vec(1.0f, 0.0f)), // dup B — same point, larger id
+      (12L, vec(0.8f, 0.5f))  // distinct, farther
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(1.0f, 0.1f))).toDF("vec_id", "embedding")
+
+    // pure relevance (lambda=1): the duplicate crowds the answer
+    val rel = Similarity.mmrTopK(corpus, queries, k = 2, kCand = 3,
+        lambdaNum = 1, lambdaDen = 1)
+      .orderBy(col("round")).collect().map(_.getLong(2)).toSeq
+    assert(rel == Seq(10L, 11L), s"lambda=1 must rank by distance: $rel")
+
+    // balanced lambda: round 2 must skip the redundant twin (its distance
+    // to the picked round-1 result is ZERO) and take the distinct vector.
+    // With squared-distance magnitudes the crossover here is at
+    // λ = 2.9/4.8 ≈ 0.60, so λ = 1/2 diversifies and λ = 1 (above) doesn't.
+    val div = Similarity.mmrTopK(corpus, queries, k = 2, kCand = 3,
+        lambdaNum = 1, lambdaDen = 2)
+      .orderBy(col("round")).collect().map(_.getLong(2)).toSeq
+    assert(div == Seq(10L, 12L), s"MMR must diversify past the dup: $div")
+
+    // no repeats, full round coverage on the real fixture
+    val full = Similarity.mmrTopK(emb, emb.where(col("vec_id") < 3), k = 4)
+    val rows = full.collect()
+    assert(rows.length == 12)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4))
+      assert(rs.map(_.getLong(2)).distinct.length == 4,
+        s"query $q repeated a pick")
+    }
+    graft.ops.Dedup.release(full)
+  }
+
   test("simhash of identical texts collide; near-dups have low hamming") {
     import spark.implicits._
     val d = Seq(
