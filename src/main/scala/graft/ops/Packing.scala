@@ -147,6 +147,74 @@ object Packing {
             _.getField("trainable").cast("string")))).as("mask_md5"))
   }
 
+  /** T5-style SPAN CORRUPTION (the denoising objective's data prep,
+    * Raffel et al. 2020 §3.1.4): mask contiguous token runs, replace each
+    * run with a sentinel in the INPUT stream, and emit
+    * `sentinel + masked tokens` per run as the TARGET stream.
+    *
+    * Deterministic block scheme instead of T5's RNG: positions split into
+    * fixed blocks of `blockLen`; every FULL block corrupts exactly one
+    * `spanLen`-token run whose in-block start is
+    * `hash60("doc:block") mod (blockLen − spanLen + 1)` — corruption rate
+    * spanLen/blockLen (T5's 15% at 3/20), runs can NEVER overlap (block-
+    * local by construction), and every choice is a pure function of
+    * (doc, block), so both streams hash-replay on any engine. The
+    * trailing partial block stays uncorrupted. Sentinel K is the block
+    * index (`<extra_id_K>`), T5's layout.
+    *
+    * Returns (doc, n_tokens, n_blocks, n_masked, input_md5, target_md5).
+    * Scale shape: one token explode (the corpus token stream — the same
+    * wide stage every packing op pays) + one per-doc hash aggregate with
+    * in-row sort assembly; the mask decision is a per-row map, no join,
+    * no window. */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(blockLen > spanLen && spanLen > 0,
+      s"need blockLen > spanLen > 0: $blockLen/$spanLen")
+    val starts = blockLen - spanLen + 1
+    val f = docs
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("toks"))
+      .select(col("doc"), size(col("toks")).as("n"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("blk", expr(s"pos div $blockLen"))
+      .withColumn("bs", col("blk") * blockLen)
+      .withColumn("full", col("bs") + blockLen <= col("n"))
+      .withColumn("off", pmod(
+        Sketches.hash60(concat(col("doc").cast("string"), lit(":"),
+          col("blk").cast("string"))),
+        lit(starts.toLong)).cast("int"))
+      .withColumn("inrun", col("full") &&
+        col("pos") - col("bs") >= col("off") &&
+        col("pos") - col("bs") < col("off") + spanLen)
+      .withColumn("runstart", col("full") && col("pos") - col("bs") === col("off"))
+      .withColumn("sentinel",
+        concat(lit("<extra_id_"), col("blk").cast("string"), lit(">")))
+    // piece streams as (key, text): input keeps non-run tokens and
+    // collapses each run to its sentinel at the run head; target is
+    // sentinel-then-masked-tokens per run. key = pos·2 + flag keeps the
+    // sentinel (flag 0) ahead of its tokens (flag 1) at the same pos.
+    val inputItem = when(!col("inrun"),
+        struct((col("pos") * 2).as("k"), col("tok").as("piece")))
+      .when(col("runstart"),
+        struct((col("pos") * 2).as("k"), col("sentinel").as("piece")))
+    val targetSentinel = when(col("runstart"),
+      struct((col("pos") * 2).as("k"), col("sentinel").as("piece")))
+    val targetTok = when(col("inrun"),
+      struct((col("pos") * 2 + 1).as("k"), col("tok").as("piece")))
+    // collect_list drops the nulls the otherwise-less `when`s produce
+    def digest(items: Column*): Column =
+      md5(concat_ws(" ", transform(
+        array_sort(flatten(array(items.map(collect_list): _*))),
+        _.getField("piece"))))
+    f.groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("runstart"), 1L).otherwise(0L)).as("n_blocks"),
+        sum(when(col("inrun"), 1L).otherwise(0L)).as("n_masked"),
+        digest(inputItem).as("input_md5"),
+        digest(targetSentinel, targetTok).as("target_md5"))
+  }
+
   /** Per-sequence summary — what a packing audit reads: how many docs
     * start in each sequence, their token mass, and how many straddle out. */
   def sequenceStats(packed: DataFrame, idCol: String): DataFrame =

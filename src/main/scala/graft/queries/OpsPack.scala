@@ -3294,6 +3294,67 @@ object OpsPack extends QueryPack {
           |UNION ALL SELECT 'z_survivors', pass FROM s
           |ORDER BY rule""".stripMargin)),
 
+    // T5 SPAN CORRUPTION (denoising-objective data prep): every full
+    // 20-token block masks one hash-placed 3-token run (15% corruption,
+    // runs never overlap by construction); the input stream collapses
+    // each run to its <extra_id_K> sentinel, the target stream is
+    // sentinel-then-masked-tokens. Every choice is a pure function of
+    // (doc, block), so BOTH streams' order-sensitive digests hash-replay
+    // in DuckDB — a training batch and its denoising targets are
+    // auditable cross-engine byte for byte.
+    QueryDef(
+      "t48_span_corruption",
+      (s, dir) => graft.ops.Packing.spanCorruption(
+        Tables.load(s, dir, "documents").where(col("doc_id") < 100),
+        "doc_id", "text")
+        .orderBy(col("doc")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id AS doc, string_split(text, ' ') AS toks
+          |  FROM documents WHERE doc_id < 100),
+          |e0 AS (
+          |  SELECT doc, unnest(range(0, len(toks))) AS pos, toks,
+          |         len(toks) AS n
+          |  FROM t),
+          |e AS (
+          |  SELECT doc, pos, toks[CAST(pos + 1 AS INT)] AS tok, n
+          |  FROM e0),
+          |b AS (
+          |  SELECT doc, pos, tok, n, pos // 20 AS blk, (pos // 20) * 20 AS bs,
+          |         (pos // 20) * 20 + 20 <= n AS refull
+          |  FROM e),
+          |o AS (
+          |  SELECT *, CAST('0x' || substr(md5(CAST(doc AS VARCHAR) || ':' ||
+          |           CAST(blk AS VARCHAR)), 1, 15) AS BIGINT) % 18 AS off
+          |  FROM b),
+          |f AS (
+          |  SELECT *,
+          |         refull AND pos - bs >= off AND pos - bs < off + 3 AS inrun,
+          |         refull AND pos - bs = off AS runstart,
+          |         '<extra_id_' || CAST(blk AS VARCHAR) || '>' AS sentinel
+          |  FROM o),
+          |inp AS (
+          |  SELECT doc, pos * 2 AS k,
+          |         CASE WHEN runstart THEN sentinel ELSE tok END AS piece
+          |  FROM f WHERE NOT inrun OR runstart),
+          |tgt AS (
+          |  SELECT doc, pos * 2 AS k, sentinel AS piece FROM f WHERE runstart
+          |  UNION ALL
+          |  SELECT doc, pos * 2 + 1 AS k, tok FROM f WHERE inrun),
+          |cnt AS (
+          |  SELECT doc, count(*) AS n_tokens,
+          |         CAST(count(*) FILTER (WHERE runstart) AS BIGINT) AS n_blocks,
+          |         CAST(count(*) FILTER (WHERE inrun) AS BIGINT) AS n_masked
+          |  FROM f GROUP BY doc),
+          |di AS (SELECT doc, md5(string_agg(piece, ' ' ORDER BY k)) AS input_md5
+          |       FROM inp GROUP BY doc),
+          |dt AS (SELECT doc, md5(string_agg(piece, ' ' ORDER BY k)) AS target_md5
+          |       FROM tgt GROUP BY doc)
+          |SELECT cnt.doc, n_tokens, n_blocks, n_masked, input_md5,
+          |       COALESCE(target_md5, md5('')) AS target_md5
+          |FROM cnt JOIN di USING (doc) LEFT JOIN dt USING (doc)
+          |ORDER BY doc""".stripMargin)),
+
     // CALIBRATED quality gate: find the lexical-diversity cutoff that
     // keeps (at least) 70% of the corpus — threshold-from-budget instead
     // of budget-from-threshold, re-runnable per crawl as the distribution

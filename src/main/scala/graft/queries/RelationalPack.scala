@@ -1009,6 +1009,64 @@ object RelationalPack extends QueryPack {
           |FROM walk JOIN part p ON p.p_partkey = walk.node
           |GROUP BY root ORDER BY root""".stripMargin)),
 
+    // ORDERED-SET AGGREGATES (superset — SURVEY §2.4): exact discrete
+    // median / p90 / deterministic mode of per-doc token counts per
+    // language — the WITHIN GROUP family, built from rank arithmetic
+    // instead of engine quantile functions (whose interpolation rules
+    // differ engine to engine): k-th-smallest picks via row_number with
+    // integer rank formulas, mode ties break to the SMALLEST value via a
+    // min-struct (no nondeterministic any-value). One shuffle on lang +
+    // an in-group sort; for bounded integer scores the t47 histogram
+    // path computes the same ranks without the sort.
+    QueryDef(
+      "u14_ordered_set_aggs",
+      (s, dir) => {
+        val v = Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("v"))
+        val c = v.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("v"))
+        val ranked = v.withColumn("rn", row_number().over(w))
+          .join(broadcast(c), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(
+            max(when(col("rn") === expr("(n + 1) DIV 2"), col("v")))
+              .as("median_tokens"),
+            max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("v")))
+              .as("p90_tokens"))
+        val mode = v.groupBy(col("lang"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("lang"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("v"))).as("_m"))
+          .select(col("lang"), col("_m.v").as("mode_tokens"))
+        c.join(ranked, Seq("lang")).join(mode, Seq("lang"))
+          .select(col("lang"), col("n").as("n_docs"), col("median_tokens"),
+            col("p90_tokens"), col("mode_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          |  FROM documents),
+          |c AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+          |r AS (SELECT lang, v,
+          |        row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+          |      FROM v),
+          |m AS (SELECT r.lang,
+          |        max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_tokens,
+          |        max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_tokens
+          |      FROM r JOIN c USING (lang) GROUP BY 1),
+          |md AS (SELECT lang, v AS mode_tokens FROM (
+          |        SELECT lang, v,
+          |          row_number() OVER (PARTITION BY lang
+          |            ORDER BY count(*) DESC, v) AS rn
+          |        FROM v GROUP BY lang, v) WHERE rn = 1)
+          |SELECT c.lang, CAST(n AS BIGINT) AS n_docs, median_tokens,
+          |       p90_tokens, mode_tokens
+          |FROM c JOIN m USING (lang) JOIN md USING (lang)
+          |ORDER BY lang""".stripMargin)),
+
     // PIVOT (superset — SURVEY §2.7): event counts cross-tabbed by type.
     // With explicit pivot values Spark compiles this to conditional
     // aggregation — one shuffle, no per-value passes; the oracle IS that
