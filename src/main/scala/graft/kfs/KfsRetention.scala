@@ -72,17 +72,21 @@ object KfsRetention {
     val existing = KfsLayout.readLogStarts(root, topic, fresh = true)
     val refs = KfsLayout.listCompleted(root, Some(Set(topic)))
     val merged = collection.mutable.Map[Int, Long](existing.toSeq: _*)
-    val toDrop = collection.mutable.Map[Int,
-      (Seq[KfsLayout.SegmentRef], Seq[KfsLayout.SegmentRef])]()
     targets.foreach { case (partition, rawTarget) =>
       val rs = refs.filter(_.partition == partition)
       val logEnd = if (rs.isEmpty) 0L else rs.map(_.lastOffset).max + 1
       val target = math.max(0L, math.min(rawTarget, logEnd))
-      if (target > merged.getOrElse(partition, 0L)) {
-        merged(partition) = target
-        toDrop(partition) = rs.partition(_.lastOffset >= target)
-      }
+      if (target > merged.getOrElse(partition, 0L)) merged(partition) = target
     }
+    // deletion runs against the MERGED horizon even when this call did not
+    // advance it: a crash between writeLogStarts and the delete loop leaves
+    // logically-invisible segments behind, and the re-run (same target, no
+    // advancement) is exactly what must reclaim them
+    val toDrop = targets.keysIterator
+      .filter(merged.contains).map { partition =>
+        partition -> refs.filter(_.partition == partition)
+          .partition(_.lastOffset >= merged(partition))
+      }.toMap
     if (merged != existing) KfsLayout.writeLogStarts(root, topic, merged.toMap)
     var kept = 0
     var deleted = 0

@@ -791,22 +791,6 @@ object Multimodal {
     * One struct-max hash aggregate picks every keeper — no window, no
     * per-cluster sort; the cluster frame is the small side and broadcasts.
     * Returns (cluster, n_members, keeper, keeper_cap_len). */
-  /** CLIP-score-style pair-ALIGNMENT filter (the LAION curation gate,
-    * Schuhmann et al. 2021: pairs whose image/text embedding cosine falls
-    * below a threshold are dropped — mismatched alt-text is worse than no
-    * pair). Pure scoring + gate over pre-joined pairs: one narrow pass,
-    * the codegen'd dot kernel, no shuffle — assembling (img_emb, txt_emb)
-    * onto one row is the caller's join (typically one equi-join on the
-    * pair id, the only corpus-sized exchange of the whole step).
-    *
-    * Returns the kept pairs with their `alignment` score appended. */
-  def alignmentFilter(pairs: DataFrame, imgEmbCol: String,
-      txtEmbCol: String, threshold: Double): DataFrame =
-    pairs
-      .withColumn("alignment",
-        Similarity.cosine(col(imgEmbCol), col(txtEmbCol)))
-      .where(col("alignment") >= threshold)
-
   def captionAwareKeepers(pairs: DataFrame, docs: DataFrame,
       idCol: String, capCol: String): DataFrame = {
     val cc = Dedup.duplicateClusters(pairs.select(col("a"), col("b")))
@@ -825,4 +809,20 @@ object Multimodal {
         col("_best.node").as("keeper"),
         (-col("_best.neg_cap")).as("keeper_cap_len"))
   }
+
+  /** CLIP-score-style pair-ALIGNMENT filter (the LAION curation gate,
+    * Schuhmann et al. 2021: pairs whose image/text embedding cosine falls
+    * below a threshold are dropped — mismatched alt-text is worse than no
+    * pair). Pure scoring + gate over pre-joined pairs: one narrow pass,
+    * the codegen'd dot kernel, no shuffle — assembling (img_emb, txt_emb)
+    * onto one row is the caller's join (typically one equi-join on the
+    * pair id, the only corpus-sized exchange of the whole step).
+    *
+    * Returns the kept pairs with their `alignment` score appended. */
+  def alignmentFilter(pairs: DataFrame, imgEmbCol: String,
+      txtEmbCol: String, threshold: Double): DataFrame =
+    pairs
+      .withColumn("alignment",
+        Similarity.cosine(col(imgEmbCol), col(txtEmbCol)))
+      .where(col("alignment") >= threshold)
 }

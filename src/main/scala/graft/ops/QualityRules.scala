@@ -90,8 +90,9 @@ object QualityRules {
     * corpus; the histogram is invariant to corpus size.
     *
     * Cutoff rule: the LARGEST score c with |{score >= c}| >= k,
-    * k = n·targetNum/targetDen (integer-exact) — keep-all-ties, so the
-    * achieved rate is >= target with minimal over-keep and no
+    * k = CEIL(n·targetNum/targetDen) (integer-exact; floor would
+    * under-keep whenever n·num is not a multiple of den) — keep-all-ties,
+    * so the achieved rate is >= target with minimal over-keep and no
     * nondeterministic boundary row. Score: lexical diversity
     * `distinct_tokens · 10000 div tokens` — integer division, replayable
     * bit-exactly in any engine.
@@ -107,12 +108,16 @@ object QualityRules {
       .select(col("doc"), col("lang"), expr("_num DIV _den").as("score"))
     val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
     // single-partition window: the histogram is <= 10001 rows by
-    // construction, never corpus-sized
+    // construction, never corpus-sized. n comes from the histogram too —
+    // never a second corpus pass just for the count.
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
       .rowsBetween(Long.MinValue, 0)
+    // k = CEIL(n·target): floor would under-keep whenever n·num % den != 0
+    // and the boundary score has no ties, breaking the ">= target" promise
     val cutoff = hist.withColumn("cum", sum(col("cnt")).over(w))
-      .crossJoin(scored.agg(count(lit(1)).as("n")))
-      .where(col("cum") >= expr(s"n * $targetNum DIV $targetDen"))
+      .crossJoin(hist.agg(sum(col("cnt")).as("n")))
+      .where(col("cum") >=
+        expr(s"(n * $targetNum + ${targetDen - 1}) DIV $targetDen"))
       .agg(max(col("score")).as("threshold"))
     scored.crossJoin(broadcast(cutoff))
       .groupBy(col("lang"), col("threshold"))

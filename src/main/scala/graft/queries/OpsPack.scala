@@ -3383,7 +3383,7 @@ object OpsPack extends QueryPack {
           |  FROM hist),
           |tot AS (SELECT count(*) AS n FROM sc),
           |cut AS (SELECT max(score) AS threshold FROM cum, tot
-          |        WHERE cum >= (n * 7) // 10)
+          |        WHERE cum >= (n * 7 + 9) // 10)
           |SELECT lang, count(*) AS n_docs,
           |       CAST(count(*) FILTER (WHERE score >= threshold) AS BIGINT)
           |         AS n_kept,

@@ -630,6 +630,16 @@ class KfsSpec extends AnyFunSuite {
     assert(offsetsOf(1).isEmpty)
     assert(offsetsOf(0) == (150L until 300L), "other partition untouched")
 
+    // crash recovery: a horizon persisted BEFORE the file deletes ran
+    // (the documented publish-then-delete ordering) must be reclaimable
+    // by a re-run with the SAME target — no advancement, still deletes
+    KfsLayout.writeLogStarts(root, "t", Map(0 -> 250L, 1 -> 100L))
+    KfsLayout.invalidateDiscoveryCache(root)
+    val recovered = KfsRetention.deleteRecords(root, "t", Map(0 -> 250L))
+    assert(recovered.deleted == 1,
+      "re-run must reclaim the segment the crashed run left behind")
+    assert(offsetsOf(0) == (250L until 300L))
+
     // the micro-batch stream starts at the horizon, not offset 0
     val out = Files.createTempDirectory("kfs_delrecs_out").toString
     val ckpt = Files.createTempDirectory("kfs_delrecs_ckpt").toString
@@ -640,8 +650,8 @@ class KfsSpec extends AnyFunSuite {
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.read.parquet(out)
-    assert(streamed.count() == 150)
-    assert(streamed.agg(min(col("_offset"))).head.getLong(0) == 150L)
+    assert(streamed.count() == 50)
+    assert(streamed.agg(min(col("_offset"))).head.getLong(0) == 250L)
   }
 
   test("DSv2 top-N pushdown: ORDER BY _offset/_ts LIMIT plans only covering segments") {
