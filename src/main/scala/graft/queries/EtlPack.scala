@@ -369,12 +369,15 @@ object EtlPack extends QueryPack {
         val root = KfsSeed.seededRoot(s, dir)
         val table = tmp(dir, "iceberg_stream_table")
         val ckpt = tmp(dir, "iceberg_stream_ckpt")
+        // several micro-batches -> several snapshots (~4 at ANY SF), but
+        // not so many that per-commit metadata IO dominates: now that
+        // AvailableNow honors admission, a fixed cap would mean ~8
+        // commits at sf0.1 and only ONE at sf0.01 — scale it instead
+        val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
         Pipeline.run(s, root, table, ckpt,
           schemaCols = Seq(SchemaCol("k", "int", "$.k")),
           validation = Pipeline.Lenient,
-          // several micro-batches -> several snapshots (~7 at sf0.1), but
-          // not so many that per-commit metadata IO dominates the bench
-          maxFilesPerTrigger = Some(16),
+          maxFilesPerTrigger = Some(math.max(2, nSegs / 4)),
           format = Pipeline.IcebergV2,
           // the DSv2 streamed ingest path: segments are decoded
           // batch-at-a-time (never a whole segment in memory) with

@@ -319,6 +319,19 @@ class PlanSpec extends AnyFunSuite {
       s"per-probe top-k should pre-truncate map-side:\n$plan")
   }
 
+  test("d17: bloom probes broadcast — the corpus gram stream never shuffle-joins") {
+    val plan = planOf("d17_bloom_decontamination")
+    // k=4 probe joins against the bitmap must ALL be broadcast-hash —
+    // a single shuffle join would exchange the corpus gram stream on the
+    // bitmap word, the exact cost the bloom exists to avoid
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 4, s"expected 4 broadcast probe joins, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no probe join may shuffle the gram stream:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"the per-doc combine must be two-phase (map-side partials):\n$plan")
+  }
+
   test("s33: the metadata filter reaches the IVF corpus parquet scan") {
     val plan = planOf("s33_filtered_ivf_ann")
     // filtered IVF search must cut the corpus AT THE SCAN, below the cell
