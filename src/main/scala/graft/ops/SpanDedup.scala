@@ -77,4 +77,58 @@ object SpanDedup {
         array_join(expr("transform(_kept, x -> x.span)"), " ")
           .as("cleaned_text"))
   }
+
+  /** EXACT-SUBSTRING dedup — the stride-1 upgrade of [[dedupSpans]] with
+    * the semantics of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): windows of `windowTokens` tokens slide at
+    * stride 1, a window instance whose text occurred STRICTLY EARLIER
+    * (same ownership order as dedupSpans) marks ALL its tokens for
+    * removal, and documents are rebuilt from the surviving tokens — so a
+    * duplicated run is caught at ANY alignment, not only on chunk
+    * boundaries, which is exactly what the paper's suffix array buys.
+    *
+    * Relational shape instead of a suffix array: window HASHING replaces
+    * suffix sorting — windows md5 at birth (the window text never leaves
+    * its projection), ownership is one fixed-width hash shuffle with a
+    * map-side min, and the token-removal explode is proportional to
+    * DUPLICATED volume × windowTokens, not to the corpus. The rebuild is
+    * one per-doc hash aggregate with an in-row sort. First occurrences
+    * always survive; a doc shorter than the window is untouched.
+    *
+    * Returns (doc, n_tokens, n_removed, cleaned_md5) per document. */
+  def substringDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 10): DataFrame = {
+    val L = windowTokens
+    val base = docs.select(col(idCol).cast("long").as("doc"),
+      split(col(textCol), " ").as("_words"))
+    val cnt = size(col("_words")) - (L - 1)
+    val winHashes = when(cnt >= 1, expr(
+        s"""transform(sequence(1, greatest(size(_words) - ${L - 1}, 1)),
+           |  i -> md5(array_join(slice(_words, i, $L), ' ')))""".stripMargin))
+      .otherwise(array().cast("array<string>"))
+    val inst = base
+      .select(col("doc"), posexplode(winHashes).as(Seq("pos", "h")))
+      .select(col("doc"), col("pos"), col("h"),
+        (col("doc") * PosEncode + col("pos")).as("inst"))
+    val owners = inst.groupBy(col("h")).agg(min(col("inst")).as("owner"))
+    val removed = inst.join(owners, Seq("h"))
+      .where(col("inst") =!= col("owner"))
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("pos"))
+      .distinct()
+      .withColumn("rm", lit(1))
+    base
+      .select(col("doc"), posexplode(col("_words")).as(Seq("pos", "tok")))
+      .join(removed, Seq("doc", "pos"), "left")
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("rm"), lit(0))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", expr(
+          """transform(
+            |  array_sort(collect_list(
+            |    CASE WHEN rm IS NULL THEN struct(pos, tok) END)),
+            |  x -> x.tok)""".stripMargin))).as("cleaned_md5"))
+  }
 }

@@ -371,6 +371,52 @@ object DedupPack extends QueryPack {
           |HAVING SUM(CASE WHEN inst = owner THEN 0 ELSE 1 END) > 0
           |ORDER BY doc""".stripMargin)),
 
+    // EXACT-SUBSTRING dedup (Lee et al. 2022 semantics, d9's stride-1
+    // upgrade): 10-token windows slide at stride 1, any window whose text
+    // occurred strictly earlier removes ALL its tokens — duplicated runs
+    // are caught at ANY alignment, the suffix-array property, done
+    // relationally (window hashing replaces suffix sorting; removal
+    // explode ∝ duplicated volume × window length). The oracle replays
+    // windows, ownership, interval union, and the rebuilt-text digest.
+    QueryDef(
+      "d18_substring_dedup",
+      (s, dir) => graft.ops.SpanDedup.substringDedup(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 10)
+        .orderBy(col("doc")),
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id AS doc, string_split(text, ' ') AS words
+          |  FROM documents),
+          |st AS (
+          |  SELECT doc, words,
+          |         unnest(range(1, greatest(len(words) - 9, 0) + 1)) AS u
+          |  FROM w),
+          |win AS (
+          |  SELECT doc, u - 1 AS pos,
+          |         md5(array_to_string(
+          |           words[CAST(u AS INT):CAST(u + 9 AS INT)], ' ')) AS h
+          |  FROM st),
+          |inst AS (SELECT doc, pos, h, doc * 1000000 + pos AS inst FROM win),
+          |own AS (SELECT h, min(inst) AS owner FROM inst GROUP BY h),
+          |dup AS (SELECT i.doc, i.pos FROM inst i JOIN own USING (h)
+          |        WHERE i.inst <> own.owner),
+          |rem AS (SELECT DISTINCT doc, pos + off AS tokpos
+          |        FROM dup, range(0, 10) t(off)),
+          |tp AS (
+          |  SELECT doc, words, unnest(range(1, len(words) + 1)) AS u
+          |  FROM w),
+          |toks AS (SELECT doc, u - 1 AS pos, words[CAST(u AS INT)] AS tok
+          |         FROM tp),
+          |j AS (SELECT t.doc, t.pos, t.tok, r.tokpos IS NOT NULL AS rm
+          |      FROM toks t LEFT JOIN rem r
+          |        ON r.doc = t.doc AND r.tokpos = t.pos)
+          |SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed,
+          |       md5(COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+          |                               ORDER BY pos), '')) AS cleaned_md5
+          |FROM j GROUP BY doc ORDER BY doc""".stripMargin)),
+
     // Incremental first-occurrence dedup: the corpus arrives as two
     // batches (split at max(doc_id) div 2); batch 1 is admitted against
     // nothing, its FULL index (every seen doc, accepted or not) persists,

@@ -199,6 +199,37 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Dedup.release(full)
   }
 
+  test("substring dedup catches misaligned duplicated runs; first occurrence survives") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"t$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$run tail1 tail2"),          // first occurrence of the run
+      (2L, s"pre1 pre2 pre3 $run"),       // same run at OFFSET 3 (misaligned)
+      (3L, "too short to window")          // shorter than the window
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.substringDedup(fixture, "doc_id", "text",
+      windowTokens = 10).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+    // doc 1 keeps everything (owner); doc 3 untouched (no windows)
+    assert(out(1L) == ((12L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$run tail1 tail2".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    assert(out(3L)._2 == 0L)
+    // doc 2: the run duplicates doc 1's at a NON-chunk-aligned offset —
+    // the fixed-grid dedupSpans(chunkWords=10) cannot see it, stride-1 must
+    assert(out(2L)._1 == 13L && out(2L)._2 == 10L,
+      s"misaligned duplicate run must be removed: ${out(2L)}")
+    assert(out(2L)._3 == java.security.MessageDigest.getInstance("MD5")
+      .digest("pre1 pre2 pre3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    val chunked = SpanDedup.dedupSpans(fixture, "doc_id", "text",
+      chunkWords = 10).where(col("doc") === 2).head
+    assert(chunked.getAs[Int]("n_dropped") == 0,
+      "the aligned-chunk baseline is blind to this duplicate — that contrast is the point")
+  }
+
   test("simhash of identical texts collide; near-dups have low hamming") {
     import spark.implicits._
     val d = Seq(
