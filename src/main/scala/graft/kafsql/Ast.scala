@@ -18,6 +18,13 @@ final case class ShowPartitions(topic: String) extends Statement
   * console's `/ui/api/status` JSON, `internal/console/server.go:109,199`,
   * not through SQL; surfacing it as a statement keeps one front door). */
 final case class ShowSegments(topic: String) extends Statement
+
+/** `SHOW OFFSETS FROM t` — the ListOffsets data half (key 2,
+  * `kafscale-spec.md:185-208`): per partition, EARLIEST (the log start —
+  * the DeleteRecords horizon when one exists, else the first retained
+  * segment's base) and LATEST (the high watermark, last offset + 1).
+  * Metadata-only: manifests + the horizon file, zero segment reads. */
+final case class ShowOffsets(topic: String) extends Statement
 final case class DescribeTopic(topic: String) extends Statement
 
 /** `DESCRIBE CONFIGS t` — admin-config introspection as a statement (the

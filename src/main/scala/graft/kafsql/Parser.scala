@@ -140,9 +140,10 @@ object Parser {
           if (kw("topics")) ShowTopics
           else if (kw("partitions")) { expectKw("from"); ShowPartitions(ident()) }
           else if (kw("segments")) { expectKw("from"); ShowSegments(ident()) }
+          else if (kw("offsets")) { expectKw("from"); ShowOffsets(ident()) }
           else if (kw("groups")) ShowGroups
           else throw new KafsqlException(
-            "expected TOPICS, PARTITIONS, SEGMENTS, or GROUPS after SHOW")
+            "expected TOPICS, PARTITIONS, SEGMENTS, OFFSETS, or GROUPS after SHOW")
         } else if (kw("describe")) {
           if (kw("configs")) DescribeConfigs(ident())
           else if (kw("group")) DescribeGroup(ident())

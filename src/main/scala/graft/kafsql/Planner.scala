@@ -51,6 +51,31 @@ object Planner {
         .toDF("partition", "base_offset", "last_offset", "records",
           "min_ts", "max_ts", "size_bytes")
 
+    case ShowOffsets(t) =>
+      import spark.implicits._
+      val d = reg.get(t)
+      val segs = d.segments.getOrElse(throw new KafsqlException(
+        s"topic $t has no segment estate")).apply(spark)
+      val ls = d.logStarts.map(_.apply(spark)).getOrElse(Map.empty[Int, Long])
+      val parts =
+        (segs.map(_.partition) ++ d.partitions ++ ls.keys).distinct.sorted
+      parts.map { p =>
+        val ps = segs.filter(_.partition == p)
+        val start = ls.getOrElse(p, 0L)
+        // EARLIEST = the log start: the DeleteRecords horizon when it is
+        // ahead, else the first retained segment's base (time-based
+        // retention advances the physical start without a horizon file).
+        // LATEST = high watermark; an emptied partition reports
+        // earliest == latest == the horizon, exactly Kafka's shape.
+        val earliest =
+          if (ps.isEmpty) start
+          else math.max(ps.map(_.baseOffset).min, start)
+        val latest =
+          if (ps.isEmpty) start
+          else math.max(ps.map(_.lastOffset).max + 1, start)
+        (p, earliest, latest)
+      }.toDF("partition", "earliest", "latest")
+
     case DescribeTopic(t) =>
       import spark.implicits._
       val d = reg.get(t)

@@ -65,7 +65,10 @@ final case class TopicDef(
     schemaCols: Seq[SchemaCol] = Nil,
     partitions: Seq[Int] = Nil,
     segments: Option[SparkSession => Seq[SegmentInfo]] = None,
-    configs: Option[SparkSession => Seq[ConfigInfo]] = None)
+    configs: Option[SparkSession => Seq[ConfigInfo]] = None,
+    /** Per-partition log-start offsets (the DeleteRecords horizon) —
+      * powers `SHOW OFFSETS`' EARLIEST column; absent entries read 0. */
+    logStarts: Option[SparkSession => Map[Int, Long]] = None)
 
 final class TopicRegistry(defs: Seq[TopicDef],
     /** Optional estate-level hook serving every group's per-partition

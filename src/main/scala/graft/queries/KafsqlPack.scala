@@ -52,6 +52,23 @@ object KafsqlPack extends QueryPack {
         graft.kfs.TopicConfigs.describe(root, "events")
           .map(e => ConfigInfo(e.name, e.value, e.isDefault, e.readOnly,
             e.source))
+      }),
+    // the DeleteRecords estate (k16): a topic whose partition 0 carries a
+    // log-start horizon — SHOW OFFSETS must report EARLIEST from it
+    TopicDef("docsestate",
+      s => s.read.format("kfs")
+        .option("path", KfsPack.seedDeleteRecordsEstate(s, dir)).load(),
+      partitions = Seq(0),
+      segments = Some { s =>
+        val root = KfsPack.seedDeleteRecordsEstate(s, dir)
+        graft.kfs.KfsLayout.listCompletedCached(root, Some(Set("docs")))
+          .map(r => SegmentInfo(r.partition, r.baseOffset, r.lastOffset,
+            r.lastOffset - r.baseOffset + 1, r.minTsMs, r.maxTsMs,
+            r.sizeBytes))
+      },
+      logStarts = Some { s =>
+        val root = KfsPack.seedDeleteRecordsEstate(s, dir)
+        graft.kfs.KfsLayout.readLogStarts(root, "docs")
       })),
     // SHOW GROUPS / DESCRIBE GROUP surface: the committed-offset estate's
     // per-partition positions, adapted to the registry's neutral shape —
@@ -325,6 +342,30 @@ object KafsqlPack extends QueryPack {
         Seq(0, 1).foreach(p => graft.kfs.ConsumerGroups.commit(
           root, "k15_group", "events", p, 100L, metadata = "seeded",
           nowMs = Tables.FixedNowMs))
+      })),
+
+    // SHOW OFFSETS — the ListOffsets data half (key 2), horizon-aware:
+    // after DeleteRecords advanced partition 0's log start to 300 (one
+    // whole segment deleted, one straddled), EARLIEST must be the horizon
+    // and LATEST the high watermark — metadata-only (manifest + one tiny
+    // JSON), zero segment reads, the `kafka-run-class GetOffsetShell`
+    // answer. Idempotent: the horizon is monotonic.
+    QueryDef(
+      "k16_show_offsets",
+      (s, dir) => {
+        graft.kfs.KfsRetention.deleteRecords(
+          KfsPack.seedDeleteRecordsEstate(s, dir), "docs", Map(0 -> 300L))
+        run("SHOW OFFSETS FROM docsestate")(s, dir)
+          .orderBy(col("partition"))
+      },
+      Some(
+        """SELECT CAST(0 AS INT) AS partition, CAST(300 AS BIGINT) AS earliest,
+          |       CAST(max(doc_id) + 1 AS BIGINT) AS latest
+          |FROM documents""".stripMargin),
+      seed = Some((s, dir) => {
+        graft.kfs.KfsRetention.deleteRecords(
+          KfsPack.seedDeleteRecordsEstate(s, dir), "docs", Map(0 -> 300L))
+        ()
       }))
   )
 }

@@ -62,7 +62,7 @@ object KfsPack extends QueryPack {
     * 250 records/segment so the DeleteRecords horizon at 300 lands strictly
     * INSIDE the second segment — one segment wholly deleted, one straddled
     * and trimmed per record, the rest untouched). Marker-gated. */
-  private def seedDeleteRecordsEstate(s: SparkSession, dir: String): String = {
+  private[queries] def seedDeleteRecordsEstate(s: SparkSession, dir: String): String = {
     val root = Fixtures.tmp(dir, "kfs_delrecs_250")
     val marker = java.nio.file.Paths.get(root, "_SEEDED")
     if (!java.nio.file.Files.exists(marker)) {

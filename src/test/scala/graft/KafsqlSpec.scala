@@ -171,7 +171,8 @@ class KafsqlSpec extends AnyFunSuite {
 
   test("SHOW TOPICS lists registry topics") {
     val topics = q("SHOW TOPICS").collect().map(_.getString(0)).toSeq
-    assert(topics == Seq("errors", "events", "kevents", "purchases"))
+    assert(topics ==
+      Seq("docsestate", "errors", "events", "kevents", "purchases"))
   }
 
   test("SHOW SEGMENTS: manifest stats per segment; topics without an estate refuse") {
@@ -182,6 +183,26 @@ class KafsqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == (0 until 4).map(p => (p, 0L, 249L, 250L)))
     assert(err("SHOW SEGMENTS FROM events").contains("no segment estate"))
+  }
+
+  test("SHOW OFFSETS: horizon-aware earliest, emptied partition reports horizon==latest") {
+    import graft.kafsql.{SegmentInfo, TopicDef, TopicRegistry}
+    val reg2 = new TopicRegistry(Seq(TopicDef("t",
+      _ => Tables.eventsTopic(spark, sf),
+      partitions = Seq(0, 1, 2),
+      segments = Some(_ => Seq(
+        SegmentInfo(0, 100, 199, 100, 0, 0, 10), // straddled by horizon 150
+        SegmentInfo(1, 0, 49, 50, 0, 0, 10))),   // no horizon
+      logStarts = Some(_ => Map(0 -> 150L, 2 -> 40L)))))
+    val rows = graft.kafsql.Kafsql
+      .sql(spark, reg2, "SHOW OFFSETS FROM t", nowMs = Tables.FixedNowMs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(rows == Seq(
+      (0, 150L, 200L), // earliest = the horizon, not the segment base
+      (1, 0L, 50L),    // no horizon: first segment base
+      (2, 40L, 40L)))  // DeleteRecords emptied it: earliest == latest
+    assert(err("SHOW OFFSETS FROM events").contains("no segment estate"))
   }
 
   test("KAFSQL over the DSv2 KFS topic pushes LAST/partition into the scan") {

@@ -489,7 +489,7 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("SHOW TOPICS and DESCRIBE work over the wire") {
     val (c1, topics, _) = psql("SHOW TOPICS")
     assert(c1 == 0 && topics.trim.linesIterator.toSeq ==
-      Seq("errors", "events", "kevents", "purchases"))
+      Seq("docsestate", "errors", "events", "kevents", "purchases"))
     val (c2, desc, _) = psql("DESCRIBE events")
     assert(c2 == 0)
     assert(desc.contains("_offset|bigint|"))
@@ -509,7 +509,7 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (c1, tables, _) = psql("SELECT table_name FROM information_schema.tables")
     assert(c1 == 0)
     assert(tables.trim.linesIterator.toSet ==
-      Set("errors", "events", "kevents", "purchases"))
+      Set("docsestate", "errors", "events", "kevents", "purchases"))
     val (c2, cols, _) = psql(
       "SELECT column_name, data_type FROM information_schema.columns")
     assert(c2 == 0)
@@ -531,7 +531,7 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
         |JOIN pg_catalog.pg_namespace n ON c.relnamespace = n.oid
         |ORDER BY c.relname""".stripMargin)
     assert(c5 == 0)
-    assert(rels.trim.linesIterator.toSeq == Seq("errors|r|public",
+    assert(rels.trim.linesIterator.toSeq == Seq("docsestate|r|public", "errors|r|public",
       "events|r|public", "kevents|r|public", "purchases|r|public"))
   }
 
