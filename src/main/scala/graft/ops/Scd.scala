@@ -42,17 +42,26 @@ object Scd {
       ordCol: String = "_change_ordinal",
       typeCol: String = "_change_type"): DataFrame = {
     val rowStruct = struct(changes.columns.map(col): _*)
+    // the hash tiebreaker is materialized ONCE as a real column: an
+    // inline hash(...) in each window's ORDER BY is re-extracted with a
+    // fresh projected column per Window node, which splits the guard's
+    // three lags into three Window+Sort pairs and forces the fold to
+    // re-sort — ordering every window by the SAME attribute lets
+    // CollapseWindow merge the lags and lets the fold's required
+    // ordering be satisfied by the guard's output, so the whole operator
+    // runs on ONE Exchange + ONE Sort (PlanSpec pins the plan shape)
+    val hashed = changes.withColumn("_slot_hash", hash(rowStruct))
     // duplicates of one (key, ordinal, type) slot sort adjacent: equal
     // rows share the hash tiebreaker, so an exact dup always follows its
     // original, and a slot with two DISTINCT rows always has some
     // adjacent differing pair — which is exactly the conflict signal
     val dw = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(ordCol), col(typeCol), hash(rowStruct))
+      .orderBy(col(ordCol), col(typeCol), col("_slot_hash"))
     val sameSlot = col("_prev_ord") === col(ordCol) &&
       col("_prev_type") === col(typeCol)
     val dupOfPrev = sameSlot && (col("_prev_row") <=> rowStruct)
     val conflict = sameSlot && !(col("_prev_row") <=> rowStruct)
-    val deduped = changes
+    val deduped = hashed
       .withColumn("_prev_row", lag(rowStruct, 1).over(dw))
       .withColumn("_prev_ord", lag(col(ordCol), 1).over(dw))
       .withColumn("_prev_type", lag(col(typeCol), 1).over(dw))
@@ -63,9 +72,14 @@ object Scd {
         .otherwise(!coalesce(dupOfPrev, lit(false))))
       .drop("_prev_row", "_prev_ord", "_prev_type")
     // 'delete' < 'insert' lexicographically, so a same-ordinal delete sits
-    // BEFORE the insert and the strictly-following frame can't see it
+    // BEFORE the insert and the strictly-following frame can't see it.
+    // The fold orders by the guard's EXACT key — (ord, type, _slot_hash),
+    // not the (ord, type) prefix it semantically needs: after the guard,
+    // every (key, ord, type) slot holds one row (dups collapsed,
+    // conflicts aborted), so the hash suffix is inert and the two orders
+    // are row-identical — sharing the key is what elides the second Sort.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(ordCol), col(typeCol))
+      .orderBy(col(ordCol), col(typeCol), col("_slot_hash"))
       .rowsBetween(1, Window.unboundedFollowing)
     deduped
       .withColumn("_next_del",
@@ -74,6 +88,6 @@ object Scd {
       .withColumn("valid_from", col(ordCol))
       .withColumn("valid_to", col("_next_del"))
       .withColumn("is_current", col("_next_del").isNull)
-      .drop("_next_del", ordCol, typeCol)
+      .drop("_next_del", "_slot_hash", ordCol, typeCol)
   }
 }

@@ -493,4 +493,24 @@ class PlanSpec extends AnyFunSuite {
         s"without estate stats nothing may claim the side small:\n$noStats")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("scd2: guard + fold run on ONE Exchange and ONE Sort") {
+    // the dup/conflict guard orders by (ord, type, hash) and the validity
+    // fold reuses that EXACT order (the hash tiebreaker is inert once the
+    // guard has collapsed each slot to one row), so the second Window's
+    // required ordering is satisfied by the first's output — re-sorting
+    // the keyed shuffle for the fold would double the sort cost of every
+    // SCD2 fold at any scale
+    import spark.implicits._
+    val ch = Seq(
+      (1L, "a", "insert", 1L), (1L, null.asInstanceOf[String], "delete", 3L),
+      (1L, "b", "insert", 3L), (2L, "c", "insert", 2L))
+      .toDF("k", "payload", "_change_type", "_change_ordinal")
+    val plan = graft.ops.Scd.scd2(ch, Seq("k"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "Sort \\[".r.findAllIn(plan).length
+    assert(exchanges == 1, s"scd2 must shuffle once on the key:\n$plan")
+    assert(sorts == 1, s"guard and fold must share one window sort:\n$plan")
+  }
 }
