@@ -242,9 +242,11 @@ object KafsqlPack extends QueryPack {
         val root = graft.kfs.KfsSeed.seededRoot(s, dir)
         val table = Fixtures.tmp(dir, "k12_table")
         val ckpt = Fixtures.tmp(dir, "k12_ckpt")
-        graft.streaming.KafsqlStream.runToTable(s, registry(dir), root,
-          "SELECT _partition, _offset, k FROM events SCAN FULL",
-          table, ckpt, nowMs = Tables.FixedNowMs)
+        graft.streaming.StreamDrive.narrow(s) {
+          graft.streaming.KafsqlStream.runToTable(s, registry(dir), root,
+            "SELECT _partition, _offset, k FROM events SCAN FULL",
+            table, ckpt, nowMs = Tables.FixedNowMs)
+        }
         s.read.parquet(table)
           .groupBy(col("_partition"))
           .agg(count(lit(1)).as("cnt"),

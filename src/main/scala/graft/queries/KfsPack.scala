@@ -358,12 +358,14 @@ object KfsPack extends QueryPack {
         // enough that per-trigger overhead (WAL commit + sink commit)
         // doesn't dominate the bench; the 4-per-trigger round-robin
         // semantics are locked separately by KfsStreamV2Spec
-        val q = s.readStream.format("kfs").option("path", root)
-          .option("max_segments_per_trigger", "16").load()
-          .select(col("_partition"), col("_offset"))
-          .writeStream.format("parquet").option("path", out)
-          .option("checkpointLocation", ckpt).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        graft.streaming.StreamDrive.narrow(s) {
+          val q = s.readStream.format("kfs").option("path", root)
+            .option("max_segments_per_trigger", "16").load()
+            .select(col("_partition"), col("_offset"))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.read.parquet(out)
           .groupBy(col("_partition"))
           .agg(count(lit(1)).as("cnt"), min(col("_offset")).as("min_off"),

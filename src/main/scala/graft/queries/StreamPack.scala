@@ -155,32 +155,29 @@ object StreamPack extends QueryPack {
         // a stream-stream join keeps TWO state stores per shuffle
         // partition per micro-batch; at this volume 32 partitions are
         // pure store-commit overhead (~5 batches × 64 stores), so pin the
-        // stateful query narrow — the checkpoint freezes the value, and
-        // the session conf is restored after the drive
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q = joined.writeStream.format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable() // batch 1: all real rows, matches emit
-          // sentinel rows past every live band (max ts + band + watermark
-          // delay + margin) advance the watermark; two rounds because
-          // eviction flushes on the batch AFTER the advance lands
-          val hi = views.select(
-            (max(col("ts")) + expr("INTERVAL 3 HOURS")).as("hi"))
-          for (bump <- Seq(0, 1)) {
-            val sentinel = hi.select(
-              lit(Long.MinValue).as("key"),
-              (col("hi") + expr(s"INTERVAL $bump HOURS")).as("ts"),
-              lit(-1L).as("value"))
-            sentinel.write.mode("append").parquet(stageL)
-            sentinel.write.mode("append").parquet(stageR)
-            q.processAllAvailable()
-          }
-        } finally {
-          q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        // stateful query narrow for the whole drive (StreamDrive: the
+        // checkpoint freezes the value at start)
+        graft.streaming.StreamDrive.narrow(s) {
+          val q = joined.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // batch 1: all real rows, matches emit
+            // sentinel rows past every live band (max ts + band + watermark
+            // delay + margin) advance the watermark; two rounds because
+            // eviction flushes on the batch AFTER the advance lands
+            val hi = views.select(
+              (max(col("ts")) + expr("INTERVAL 3 HOURS")).as("hi"))
+            for (bump <- Seq(0, 1)) {
+              val sentinel = hi.select(
+                lit(Long.MinValue).as("key"),
+                (col("hi") + expr(s"INTERVAL $bump HOURS")).as("ts"),
+                lit(-1L).as("value"))
+              sentinel.write.mode("append").parquet(stageL)
+              sentinel.write.mode("append").parquet(stageR)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
         }
         s.read.parquet(sink)
           .where(col("l_key") =!= Long.MinValue) // sentinels never matter
