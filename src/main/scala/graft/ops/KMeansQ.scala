@@ -155,9 +155,29 @@ object KMeansQ {
       dims: Int, scale: Long = 1000000L): Seq[Array[Array[Long]]] = {
     val subDims = dims / m
     require(subDims * m == dims, s"dims $dims not divisible by m $m")
-    val qdf = df.select((0 until m).map(i =>
-        quantize(slice(col(vecCol), i * subDims + 1, subDims), subDims, scale)
-          .as(s"q$i")): _*)
+    fitMultiSlices(df, i =>
+      quantize(slice(col(vecCol), i * subDims + 1, subDims), subDims, scale),
+      m, k, iters, subDims, scale)
+  }
+
+  /** [[fitMulti]] over an ALREADY-QUANTIZED long-array column — the
+    * residual-PQ fit (IVFPQ): residuals are integer differences of
+    * quantized vectors, so re-quantizing through the float path would
+    * both lose exactness and double-scale. Same init, assignment, and
+    * truncating update as [[fitMulti]], so oracles replay it with the
+    * identical CTE chain over the residual source. */
+  def fitMultiQuantized(df: DataFrame, qVecCol: String, m: Int, k: Int,
+      iters: Int, dims: Int, scale: Long = 1000000L): Seq[Array[Array[Long]]] = {
+    val subDims = dims / m
+    require(subDims * m == dims, s"dims $dims not divisible by m $m")
+    fitMultiSlices(df, i => slice(col(qVecCol), i * subDims + 1, subDims),
+      m, k, iters, subDims, scale)
+  }
+
+  private def fitMultiSlices(df: DataFrame, sliceFor: Int => Column,
+      m: Int, k: Int, iters: Int, subDims: Int, scale: Long)
+      : Seq[Array[Array[Long]]] = {
+    val qdf = df.select((0 until m).map(i => sliceFor(i).as(s"q$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centers = Array.fill(m)(initialCenters(k, subDims, scale))

@@ -25,6 +25,8 @@ import org.apache.spark.sql.graft.VectorOps
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity")
+
   /** Sequential-fold dot product in double precision — custom codegen'd
     * Catalyst expression (same IEEE left-fold as the composable
     * aggregate/zip_with route, ~50x faster on O(n^2) scans). */
@@ -316,6 +318,117 @@ object Similarity {
       .select(col("q"), col("rank"), col("v"), col("d2"))
   }
 
+  /** IVFPQ — the composed index shape a 100 TB vector estate actually
+    * runs (the FAISS `IVFx,PQy` recipe): a coarse integer k-means
+    * partitions the corpus into `kCells` cells, each vector stores only
+    * its cell id plus `m` PQ codes fit on the RESIDUAL (vector − its cell
+    * center — residuals are tighter than raw vectors, so the same
+    * codebook budget quantizes finer), and a query (a) probes its
+    * `nProbe` nearest cells, (b) ADC-scans ONLY those cells' codes with
+    * per-(query, cell) residual distance tables, (c) exact-refines the
+    * kCand shortlist in the quantized integer domain ([[pqRefineTopK]]'s
+    * stage 2). Everything is exact integer arithmetic on deterministic
+    * fits, so the whole composition hash-replays relationally.
+    *
+    * 100 TB shape: the corpus-wide pass is the CODE scan of the probed
+    * cells only (~nProbe/kCells of m-int rows — at real settings, <1% of
+    * the corpus in bytes); probes + distance tables broadcast; the
+    * refine touches queries × kCand full vectors. Cells are the persisted
+    * layout (partition by `cell`), so the probe is partition pruning, not
+    * a filter.
+    *
+    * Returns (q, rank, v, d2) — d2 the exact quantized squared distance. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kCand: Int, kCells: Int = 4, coarseIters: Int = 2, nProbe: Int = 2,
+      m: Int = 4, codebookK: Int = 8, pqIters: Int = 1, dims: Int = 64,
+      scale: Long = 1000000L): DataFrame = {
+    require(kCand >= k && k >= 1, "need kCand >= k >= 1")
+    require(nProbe >= 1 && nProbe <= kCells, "need 1 <= nProbe <= kCells")
+    val subDims = dims / m
+    require(subDims * m == dims, s"dims $dims not divisible by m $m")
+    val qv = org.apache.spark.sql.graft.QuantOps
+
+    // coarse quantizer: one deterministic integer k-means over the corpus
+    val coarse = KMeansQ.fitMulti(
+      corpus, "embedding", 1, kCells, coarseIters, dims, scale).head
+    // centers as ONE plan literal: residual subtraction and probe scoring
+    // are narrow codegen maps — no join, no shuffle, no broadcast-of-data
+    val centersLit = array(coarse.map(c => array(c.map(lit(_)): _*)): _*)
+    def residual(qvec: Column, cell: Column): Column =
+      zip_with(qvec, element_at(centersLit, cell + 1), (a, b) => a - b)
+
+    // per-vector cell + integer residual + m PQ codes (one narrow pass;
+    // the PQ codebooks fit on residuals — tighter than raw vectors)
+    val cq = corpus.select(col("vec_id").as("v"),
+      qv.quantize(col("embedding"), dims, scale).as("_qv"))
+    val assigned = cq
+      .withColumn("_cs", KMeansQ.scoresExpr(col("_qv"), coarse))
+      .withColumn("cell", KMeansQ.argminExpr(col("_cs"), kCells))
+      .withColumn("_res", residual(col("_qv"), col("cell")))
+      .select(col("v"), col("cell"), col("_res"))
+    val codebooks = KMeansQ.fitMultiQuantized(
+      assigned.select(col("v").as("vec_id"), col("_res")), "_res",
+      m, codebookK, pqIters, dims, scale)
+    val codes = codebooks.zipWithIndex.foldLeft(assigned) {
+      case (acc, (cb, i)) =>
+        acc.withColumn(s"_rs$i", slice(col("_res"), i * subDims + 1, subDims))
+          .withColumn(s"_sc$i", KMeansQ.scoresExpr(col(s"_rs$i"), cb))
+          .withColumn(s"code_$i", KMeansQ.argminExpr(col(s"_sc$i"), cb.length))
+          .drop(s"_rs$i", s"_sc$i")
+    }.drop("_res")
+
+    // query side: nProbe nearest cells by exact integer center distance,
+    // then a per-(query, probed-cell) RESIDUAL distance table per
+    // subspace — |qres_sub − cb_c|² exactly (scores drop the shared
+    // |qres_sub|² term; adding it back makes the ADC the true squared
+    // distance, so shortlists are comparable across cells)
+    val qq = queries.select(col("vec_id").as("q"),
+      qv.quantize(col("embedding"), dims, scale).as("_qq"))
+    val pw = Window.partitionBy(col("q")).orderBy(col("score"), col("cl"))
+    val probes = qq
+      .withColumn("_cs", KMeansQ.scoresExpr(col("_qq"), coarse))
+      .select(col("q"), col("_qq"),
+        posexplode(col("_cs")).as(Seq("cl", "score")))
+      .withColumn("rn", row_number().over(pw))
+      .where(col("rn") <= nProbe)
+      .withColumn("_qres", residual(col("_qq"), col("cl")))
+    val qdt = (0 until m).foldLeft(probes) { case (acc, i) =>
+      val cb = codebooks(i)
+      acc.withColumn(s"_qr$i", slice(col("_qres"), i * subDims + 1, subDims))
+        .withColumn(s"_qn$i",
+          aggregate(col(s"_qr$i"), lit(0L), (a, x) => a + x * x))
+        .withColumn(s"dt_$i",
+          transform(KMeansQ.scoresExpr(col(s"_qr$i"), cb),
+            s => s + col(s"_qn$i")))
+        .drop(s"_qr$i", s"_qn$i")
+    }.select(col("q") +: col("cl") +: (0 until m).map(i => col(s"dt_$i")): _*)
+
+    // probe-limited ADC scan: the equi-join on (cell = cl) IS the cell
+    // pruning — codes outside every probed cell never match (PlanSpec
+    // pins the broadcast-hash-join shape)
+    val adc = (0 until m).map(i =>
+      element_at(col(s"dt_$i"), col(s"code_$i").cast("int") + 1))
+      .reduce(_ + _)
+    val ws = Window.partitionBy(col("q")).orderBy(col("adc"), col("v"))
+    val shortlist = codes
+      .join(broadcast(qdt), col("cell") === col("cl") && col("q") =!= col("v"))
+      .withColumn("adc", adc)
+      .where(col("adc").isNotNull)
+      .withColumn("rank", row_number().over(ws))
+      .where(col("rank") <= kCand)
+      .select(col("q"), col("v"))
+
+    // exact integer refine over the shortlist — pqRefineTopK's stage 2
+    val w = Window.partitionBy(col("q")).orderBy(col("d2"), col("v"))
+    cq.join(broadcast(shortlist), Seq("v"))
+      .join(broadcast(qq), Seq("q"))
+      .withColumn("d2", qv.l2sq(col("_qq"), col("_qv")))
+      .where(col("d2").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("v"), col("d2"))
+  }
+
   /** MMR-DIVERSIFIED top-k (Maximal Marginal Relevance, Carbonell &
     * Goldstein 1998): greedy selection balancing relevance against
     * redundancy — round 1 picks the nearest candidate, every later round
@@ -327,18 +440,29 @@ object Similarity {
     * (λ = num/den cross-multiplied) — every term BIGINT-exact, ties to
     * the smallest id, so the whole greedy trajectory hash-replays.
     *
-    * Scale shape: candidate generation is one exact integer top-kCand per
-    * query (swap in [[pqTopK]]'s shortlist at corpus scale — MMR only
-    * needs SOME relevance-ordered candidate set); after that, every round
-    * touches queries × kCand² PAIR rows (bounded by kCand, independent of
+    * Scale shape: candidate generation DEFAULTS to one exact integer
+    * top-kCand per query (a full corpus pass per query set — fine for
+    * evaluation, wrong at estate scale); pass `shortlist` — any
+    * (q, v) candidate frame, e.g. [[pqRefineTopK]]'s output — to skip it:
+    * MMR only needs SOME relevance-ordered candidate set, and relevance
+    * is recomputed exactly on the shortlist rows, so the corpus is
+    * touched once (a broadcast semi-join fetches the candidates' vectors;
+    * never a cartesian). After candidates, every round touches
+    * queries × kCand² PAIR rows (bounded by the pool, independent of
     * corpus size), distributed by query. k driver-side rounds of
     * fixed-size joins — actions ∝ k, like the KMeansQ iteration chain —
     * each `localCheckpoint`ed flat so lineage doesn't nest.
     *
-    * Returns (q, round, v): the pick order IS the diversified ranking. */
+    * Returns (q, round, v): the pick order IS the diversified ranking.
+    * A query whose candidate pool runs dry before k rounds (corpus
+    * smaller than k after self/null filtering, or a short shortlist)
+    * returns FEWER than k rows; when a whole round picks nothing for any
+    * query the loop stops early and logs, instead of spinning empty
+    * joins. */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kCand: Int = 20, lambdaNum: Long = 7, lambdaDen: Long = 10,
-      dims: Int = 64, scale: Long = 1000000L): DataFrame = {
+      dims: Int = 64, scale: Long = 1000000L,
+      shortlist: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && kCand >= k, "need kCand >= k >= 1")
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"lambda must be a fraction in [0,1]: $lambdaNum/$lambdaDen")
@@ -347,14 +471,7 @@ object Similarity {
       qv.quantize(col("embedding"), dims, scale).as("_qq"))
     val cc = corpus.select(col("vec_id").as("v"),
       qv.quantize(col("embedding"), dims, scale).as("_cv"))
-    val wRel = Window.partitionBy(col("q")).orderBy(col("rel"), col("v"))
-    val cands = qq.crossJoin(cc).where(col("q") =!= col("v"))
-      .withColumn("rel", qv.l2sq(col("_qq"), col("_cv")))
-      .where(col("rel").isNotNull) // malformed vectors must never rank
-      .withColumn("rn", row_number().over(wRel))
-      .where(col("rn") <= kCand)
-      .select(col("q"), col("v"), col("rel"), col("_cv"))
-      .localCheckpoint()
+    val cands = mmrCandidates(cc, qq, kCand, shortlist).localCheckpoint()
     // candidate-pair distances, computed ONCE: queries × kCand² rows
     val pd = cands.select(col("q"), col("v").as("d"), col("_cv").as("_a"))
       .join(cands.select(col("q"), col("v").as("s"), col("_cv").as("_b")),
@@ -373,27 +490,76 @@ object Similarity {
       .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
       .select(col("q"), lit(1).as("round"), col("v"))
       .localCheckpoint()
+    // every picked frame is localCheckpoint-materialized, so the count is
+    // a cached-size read, not a recompute — it drives the dry-pool stop
+    var pickedN = picked.count()
+    var dry = false
     (2 to k).foreach { i =>
-      val minD = pd
-        .join(picked.select(col("q"), col("v").as("s")), Seq("q", "s"))
-        .groupBy(col("q"), col("d")).agg(min(col("dist")).as("min_d"))
-        .select(col("q").as("mq"), col("d"), col("min_d"))
-      val pick = slim
-        .join(picked.select(col("q"), col("v")), Seq("q", "v"), "left_anti")
-        .join(minD, col("q") === col("mq") && col("v") === col("d"))
-        .withColumn("score",
-          lit(-lambdaNum) * col("rel") +
-            lit(lambdaDen - lambdaNum) * col("min_d"))
-        .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
-        .select(col("q"), lit(i).as("round"), col("v"))
-      val stale = picked
-      picked = picked.union(pick).localCheckpoint()
-      Dedup.release(stale)
+      if (!dry) {
+        val minD = pd
+          .join(picked.select(col("q"), col("v").as("s")), Seq("q", "s"))
+          .groupBy(col("q"), col("d")).agg(min(col("dist")).as("min_d"))
+          .select(col("q").as("mq"), col("d"), col("min_d"))
+        val pick = slim
+          .join(picked.select(col("q"), col("v")), Seq("q", "v"), "left_anti")
+          .join(minD, col("q") === col("mq") && col("v") === col("d"))
+          .withColumn("score",
+            lit(-lambdaNum) * col("rel") +
+              lit(lambdaDen - lambdaNum) * col("min_d"))
+          .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+          .select(col("q"), lit(i).as("round"), col("v"))
+        val stale = picked
+        picked = picked.union(pick).localCheckpoint()
+        Dedup.release(stale)
+        val n = picked.count()
+        if (n == pickedN) {
+          // every query's pool ran dry: later rounds would only spin the
+          // same empty joins — stop, and say so (callers expecting k rows
+          // per query must not be silently surprised)
+          log.warn(s"mmrTopK: candidate pool dry after round ${i - 1} of " +
+            s"$k — queries return fewer than k rows")
+          dry = true
+        }
+        pickedN = n
+      }
     }
     Dedup.release(cands); Dedup.release(pd)
     // like nearDuplicates: the result is localCheckpoint-backed — callers
     // that care free it with Dedup.release when done
     picked
+  }
+
+  /** MMR candidate generation, separated so its PLAN is testable (mmrTopK
+    * localCheckpoints eagerly, which erases lineage): `cc`/`qq` are the
+    * quantized (v, _cv) / (q, _qq) frames. With a `shortlist` — any
+    * (q, v) candidate frame, e.g. [[pqRefineTopK]]'s output — the corpus
+    * is scanned once and the shortlist broadcasts to both joins: no
+    * corpus shuffle, no cartesian (PlanSpec pins this). Without one, the
+    * exact path cross-joins queries × corpus and keeps top-kCand by
+    * integer distance — fine for evaluation, the thing you swap OUT at
+    * estate scale. */
+  private[graft] def mmrCandidates(cc: DataFrame, qq: DataFrame, kCand: Int,
+      shortlist: Option[DataFrame]): DataFrame = {
+    val qv = org.apache.spark.sql.graft.QuantOps
+    val wRel = Window.partitionBy(col("q")).orderBy(col("rel"), col("v"))
+    val base = shortlist match {
+      case Some(sl) =>
+        // rel is recomputed exactly on the shortlist rows, so the greedy
+        // trajectory stays hash-replayable even off an approximate
+        // (ADC-ranked) shortlist
+        cc.join(broadcast(sl.select(col("q"), col("v"))), Seq("v"))
+          .join(broadcast(qq), Seq("q"))
+          .where(col("q") =!= col("v"))
+          .withColumn("rel", qv.l2sq(col("_qq"), col("_cv")))
+          .where(col("rel").isNotNull)
+      case None =>
+        qq.crossJoin(cc).where(col("q") =!= col("v"))
+          .withColumn("rel", qv.l2sq(col("_qq"), col("_cv")))
+          .where(col("rel").isNotNull) // malformed vectors must never rank
+          .withColumn("rn", row_number().over(wRel))
+          .where(col("rn") <= kCand)
+    }
+    base.select(col("q"), col("v"), col("rel"), col("_cv"))
   }
 
   /** [[ivfqTopK]] with a metadata predicate applied BELOW the cell probe —

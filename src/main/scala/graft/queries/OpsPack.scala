@@ -109,7 +109,7 @@ object OpsPack extends QueryPack {
     * cluster)`; the per-iteration centers are `c<i>$sfx`. */
   private def duckSubKmeansCtes(k: Int, iters: Int, scale: Long,
       subDims: Int, offset: Int, sfx: String,
-      fitWhere: String = ""): String = {
+      fitWhere: String = "", srcSql: String = ""): String = {
     val half = scale / 32
     // sampled fit (s27 at fitSampleRate < 1): iteration chain over
     // qfit$sfx, final per-vector codes still over the full q$sfx
@@ -136,10 +136,16 @@ object OpsPack extends QueryPack {
     val chain = (1 to iters).map(i =>
       distCte(i, s"c${i - 1}$sfx") + ",\n" + updateCte(i, s"c${i - 1}$sfx"))
       .mkString(",\n")
+    // srcSql overrides the quantized-slice source — the residual-PQ fit
+    // (s38) feeds the SAME iteration chain from a residual table instead
+    // of a raw embedding slice; it must yield (vec_id, dim in 1..subDims,
+    // qv) rows
+    val srcBody = if (srcSql.nonEmpty) srcSql else
+      s"""  SELECT e.vec_id, r.dim,
+         |         CAST(round(CAST(e.embedding[r.dim + $offset] AS DOUBLE) * $scale) AS BIGINT) AS qv
+         |  FROM embeddings e, range(1, ${subDims + 1}) r(dim)""".stripMargin
     s"""q$sfx AS (
-       |  SELECT e.vec_id, r.dim,
-       |         CAST(round(CAST(e.embedding[r.dim + $offset] AS DOUBLE) * $scale) AS BIGINT) AS qv
-       |  FROM embeddings e, range(1, ${subDims + 1}) r(dim)),
+       |$srcBody),
        |${fitCte}c0$sfx AS (
        |  SELECT p.cl, d.dim,
        |         CAST((2 * CAST('0x' || substr(md5('c|' || p.cl || '|' || d.dim), 1, 1) AS INTEGER) - 15) * $half AS BIGINT) AS c
@@ -735,6 +741,102 @@ object OpsPack extends QueryPack {
            |SELECT q, round, v FROM s5 ORDER BY q, round""".stripMargin
       }),
 
+    // MMR OVER A PQ+REFINE SHORTLIST — the composed retrieve-then-
+    // diversify pipeline a real RAG/training-data stack runs (FAISS
+    // shortlist, then MMR): stage 1 is s34's two-stage search (ADC top-20,
+    // exact integer refine to top-10), stage 2 is s37's greedy MMR over
+    // THAT pool instead of an exact corpus-wide top-k — so the corpus
+    // pays only the compressed code scan, never a per-query exact pass.
+    // The supplied-shortlist path broadcasts the (queries × 10)-row pool
+    // against one corpus scan (PlanSpec: no cartesian), and rel is
+    // recomputed BIGINT-exact on the pool, so the entire composition —
+    // codebook fits, ADC, refine, five greedy rounds — hash-replays in
+    // DuckDB as one CTE chain.
+    QueryDef(
+      "s39_mmr_over_refine",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val probes = e.where(col("vec_id") < 5)
+        val sl = Similarity.pqRefineTopK(e, probes, k = 10, kCand = 20,
+          fitSampleRate = 0.5).select(col("q"), col("v"))
+        Similarity.mmrTopK(e, probes, k = 5, kCand = 10,
+            lambdaNum = 7, lambdaDen = 10, shortlist = Some(sl))
+          .orderBy(col("q"), col("round"))
+      },
+      Some {
+        val fits = (0 until 4).map(i =>
+          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
+            subDims = 16, offset = i * 16, sfx = s"_$i",
+            fitWhere = duckSampleWhere(0.5))).mkString(",\n")
+        val qds = (0 until 4).map(i =>
+          s"""qd$i AS (
+             |  SELECT q.vec_id, c.cl, CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS d
+             |  FROM q_$i q JOIN c1_$i c ON q.dim = c.dim
+             |  WHERE q.vec_id < 5 GROUP BY 1, 2)""".stripMargin).mkString(",\n")
+        val rounds = (2 to 5).map { i =>
+          s"""p$i AS (SELECT q, $i AS round, v FROM (
+             |  SELECT c.q, c.v,
+             |         row_number() OVER (PARTITION BY c.q
+             |           ORDER BY (-7 * c.rel + 3 * m.min_d) DESC, c.v) AS rn
+             |  FROM cands c
+             |  JOIN (SELECT pd.q, pd.d AS v, min(pd.dist) AS min_d
+             |        FROM pd JOIN s${i - 1} sp
+             |          ON sp.q = pd.q AND sp.v = pd.s
+             |        GROUP BY 1, 2) m ON m.q = c.q AND m.v = c.v
+             |  WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} sx
+             |                    WHERE sx.q = c.q AND sx.v = c.v)
+             |  ) WHERE rn = 1),
+             |s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM p$i)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $fits,
+           |codes AS (
+           |  SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+           |         a2.cluster AS k2, a3.cluster AS k3
+           |  FROM af_0 a0 JOIN af_1 a1 USING (vec_id)
+           |       JOIN af_2 a2 USING (vec_id) JOIN af_3 a3 USING (vec_id)),
+           |$qds,
+           |scored AS (
+           |  SELECT d0.vec_id AS q, v.vec_id AS v,
+           |         d0.d + d1.d + d2.d + d3.d AS adc
+           |  FROM codes v
+           |  JOIN qd0 d0 ON d0.cl = v.k0
+           |  JOIN qd1 d1 ON d1.cl = v.k1 AND d1.vec_id = d0.vec_id
+           |  JOIN qd2 d2 ON d2.cl = v.k2 AND d2.vec_id = d0.vec_id
+           |  JOIN qd3 d3 ON d3.cl = v.k3 AND d3.vec_id = d0.vec_id
+           |  WHERE v.vec_id <> d0.vec_id),
+           |sl AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY adc, v) AS rank
+           |    FROM scored) WHERE rank <= 20),
+           |qfull AS (
+           |  SELECT e.vec_id, r.dim,
+           |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           |  FROM embeddings e, range(1, 65) r(dim)),
+           |ref AS (
+           |  SELECT s.q, s.v, CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+           |  FROM sl s JOIN qfull a ON a.vec_id = s.q
+           |  JOIN qfull b ON b.vec_id = s.v AND b.dim = a.dim
+           |  GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT q, v, d2 AS rel FROM (
+           |    SELECT q, v, d2,
+           |           row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rank
+           |    FROM ref) WHERE rank <= 10),
+           |pd AS (
+           |  SELECT a.q, a.v AS d, b.v AS s,
+           |         SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS dist
+           |  FROM cands a JOIN cands b ON a.q = b.q AND a.v <> b.v
+           |  JOIN qfull qa ON qa.vec_id = a.v
+           |  JOIN qfull qb ON qb.vec_id = b.v AND qb.dim = qa.dim
+           |  GROUP BY 1, 2, 3),
+           |s1 AS (SELECT q, 1 AS round, v FROM (
+           |  SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY rel, v) AS rn
+           |  FROM cands) WHERE rn = 1),
+           |$rounds
+           |SELECT q, round, v FROM s5 ORDER BY q, round""".stripMargin
+      }),
+
     // IVF-FLAT over DETERMINISTIC integer-k-means cells: each query probes
     // its 2 nearest cells (exact integer center distances) and scores only
     // those cells' vectors with the exact cosine — the cluster-pruned scan
@@ -777,6 +879,96 @@ object OpsPack extends QueryPack {
            |  FROM jx)
            |SELECT q, rank, v, round(c, 4) AS cos_sim
            |FROM r WHERE rank <= 10 ORDER BY q, rank""".stripMargin)),
+
+    // IVFPQ (the FAISS `IVF4,PQ4` composition — s28's coarse cells +
+    // s34's PQ codebooks, fit on RESIDUALS): each vector stores cell id +
+    // 4 codes; a query probes its 2 nearest cells, ADC-scans only those
+    // cells' codes with per-(query,cell) residual distance tables, and
+    // exact-integer-refines the top-10 shortlist to top-5. The index
+    // shape a 100 TB vector estate actually runs: the only wide pass is
+    // the code scan of the probed cells (~nProbe/kCells of m-int rows).
+    // Every stage — coarse fit, residuals, residual codebook fits, codes,
+    // probes, ADC, refine — is deterministic integer arithmetic, replayed
+    // below as one DuckDB CTE chain, so the whole composition
+    // hash-matches, not approximately.
+    QueryDef(
+      "s38_ivfpq_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfpqTopK(e, e.where(col("vec_id") < 5), k = 5,
+            kCand = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some {
+        val subFits = (0 until 4).map { i =>
+          val off = i * 16
+          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
+            subDims = 16, offset = off, sfx = s"_$i",
+            srcSql = s"""  SELECT vec_id, dim - $off AS dim, rv AS qv
+                        |  FROM res WHERE dim > $off AND dim <= ${off + 16}"""
+              .stripMargin)
+        }.mkString(",\n")
+        val qds = (0 until 4).map { i =>
+          val off = i * 16
+          s"""qd$i AS (
+             |  SELECT r.q, r.pcl, cb.cl,
+             |         CAST(SUM((r.rv - cb.c) * (r.rv - cb.c)) AS BIGINT) AS d
+             |  FROM qres r JOIN c1_$i cb ON cb.dim = r.dim - $off
+             |  WHERE r.dim > $off AND r.dim <= ${off + 16}
+             |  GROUP BY 1, 2, 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L)},
+           |res AS (
+           |  SELECT q.vec_id, q.dim, q.qv - c.c AS rv
+           |  FROM q JOIN af a USING (vec_id)
+           |  JOIN c2 c ON c.cl = a.cluster AND c.dim = q.dim),
+           |$subFits,
+           |codes AS (
+           |  SELECT a.vec_id, a.cluster AS cell, a0.cluster AS k0,
+           |         a1.cluster AS k1, a2.cluster AS k2, a3.cluster AS k3
+           |  FROM af a JOIN af_0 a0 USING (vec_id) JOIN af_1 a1 USING (vec_id)
+           |       JOIN af_2 a2 USING (vec_id) JOIN af_3 a3 USING (vec_id)),
+           |qcs AS (
+           |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS d
+           |  FROM q JOIN c2 c ON q.dim = c.dim
+           |  WHERE q.vec_id < 5 GROUP BY 1, 2),
+           |probes AS (
+           |  SELECT vec_id AS q, cl FROM (
+           |    SELECT vec_id, cl,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+           |    FROM qcs) WHERE rn <= 2),
+           |qres AS (
+           |  SELECT p.q, p.cl AS pcl, q.dim, q.qv - c.c AS rv
+           |  FROM probes p JOIN q ON q.vec_id = p.q
+           |  JOIN c2 c ON c.cl = p.cl AND c.dim = q.dim),
+           |$qds,
+           |scored AS (
+           |  SELECT p.q, v.vec_id AS v, d0.d + d1.d + d2.d + d3.d AS adc
+           |  FROM codes v
+           |  JOIN probes p ON p.cl = v.cell AND p.q <> v.vec_id
+           |  JOIN qd0 d0 ON d0.q = p.q AND d0.pcl = p.cl AND d0.cl = v.k0
+           |  JOIN qd1 d1 ON d1.q = p.q AND d1.pcl = p.cl AND d1.cl = v.k1
+           |  JOIN qd2 d2 ON d2.q = p.q AND d2.pcl = p.cl AND d2.cl = v.k2
+           |  JOIN qd3 d3 ON d3.q = p.q AND d3.pcl = p.cl AND d3.cl = v.k3),
+           |sl AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY adc, v) AS rank
+           |    FROM scored) WHERE rank <= 10),
+           |qfull AS (
+           |  SELECT e.vec_id, r.dim,
+           |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           |  FROM embeddings e, range(1, 65) r(dim)),
+           |ref AS (
+           |  SELECT s.q, s.v, CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+           |  FROM sl s JOIN qfull a ON a.vec_id = s.q
+           |  JOIN qfull b ON b.vec_id = s.v AND b.dim = a.dim
+           |  GROUP BY 1, 2),
+           |rr AS (
+           |  SELECT q, v, d2,
+           |         row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rank
+           |  FROM ref)
+           |SELECT q, rank, v, d2 FROM rr WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+      }),
 
     // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
     // cross product (d5) — only same-bucket pairs are scored
@@ -914,8 +1106,10 @@ object OpsPack extends QueryPack {
         val ckpt = Fixtures.tmp(dir, "vindex_v2_ckpt")
         val nSegs = math.max(1,
           math.ceil(Tables.load(s, dir, "documents").count() / 250.0).toInt)
-        graft.etl.VectorIndex.run(s, root, index, ckpt, planes = 4, dims = 16,
-          maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        graft.streaming.StreamDrive.narrow(s) {
+          graft.etl.VectorIndex.run(s, root, index, ckpt, planes = 4, dims = 16,
+            maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        }
         val probes = Seq(0L, 1L, 2L).toDF("doc")
         graft.etl.VectorIndex.topK(s, index, probes, k = 5)
           .orderBy(col("q"), col("rank"))

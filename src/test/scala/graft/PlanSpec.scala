@@ -494,6 +494,44 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfpq: cell-pruned ADC — broadcast equi-join on cell, no cartesian") {
+    // the probe-limited scan must reach the codes through an EQUI-join on
+    // (cell = cl) with the tiny probe side broadcast: codes outside every
+    // probed cell never match, which is the cell pruning — a cartesian or
+    // nested-loop here would score the whole corpus for every query
+    val plan = planOf("s38_ivfpq_ann")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ivfpq must never pair queries with unprobed cells:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe tables and shortlist must broadcast onto the corpus scans:\n$plan")
+    assert(plan.contains("cell"),
+      s"the ADC join must key on the coarse cell:\n$plan")
+  }
+
+  test("mmr over a supplied shortlist: broadcast joins, never a cartesian") {
+    // the FAISS-then-MMR composition (s39): with a pre-ranked candidate
+    // frame the corpus must be scanned once with the shortlist BROADCAST
+    // onto it — at estate scale a cartesian here is the difference
+    // between a code-scan pipeline and an impossible query
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val qv = org.apache.spark.sql.graft.QuantOps
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val cc = e.select(col("vec_id").as("v"),
+      qv.quantize(col("embedding"), 64, 1000000L).as("_cv"))
+    val qq = e.where(col("vec_id") < 5).select(col("vec_id").as("q"),
+      qv.quantize(col("embedding"), 64, 1000000L).as("_qq"))
+    val sl = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("q", "v")
+    val plan = graft.ops.Similarity.mmrCandidates(cc, qq, 10, Some(sl))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"shortlist path must never build queries x corpus pairs:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2,
+      s"shortlist and query set must both broadcast onto the corpus scan:\n$plan")
+  }
+
   test("scd2: guard + fold run on ONE Exchange and ONE Sort") {
     // the dup/conflict guard orders by (ord, type, hash) and the validity
     // fold reuses that EXACT order (the hash tiebreaker is inert once the
