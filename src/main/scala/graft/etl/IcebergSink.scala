@@ -815,6 +815,58 @@ object IcebergSink {
       createSpecOn = specDecls, writeOrder = clusterBy)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (spec snapshot operation `overwrite` —
+    * the `INSERT OVERWRITE ... PARTITION` shape with
+    * `partitionOverwriteMode=dynamic`): every partition TUPLE present in
+    * `df` is atomically REPLACED by `df`'s rows for it; partitions `df`
+    * does not touch are untouched — the idempotent-backfill primitive
+    * (re-running a day's pipeline replaces that day, never doubles it).
+    *
+    * Metadata-only removal: prior manifests containing doomed files are
+    * rewritten with those entries marked DELETED (status=2, spec §Manifests
+    * — readers of this snapshot skip them; prior snapshots keep their own
+    * manifest lists, so time travel still sees the replaced data) and
+    * survivors carried as EXISTING (status=0) with their original
+    * sequence numbers, so equality-delete scoping is unchanged. No data
+    * file is read or rewritten — at 100 TB the commit cost is the new
+    * partitions' writes plus manifest IO, independent of table size.
+    *
+    * The touched set derives from the written files' partition tuples
+    * under the table's CURRENT default spec (identity or transform), so
+    * "partition" means exactly what the table's layout means. Changelog
+    * note: [[readChangelogFrom]] surfaces an overwrite's ADDED rows;
+    * the replaced rows' deletion is visible to scans, not the changelog. */
+  def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
+      maxRetries: Int = 5): Unit = {
+    val m = load(spark, table).getOrElse(throw new IllegalArgumentException(
+      s"no Iceberg table at $table — dynamic overwrite replaces partitions " +
+        "of an existing partitioned table"))
+    require(m.specFields.nonEmpty,
+      "dynamic partition overwrite needs a partitioned table (an " +
+        "unpartitioned overwrite would be a full-table replace: use compact)")
+    val byId = m.fields.map(f => f.id -> f.name).toMap
+    val specDecls = m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
+    val commitUuid = UUID.randomUUID().toString
+    val fileRecords = writeDataFiles(spark, table, df, commitUuid, specDecls)
+    val touched: Set[Seq[Any]] = fileRecords.map { info =>
+      val byName = info.partitionValues.map {
+        case (n, v) => n -> normPartValue(v)
+      }.toMap
+      m.specFields.map(pf => byName(pf.name))
+    }.toSet
+    commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
+      carryPrior = true, operation = "overwrite", maxRetries,
+      overwriteTuples = touched)
+  }
+
+  /** Avro hands strings back as Utf8 and may box ints either width —
+    * normalize both sides of a partition-tuple comparison. */
+  private def normPartValue(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue())
+    case other => other
+  }
+
   /** Compact the current snapshot's data files into `targetFiles` and
     * commit a REPLACE snapshot whose manifest list holds only the
     * rewritten manifest — the `rewrite_data_files` maintenance op. Reading
@@ -1337,7 +1389,8 @@ object IcebergSink {
       maxRetries: Int, equalityIds: Seq[Int] = Nil,
       positionDelete: Boolean = false,
       createSpecOn: Seq[String] = Nil,
-      writeOrder: Seq[String] = Nil): Unit = {
+      writeOrder: Seq[String] = Nil,
+      overwriteTuples: Set[Seq[Any]] = Set.empty): Unit = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     val addedRecords = fileRecords.map(_.records).sum
@@ -1467,11 +1520,74 @@ object IcebergSink {
       newEntry.put("added_rows_count", addedRecords)
       newEntry.put("existing_rows_count", 0)
       newEntry.put("deleted_rows_count", 0)
-      // re-encode carried-over entries against our schema (same field ids)
-      val carried = prevManifests.map { r =>
+      // re-encode carried-over entries against our schema (same field ids);
+      // a dynamic-partition overwrite additionally REWRITES any prior data
+      // manifest holding a doomed partition tuple: survivors carry as
+      // EXISTING (status=0) with their ORIGINAL sequence numbers (so
+      // equality-delete scoping is unchanged), doomed entries flip to
+      // DELETED (status=2 — the planner skips them) under this snapshot's
+      // id. Delete manifests and untouched data manifests carry verbatim.
+      val specNames = specFields.map(_.name)
+      val rewrittenThisAttempt = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      val carried = prevManifests.zipWithIndex.map { case (r, idx) =>
+        val rewrittenPath: Option[(HPath, Long, Long, Long, Long, Long)] =
+          if (overwriteTuples.isEmpty ||
+              (r.get("content") match { case i: Integer => i.intValue(); case _ => 0 }) == 1)
+            None
+          else {
+            val srcPath = r.get("manifest_path").toString
+            val (srcMeta, srcEntries) = readAvro(spark, srcPath)
+            def tupleOf(e: GenericRecord): Seq[Any] = {
+              val part = e.get("data_file").asInstanceOf[GenericRecord]
+                .get("partition").asInstanceOf[GenericRecord]
+              specNames.map(n => normPartValue(part.get(n)))
+            }
+            val live = srcEntries.filter(
+              _.get("status").asInstanceOf[Int] != 2)
+            val (doomed, survivors) =
+              live.partition(e => overwriteTuples.contains(tupleOf(e)))
+            if (doomed.isEmpty) None
+            else {
+              val schema = srcEntries.head.getSchema
+              def recount(e: GenericRecord): Long =
+                e.get("data_file").asInstanceOf[GenericRecord]
+                  .get("record_count").asInstanceOf[Long]
+              val rewritten = survivors.map { e =>
+                val c = new GenericData.Record(schema)
+                schema.getFields.asScala.foreach(fl =>
+                  c.put(fl.name(), e.get(fl.name())))
+                c.put("status", 0) // EXISTING: original seq numbers kept
+                c
+              } ++ doomed.map { e =>
+                val c = new GenericData.Record(schema)
+                schema.getFields.asScala.foreach(fl =>
+                  c.put(fl.name(), e.get(fl.name())))
+                c.put("status", 2) // DELETED by THIS snapshot
+                c.put("snapshot_id", snapshotId)
+                c
+              }
+              val p = new HPath(metadataDir(table),
+                s"$commitUuid-rw$attempt-$idx.avro")
+              val len = writeAvro(f, p, schema, srcMeta, rewritten)
+              rewrittenThisAttempt += p
+              Some((p, len, survivors.size.toLong, doomed.size.toLong,
+                survivors.map(recount).sum, doomed.map(recount).sum))
+            }
+          }
         val c = new GenericData.Record(manifestListSchema)
         manifestListSchema.getFields.asScala.foreach(fld =>
           c.put(fld.name(), r.get(fld.name())))
+        rewrittenPath.foreach { case (p, len, nSurv, nDoom, rSurv, rDoom) =>
+          c.put("manifest_path", p.toString)
+          c.put("manifest_length", len)
+          c.put("added_snapshot_id", snapshotId)
+          c.put("added_files_count", 0)
+          c.put("existing_files_count", nSurv.toInt)
+          c.put("deleted_files_count", nDoom.toInt)
+          c.put("added_rows_count", 0L)
+          c.put("existing_rows_count", rSurv)
+          c.put("deleted_rows_count", rDoom)
+        }
         c
       }
       val listPath = new HPath(metadataDir(table),
@@ -1541,6 +1657,7 @@ object IcebergSink {
         f.delete(tmp, false)
         f.delete(listPath, false) // stale snapshot artifacts of the lost race
         f.delete(manifestPath, false)
+        rewrittenThisAttempt.foreach(p => f.delete(p, false))
       }
     }
   }

@@ -8,6 +8,7 @@ import graft.core.Tables
 import graft.etl._
 import graft.kafsql.SchemaCol
 import graft.kfs.KfsSeed
+import graft.streaming.StreamDrive
 
 /** ETL-side operators, oracle-checked end to end: the streaming pipeline
   * (S9/St1-St5), LFS claim-check resolve (S10), IDoc explode (S12), and the
@@ -83,9 +84,11 @@ object EtlPack extends QueryPack {
         val table = tmp(dir, "dlq_landed")
         val ckpt = tmp(dir, "dlq_ckpt")
         val dlq = tmp(dir, "dlq_quarantine")
-        Pipeline.run(s, root, table, ckpt,
-          schemaCols = Seq(SchemaCol("k", "long", "$.k")),
-          validation = Pipeline.DeadLetter(dlq))
+        StreamDrive.narrow(s) {
+          Pipeline.run(s, root, table, ckpt,
+            schemaCols = Seq(SchemaCol("k", "long", "$.k")),
+            validation = Pipeline.DeadLetter(dlq))
+        }
         val landed = TableSink.read(s, table)
           .agg(count(lit(1)).as("cnt"),
             sum(col("offset")).as("off_sum"),
@@ -121,9 +124,11 @@ object EtlPack extends QueryPack {
         val root = KfsSeed.seededRoot(s, dir)
         val table = tmp(dir, "etl_table")
         val ckpt = tmp(dir, "etl_ckpt")
-        Pipeline.run(s, root, table, ckpt,
-          schemaCols = Seq(SchemaCol("k", "int", "$.k")),
-          validation = Pipeline.Lenient)
+        StreamDrive.narrow(s) {
+          Pipeline.run(s, root, table, ckpt,
+            schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+            validation = Pipeline.Lenient)
+        }
         TableSink.read(s, table)
           .groupBy(col("partition"))
           .agg(count(lit(1)).as("cnt"),
@@ -303,8 +308,10 @@ object EtlPack extends QueryPack {
             |   "ratio":  {"type": "number"},
             |   "flag":   {"type": "boolean"},
             |   "nested": {"type": "object"}}}""".stripMargin
-        Pipeline.runWithSchemaDoc(s, root, table, ckpt, schemaDoc,
-          validation = Pipeline.Lenient)
+        StreamDrive.narrow(s) {
+          Pipeline.runWithSchemaDoc(s, root, table, ckpt, schemaDoc,
+            validation = Pipeline.Lenient)
+        }
         TableSink.read(s, table)
           .groupBy(col("partition"))
           .agg(count(lit(1)).as("cnt"),
@@ -374,16 +381,18 @@ object EtlPack extends QueryPack {
         // AvailableNow honors admission, a fixed cap would mean ~8
         // commits at sf0.1 and only ONE at sf0.01 — scale it instead
         val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
-        Pipeline.run(s, root, table, ckpt,
-          schemaCols = Seq(SchemaCol("k", "int", "$.k")),
-          validation = Pipeline.Lenient,
-          maxFilesPerTrigger = Some(math.max(2, nSegs / 4)),
-          format = Pipeline.IcebergV2,
-          // the DSv2 streamed ingest path: segments are decoded
-          // batch-at-a-time (never a whole segment in memory) with
-          // END!-gated admission — the configuration you'd run at real
-          // segment sizes
-          source = "kfs")
+        StreamDrive.narrow(s) {
+          Pipeline.run(s, root, table, ckpt,
+            schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+            validation = Pipeline.Lenient,
+            maxFilesPerTrigger = Some(math.max(2, nSegs / 4)),
+            format = Pipeline.IcebergV2,
+            // the DSv2 streamed ingest path: segments are decoded
+            // batch-at-a-time (never a whole segment in memory) with
+            // END!-gated admission — the configuration you'd run at real
+            // segment sizes
+            source = "kfs")
+        }
         IcebergSink.read(s, table)
           .groupBy(col("partition"))
           .agg(count(lit(1)).as("cnt"),
@@ -474,6 +483,63 @@ object EtlPack extends QueryPack {
           |FROM events_topic
           |WHERE event_type = 'purchase'
           |GROUP BY 1, 2 ORDER BY partition""".stripMargin))),
+
+    // DYNAMIC PARTITION OVERWRITE (spec snapshot op `overwrite` — the
+    // idempotent-backfill primitive: re-running a corrected pipeline for
+    // one partition REPLACES that partition atomically, never doubles
+    // it). The events land identity-partitioned by event_type; then one
+    // overwrite commit (a) replaces the 'click' partition with a
+    // corrected, SMALLER re-run (k x10, even offsets only — the result
+    // must shrink, proving replacement rather than upsert) and (b)
+    // inserts a brand-new 'audit' partition — while every untouched
+    // partition's data files carry through as metadata (IcebergSpec pins
+    // that no surviving file is rewritten and time travel still reads
+    // the pre-overwrite rows). The oracle recomputes the post-overwrite
+    // table relationally.
+    QueryDef(
+      "e39_iceberg_overwrite",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_ovw_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev, partitionBy = Seq("event_type"))
+        val corrected = ev
+          .where(col("event_type") === "click" && col("offset") % 2 === 0)
+          .withColumn("k", col("k") * 10)
+        val audit = ev
+          .where(col("event_type") === "purchase" && col("offset") % 100 === 0)
+          .withColumn("event_type", lit("audit"))
+        IcebergSink.overwritePartitions(s, table, corrected.unionAll(audit))
+        IcebergSink.read(s, table)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("event_type"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT event_type, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k, max(off) AS max_off
+          |FROM (
+          |  SELECT event_type,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         _offset AS off
+          |  FROM events_topic WHERE event_type <> 'click'
+          |  UNION ALL
+          |  SELECT 'click',
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) * 10,
+          |         _offset
+          |  FROM events_topic WHERE event_type = 'click' AND _offset % 2 = 0
+          |  UNION ALL
+          |  SELECT 'audit',
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT),
+          |         _offset
+          |  FROM events_topic
+          |  WHERE event_type = 'purchase' AND _offset % 100 = 0
+          |) GROUP BY event_type ORDER BY event_type""".stripMargin))),
 
     // Iceberg BUCKET + TRUNCATE partition transforms (spec Appendix B:
     // 32-bit Murmur3 buckets — hashes conform to the spec's published
@@ -1368,12 +1434,14 @@ object EtlPack extends QueryPack {
         val root = KfsSeed.seededRoot(s, dir)
         val table = tmp(dir, "curation_table")
         val ckpt = tmp(dir, "curation_ckpt")
-        Pipeline.run(s, root, table, ckpt,
-          schemaCols = Seq(SchemaCol("k", "int", "$.k")),
-          validation = Pipeline.Lenient,
-          transform = df => df.filter(
-            element_at(col("_headers"), "src").isin("purchase", "view") &&
-            get_json_object(col("_value").cast("string"), "$.k").cast("int") >= 2))
+        StreamDrive.narrow(s) {
+          Pipeline.run(s, root, table, ckpt,
+            schemaCols = Seq(SchemaCol("k", "int", "$.k")),
+            validation = Pipeline.Lenient,
+            transform = df => df.filter(
+              element_at(col("_headers"), "src").isin("purchase", "view") &&
+              get_json_object(col("_value").cast("string"), "$.k").cast("int") >= 2))
+        }
         TableSink.read(s, table)
           .groupBy(col("partition"))
           .agg(count(lit(1)).as("cnt"),
@@ -1409,8 +1477,10 @@ object EtlPack extends QueryPack {
         // ~2 micro-batches at any SF: half the segment count per trigger
         val nSegs = math.max(1,
           math.ceil(Tables.load(s, dir, "documents").count() / 250.0).toInt)
-        Pipeline.runDedup(s, root, table, ckpt, index, threshold = 0.5,
-          maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        StreamDrive.narrow(s) {
+          Pipeline.runDedup(s, root, table, ckpt, index, threshold = 0.5,
+            maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        }
         val accepted = TableSink.read(s, table)
           .select(col("offset").as("doc"), lit(true).as("acc"))
         Tables.load(s, dir, "documents").select(col("doc_id").as("doc"))
@@ -1460,9 +1530,11 @@ object EtlPack extends QueryPack {
         // sf0.1 for a fixture whose point is just "the increment spans
         // batch boundaries"
         val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
-        AggMaintenance.run(s, root, table, ckpt, Seq("_partition"),
-          get_json_object(col("_value").cast("string"), "$.k"),
-          maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        StreamDrive.narrow(s) {
+          AggMaintenance.run(s, root, table, ckpt, Seq("_partition"),
+            get_json_object(col("_value").cast("string"), "$.k"),
+            maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        }
         AggMaintenance.compact(s, table, Seq("_partition"))
         AggMaintenance.read(s, table, Seq("_partition"))
           .select(col("_partition").as("partition"), col("cnt"),
@@ -1499,15 +1571,17 @@ object EtlPack extends QueryPack {
           .option("max_segments_per_trigger", cap.toString).load()
           .select(col("_value").cast("string").as("text"),
             timestamp_millis(col("_ts_ms")).as("_ts"))
-        val q = graft.streaming.StreamDedup
-          .exactByContent(stream, "text", "_ts", watermarkDelay = "30 days")
-          .select(col("_content_hash").as("content_hash"))
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamDrive.narrow(s) {
+          val q = graft.streaming.StreamDedup
+            .exactByContent(stream, "text", "_ts", watermarkDelay = "30 days")
+            .select(col("_content_hash").as("content_hash"))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out).orderBy(col("content_hash"))
       },
       Some(

@@ -19,6 +19,55 @@ class IcebergSpec extends AnyFunSuite {
   private def tmpTable(): String =
     Files.createTempDirectory("iceberg").toString + "/t"
 
+  test("dynamic partition overwrite: replaces touched, keeps rest, time-travels") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val filesBefore = IcebergSink.read(spark, table).inputFiles.toSet
+    val preSnap = IcebergSink.load(spark, table).get.currentSnapshotId.get
+
+    // overwrite: partition 'a' replaced by ONE smaller row, 'd' inserted;
+    // 'b' and 'c' untouched
+    IcebergSink.overwritePartitions(spark, table,
+      Seq((9L, "a", 90L), (5L, "d", 50L)).toDF("id", "part", "v"))
+
+    val after = IcebergSink.read(spark, table)
+    assert(after.orderBy(col("id")).select("id", "part", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((3L, "b", 30L), (4L, "c", 40L), (5L, "d", 50L), (9L, "a", 90L)))
+
+    // untouched partitions' data FILES carry through — metadata surgery,
+    // never a rewrite (the 100 TB cost contract)
+    val filesAfter = after.inputFiles.toSet
+    val untouched = filesBefore.filter(f => filesAfter.contains(f))
+    assert(untouched.nonEmpty,
+      s"b/c files must survive verbatim:\nbefore=$filesBefore\nafter=$filesAfter")
+    assert(filesBefore.diff(filesAfter).nonEmpty,
+      "partition a's old file must vanish from the live scan")
+
+    // the snapshot is an `overwrite` op and prior history still reads
+    val m = IcebergSink.load(spark, table).get
+    assert(m.snapshots.last.operation == "overwrite")
+    val old = IcebergSink.read(spark, table, Some(preSnap))
+    assert(old.where(col("part") === "a").count() == 2,
+      "time travel must see the pre-overwrite partition")
+
+    // idempotent backfill: re-running the same overwrite changes nothing
+    IcebergSink.overwritePartitions(spark, table,
+      Seq((9L, "a", 90L), (5L, "d", 50L)).toDF("id", "part", "v"))
+    assert(IcebergSink.read(spark, table).count() == 4)
+
+    // an overwrite against an unpartitioned table must refuse
+    val flat = tmpTable()
+    IcebergSink.append(spark, flat, Seq((1L, "x")).toDF("id", "s"))
+    intercept[IllegalArgumentException] {
+      IcebergSink.overwritePartitions(spark, flat, Seq((2L, "y")).toDF("id", "s"))
+    }
+  }
+
   test("append creates v2 metadata with field ids, snapshot, manifest chain") {
     import spark.implicits._
     val table = tmpTable()
