@@ -10,6 +10,27 @@ import org.apache.spark.sql.SparkSession
   * comparable across rounds.
   */
 object Bench {
+
+  /** Median of the non-negative probe samples; -1 if there are none. */
+  def probeMedian(probes: Seq[Double]): Double = {
+    val good = probes.filter(_ >= 0).sorted
+    if (good.isEmpty) -1.0
+    else if (good.size % 2 == 1) good(good.size / 2)
+    else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
+  }
+
+  /** Probe-noise gate: a bench run whose MACHINE-LOAD probe median exceeds
+    * `factor` x the quiet-machine norm was recorded under external load —
+    * its query times are not comparable across rounds and must not be read
+    * as regressions (r9 e4 / r10 e14 both burned a round on exactly this).
+    * The run is still written, but stamped `"noisy": true` so the reader
+    * refuses it instead of adjudicating it. */
+  def isNoisy(probes: Seq[Double], normSec: Double = 0.3,
+      factor: Double = 1.5): Boolean = {
+    val m = probeMedian(probes)
+    m >= 0 && m > normSec * factor
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -161,8 +182,19 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // probe-noise gate over ALL reps' probe samples (each query contributes
+    // `reps` probes, so one noisy neighbor can't tip the median)
+    val allProbes = detail.flatMap(_._2.map(_._3))
+    val probeNorm = sys.env.get("SPARK_GRAFT_PROBE_NORM")
+      .map(_.toDouble).getOrElse(0.3)
+    val probeMed = probeMedian(allProbes)
+    val noisy = isNoisy(allProbes, probeNorm)
+    if (noisy)
+      println(s"BENCH NOISY: median probe ${f3(probeMed)}s exceeds 1.5x the " +
+        s"${f3(probeNorm)}s quiet norm — query times reflect machine load, " +
+        "re-run on a quiet machine before comparing across rounds")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"probe_median":${f3(probeMed)},"queries":$fullQs,"sf":"$sfDir"}"""
     // BENCH_FULL.json additionally carries every repetition's time so a
     // suspicious min can be checked against its spread without a re-run
     val repQs = combined.map { case (k, ts) =>
@@ -197,7 +229,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fullFile =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","warmup":$warmup,"failed":${failed.size},"failed_queries":$failedJson,"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"probe_s":$probeQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","warmup":$warmup,"failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"probe_median":${f3(probeMed)},"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"probe_s":$probeQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -215,7 +247,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.size},"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.size},"noisy":$noisy,"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench probe-noise gate: synthetic probe series in, noisy verdict
+  * out — no Spark session needed. The gate is what stops a loaded-machine
+  * run from being read as a cross-round regression. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("median: odd, even, sentinel-filtered, empty") {
+    assert(Bench.probeMedian(Seq(0.3, 0.1, 0.5)) == 0.3)
+    assert(math.abs(Bench.probeMedian(Seq(0.2, 0.4)) - 0.3) < 1e-12)
+    // -1.0 failure sentinels must not drag the median down
+    assert(Bench.probeMedian(Seq(-1.0, 0.4, 0.4, -1.0)) == 0.4)
+    assert(Bench.probeMedian(Nil) == -1.0)
+  }
+
+  test("a quiet run is not noisy") {
+    val quiet = Seq.fill(30)(0.29) ++ Seq.fill(3)(0.35)
+    assert(!Bench.isNoisy(quiet, normSec = 0.3))
+  }
+
+  test("a loaded-machine run trips the gate") {
+    // uniform ~2x drift on every probe — the r13 snapshot shape
+    val loaded = Seq.fill(30)(0.62)
+    assert(Bench.isNoisy(loaded, normSec = 0.3))
+  }
+
+  test("one noisy neighbor cannot tip the median") {
+    val oneSpike = Seq.fill(29)(0.30) :+ 9.0
+    assert(!Bench.isNoisy(oneSpike, normSec = 0.3))
+  }
+
+  test("no probes -> not noisy (gate stays silent, never blocks)") {
+    assert(!Bench.isNoisy(Nil))
+  }
+}
