@@ -260,12 +260,19 @@ object KfsLayout {
   /** Topics under `root` that carry a DeleteRecords horizon — ONE glob per
     * root per TTL window, so topics without one cost nothing per query.
     * Scans use this to read logstart files only where they exist, and the
-    * metadata-aggregate pushdown uses it as its veto probe. */
-  def topicsWithLogStarts(root: String): Set[String] = {
+    * metadata-aggregate pushdown uses it as its veto probe.
+    *
+    * `fresh = true` bypasses the TTL read (still repopulating the cache):
+    * the aggregate-pushdown veto MUST see a DeleteRecords horizon another
+    * writer landed inside the TTL window — a stale miss there answers
+    * COUNT/MIN from untrimmed flush-time segment stats, a sharper failure
+    * than the bounded-staleness reads plain scans get. The veto runs once
+    * per plan, and the probe is one glob. */
+  def topicsWithLogStarts(root: String, fresh: Boolean = false): Set[String] = {
     val key = s"$root|logstart-topics|"
     val now = System.currentTimeMillis()
     val hit = logStartTopicsCache.get(key)
-    if (hit != null && now - hit._1 <= discoveryTtlMs) return hit._2
+    if (!fresh && hit != null && now - hit._1 <= discoveryTtlMs) return hit._2
     val fs = fsFor(new HPath(root))
     val found =
       try fs.globStatus(new HPath(root, "*/logstart.json")) match {

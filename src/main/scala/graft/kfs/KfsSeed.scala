@@ -15,6 +15,18 @@ import graft.core.Tables
   */
 object KfsSeed {
 
+  /** A crash mid-seed (before the marker write) leaves orphan segment
+    * files the next run would silently overlay — invisible only because
+    * discovery is manifest-driven. Clear the root (and any staging dir)
+    * whenever the marker is absent, mirroring
+    * `KfsPack.seedDeleteRecordsEstate`. */
+  private def clearRoot(root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(KfsLayout.hadoopConf)
+    fs.delete(p, true)
+    fs.delete(new org.apache.hadoop.fs.Path(root + "_staging"), true)
+  }
+
   def seededRoot(spark: SparkSession, sfDir: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
     // v3: segments gained key-Bloom `.kfsb` sidecars (v2: footer CRC
@@ -23,6 +35,7 @@ object KfsSeed {
     this.synchronized {
       val marker = Paths.get(root, "_SEEDED")
       if (!Files.exists(marker)) {
+        clearRoot(root)
         seed(spark, sfDir, root)
         Files.createDirectories(marker.getParent)
         Files.write(marker, Array.emptyByteArray)
@@ -44,6 +57,7 @@ object KfsSeed {
     this.synchronized {
       val marker = Paths.get(root, "_SEEDED")
       if (!Files.exists(marker)) {
+        clearRoot(root)
         val rows = Tables.load(spark, sfDir, "documents")
           .select(col("doc_id"), col("text"))
           .collect()
@@ -81,6 +95,7 @@ object KfsSeed {
     this.synchronized {
       val marker = Paths.get(root, "_SEEDED")
       if (!Files.exists(marker)) {
+        clearRoot(root)
         val rows = Tables.load(spark, sfDir, "documents")
           .select(col("doc_id"), col("text"))
           .collect()

@@ -236,10 +236,13 @@ class KfsScanBuilder(root: String, options: Map[String, String])
     // DeleteRecords horizon veto: a trimmed straddling segment's min-ts is
     // unknowable from flush-time stats and its count is no longer
     // last-base+1 — a topic carrying a horizon answers aggregates by
-    // scanning (readers trim exactly). One TTL-memoized glob per root; the
+    // scanning (readers trim exactly). The probe is read FRESH (one glob,
+    // once per plan): a horizon landed by another writer inside the TTL
+    // window must veto the pushdown — answering COUNT/MIN from untrimmed
+    // flush-time stats is a wrong answer, not a stale one. The
     // option-restricted topic set narrows the veto to topics actually read.
     val horizonFree = {
-      val withHorizon = KfsLayout.topicsWithLogStarts(root)
+      val withHorizon = KfsLayout.topicsWithLogStarts(root, fresh = true)
       withHorizon.isEmpty ||
         options.get("topics").exists(
           _.split(',').toSet.intersect(withHorizon).isEmpty)

@@ -100,6 +100,11 @@ object QualityRules {
     * Returns per-language audit rows (lang, n_docs, n_kept, threshold). */
   def calibratedGate(docs: DataFrame, idCol: String, langCol: String,
       textCol: String, targetNum: Int = 7, targetDen: Int = 10): DataFrame = {
+    // same discipline as mmrTopK's lambda: a zero denominator is a
+    // DIV-by-zero expression at runtime, a negative fraction silently
+    // inverts the cutoff rule
+    require(targetDen > 0 && targetNum >= 0 && targetNum <= targetDen,
+      s"keep budget must be a fraction in [0,1]: $targetNum/$targetDen")
     val toks = split(col(textCol), " ")
     val scored = docs
       .select(col(idCol).as("doc"), col(langCol).as("lang"),
