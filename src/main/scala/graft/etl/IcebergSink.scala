@@ -231,7 +231,8 @@ object IcebergSink {
   final case class Snapshot(snapshotId: Long, parentId: Option[Long],
       sequenceNumber: Long, timestampMs: Long, manifestList: String,
       addedFiles: Long, addedRecords: Long, schemaId: Int,
-      operation: String = "append")
+      operation: String = "append",
+      summary: Map[String, String] = Map.empty)
 
   final case class TableMeta(
       version: Int, uuid: String, location: String,
@@ -367,7 +368,13 @@ object IcebergSink {
         sn.path("summary").path("added-data-files").asText("0").toLong,
         sn.path("summary").path("added-records").asText("0").toLong,
         sn.path("schema-id").asInt(),
-        sn.path("summary").path("operation").asText("append"))
+        sn.path("summary").path("operation").asText("append"),
+        // user summary properties (spec: summary is a string map) —
+        // e.g. the streaming sink's txn markers
+        sn.path("summary").fields().asScala
+          .filterNot(e => Set("operation", "added-data-files",
+            "added-records").contains(e.getKey))
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
     }.toSeq
     val metaLog = n.path("metadata-log").elements().asScala
       .map(e => (e.path("timestamp-ms").asLong(), e.path("metadata-file").asText()))
@@ -709,9 +716,10 @@ object IcebergSink {
       sn.put("sequence-number", s.sequenceNumber)
       sn.put("timestamp-ms", s.timestampMs)
       sn.put("manifest-list", s.manifestList)
-      sn.putObject("summary").put("operation", s.operation)
+      val sum = sn.putObject("summary").put("operation", s.operation)
         .put("added-data-files", s.addedFiles.toString)
         .put("added-records", s.addedRecords.toString)
+      s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
       sn.put("schema-id", s.schemaId)
     }
     val slog = n.putArray("snapshot-log")
@@ -778,7 +786,8 @@ object IcebergSink {
     * by the coarse key, cluster by the fine one). */
   def append(spark: SparkSession, table: String, df: DataFrame,
       maxRetries: Int = 5, clusterBy: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val toWrite =
       if (clusterBy.isEmpty) df
       else {
@@ -810,9 +819,18 @@ object IcebergSink {
     val commitUuid = UUID.randomUUID().toString
     val fileRecords = writeDataFiles(spark, table, toWrite, commitUuid,
       specDecls)
+    // an empty frame commits NOTHING (not an empty snapshot): the footer
+    // counts are already harvested, so this costs no extra job — callers
+    // (the streaming sink especially) need no isEmpty probe of their own
+    if (fileRecords.map(_.records).sum == 0) {
+      val f = fs(new HPath(table))
+      fileRecords.foreach(i => f.delete(i.status.getPath, false))
+      return
+    }
     commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
       carryPrior = true, operation = "append", maxRetries,
-      createSpecOn = specDecls, writeOrder = clusterBy)
+      createSpecOn = specDecls, writeOrder = clusterBy,
+      extraSummary = extraSummary)
   }
 
   /** DYNAMIC PARTITION OVERWRITE (spec snapshot operation `overwrite` —
@@ -1390,7 +1408,8 @@ object IcebergSink {
       positionDelete: Boolean = false,
       createSpecOn: Seq[String] = Nil,
       writeOrder: Seq[String] = Nil,
-      overwriteTuples: Set[Seq[Any]] = Set.empty): Unit = {
+      overwriteTuples: Set[Seq[Any]] = Set.empty,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     val addedRecords = fileRecords.map(_.records).sum
@@ -1601,7 +1620,7 @@ object IcebergSink {
 
       val snap = Snapshot(snapshotId, base.currentSnapshotId, seqNum, nowMs,
         listPath.toString, fileRecords.size.toLong, addedRecords, schemaId,
-        operation)
+        operation, extraSummary)
       val newVersion = base.version + 1
       // a clusterBy append DECLARES its write order in metadata (spec:
       // Sort Orders): resolve the columns to source-ids against the

@@ -157,9 +157,9 @@ object Pipeline {
     val query = transform(decoded).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sinkBatch(batch.sparkSession, batch, tablePath, schemaCols, validation,
-          validateCols, format)
+          validateCols, format, txn = Some((checkpointDir, batchId)))
       }
       .start()
     query.awaitTermination()
@@ -217,34 +217,81 @@ object Pipeline {
             }), ss.sparkContext.hadoopConfiguration)
           val ixPath = new org.apache.hadoop.fs.Path(indexPath)
           val ix = if (fs.exists(ixPath)) Some(ss.read.parquet(indexPath)) else None
-          val admitted = graft.ops.Dedup.admitAgainstIndex(
-            ix, docs, "doc_id", "text", threshold)
-          val acceptedRows = batch.join(
-            admitted.where(col("accepted")).select(col("doc").as("_offset")),
-            Seq("_offset"), "left_semi")
-          sinkBatch(ss, acceptedRows, tablePath, Nil, Off)
-          graft.ops.Dedup.nearDupIndex(docs, "doc_id", "text")
-            .write.mode("append").parquet(indexPath)
+          // the batch's signature table is computed ONCE and serves both
+          // the admission probe and the index append — without the
+          // precomputedAgg handoff the batch is shingled twice per
+          // micro-batch (shingling is the drive's dominant map work)
+          val batchAgg = graft.ops.Dedup.nearDupIndex(docs, "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val admitted = graft.ops.Dedup.admitAgainstIndex(
+              ix, docs, "doc_id", "text", threshold,
+              precomputedAgg = Some(batchAgg))
+            val acceptedRows = batch.join(
+              admitted.where(col("accepted")).select(col("doc").as("_offset")),
+              Seq("_offset"), "left_semi")
+            sinkBatch(ss, acceptedRows, tablePath, Nil, Off)
+            batchAgg.write.mode("append").parquet(indexPath)
+          } finally batchAgg.unpersist()
         } finally batch.unpersist()
       }
       .start()
     query.awaitTermination()
   }
 
-  /** One micro-batch: validate → extract → offset-dedup → append. */
+  /** One micro-batch: validate → extract → offset-dedup → append.
+    *
+    * `txn = Some((walKey, batchId))` turns on EXACTLY-ONCE VIA SNAPSHOT
+    * SUMMARY for the Iceberg sink (the recipe Iceberg's own Spark
+    * streaming sink uses — every commit is stamped with the source
+    * checkpoint's identity + batch id in the snapshot summary): a
+    * crash-replayed batch whose (key, id) is already committed returns
+    * before running ANY job, and when the table's entire lineage carries
+    * our key the per-batch offset anti-join (a metadata read + broadcast
+    * probe of the overlapping files, every micro-batch) is skipped —
+    * replays are impossible below the committed id, so the guard is
+    * redundant. A table with commits from OTHER writers/checkpoints falls
+    * back to the anti-join: cross-checkpoint reruns stay idempotent
+    * (EtlSpec pins that law). */
   def sinkBatch(spark: SparkSession, batch0: DataFrame, tablePath: String,
       schemaCols: Seq[SchemaCol], validation: Validation,
       validateCols: Option[Seq[SchemaCol]] = None,
-      format: SinkFormat = ParquetDir): Unit = {
+      format: SinkFormat = ParquetDir,
+      txn: Option[(String, Long)] = None): Unit = {
+    // the replay probe is METADATA-ONLY — run it before caching the batch
+    // so a pure replay costs zero Spark jobs
+    val txnState = (txn, format) match {
+      case (Some((key, bid)), IcebergV2) =>
+        IcebergSink.load(spark, tablePath) match {
+          case None => Some((false, true, key, bid))
+          case Some(m) =>
+            val ours = m.snapshots.filter(
+              _.summary.get(TxnKeyProp).contains(key))
+            val lastBid = ours.flatMap(_.summary.get(TxnBatchProp))
+              .map(_.toLong)
+            val replay = lastBid.nonEmpty && bid <= lastBid.max
+            Some((replay, ours.size == m.snapshots.size, key, bid))
+        }
+      case _ => None
+    }
+    if (txnState.exists(_._1)) return // committed batch: pure replay
     // a foreachBatch frame is NOT materialized: every action below would
     // re-run the upstream segment decode (3x per batch measured) — cache
     // for the duration of the sink, release before returning. Batch size
     // is bounded by the trigger's admission control, so the footprint is.
     val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try sinkBatchInner(spark, batch, tablePath, schemaCols, validation,
-      validateCols, format)
+      validateCols, format,
+      skipDedup = txnState.exists(_._2),
+      stamp = txnState.map(t => Map(
+        TxnKeyProp -> t._3, TxnBatchProp -> t._4.toString))
+        .getOrElse(Map.empty))
     finally batch.unpersist()
   }
+
+  /** Snapshot-summary txn marker keys (the sink's WAL identity). */
+  private[etl] val TxnKeyProp = "graft.wal-key"
+  private[etl] val TxnBatchProp = "graft.wal-batch"
 
   /** Append quarantined rows to the dead-letter table behind the same
     * log-coordinate offset-dedup as the main sink: a crash-replayed batch
@@ -271,7 +318,9 @@ object Pipeline {
 
   private def sinkBatchInner(spark: SparkSession, batch: DataFrame,
       tablePath: String, schemaCols: Seq[SchemaCol], validation: Validation,
-      validateCols: Option[Seq[SchemaCol]], format: SinkFormat): Unit = {
+      validateCols: Option[Seq[SchemaCol]], format: SinkFormat,
+      skipDedup: Boolean = false,
+      stamp: Map[String, String] = Map.empty): Unit = {
     val withValid = batch.withColumn("_valid",
       validityColumn(validateCols.getOrElse(schemaCols)))
     val valid = validation match {
@@ -313,7 +362,11 @@ object Pipeline {
       case ParquetDir => TableSink.read(spark, tablePath).isEmpty
     }
     val deduped =
-      if (tableIsEmpty) withExtras
+      // skipDedup: the txn markers prove every commit is ours with a
+      // smaller batch id — a replayed record below that is impossible, so
+      // the range probe + anti-join (2 jobs + a table read per batch) are
+      // redundant
+      if (tableIsEmpty || skipDedup) withExtras
       else {
         val existing = format match {
           case ParquetDir => TableSink.read(spark, tablePath)
@@ -332,13 +385,16 @@ object Pipeline {
     // materialize the dedup ONCE: the emptiness gate and the append would
     // otherwise each run the decode + anti-join
     val ded = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try if (!ded.isEmpty) format match {
-      case ParquetDir => TableSink.append(spark, tablePath, ded)
+    try format match {
+      case ParquetDir => if (!ded.isEmpty) TableSink.append(spark, tablePath, ded)
       case IcebergV2 =>
         // cluster each commit's files by the log partition: tight manifest
         // bounds make later partition-scoped reads (readPruned) skip files
-        // — the unpartitioned-spec analog of identity partition pruning
-        IcebergSink.append(spark, tablePath, ded, clusterBy = Seq("partition"))
+        // — the unpartitioned-spec analog of identity partition pruning.
+        // No isEmpty probe: append itself skips the commit on zero rows,
+        // so the write IS the batch's only materializing job
+        IcebergSink.append(spark, tablePath, ded, clusterBy = Seq("partition"),
+          extraSummary = stamp)
     } finally ded.unpersist()
   }
 }

@@ -41,6 +41,45 @@ class EtlSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 20L))
   }
 
+  test("iceberg sink txn markers: replay commits nothing, foreign lineage falls back") {
+    import spark.implicits._
+    def mkBatch(offs: Seq[Long], n: Int) = offs.map(o =>
+      ("t", 0, o, 1L, "k", s"""{"n":$n}""", Map.empty[String, String]))
+      .toDF("_topic", "_partition", "_offset", "_ts_ms", "_key", "_value", "_headers")
+    val table = Files.createTempDirectory("etl_txn").toString + "/t"
+    val cols = Seq(SchemaCol("n", "int", "$.n"))
+    def snaps = graft.etl.IcebergSink.load(spark, table)
+      .map(_.snapshots.size).getOrElse(0)
+    def rows = graft.etl.IcebergSink.read(spark, table).count()
+
+    // batches 0 and 1 land, each one stamped snapshot
+    Pipeline.sinkBatch(spark, mkBatch(Seq(0L, 1L), 1), table, cols,
+      Pipeline.Off, format = Pipeline.IcebergV2, txn = Some(("ckA", 0L)))
+    Pipeline.sinkBatch(spark, mkBatch(Seq(2L, 3L), 1), table, cols,
+      Pipeline.Off, format = Pipeline.IcebergV2, txn = Some(("ckA", 1L)))
+    assert(snaps == 2 && rows == 4)
+    val m = graft.etl.IcebergSink.load(spark, table).get
+    assert(m.snapshots.forall(_.summary.get("graft.wal-key").contains("ckA")),
+      "every commit must carry the sink's WAL identity")
+
+    // crash replay of batch 1 (same key + id): METADATA-ONLY skip — no
+    // snapshot, no rows, even though the data would pass the anti-join
+    Pipeline.sinkBatch(spark, mkBatch(Seq(2L, 3L), 1), table, cols,
+      Pipeline.Off, format = Pipeline.IcebergV2, txn = Some(("ckA", 1L)))
+    assert(snaps == 2 && rows == 4, "a committed batch id must be a no-op")
+
+    // a FRESH checkpoint re-deriving the same records: foreign lineage
+    // (ckA stamps) forces the anti-join fallback — idempotent, no doubles
+    Pipeline.sinkBatch(spark, mkBatch(Seq(0L, 1L, 2L, 3L), 1), table, cols,
+      Pipeline.Off, format = Pipeline.IcebergV2, txn = Some(("ckB", 0L)))
+    assert(rows == 4, "cross-checkpoint rerun must add nothing")
+
+    // and a genuinely NEW record through the foreign checkpoint still lands
+    Pipeline.sinkBatch(spark, mkBatch(Seq(4L), 7), table, cols,
+      Pipeline.Off, format = Pipeline.IcebergV2, txn = Some(("ckB", 1L)))
+    assert(rows == 5)
+  }
+
   // ---- validation modes (processor.go:283-301) ---------------------------
 
   test("lenient drops invalid records, strict aborts") {
