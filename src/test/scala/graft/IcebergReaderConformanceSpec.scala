@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.IcebergSink
+
+/** READER-side conformance: tables shaped by a FOREIGN writer — spec-legal
+  * variations our own writer never emits — must read correctly. The
+  * writer-side golden fixtures (IcebergConformanceSpec) prove our output
+  * matches the spec; these prove our READER accepts the spec, not just our
+  * own dialect: unknown future keys are ignored, null entry sequence
+  * numbers inherit from the manifest list (spec: Sequence Number
+  * Inheritance), and EXISTING/DELETED entry statuses plan as live/skipped
+  * (spec: Manifests, `status`). Every mutation writes NEW metadata files —
+  * manifests are immutable and cached by path, exactly as a foreign
+  * committer would. */
+class IcebergReaderConformanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val mapper = new ObjectMapper()
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("iceberg_foreign").toString + "/t"
+
+  private def latestVersion(table: String): Int =
+    new String(Files.readAllBytes(
+      Paths.get(table, "metadata", "version-hint.text")), "UTF-8").trim.toInt
+
+  private def metaJson(table: String, v: Int): ObjectNode =
+    mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(table, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      .asInstanceOf[ObjectNode]
+
+  private def writeVersion(table: String, v: Int, n: ObjectNode): Unit = {
+    Files.write(Paths.get(table, "metadata", s"v$v.metadata.json"),
+      n.toString.getBytes("UTF-8"))
+    Files.write(Paths.get(table, "metadata", "version-hint.text"),
+      v.toString.getBytes("UTF-8"))
+  }
+
+  /** Read an avro file's (meta, schema, records) straight off disk — the
+    * foreign writer's view, no engine caches. */
+  private def readAvroRaw(path: String)
+      : (Map[String, String], Schema, Seq[GenericRecord]) = {
+    val in = Files.newInputStream(Paths.get(
+      path.stripPrefix("file:")))
+    val s = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val meta = s.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+        .map(k => k -> new String(s.getMeta(k), "UTF-8")).toMap
+      (meta, s.getSchema, s.iterator().asScala.toVector)
+    } finally s.close()
+  }
+
+  private def writeAvroRaw(path: String, schema: Schema,
+      meta: Map[String, String], records: Seq[GenericRecord]): Long = {
+    val p = Paths.get(path.stripPrefix("file:"))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, Files.newOutputStream(p))
+    records.foreach(w.append)
+    w.close()
+    Files.size(p)
+  }
+
+  private def copyRecord(schema: Schema, r: GenericRecord): GenericData.Record = {
+    val c = new GenericData.Record(schema)
+    schema.getFields.asScala.foreach(f => c.put(f.name(), r.get(f.name())))
+    c
+  }
+
+  test("foreign metadata: unknown future keys and summary properties are ignored") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val v = latestVersion(table)
+    val n = metaJson(table, v)
+    // a future-spec writer adds top-level keys, table properties, and
+    // snapshot summary entries we have never seen
+    n.putObject("unknown-future-section").put("x", 1)
+    n.put("row-lineage", true)
+    val props = n.withObject("/properties")
+    props.put("write.metadata.compression-codec", "none")
+    props.put("foreign.engine", "other-writer/9.9")
+    n.withArray("snapshots").forEach { sn =>
+      sn.asInstanceOf[ObjectNode].withObject("/summary")
+        .put("spark.app.id", "foreign-app")
+        .put("engine-version", "9.9.9")
+    }
+    writeVersion(table, v + 1, n)
+
+    val m = IcebergSink.load(spark, table).get
+    assert(m.version == v + 1)
+    assert(m.snapshots.head.summary.get("spark.app.id").contains("foreign-app"),
+      "foreign summary properties must round-trip into Snapshot.summary")
+    assert(IcebergSink.read(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("foreign manifest: null entry sequence numbers inherit from the list") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    IcebergSink.deleteWhere(spark, table, col("id") === 1L, Seq("id"))
+    IcebergSink.append(spark, table, Seq((1L, "c")).toDF("id", "s")) // survives: seq 3 > delete seq 2
+
+    // a foreign writer leaves ADDED entries' sequence numbers null (spec:
+    // they inherit the manifest list's sequence_number at read time) —
+    // rewrite EVERY manifest that way and point a new version at it
+    val v = latestVersion(table)
+    val n = metaJson(table, v)
+    val listPath = n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() ==
+        n.path("current-snapshot-id").asLong()).get
+      .path("manifest-list").asText()
+    val (listMeta, listSchema, listRecs) = readAvroRaw(listPath)
+    val newListRecs = listRecs.zipWithIndex.map { case (lr, i) =>
+      val mPath = lr.get("manifest_path").toString
+      val (mMeta, mSchema, mRecs) = readAvroRaw(mPath)
+      val nulled = mRecs.map { e =>
+        val c = copyRecord(mSchema, e)
+        c.put("sequence_number", null)
+        c.put("file_sequence_number", null)
+        c
+      }
+      val np = mPath.stripSuffix(".avro") + s"-foreign$i.avro"
+      val len = writeAvroRaw(np, mSchema, mMeta, nulled)
+      val cl = copyRecord(listSchema, lr)
+      cl.put("manifest_path", np)
+      cl.put("manifest_length", len)
+      cl
+    }
+    val newList = listPath.stripSuffix(".avro") + "-foreign.avro"
+    writeAvroRaw(newList, listSchema, listMeta, newListRecs)
+    n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() ==
+        n.path("current-snapshot-id").asLong()).get
+      .asInstanceOf[ObjectNode].put("manifest-list", newList)
+    writeVersion(table, v + 1, n)
+
+    // inheritance must reconstruct the SAME scoping: id=1 deleted from the
+    // first append (list seq 1 < delete seq 2), re-append survives (3 > 2)
+    val rows = IcebergSink.read(spark, table).orderBy("id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "c"), (2L, "b")),
+      s"sequence-number inheritance broke delete scoping: $rows")
+  }
+
+  test("foreign manifest: EXISTING entries read, DELETED entries are skipped") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "a")).toDF("id", "s"))
+    IcebergSink.append(spark, table, Seq((2L, "b")).toDF("id", "s"))
+
+    // a foreign compaction/overwrite snapshot: ONE new manifest carrying
+    // the first file as EXISTING (status=0, original numbers) and the
+    // second as DELETED (status=2) — our writer emits this shape only via
+    // overwritePartitions; a foreign writer can emit it for any reason
+    val v = latestVersion(table)
+    val n = metaJson(table, v)
+    val curId = n.path("current-snapshot-id").asLong()
+    val listPath = n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() == curId).get
+      .path("manifest-list").asText()
+    val (listMeta, listSchema, listRecs) = readAvroRaw(listPath)
+    assert(listRecs.size == 2)
+    val entries = listRecs.map { lr =>
+      val (mMeta, mSchema, mRecs) = readAvroRaw(lr.get("manifest_path").toString)
+      (mMeta, mSchema, mRecs)
+    }
+    val schema = entries.head._2
+    val combined =
+      entries.head._3.map { e =>
+        val c = copyRecord(schema, e); c.put("status", 0); c
+      } ++ entries.last._3.map { e =>
+        val c = copyRecord(schema, e); c.put("status", 2); c
+      }
+    val mPath = Paths.get(table, "metadata", "foreign-compact-m0.avro").toString
+    val mLen = writeAvroRaw(mPath, schema, entries.head._1, combined)
+    val cl = copyRecord(listSchema, listRecs.head)
+    cl.put("manifest_path", mPath)
+    cl.put("manifest_length", mLen)
+    val newList = Paths.get(table, "metadata", "snap-999-foreign.avro").toString
+    writeAvroRaw(newList, listSchema, listMeta, Seq(cl))
+    val lastSeq = n.path("last-sequence-number").asLong()
+    val sn = n.withArray("snapshots").addObject()
+    sn.put("snapshot-id", 999L).put("parent-snapshot-id", curId)
+      .put("sequence-number", lastSeq + 1).put("timestamp-ms", 1L)
+      .put("manifest-list", newList).put("schema-id", 0)
+    sn.putObject("summary").put("operation", "overwrite")
+    n.put("current-snapshot-id", 999L)
+    n.put("last-sequence-number", lastSeq + 1)
+    writeVersion(table, v + 1, n)
+
+    val rows = IcebergSink.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a")),
+      s"EXISTING must read, DELETED must be skipped: $rows")
+  }
+}
