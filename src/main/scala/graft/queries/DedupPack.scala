@@ -580,6 +580,127 @@ object DedupPack extends QueryPack {
           |SELECT a, b2 AS b, CAST(lev AS BIGINT) AS lev,
           |       round(lev * 1.0 / mx, 4) AS rel
           |FROM p WHERE lev <= 0.2 * mx
-          |ORDER BY a, b""".stripMargin))
+          |ORDER BY a, b""".stripMargin)),
+
+    // THE FULL CURATION FUNNEL — the Dolma/DataComp pre-training pipeline
+    // in one plan, including the two expensive stages t30's capstone
+    // omits: language gate -> heuristic quality gate -> exact dedup
+    // (hash keepers) -> MinHash NEAR-dedup (the e18 exists-earlier rule)
+    // -> n-gram DECONTAMINATION against a held-out suite (docs < 10).
+    // The observable is the funnel audit itself: one row per stage with
+    // survivor count, id-sum (a set fingerprint), and token volume — so
+    // every INTERMEDIATE stage is hash-proven, not just the final set.
+    // Scale shape: each gate is a narrow codegen filter; exact dedup is
+    // one hash shuffle + semi-join; near-dedup shingles only stage-3
+    // SURVIVORS (banding explodes compact signatures, candidates join on
+    // (band, bucket)); decontamination broadcasts the benchmark's grams.
+    // Nothing is all-pairs; every shuffle is on a key that shrinks as the
+    // funnel narrows.
+    QueryDef(
+      "d19_curation_funnel",
+      (s, dir) => {
+        import graft.ops.TextAnalysis
+        val all = Tables.load(s, dir, "documents")
+        val bench = all.where(col("doc_id") < 10) // the held-out suite
+        val corpus = all.where(col("doc_id") >= 10)
+        val s1 = corpus.where(TextAnalysis.languageGuess(col("text")) === "en")
+        val toks = split(col("text"), " ")
+        // integer-exact quality rules: >= 5 tokens, >= 30% distinct
+        val s2 = s1.where(TextAnalysis.tokenCount(col("text")) >= 5 &&
+          size(array_distinct(toks)) * 10 >= size(toks) * 3)
+        val keepers = s2.groupBy(md5(lower(trim(col("text")))).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val s3 = s2.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        val pairs = Dedup.nearDuplicates(s3, "doc_id", "text",
+          threshold = 0.5, k = k, bands = nBands)
+        val s4 = s3.join(pairs.select(col("b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val contaminated = Dedup.contamination(s4, bench, "doc_id", "text",
+          n = 3, minShared = 3)
+          .select(col("c_doc").as("doc_id")).distinct()
+        val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
+        def stage(order: Int, gate: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
+            coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")),
+              lit(0L)).as("tok_sum"))
+            .select(lit(order).as("stage"), lit(gate).as("gate"),
+              col("n_docs"), col("id_sum"), col("tok_sum"))
+        stage(0, "corpus", corpus)
+          .unionAll(stage(1, "lang", s1))
+          .unionAll(stage(2, "quality", s2))
+          .unionAll(stage(3, "exact_dedup", s3))
+          .unionAll(stage(4, "near_dedup", s4))
+          .unionAll(stage(5, "decontaminated", s5))
+          .orderBy(col("stage"))
+      },
+      Some {
+        val stages = Seq("corp" -> (0, "corpus"), "f1" -> (1, "lang"),
+          "f2" -> (2, "quality"), "f3" -> (3, "exact_dedup"),
+          "f4" -> (4, "near_dedup"), "f5" -> (5, "decontaminated"))
+          .map { case (cte, (i, gate)) =>
+            s"""SELECT $i AS stage, '$gate' AS gate, count(*) AS n_docs,
+               |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_sum,
+               |  CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) AS tok_sum
+               |FROM $cte""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        s"""WITH corp AS (SELECT * FROM documents WHERE doc_id >= 10),
+           |f1 AS (
+           |  SELECT * FROM corp
+           |  WHERE len(list_filter(string_split(text, ' '),
+           |          w -> w IN ('the','a','of','and','in','to'))) * 1.0
+           |        / len(string_split(text, ' ')) >= 0.04),
+           |f2 AS (
+           |  SELECT * FROM f1
+           |  WHERE len(string_split(text, ' ')) >= 5
+           |    AND len(list_distinct(string_split(text, ' '))) * 10
+           |        >= len(string_split(text, ' ')) * 3),
+           |dd AS (
+           |  SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keeper
+           |  FROM f2 GROUP BY 1),
+           |f3 AS (SELECT d.* FROM f2 d JOIN dd ON d.doc_id = dd.keeper),
+           |sh AS (
+           |  SELECT DISTINCT doc_id AS doc, s AS sh FROM (
+           |    SELECT doc_id,
+           |           unnest(list_transform(generate_series(1, len(w) - 2),
+           |                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM f3))
+           |  WHERE s <> ''),
+           |$sigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT l.doc AS a, r.doc AS b
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc),
+           |$jaccardCtes,
+           |dups AS (
+           |  SELECT DISTINCT i.b
+           |  FROM inter i
+           |  JOIN counts ca ON ca.doc = i.a
+           |  JOIN counts cb ON cb.doc = i.b
+           |  WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5),
+           |f4 AS (SELECT * FROM f3
+           |       WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.b = doc_id)),
+           |shb AS (
+           |  SELECT DISTINCT doc_id AS doc, s AS sh FROM (
+           |    SELECT doc_id,
+           |           unnest(list_transform(generate_series(1, len(w) - 2),
+           |                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+           |          FROM documents WHERE doc_id < 10))
+           |  WHERE s <> ''),
+           |cont AS (
+           |  SELECT DISTINCT c.doc FROM (
+           |    SELECT c4.doc, p.doc AS pd, count(*) AS n
+           |    FROM (SELECT sh.doc, sh.sh FROM sh
+           |          WHERE sh.doc IN (SELECT doc_id FROM f4)) c4(doc, sh)
+           |    JOIN shb p USING (sh)
+           |    GROUP BY 1, 2 HAVING count(*) >= 3) c),
+           |f5 AS (SELECT * FROM f4
+           |       WHERE doc_id NOT IN (SELECT doc FROM cont))
+           |SELECT * FROM (
+           |$stages
+           |) ORDER BY stage""".stripMargin
+      })
   )
 }
