@@ -3,6 +3,7 @@ package graft.ops
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (SURVEY §7.3): media as opaque `binary`
@@ -721,6 +722,110 @@ object Multimodal {
 
   /** RIFF/WAVE parser: returns (sampleRate, PCM16 samples) or None for
     * anything that isn't a complete mono PCM16 WAV. */
+  /** Deterministic PCM16 "track" with per-frame band texture for landmark
+    * fixtures: `s(g) = (((g mod 64)·((g div 64) mod 7 + seed mod 5 + 3) + (g div 64)·(17 +
+    * seed mod 11) + seed·29) mod 256 − 128) · 200` at g = i + from — the
+    * `from` offset makes a SNIPPET of a track exactly the track's own
+    * samples shifted, which is what query-by-snippet matching needs. The
+    * in-frame term varies energy across bands, the per-frame DRIFT term
+    * moves the argmax band frame to frame at a seed-dependent rate — the
+    * (mod 5, mod 11) pair is unique per seed below 55, so no two fixture
+    * tracks share a landmark sequence; every sample replays from the
+    * formula (the m8 fixture discipline). */
+  def wavTrackFixture(seed: Long, n: Int, from: Int = 0,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      val g = i + from
+      val s = ((g % 64) * ((g / 64) % 7 + seed % 5 + 3) +
+        (g / 64) * (17 + seed % 11) + seed * 29) % 256
+      bb.putShort(((s - 128) * 200).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** LANDMARK CONSTELLATION of a PCM16 WAV (the Shazam/Chromaprint index
+    * shape, Wang 2003): frames of `frameLen` samples split into `bands`
+    * equal bands scoring integer energies Σs²; each frame's PEAK is its
+    * argmax-energy band (smallest band on ties); a LANDMARK pairs a
+    * frame's peak with each of the next `fanout` frames' peaks —
+    * (t1, b1, b2, dt) rows, the time-offset-invariant keys that make
+    * query-by-snippet possible where m5's whole-clip fingerprint cannot
+    * (a fingerprint of a shifted snippet shares nothing; landmarks of a
+    * frame-aligned snippet are exactly the track's own, shifted by a
+    * constant). Decode → frames → peaks → pairing all run IN ROW in one
+    * mapPartitions pass: at estate scale this is the shuffle-free
+    * index-build map, and the landmark table is what you persist. */
+  def audioLandmarks(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 64, bands: Int = 8, fanout: Int = 3): DataFrame = {
+    require(frameLen % bands == 0, s"frameLen $frameLen not divisible by $bands")
+    import spark.implicits._
+    val bandLen = frameLen / bands
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        parseWav(row.media).toSeq.flatMap { case (_, samples) =>
+          val nf = samples.length / frameLen
+          val peaks = new Array[Int](nf)
+          var f = 0
+          while (f < nf) {
+            var best = 0
+            var bestE = -1L
+            var b = 0
+            while (b < bands) {
+              var e = 0L
+              var j = 0
+              while (j < bandLen) {
+                val s = samples(f * frameLen + b * bandLen + j).toLong
+                e += s * s; j += 1
+              }
+              if (e > bestE) { bestE = e; best = b }
+              b += 1
+            }
+            peaks(f) = best; f += 1
+          }
+          for {
+            t1 <- 0 until nf
+            d <- 1 to fanout
+            if t1 + d < nf
+          } yield (row.id, t1, peaks(t1), peaks(t1 + d), d)
+        }
+      }
+    }.toDF("id", "t1", "b1", "b2", "dt")
+  }
+
+  /** Query-by-snippet MATCHING over landmark tables: snippet landmarks
+    * join the corpus index on the (b1, b2, dt) key, and every matched
+    * pair VOTES for (track, corpus_t1 − query_t1) — a true match's votes
+    * pile onto one aligned offset while chance collisions scatter. Top
+    * `topPerQuery` (track, offset) rows per query by votes (ties to the
+    * smallest track, then offset). At 100 TB the corpus landmark table is
+    * the persisted inverted index; the snippet side broadcasts, so the
+    * only shuffle is the vote aggregate over MATCHED rows. */
+  def landmarkMatches(corpusLm: DataFrame, queryLm: DataFrame,
+      topPerQuery: Int = 1): DataFrame = {
+    val c = corpusLm.select(col("id").as("track"), col("t1").as("ct"),
+      col("b1"), col("b2"), col("dt"))
+    val q = queryLm.select(col("id").as("q"), col("t1").as("qt"),
+      col("b1"), col("b2"), col("dt"))
+    val votes = c.join(broadcast(q), Seq("b1", "b2", "dt"))
+      .groupBy(col("q"), col("track"), (col("ct") - col("qt")).as("offset"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("votes").desc, col("track"), col("offset"))
+    votes.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topPerQuery)
+      .select(col("q"), col("track"), col("offset"), col("votes"))
+  }
+
   private[graft] def parseWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
     if (bytes == null || bytes.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)

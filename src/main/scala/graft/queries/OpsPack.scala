@@ -2118,6 +2118,96 @@ object OpsPack extends QueryPack {
           |FROM sg WHERE speech GROUP BY id, seg
           |ORDER BY id, seg""".stripMargin)),
 
+    // AUDIO QUERY-BY-SNIPPET via landmark constellation (the Shazam index
+    // shape, Wang 2003): 40 deterministic PCM16 tracks land as a landmark
+    // inverted index — per 64-sample frame, the argmax-energy band of 8
+    // is the frame's PEAK; landmarks pair each peak with the next 3
+    // frames' peaks. Five frame-aligned snippets (1024 samples cut from
+    // the middle of five tracks) probe the index: matched landmark keys
+    // VOTE on (track, aligned offset), and the true source wins with its
+    // votes piled on ONE offset while chance key collisions scatter —
+    // offset-robust retrieval that m5's whole-clip fingerprint cannot do.
+    // Decode -> frames -> peaks -> pairing run in-row (shuffle-free index
+    // build); the snippet side broadcasts; the only shuffle is the vote
+    // aggregate over matched rows. The oracle recomputes every sample
+    // from the fixture formula and replays peaks, landmarks, and the
+    // vote argmax — integer arithmetic end to end.
+    QueryDef(
+      "m13_audio_landmark_match",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 40)
+          .select(col("doc_id").cast("long")).as[Long]
+        val tracks = ids
+          .map(id => (id, Multimodal.wavTrackFixture(id, 2400), "audio/wav"))
+          .toDF("id", "media", "content_type")
+        val snips = Seq((0L, 3L, 320), (1L, 7L, 512), (2L, 11L, 640),
+          (3L, 19L, 960), (4L, 23L, 1280))
+        val queries = snips
+          .map { case (q, src, off) =>
+            (q, Multimodal.wavTrackFixture(src, 1024, from = off), "audio/wav")
+          }
+          .toDF("id", "media", "content_type")
+        Multimodal.landmarkMatches(
+          Multimodal.audioLandmarks(s, tracks),
+          Multimodal.audioLandmarks(s, queries))
+          .orderBy(col("q"))
+      },
+      Some(
+        """WITH tids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 40),
+          |csm AS (
+          |  SELECT id, i,
+          |         ((i % 64) * ((i // 64) % 7 + id % 5 + 3) + (i // 64) * (17 + id % 11)
+          |          + id * 29) % 256 - 128 AS v
+          |  FROM tids, range(0, 2400) r(i)),
+          |cbe AS (
+          |  SELECT id, i // 64 AS t, (i % 64) // 8 AS b,
+          |         SUM((v * 200) * (v * 200)) AS e
+          |  FROM csm GROUP BY 1, 2, 3),
+          |cpk AS (SELECT id, t, b FROM (
+          |  SELECT id, t, b,
+          |         row_number() OVER (PARTITION BY id, t ORDER BY e DESC, b) AS rn
+          |  FROM cbe) WHERE rn = 1),
+          |fans AS (SELECT unnest(generate_series(1, 3)) AS dt),
+          |clm AS (
+          |  SELECT a.id, a.t AS t1, a.b AS b1, c.b AS b2, d.dt
+          |  FROM cpk a JOIN fans d ON true
+          |  JOIN cpk c ON c.id = a.id AND c.t = a.t + d.dt),
+          |qdef(q, src, off) AS (
+          |  VALUES (0, 3, 320), (1, 7, 512), (2, 11, 640),
+          |         (3, 19, 960), (4, 23, 1280)),
+          |qsm AS (
+          |  SELECT d.q, r.i,
+          |         (((r.i + d.off) % 64) * (((r.i + d.off) // 64) % 7 + d.src % 5 + 3)
+          |          + ((r.i + d.off) // 64) * (17 + d.src % 11)
+          |          + d.src * 29) % 256 - 128 AS v
+          |  FROM qdef d, range(0, 1024) r(i)),
+          |qbe AS (
+          |  SELECT q, i // 64 AS t, (i % 64) // 8 AS b,
+          |         SUM((v * 200) * (v * 200)) AS e
+          |  FROM qsm GROUP BY 1, 2, 3),
+          |qpk AS (SELECT q, t, b FROM (
+          |  SELECT q, t, b,
+          |         row_number() OVER (PARTITION BY q, t ORDER BY e DESC, b) AS rn
+          |  FROM qbe) WHERE rn = 1),
+          |qlm AS (
+          |  SELECT a.q, a.t AS t1, a.b AS b1, c.b AS b2, d.dt
+          |  FROM qpk a JOIN fans d ON true
+          |  JOIN qpk c ON c.q = a.q AND c.t = a.t + d.dt),
+          |votes AS (
+          |  SELECT ql.q, c.id AS track, c.t1 - ql.t1 AS "offset",
+          |         count(*) AS votes
+          |  FROM clm c JOIN qlm ql
+          |    ON c.b1 = ql.b1 AND c.b2 = ql.b2 AND c.dt = ql.dt
+          |  GROUP BY 1, 2, 3)
+          |SELECT q, track, "offset", votes FROM (
+          |  SELECT q, track, "offset", votes,
+          |         row_number() OVER (PARTITION BY q
+          |           ORDER BY votes DESC, track, "offset") AS rn
+          |  FROM votes) WHERE rn = 1
+          |ORDER BY q""".stripMargin)),
+
     // Audio near-dup dedup by ACOUSTIC FINGERPRINT over real PCM: WAVs
     // parse through the real RIFF codec on executors, the 64-frame
     // energy-envelope fingerprint is computed in the same pass (integer
