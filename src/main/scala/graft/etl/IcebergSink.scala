@@ -784,10 +784,18 @@ object IcebergSink {
     * columns become TIGHT, which is what makes [[readPruned]] skip files —
     * the in-partition complement of identity partition pruning (partition
     * by the coarse key, cluster by the fine one). */
+  /** `branch = Some(name)`: WRITE-AUDIT-PUBLISH staging (the spec's
+    * branch workflow, Iceberg's `spark.wap.branch`): the commit chains on
+    * the branch's head (created off current if absent) and moves the
+    * branch ref — main's `current` never moves, so production readers
+    * cannot see unaudited data. Audit via [[readRef]], then
+    * [[publishBranch]] to fast-forward main, or [[dropRef]] to abandon
+    * the staged line (it becomes an expirable dead fork). */
   def append(spark: SparkSession, table: String, df: DataFrame,
       maxRetries: Int = 5, clusterBy: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      branch: Option[String] = None): Unit = {
     val toWrite =
       if (clusterBy.isEmpty) df
       else {
@@ -830,8 +838,23 @@ object IcebergSink {
     commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
       carryPrior = true, operation = "append", maxRetries,
       createSpecOn = specDecls, writeOrder = clusterBy,
-      extraSummary = extraSummary)
+      extraSummary = extraSummary, toBranch = branch)
   }
+
+  /** PUBLISH a staged branch (the fast-forward half of write-audit-
+    * publish): main's `current` moves to the branch head — metadata-only,
+    * atomic through the optimistic rename, nothing is rewritten. The
+    * branch ref stays (drop it separately if the staging lane is done);
+    * publishing a branch whose head is already current is a no-op. */
+  def publishBranch(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 5): Unit =
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      val (id, typ) = m.refs.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown branch $name"))
+      require(typ == "branch", s"ref $name is a $typ, not a branch")
+      if (m.currentSnapshotId.contains(id)) None
+      else Some(m.copy(currentSnapshotId = Some(id)))
+    }
 
   /** DYNAMIC PARTITION OVERWRITE (spec snapshot operation `overwrite` —
     * the `INSERT OVERWRITE ... PARTITION` shape with
@@ -1409,7 +1432,8 @@ object IcebergSink {
       createSpecOn: Seq[String] = Nil,
       writeOrder: Seq[String] = Nil,
       overwriteTuples: Set[Seq[Any]] = Set.empty,
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None): Unit = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     val addedRecords = fileRecords.map(_.records).sum
@@ -1519,9 +1543,15 @@ object IcebergSink {
       // manifest list: append carries the previous snapshot's manifests
       // forward; replace (compaction) starts from just the new manifest —
       // old snapshots keep their own manifest lists, so history survives
+      // the commit's BASE snapshot: a branch commit (write-audit-publish)
+      // chains on the branch's head — NOT on main's current — so staged
+      // commits stack on the branch while readers of main never see them
+      val baseSnapId: Option[Long] = toBranch
+        .flatMap(b => base.refs.get(b).map(_._1))
+        .orElse(base.currentSnapshotId)
       val prevManifests: Seq[GenericRecord] =
         if (!carryPrior) Nil
-        else base.currentSnapshotId
+        else baseSnapId
           .flatMap(id => base.snapshots.find(_.snapshotId == id))
           .map(s => readAvro(spark, s.manifestList)._2)
           .getOrElse(Nil)
@@ -1618,7 +1648,7 @@ object IcebergSink {
           "format-version" -> "2"),
         carried :+ newEntry)
 
-      val snap = Snapshot(snapshotId, base.currentSnapshotId, seqNum, nowMs,
+      val snap = Snapshot(snapshotId, baseSnapId, seqNum, nowMs,
         listPath.toString, fileRecords.size.toLong, addedRecords, schemaId,
         operation, extraSummary)
       val newVersion = base.version + 1
@@ -1643,11 +1673,19 @@ object IcebergSink {
               (all + (oid -> sfs), oid)
           }
         }
+      // a branch commit leaves MAIN's current untouched and moves (or
+      // creates) the branch ref instead — the WAP staging contract
+      val nextCurrent =
+        if (toBranch.isDefined) base.currentSnapshotId else Some(snapshotId)
+      val nextRefs = toBranch match {
+        case Some(b) => base.refs + (b -> (snapshotId, "branch"))
+        case None => base.refs
+      }
       val next = TableMeta(newVersion, base.uuid, tableDir.toString, seqNum,
-        lastColId, schemaId, fields, base.snapshots :+ snap, Some(snapshotId),
+        lastColId, schemaId, fields, base.snapshots :+ snap, nextCurrent,
         base.metadataLog ++ (if (base.version > 0)
           Seq((nowMs, versionFile(table, base.version).toString)) else Nil),
-        specFields = specFields, refs = base.refs,
+        specFields = specFields, refs = nextRefs,
         specsById =
           if (base.version == 0) Map(0 -> specFields) else base.specsById,
         defaultSpecId = specId,

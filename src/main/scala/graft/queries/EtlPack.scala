@@ -541,6 +541,53 @@ object EtlPack extends QueryPack {
           |  WHERE event_type = 'purchase' AND _offset % 100 = 0
           |) GROUP BY event_type ORDER BY event_type""".stripMargin))),
 
+    // WRITE-AUDIT-PUBLISH (the spec's branch workflow, Iceberg's
+    // `spark.wap.branch` pattern): a suspect feed lands on a STAGING
+    // BRANCH — the commit chains on the branch head and moves only the
+    // branch ref, so production readers of main can never see unaudited
+    // data — then, once audited, a metadata-only fast-forward publishes
+    // it atomically. The observable is all three views at once: main
+    // before publish (clean rows only), the audit branch (clean +
+    // staged), and main after publish (identical to the branch) — each
+    // pinned by explicit snapshot id, each recomputed relationally by
+    // the oracle. At 100 TB the entire audit gate costs zero data IO:
+    // staging is a normal append, publish is one version-file rename.
+    QueryDef(
+      "e40_iceberg_wap",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_wap_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev.where(col("event_type") =!= "error"))
+        val preId = IcebergSink.load(s, table).get.currentSnapshotId.get
+        IcebergSink.append(s, table, ev.where(col("event_type") === "error"),
+          branch = Some("audit"))
+        def view(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+            .select(lit(label).as("stage"), col("cnt"), col("sum_k"))
+        val before = view(IcebergSink.read(s, table, Some(preId)), "main_staged")
+        val branch = view(IcebergSink.readRef(s, table, "audit"), "audit_branch")
+        IcebergSink.publishBranch(s, table, "audit")
+        val after = view(IcebergSink.read(s, table), "main_published")
+        before.unionAll(branch).unionAll(after).orderBy(col("stage"))
+      },
+      Some(Tables.withEventsTopic(
+        """, src AS (
+          |  SELECT event_type,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k
+          |  FROM events_topic),
+          |a AS (SELECT count(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k FROM src),
+          |ne AS (SELECT count(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+          |       FROM src WHERE event_type <> 'error')
+          |SELECT 'audit_branch' AS stage, cnt, sum_k FROM a
+          |UNION ALL SELECT 'main_published', cnt, sum_k FROM a
+          |UNION ALL SELECT 'main_staged', cnt, sum_k FROM ne
+          |ORDER BY stage""".stripMargin))),
+
     // Iceberg BUCKET + TRUNCATE partition transforms (spec Appendix B:
     // 32-bit Murmur3 buckets — hashes conform to the spec's published
     // test values, IcebergSpec — and width-truncated ints): the events

@@ -68,6 +68,43 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("write-audit-publish: staged commits stack on the branch, publish fast-forwards") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "prod")).toDF("id", "s"))
+    val mainBefore = IcebergSink.load(spark, table).get.currentSnapshotId.get
+
+    // two staged commits chain on the BRANCH, main never moves
+    IcebergSink.append(spark, table, Seq((2L, "staged")).toDF("id", "s"),
+      branch = Some("wap"))
+    IcebergSink.append(spark, table, Seq((3L, "staged2")).toDF("id", "s"),
+      branch = Some("wap"))
+    val m = IcebergSink.load(spark, table).get
+    assert(m.currentSnapshotId.contains(mainBefore),
+      "staging must never move main's current")
+    assert(IcebergSink.read(spark, table).count() == 1,
+      "production readers must not see unaudited rows")
+    assert(IcebergSink.readRef(spark, table, "wap").count() == 3,
+      "the audit view must see production + both staged commits")
+    // the second staged commit parents off the FIRST (branch head), not main
+    val wapHead = m.refs("wap")._1
+    val head = m.snapshots.find(_.snapshotId == wapHead).get
+    assert(head.parentId.exists(p =>
+      m.snapshots.find(_.snapshotId == p).exists(_.parentId.contains(mainBefore))),
+      "branch commits must chain on the branch, not fork off main each time")
+
+    IcebergSink.publishBranch(spark, table, "wap")
+    assert(IcebergSink.read(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // time travel to pre-publish main still works
+    assert(IcebergSink.read(spark, table, Some(mainBefore)).count() == 1)
+    // publishing a tag must refuse; abandoning a branch is just dropRef
+    IcebergSink.setRef(spark, table, "pin", "tag")
+    intercept[IllegalArgumentException] {
+      IcebergSink.publishBranch(spark, table, "pin")
+    }
+  }
+
   test("append creates v2 metadata with field ids, snapshot, manifest chain") {
     import spark.implicits._
     val table = tmpTable()
