@@ -588,6 +588,42 @@ object EtlPack extends QueryPack {
           |UNION ALL SELECT 'main_staged', cnt, sum_k FROM ne
           |ORDER BY stage""".stripMargin))),
 
+    // The `$partitions` METADATA TABLE — the ops-console / planner
+    // surface: per partition tuple, record counts and per-column
+    // lower/upper bounds folded across the partition's files, answered
+    // from MANIFESTS ONLY (zero data IO at any table size). The oracle
+    // recomputes the same numbers from the DATA — so the manifest stats
+    // every pruning decision trusts are hash-proven against the rows
+    // they claim to describe, the same discipline as k13's SHOW SEGMENTS.
+    QueryDef(
+      "e41_iceberg_partitions_table",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_ptable")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev, partitionBy = Seq("event_type"))
+        IcebergSink.metadataTable(s, table, "partitions")
+          .select(
+            element_at(col("partition"), "event_type").as("event_type"),
+            col("record_count"),
+            element_at(col("lower_bounds"), "offset").cast("long").as("min_off"),
+            element_at(col("upper_bounds"), "offset").cast("long").as("max_off"),
+            element_at(col("lower_bounds"), "k").cast("long").as("min_k"),
+            element_at(col("upper_bounds"), "k").cast("long").as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT event_type, count(*) AS record_count,
+          |       min(_offset) AS min_off, max(_offset) AS max_off,
+          |       min(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS min_k,
+          |       max(CAST(json_extract_string(_value, '$.k') AS BIGINT)) AS max_k
+          |FROM events_topic
+          |GROUP BY 1 ORDER BY event_type""".stripMargin))),
+
     // Iceberg BUCKET + TRUNCATE partition transforms (spec Appendix B:
     // 32-bit Murmur3 buckets — hashes conform to the spec's published
     // test values, IcebergSpec — and width-truncated ints): the events
