@@ -1067,6 +1067,58 @@ object RelationalPack extends QueryPack {
           |FROM c JOIN m USING (lang) JOIN md USING (lang)
           |ORDER BY lang""".stripMargin)),
 
+    // INTEGER-EXACT MOMENT STATISTICS (superset — SURVEY §2.7; u14's
+    // ordered-set sibling): per-group variance and covariance reported as
+    // the exact BIGINT NUMERATORS of the closed forms — var_num =
+    // n·Σx² − (Σx)² (population variance × n²) and cov_num = n·Σxy −
+    // Σx·Σy — instead of floats, because a float variance sums doubles in
+    // partition order and can never hash-match across engines, while the
+    // numerators are plain integer sums that any engine reproduces
+    // bit-for-bit (the consumer divides by n² at the edge). x = token
+    // count, y = distinct-token count per doc: cov_num > 0 per lang is
+    // the vocabulary-growth signal a quality dashboard plots. One hash
+    // aggregate, map-side partials, no window.
+    QueryDef(
+      "u15_exact_moments",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val v = Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            size(toks).cast("long").as("x"),
+            size(array_distinct(toks)).cast("long").as("y"))
+        v.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sum_x"),
+            sum(col("x") * col("x")).as("sum_x2"),
+            sum(col("y")).as("sum_y"),
+            sum(col("x") * col("y")).as("sum_xy"))
+          .select(col("lang"), col("n"),
+            (col("n") * col("sum_x2") - col("sum_x") * col("sum_x"))
+              .as("var_x_num"),
+            (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+              .as("cov_xy_num"),
+            col("sum_x"), col("sum_y"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT lang,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+          |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+          |  FROM documents),
+          |a AS (
+          |  SELECT lang, count(*) AS n,
+          |         CAST(SUM(x) AS BIGINT) AS sum_x,
+          |         CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+          |         CAST(SUM(y) AS BIGINT) AS sum_y,
+          |         CAST(SUM(x * y) AS BIGINT) AS sum_xy
+          |  FROM v GROUP BY 1)
+          |SELECT lang, n,
+          |       n * sum_x2 - sum_x * sum_x AS var_x_num,
+          |       n * sum_xy - sum_x * sum_y AS cov_xy_num,
+          |       sum_x, sum_y
+          |FROM a ORDER BY lang""".stripMargin)),
+
     // PIVOT (superset — SURVEY §2.7): event counts cross-tabbed by type.
     // With explicit pivot values Spark compiles this to conditional
     // aggregation — one shuffle, no per-value passes; the oracle IS that
