@@ -511,14 +511,24 @@ object Planner {
       }
     }
 
-    def sideCol(side: String, e: Expr): Column = e match {
-      case ColRef(_, n) => col(s"$side.$n")
-      case JsonFunc(kind, t, p) => jsonCol(col(s"$side.${t.name}").cast("string"), kind, p)
-      case _ => throw new KafsqlException("invalid join key expression")
-    }
-    // normalize sides: an expr qualified by the right topic/alias binds right
-    val (lkExpr, rkExpr) = j.on match {
-      case None => (ColRef(None, "_key"), ColRef(None, "_key")) // default key join
+    val (lkExpr, rkExpr) = joinKeys(j, rightName)
+    val cond = joinSideCol("l", lkExpr) === joinSideCol("r", rkExpr) &&
+      abs(col("l._ts_ms") - col("r._ts_ms")) <= j.withinMs // inclusive band, server.go:2358-2384
+    val joined = l.join(r, cond, if (j.left) "left_outer" else "inner")
+    joinProject(joined, sel, rightName).limit(limit)
+  }
+
+  private def joinSideCol(side: String, e: Expr): Column = e match {
+    case ColRef(_, n) => col(s"$side.$n")
+    case JsonFunc(kind, t, p) => jsonCol(col(s"$side.${t.name}").cast("string"), kind, p)
+    case _ => throw new KafsqlException("invalid join key expression")
+  }
+
+  /** Normalize join-key sides: an expr qualified by the right topic/alias
+    * binds right; no ON defaults to the `_key = _key` join. */
+  private def joinKeys(j: JoinClause, rightName: String): (Expr, Expr) =
+    j.on match {
+      case None => (ColRef(None, "_key"), ColRef(None, "_key"))
       case Some((a, b)) =>
         def qualifierOf(e: Expr): Option[String] = e match {
           case ColRef(q, _) => q
@@ -528,34 +538,85 @@ object Planner {
         val aq = qualifierOf(a)
         if (aq.contains(rightName)) (b, a) else (a, b)
     }
-    val cond = sideCol("l", lkExpr) === sideCol("r", rkExpr) &&
-      abs(col("l._ts_ms") - col("r._ts_ms")) <= j.withinMs // inclusive band, server.go:2358-2384
-    val joined = l.join(r, cond, if (j.left) "left_outer" else "inner")
 
-    val out =
-      if (sel.star) {
-        // default join projection: 8 left + 8 right `_right_`-prefixed
-        // (server.go:2581-2589,2652-2671)
-        val names = TopicRegistry.implicitColumns.map(_._1)
-        val cols = names.map(n => col(s"l.$n").as(n)) ++
-          names.map(n => col(s"r.$n").as(s"_right${n}"))
-        joined.select(cols: _*)
-      } else {
-        val cols = sel.projections.map { p =>
-          val c = p.expr match {
-            case ColRef(Some(q), n) =>
-              val side = if (q == rightName) "r" else "l"
-              col(s"$side.$n")
-            case ColRef(None, n) => col(s"l.$n")
-            case JsonFunc(kind, t, path) =>
-              val side = if (t.qualifier.contains(rightName)) "r" else "l"
-              jsonCol(col(s"$side.${t.name}"), kind, path)
-            case _: AggFunc => throw new KafsqlException("aggregates in join")
-          }
-          p.alias.fold(c)(c.as(_))
+  /** Join output: star = 8 left + 8 `_right_`-prefixed right columns
+    * (server.go:2581-2589,2652-2671); explicit projections bind by
+    * qualifier, unqualified binds left. */
+  private def joinProject(joined: DataFrame, sel: Select,
+      rightName: String): DataFrame =
+    if (sel.star) {
+      val names = TopicRegistry.implicitColumns.map(_._1)
+      val cols = names.map(n => col(s"l.$n").as(n)) ++
+        names.map(n => col(s"r.$n").as(s"_right${n}"))
+      joined.select(cols: _*)
+    } else {
+      val cols = sel.projections.map { p =>
+        val c = p.expr match {
+          case ColRef(Some(q), n) =>
+            val side = if (q == rightName) "r" else "l"
+            col(s"$side.$n")
+          case ColRef(None, n) => col(s"l.$n")
+          case JsonFunc(kind, t, path) =>
+            val side = if (t.qualifier.contains(rightName)) "r" else "l"
+            jsonCol(col(s"$side.${t.name}"), kind, path)
+          case _: AggFunc => throw new KafsqlException("aggregates in join")
         }
-        joined.select(cols: _*)
+        p.alias.fold(c)(c.as(_))
       }
-    out.limit(limit)
+      joined.select(cols: _*)
+    }
+
+  /** Continuous WITHIN join — the reference's flagship two-topic JOIN run
+    * FOREVER (its explicit non-goal, delivered as the St5 superset): both
+    * sides are streaming topic frames, watermarked on event time; the
+    * dialect's inclusive ±WITHIN band becomes the stream-stream join's
+    * time-range condition, so each side's state is bounded by
+    * rate × (watermark delay + band) — never stream age. Key semantics
+    * are the batch join's exactly: default `_key = _key`, side
+    * normalization by qualifier, json_value keys, `_right_`-prefixed
+    * star. LAST is ignored (the watermark replaces retention); ORDER
+    * BY/TAIL/LIMIT are rejected as in every continuous plan. LEFT joins
+    * emit their unmatched rows on state eviction (watermark passage),
+    * exactly Spark's outer stream-stream contract. */
+  def planContinuousJoin(reg: TopicRegistry, leftStream: DataFrame,
+      rightStream: DataFrame, sel: Select,
+      watermarkDelay: String, env: Env): DataFrame = {
+    val j = sel.join.getOrElse(throw new KafsqlException(
+      "continuous join requires a JOIN ... WITHIN clause"))
+    if (sel.orderBy.nonEmpty)
+      throw new KafsqlException("continuous queries do not support ORDER BY")
+    if (sel.window.exists(_.isInstanceOf[Tail]))
+      throw new KafsqlException("continuous queries do not support TAIL")
+    if (sel.limit.nonEmpty)
+      throw new KafsqlException("continuous queries do not support LIMIT")
+    if (sel.projections.exists(_.expr.isInstanceOf[AggFunc]))
+      throw new KafsqlException("aggregates in join")
+    val rightName = j.table.alias.getOrElse(j.table.topic)
+    // schema-on-read columns per side's registered topic, like the batch
+    // frames carry
+    def withSchema(stream: DataFrame, topic: String): DataFrame =
+      reg.get(topic).schemaCols.foldLeft(stream) { (acc, sc) =>
+        acc.withColumn(sc.name, TopicRegistry.extract(col("_value"), sc))
+      }
+    // watermarks require TimestampType (not NTZ): derive event time from
+    // the epoch-ms twin; session tz is UTC so wall times agree
+    val l = withSchema(leftStream, sel.from.topic)
+      .withColumn("_evt", timestamp_millis(col("_ts_ms")))
+      .withWatermark("_evt", watermarkDelay)
+      .alias("l")
+    val r = withSchema(rightStream, j.table.topic)
+      .withColumn("_evt", timestamp_millis(col("_ts_ms")))
+      .withWatermark("_evt", watermarkDelay)
+      .alias("r")
+    val (lk, rk) = joinKeys(j, rightName)
+    val band = expr(s"INTERVAL ${j.withinMs} MILLISECONDS")
+    // the ±band as explicit event-time range bounds: this is what lets
+    // Spark derive state watermarks and EVICT — an abs() over epoch-ms
+    // would be correct but unanalyzable, keeping both states forever
+    val cond = joinSideCol("l", lk) === joinSideCol("r", rk) &&
+      col("r._evt") >= col("l._evt") - band &&
+      col("r._evt") <= col("l._evt") + band
+    val joined = l.join(r, cond, if (j.left) "left_outer" else "inner")
+    joinProject(joined, sel, rightName)
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+import org.apache.spark.sql.functions.{col, count, element_at, lit, max, sum}
 
 import graft.core.Tables
 import graft.kafsql._
@@ -368,6 +368,57 @@ object KafsqlPack extends QueryPack {
         graft.kfs.KfsRetention.deleteRecords(
           KfsPack.seedDeleteRecordsEstate(s, dir), "docs", Map(0 -> 300L))
         ()
-      }))
+      })),
+
+    // CONTINUOUS WITHIN JOIN — the reference's flagship two-topic join
+    // run FOREVER (k5's continuous twin; the reference names continuous
+    // queries an explicit non-goal): the same dialect text plans as a
+    // watermarked stream-stream join whose ±band becomes the time-range
+    // condition, so each side's state is rate × (delay + band), never
+    // stream age. Both sides drain from the SAME seeded segment log
+    // (header `src` routes purchases/errors, the e17 discipline) under
+    // AvailableNow; the result equals the batch join of the full topics —
+    // stream ≡ batch, St5 for joins. LAST is ignored (the watermark
+    // replaces retention), so the oracle joins unpruned history.
+    QueryDef(
+      "k17_kafsql_stream_join",
+      (s, dir) => {
+        val root = graft.kfs.KfsSeed.seededRoot(s, dir)
+        val sink = Fixtures.tmp(dir, "k17_sink")
+        val ckpt = Fixtures.tmp(dir, "k17_ckpt")
+        graft.streaming.StreamDrive.narrow(s) {
+          val src = element_at(col("_headers"), "src")
+          val joined = graft.streaming.KafsqlStream.join(registry(dir),
+            graft.streaming.KafsqlStream.topicStream(s, root)
+              .where(src === "purchase"),
+            graft.streaming.KafsqlStream.topicStream(s, root)
+              .where(src === "error"),
+            "SELECT o._partition, o._offset AS l_off, p._offset AS r_off " +
+              "FROM purchases o JOIN errors p ON o._key = p._key " +
+              "WITHIN 10m LAST 14d",
+            watermarkDelay = "1 hour", nowMs = Tables.FixedNowMs)
+          val q = joined.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(sink)
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("l_off")).as("l_off_sum"),
+            sum(col("r_off")).as("r_off_sum"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """SELECT l._partition, count(*) AS n_pairs,
+          |       CAST(SUM(l._offset) AS BIGINT) AS l_off_sum,
+          |       CAST(SUM(r._offset) AS BIGINT) AS r_off_sum
+          |FROM (SELECT * FROM events_topic WHERE event_type = 'purchase') l
+          |JOIN (SELECT * FROM events_topic WHERE event_type = 'error') r
+          |  ON l._key = r._key AND abs(l._ts_ms - r._ts_ms) <= 600000
+          |GROUP BY 1 ORDER BY l._partition""".stripMargin),
+      seed = Some((s, dir) => { graft.kfs.KfsSeed.seededRoot(s, dir); () }))
   )
 }

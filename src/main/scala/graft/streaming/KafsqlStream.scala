@@ -114,6 +114,25 @@ object KafsqlStream {
         "continuous queries support SELECT only")
     }
 
+  /** Continuous two-topic WITHIN JOIN: the dialect's flagship join run as
+    * a watermarked stream-stream join (see
+    * [[graft.kafsql.Planner.planContinuousJoin]] for the state-bound and
+    * eviction semantics). `leftStream`/`rightStream` are topic frames
+    * (e.g. [[topicStream]], optionally pre-filtered); the query names the
+    * topics exactly as its batch twin would. */
+  def join(reg: TopicRegistry, leftStream: DataFrame, rightStream: DataFrame,
+      query: String, watermarkDelay: String = "10 seconds",
+      nowMs: Long = System.currentTimeMillis()): DataFrame =
+    Kafsql.parse(query) match {
+      case sel: Select if sel.join.isDefined =>
+        Planner.planContinuousJoin(reg, leftStream, rightStream, sel,
+          watermarkDelay, Planner.Env(nowMs))
+      case _: Select => throw new graft.kafsql.KafsqlException(
+        "continuous join requires a JOIN ... WITHIN clause")
+      case _ => throw new graft.kafsql.KafsqlException(
+        "continuous queries support SELECT only")
+    }
+
   /** Drain all currently-available segments through a continuous SELECT into
     * a parquet table (append), then stop — `Trigger.AvailableNow` with a
     * checkpoint, so re-running ships only new segments. */

@@ -301,4 +301,23 @@ class KafsqlSpec extends AnyFunSuite {
       p.getFileSystem(graft.kfs.KfsLayout.hadoopConf).delete(p, true)
     }
   }
+
+  test("continuous join: batch-only clauses rejected, JOIN clause required") {
+    val reg = KafsqlPack.registry(sf)
+    val root = graft.kfs.KfsSeed.seededRoot(spark, sf)
+    def stream() = graft.streaming.KafsqlStream.topicStream(spark, root)
+    def plan(q: String) = graft.streaming.KafsqlStream.join(
+      reg, stream(), stream(), q, nowMs = Tables.FixedNowMs)
+    val base = "FROM purchases o JOIN errors p ON o._key = p._key WITHIN 10m"
+    // the valid form plans (a streaming frame, not an executed query)
+    assert(plan(s"SELECT o._offset AS l_off $base LAST 1d").isStreaming)
+    // star keeps the batch join's 8 + 8 `_right_` shape
+    assert(plan(s"SELECT * $base LAST 1d").columns.count(_.startsWith("_right")) == 8)
+    for ((q, msg) <- Seq(
+      (s"SELECT o._offset $base ORDER BY _ts LAST 1d", "ORDER BY"),
+      (s"SELECT o._offset $base LIMIT 5 LAST 1d", "LIMIT"),
+      ("SELECT _offset FROM purchases LAST 1d", "JOIN")))
+      assert(intercept[KafsqlException](plan(q)).getMessage.contains(msg),
+        s"$q must reject mentioning $msg")
+  }
 }
