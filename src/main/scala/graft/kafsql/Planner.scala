@@ -590,7 +590,13 @@ object Planner {
     if (sel.limit.nonEmpty)
       throw new KafsqlException("continuous queries do not support LIMIT")
     if (sel.projections.exists(_.expr.isInstanceOf[AggFunc]))
-      throw new KafsqlException("aggregates in join")
+      throw new KafsqlException("aggregates are not supported in joins")
+    if (sel.groupBy.nonEmpty)
+      throw new KafsqlException("GROUP BY is not supported in joins")
+    if (sel.where.exists {
+        case _: PartitionEq | _: OffsetCmp => true; case _ => false })
+      throw new KafsqlException(
+        "partition/offset filters are not supported in joins")
     val rightName = j.table.alias.getOrElse(j.table.topic)
     // schema-on-read columns per side's registered topic, like the batch
     // frames carry
@@ -598,9 +604,19 @@ object Planner {
       reg.get(topic).schemaCols.foldLeft(stream) { (acc, sc) =>
         acc.withColumn(sc.name, TopicRegistry.extract(col("_value"), sc))
       }
+    // explicit ts predicates bind the LEFT side, as in the batch join;
+    // LAST is ignored (the watermark replaces retention)
+    var lDf = withSchema(leftStream, sel.from.topic)
+    sel.where.foreach {
+      case TsCmp(true, v) => lDf = lDf.filter(col("_ts_ms") >= v)
+      case TsCmp(false, v) => lDf = lDf.filter(col("_ts_ms") <= v)
+      case TsBetween(lo, hi) =>
+        lDf = lDf.filter(col("_ts_ms") >= lo && col("_ts_ms") <= hi)
+      case _ =>
+    }
     // watermarks require TimestampType (not NTZ): derive event time from
     // the epoch-ms twin; session tz is UTC so wall times agree
-    val l = withSchema(leftStream, sel.from.topic)
+    val l = lDf
       .withColumn("_evt", timestamp_millis(col("_ts_ms")))
       .withWatermark("_evt", watermarkDelay)
       .alias("l")
