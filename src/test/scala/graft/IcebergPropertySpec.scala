@@ -59,6 +59,57 @@ class IcebergPropertySpec extends AnyFunSuite {
     StructType(fields)
   }
 
+  test("random overwrite histories: touched partitions replace exactly, others persist") {
+    // interleaved appends and dynamic-partition overwrites against a
+    // per-partition model: after EVERY operation the table equals the
+    // model — an overwrite wipes exactly the partitions its batch
+    // touches (even ones written across several prior manifests) and
+    // never bleeds into the rest
+    import spark.implicits._
+    val parts = (0 until 5).map(i => s"p$i")
+    for (trial <- 1 to 5) {
+      val r = new scala.util.Random(4200L + trial)
+      val table = Files.createTempDirectory("iceberg_ovw_prop").toString + "/t"
+      var nextId = 0L
+      def rows(k: Int, inParts: Seq[String]): Seq[(Long, String, Long)] =
+        (0 until k).map { _ =>
+          val id = nextId; nextId += 1
+          (id, inParts(r.nextInt(inParts.size)), r.nextInt(1000).toLong)
+        }
+      var model = Map.empty[String, Map[Long, Long]].withDefaultValue(Map.empty)
+      def doAppend(rs: Seq[(Long, String, Long)]): Unit = {
+        IcebergSink.append(spark, table, rs.toDF("id", "part", "v"),
+          partitionBy = Seq("part"))
+        rs.foreach { case (id, p, v) => model += p -> (model(p) + (id -> v)) }
+      }
+      def doOverwrite(rs: Seq[(Long, String, Long)]): Unit = {
+        IcebergSink.overwritePartitions(spark, table,
+          rs.toDF("id", "part", "v"))
+        rs.map(_._2).distinct.foreach(p => model += p -> Map.empty[Long, Long])
+        rs.foreach { case (id, p, v) => model += p -> (model(p) + (id -> v)) }
+      }
+      doAppend(rows(r.nextInt(20) + 5, parts))
+      for (step <- 1 to 4) {
+        if (r.nextBoolean()) doAppend(rows(r.nextInt(10) + 1, parts))
+        else {
+          val sub = parts.filter(_ => r.nextBoolean()) match {
+            case Seq() => Seq(parts(r.nextInt(parts.size)))
+            case s => s
+          }
+          doOverwrite(rows(r.nextInt(8) + 1, sub))
+        }
+        val got = IcebergSink.read(spark, table).collect()
+          .map(row => (row.getAs[Long]("id"), row.getAs[String]("part"),
+            row.getAs[Long]("v"))).toSet
+        val want = model.toSeq.flatMap { case (p, m) =>
+          m.map { case (id, v) => (id, p, v) }
+        }.toSet
+        assert(got == want,
+          s"trial $trial step $step:\n missing=${want.diff(got)}\n extra=${got.diff(want)}")
+      }
+    }
+  }
+
   test("random append histories: invariants hold, read-back is the exact union") {
     (0 until 8).foreach { trial =>
       val r = new scala.util.Random(1000 + trial)
