@@ -239,6 +239,61 @@ object Pipeline {
     query.awaitTermination()
   }
 
+  /** Continuous KEYED UPSERT into Iceberg — the streaming CDC-MERGE
+    * shape: each micro-batch collapses to its LAST row per
+    * (topic, partition, key) — max `_offset`, which within one partition
+    * IS arrival order, and admission control never reorders a
+    * partition's offsets across batches — and lands as one
+    * [[IcebergSink.upsert]] (equality-delete of the incoming key set +
+    * append, merge-on-read). The result table always holds each key's
+    * latest record: last-write-wins with a total, replayable order.
+    *
+    * Crash-replay safety WITHOUT txn markers: replaying a batch re-runs
+    * the same delete+append with identical rows — upsert is idempotent
+    * for identical input, so the state converges (the anti-join guard
+    * appends need is unnecessary here by construction). Keys never
+    * straddle partitions in the LWW order: the key is
+    * (topic, partition, key), so cross-partition timestamp skew cannot
+    * rewind a newer value. At scale each commit's delete set is the
+    * batch's keys — bounded by the trigger, never table-sized. */
+  def runUpsert(
+      spark: SparkSession,
+      kfsRoot: String,
+      tablePath: String,
+      checkpointDir: String,
+      maxSegmentsPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.format("kfs").option("path", kfsRoot)
+    maxSegmentsPerTrigger.foreach(n =>
+      reader.option("max_segments_per_trigger", n.toString))
+    val decoded = reader.load().select(col("_topic"), col("_partition"),
+      col("_offset"), col("_ts_ms"), col("_key"), col("_value"))
+    val query = decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val ss = batch0.sparkSession
+        val batch = batch0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("topic"), col("partition"), col("key"))
+            .orderBy(col("offset").desc)
+          val last = batch.select(
+            col("_topic").as("topic"), col("_partition").as("partition"),
+            col("_key").cast("string").as("key"),
+            col("_offset").as("offset"), col("_ts_ms").as("ts_ms"),
+            col("_value").cast("string").as("value"))
+            .withColumn("_rn", row_number().over(w))
+            .where(col("_rn") === 1).drop("_rn")
+          if (!last.isEmpty)
+            IcebergSink.upsert(ss, tablePath, last,
+              keyCols = Seq("topic", "partition", "key"))
+        } finally batch.unpersist()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** One micro-batch: validate → extract → offset-dedup → append.
     *
     * `txn = Some((walKey, batchId))` turns on EXACTLY-ONCE VIA SNAPSHOT

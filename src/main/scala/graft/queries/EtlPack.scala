@@ -407,6 +407,51 @@ object EtlPack extends QueryPack {
           |FROM events_topic GROUP BY _partition ORDER BY partition""".stripMargin)),
       seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
 
+    // CONTINUOUS KEYED UPSERT — the streaming CDC-MERGE into Iceberg
+    // (S8+S9 for mutable state, where e11 is the append form): the topic
+    // drains in metered micro-batches, each batch collapses to its last
+    // row per (partition, key) and lands as one upsert commit
+    // (equality-delete of the batch's keys + append), so the table always
+    // holds every key's LATEST record. Last-write-wins order is
+    // per-partition offset order — total and replayable, immune to
+    // cross-partition timestamp skew — and a crash-replayed batch re-runs
+    // an identical idempotent upsert. The oracle recomputes
+    // last-per-(partition, key) over the whole topic in one window:
+    // incremental merge ≡ one-shot merge, the St3 claim for mutable
+    // state.
+    QueryDef(
+      "e42_stream_upsert",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "upsert_table")
+        val ckpt = tmp(dir, "upsert_ckpt")
+        val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
+        StreamDrive.narrow(s) {
+          Pipeline.runUpsert(s, root, table, ckpt,
+            maxSegmentsPerTrigger = Some(math.max(2, nSegs / 4)))
+        }
+        IcebergSink.read(s, table)
+          .select(col("partition"), col("offset"),
+            get_json_object(col("value"), "$.k").cast("long").as("k"))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("offset")).as("off_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, lastrow AS (
+          |  SELECT _partition, _key, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         row_number() OVER (PARTITION BY _partition, _key
+          |                            ORDER BY _offset DESC) AS rn
+          |  FROM events_topic)
+          |SELECT _partition AS partition, count(*) AS n_keys,
+          |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
+          |       CAST(SUM(k) AS BIGINT) AS k_sum
+          |FROM lastrow WHERE rn = 1
+          |GROUP BY 1 ORDER BY partition""".stripMargin)),
+      seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
+
     // Iceberg v2 ROW-LEVEL DELETES (equality-delete files, merge-on-read):
     // the opt-out/takedown shape of a 100 TB corpus — delete every 'click'
     // record by key WITHOUT rewriting any data file (the delete commit

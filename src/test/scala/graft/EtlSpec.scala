@@ -216,6 +216,39 @@ class EtlSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n"))).collect().head.getLong(0) == (0 until 150).sum)
   }
 
+  test("streaming upsert: last write per key wins, updates apply incrementally") {
+    import graft.etl.IcebergSink
+    val root = Files.createTempDirectory("etl_ups_kfs").toString
+    // 30 records over 10 keys: key i%10, value carries the offset
+    val records = (0 until 30).map(i => KfsCodec.Record(i.toLong,
+      1706000000000L + i, s"k${i % 10}".getBytes, s"""{"o":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, records)
+    val table = Files.createTempDirectory("etl_ups_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("etl_ups_ck").toString
+
+    Pipeline.runUpsert(spark, root, table, ckpt)
+    def state(): Map[String, Long] = IcebergSink.read(spark, table)
+      .select(col("key"), col("offset")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each key holds its LAST offset (20..29 for k0..k9)
+    assert(state() == (0 until 10).map(i => s"k$i" -> (20 + i).toLong).toMap)
+
+    // caught-up rerun with the same checkpoint changes nothing
+    Pipeline.runUpsert(spark, root, table, ckpt)
+    assert(state().values.toSeq.sorted == (20L to 29L))
+
+    // a new segment UPDATES five keys and introduces one new key — only
+    // those rows change (incremental merge, not a rebuild)
+    val more = (30 until 36).map(i => KfsCodec.Record(i.toLong,
+      1706000100000L + i, s"k${(i - 30) * 2}".getBytes, s"""{"o":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, more)
+    Pipeline.runUpsert(spark, root, table, ckpt)
+    val s2 = state()
+    assert(s2.size == 11, s"k10 must insert: $s2") // keys k0..k9 + k10
+    assert(s2("k0") == 30L && s2("k2") == 31L && s2("k10") == 35L)
+    assert(s2("k1") == 21L, "untouched keys keep their previous last write")
+  }
+
   test("pipeline transform gates records in-stream; replay stays idempotent") {
     val root = Files.createTempDirectory("etl_cur").toString
     val records = (0 until 100).map(i => KfsCodec.Record(i.toLong,
