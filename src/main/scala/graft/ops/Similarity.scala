@@ -429,6 +429,56 @@ object Similarity {
       .select(col("q"), col("rank"), col("v"), col("d2"))
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training-data triplet shape
+    * (anchor, positive, hard negatives; the dense-retrieval recipe of
+    * Karpukhin et al. 2020): per anchor, candidates split by exact
+    * quantized squared distance into three integer bands — NEAR-DUPS
+    * (`d² ≤ dupMaxD2`, excluded entirely: a verbatim copy is a false
+    * positive for contrastive loss), the POSITIVE band
+    * (`dupMaxD2 < d² ≤ posMaxD2`, nearest one wins), and HARD NEGATIVES
+    * (the `k` closest candidates BEYOND the positive band — close enough
+    * to be hard, far enough to be wrong, which is exactly what makes the
+    * gradient informative; random negatives are trivial). Returns
+    * (q, role, rank, v, d2) — role 'positive' (rank 1) or 'negative'
+    * (rank 1..k); an anchor with an empty positive band contributes only
+    * negatives (the caller drops incomplete triplets).
+    *
+    * Everything is BIGINT-exact, so the mined set hash-replays. Scale
+    * shape: anchors broadcast against one corpus scan; the per-anchor
+    * ranking is a rank-filtered window (partial top-k per partition,
+    * never a global sort). At estate scale swap the exact pass for a
+    * [[pqRefineTopK]] shortlist exactly as [[mmrTopK]]'s shortlist
+    * parameter does — banding needs only SOME distance-faithful
+    * candidate set. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      dupMaxD2: Long, posMaxD2: Long, dims: Int = 64,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(posMaxD2 > dupMaxD2 && dupMaxD2 >= 0,
+      s"need 0 <= dupMaxD2 < posMaxD2: $dupMaxD2, $posMaxD2")
+    val qv = org.apache.spark.sql.graft.QuantOps
+    val cc = corpus.select(col("vec_id").as("v"),
+      qv.quantize(col("embedding"), dims, scale).as("_cv"))
+    val qq = queries.select(col("vec_id").as("q"),
+      qv.quantize(col("embedding"), dims, scale).as("_qq"))
+    val d = broadcast(qq).crossJoin(cc)
+      .where(col("q") =!= col("v"))
+      .withColumn("d2", qv.l2sq(col("_qq"), col("_cv")))
+      .where(col("d2").isNotNull && col("d2") > dupMaxD2)
+    val w = Window.partitionBy(col("q")).orderBy(col("d2"), col("v"))
+    val pos = d.where(col("d2") <= posMaxD2)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select(col("q"), lit("positive").as("role"), col("rank"),
+        col("v"), col("d2"))
+    val negs = d.where(col("d2") > posMaxD2)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), lit("negative").as("role"), col("rank"),
+        col("v"), col("d2"))
+    pos.unionAll(negs)
+  }
+
   /** MMR-DIVERSIFIED top-k (Maximal Marginal Relevance, Carbonell &
     * Goldstein 1998): greedy selection balancing relevance against
     * redundancy — round 1 picks the nearest candidate, every later round

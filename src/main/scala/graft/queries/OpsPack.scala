@@ -741,6 +741,51 @@ object OpsPack extends QueryPack {
            |SELECT q, round, v FROM s5 ORDER BY q, round""".stripMargin
       }),
 
+    // HARD-NEGATIVE MINING (the DPR/contrastive triplet recipe,
+    // Karpukhin et al. 2020): per anchor, exact integer distances split
+    // candidates into near-dups (excluded — a verbatim copy is a false
+    // positive for contrastive loss), the positive band (nearest wins),
+    // and the k closest HARD negatives beyond it — close enough to be
+    // hard, far enough to be wrong. Thresholds are data-scale constants
+    // on the quantized d² axis; the fixture places some anchors' nearest
+    // neighbor INSIDE the dup band, so the exclusion path runs. The
+    // oracle replays the banding relationally; every row hash-matches.
+    QueryDef(
+      "s40_hard_negatives",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.hardNegatives(e, e.where(col("vec_id") < 5), k = 3,
+            dupMaxD2 = 1250000000000L, posMaxD2 = 1700000000000L)
+          .orderBy(col("q"), col("role"), col("rank"))
+      },
+      Some(
+        """WITH qfull AS (
+          |  SELECT e.vec_id, r.dim,
+          |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+          |  FROM embeddings e, range(1, 65) r(dim)),
+          |d AS (
+          |  SELECT a.vec_id AS q, b.vec_id AS v,
+          |         CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS d2
+          |  FROM embeddings a
+          |  JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+          |  JOIN qfull qa ON qa.vec_id = a.vec_id
+          |  JOIN qfull qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+          |  GROUP BY 1, 2
+          |  HAVING SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) > 1250000000000),
+          |pos AS (
+          |  SELECT q, 'positive' AS role, 1 AS rank, v, d2 FROM (
+          |    SELECT q, v, d2,
+          |           row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rn
+          |    FROM d WHERE d2 <= 1700000000000) WHERE rn = 1),
+          |negs AS (
+          |  SELECT q, 'negative' AS role, rn AS rank, v, d2 FROM (
+          |    SELECT q, v, d2,
+          |           row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rn
+          |    FROM d WHERE d2 > 1700000000000) WHERE rn <= 3)
+          |SELECT q, role, rank, v, d2 FROM pos
+          |UNION ALL SELECT q, role, rank, v, d2 FROM negs
+          |ORDER BY q, role, rank""".stripMargin)),
+
     // MMR OVER A PQ+REFINE SHORTLIST — the composed retrieve-then-
     // diversify pipeline a real RAG/training-data stack runs (FAISS
     // shortlist, then MMR): stage 1 is s34's two-stage search (ADC top-20,
