@@ -308,6 +308,120 @@ object Multimodal {
       id: Long, frame_idx: Int, n_frames: Int, n_bytes: Long,
       frame_digest: String, brightness: Double)
 
+  /** Deterministic animated GIF with SCENES: a cut lands before every
+    * frame f > 0 with `(f + seed) mod 3 == 0`; frames within one scene
+    * are IDENTICAL, and a cut re-bases every pixel — frame f's pixel i is
+    * `((seed·31 + scene(f)·57 + i·7) mod 127) + 1` with scene(f) = cuts
+    * so far. Every pixel (and therefore every frame diff) replays from
+    * the formula — the [[gifFixture]] discipline with discontinuities to
+    * find. */
+  def gifSceneFixture(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var scene = 0L
+      var f = 0
+      while (f < frames) {
+        if (f > 0 && (f + seed) % 3 == 0) scene += 1
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0,
+            (((seed * 31 + scene * 57 + i * 7) % 127) + 1).toInt)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** SCENE-CUT SEGMENTATION of an animated container — the shot-boundary
+    * step of video corpus prep (sample one frame per SHOT, not per
+    * second, before captioning/dedup): consecutive decoded frames score
+    * an integer sum-of-absolute-differences over gray pixels; a CUT lands
+    * where `sad · thrDen > thrNum · nPixels` (mean |Δ| > thrNum/thrDen,
+    * cross-multiplied — engine-exact, no floats), and frames between cuts
+    * merge into scenes. Returns (id, scene, start_frame, end_frame,
+    * n_frames) — one row per shot.
+    *
+    * Decode, diffing, thresholding, and the island merge all run IN ROW
+    * in one mapPartitions pass (the m12 discipline): a clip's frames
+    * never leave their task, so the operator is shuffle-free at any
+    * corpus size. Non-GIF / undecodable media skip, never fail the scan. */
+  def sceneCuts(spark: SparkSession, media: DataFrame,
+      thrNum: Long = 1, thrDen: Long = 2): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0, s"bad threshold $thrNum/$thrDen")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        val frames: Seq[Array[Byte]] =
+          try {
+            if (row.media == null || row.media.isEmpty) Seq.empty
+            else {
+              val reader =
+                javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+              try {
+                reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(row.media)))
+                val total = reader.getNumImages(true)
+                (0 until total).map { idx =>
+                  val img = reader.read(idx)
+                  val gray =
+                    if (img.getType ==
+                      java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+                    else {
+                      val g = new java.awt.image.BufferedImage(
+                        img.getWidth, img.getHeight,
+                        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                      val gg = g.createGraphics()
+                      try gg.drawImage(img, 0, 0, null) finally gg.dispose()
+                      g
+                    }
+                  gray.getRaster.getDataBuffer
+                    .asInstanceOf[java.awt.image.DataBufferByte].getData.clone()
+                }
+              } finally reader.dispose()
+            }
+          } catch { case _: Exception => Seq.empty }
+        if (frames.isEmpty || frames.exists(_.length != frames.head.length))
+          Iterator.empty
+        else {
+          val nPix = frames.head.length.toLong
+          val out = Seq.newBuilder[(Long, Int, Int, Int, Int)]
+          var scene = 0
+          var start = 0
+          var f = 1
+          while (f <= frames.size) {
+            val isCut = f < frames.size && {
+              var sad = 0L
+              var i = 0
+              val a = frames(f - 1); val b = frames(f)
+              while (i < a.length) {
+                sad += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1
+              }
+              sad * thrDen > thrNum * nPix
+            }
+            if (isCut || f == frames.size) {
+              out += ((row.id, scene, start, f - 1, f - start))
+              scene += 1
+              start = f
+            }
+            f += 1
+          }
+          out.result().iterator
+        }
+      }
+    }.toDF("id", "scene", "start_frame", "end_frame", "n_frames")
+  }
+
   /** REAL video keyframe extraction: parse a multi-frame container
     * (animated GIF — the only multi-frame format the bare JDK decodes),
     * sample `n` evenly-spaced frames (stride = total/n, the same rule as

@@ -2163,6 +2163,62 @@ object OpsPack extends QueryPack {
           |FROM sg WHERE speech GROUP BY id, seg
           |ORDER BY id, seg""".stripMargin)),
 
+    // VIDEO SCENE-CUT SEGMENTATION — the shot-boundary step of video
+    // corpus prep (sample one frame per SHOT before captioning/dedup,
+    // not one per second): consecutive decoded GIF frames score an
+    // integer sum-of-absolute-differences; mean |Δ| above 1/2
+    // (cross-multiplied, float-free) is a cut, frames between cuts merge
+    // into shots — decode, diff, threshold, and island merge all in-row
+    // (shuffle-free at any corpus size). The fixture's scene structure —
+    // identical frames within a scene, a pixel re-base at every cut —
+    // replays from its formula, so the oracle recomputes every pixel,
+    // every frame diff, and the same gaps-and-islands fold.
+    QueryDef(
+      "m14_video_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 20)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .map(id => (id, Multimodal.gifSceneFixture(id, 8, 8, frames = 9),
+            "image/gif"))
+          .toDF("id", "media", "content_type")
+        Multimodal.sceneCuts(s, media)
+          .orderBy(col("id"), col("scene"))
+      },
+      Some(
+        """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 20),
+          |mkr AS (
+          |  SELECT id, f,
+          |         CASE WHEN f > 0 AND (f + id) % 3 = 0 THEN 1 ELSE 0 END AS c
+          |  FROM ids, range(0, 9) t(f)),
+          |scn AS (
+          |  SELECT id, f, SUM(c) OVER (PARTITION BY id ORDER BY f) AS scene
+          |  FROM mkr),
+          |px AS (
+          |  SELECT s.id, s.f, i.i,
+          |         ((s.id * 31 + s.scene * 57 + i.i * 7) % 127) + 1 AS p
+          |  FROM scn s, range(0, 64) i(i)),
+          |dif AS (
+          |  SELECT b.id, b.f, SUM(abs(a.p - b.p)) AS sad
+          |  FROM px b JOIN px a ON a.id = b.id AND a.i = b.i AND a.f = b.f - 1
+          |  GROUP BY 1, 2),
+          |brk AS (
+          |  SELECT id, f, CASE WHEN sad * 2 > 1 * 64 THEN 1 ELSE 0 END AS c
+          |  FROM dif),
+          |sg AS (
+          |  SELECT m.id, m.f,
+          |         COALESCE(SUM(b.c) OVER (PARTITION BY m.id ORDER BY m.f), 0)
+          |           AS scene
+          |  FROM (SELECT id, f FROM ids, range(0, 9) t(f)) m
+          |  LEFT JOIN brk b ON b.id = m.id AND b.f = m.f)
+          |SELECT id, CAST(scene AS INT) AS scene,
+          |       CAST(min(f) AS INT) AS start_frame,
+          |       CAST(max(f) AS INT) AS end_frame,
+          |       CAST(count(*) AS INT) AS n_frames
+          |FROM sg GROUP BY id, scene ORDER BY id, scene""".stripMargin)),
+
     // AUDIO QUERY-BY-SNIPPET via landmark constellation (the Shazam index
     // shape, Wang 2003): 40 deterministic PCM16 tracks land as a landmark
     // inverted index — per 64-sample frame, the argmax-energy band of 8
