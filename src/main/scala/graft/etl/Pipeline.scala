@@ -285,9 +285,16 @@ object Pipeline {
             col("_value").cast("string").as("value"))
             .withColumn("_rn", row_number().over(w))
             .where(col("_rn") === 1).drop("_rn")
-          if (!last.isEmpty)
-            IcebergSink.upsert(ss, tablePath, last,
-              keyCols = Seq("topic", "partition", "key"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // upsert's dup-key guard is a per-batch groupBy+collect, and the
+          // rank=1 window PROVES key uniqueness here — compose the two
+          // primitives directly instead of paying the check every batch
+          try if (!last.isEmpty) {
+            if (IcebergSink.load(ss, tablePath).isDefined)
+              IcebergSink.deleteKeys(ss, tablePath,
+                last.select(col("topic"), col("partition"), col("key")))
+            IcebergSink.append(ss, tablePath, last)
+          } finally last.unpersist()
         } finally batch.unpersist()
       }
       .start()
