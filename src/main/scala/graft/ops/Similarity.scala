@@ -446,13 +446,16 @@ object Similarity {
     * Everything is BIGINT-exact, so the mined set hash-replays. Scale
     * shape: anchors broadcast against one corpus scan; the per-anchor
     * ranking is a rank-filtered window (partial top-k per partition,
-    * never a global sort). At estate scale swap the exact pass for a
-    * [[pqRefineTopK]] shortlist exactly as [[mmrTopK]]'s shortlist
-    * parameter does — banding needs only SOME distance-faithful
-    * candidate set. */
+    * never a global sort). At estate scale pass `shortlist` — any (q, v)
+    * candidate frame, e.g. [[pqRefineTopK]]'s output — and the exact
+    * corpus-wide pass disappears ([[mmrTopK]]'s shortlist contract):
+    * banding needs only SOME distance-faithful candidate set, d² is
+    * recomputed exactly on the pool, and the corpus is touched once with
+    * the shortlist broadcast onto it — never a cartesian. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
       dupMaxD2: Long, posMaxD2: Long, dims: Int = 64,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      shortlist: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "need k >= 1")
     require(posMaxD2 > dupMaxD2 && dupMaxD2 >= 0,
       s"need 0 <= dupMaxD2 < posMaxD2: $dupMaxD2, $posMaxD2")
@@ -461,8 +464,15 @@ object Similarity {
       qv.quantize(col("embedding"), dims, scale).as("_cv"))
     val qq = queries.select(col("vec_id").as("q"),
       qv.quantize(col("embedding"), dims, scale).as("_qq"))
-    val d = broadcast(qq).crossJoin(cc)
-      .where(col("q") =!= col("v"))
+    val pool = shortlist match {
+      case Some(sl) =>
+        cc.join(broadcast(sl.select(col("q"), col("v"))), Seq("v"))
+          .join(broadcast(qq), Seq("q"))
+          .where(col("q") =!= col("v"))
+      case None =>
+        broadcast(qq).crossJoin(cc).where(col("q") =!= col("v"))
+    }
+    val d = pool
       .withColumn("d2", qv.l2sq(col("_qq"), col("_cv")))
       .where(col("d2").isNotNull && col("d2") > dupMaxD2)
     val w = Window.partitionBy(col("q")).orderBy(col("d2"), col("v"))

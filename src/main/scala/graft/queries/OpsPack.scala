@@ -786,6 +786,87 @@ object OpsPack extends QueryPack {
           |UNION ALL SELECT q, role, rank, v, d2 FROM negs
           |ORDER BY q, role, rank""".stripMargin)),
 
+    // HARD NEGATIVES OVER A PQ+REFINE SHORTLIST — s40's estate-scale
+    // form (the s39 composition discipline): stage 1 is the two-stage
+    // compressed search (ADC top-40, exact integer refine to top-20),
+    // stage 2 bands THAT pool into near-dups / positive / hard negatives
+    // — the corpus pays only the code scan, never a per-anchor exact
+    // pass, and the shortlist broadcasts onto one corpus scan (PlanSpec:
+    // no cartesian). d² is recomputed BIGINT-exact on the pool, so the
+    // whole composition — codebook fits, ADC, refine, banding —
+    // hash-replays as one CTE chain.
+    QueryDef(
+      "s41_hard_negatives_refined",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val anchors = e.where(col("vec_id") < 5)
+        val sl = Similarity.pqRefineTopK(e, anchors, k = 20, kCand = 40,
+          fitSampleRate = 0.5).select(col("q"), col("v"))
+        Similarity.hardNegatives(e, anchors, k = 3,
+            dupMaxD2 = 1250000000000L, posMaxD2 = 1700000000000L,
+            shortlist = Some(sl))
+          .orderBy(col("q"), col("role"), col("rank"))
+      },
+      Some {
+        val fits = (0 until 4).map(i =>
+          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
+            subDims = 16, offset = i * 16, sfx = s"_$i",
+            fitWhere = duckSampleWhere(0.5))).mkString(",\n")
+        val qds = (0 until 4).map(i =>
+          s"""qd$i AS (
+             |  SELECT q.vec_id, c.cl, CAST(SUM((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS d
+             |  FROM q_$i q JOIN c1_$i c ON q.dim = c.dim
+             |  WHERE q.vec_id < 5 GROUP BY 1, 2)""".stripMargin).mkString(",\n")
+        s"""WITH $fits,
+           |codes AS (
+           |  SELECT a0.vec_id, a0.cluster AS k0, a1.cluster AS k1,
+           |         a2.cluster AS k2, a3.cluster AS k3
+           |  FROM af_0 a0 JOIN af_1 a1 USING (vec_id)
+           |       JOIN af_2 a2 USING (vec_id) JOIN af_3 a3 USING (vec_id)),
+           |$qds,
+           |scored AS (
+           |  SELECT d0.vec_id AS q, v.vec_id AS v,
+           |         d0.d + d1.d + d2.d + d3.d AS adc
+           |  FROM codes v
+           |  JOIN qd0 d0 ON d0.cl = v.k0
+           |  JOIN qd1 d1 ON d1.cl = v.k1 AND d1.vec_id = d0.vec_id
+           |  JOIN qd2 d2 ON d2.cl = v.k2 AND d2.vec_id = d0.vec_id
+           |  JOIN qd3 d3 ON d3.cl = v.k3 AND d3.vec_id = d0.vec_id
+           |  WHERE v.vec_id <> d0.vec_id),
+           |sl AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY adc, v) AS rank
+           |    FROM scored) WHERE rank <= 40),
+           |qfull AS (
+           |  SELECT e.vec_id, r.dim,
+           |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           |  FROM embeddings e, range(1, 65) r(dim)),
+           |ref AS (
+           |  SELECT s.q, s.v, CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+           |  FROM sl s JOIN qfull a ON a.vec_id = s.q
+           |  JOIN qfull b ON b.vec_id = s.v AND b.dim = a.dim
+           |  GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT q, v, d2 FROM (
+           |    SELECT q, v, d2,
+           |           row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rank
+           |    FROM ref) WHERE rank <= 20),
+           |pool AS (SELECT q, v, d2 FROM cands WHERE d2 > 1250000000000),
+           |pos AS (
+           |  SELECT q, 'positive' AS role, 1 AS rank, v, d2 FROM (
+           |    SELECT q, v, d2,
+           |           row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rn
+           |    FROM pool WHERE d2 <= 1700000000000) WHERE rn = 1),
+           |negs AS (
+           |  SELECT q, 'negative' AS role, rn AS rank, v, d2 FROM (
+           |    SELECT q, v, d2,
+           |           row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rn
+           |    FROM pool WHERE d2 > 1700000000000) WHERE rn <= 3)
+           |SELECT q, role, rank, v, d2 FROM pos
+           |UNION ALL SELECT q, role, rank, v, d2 FROM negs
+           |ORDER BY q, role, rank""".stripMargin
+      }),
+
     // MMR OVER A PQ+REFINE SHORTLIST — the composed retrieve-then-
     // diversify pipeline a real RAG/training-data stack runs (FAISS
     // shortlist, then MMR): stage 1 is s34's two-stage search (ADC top-20,

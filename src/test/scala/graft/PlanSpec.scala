@@ -509,6 +509,25 @@ class PlanSpec extends AnyFunSuite {
       s"the ADC join must key on the coarse cell:\n$plan")
   }
 
+  test("hard negatives over a shortlist: broadcast joins, never a cartesian") {
+    // s41's contract: with a pre-ranked pool the corpus is scanned once
+    // with the shortlist broadcast onto it — the per-anchor exact pass
+    // (a cartesian) must be gone
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val sl = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("q", "v")
+    val plan = graft.ops.Similarity.hardNegatives(
+      e, e.where(col("vec_id") < 5), k = 3,
+      dupMaxD2 = 1L, posMaxD2 = 2L, shortlist = Some(sl))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"shortlist path must never build anchors x corpus pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shortlist and anchors must broadcast onto the corpus scan:\n$plan")
+  }
+
   test("mmr over a supplied shortlist: broadcast joins, never a cartesian") {
     // the FAISS-then-MMR composition (s39): with a pre-ranked candidate
     // frame the corpus must be scanned once with the shortlist BROADCAST
