@@ -889,6 +889,14 @@ object IcebergSink {
     val specDecls = m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
     val commitUuid = UUID.randomUUID().toString
     val fileRecords = writeDataFiles(spark, table, df, commitUuid, specDecls)
+    // an empty frame overwrites NOTHING: zero files means zero touched
+    // tuples, and committing would only pollute history with a no-op
+    // overwrite snapshot (same zero-row skip as append)
+    if (fileRecords.map(_.records).sum == 0) {
+      val f = fs(new HPath(table))
+      fileRecords.foreach(i => f.delete(i.status.getPath, false))
+      return
+    }
     val touched: Set[Seq[Any]] = fileRecords.map { info =>
       val byName = info.partitionValues.map {
         case (n, v) => n -> normPartValue(v)
@@ -950,6 +958,132 @@ object IcebergSink {
       carryPrior = false, operation = "replace", maxRetries)
   }
 
+  /** METADATA-ONLY MANIFEST COMPACTION — Iceberg's `rewrite_manifests`
+    * maintenance procedure: merge the current snapshot's manifests into
+    * ONE per (header, content) group and commit a replace-manifests
+    * snapshot that rewrites NO data or delete file. A streaming sink
+    * committing one snapshot per micro-batch accrues one manifest per
+    * commit (append carries all prior manifests forward), so after N
+    * commits every plan reads N manifest files and every commit writes an
+    * O(N) list; this op collapses that back to O(1) while [[compact]] —
+    * which rewrites the DATA — stays an entirely separate, far heavier
+    * decision. At 100 TB this is the difference between a plannable
+    * streaming table after 10,000 micro-batches and one whose metadata IO
+    * dwarfs the query.
+    *
+    * Entries are carried as EXISTING (status=0) with their ORIGINAL
+    * per-entry sequence numbers and adding snapshot ids, so
+    * equality-delete scoping, incremental reads, and time travel are
+    * byte-for-byte unaffected (prior snapshots keep their own manifest
+    * lists). Manifests merge only within identical avro headers
+    * (schema + partition spec + content) — across spec evolution the
+    * differing groups carry verbatim, mirroring [[planFiles]]'s
+    * per-manifest spec decoding. Manifests whose entries are ALL
+    * tombstones (status=2, e.g. a fully-overwritten partition's) drop
+    * from the new list entirely. No-op when nothing would shrink. */
+  def rewriteManifests(spark: SparkSession, table: String,
+      maxRetries: Int = 5): Unit = {
+    val f = fs(new HPath(table))
+    var staged: Seq[HPath] = Nil
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      staged.foreach(p => f.delete(p, false)) // lost-race leftovers
+      staged = Nil
+      val snapOpt = m.currentSnapshotId
+        .flatMap(id => m.snapshots.find(_.snapshotId == id))
+      snapOpt.flatMap { snap =>
+        val lms = readAvro(spark, snap.manifestList)._2
+        // group by the manifest's own header: merging is only sound when
+        // the entry avro schema (and therefore the partition struct) is
+        // identical; content (data vs deletes) never mixes
+        val members = lms.map { r =>
+          val path = r.get("manifest_path").toString
+          val (hdr, entries) = readAvro(spark, path)
+          val live = entries.filter(_.get("status").asInstanceOf[Int] != 2)
+          (r, hdr, live)
+        }
+        val groups = members.groupBy { case (_, hdr, _) =>
+          (hdr.getOrElse("schema", ""), hdr.getOrElse("partition-spec", ""),
+            hdr.getOrElse("partition-spec-id", "0"),
+            hdr.getOrElse("content", "data"))
+        }
+        val mergeable = groups.count(_._2.count(_._3.nonEmpty) > 1)
+        val allDead = members.count(_._3.isEmpty)
+        if (mergeable == 0 && allDead == 0) None
+        else {
+          val snapshotId = snapshotSeq.incrementAndGet()
+          val seqNum = m.lastSequenceNumber + 1
+          val uuid = UUID.randomUUID().toString
+          val outEntries = groups.toSeq.sortBy(_._1.toString)
+            .flatMap { case (_, grp) =>
+              val withEntries = grp.filter(_._3.nonEmpty)
+              if (withEntries.isEmpty) Nil // all tombstones: drop
+              else if (withEntries.size == 1) {
+                // singleton: carry the original list record verbatim
+                val (r, _, _) = withEntries.head
+                val c = new GenericData.Record(manifestListSchema)
+                manifestListSchema.getFields.asScala.foreach(fld =>
+                  c.put(fld.name(), r.get(fld.name())))
+                Seq(c)
+              } else {
+                val (r0, hdr0, _) = withEntries.head
+                val schema = withEntries.head._3.head.getSchema
+                val merged = withEntries.flatMap(_._3).map { e =>
+                  val c = new GenericData.Record(schema)
+                  schema.getFields.asScala.foreach(fld =>
+                    c.put(fld.name(), e.get(fld.name())))
+                  c.put("status", 0) // EXISTING: original seq + snap kept
+                  c
+                }
+                val p = new HPath(metadataDir(table),
+                  s"rwm-$uuid-${staged.size}.avro")
+                val len = writeAvro(f, p, schema, hdr0, merged)
+                staged :+= p
+                def entrySeq(e: GenericRecord): Long =
+                  Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+                    .getOrElse(r0.get("sequence_number").asInstanceOf[Long])
+                def recCount(e: GenericRecord): Long =
+                  e.get("data_file").asInstanceOf[GenericRecord]
+                    .get("record_count").asInstanceOf[Long]
+                val c = new GenericData.Record(manifestListSchema)
+                c.put("manifest_path", p.toString)
+                c.put("manifest_length", len)
+                c.put("partition_spec_id",
+                  hdr0.getOrElse("partition-spec-id", "0").toInt)
+                c.put("content",
+                  if (hdr0.getOrElse("content", "data") == "deletes") 1 else 0)
+                c.put("sequence_number", seqNum)
+                c.put("min_sequence_number", merged.map(entrySeq).min)
+                c.put("added_snapshot_id", snapshotId)
+                c.put("added_files_count", 0)
+                c.put("existing_files_count", merged.size)
+                c.put("deleted_files_count", 0)
+                c.put("added_rows_count", 0L)
+                c.put("existing_rows_count", merged.map(recCount).sum)
+                c.put("deleted_rows_count", 0L)
+                Seq(c)
+              }
+            }
+          val listPath = new HPath(metadataDir(table), s"snap-$snapshotId-$uuid.avro")
+          writeAvro(f, listPath, manifestListSchema,
+            Map("snapshot-id" -> snapshotId.toString,
+              "parent-snapshot-id" -> snap.snapshotId.toString,
+              "sequence-number" -> seqNum.toString,
+              "format-version" -> "2"),
+            outEntries)
+          staged :+= listPath
+          val newSnap = Snapshot(snapshotId, Some(snap.snapshotId), seqNum,
+            System.currentTimeMillis(), listPath.toString, 0L, 0L,
+            snap.schemaId, "replace",
+            Map("graft.rewritten-manifests" -> lms.size.toString,
+              "graft.result-manifests" -> outEntries.size.toString))
+          Some(m.copy(lastSequenceNumber = seqNum,
+            snapshots = m.snapshots :+ newSnap,
+            currentSnapshotId = Some(snapshotId)))
+        }
+      }
+    }
+  }
+
   /** Row-level DELETE via Iceberg v2 EQUALITY DELETE FILES (merge-on-read):
     * rows of the current table matching `condition` are deleted by writing
     * their `equalityCols` tuples as a delete file — the data files are
@@ -1004,6 +1138,46 @@ object IcebergSink {
         deleteKeys(spark, table, batch.select(keyCols.map(col): _*), maxRetries)
       append(spark, table, batch, maxRetries)
     } finally batch.unpersist(blocking = false)
+  }
+
+  /** Single-commit UPSERT — the spec's ROW DELTA shape (one snapshot
+    * carrying both an equality-delete manifest and a data manifest at the
+    * same sequence number): rows in `df` replace existing table rows
+    * sharing their `keyCols` values atomically. Unlike [[upsert]]'s
+    * delete-then-append pair, a reader (or a crash) can NEVER observe the
+    * keys deleted but not yet re-inserted — there is no intermediate
+    * snapshot. The delete half scopes STRICTLY BELOW its sequence number
+    * (spec), so the delta's own data files survive their own delete.
+    *
+    * `df` must carry at most one row per key — this primitive does NOT
+    * re-check (the streaming upsert lane's rank-window proves uniqueness
+    * structurally; interactive callers wanting the guard use [[upsert]]).
+    * A first commit on an absent table is a plain append. */
+  def upsertAtomic(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String], maxRetries: Int = 5): Unit = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    import org.apache.spark.sql.functions.col
+    load(spark, table) match {
+      case None => append(spark, table, df, maxRetries)
+      case Some(m) =>
+        val byName = m.fields.map(f => f.name -> f).toMap
+        val eqFields = keyCols.map(n => byName.getOrElse(n,
+          throw new IllegalArgumentException(s"unknown equality column $n")))
+        val commitUuid = UUID.randomUUID().toString
+        val fileRecords = writeDataFiles(spark, table, df, commitUuid)
+        if (fileRecords.map(_.records).sum == 0) {
+          val f = fs(new HPath(table))
+          fileRecords.foreach(i => f.delete(i.status.getPath, false))
+          return
+        }
+        val conformed = df.select(eqFields.map(fl =>
+          col(fl.name).cast(sparkType(fl.typ)).as(fl.name)): _*).distinct()
+        val delRecords = writeDataFiles(spark, table, conformed,
+          UUID.randomUUID().toString)
+        commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
+          carryPrior = true, operation = "overwrite", maxRetries,
+          deleteRecords = delRecords, deleteEqIds = eqFields.map(_.id))
+    }
   }
 
   /** Spec columns of a POSITION delete file (reserved field ids
@@ -1433,7 +1607,14 @@ object IcebergSink {
       writeOrder: Seq[String] = Nil,
       overwriteTuples: Set[Seq[Any]] = Set.empty,
       extraSummary: Map[String, String] = Map.empty,
-      toBranch: Option[String] = None): Unit = {
+      toBranch: Option[String] = None,
+      // a ROW DELTA (spec: one snapshot carrying both delete and data
+      // manifests — the single-commit MERGE shape): `deleteRecords` lands
+      // as a SECOND manifest (content=deletes, equality ids
+      // `deleteEqIds`) under the SAME snapshot/sequence number, so
+      // readers never observe the delete without its re-insert
+      deleteRecords: Seq[DataFileInfo] = Nil,
+      deleteEqIds: Seq[Int] = Nil): Unit = {
     val tableDir = new HPath(table)
     val f = fs(tableDir)
     val addedRecords = fileRecords.map(_.records).sum
@@ -1482,7 +1663,8 @@ object IcebergSink {
       val fileContent =
         if (equalityIds.nonEmpty) 2 else if (positionDelete) 1 else 0
       val idByName = fields.map(fl => fl.name -> fl.id).toMap
-      val entries = fileRecords.map { info =>
+      def entryOf(info: DataFileInfo, content: Int,
+          eqIds: Seq[Int]): GenericRecord = {
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
@@ -1490,7 +1672,7 @@ object IcebergSink {
         e.put("file_sequence_number", seqNum)
         val d = new GenericData.Record(
           entrySchema.getField("data_file").schema())
-        d.put("content", fileContent)
+        d.put("content", content)
         d.put("file_path", info.status.getPath.toString)
         d.put("file_format", "PARQUET")
         val part = new GenericData.Record(
@@ -1518,11 +1700,12 @@ object IcebergSink {
           d.put("lower_bounds", kvArray("k126_v127", _._1))
           d.put("upper_bounds", kvArray("k129_v130", _._2))
         }
-        if (equalityIds.nonEmpty)
-          d.put("equality_ids", equalityIds.map(Int.box).asJava)
+        if (eqIds.nonEmpty)
+          d.put("equality_ids", eqIds.map(Int.box).asJava)
         e.put("data_file", d)
         e
       }
+      val entries = fileRecords.map(entryOf(_, fileContent, equalityIds))
       val specJsonStr = {
         val arr = mapper.createArrayNode()
         specFields.foreach { pf =>
@@ -1539,6 +1722,24 @@ object IcebergSink {
           "format-version" -> "2",
           "content" -> (if (isDelete) "deletes" else "data")),
         entries)
+      // the row delta's delete manifest: same snapshot, same sequence
+      // number — equality deletes scope STRICTLY BELOW their seq, so the
+      // delta's own data files are immune to its delete half
+      val deleteManifest: Option[(HPath, Long)] =
+        if (deleteRecords.isEmpty) None
+        else {
+          val p = new HPath(metadataDir(table),
+            s"$commitUuid-del$attempt.avro")
+          val len = writeAvro(f, p, entrySchema,
+            Map(
+              "schema" -> schemaJson(schemaId, fields).toString,
+              "partition-spec" -> specJsonStr,
+              "partition-spec-id" -> specId.toString,
+              "format-version" -> "2",
+              "content" -> "deletes"),
+            deleteRecords.map(entryOf(_, 2, deleteEqIds)))
+          Some((p, len))
+        }
 
       // manifest list: append carries the previous snapshot's manifests
       // forward; replace (compaction) starts from just the new manifest —
@@ -1569,6 +1770,23 @@ object IcebergSink {
       newEntry.put("added_rows_count", addedRecords)
       newEntry.put("existing_rows_count", 0)
       newEntry.put("deleted_rows_count", 0)
+      val deleteListEntry = deleteManifest.map { case (p, len) =>
+        val de = new GenericData.Record(manifestListSchema)
+        de.put("manifest_path", p.toString)
+        de.put("manifest_length", len)
+        de.put("partition_spec_id", specId)
+        de.put("content", 1) // spec: 1 = deletes
+        de.put("sequence_number", seqNum)
+        de.put("min_sequence_number", seqNum)
+        de.put("added_snapshot_id", snapshotId)
+        de.put("added_files_count", deleteRecords.size)
+        de.put("existing_files_count", 0)
+        de.put("deleted_files_count", 0)
+        de.put("added_rows_count", deleteRecords.map(_.records).sum)
+        de.put("existing_rows_count", 0L)
+        de.put("deleted_rows_count", 0L)
+        de
+      }
       // re-encode carried-over entries against our schema (same field ids);
       // a dynamic-partition overwrite additionally REWRITES any prior data
       // manifest holding a doomed partition tuple: survivors carry as
@@ -1579,6 +1797,24 @@ object IcebergSink {
       val specNames = specFields.map(_.name)
       val rewrittenThisAttempt = scala.collection.mutable.ArrayBuffer.empty[HPath]
       val carried = prevManifests.zipWithIndex.map { case (r, idx) =>
+        val carriedSpecId = r.get("partition_spec_id") match {
+          case i: Integer => i.intValue(); case _ => 0
+        }
+        // a manifest written under an OLDER spec stores its tuples in a
+        // different field set: matching the current spec's names against
+        // it reads every field as null — doomed entries would silently
+        // survive (duplicate rows after backfill) and a null-valued
+        // touched tuple could doom unrelated old-spec files. Refuse,
+        // loudly, rather than corrupt (planFiles decodes per-manifest
+        // specs for READS; an overwrite across specs needs a compact
+        // first so everything lands under the current default spec).
+        if (overwriteTuples.nonEmpty && carriedSpecId != specId &&
+            (r.get("content") match { case i: Integer => i.intValue(); case _ => 0 }) == 0)
+          throw new IllegalStateException(
+            s"dynamic partition overwrite on $table would rewrite manifest " +
+              s"${r.get("manifest_path")} written under partition spec " +
+              s"$carriedSpecId (current default: $specId) — run compact() " +
+              "after partition-spec evolution before overwriting")
         val rewrittenPath: Option[(HPath, Long, Long, Long, Long, Long)] =
           if (overwriteTuples.isEmpty ||
               (r.get("content") match { case i: Integer => i.intValue(); case _ => 0 }) == 1)
@@ -1646,7 +1882,7 @@ object IcebergSink {
           "parent-snapshot-id" -> base.currentSnapshotId.map(_.toString).getOrElse("null"),
           "sequence-number" -> seqNum.toString,
           "format-version" -> "2"),
-        carried :+ newEntry)
+        (carried ++ deleteListEntry.toSeq) :+ newEntry)
 
       val snap = Snapshot(snapshotId, baseSnapId, seqNum, nowMs,
         listPath.toString, fileRecords.size.toLong, addedRecords, schemaId,
@@ -1714,6 +1950,7 @@ object IcebergSink {
         f.delete(tmp, false)
         f.delete(listPath, false) // stale snapshot artifacts of the lost race
         f.delete(manifestPath, false)
+        deleteManifest.foreach { case (p, _) => f.delete(p, false) }
         rewrittenThisAttempt.foreach(p => f.delete(p, false))
       }
     }
@@ -2304,37 +2541,59 @@ object IcebergSink {
                       withCoords = posDeleteFiles.nonEmpty, fileCol, posCol)
                       .withColumn(seqCol, lit(s))
                   }.reduce(_ union _)
-                // EQUALITY deletes: key applies to STRICTLY SMALLER data seq
-                val afterEq = eqDeleteFiles.groupBy(d => (d.seq, d.eqIds)).toSeq
-                  .sortBy(_._1._1)
-                  .foldLeft(data) { case (acc, ((dseq, eqIds), dfs)) =>
+                // EQUALITY deletes: key applies to STRICTLY SMALLER data
+                // seq. All delete files sharing an equality-id set fold
+                // into ONE union frame — each file group stamped with its
+                // own sequence number as a column — so the scope rule
+                // becomes a join predicate and the whole accumulated
+                // delete history costs ONE broadcast anti-join, not one
+                // per delete commit (a streaming upsert lane commits one
+                // delete file per micro-batch: N batches must not stack
+                // N joins onto every subsequent read)
+                val afterEq = eqDeleteFiles
+                  .groupBy(_.eqIds).toSeq.sortBy(_._1.mkString(","))
+                  .foldLeft(data) { case (acc, (eqIds, dfs)) =>
                     val eqFields = eqIds.map(id => fieldsById.getOrElse(id,
                       throw new IllegalStateException(
                         s"delete references unknown field id $id")))
                     val delSchema = StructType(eqFields.map(f =>
                       StructField(f.name, sparkType(f.typ))))
-                    val del = broadcast(spark.read.schema(delSchema)
-                      .parquet(dfs.map(_.path): _*)
-                      .select(eqFields.map(f =>
-                        col(f.name).as(s"__del_${f.name}")): _*))
+                    val delSeqCol = "__graft_del_seq"
+                    val del = broadcast(
+                      dfs.groupBy(_.seq).toSeq.sortBy(_._1).map {
+                        case (dseq, group) =>
+                          spark.read.schema(delSchema)
+                            .parquet(group.map(_.path): _*)
+                            .withColumn(delSeqCol, lit(dseq))
+                      }.reduce(_ union _)
+                        .select(eqFields.map(f =>
+                          col(f.name).as(s"__del_${f.name}")) :+
+                          col(delSeqCol): _*))
                     val cond = eqFields.map(f =>
                       acc(f.name) <=> del(s"__del_${f.name}"))
-                      .reduce(_ && _) && (lit(dseq) > acc(seqCol))
+                      .reduce(_ && _) && (del(delSeqCol) > acc(seqCol))
                     acc.join(del, cond, "left_anti")
                   }
                 // POSITION deletes: coordinates apply to data seq <= delete
-                // seq (spec — they name concrete rows that already existed)
-                val afterPos = posDeleteFiles.groupBy(_.seq).toSeq
-                  .sortBy(_._1)
-                  .foldLeft(afterEq) { case (acc, (dseq, dfs)) =>
-                    val del = broadcast(spark.read.schema(posDeleteSchema)
-                      .parquet(dfs.map(_.path): _*)
-                      .select(col("file_path").as("__del_file"),
-                        col("pos").as("__del_pos")))
-                    val cond = acc(fileCol) === del("__del_file") &&
-                      acc(posCol) === del("__del_pos") &&
-                      (lit(dseq) >= acc(seqCol))
-                    acc.join(del, cond, "left_anti")
+                // seq (spec — they name concrete rows that already
+                // existed); same single-anti-join shape
+                val afterPos =
+                  if (posDeleteFiles.isEmpty) afterEq
+                  else {
+                    val delSeqCol = "__graft_del_seq"
+                    val del = broadcast(
+                      posDeleteFiles.groupBy(_.seq).toSeq.sortBy(_._1).map {
+                        case (dseq, group) =>
+                          spark.read.schema(posDeleteSchema)
+                            .parquet(group.map(_.path): _*)
+                            .withColumn(delSeqCol, lit(dseq))
+                      }.reduce(_ union _)
+                        .select(col("file_path").as("__del_file"),
+                          col("pos").as("__del_pos"), col(delSeqCol)))
+                    val cond = afterEq(fileCol) === del("__del_file") &&
+                      afterEq(posCol) === del("__del_pos") &&
+                      (del(delSeqCol) >= afterEq(seqCol))
+                    afterEq.join(del, cond, "left_anti")
                   }
                 afterPos.drop(seqCol, fileCol, posCol)
               }

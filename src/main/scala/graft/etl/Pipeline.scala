@@ -154,15 +154,48 @@ object Pipeline {
           s"unknown pipeline source '$other' (expected 'files' or 'kfs')")
     }
 
+    // the WAL identity is (checkpoint path, streaming query id): the id
+    // lives INSIDE the checkpoint (metadata file), so wiping the
+    // checkpoint — which restarts batchIds at 0 — also changes the key,
+    // and the restarted query can never mistake a fresh batch for a
+    // replay of a stale marker (it falls back to the offset anti-join
+    // instead). Keying on the path alone would silently drop every new
+    // batch with bid <= the old committed max. Resolved lazily on the
+    // first batch: the metadata file is written at query start.
+    var walKey: String = null
     val query = transform(decoded).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (walKey == null)
+          walKey = checkpointDir + "#" +
+            streamQueryId(batch.sparkSession, checkpointDir)
         sinkBatch(batch.sparkSession, batch, tablePath, schemaCols, validation,
-          validateCols, format, txn = Some((checkpointDir, batchId)))
+          validateCols, format, txn = Some((walKey, batchId)))
       }
       .start()
     query.awaitTermination()
+  }
+
+  /** The streaming query's persistent id, read from the checkpoint's
+    * `metadata` file (Structured Streaming writes `{"id":"<uuid>"}` at
+    * query start and keeps it for the checkpoint's lifetime — a wiped
+    * checkpoint mints a new id on restart, which is exactly the property
+    * the txn markers need). Empty string if unreadable. */
+  private[etl] def streamQueryId(spark: SparkSession,
+      checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    try {
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) ""
+      else {
+        val in = f.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("")
+      }
+    } catch { case _: java.io.IOException => "" }
   }
 
   /** Continuous first-occurrence near-dedup: drain a document topic
@@ -243,10 +276,12 @@ object Pipeline {
     * shape: each micro-batch collapses to its LAST row per
     * (topic, partition, key) — max `_offset`, which within one partition
     * IS arrival order, and admission control never reorders a
-    * partition's offsets across batches — and lands as one
-    * [[IcebergSink.upsert]] (equality-delete of the incoming key set +
-    * append, merge-on-read). The result table always holds each key's
-    * latest record: last-write-wins with a total, replayable order.
+    * partition's offsets across batches — and lands as ONE
+    * [[IcebergSink.upsertAtomic]] row-delta commit (a single snapshot
+    * carrying both the equality delete of the incoming key set and the
+    * data append, merge-on-read — no reader can ever observe the keys
+    * deleted-but-not-reinserted). The result table always holds each
+    * key's latest record: last-write-wins with a total, replayable order.
     *
     * Crash-replay safety WITHOUT txn markers: replaying a batch re-runs
     * the same delete+append with identical rows — upsert is idempotent
@@ -287,14 +322,14 @@ object Pipeline {
             .where(col("_rn") === 1).drop("_rn")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // upsert's dup-key guard is a per-batch groupBy+collect, and the
-          // rank=1 window PROVES key uniqueness here — compose the two
-          // primitives directly instead of paying the check every batch
-          try if (!last.isEmpty) {
-            if (IcebergSink.load(ss, tablePath).isDefined)
-              IcebergSink.deleteKeys(ss, tablePath,
-                last.select(col("topic"), col("partition"), col("key")))
-            IcebergSink.append(ss, tablePath, last)
-          } finally last.unpersist()
+          // rank=1 window PROVES key uniqueness here — use the unguarded
+          // ROW-DELTA primitive: ONE snapshot carries both the batch's
+          // equality delete and its data, so a reader (or a crash)
+          // between them can never observe the keys transiently absent
+          try if (!last.isEmpty)
+            IcebergSink.upsertAtomic(ss, tablePath, last,
+              Seq("topic", "partition", "key"))
+          finally last.unpersist()
         } finally batch.unpersist()
       }
       .start()

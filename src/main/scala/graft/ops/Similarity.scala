@@ -466,7 +466,10 @@ object Similarity {
       qv.quantize(col("embedding"), dims, scale).as("_qq"))
     val pool = shortlist match {
       case Some(sl) =>
-        cc.join(broadcast(sl.select(col("q"), col("v"))), Seq("v"))
+        // a shortlist is caller data: de-dup it before the join — a
+        // duplicate (q, v) row would otherwise rank the same vector twice
+        // and corrupt the positive/negative bands
+        cc.join(broadcast(sl.select(col("q"), col("v")).distinct()), Seq("v"))
           .join(broadcast(qq), Seq("q"))
           .where(col("q") =!= col("v"))
       case None =>
@@ -606,12 +609,18 @@ object Similarity {
       case Some(sl) =>
         // rel is recomputed exactly on the shortlist rows, so the greedy
         // trajectory stays hash-replayable even off an approximate
-        // (ADC-ranked) shortlist
-        cc.join(broadcast(sl.select(col("q"), col("v"))), Seq("v"))
+        // (ADC-ranked) shortlist. The shortlist is caller data: de-dup it
+        // (a duplicate (q, v) would double rows in the pair table) and
+        // trim the pool to top-kCand by exact rel — MMR's per-round pair
+        // cost grows with |pool|², so an oversized shortlist must shrink
+        // to the same bound the exact path enforces, not pass through
+        cc.join(broadcast(sl.select(col("q"), col("v")).distinct()), Seq("v"))
           .join(broadcast(qq), Seq("q"))
           .where(col("q") =!= col("v"))
           .withColumn("rel", qv.l2sq(col("_qq"), col("_cv")))
           .where(col("rel").isNotNull)
+          .withColumn("rn", row_number().over(wRel))
+          .where(col("rn") <= kCand)
       case None =>
         qq.crossJoin(cc).where(col("q") =!= col("v"))
           .withColumn("rel", qv.l2sq(col("_qq"), col("_cv")))

@@ -68,6 +68,43 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("overwrite guards: empty frame commits nothing; spec evolution refuses rewrite") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val before = IcebergSink.load(spark, table).get
+    // an empty backfill rerun must not pollute history with a no-op
+    // overwrite snapshot (append's zero-row law, mirrored)
+    IcebergSink.overwritePartitions(spark, table,
+      Seq.empty[(Long, String, Long)].toDF("id", "part", "v"))
+    val after = IcebergSink.load(spark, table).get
+    assert(after.version == before.version &&
+      after.currentSnapshotId == before.currentSnapshotId,
+      "empty overwrite must leave version and current untouched")
+
+    // after partition-spec evolution, old-spec manifests store tuples in
+    // a different field set — matching current-spec names against them
+    // reads null and would silently keep logically-replaced rows. The
+    // overwrite must refuse until a compact rewrites under the new spec.
+    IcebergSink.addPartitionField(spark, table, "bucket(8, id)")
+    val err = intercept[IllegalStateException] {
+      IcebergSink.overwritePartitions(spark, table,
+        Seq((9L, "a", 90L)).toDF("id", "part", "v"))
+    }
+    assert(err.getMessage.contains("partition spec"))
+    // compact rewrites everything under the current default spec — the
+    // overwrite is legal again (tuples now compare in one field space)
+    IcebergSink.compact(spark, table)
+    IcebergSink.overwritePartitions(spark, table,
+      Seq((9L, "a", 90L)).toDF("id", "part", "v"))
+    val rows = IcebergSink.read(spark, table)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((9L, 90L)) && rows.contains((2L, 20L)),
+      s"post-compact overwrite must land 9/keep b: $rows")
+  }
+
   test("write-audit-publish: staged commits stack on the branch, publish fast-forwards") {
     import spark.implicits._
     val table = tmpTable()

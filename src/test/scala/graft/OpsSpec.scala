@@ -199,6 +199,41 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Dedup.release(full)
   }
 
+  test("oversized / duplicated shortlists are trimmed and de-duped, not passed through") {
+    import spark.implicits._
+    val qv = org.apache.spark.sql.graft.QuantOps
+    val probes = emb.where(col("vec_id") < 3)
+    val cc = emb.select(col("vec_id").as("v"),
+      qv.quantize(col("embedding"), 64, 1000000L).as("_cv"))
+    val qq = probes.select(col("vec_id").as("q"),
+      qv.quantize(col("embedding"), 64, 1000000L).as("_qq"))
+    val kCand = 4
+    // a 3×kCand shortlist: for each probe, the 12 nearest by exact rel
+    val wide = Similarity.mmrCandidates(cc, qq, 3 * kCand, None)
+      .select(col("q"), col("v"))
+    // trimming is by EXACT rel, so the oversized pool must reduce to the
+    // kCand-trimmed one — and the pool row count is bounded by q × kCand
+    // (MMR pair cost is |pool|² per round; an unbounded pass-through
+    // would quadruple it silently)
+    val trimmed = Similarity.mmrCandidates(cc, qq, kCand, None)
+      .select(col("q"), col("v")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pool = Similarity.mmrCandidates(cc, qq, kCand, Some(wide))
+    val got = pool.select(col("q"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == trimmed, s"shortlist pool must trim to top-kCand by rel")
+    assert(pool.count() <= 3L * kCand, "pool rows must be bounded by q × kCand")
+    // duplicate shortlist rows must not double-rank a vector: hardNegatives
+    // over sl ∪ sl ≡ hardNegatives over sl
+    val sl = wide.limit(6)
+    def mined(s: org.apache.spark.sql.DataFrame) =
+      Similarity.hardNegatives(emb, probes, k = 3,
+          dupMaxD2 = 1L, posMaxD2 = 2000000000000L, shortlist = Some(s))
+        .orderBy(col("q"), col("role"), col("rank"))
+        .collect().map(_.toString).toSeq
+    assert(mined(sl.union(sl)) == mined(sl),
+      "a duplicated shortlist must mine the same triplets")
+  }
+
   test("substring dedup catches misaligned duplicated runs; first occurrence survives") {
     import spark.implicits._
     val run = (1 to 10).map(i => s"t$i").mkString(" ")
