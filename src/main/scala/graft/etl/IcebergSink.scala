@@ -2526,21 +2526,28 @@ object IcebergSink {
                 readPlannedData(spark, schema, spec, dataFiles)
               else {
                 import org.apache.spark.sql.functions.{broadcast, col, lit}
+                import spark.implicits._
                 val fieldsById = m.schemasById
                   .getOrElse(snap.schemaId, m.fields).map(f => f.id -> f).toMap
                 val seqCol = "__graft_data_seq"
                 val fileCol = "__graft_data_file"
                 val posCol = "__graft_data_pos"
-                // per-sequence-number groups so the delete scope rule can be
-                // evaluated as a plain join predicate; position deletes also
-                // need each row's (file, ordinal) coordinates, read from the
-                // parquet source's hidden _metadata columns
-                val data = dataFiles.groupBy(_.seq).toSeq.sortBy(_._1)
-                  .map { case (s, fsOfSeq) =>
-                    readPlannedData(spark, schema, spec, fsOfSeq,
-                      withCoords = posDeleteFiles.nonEmpty, fileCol, posCol)
-                      .withColumn(seqCol, lit(s))
-                  }.reduce(_ union _)
+                // each row's data sequence number — the delete scope rule's
+                // left side — comes from a broadcast (file → seq) lookup on
+                // the row's _metadata file path, NOT from a per-seq union:
+                // a streaming lane holds one sequence number per commit, so
+                // grouping the scan by seq would grow the PLAN linearly
+                // with commit count (10,000 micro-batches = a 10,000-child
+                // union); the lookup keeps the scan a single node at any
+                // commit count and the join is a map-side probe of a
+                // files-count-sized relation
+                val fileKey = "__graft_seq_file"
+                val seqLookup = dataFiles.map(f => (f.path, f.seq))
+                  .toDF(fileKey, seqCol)
+                val data0 = readPlannedData(spark, schema, spec, dataFiles,
+                  withCoords = true, fileCol, posCol)
+                val data = data0.join(broadcast(seqLookup),
+                  data0(fileCol) === seqLookup(fileKey)).drop(fileKey)
                 // EQUALITY deletes: key applies to STRICTLY SMALLER data
                 // seq. All delete files sharing an equality-id set fold
                 // into ONE union frame — each file group stamped with its

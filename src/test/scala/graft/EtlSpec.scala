@@ -216,6 +216,39 @@ class EtlSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n"))).collect().head.getLong(0) == (0 until 150).sum)
   }
 
+  test("wiped checkpoint restarts batch ids at 0 without losing new records") {
+    // the ops action the txn markers must survive: a checkpoint wipe
+    // restarts batchIds at 0, so keying markers on the checkpoint PATH
+    // alone would drop every restarted batch with bid <= the old
+    // committed max — losing any records produced since. The WAL key
+    // includes the streaming query id (which lives inside the checkpoint
+    // and changes on wipe), so the restarted query falls back to the
+    // offset anti-join instead: old rows dedup, new rows land.
+    val root = Files.createTempDirectory("etl_wipe_kfs").toString
+    val recs1 = (0 until 50).map(i => KfsCodec.Record(i.toLong,
+      1706000000000L + i, s"k$i".getBytes, s"""{"n":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, recs1)
+    val table = Files.createTempDirectory("etl_wipe_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("etl_wipe_ck").toString + "/ck"
+    val cols = Seq(SchemaCol("n", "long", "$.n"))
+    Pipeline.run(spark, root, table, ckpt, cols,
+      format = Pipeline.IcebergV2, source = "kfs")
+    assert(graft.etl.IcebergSink.read(spark, table).count() == 50)
+
+    // wipe the checkpoint, produce more — the restarted query's batch 0
+    // re-reads everything INCLUDING the fresh records
+    TableSink.deleteRecursive(java.nio.file.Paths.get(ckpt))
+    val recs2 = (50 until 80).map(i => KfsCodec.Record(i.toLong,
+      1706000000000L + i, s"k$i".getBytes, s"""{"n":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, recs2)
+    Pipeline.run(spark, root, table, ckpt, cols,
+      format = Pipeline.IcebergV2, source = "kfs")
+    val out = graft.etl.IcebergSink.read(spark, table)
+    assert(out.count() == 80,
+      "post-wipe records must land exactly once, pre-wipe rows must not double")
+    assert(out.agg(sum(col("n"))).collect().head.getLong(0) == (0 until 80).sum)
+  }
+
   test("streaming upsert: last write per key wins, updates apply incrementally") {
     import graft.etl.IcebergSink
     val root = Files.createTempDirectory("etl_ups_kfs").toString

@@ -289,6 +289,55 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite_manifests: metadata-only merge, identical reads, time travel intact") {
+    import spark.implicits._
+    val table = tmpTable()
+    // a streaming-lane shape: many small commits → one manifest each,
+    // plus an equality delete so BOTH content groups exist
+    (1 to 5).foreach(i =>
+      IcebergSink.append(spark, table, Seq((i.toLong, i * 10)).toDF("id", "v")))
+    IcebergSink.deleteKeys(spark, table, Seq(2L).toDF("id"))
+    IcebergSink.append(spark, table, Seq((2L, 99)).toDF("id", "v"))
+    val before = IcebergSink.load(spark, table).get
+    val preSnap = before.currentSnapshotId.get
+    val listBefore = IcebergSink.readAvro(spark,
+      before.snapshots.last.manifestList)._2
+    assert(listBefore.length == 7, "7 commits → 7 manifests carried")
+    val dataFilesBefore = IcebergSink.read(spark, table).inputFiles.toSet
+    val rowsBefore = IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+
+    IcebergSink.rewriteManifests(spark, table)
+    val after = IcebergSink.load(spark, table).get
+    assert(after.snapshots.last.operation == "replace")
+    val listAfter = IcebergSink.readAvro(spark,
+      after.snapshots.last.manifestList)._2
+    // 6 data manifests merge to 1; the delete manifest stays (different
+    // content group, singleton) — 2 total
+    assert(listAfter.length == 2,
+      s"manifest list must collapse to one per content group: ${listAfter.length}")
+    // NO data or delete file rewritten — identical file set, identical rows
+    assert(IcebergSink.read(spark, table).inputFiles.toSet == dataFilesBefore,
+      "rewrite_manifests must never touch a data file")
+    assert(IcebergSink.read(spark, table).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == rowsBefore)
+    // delete scoping preserved: id=2's re-append survives, the original dies
+    assert(rowsBefore.count(_._1 == 2L) == 1 &&
+      rowsBefore.find(_._1 == 2L).get._2 == 99)
+    // time travel across the rewrite still reads the OLD manifest list
+    assert(IcebergSink.read(spark, table, Some(preSnap))
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      == rowsBefore)
+    // a second rewrite is a no-op (nothing left to merge)
+    val v = IcebergSink.load(spark, table).get.version
+    IcebergSink.rewriteManifests(spark, table)
+    assert(IcebergSink.load(spark, table).get.version == v,
+      "rewrite with nothing to merge must not commit")
+    // appends after the rewrite chain on normally
+    IcebergSink.append(spark, table, Seq((7L, 70)).toDF("id", "v"))
+    assert(IcebergSink.read(spark, table).count() == rowsBefore.length + 1)
+  }
+
   test("compaction commits a replace snapshot; history stays time-travelable") {
     import spark.implicits._
     val table = tmpTable()

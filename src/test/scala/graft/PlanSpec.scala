@@ -551,6 +551,29 @@ class PlanSpec extends AnyFunSuite {
       s"shortlist and query set must both broadcast onto the corpus scan:\n$plan")
   }
 
+  test("accumulated equality deletes apply as ONE anti-join, however many commits") {
+    // the streaming upsert lane commits one equality-delete file per
+    // micro-batch: after N batches a read must NOT stack N anti-joins —
+    // the delete history unions into one broadcast frame (per-file seq as
+    // a column) and subtracts in a single pass
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("plan_updel").toString + "/t"
+    (1 to 5).foreach { i =>
+      graft.etl.IcebergSink.upsertAtomic(spark, table,
+        Seq((1L, i * 10L), (i.toLong + 10, 0L)).toDF("id", "v"), Seq("id"))
+    }
+    val df = graft.etl.IcebergSink.read(spark, table)
+    val plan = df.queryExecution.executedPlan.toString
+    val antiJoins = "LeftAnti".r.findAllIn(plan).length
+    assert(antiJoins == 1,
+      s"4 delete commits must fold into ONE anti-join, found $antiJoins:\n$plan")
+    // and the subtraction is still exact: key 1 holds its LAST value
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(1L) == 50L && rows.size == 6,
+      s"LWW must hold through the fused anti-join: $rows")
+  }
+
   test("scd2: guard + fold run on ONE Exchange and ONE Sort") {
     // the dup/conflict guard orders by (ord, type, hash) and the validity
     // fold reuses that EXACT order (the hash tiebreaker is inert once the
