@@ -452,6 +452,107 @@ object EtlPack extends QueryPack {
           |GROUP BY 1 ORDER BY partition""".stripMargin)),
       seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
 
+    // METADATA-ONLY MANIFEST COMPACTION (Iceberg's `rewrite_manifests`
+    // maintenance procedure): a table built by MANY small commits — five
+    // offset-sliced appends, an equality delete, a re-append (7 manifests
+    // carried by the head snapshot) — is manifest-compacted and must read
+    // back IDENTICALLY: entries carry as EXISTING with their original
+    // sequence numbers, so the delete's strictly-older scope rule still
+    // spares the re-appended rows. No data or delete file is touched
+    // (IcebergSpec pins the file set); the in-query requires pin that the
+    // list actually shrank and the commit was metadata-only. At 100 TB
+    // this is what keeps a one-snapshot-per-micro-batch streaming table
+    // plannable after thousands of commits.
+    QueryDef(
+      "e43_rewrite_manifests",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_rwm_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        (0 until 5).foreach(i =>
+          IcebergSink.append(s, table, ev.where(col("offset") % 5 === i)))
+        IcebergSink.deleteWhere(s, table,
+          col("event_type") === "click", Seq("partition", "offset"))
+        IcebergSink.append(s, table,
+          ev.where(col("event_type") === "click" && col("offset") % 7 === 0))
+        def manifests = IcebergSink.readAvro(s,
+          IcebergSink.load(s, table).get.snapshots.last.manifestList)._2.size
+        val before = manifests
+        val filesBefore = IcebergSink.read(s, table).inputFiles.toSet
+        IcebergSink.rewriteManifests(s, table)
+        require(manifests < before,
+          s"rewrite_manifests must shrink the list: $before -> $manifests")
+        require(IcebergSink.read(s, table).inputFiles.toSet == filesBefore,
+          "rewrite_manifests must be metadata-only: identical file set")
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT partition, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k, max(off) AS max_off
+          |FROM (
+          |  SELECT _partition AS partition, _offset AS off,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k
+          |  FROM events_topic WHERE event_type <> 'click'
+          |  UNION ALL
+          |  SELECT _partition, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT)
+          |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
+          |) GROUP BY partition ORDER BY partition""".stripMargin))),
+
+    // THE UPSERT LANE UNDER COMMIT PRESSURE: e42 with ~3x more
+    // micro-batches (every batch = one row-delta snapshot = one more
+    // equality-delete file), then manifest compaction. The read must plan
+    // exactly ONE delete anti-join — the accumulated delete history
+    // unions into one broadcast frame with per-file sequence numbers
+    // (PlanSpec pins the shape; the in-query require re-checks it against
+    // the REAL lane every round) — and the hashes must equal e42's
+    // one-shot-merge oracle: batch cadence is invisible to the result.
+    QueryDef(
+      "e44_stream_upsert_compacted",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "upsert3_table")
+        val ckpt = tmp(dir, "upsert3_ckpt")
+        val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
+        StreamDrive.narrow(s) {
+          Pipeline.runUpsert(s, root, table, ckpt,
+            maxSegmentsPerTrigger = Some(math.max(1, nSegs / 12)))
+        }
+        IcebergSink.rewriteManifests(s, table)
+        val out = IcebergSink.read(s, table)
+        val antiJoins = "LeftAnti".r
+          .findAllIn(out.queryExecution.executedPlan.toString).length
+        require(antiJoins == 1,
+          s"accumulated deletes must fold into ONE anti-join: $antiJoins")
+        out.select(col("partition"), col("offset"),
+            get_json_object(col("value"), "$.k").cast("long").as("k"))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("offset")).as("off_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, lastrow AS (
+          |  SELECT _partition, _key, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         row_number() OVER (PARTITION BY _partition, _key
+          |                            ORDER BY _offset DESC) AS rn
+          |  FROM events_topic)
+          |SELECT _partition AS partition, count(*) AS n_keys,
+          |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
+          |       CAST(SUM(k) AS BIGINT) AS k_sum
+          |FROM lastrow WHERE rn = 1
+          |GROUP BY 1 ORDER BY partition""".stripMargin)),
+      seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
+
     // Iceberg v2 ROW-LEVEL DELETES (equality-delete files, merge-on-read):
     // the opt-out/takedown shape of a 100 TB corpus — delete every 'click'
     // record by key WITHOUT rewriting any data file (the delete commit
