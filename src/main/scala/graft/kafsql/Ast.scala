@@ -25,6 +25,18 @@ final case class ShowSegments(topic: String) extends Statement
   * segment's base) and LATEST (the high watermark, last offset + 1).
   * Metadata-only: manifests + the horizon file, zero segment reads. */
 final case class ShowOffsets(topic: String) extends Statement
+
+/** `SHOW OFFSETS FROM t AT <ts>` — ListOffsets' TIMESTAMP resolution
+  * (key 2 with a real timestamp, `kafscale-spec.md:185-208`; the
+  * `offsetsForTimes` client call): per partition, the earliest offset
+  * whose record timestamp is >= the literal — epoch-ms integer,
+  * `yyyy-MM-dd[ HH:mm:ss[.SSS]]`, or RFC3339, like every `_ts` bound.
+  * Partitions with no record at/after the target are omitted (the client
+  * convention for a null seek result). Horizon-aware: never resolves
+  * below the DeleteRecords log start. Kafka's own index-then-scan shape:
+  * the `.kfst` sidecars pick each partition's boundary segment
+  * (metadata), and ONLY that segment decodes. */
+final case class ShowOffsetsAt(topic: String, tsMs: Long) extends Statement
 final case class DescribeTopic(topic: String) extends Statement
 
 /** `DESCRIBE CONFIGS t` — admin-config introspection as a statement (the

@@ -140,7 +140,11 @@ object Parser {
           if (kw("topics")) ShowTopics
           else if (kw("partitions")) { expectKw("from"); ShowPartitions(ident()) }
           else if (kw("segments")) { expectKw("from"); ShowSegments(ident()) }
-          else if (kw("offsets")) { expectKw("from"); ShowOffsets(ident()) }
+          else if (kw("offsets")) {
+            expectKw("from")
+            val t = ident()
+            if (kw("at")) ShowOffsetsAt(t, tsLit()) else ShowOffsets(t)
+          }
           else if (kw("groups")) ShowGroups
           else throw new KafsqlException(
             "expected TOPICS, PARTITIONS, SEGMENTS, OFFSETS, or GROUPS after SHOW")

@@ -76,6 +76,40 @@ object Planner {
         (p, earliest, latest)
       }.toDF("partition", "earliest", "latest")
 
+    case ShowOffsetsAt(t, ts) =>
+      import spark.implicits._
+      val d = reg.get(t)
+      val segs = d.segments.getOrElse(throw new KafsqlException(
+        s"topic $t has no segment estate")).apply(spark)
+      val ls = d.logStarts.map(_.apply(spark)).getOrElse(Map.empty[Int, Long])
+      // Kafka's index-then-scan resolution: per partition, the FIRST
+      // segment (by base offset) whose .kfst max timestamp reaches the
+      // target holds the earliest qualifying offset — every earlier
+      // segment's records are strictly older — so the estate-wide answer
+      // costs ONE segment decode per partition, whatever the estate size.
+      // Horizon-aware: segments wholly below the DeleteRecords log start
+      // are dead, and a straddled boundary scans from the horizon up.
+      val bounds = segs.groupBy(_.partition).toSeq.sortBy(_._1).flatMap {
+        case (p, ps) =>
+          val start = ls.getOrElse(p, 0L)
+          ps.filter(_.lastOffset >= start).sortBy(_.baseOffset)
+            .find(_.maxTsMs >= ts)
+            .map(seg => (p, math.max(seg.baseOffset, start), seg.lastOffset))
+      }
+      if (bounds.isEmpty)
+        Seq.empty[(Int, Long)].toDF("partition", "offset")
+      else {
+        val fr = d.frame(spark)
+        bounds.map { case (p, lo, hi) =>
+          fr.where(col("_partition") === p &&
+            col("_offset") >= lo && col("_offset") <= hi &&
+            col("_ts_ms") >= ts)
+        }.reduce(_ unionAll _)
+          .groupBy(col("_partition").cast("int").as("partition"))
+          .agg(min(col("_offset")).as("offset"))
+          .orderBy(col("partition"))
+      }
+
     case DescribeTopic(t) =>
       import spark.implicits._
       val d = reg.get(t)

@@ -419,6 +419,45 @@ object KafsqlPack extends QueryPack {
           |JOIN (SELECT * FROM events_topic WHERE event_type = 'error') r
           |  ON l._key = r._key AND abs(l._ts_ms - r._ts_ms) <= 600000
           |GROUP BY 1 ORDER BY l._partition""".stripMargin),
-      seed = Some((s, dir) => { graft.kfs.KfsSeed.seededRoot(s, dir); () }))
+      seed = Some((s, dir) => { graft.kfs.KfsSeed.seededRoot(s, dir); () })),
+
+    // SHOW OFFSETS ... AT <ts> — ListOffsets' timestamp resolution (the
+    // `offsetsForTimes` client call as a dialect statement): per
+    // partition, the earliest offset whose record timestamp reaches the
+    // literal. Kafka's index-then-scan shape: the `.kfst` sidecars pick
+    // each partition's boundary segment (metadata), ONLY that segment
+    // decodes (PlanSpec pins segments=1 per scan). Two estates in one
+    // check: the events log resolves a mid-estate civil-time literal;
+    // the DeleteRecords estate resolves an epoch-ms literal that lands
+    // BELOW the horizon and must clamp to it — never below log start.
+    QueryDef(
+      "k18_show_offsets_at",
+      (s, dir) => {
+        graft.kfs.KfsRetention.deleteRecords(
+          KfsPack.seedDeleteRecordsEstate(s, dir), "docs", Map(0 -> 300L))
+        val ev = run("SHOW OFFSETS FROM kevents AT '2024-01-15 00:00:00'")(s, dir)
+          .withColumn("src", lit("events"))
+        val dc = run("SHOW OFFSETS FROM docsestate AT 1700000000100")(s, dir)
+          .withColumn("src", lit("docs"))
+        ev.unionByName(dc).orderBy(col("src"), col("partition"))
+      },
+      oracle(
+        """SELECT 'events' AS src, _partition AS partition,
+          |       min(CASE WHEN _ts_ms >= 1705276800000 THEN _offset END)
+          |         AS offset
+          |FROM events_topic GROUP BY 2
+          |UNION ALL
+          |SELECT 'docs', CAST(0 AS INTEGER),
+          |       min(CASE WHEN doc_id >= 300
+          |                 AND 1700000000000 + doc_id >= 1700000000100
+          |                THEN CAST(doc_id AS BIGINT) END)
+          |FROM documents
+          |ORDER BY src, partition""".stripMargin),
+      seed = Some((s, dir) => {
+        graft.kfs.KfsSeed.seededRoot(s, dir)
+        graft.kfs.KfsRetention.deleteRecords(
+          KfsPack.seedDeleteRecordsEstate(s, dir), "docs", Map(0 -> 300L))
+        ()
+      }))
   )
 }

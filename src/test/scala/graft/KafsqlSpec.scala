@@ -205,6 +205,38 @@ class KafsqlSpec extends AnyFunSuite {
     assert(err("SHOW OFFSETS FROM events").contains("no segment estate"))
   }
 
+  test("SHOW OFFSETS AT: earliest offset at/after the target, one segment per scan") {
+    import org.apache.spark.sql.functions.{col, min}
+    // mid-estate target: the dialect answer must equal the relational
+    // earliest-at-or-after per partition
+    val t = 1705276800000L // 2024-01-15 00:00:00 UTC
+    val got = q(s"SHOW OFFSETS FROM kevents AT $t")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exp = Tables.eventsTopic(spark, sf).where(col("_ts_ms") >= t)
+      .groupBy(col("_partition")).agg(min(col("_offset")))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == exp, s"got $got, expected $exp")
+    // the date-only literal layout resolves identically
+    assert(q("SHOW OFFSETS FROM kevents AT '2024-01-15'")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap == exp)
+    // a target past the estate's last record omits every partition (the
+    // client's null-seek convention)
+    assert(q("SHOW OFFSETS FROM kevents AT '2030-01-01'").count() == 0)
+    // index-then-scan: on the multi-segment docs estate (250-record
+    // segments), the resolution decodes exactly ONE segment — the .kfst
+    // boundary pick, not an estate-wide read
+    val df = q("SHOW OFFSETS FROM docsestate AT 1700000000300")
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 300L)))
+    val plan = df.queryExecution.executedPlan.toString
+    val segCounts = "KfsScan\\[segments=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    assert(segCounts.nonEmpty && segCounts.forall(_ == 1),
+      s"AT resolution must decode one boundary segment per partition:\n$plan")
+    // topics without an estate refuse, like the other estate statements
+    assert(err("SHOW OFFSETS FROM events AT 0").contains("no segment estate"))
+  }
+
   test("KAFSQL over the DSv2 KFS topic pushes LAST/partition into the scan") {
     val df = q("SELECT _offset, k FROM kevents WHERE _partition = 1 " +
       "LIMIT 100000 LAST 30d")
