@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, element_at, lit, max, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, element_at, lit, max, sum, when}
 
 import graft.core.Tables
 import graft.kafsql._
@@ -458,6 +458,84 @@ object KafsqlPack extends QueryPack {
         graft.kfs.KfsRetention.deleteRecords(
           KfsPack.seedDeleteRecordsEstate(s, dir), "docs", Map(0 -> 300L))
         ()
-      }))
+      })),
+
+    // CONTINUOUS LEFT WITHIN JOIN — k17's outer form, the eviction-timing
+    // path where stream ≠ batch bugs hide: a purchase with no error in
+    // its ±band emits WITH NULLS only when the watermark passes the band
+    // and its state evicts — never eagerly. The drive is the e37 sentinel
+    // discipline applied to the dialect: drain everything, then two
+    // sentinel rounds on BOTH sides push the watermark beyond every live
+    // band so expiring state flushes its unmatched rows. Final answer ≡
+    // the batch LEFT JOIN, per partition — matched counts, unmatched
+    // counts, and both offset sums.
+    QueryDef(
+      "k19_kafsql_stream_left_join",
+      (s, dir) => {
+        import java.nio.file.Paths
+        val stageL = Fixtures.tmp(dir, "k19_left")
+        val stageR = Fixtures.tmp(dir, "k19_right")
+        val sink = Fixtures.tmp(dir, "k19_sink")
+        val ckpt = Fixtures.tmp(dir, "k19_ckpt")
+        Seq(stageL, stageR, sink, ckpt).foreach(p =>
+          graft.etl.TableSink.deleteRecursive(Paths.get(p)))
+        val base = Tables.eventsTopic(s, dir)
+        val cols = Seq("_topic", "_partition", "_offset", "_ts_ms",
+          "_key", "_value").map(col)
+        base.where(element_at(col("_headers"), "src") === "purchase")
+          .select(cols: _*).coalesce(2).write.parquet(stageL)
+        base.where(element_at(col("_headers"), "src") === "error")
+          .select(cols: _*).coalesce(2).write.parquet(stageR)
+        val schema = s.read.parquet(stageL).schema
+        val joined = graft.streaming.KafsqlStream.join(registry(dir),
+          s.readStream.schema(schema).parquet(stageL),
+          s.readStream.schema(schema).parquet(stageR),
+          "SELECT o._partition, o._key, o._offset AS l_off, " +
+            "p._offset AS r_off FROM purchases o LEFT JOIN errors p " +
+            "ON o._key = p._key WITHIN 10m LAST 14d",
+          watermarkDelay = "1 hour", nowMs = Tables.FixedNowMs)
+        graft.streaming.StreamDrive.narrow(s) {
+          val q = joined.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // all real rows; matches emit
+            val hiMs = base.agg(max(col("_ts_ms"))).collect().head.getLong(0) +
+              3L * 3600000L // past every band + delay, with margin
+            for (bump <- Seq(0L, 1L)) {
+              val sentinel = s.range(1).select(lit("events").as("_topic"),
+                lit(0).as("_partition"), (lit(100000000L) + lit(bump)).as("_offset"),
+                lit(hiMs + bump * 3600000L).as("_ts_ms"),
+                lit("zz-sentinel").as("_key"), lit("{}").as("_value"))
+              sentinel.write.mode("append").parquet(stageL)
+              sentinel.write.mode("append").parquet(stageR)
+              q.processAllAvailable() // eviction lands the batch AFTER
+            }
+          } finally q.stop()
+        }
+        s.read.parquet(sink).where(col("_key") =!= "zz-sentinel")
+          .groupBy(col("_partition"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("r_off")).as("n_matched"),
+            sum(when(col("r_off").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+            sum(col("l_off")).as("l_off_sum"),
+            coalesce(sum(col("r_off")), lit(0L)).as("r_off_sum"))
+          .orderBy(col("_partition"))
+      },
+      oracle(
+        """, p2 AS (SELECT _partition, _offset, _key, _ts_ms
+          |        FROM events_topic WHERE event_type = 'purchase'),
+          |e2 AS (SELECT _offset, _key, _ts_ms
+          |       FROM events_topic WHERE event_type = 'error'),
+          |j AS (SELECT p2._partition, p2._offset AS l_off, e2._offset AS r_off
+          |      FROM p2 LEFT JOIN e2 ON p2._key = e2._key
+          |        AND abs(p2._ts_ms - e2._ts_ms) <= 600000)
+          |SELECT _partition, count(*) AS n_rows,
+          |       CAST(count(r_off) AS BIGINT) AS n_matched,
+          |       CAST(SUM(CASE WHEN r_off IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_unmatched,
+          |       CAST(SUM(l_off) AS BIGINT) AS l_off_sum,
+          |       CAST(COALESCE(SUM(r_off), 0) AS BIGINT) AS r_off_sum
+          |FROM j GROUP BY 1 ORDER BY _partition""".stripMargin))
   )
 }
