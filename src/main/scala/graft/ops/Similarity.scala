@@ -342,29 +342,42 @@ object Similarity {
       kCand: Int, kCells: Int = 4, coarseIters: Int = 2, nProbe: Int = 2,
       m: Int = 4, codebookK: Int = 8, pqIters: Int = 1, dims: Int = 64,
       scale: Long = 1000000L): DataFrame = {
-    require(kCand >= k && k >= 1, "need kCand >= k >= 1")
-    require(nProbe >= 1 && nProbe <= kCells, "need 1 <= nProbe <= kCells")
+    val (model, codes) = ivfpqFit(corpus, kCells, coarseIters, m,
+      codebookK, pqIters, dims, scale)
+    ivfpqSearch(codes, corpus, queries, model, k, kCand, nProbe,
+      pruneCells = false)
+  }
+
+  /** The fitted IVFPQ index artifacts: `kCells` coarse centers and `m`
+    * residual codebooks, all quantized longs — small enough to live as
+    * plan literals on the query side. */
+  final case class IvfPqModel(coarse: Seq[Seq[Long]],
+      codebooks: Seq[Seq[Seq[Long]]], dims: Int, scale: Long) {
+    def kCells: Int = coarse.length
+    def m: Int = codebooks.length
+  }
+
+  /** IVFPQ fit + assign: the build half. Returns the model plus the codes
+    * frame — (v, cell, code_0..code_{m−1}) — one narrow pass over the
+    * corpus (the PQ codebooks fit on residuals, tighter than raw
+    * vectors). */
+  private[graft] def ivfpqFit(corpus: DataFrame, kCells: Int,
+      coarseIters: Int, m: Int, codebookK: Int, pqIters: Int,
+      dims: Int, scale: Long): (IvfPqModel, DataFrame) = {
     val subDims = dims / m
     require(subDims * m == dims, s"dims $dims not divisible by m $m")
     val qv = org.apache.spark.sql.graft.QuantOps
-
     // coarse quantizer: one deterministic integer k-means over the corpus
     val coarse = KMeansQ.fitMulti(
       corpus, "embedding", 1, kCells, coarseIters, dims, scale).head
-    // centers as ONE plan literal: residual subtraction and probe scoring
-    // are narrow codegen maps — no join, no shuffle, no broadcast-of-data
     val centersLit = array(coarse.map(c => array(c.map(lit(_)): _*)): _*)
-    def residual(qvec: Column, cell: Column): Column =
-      zip_with(qvec, element_at(centersLit, cell + 1), (a, b) => a - b)
-
-    // per-vector cell + integer residual + m PQ codes (one narrow pass;
-    // the PQ codebooks fit on residuals — tighter than raw vectors)
     val cq = corpus.select(col("vec_id").as("v"),
       qv.quantize(col("embedding"), dims, scale).as("_qv"))
     val assigned = cq
       .withColumn("_cs", KMeansQ.scoresExpr(col("_qv"), coarse))
       .withColumn("cell", KMeansQ.argminExpr(col("_cs"), kCells))
-      .withColumn("_res", residual(col("_qv"), col("cell")))
+      .withColumn("_res", zip_with(col("_qv"),
+        element_at(centersLit, col("cell") + 1), (a, b) => a - b))
       .select(col("v"), col("cell"), col("_res"))
     val codebooks = KMeansQ.fitMultiQuantized(
       assigned.select(col("v").as("vec_id"), col("_res")), "_res",
@@ -376,6 +389,31 @@ object Similarity {
           .withColumn(s"code_$i", KMeansQ.argminExpr(col(s"_sc$i"), cb.length))
           .drop(s"_rs$i", s"_sc$i")
     }.drop("_res")
+    (IvfPqModel(coarse.map(_.toSeq).toSeq,
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq, dims, scale), codes)
+  }
+
+  /** IVFPQ search half over a codes frame (freshly fit, or reloaded from
+    * the persisted layout): probe → ADC over probed cells → exact refine.
+    * With `pruneCells`, the probed cell set is resolved up front (one
+    * tiny query-side job) and applied as a STATIC filter, so a
+    * cell-partitioned codes table prunes at the file level — the probe IS
+    * partition pruning, no non-probed byte is read (PlanSpec pins
+    * `PartitionFilters` on the persisted path). */
+  private[graft] def ivfpqSearch(codes0: DataFrame, corpus: DataFrame,
+      queries: DataFrame, model: IvfPqModel, k: Int, kCand: Int,
+      nProbe: Int, pruneCells: Boolean): DataFrame = {
+    require(kCand >= k && k >= 1, "need kCand >= k >= 1")
+    require(nProbe >= 1 && nProbe <= model.kCells,
+      "need 1 <= nProbe <= kCells")
+    val m = model.m
+    val subDims = model.dims / m
+    val qv = org.apache.spark.sql.graft.QuantOps
+    val coarse = model.coarse.map(_.toArray).toArray
+    val cbArrs = model.codebooks.map(_.map(_.toArray).toArray)
+    val centersLit = array(coarse.map(c => array(c.map(lit(_)): _*)): _*)
+    def residual(qvec: Column, cell: Column): Column =
+      zip_with(qvec, element_at(centersLit, cell + 1), (a, b) => a - b)
 
     // query side: nProbe nearest cells by exact integer center distance,
     // then a per-(query, probed-cell) RESIDUAL distance table per
@@ -383,7 +421,7 @@ object Similarity {
     // |qres_sub|² term; adding it back makes the ADC the true squared
     // distance, so shortlists are comparable across cells)
     val qq = queries.select(col("vec_id").as("q"),
-      qv.quantize(col("embedding"), dims, scale).as("_qq"))
+      qv.quantize(col("embedding"), model.dims, model.scale).as("_qq"))
     val pw = Window.partitionBy(col("q")).orderBy(col("score"), col("cl"))
     val probes = qq
       .withColumn("_cs", KMeansQ.scoresExpr(col("_qq"), coarse))
@@ -393,7 +431,7 @@ object Similarity {
       .where(col("rn") <= nProbe)
       .withColumn("_qres", residual(col("_qq"), col("cl")))
     val qdt = (0 until m).foldLeft(probes) { case (acc, i) =>
-      val cb = codebooks(i)
+      val cb = cbArrs(i)
       acc.withColumn(s"_qr$i", slice(col("_qres"), i * subDims + 1, subDims))
         .withColumn(s"_qn$i",
           aggregate(col(s"_qr$i"), lit(0L), (a, x) => a + x * x))
@@ -405,7 +443,15 @@ object Similarity {
 
     // probe-limited ADC scan: the equi-join on (cell = cl) IS the cell
     // pruning — codes outside every probed cell never match (PlanSpec
-    // pins the broadcast-hash-join shape)
+    // pins the broadcast-hash-join shape); on the persisted layout the
+    // probed set additionally becomes a partition filter on the scan
+    val codes =
+      if (!pruneCells) codes0
+      else {
+        val cells = probes.select(col("cl")).distinct()
+          .collect().map(_.getInt(0).asInstanceOf[Any]).toSeq
+        codes0.where(col("cell").isin(cells: _*))
+      }
     val adc = (0 until m).map(i =>
       element_at(col(s"dt_$i"), col(s"code_$i").cast("int") + 1))
       .reduce(_ + _)
@@ -419,6 +465,8 @@ object Similarity {
       .select(col("q"), col("v"))
 
     // exact integer refine over the shortlist — pqRefineTopK's stage 2
+    val cq = corpus.select(col("vec_id").as("v"),
+      qv.quantize(col("embedding"), model.dims, model.scale).as("_qv"))
     val w = Window.partitionBy(col("q")).orderBy(col("d2"), col("v"))
     cq.join(broadcast(shortlist), Seq("v"))
       .join(broadcast(qq), Seq("q"))
@@ -428,6 +476,56 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q"), col("rank"), col("v"), col("d2"))
   }
+
+  /** Build the PERSISTED IVFPQ layout (proving the "cells are the
+    * persisted layout" claim): the codes table lands as parquet
+    * PARTITIONED BY cell — so a probe is partition pruning, zero bytes of
+    * non-probed cells read — alongside the model artifacts (coarse
+    * centers, residual codebooks, dims/scale meta) as tiny parquet
+    * tables. Build once, query many: [[ivfpqTopKIndexed]] reloads
+    * everything and never refits. */
+  def ivfpqBuild(corpus: DataFrame, path: String, kCells: Int = 4,
+      coarseIters: Int = 2, m: Int = 4, codebookK: Int = 8,
+      pqIters: Int = 1, dims: Int = 64, scale: Long = 1000000L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (model, codes) = ivfpqFit(corpus, kCells, coarseIters, m,
+      codebookK, pqIters, dims, scale)
+    codes.withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    model.coarse.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    model.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, code) => (s, code, c) }
+    }.toDF("sub", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((dims, scale)).toDF("dims", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload the persisted model artifacts (three tiny parquet reads). */
+  def ivfpqLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqModel = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val coarse = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).sortBy(_._1).map(_._2).toSeq
+    val cbs = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    IvfPqModel(coarse, cbs, meta.getInt(0), meta.getLong(1))
+  }
+
+  /** Query the persisted IVFPQ layout: identical results to
+    * [[ivfpqTopK]] with the build's parameters, but the index is read,
+    * not refit, and the probe prunes the cell-partitioned codes scan at
+    * the FILE level. */
+  def ivfpqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      kCand: Int, nProbe: Int = 2): DataFrame =
+    ivfpqSearch(spark.read.parquet(s"$path/codes"), corpus, queries,
+      ivfpqLoad(spark, path), k, kCand, nProbe, pruneCells = true)
 
   /** HARD-NEGATIVE MINING — the contrastive-training-data triplet shape
     * (anchor, positive, hard negatives; the dense-retrieval recipe of

@@ -257,6 +257,81 @@ object OpsPack extends QueryPack {
        |FROM streams ORDER BY doc_id""".stripMargin
   }
 
+  /** s38/s42 shared oracle: the whole IVFPQ composition (coarse fit,
+    * residual codebook fits, codes, probes, per-cell ADC tables, exact
+    * refine) as one DuckDB CTE chain. The persisted-layout path (s42)
+    * must hash-match it exactly: build+query never changes the math. */
+  private lazy val ivfpqOracleSql: String = {
+        val subFits = (0 until 4).map { i =>
+          val off = i * 16
+          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
+            subDims = 16, offset = off, sfx = s"_$i",
+            srcSql = s"""  SELECT vec_id, dim - $off AS dim, rv AS qv
+                        |  FROM res WHERE dim > $off AND dim <= ${off + 16}"""
+              .stripMargin)
+        }.mkString(",\n")
+        val qds = (0 until 4).map { i =>
+          val off = i * 16
+          s"""qd$i AS (
+             |  SELECT r.q, r.pcl, cb.cl,
+             |         CAST(SUM((r.rv - cb.c) * (r.rv - cb.c)) AS BIGINT) AS d
+             |  FROM qres r JOIN c1_$i cb ON cb.dim = r.dim - $off
+             |  WHERE r.dim > $off AND r.dim <= ${off + 16}
+             |  GROUP BY 1, 2, 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L)},
+           |res AS (
+           |  SELECT q.vec_id, q.dim, q.qv - c.c AS rv
+           |  FROM q JOIN af a USING (vec_id)
+           |  JOIN c2 c ON c.cl = a.cluster AND c.dim = q.dim),
+           |$subFits,
+           |codes AS (
+           |  SELECT a.vec_id, a.cluster AS cell, a0.cluster AS k0,
+           |         a1.cluster AS k1, a2.cluster AS k2, a3.cluster AS k3
+           |  FROM af a JOIN af_0 a0 USING (vec_id) JOIN af_1 a1 USING (vec_id)
+           |       JOIN af_2 a2 USING (vec_id) JOIN af_3 a3 USING (vec_id)),
+           |qcs AS (
+           |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS d
+           |  FROM q JOIN c2 c ON q.dim = c.dim
+           |  WHERE q.vec_id < 5 GROUP BY 1, 2),
+           |probes AS (
+           |  SELECT vec_id AS q, cl FROM (
+           |    SELECT vec_id, cl,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+           |    FROM qcs) WHERE rn <= 2),
+           |qres AS (
+           |  SELECT p.q, p.cl AS pcl, q.dim, q.qv - c.c AS rv
+           |  FROM probes p JOIN q ON q.vec_id = p.q
+           |  JOIN c2 c ON c.cl = p.cl AND c.dim = q.dim),
+           |$qds,
+           |scored AS (
+           |  SELECT p.q, v.vec_id AS v, d0.d + d1.d + d2.d + d3.d AS adc
+           |  FROM codes v
+           |  JOIN probes p ON p.cl = v.cell AND p.q <> v.vec_id
+           |  JOIN qd0 d0 ON d0.q = p.q AND d0.pcl = p.cl AND d0.cl = v.k0
+           |  JOIN qd1 d1 ON d1.q = p.q AND d1.pcl = p.cl AND d1.cl = v.k1
+           |  JOIN qd2 d2 ON d2.q = p.q AND d2.pcl = p.cl AND d2.cl = v.k2
+           |  JOIN qd3 d3 ON d3.q = p.q AND d3.pcl = p.cl AND d3.cl = v.k3),
+           |sl AS (
+           |  SELECT q, v FROM (
+           |    SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY adc, v) AS rank
+           |    FROM scored) WHERE rank <= 10),
+           |qfull AS (
+           |  SELECT e.vec_id, r.dim,
+           |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           |  FROM embeddings e, range(1, 65) r(dim)),
+           |ref AS (
+           |  SELECT s.q, s.v, CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+           |  FROM sl s JOIN qfull a ON a.vec_id = s.q
+           |  JOIN qfull b ON b.vec_id = s.v AND b.dim = a.dim
+           |  GROUP BY 1, 2),
+           |rr AS (
+           |  SELECT q, v, d2,
+           |         row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rank
+           |  FROM ref)
+           |SELECT q, rank, v, d2 FROM rr WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
 
     // ---- similarity search ---------------------------------------------
@@ -1025,76 +1100,28 @@ object OpsPack extends QueryPack {
             kCand = 10)
           .orderBy(col("q"), col("rank"))
       },
-      Some {
-        val subFits = (0 until 4).map { i =>
-          val off = i * 16
-          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
-            subDims = 16, offset = off, sfx = s"_$i",
-            srcSql = s"""  SELECT vec_id, dim - $off AS dim, rv AS qv
-                        |  FROM res WHERE dim > $off AND dim <= ${off + 16}"""
-              .stripMargin)
-        }.mkString(",\n")
-        val qds = (0 until 4).map { i =>
-          val off = i * 16
-          s"""qd$i AS (
-             |  SELECT r.q, r.pcl, cb.cl,
-             |         CAST(SUM((r.rv - cb.c) * (r.rv - cb.c)) AS BIGINT) AS d
-             |  FROM qres r JOIN c1_$i cb ON cb.dim = r.dim - $off
-             |  WHERE r.dim > $off AND r.dim <= ${off + 16}
-             |  GROUP BY 1, 2, 3)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L)},
-           |res AS (
-           |  SELECT q.vec_id, q.dim, q.qv - c.c AS rv
-           |  FROM q JOIN af a USING (vec_id)
-           |  JOIN c2 c ON c.cl = a.cluster AND c.dim = q.dim),
-           |$subFits,
-           |codes AS (
-           |  SELECT a.vec_id, a.cluster AS cell, a0.cluster AS k0,
-           |         a1.cluster AS k1, a2.cluster AS k2, a3.cluster AS k3
-           |  FROM af a JOIN af_0 a0 USING (vec_id) JOIN af_1 a1 USING (vec_id)
-           |       JOIN af_2 a2 USING (vec_id) JOIN af_3 a3 USING (vec_id)),
-           |qcs AS (
-           |  SELECT q.vec_id, c.cl, SUM((q.qv - c.c) * (q.qv - c.c)) AS d
-           |  FROM q JOIN c2 c ON q.dim = c.dim
-           |  WHERE q.vec_id < 5 GROUP BY 1, 2),
-           |probes AS (
-           |  SELECT vec_id AS q, cl FROM (
-           |    SELECT vec_id, cl,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
-           |    FROM qcs) WHERE rn <= 2),
-           |qres AS (
-           |  SELECT p.q, p.cl AS pcl, q.dim, q.qv - c.c AS rv
-           |  FROM probes p JOIN q ON q.vec_id = p.q
-           |  JOIN c2 c ON c.cl = p.cl AND c.dim = q.dim),
-           |$qds,
-           |scored AS (
-           |  SELECT p.q, v.vec_id AS v, d0.d + d1.d + d2.d + d3.d AS adc
-           |  FROM codes v
-           |  JOIN probes p ON p.cl = v.cell AND p.q <> v.vec_id
-           |  JOIN qd0 d0 ON d0.q = p.q AND d0.pcl = p.cl AND d0.cl = v.k0
-           |  JOIN qd1 d1 ON d1.q = p.q AND d1.pcl = p.cl AND d1.cl = v.k1
-           |  JOIN qd2 d2 ON d2.q = p.q AND d2.pcl = p.cl AND d2.cl = v.k2
-           |  JOIN qd3 d3 ON d3.q = p.q AND d3.pcl = p.cl AND d3.cl = v.k3),
-           |sl AS (
-           |  SELECT q, v FROM (
-           |    SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY adc, v) AS rank
-           |    FROM scored) WHERE rank <= 10),
-           |qfull AS (
-           |  SELECT e.vec_id, r.dim,
-           |         CAST(round(CAST(e.embedding[r.dim] AS DOUBLE) * 1000000) AS BIGINT) AS qv
-           |  FROM embeddings e, range(1, 65) r(dim)),
-           |ref AS (
-           |  SELECT s.q, s.v, CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
-           |  FROM sl s JOIN qfull a ON a.vec_id = s.q
-           |  JOIN qfull b ON b.vec_id = s.v AND b.dim = a.dim
-           |  GROUP BY 1, 2),
-           |rr AS (
-           |  SELECT q, v, d2,
-           |         row_number() OVER (PARTITION BY q ORDER BY d2, v) AS rank
-           |  FROM ref)
-           |SELECT q, rank, v, d2 FROM rr WHERE rank <= 5 ORDER BY q, rank""".stripMargin
-      }),
+      Some(ivfpqOracleSql)),
+
+    // IVFPQ AS THE PERSISTED LAYOUT (s38's build/query split — the way a
+    // real estate runs it): ivfpqBuild writes the codes table PARTITIONED
+    // BY cell plus the model artifacts (coarse centers, residual
+    // codebooks, meta); ivfpqTopKIndexed reloads both and never refits,
+    // and the probe becomes a PARTITION FILTER on the codes scan — zero
+    // bytes of non-probed cells are read (PlanSpec pins PartitionFilters
+    // with exactly nProbe cells for a single query). The deterministic
+    // fits make build+query ≡ the one-shot s38 composition, so the SAME
+    // oracle CTE chain hash-checks the persisted path.
+    QueryDef(
+      "s42_ivfpq_persisted",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val ix = Fixtures.tmp(dir, "ivfpq_index")
+        Similarity.ivfpqBuild(e, ix)
+        Similarity.ivfpqTopKIndexed(s, ix, e, e.where(col("vec_id") < 5),
+            k = 5, kCand = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(ivfpqOracleSql)),
 
     // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
     // cross product (d5) — only same-bucket pairs are scored

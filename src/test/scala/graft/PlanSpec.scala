@@ -509,6 +509,30 @@ class PlanSpec extends AnyFunSuite {
       s"the ADC join must key on the coarse cell:\n$plan")
   }
 
+  test("ivfpq persisted layout: the probe is PARTITION pruning on the codes scan") {
+    // s42's claim made structural: the codes table is parquet partitioned
+    // by cell, and a query's probed-cell set lands as a PartitionFilters
+    // IN-list on the scan — with one query and nProbe=2, exactly 2 of the
+    // 4 cell partitions are read; the other cells cost zero bytes
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val ix = java.nio.file.Files.createTempDirectory("ivfpq_ix").toString
+    graft.ops.Similarity.ivfpqBuild(e, ix)
+    val df = graft.ops.Similarity.ivfpqTopKIndexed(spark, ix, e,
+      e.where(col("vec_id") < 1), k = 3, kCand = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan)
+    assert(pf.isDefined,
+      s"probed cells must reach the codes scan as a partition filter:\n$plan")
+    val cells = pf.get.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+    assert(cells.length == 2,
+      s"one query with nProbe=2 must read exactly 2 cell partitions, " +
+        s"got ${cells.toSeq}:\n$plan")
+    // and the answer is still the exact refine's
+    assert(df.count() == 3)
+  }
+
   test("hard negatives over a shortlist: broadcast joins, never a cartesian") {
     // s41's contract: with a pre-ranked pool the corpus is scanned once
     // with the shortlist broadcast onto it — the per-anchor exact pass
