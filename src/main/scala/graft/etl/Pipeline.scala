@@ -290,18 +290,28 @@ object Pipeline {
     * straddle partitions in the LWW order: the key is
     * (topic, partition, key), so cross-partition timestamp skew cannot
     * rewind a newer value. At scale each commit's delete set is the
-    * batch's keys — bounded by the trigger, never table-sized. */
+    * batch's keys — bounded by the trigger, never table-sized.
+    *
+    * `maintainEvery = Some(k)` runs [[IcebergSink.rewriteManifests]]
+    * after every k-th commit — one snapshot per micro-batch means one
+    * manifest per micro-batch carried into every later commit, so an
+    * unmaintained lane's planning and commit IO grow linearly with batch
+    * count; the periodic metadata-only merge keeps both O(1). Replay-safe:
+    * the maintenance snapshot changes no data, and a crash between commit
+    * and maintenance just defers the merge to the next trigger. */
   def runUpsert(
       spark: SparkSession,
       kfsRoot: String,
       tablePath: String,
       checkpointDir: String,
-      maxSegmentsPerTrigger: Option[Int] = None): Unit = {
+      maxSegmentsPerTrigger: Option[Int] = None,
+      maintainEvery: Option[Int] = None): Unit = {
     val reader = spark.readStream.format("kfs").option("path", kfsRoot)
     maxSegmentsPerTrigger.foreach(n =>
       reader.option("max_segments_per_trigger", n.toString))
     val decoded = reader.load().select(col("_topic"), col("_partition"),
       col("_offset"), col("_ts_ms"), col("_key"), col("_value"))
+    val commits = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -326,10 +336,13 @@ object Pipeline {
           // ROW-DELTA primitive: ONE snapshot carries both the batch's
           // equality delete and its data, so a reader (or a crash)
           // between them can never observe the keys transiently absent
-          try if (!last.isEmpty)
+          try if (!last.isEmpty) {
             IcebergSink.upsertAtomic(ss, tablePath, last,
               Seq("topic", "partition", "key"))
-          finally last.unpersist()
+            maintainEvery.foreach(k =>
+              if (commits.incrementAndGet() % k == 0)
+                IcebergSink.rewriteManifests(ss, tablePath))
+          } finally last.unpersist()
         } finally batch.unpersist()
       }
       .start()

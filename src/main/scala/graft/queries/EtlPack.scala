@@ -523,8 +523,11 @@ object EtlPack extends QueryPack {
         val ckpt = tmp(dir, "upsert3_ckpt")
         val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
         StreamDrive.narrow(s) {
+          // auto-maintenance INSIDE the lane: every 4th commit folds the
+          // accumulated per-batch manifests back to O(1) metadata
           Pipeline.runUpsert(s, root, table, ckpt,
-            maxSegmentsPerTrigger = Some(math.max(1, nSegs / 12)))
+            maxSegmentsPerTrigger = Some(math.max(1, nSegs / 12)),
+            maintainEvery = Some(4))
         }
         IcebergSink.rewriteManifests(s, table)
         val out = IcebergSink.read(s, table)

@@ -282,6 +282,41 @@ class EtlSpec extends AnyFunSuite {
     assert(s2("k1") == 21L, "untouched keys keep their previous last write")
   }
 
+  test("upsert lane auto-maintenance bounds the manifest list, state unchanged") {
+    import graft.etl.IcebergSink
+    val root = Files.createTempDirectory("etl_mnt_kfs").toString
+    // 8 segments of 10 records → 8 micro-batches at cap 1
+    (0 until 8).foreach { s0 =>
+      val records = (s0 * 10 until (s0 + 1) * 10).map(i =>
+        KfsCodec.Record(i.toLong, 1706000000000L + i,
+          s"k${i % 7}".getBytes, s"""{"o":$i}""".getBytes, Nil))
+      KfsLayout.writeSegment(root, "t1", 0, records)
+    }
+    def drive(maintain: Option[Int]) = {
+      val table = Files.createTempDirectory("etl_mnt_tbl").toString + "/t"
+      val ckpt = Files.createTempDirectory("etl_mnt_ck").toString
+      Pipeline.runUpsert(spark, root, table, ckpt,
+        maxSegmentsPerTrigger = Some(1), maintainEvery = maintain)
+      val m = IcebergSink.load(spark, table).get
+      val state = IcebergSink.read(spark, table)
+        .select(col("key"), col("offset")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (IcebergSink.readAvro(spark, m.snapshots.last.manifestList)._2.size,
+        state)
+    }
+    val (nPlain, statePlain) = drive(None)
+    val (nMaint, stateMaint) = drive(Some(2))
+    assert(stateMaint == statePlain, "maintenance must never change state")
+    // exact LWW: each key's last offset below 80
+    assert(statePlain == Map("k0" -> 77L, "k1" -> 78L, "k2" -> 79L,
+      "k3" -> 73L, "k4" -> 74L, "k5" -> 75L, "k6" -> 76L))
+    // unmaintained: one data + one delete manifest per batch accrue;
+    // maintained every 2: the head list stays a handful of manifests
+    assert(nPlain >= 14, s"unmaintained lane must accrue manifests: $nPlain")
+    assert(nMaint <= 4,
+      s"maintained lane's head manifest list must stay bounded: $nMaint")
+  }
+
   test("pipeline transform gates records in-stream; replay stays idempotent") {
     val root = Files.createTempDirectory("etl_cur").toString
     val records = (0 until 100).map(i => KfsCodec.Record(i.toLong,
