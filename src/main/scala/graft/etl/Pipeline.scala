@@ -317,33 +317,32 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val ss = batch0.sparkSession
-        val batch = batch0.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("topic"), col("partition"), col("key"))
-            .orderBy(col("offset").desc)
-          val last = batch.select(
-            col("_topic").as("topic"), col("_partition").as("partition"),
-            col("_key").cast("string").as("key"),
-            col("_offset").as("offset"), col("_ts_ms").as("ts_ms"),
-            col("_value").cast("string").as("value"))
-            .withColumn("_rn", row_number().over(w))
-            .where(col("_rn") === 1).drop("_rn")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // upsert's dup-key guard is a per-batch groupBy+collect, and the
-          // rank=1 window PROVES key uniqueness here — use the unguarded
-          // ROW-DELTA primitive: ONE snapshot carries both the batch's
-          // equality delete and its data, so a reader (or a crash)
-          // between them can never observe the keys transiently absent
-          try if (!last.isEmpty) {
-            IcebergSink.upsertAtomic(ss, tablePath, last,
-              Seq("topic", "partition", "key"))
-            maintainEvery.foreach(k =>
-              if (commits.incrementAndGet() % k == 0)
-                IcebergSink.rewriteManifests(ss, tablePath))
-          } finally last.unpersist()
-        } finally batch.unpersist()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("topic"), col("partition"), col("key"))
+          .orderBy(col("offset").desc)
+        // only `last` is consumed more than once (empty probe + the row
+        // delta's two writes) — caching the raw batch as well would add a
+        // whole materialization pass per micro-batch for a frame read once
+        val last = batch0.select(
+          col("_topic").as("topic"), col("_partition").as("partition"),
+          col("_key").cast("string").as("key"),
+          col("_offset").as("offset"), col("_ts_ms").as("ts_ms"),
+          col("_value").cast("string").as("value"))
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // upsert's dup-key guard is a per-batch groupBy+collect, and the
+        // rank=1 window PROVES key uniqueness here — use the unguarded
+        // ROW-DELTA primitive: ONE snapshot carries both the batch's
+        // equality delete and its data, so a reader (or a crash)
+        // between them can never observe the keys transiently absent
+        try if (!last.isEmpty) {
+          IcebergSink.upsertAtomic(ss, tablePath, last,
+            Seq("topic", "partition", "key"))
+          maintainEvery.foreach(k =>
+            if (commits.incrementAndGet() % k == 0)
+              IcebergSink.rewriteManifests(ss, tablePath))
+        } finally last.unpersist()
       }
       .start()
     query.awaitTermination()

@@ -648,17 +648,46 @@ object Planner {
         lDf = lDf.filter(col("_ts_ms") >= lo && col("_ts_ms") <= hi)
       case _ =>
     }
+    val (lk, rk) = joinKeys(j, rightName)
+    // STATE-COLUMN PRUNING: a stream-stream join buffers BOTH sides in the
+    // state store until the watermark passes, so every unreferenced topic
+    // column carried into the join is state bytes and store-commit IO paid
+    // per row per micro-batch forever. Keep only what the SELECT, the join
+    // key, and the watermark need — at 100 TB the difference between
+    // state ∝ (rate × window × needed-columns) and ∝ full topic width.
+    def sideNames(side: String, frame: DataFrame): Seq[String] = {
+      val fromProj =
+        if (sel.star) TopicRegistry.implicitColumns.map(_._1)
+        else sel.projections.flatMap(_.expr match {
+          case ColRef(Some(q), n) =>
+            if ((q == rightName) == (side == "r")) Seq(n) else Nil
+          case ColRef(None, n) => if (side == "l") Seq(n) else Nil
+          case JsonFunc(_, t, _) =>
+            if (t.qualifier.contains(rightName) == (side == "r")) Seq(t.name)
+            else Nil
+          case _ => Nil
+        })
+      val fromKey = (if (side == "l") lk else rk) match {
+        case ColRef(_, n) => Seq(n)
+        case JsonFunc(_, t, _) => Seq(t.name)
+        case _ => Nil
+      }
+      val have = frame.columns.toSet
+      (fromProj ++ fromKey ++ Seq("_ts_ms")).distinct.filter(have)
+    }
     // watermarks require TimestampType (not NTZ): derive event time from
     // the epoch-ms twin; session tz is UTC so wall times agree
     val l = lDf
+      .select(sideNames("l", lDf).map(col): _*)
       .withColumn("_evt", timestamp_millis(col("_ts_ms")))
       .withWatermark("_evt", watermarkDelay)
       .alias("l")
-    val r = withSchema(rightStream, j.table.topic)
+    val rDf = withSchema(rightStream, j.table.topic)
+    val r = rDf
+      .select(sideNames("r", rDf).map(col): _*)
       .withColumn("_evt", timestamp_millis(col("_ts_ms")))
       .withWatermark("_evt", watermarkDelay)
       .alias("r")
-    val (lk, rk) = joinKeys(j, rightName)
     val band = expr(s"INTERVAL ${j.withinMs} MILLISECONDS")
     // the ±band as explicit event-time range bounds: this is what lets
     // Spark derive state watermarks and EVICT — an abs() over epoch-ms
