@@ -144,6 +144,64 @@ object Sampling {
       .limit(n)
       .drop("_pri")
 
+  /** TOKEN-BUDGET MIXTURE SAMPLING — the training-mix primitive "take
+    * ~B_c tokens from each source": per class, documents are admitted in
+    * deterministic 48-bit-hash order until the class's token budget
+    * fills; the STRADDLER (the doc that crosses the budget) is kept, so
+    * every funded class meets its budget exactly-or-just-over and
+    * dropping its last admitted doc would fall under. Classes absent
+    * from `budgets` are dropped; a budget at or above the class's total
+    * keeps the class whole. Membership is a pure function of
+    * (id, class, budgets) — no RNG — so the mix replays anywhere.
+    *
+    * 100 TB shape: NO per-class global sort. The hash's HIGH 12 BITS
+    * stratify each class into ≤4096 ordered buckets; one aggregate
+    * computes per-bucket token sums, a window over the TINY
+    * (class × bucket) frame finds each class's single cutoff bucket, and
+    * only that bucket's rows — a ~1/4096 slice of the class — pay a
+    * row-level window. Every other row is admitted or dropped by a
+    * broadcast-joined filter on the scan (the t47 histogram discipline
+    * applied to sampling). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, classCol: String,
+      tokens: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "need non-negative budgets for at least one class")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val outCols = df.columns.toSeq
+    val base = df
+      .withColumn("_h", hash48(col(idCol)))
+      .withColumn("_b", (col("_h") / lit(1L << 36)).cast("long"))
+      .withColumn("_t", tokens.cast("long"))
+    val budgetDf = budgets.toSeq.toDF(classCol, "_budget")
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("_b"))
+    // per-(class, bucket) token mass → cumulative → the one cutoff bucket
+    val cuts = base.groupBy(col(classCol), col("_b"))
+      .agg(sum(col("_t")).as("_bt"))
+      .withColumn("_cum", sum(col("_bt")).over(wcum))
+      .withColumn("_prev", coalesce(lag(col("_cum"), 1).over(wcum), lit(0L)))
+      .join(budgetDf, Seq(classCol))
+    // cum <= budget: every row's exclusive prefix is under budget — whole
+    // bucket admitted with no row-level work
+    val whole = base.join(
+      broadcast(cuts.where(col("_cum") <= col("_budget"))
+        .select(col(classCol), col("_b"))),
+      Seq(classCol, "_b"), "left_semi")
+    // prev < budget < cum: THE cutoff bucket (one per class) — resolve
+    // its rows exactly by hash order; exclusive prefix = prev + running − t
+    val cutoff = cuts
+      .where(col("_prev") < col("_budget") && col("_cum") > col("_budget"))
+      .select(col(classCol), col("_b"), col("_prev"), col("_budget"))
+    val wrun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("_h"), col(idCol))
+    val straddle = base.join(broadcast(cutoff), Seq(classCol, "_b"))
+      .withColumn("_run", sum(col("_t")).over(wrun))
+      .where(col("_prev") + col("_run") - col("_t") < col("_budget"))
+    whole.select(outCols.map(col): _*)
+      .unionByName(straddle.select(outCols.map(col): _*))
+  }
+
   /** Per-class fixed-size weighted sample: n smallest priorities within
     * each `classCol` group. The rank filter compiles to WindowGroupLimit
     * (map-side per-task truncation to n rows per group before the

@@ -1636,6 +1636,54 @@ object OpsPack extends QueryPack {
     // keeps all, others downsample); membership is the same md5-threshold
     // function as t10, so DuckDB recomputes the rates AND the exact kept
     // set — mixing a 100 TB pretraining corpus stays auditable
+    // TOKEN-BUDGET MIXTURE — the "take ~B tokens from each source"
+    // training-mix primitive (t13 rebalances by DOC RATES; real mixes are
+    // specified in TOKENS): per funded source, docs admit in
+    // deterministic hash order until the budget fills, straddler kept,
+    // unfunded sources dropped. No per-class global sort: the hash's high
+    // 12 bits stratify each class into ordered buckets, one aggregate +
+    // a tiny cumulative window finds the single cutoff bucket, and only
+    // that ~1/4096 slice pays a row-level window (the t47 histogram
+    // discipline applied to sampling). The oracle replays the DIRECT
+    // formulation — exclusive running token sum in (hash, id) order under
+    // the budget — so the stratified plan is proven ≡ the naive sort.
+    QueryDef(
+      "t49_token_budget_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.tokenBudgetSample(docs, "doc_id", "source",
+            graft.ops.TextAnalysis.tokenCount(col("text")),
+            Map("src0" -> 600L, "src1" -> 900L, "src7" -> 1200L,
+              "src19" -> 999999L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+              .as("tok_sum"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH t AS (
+           |  SELECT source, doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           |         ${duckHash48("CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents),
+           |b(source, budget) AS (VALUES ('src0', 600), ('src1', 900),
+           |                             ('src7', 1200), ('src19', 999999)),
+           |r AS (
+           |  SELECT t.*, b.budget,
+           |         COALESCE(SUM(toks) OVER (PARTITION BY t.source
+           |           ORDER BY h, doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |           0) AS excl
+           |  FROM t JOIN b USING (source))
+           |SELECT source, count(*) AS n_kept,
+           |       CAST(SUM(toks) AS BIGINT) AS tok_sum,
+           |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM r WHERE excl < budget
+           |GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     QueryDef(
       "t13_corpus_mixture",
       (s, dir) => Sampling.mixture(

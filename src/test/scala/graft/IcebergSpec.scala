@@ -336,6 +336,25 @@ class IcebergSpec extends AnyFunSuite {
     // appends after the rewrite chain on normally
     IcebergSink.append(spark, table, Seq((7L, 70)).toDF("id", "v"))
     assert(IcebergSink.read(spark, table).count() == rowsBefore.length + 1)
+
+    // EXPIRY INTERPLAY: expiring every pre-rewrite snapshot reclaims the
+    // old per-commit manifests but NOT the data files — the merged
+    // manifest (reachable from the head) still references them
+    val preManifests = IcebergSink.readAvro(spark,
+      before.snapshots.last.manifestList)._2
+      .map(_.get("manifest_path").toString).toSet
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000L, retainLast = 1)
+    val hf = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val goneManifests = preManifests.count(p =>
+      !hf.exists(new org.apache.hadoop.fs.Path(p)))
+    assert(goneManifests > 0,
+      "expiry must reclaim the superseded per-commit manifests")
+    val after2 = IcebergSink.read(spark, table)
+    assert(after2.count() == rowsBefore.length + 1 &&
+      after2.where(col("id") === 2L).collect().head.getInt(1) == 99,
+      "data files referenced only through the merged manifest must survive expiry")
   }
 
   test("compaction commits a replace snapshot; history stays time-travelable") {

@@ -126,6 +126,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts.nonEmpty && counts.forall(_ <= 3))
   }
 
+  test("token budget: hash-prefix admission, straddler kept, minimal over-budget") {
+    import graft.ops.TextAnalysis
+    val budget = 700L
+    val kept = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      TextAnalysis.tokenCount(col("text")), Map("src3" -> budget))
+    // unfunded classes are dropped entirely
+    assert(kept.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("src3"))
+    val rows = kept
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the kept set is EXACTLY a prefix of the class in hash order
+    val ordered = docs.where(col("source") === "src3")
+      .select(col("doc_id"), Sampling.hash48(col("doc_id")).as("h"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      .orderBy(col("h"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val prefix = ordered.take(rows.size)
+    assert(prefix.map(_._1).toSet == rows.keySet,
+      s"kept set must be the hash-order prefix")
+    // budget met, and dropping the straddler would fall under
+    val total = prefix.map(_._2).sum
+    assert(total >= budget && total - prefix.last._2 < budget,
+      s"budget law violated: total=$total last=${prefix.last._2}")
+    // a budget >= the class total keeps the class whole
+    val whole = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      TextAnalysis.tokenCount(col("text")), Map("src3" -> 10000000L))
+    assert(whole.count() == docs.where(col("source") === "src3").count())
+  }
+
   test("weighted priority: uniform weights degenerate to hash order") {
     // with w == 1 everywhere the priority IS the 48-bit hash, so the
     // weighted sample equals the n smallest hashes — ties to plain
