@@ -2924,14 +2924,14 @@ object IcebergSink {
             (d.get("file_path").toString, eq,
               partitionTuple(d, spec.getOrElse(sid, Nil).map(_._1)), sid)
           }
-      sn.operation match {
-        case "append" =>
-          val fs = ownFiles(0).map(t => PlannedFile(t._1, 0L, 0, Nil,
-            Map.empty, Map.empty, t._3, specId = t._4))
-          if (fs.isEmpty) Nil
-          else Seq(meta(readPlannedData(spark, schema, spec, fs),
-            "insert", ord, sn))
-        case "delete" =>
+      def insertFrames: Seq[DataFrame] = {
+        val fs = ownFiles(0).map(t => PlannedFile(t._1, 0L, 0, Nil,
+          Map.empty, Map.empty, t._3, specId = t._4))
+        if (fs.isEmpty) Nil
+        else Seq(meta(readPlannedData(spark, schema, spec, fs),
+          "insert", ord, sn))
+      }
+      def deleteFrames: Seq[DataFrame] = {
           val eqFrames = ownFiles(2).groupBy(_._2).toSeq.map { case (eqIds, fsOfKey) =>
             val eqFields = eqIds.map(id => fieldsById.getOrElse(id,
               throw new IllegalStateException(
@@ -2977,6 +2977,19 @@ object IcebergSink {
               }
             }
           eqFrames ++ posFrames
+      }
+      sn.operation match {
+        case "append" => insertFrames
+        case "delete" => deleteFrames
+        // a ROW DELTA (upsertAtomic): the snapshot's own equality-delete
+        // half retracts, its data half inserts — both surface, deletes
+        // first (same ordinal; an SCD2 fold's same-ordinal law closes the
+        // prior version, never the delta's own insert). A dynamic
+        // PARTITION overwrite also lands here: its inserts surface; the
+        // replaced rows vanish by manifest rewrite (no delete file), so
+        // their retraction is visible to scans, not the changelog —
+        // documented on overwritePartitions
+        case "overwrite" => deleteFrames ++ insertFrames
         case _ => Nil // replace: bytes moved, no facts changed
       }
     }

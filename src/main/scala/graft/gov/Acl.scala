@@ -2,7 +2,8 @@ package graft.gov
 
 import java.util.concurrent.ConcurrentHashMap
 
-import graft.kafsql.{DescribeTopic, Explain, Kafsql, Select, ShowPartitions,
+import graft.kafsql.{DescribeConfigs, DescribeGroup, DescribeTopic, Explain,
+  Kafsql, Select, ShowGroups, ShowOffsets, ShowOffsetsAt, ShowPartitions,
   ShowSegments, ShowTopics, Statement}
 
 /** Topic-level authorization — clean-room mirror of the reference proxy's
@@ -169,12 +170,23 @@ object AclAuthorizer {
   /** No-op authorizer (open ACL). */
   val open = new AclAuthorizer(TopicAcl())
 
-  /** Topics a statement touches (`proxy.go:297-320`). */
+  /** Topics a statement touches (`proxy.go:297-320`). EXHAUSTIVE over the
+    * statement algebra — a new statement falling through here would be a
+    * MatchError under a restrictive ACL, which denies (the error aborts
+    * the query) but with a crash instead of the proxy's clean denial. */
   def queryTopics(stmt: Statement): (Seq[String], Boolean) = stmt match {
     case ShowTopics => (Nil, true)
     case ShowPartitions(t) => (Seq(t), false)
     case ShowSegments(t) => (Seq(t), false)
+    case ShowOffsets(t) => (Seq(t), false)
+    case ShowOffsetsAt(t, _) => (Seq(t), false)
     case DescribeTopic(t) => (Seq(t), false)
+    case DescribeConfigs(t) => (Seq(t), false)
+    // group introspection reads coordinator metadata, not topic data —
+    // the reference gates ListGroups/DescribeGroups on the group APIs,
+    // not per-topic fetch ACLs
+    case ShowGroups => (Nil, false)
+    case DescribeGroup(_) => (Nil, false)
     case e: Explain => queryTopics(e.select)
     case s: Select =>
       (s.from.topic +: s.join.map(_.table.topic).toSeq, false)

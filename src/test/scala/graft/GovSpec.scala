@@ -161,6 +161,16 @@ class GovSpec extends AnyFunSuite {
     val st = a.authorize("SHOW TOPICS;")
     assert(!st.allowed && st.reason == "show topics is not allowed by proxy ACL")
     assert(AclAuthorizer.open.authorize("SHOW TOPICS").allowed)
+    // EVERY statement shape authorizes cleanly under a scoped ACL — a
+    // MatchError here would abort instead of denying with the proxy's text
+    assert(a.authorize("SHOW OFFSETS FROM orders").allowed)
+    assert(!a.authorize("SHOW OFFSETS FROM shipments").allowed)
+    assert(a.authorize("SHOW OFFSETS FROM orders AT '2024-01-15'").allowed)
+    assert(!a.authorize("SHOW OFFSETS FROM shipments AT 0").allowed)
+    assert(a.authorize("DESCRIBE CONFIGS orders").allowed)
+    assert(!a.authorize("DESCRIBE CONFIGS shipments").allowed)
+    assert(a.authorize("SHOW GROUPS").allowed)
+    assert(a.authorize("DESCRIBE GROUP g1").allowed)
     // SET/RESET pass without parsing; unparseable statements fail closed
     assert(a.authorize("SET client_encoding = 'UTF8';").allowed)
     assert(a.authorize("RESET ALL;").allowed)

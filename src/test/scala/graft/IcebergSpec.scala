@@ -1191,6 +1191,40 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 3)
   }
 
+  test("changelog surfaces a row delta: delete + insert, same ordinal, delete first") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "v1"), (2L, "x1")).toDF("id", "s"))
+    // one upsertAtomic commit: replaces id=1, inserts id=3
+    IcebergSink.upsertAtomic(spark, table,
+      Seq((1L, "v2"), (3L, "new")).toDF("id", "s"), Seq("id"))
+    val ch = IcebergSink.readChangelogFrom(spark, table, None)
+      .select(col("id"), col("s"), col("_change_type"), col("_change_ordinal"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1), r.getString(2), r.getInt(3)))
+    // ordinal 0: the base append; ordinal 1: the delta's retraction (key
+    // pad) AND its inserts — one snapshot, both halves visible
+    assert(ch.count(_._4 == 0) == 2)
+    val delta = ch.filter(_._4 == 1)
+    val dels = delta.filter(_._3 == "delete")
+    val ins = delta.filter(_._3 == "insert").map(t => (t._1, t._2)).toSet
+    assert(dels.map(_._1).toSet == Set(1L, 3L),
+      s"the delta's equality-delete keys must surface: ${dels.toSeq}")
+    assert(ins == Set((1L, "v2"), (3L, "new")),
+      s"the delta's inserted rows must surface: $ins")
+    // an SCD2 fold over this feed closes id=1's first version at the
+    // delta and opens the replacement — the same-ordinal law end-to-end
+    val hist = graft.ops.Scd.scd2(
+      IcebergSink.readChangelogFrom(spark, table, None), Seq("id"),
+      "_commit_sequence_number")
+    val v1 = hist.where(col("id") === 1L).orderBy(col("valid_from"))
+      .select(col("s"), col("valid_to").isNull.as("open")).collect()
+    assert(v1.length == 2 && v1(0).getString(0) == "v1" && !v1(0).getBoolean(1)
+      && v1(1).getString(0) == "v2" && v1(1).getBoolean(1),
+      s"SCD2 over the row-delta feed must version id=1: ${v1.toSeq}")
+  }
+
   test("changelog emits inserts and key-level deletes in commit order") {
     import spark.implicits._
     val table = tmpTable()
