@@ -1164,7 +1164,14 @@ object IcebergSink {
         val eqFields = keyCols.map(n => byName.getOrElse(n,
           throw new IllegalArgumentException(s"unknown equality column $n")))
         val commitUuid = UUID.randomUUID().toString
-        val fileRecords = writeDataFiles(spark, table, df, commitUuid)
+        // the data half writes under the table's spec, like append — a
+        // partitioned table's files must each own one partition tuple or
+        // every later read re-attaches nulls; the delete half stays
+        // tuple-less (a global equality delete applies to all partitions)
+        val byId = m.fields.map(f => f.id -> f.name).toMap
+        val specDecls = m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
+        val fileRecords = writeDataFiles(spark, table, df, commitUuid,
+          specDecls)
         if (fileRecords.map(_.records).sum == 0) {
           val f = fs(new HPath(table))
           fileRecords.foreach(i => f.delete(i.status.getPath, false))

@@ -88,16 +88,38 @@ class IcebergPropertySpec extends AnyFunSuite {
         rs.map(_._2).distinct.foreach(p => model += p -> Map.empty[Long, Long])
         rs.foreach { case (id, p, v) => model += p -> (model(p) + (id -> v)) }
       }
+      // a ROW DELTA on the partitioned table: replaces each key wherever
+      // it lives (global equality delete), re-inserts under its new tuple
+      def doUpsert(rs0: Seq[(Long, String, Long)]): Unit = {
+        val existing = model.values.flatMap(_.keys).toSeq
+        val rs = rs0.zipWithIndex.map { case ((id, p, v), i) =>
+          // replace an existing id half the time, else insert fresh
+          if (existing.nonEmpty && r.nextBoolean())
+            (existing(r.nextInt(existing.size)), p, v)
+          else (id, p, v)
+        }.distinctBy(_._1)
+        IcebergSink.upsertAtomic(spark, table, rs.toDF("id", "part", "v"),
+          Seq("id"))
+        rs.foreach { case (id, p, v) =>
+          model = model.map { case (mp, m0) => mp -> (m0 - id) }
+            .withDefaultValue(Map.empty)
+          model += p -> (model(p) + (id -> v))
+        }
+      }
       doAppend(rows(r.nextInt(20) + 5, parts))
       for (step <- 1 to 4) {
-        if (r.nextBoolean()) doAppend(rows(r.nextInt(10) + 1, parts))
-        else {
-          val sub = parts.filter(_ => r.nextBoolean()) match {
-            case Seq() => Seq(parts(r.nextInt(parts.size)))
-            case s => s
-          }
-          doOverwrite(rows(r.nextInt(8) + 1, sub))
+        r.nextInt(3) match {
+          case 0 => doAppend(rows(r.nextInt(10) + 1, parts))
+          case 1 =>
+            val sub = parts.filter(_ => r.nextBoolean()) match {
+              case Seq() => Seq(parts(r.nextInt(parts.size)))
+              case s => s
+            }
+            doOverwrite(rows(r.nextInt(8) + 1, sub))
+          case 2 => doUpsert(rows(r.nextInt(6) + 1, parts))
         }
+        // metadata-only maintenance must be invisible to every read below
+        if (r.nextBoolean()) IcebergSink.rewriteManifests(spark, table)
         val got = IcebergSink.read(spark, table).collect()
           .map(row => (row.getAs[Long]("id"), row.getAs[String]("part"),
             row.getAs[Long]("v"))).toSet
