@@ -34,4 +34,15 @@ class BenchGateSpec extends AnyFunSuite {
   test("no probes -> not noisy (gate stays silent, never blocks)") {
     assert(!Bench.isNoisy(Nil))
   }
+
+  test("a localized load burst trips the tail gate even with a quiet median") {
+    // an external spike covering a third of the run: the affected
+    // queries' numbers are garbage while the run-wide median stays quiet
+    val burst = Seq.fill(20)(0.30) ++ Seq.fill(10)(1.0)
+    assert(Bench.isNoisy(burst, normSec = 0.3))
+    // but a handful of mildly-elevated probes (cache-cold first reps)
+    // stays quiet — the tail gate needs a real 2.5x excursion
+    val mild = Seq.fill(24)(0.30) ++ Seq.fill(6)(0.5)
+    assert(!Bench.isNoisy(mild, normSec = 0.3))
+  }
 }
