@@ -980,9 +980,17 @@ object IcebergSink {
     * differing groups carry verbatim, mirroring [[planFiles]]'s
     * per-manifest spec decoding. Manifests whose entries are ALL
     * tombstones (status=2, e.g. a fully-overwritten partition's) drop
-    * from the new list entirely. No-op when nothing would shrink. */
+    * from the new list entirely. No-op when nothing would shrink.
+    *
+    * `targetEntries` bounds each merged manifest (Iceberg's
+    * manifest-target-size knob, expressed in entries): at estate scale a
+    * single ALL-entries manifest would itself become a multi-GB avro no
+    * planner wants to stream, so a group with more live entries than the
+    * target splits into ceil(n/target) manifests — still O(1) metadata
+    * per maintenance interval, never one unsplittable blob. */
   def rewriteManifests(spark: SparkSession, table: String,
-      maxRetries: Int = 5): Unit = {
+      maxRetries: Int = 5, targetEntries: Int = 100000): Unit = {
+    require(targetEntries >= 1, "targetEntries must be positive")
     val f = fs(new HPath(table))
     var staged: Seq[HPath] = Nil
     commitMetadataOnly(spark, table, maxRetries) { m =>
@@ -1034,33 +1042,35 @@ object IcebergSink {
                   c.put("status", 0) // EXISTING: original seq + snap kept
                   c
                 }
-                val p = new HPath(metadataDir(table),
-                  s"rwm-$uuid-${staged.size}.avro")
-                val len = writeAvro(f, p, schema, hdr0, merged)
-                staged :+= p
                 def entrySeq(e: GenericRecord): Long =
                   Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
                     .getOrElse(r0.get("sequence_number").asInstanceOf[Long])
                 def recCount(e: GenericRecord): Long =
                   e.get("data_file").asInstanceOf[GenericRecord]
                     .get("record_count").asInstanceOf[Long]
-                val c = new GenericData.Record(manifestListSchema)
-                c.put("manifest_path", p.toString)
-                c.put("manifest_length", len)
-                c.put("partition_spec_id",
-                  hdr0.getOrElse("partition-spec-id", "0").toInt)
-                c.put("content",
-                  if (hdr0.getOrElse("content", "data") == "deletes") 1 else 0)
-                c.put("sequence_number", seqNum)
-                c.put("min_sequence_number", merged.map(entrySeq).min)
-                c.put("added_snapshot_id", snapshotId)
-                c.put("added_files_count", 0)
-                c.put("existing_files_count", merged.size)
-                c.put("deleted_files_count", 0)
-                c.put("added_rows_count", 0L)
-                c.put("existing_rows_count", merged.map(recCount).sum)
-                c.put("deleted_rows_count", 0L)
-                Seq(c)
+                merged.grouped(targetEntries).toSeq.map { chunk =>
+                  val p = new HPath(metadataDir(table),
+                    s"rwm-$uuid-${staged.size}.avro")
+                  val len = writeAvro(f, p, schema, hdr0, chunk)
+                  staged :+= p
+                  val c = new GenericData.Record(manifestListSchema)
+                  c.put("manifest_path", p.toString)
+                  c.put("manifest_length", len)
+                  c.put("partition_spec_id",
+                    hdr0.getOrElse("partition-spec-id", "0").toInt)
+                  c.put("content",
+                    if (hdr0.getOrElse("content", "data") == "deletes") 1 else 0)
+                  c.put("sequence_number", seqNum)
+                  c.put("min_sequence_number", chunk.map(entrySeq).min)
+                  c.put("added_snapshot_id", snapshotId)
+                  c.put("added_files_count", 0)
+                  c.put("existing_files_count", chunk.size)
+                  c.put("deleted_files_count", 0)
+                  c.put("added_rows_count", 0L)
+                  c.put("existing_rows_count", chunk.map(recCount).sum)
+                  c.put("deleted_rows_count", 0L)
+                  c
+                }
               }
             }
           val listPath = new HPath(metadataDir(table), s"snap-$snapshotId-$uuid.avro")

@@ -355,6 +355,19 @@ class IcebergSpec extends AnyFunSuite {
     assert(after2.count() == rowsBefore.length + 1 &&
       after2.where(col("id") === 2L).collect().head.getInt(1) == 99,
       "data files referenced only through the merged manifest must survive expiry")
+
+    // TARGET SIZE: a group larger than targetEntries splits into
+    // ceil(n/target) manifests — never one unsplittable blob at scale
+    val t2 = tmpTable()
+    (1 to 5).foreach(i =>
+      IcebergSink.append(spark, t2, Seq((i.toLong, i)).toDF("id", "v")))
+    IcebergSink.rewriteManifests(spark, t2, targetEntries = 2)
+    val m2 = IcebergSink.load(spark, t2).get
+    val list2 = IcebergSink.readAvro(spark, m2.snapshots.last.manifestList)._2
+    assert(list2.length == 3, s"5 entries at target 2 -> 3 manifests: ${list2.length}")
+    assert(IcebergSink.read(spark, t2).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      (1 to 5).map(i => (i.toLong, i)))
   }
 
   test("compaction commits a replace snapshot; history stays time-travelable") {
