@@ -1033,25 +1033,48 @@ object IcebergSink {
                   c.put(fld.name(), r.get(fld.name())))
                 Seq(c)
               } else {
-                val (r0, hdr0, _) = withEntries.head
+                val hdr0 = withEntries.head._2
                 val schema = withEntries.head._3.head.getSchema
-                val merged = withEntries.flatMap(_._3).map { e =>
-                  val c = new GenericData.Record(schema)
-                  schema.getFields.asScala.foreach(fld =>
-                    c.put(fld.name(), e.get(fld.name())))
-                  c.put("status", 0) // EXISTING: original seq + snap kept
-                  c
+                // spec (§Manifests, metadata inheritance): a rewritten
+                // manifest must MATERIALIZE inherited metadata. An entry
+                // with a null sequence_number/snapshot_id inherits from
+                // whatever manifest-list record points at its manifest —
+                // copied verbatim into the MERGED manifest it would
+                // re-inherit THIS maintenance snapshot's higher seq, data
+                // files would jump above older equality deletes, and
+                // deleted rows would resurrect. This engine's own writer
+                // always stamps entries explicitly, but the reader (and
+                // therefore this op) supports foreign inherited-seq
+                // tables, so each null field is filled from the entry's
+                // OWN source manifest's list record before the copy
+                // leaves its inheritance scope. The effective seq rides
+                // along for the chunk's min_sequence_number.
+                val merged = withEntries.flatMap { case (src, _, es) =>
+                  val srcSeq = src.get("sequence_number").asInstanceOf[Long]
+                  val srcSnap = src.get("added_snapshot_id").asInstanceOf[Long]
+                  es.map { e =>
+                    val c = new GenericData.Record(schema)
+                    schema.getFields.asScala.foreach(fld =>
+                      c.put(fld.name(), e.get(fld.name())))
+                    c.put("status", 0) // EXISTING: original seq + snap kept
+                    def fill(name: String, v: Any): Unit =
+                      if (schema.getField(name) != null && c.get(name) == null)
+                        c.put(name, v)
+                    fill("sequence_number", srcSeq)
+                    fill("file_sequence_number", srcSeq)
+                    fill("snapshot_id", srcSnap)
+                    val eff = Option(c.get("sequence_number"))
+                      .map(_.asInstanceOf[Long]).getOrElse(srcSeq)
+                    (c, eff)
+                  }
                 }
-                def entrySeq(e: GenericRecord): Long =
-                  Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-                    .getOrElse(r0.get("sequence_number").asInstanceOf[Long])
                 def recCount(e: GenericRecord): Long =
                   e.get("data_file").asInstanceOf[GenericRecord]
                     .get("record_count").asInstanceOf[Long]
                 merged.grouped(targetEntries).toSeq.map { chunk =>
                   val p = new HPath(metadataDir(table),
                     s"rwm-$uuid-${staged.size}.avro")
-                  val len = writeAvro(f, p, schema, hdr0, chunk)
+                  val len = writeAvro(f, p, schema, hdr0, chunk.map(_._1))
                   staged :+= p
                   val c = new GenericData.Record(manifestListSchema)
                   c.put("manifest_path", p.toString)
@@ -1061,13 +1084,13 @@ object IcebergSink {
                   c.put("content",
                     if (hdr0.getOrElse("content", "data") == "deletes") 1 else 0)
                   c.put("sequence_number", seqNum)
-                  c.put("min_sequence_number", chunk.map(entrySeq).min)
+                  c.put("min_sequence_number", chunk.map(_._2).min)
                   c.put("added_snapshot_id", snapshotId)
                   c.put("added_files_count", 0)
                   c.put("existing_files_count", chunk.size)
                   c.put("deleted_files_count", 0)
                   c.put("added_rows_count", 0L)
-                  c.put("existing_rows_count", chunk.map(recCount).sum)
+                  c.put("existing_rows_count", chunk.map(p => recCount(p._1)).sum)
                   c.put("deleted_rows_count", 0L)
                   c
                 }
@@ -1086,6 +1109,146 @@ object IcebergSink {
             snap.schemaId, "replace",
             Map("graft.rewritten-manifests" -> lms.size.toString,
               "graft.result-manifests" -> outEntries.size.toString))
+          Some(m.copy(lastSequenceNumber = seqNum,
+            snapshots = m.snapshots :+ newSnap,
+            currentSnapshotId = Some(snapshotId)))
+        }
+      }
+    }
+  }
+
+  /** DANGLING-DELETE maintenance (the Iceberg docs' remove-dangling-
+    * deletes pass of `rewrite_data_files`/maintenance): drop delete FILES
+    * whose sequence numbers can no longer scope over ANY live data file.
+    * After [[compact]] every data file carries a fresh high sequence
+    * number, so every older equality-delete file applies to nothing —
+    * yet each still costs a parquet read and a slot in the broadcast
+    * delete relation on EVERY scan. A streaming upsert lane commits one
+    * equality-delete file per micro-batch forever; physical cross-seq
+    * delete consolidation is UNSOUND (the seq-scoping law: any merged
+    * seq either kills newest rows or resurrects old ones), but dropping
+    * provably-inapplicable files is pure metadata: this op commits a
+    * replace snapshot whose list simply omits them. Prior snapshots keep
+    * their own manifest lists, so a pre-maintenance time-travel read
+    * still applies every delete.
+    *
+    * Scope rules (spec): an equality delete at seq s applies to data
+    * seq STRICTLY BELOW s → dangling iff s <= min live data seq; a
+    * position delete at seq s applies to data seq <= s → dangling iff
+    * s < min live data seq. An empty table dangles everything. Delete
+    * manifests mixing live and dangling files rewrite with the kept
+    * entries carried EXISTING (inherited metadata materialized, as in
+    * [[rewriteManifests]]); all-dangling manifests drop outright; data
+    * manifests carry verbatim. No-op when nothing dangles. */
+  def removeDanglingDeletes(spark: SparkSession, table: String,
+      maxRetries: Int = 5): Unit = {
+    val f = fs(new HPath(table))
+    var staged: Seq[HPath] = Nil
+    commitMetadataOnly(spark, table, maxRetries) { m =>
+      staged.foreach(p => f.delete(p, false)) // lost-race leftovers
+      staged = Nil
+      val snapOpt = m.currentSnapshotId
+        .flatMap(id => m.snapshots.find(_.snapshotId == id))
+      snapOpt.flatMap { snap =>
+        val lms = readAvro(spark, snap.manifestList)._2
+        val members = lms.map { r =>
+          val listSeq = r.get("sequence_number").asInstanceOf[Long]
+          val listSnap = r.get("added_snapshot_id").asInstanceOf[Long]
+          val (hdr, entries) = readAvro(spark, r.get("manifest_path").toString)
+          val live = entries.filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val eff = Option(e.get("sequence_number"))
+                .map(_.asInstanceOf[Long]).getOrElse(listSeq)
+              val content = optField(
+                e.get("data_file").asInstanceOf[GenericRecord], "content") match {
+                case i: Integer => i.intValue(); case _ => 0
+              }
+              (e, eff, content)
+            }
+          (r, hdr, live, listSeq, listSnap)
+        }
+        val dataSeqs = members.flatMap(_._3.collect {
+          case (_, eff, 0) => eff
+        })
+        val minDataSeq = if (dataSeqs.isEmpty) Long.MaxValue else dataSeqs.min
+        def dangling(eff: Long, content: Int): Boolean = content match {
+          case 2 => eff <= minDataSeq // equality: scopes strictly below
+          case 1 => eff < minDataSeq // position: scopes at-or-below
+          case _ => false
+        }
+        val nDangling = members.map(_._3.count {
+          case (_, eff, c) => dangling(eff, c)
+        }).sum
+        if (nDangling == 0) None
+        else {
+          val snapshotId = snapshotSeq.incrementAndGet()
+          val seqNum = m.lastSequenceNumber + 1
+          val uuid = UUID.randomUUID().toString
+          val outEntries = members.flatMap {
+            case (r, hdr, live, listSeq, listSnap) =>
+              val kept = live.filterNot { case (_, eff, c) => dangling(eff, c) }
+              if (kept.size == live.size) {
+                // untouched manifest (all data manifests land here):
+                // carry the original list record verbatim
+                val c = new GenericData.Record(manifestListSchema)
+                manifestListSchema.getFields.asScala.foreach(fld =>
+                  c.put(fld.name(), r.get(fld.name())))
+                Seq(c)
+              } else if (kept.isEmpty) Nil // fully dangling: drop
+              else {
+                val schema = kept.head._1.getSchema
+                val rewrittenEntries = kept.map { case (e, eff, _) =>
+                  val c = new GenericData.Record(schema)
+                  schema.getFields.asScala.foreach(fld =>
+                    c.put(fld.name(), e.get(fld.name())))
+                  c.put("status", 0) // EXISTING
+                  def fill(name: String, v: Any): Unit =
+                    if (schema.getField(name) != null && c.get(name) == null)
+                      c.put(name, v)
+                  // materialize inheritance before leaving its scope
+                  fill("sequence_number", eff)
+                  fill("file_sequence_number", listSeq)
+                  fill("snapshot_id", listSnap)
+                  c
+                }
+                val p = new HPath(metadataDir(table),
+                  s"rdd-$uuid-${staged.size}.avro")
+                val len = writeAvro(f, p, schema, hdr, rewrittenEntries)
+                staged :+= p
+                val c = new GenericData.Record(manifestListSchema)
+                c.put("manifest_path", p.toString)
+                c.put("manifest_length", len)
+                c.put("partition_spec_id",
+                  hdr.getOrElse("partition-spec-id", "0").toInt)
+                c.put("content", 1) // only delete manifests rewrite here
+                c.put("sequence_number", seqNum)
+                c.put("min_sequence_number", kept.map(_._2).min)
+                c.put("added_snapshot_id", snapshotId)
+                c.put("added_files_count", 0)
+                c.put("existing_files_count", kept.size)
+                c.put("deleted_files_count", 0)
+                c.put("added_rows_count", 0L)
+                c.put("existing_rows_count", kept.map { case (e, _, _) =>
+                  e.get("data_file").asInstanceOf[GenericRecord]
+                    .get("record_count").asInstanceOf[Long]
+                }.sum)
+                c.put("deleted_rows_count", 0L)
+                Seq(c)
+              }
+          }
+          val listPath = new HPath(metadataDir(table),
+            s"snap-$snapshotId-$uuid.avro")
+          writeAvro(f, listPath, manifestListSchema,
+            Map("snapshot-id" -> snapshotId.toString,
+              "parent-snapshot-id" -> snap.snapshotId.toString,
+              "sequence-number" -> seqNum.toString,
+              "format-version" -> "2"),
+            outEntries)
+          staged :+= listPath
+          val newSnap = Snapshot(snapshotId, Some(snap.snapshotId), seqNum,
+            System.currentTimeMillis(), listPath.toString, 0L, 0L,
+            snap.schemaId, "replace",
+            Map("graft.removed-dangling-deletes" -> nDangling.toString))
           Some(m.copy(lastSequenceNumber = seqNum,
             snapshots = m.snapshots :+ newSnap,
             currentSnapshotId = Some(snapshotId)))
@@ -2284,6 +2447,24 @@ object IcebergSink {
         * evolution: files keep their spec for life). */
       specId: Int = 0)
 
+  /** Canonical shape for file-path equality between Spark's
+    * `_metadata.file_path` (always a URI, e.g. `file:///x`) and manifest
+    * `file_path` fields (this writer emits bare paths; a foreign writer
+    * may emit `file:/x` or `file:///x` for the same file): strip any
+    * scheme and collapse the authority slashes to one leading `/`. BOTH
+    * sides of every path join go through this one helper — and the read
+    * path's (file → seq) lookup additionally left-joins and RAISES on a
+    * miss — so a path-shape divergence surfaces as an error, never as
+    * silently vanished rows. */
+  private[etl] def normPathStr(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/*", "/")
+
+  /** [[normPathStr]] as a codegen'd column expression. */
+  private def normPathCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/*", "/")
+
   private def boundsMap(v: AnyRef): Map[Int, Array[Byte]] = v match {
     case l: java.util.List[_] =>
       l.asScala.map { kv =>
@@ -2559,12 +2740,24 @@ object IcebergSink {
                 // commit count and the join is a map-side probe of a
                 // files-count-sized relation
                 val fileKey = "__graft_seq_file"
-                val seqLookup = dataFiles.map(f => (f.path, f.seq))
-                  .toDF(fileKey, seqCol)
+                val seqLookup = dataFiles.map(f => (normPathStr(f.path), f.seq))
+                  .distinct.toDF(fileKey, seqCol)
                 val data0 = readPlannedData(spark, schema, spec, dataFiles,
                   withCoords = true, fileCol, posCol)
+                // LEFT join + raise on a missed lookup: both sides
+                // normalize through normPathStr/normPathCol, and any
+                // residual divergence (URL-encoded foreign manifests, say)
+                // fails the read LOUDLY — an inner join here would make
+                // the mismatched rows vanish from every result instead
+                import org.apache.spark.sql.functions.{coalesce, concat, raise_error}
                 val data = data0.join(broadcast(seqLookup),
-                  data0(fileCol) === seqLookup(fileKey)).drop(fileKey)
+                    normPathCol(data0(fileCol)) === seqLookup(fileKey), "left")
+                  .withColumn(seqCol, coalesce(col(seqCol),
+                    raise_error(concat(
+                      lit("data file missing from the manifest seq lookup "
+                        + "(path-shape divergence?): "),
+                      col(fileCol))).cast("long")))
+                  .drop(fileKey)
                 // EQUALITY deletes: key applies to STRICTLY SMALLER data
                 // seq. All delete files sharing an equality-id set fold
                 // into ONE union frame — each file group stamped with its
@@ -2614,7 +2807,9 @@ object IcebergSink {
                       }.reduce(_ union _)
                         .select(col("file_path").as("__del_file"),
                           col("pos").as("__del_pos"), col(delSeqCol)))
-                    val cond = afterEq(fileCol) === del("__del_file") &&
+                    val cond =
+                      normPathCol(afterEq(fileCol)) ===
+                        normPathCol(del("__del_file")) &&
                       afterEq(posCol) === del("__del_pos") &&
                       (del(delSeqCol) >= afterEq(seqCol))
                     afterEq.join(del, cond, "left_anti")

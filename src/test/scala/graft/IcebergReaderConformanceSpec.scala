@@ -109,16 +109,12 @@ class IcebergReaderConformanceSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
-  test("foreign manifest: null entry sequence numbers inherit from the list") {
-    import spark.implicits._
-    val table = tmpTable()
-    IcebergSink.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
-    IcebergSink.deleteWhere(spark, table, col("id") === 1L, Seq("id"))
-    IcebergSink.append(spark, table, Seq((1L, "c")).toDF("id", "s")) // survives: seq 3 > delete seq 2
-
-    // a foreign writer leaves ADDED entries' sequence numbers null (spec:
-    // they inherit the manifest list's sequence_number at read time) —
-    // rewrite EVERY manifest that way and point a new version at it
+  /** Re-shape the table's CURRENT snapshot the way a foreign
+    * inherited-metadata writer would: every manifest entry's
+    * `sequence_number`/`file_sequence_number` nulled (spec: Sequence
+    * Number Inheritance — they inherit the manifest list's at read
+    * time), each rewritten as a NEW manifest + list + metadata version. */
+  private def nullifyEntrySeqs(table: String, tag: String): Unit = {
     val v = latestVersion(table)
     val n = metaJson(table, v)
     val listPath = n.withArray("snapshots").asScala
@@ -135,20 +131,33 @@ class IcebergReaderConformanceSpec extends AnyFunSuite {
         c.put("file_sequence_number", null)
         c
       }
-      val np = mPath.stripSuffix(".avro") + s"-foreign$i.avro"
+      val np = mPath.stripSuffix(".avro") + s"-$tag$i.avro"
       val len = writeAvroRaw(np, mSchema, mMeta, nulled)
       val cl = copyRecord(listSchema, lr)
       cl.put("manifest_path", np)
       cl.put("manifest_length", len)
       cl
     }
-    val newList = listPath.stripSuffix(".avro") + "-foreign.avro"
+    val newList = listPath.stripSuffix(".avro") + s"-$tag.avro"
     writeAvroRaw(newList, listSchema, listMeta, newListRecs)
     n.withArray("snapshots").asScala
       .find(_.path("snapshot-id").asLong() ==
         n.path("current-snapshot-id").asLong()).get
       .asInstanceOf[ObjectNode].put("manifest-list", newList)
     writeVersion(table, v + 1, n)
+  }
+
+  test("foreign manifest: null entry sequence numbers inherit from the list") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    IcebergSink.deleteWhere(spark, table, col("id") === 1L, Seq("id"))
+    IcebergSink.append(spark, table, Seq((1L, "c")).toDF("id", "s")) // survives: seq 3 > delete seq 2
+
+    // a foreign writer leaves ADDED entries' sequence numbers null (spec:
+    // they inherit the manifest list's sequence_number at read time) —
+    // rewrite EVERY manifest that way and point a new version at it
+    nullifyEntrySeqs(table, "foreign")
 
     // inheritance must reconstruct the SAME scoping: id=1 deleted from the
     // first append (list seq 1 < delete seq 2), re-append survives (3 > 2)
@@ -208,5 +217,102 @@ class IcebergReaderConformanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == Seq((1L, "a")),
       s"EXISTING must read, DELETED must be skipped: $rows")
+  }
+
+  test("rewrite_manifests on a foreign inherited-seq table materializes entry seqs") {
+    import spark.implicits._
+    val table = tmpTable()
+    // two DATA manifests (same header group -> they merge) plus an
+    // equality delete between them, then the foreign inherited-seq shape
+    IcebergSink.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // seq 1
+    IcebergSink.deleteWhere(spark, table, col("id") === 1L, Seq("id")) // seq 2
+    IcebergSink.append(spark, table, Seq((1L, "c")).toDF("id", "s")) // seq 3
+    nullifyEntrySeqs(table, "inh")
+    val expect = Seq((1L, "c"), (2L, "b"))
+    assert(IcebergSink.read(spark, table).orderBy("id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == expect)
+
+    // the rewrite must MATERIALIZE each entry's inherited seq from its
+    // OWN source manifest before the copy leaves that inheritance scope —
+    // left null, the merged data manifest's NEW list seq (4) would
+    // re-inherit onto both data files, lift them above the delete (seq
+    // 2), and resurrect (1, "a")
+    IcebergSink.rewriteManifests(spark, table)
+    val rows = IcebergSink.read(spark, table).orderBy("id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == expect,
+      s"inherited seqs must materialize through the rewrite: $rows")
+    // and the merged manifest's entries all carry explicit numbers
+    val m = IcebergSink.load(spark, table).get
+    val lms = IcebergSink.readAvro(spark, m.snapshots.last.manifestList)._2
+    val mergedEntries = lms
+      .filter(_.get("added_snapshot_id").asInstanceOf[Long] ==
+        m.currentSnapshotId.get)
+      .flatMap(lr => readAvroRaw(lr.get("manifest_path").toString)._3)
+    assert(mergedEntries.nonEmpty, "the two data manifests must have merged")
+    assert(mergedEntries.forall(_.get("sequence_number") != null),
+      "rewritten entries must carry explicit sequence numbers")
+    assert(mergedEntries.forall(_.get("snapshot_id") != null),
+      "rewritten entries must carry explicit snapshot ids")
+    assert(mergedEntries.map(_.get("sequence_number").asInstanceOf[Long])
+      .toSet == Set(1L, 3L),
+      "materialized seqs must be each entry's OWN source list seq")
+  }
+
+  test("foreign manifest: scheme-divergent data file paths still count every row") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // an equality delete forces the read through the (file -> seq) lookup
+    // join — the path where a shape mismatch would silently drop rows
+    IcebergSink.deleteWhere(spark, table, col("id") === 1L, Seq("id"))
+    IcebergSink.append(spark, table, Seq((1L, "c")).toDF("id", "s"))
+    val expect = Seq((1L, "c"), (2L, "b"))
+
+    // rewrite every manifest entry's file_path to a DIFFERENT spec-legal
+    // shape of the same file: bare paths gain a scheme, URIs lose it —
+    // exactly the divergence a foreign writer produces against Spark's
+    // `_metadata.file_path` URI form
+    val v = latestVersion(table)
+    val n = metaJson(table, v)
+    val listPath = n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() ==
+        n.path("current-snapshot-id").asLong()).get
+      .path("manifest-list").asText()
+    val (listMeta, listSchema, listRecs) = readAvroRaw(listPath)
+    val newListRecs = listRecs.zipWithIndex.map { case (lr, i) =>
+      val mPath = lr.get("manifest_path").toString
+      val (mMeta, mSchema, mRecs) = readAvroRaw(mPath)
+      val reshaped = mRecs.map { e =>
+        val c = copyRecord(mSchema, e)
+        val d = c.get("data_file").asInstanceOf[GenericRecord]
+        val p = d.get("file_path").toString
+        d.put("file_path",
+          if (p.startsWith("file:"))
+            p.replaceFirst("^file:/*", "/") // URI -> bare
+          else "file://" + p) // bare -> URI
+        c
+      }
+      val np = mPath.stripSuffix(".avro") + s"-shape$i.avro"
+      val len = writeAvroRaw(np, mSchema, mMeta, reshaped)
+      val cl = copyRecord(listSchema, lr)
+      cl.put("manifest_path", np)
+      cl.put("manifest_length", len)
+      cl
+    }
+    val newList = listPath.stripSuffix(".avro") + "-shape.avro"
+    writeAvroRaw(newList, listSchema, listMeta, newListRecs)
+    n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() ==
+        n.path("current-snapshot-id").asLong()).get
+      .asInstanceOf[ObjectNode].put("manifest-list", newList)
+    writeVersion(table, v + 1, n)
+
+    // every row must still be found and counted — the seq lookup
+    // normalizes both sides and would RAISE (not drop) on a real miss
+    val rows = IcebergSink.read(spark, table).orderBy("id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == expect,
+      s"path-shape divergence must not lose rows: $rows")
   }
 }

@@ -370,6 +370,75 @@ class IcebergSpec extends AnyFunSuite {
       (1 to 5).map(i => (i.toLong, i)))
   }
 
+  test("remove_dangling_deletes: drops inapplicable delete files, keeps live ones") {
+    import spark.implicits._
+    val table = tmpTable()
+    // partitioned corpus, a takedown delete, a partition-wise backfill
+    // (the 100 TB compaction shape — per-partition overwrite, never a
+    // whole-table rewrite), then a SECOND delete that still applies
+    IcebergSink.append(spark, table,
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "b", 40))
+        .toDF("id", "pt", "v"), partitionBy = Seq("pt")) // data seq 1
+    IcebergSink.deleteKeys(spark, table, Seq(1L).toDF("id")) // delete d1 @ seq 2
+
+    // nothing dangles yet (live data at seq 1 < d1's seq 2): no-op commit
+    val v0 = IcebergSink.load(spark, table).get.version
+    IcebergSink.removeDanglingDeletes(spark, table)
+    assert(IcebergSink.load(spark, table).get.version == v0,
+      "maintenance with nothing dangling must not commit")
+
+    // backfill EVERY partition from the current view: all data now @ seq 3
+    IcebergSink.overwritePartitions(spark, table, IcebergSink.read(spark, table))
+    IcebergSink.deleteKeys(spark, table, Seq(3L).toDF("id")) // d2 @ seq 4: LIVE
+    // merge the two delete manifests into ONE so maintenance must take
+    // the PARTIAL-rewrite path (drop d1, keep d2 with its original seq)
+    IcebergSink.rewriteManifests(spark, table)
+    val preMaint = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    def delFiles = IcebergSink.metadataTable(spark, table, "files")
+      .where(col("content") =!= 0).count()
+    assert(delFiles == 2)
+    val expect = Seq((2L, "a", 20), (4L, "b", 40))
+
+    IcebergSink.removeDanglingDeletes(spark, table)
+    val m = IcebergSink.load(spark, table).get
+    assert(m.snapshots.last.operation == "replace")
+    assert(delFiles == 1,
+      "d1 (seq 2 <= min data seq 3) must drop; d2 (seq 4) must survive")
+    val out = IcebergSink.read(spark, table)
+    assert(out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq == expect)
+    // the surviving delete still subtracts through ONE anti-join — and
+    // its ORIGINAL seq must have been materialized through the rewrite
+    // (a re-inherited seq would stop it from scoping over the backfill)
+    assert("LeftAnti".r.findAllIn(
+      out.queryExecution.executedPlan.toString).length == 1)
+
+    // a second pass with nothing left dangling is a no-op
+    val v1 = IcebergSink.load(spark, table).get.version
+    IcebergSink.removeDanglingDeletes(spark, table)
+    assert(IcebergSink.load(spark, table).get.version == v1)
+
+    // time travel to the pre-maintenance snapshot still applies BOTH
+    // delete files (prior snapshots keep their own manifest lists)
+    val tt = IcebergSink.read(spark, table, Some(preMaint))
+    assert(tt.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq == expect)
+    assert("LeftAnti".r.findAllIn(
+      tt.queryExecution.executedPlan.toString).length == 1,
+      "pre-maintenance read folds its delete files into one anti-join")
+
+    // once EVERYTHING is backfilled past d2, maintenance empties the
+    // delete set entirely and the anti-join disappears from the plan
+    IcebergSink.overwritePartitions(spark, table, IcebergSink.read(spark, table))
+    IcebergSink.removeDanglingDeletes(spark, table)
+    assert(delFiles == 0)
+    val clean = IcebergSink.read(spark, table)
+    assert(!clean.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "no delete files -> no anti-join in the plan")
+    assert(clean.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq == expect)
+  }
+
   test("compaction commits a replace snapshot; history stays time-travelable") {
     import spark.implicits._
     val table = tmpTable()
