@@ -556,6 +556,64 @@ object EtlPack extends QueryPack {
           |GROUP BY 1 ORDER BY partition""".stripMargin)),
       seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
 
+    // DANGLING-DELETE MAINTENANCE (Iceberg's remove-dangling-deletes
+    // pass): a takedown lands as an equality-delete file; a later
+    // partition-wise backfill (the realistic 100 TB compaction shape —
+    // per-partition overwrite, never a whole-table rewrite) lifts every
+    // live data file ABOVE the delete's sequence number, so the delete
+    // scopes over nothing — yet it still costs a parquet read and a slot
+    // in the broadcast delete union on EVERY scan, forever. The
+    // metadata-only maintenance drops it in a replace commit: the
+    // in-query requires pin the delete-file count falling to zero and
+    // the read planning ZERO delete anti-joins, while the result hashes
+    // unchanged against the same relational oracle as e12 (maintenance
+    // is invisible to query results, like e43/e44).
+    QueryDef(
+      "e45_dangling_delete_maintenance",
+      (s, dir) => {
+        val table = tmp(dir, "iceberg_rdd_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        IcebergSink.append(s, table, ev, partitionBy = Seq("event_type")) // seq 1
+        IcebergSink.deleteWhere(s, table,
+          col("event_type") === "click", Seq("partition", "offset")) // seq 2
+        IcebergSink.append(s, table,
+          ev.where(col("event_type") === "click" && col("offset") % 7 === 0)) // seq 3
+        // backfill every partition tuple from the current view: all live
+        // data files move to seq 4, so the delete at seq 2 dangles
+        IcebergSink.overwritePartitions(s, table, IcebergSink.read(s, table))
+        def delFiles = IcebergSink.metadataTable(s, table, "files")
+          .where(col("content") =!= 0).count()
+        require(delFiles == 1,
+          s"backfill must leave the (now-dangling) delete file: $delFiles")
+        IcebergSink.removeDanglingDeletes(s, table)
+        require(delFiles == 0,
+          "maintenance must drop the dangling delete file")
+        val out = IcebergSink.read(s, table)
+        require(!out.queryExecution.executedPlan.toString.contains("LeftAnti"),
+          "zero delete files -> zero delete anti-joins in the read plan")
+        out.groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """SELECT partition, count(*) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k, max(off) AS max_off
+          |FROM (
+          |  SELECT _partition AS partition, _offset AS off,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k
+          |  FROM events_topic WHERE event_type <> 'click'
+          |  UNION ALL
+          |  SELECT _partition, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT)
+          |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
+          |) GROUP BY partition ORDER BY partition""".stripMargin))),
+
     // Iceberg v2 ROW-LEVEL DELETES (equality-delete files, merge-on-read):
     // the opt-out/takedown shape of a 100 TB corpus — delete every 'click'
     // record by key WITHOUT rewriting any data file (the delete commit
