@@ -43,6 +43,24 @@ object Bench {
     (m >= 0 && m > normSec * factor) || tailNoisy
   }
 
+  /** Per-QUERY noise stamps: a query whose OWN probe median exceeds
+    * `factor` x the quiet norm ran inside a localized load burst even when
+    * the run-level gates pass (a committed quiet-median run carried s15 at
+    * 5.67s vs 2.58s on a quiet re-run, its probes at 0.48/0.55/1.45
+    * against a 0.41 run median). Such numbers are load artifacts: the
+    * flagged queries stay in the artifact — the run is still valid — but
+    * cross-round comparisons must skip them instead of reading them as
+    * regressions. The median (not max) stamps, so one slow probe out of
+    * `reps` — a cache-cold first rep, say — does not flag a query. */
+  def noisyQueries(perQuery: Seq[(String, Seq[Double])],
+      normSec: Double = 0.3, factor: Double = 1.5): Seq[String] =
+    perQuery.collect {
+      case (name, probes)
+          if probeMedian(probes) >= 0 &&
+            probeMedian(probes) > normSec * factor =>
+        name
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -205,8 +223,17 @@ object Bench {
       println(s"BENCH NOISY: median probe ${f3(probeMed)}s exceeds 1.5x the " +
         s"${f3(probeNorm)}s quiet norm — query times reflect machine load, " +
         "re-run on a quiet machine before comparing across rounds")
+    // per-query stamps: even in a run-level-quiet run, a localized burst
+    // can sit under single queries — their numbers carry the flag so the
+    // cross-round reader excludes (or re-runs) exactly those
+    val qNoisy = noisyQueries(
+      detail.map { case (k, ts, _) => k -> ts.map(_._3) }, probeNorm)
+    val qNoisyJson = qNoisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (qNoisy.nonEmpty)
+      println(s"BENCH NOISY QUERIES (own probe median > 1.5x norm — exclude " +
+        s"from cross-round comparison): ${qNoisy.mkString(",")}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"probe_median":${f3(probeMed)},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"noisy_queries":$qNoisyJson,"probe_median":${f3(probeMed)},"queries":$fullQs,"sf":"$sfDir"}"""
     // BENCH_FULL.json additionally carries every repetition's time so a
     // suspicious min can be checked against its spread without a re-run
     val repQs = combined.map { case (k, ts) =>
@@ -241,7 +268,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fullFile =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","warmup":$warmup,"failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"probe_median":${f3(probeMed)},"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"probe_s":$probeQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","warmup":$warmup,"failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"noisy_queries":$qNoisyJson,"probe_median":${f3(probeMed)},"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"probe_s":$probeQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -259,7 +286,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.size},"noisy":$noisy,"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.size},"noisy":$noisy,"noisy_q":${qNoisy.size},"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
     spark.stop()
   }
 }

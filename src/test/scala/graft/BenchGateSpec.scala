@@ -35,6 +35,23 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.isNoisy(Nil))
   }
 
+  test("a single bursty query stamps that query, not the run") {
+    // one query's probes ran inside a burst; 20 others are quiet — the
+    // run-level gates must stay green while the stamp names the query
+    val perQuery = (1 to 20).map(i => s"q$i" -> Seq(0.30, 0.29, 0.31)) :+
+      ("qburst" -> Seq(1.3, 2.4, 1.8))
+    assert(Bench.noisyQueries(perQuery, normSec = 0.3) == Seq("qburst"))
+    assert(!Bench.isNoisy(perQuery.flatMap(_._2), normSec = 0.3),
+      "3 bursty probes of 63 must trip neither the median nor the tail")
+    // the stamp keys on the query's own MEDIAN: one slow probe out of
+    // three (a cache-cold rep) does not flag it
+    assert(Bench.noisyQueries(Seq("q" -> Seq(0.30, 2.0, 0.31))).isEmpty)
+    // failure sentinels don't suppress a genuine stamp
+    assert(Bench.noisyQueries(Seq("q" -> Seq(-1.0, 0.9, 0.8))) == Seq("q"))
+    // no probes -> no stamp
+    assert(Bench.noisyQueries(Seq("q" -> Nil)).isEmpty)
+  }
+
   test("a localized load burst trips the tail gate even with a quiet median") {
     // an external spike covering a third of the run: the affected
     // queries' numbers are garbage while the run-wide median stays quiet
