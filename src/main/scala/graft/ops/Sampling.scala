@@ -154,6 +154,15 @@ object Sampling {
     * keeps the class whole. Membership is a pure function of
     * (id, class, budgets) — no RNG — so the mix replays anywhere.
     *
+    * The admission law, uniformly: keep a row iff its EXCLUSIVE running
+    * token prefix (hash order within the class) is strictly below the
+    * budget. A budget of ZERO therefore admits NOTHING — no prefix sits
+    * below zero; a zero-funded class is explicitly excluded while
+    * listed, distinct from an unfunded class only in intent. (The other
+    * reading — "the straddler law admits the first doc" — is wrong: a
+    * zero budget is already met by zero documents, so no document ever
+    * CROSSES it.) SamplingSpec and the t49 oracle pin this.
+    *
     * 100 TB shape: NO per-class global sort. The hash's HIGH 12 BITS
     * stratify each class into ≤4096 ordered buckets; one aggregate
     * computes per-bucket token sums, a window over the TINY
@@ -182,16 +191,19 @@ object Sampling {
       .withColumn("_cum", sum(col("_bt")).over(wcum))
       .withColumn("_prev", coalesce(lag(col("_cum"), 1).over(wcum), lit(0L)))
       .join(budgetDf, Seq(classCol))
-    // cum <= budget: every row's exclusive prefix is under budget — whole
-    // bucket admitted with no row-level work
+    // cum < budget: every row's exclusive prefix is under budget — whole
+    // bucket admitted with no row-level work. STRICT on purpose: a bucket
+    // landing EXACTLY on the budget routes through the row path below so
+    // a trailing zero-token row (exclusive prefix == budget) drops there,
+    // keeping the one uniform law — and a zero budget admits nothing
     val whole = base.join(
-      broadcast(cuts.where(col("_cum") <= col("_budget"))
+      broadcast(cuts.where(col("_cum") < col("_budget"))
         .select(col(classCol), col("_b"))),
       Seq(classCol, "_b"), "left_semi")
-    // prev < budget < cum: THE cutoff bucket (one per class) — resolve
+    // prev < budget <= cum: THE cutoff bucket (one per class) — resolve
     // its rows exactly by hash order; exclusive prefix = prev + running − t
     val cutoff = cuts
-      .where(col("_prev") < col("_budget") && col("_cum") > col("_budget"))
+      .where(col("_prev") < col("_budget") && col("_cum") >= col("_budget"))
       .select(col(classCol), col("_b"), col("_prev"), col("_budget"))
     val wrun = org.apache.spark.sql.expressions.Window
       .partitionBy(col(classCol)).orderBy(col("_h"), col(idCol))

@@ -1654,7 +1654,10 @@ object OpsPack extends QueryPack {
         Sampling.tokenBudgetSample(docs, "doc_id", "source",
             graft.ops.TextAnalysis.tokenCount(col("text")),
             Map("src0" -> 600L, "src1" -> 900L, "src7" -> 1200L,
-              "src19" -> 999999L))
+              "src19" -> 999999L,
+              // zero-funded: listed but admits nothing (the exclusive-
+              // prefix law — the oracle's WHERE excl < 0 agrees)
+              "src2" -> 0L))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"),
             sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
@@ -1669,7 +1672,8 @@ object OpsPack extends QueryPack {
            |         ${duckHash48("CAST(doc_id AS VARCHAR)")} AS h
            |  FROM documents),
            |b(source, budget) AS (VALUES ('src0', 600), ('src1', 900),
-           |                             ('src7', 1200), ('src19', 999999)),
+           |                             ('src7', 1200), ('src19', 999999),
+           |                             ('src2', 0)),
            |r AS (
            |  SELECT t.*, b.budget,
            |         COALESCE(SUM(toks) OVER (PARTITION BY t.source

@@ -154,6 +154,16 @@ class SamplingSpec extends AnyFunSuite {
     val whole = Sampling.tokenBudgetSample(docs, "doc_id", "source",
       TextAnalysis.tokenCount(col("text")), Map("src3" -> 10000000L))
     assert(whole.count() == docs.where(col("source") === "src3").count())
+    // a ZERO budget admits NOTHING: the admission law is "exclusive
+    // running prefix < budget" uniformly and no prefix sits below zero —
+    // a zero-funded class is explicitly excluded while listed (the
+    // straddler rule never fires: no doc crosses an already-met budget)
+    val zero = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      TextAnalysis.tokenCount(col("text")),
+      Map("src3" -> 0L, "src4" -> budget))
+    assert(zero.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("src4"),
+      "budget 0 must admit nothing from the zero-funded class")
   }
 
   test("weighted priority: uniform weights degenerate to hash order") {
