@@ -382,15 +382,39 @@ object Similarity {
     val codebooks = KMeansQ.fitMultiQuantized(
       assigned.select(col("v").as("vec_id"), col("_res")), "_res",
       m, codebookK, pqIters, dims, scale)
-    val codes = codebooks.zipWithIndex.foldLeft(assigned) {
-      case (acc, (cb, i)) =>
+    val model = IvfPqModel(coarse.map(_.toSeq).toSeq,
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq, dims, scale)
+    // codes via the same frozen-model encode the incremental append path
+    // uses — build-encoding ≡ append-encoding by construction
+    (model, ivfpqEncode(corpus, model))
+  }
+
+  /** Encode vectors against a FROZEN model — the assignment half of
+    * [[ivfpqFit]] with no fitting: coarse-assign each vector to its
+    * nearest existing cell, take the residual, code each subspace
+    * against the frozen codebooks. One narrow pass; the shared encode
+    * for the initial build and every incremental append. */
+  private[graft] def ivfpqEncode(df: DataFrame,
+      model: IvfPqModel): DataFrame = {
+    val m = model.m
+    val subDims = model.dims / m
+    val qv = org.apache.spark.sql.graft.QuantOps
+    val coarse = model.coarse.map(_.toArray).toArray
+    val centersLit = array(coarse.map(c => array(c.map(lit(_)): _*)): _*)
+    val assigned = df.select(col("vec_id").as("v"),
+        qv.quantize(col("embedding"), model.dims, model.scale).as("_qv"))
+      .withColumn("_cs", KMeansQ.scoresExpr(col("_qv"), coarse))
+      .withColumn("cell", KMeansQ.argminExpr(col("_cs"), model.kCells))
+      .withColumn("_res", zip_with(col("_qv"),
+        element_at(centersLit, col("cell") + 1), (a, b) => a - b))
+      .select(col("v"), col("cell"), col("_res"))
+    model.codebooks.map(_.map(_.toArray).toArray).zipWithIndex
+      .foldLeft(assigned) { case (acc, (cb, i)) =>
         acc.withColumn(s"_rs$i", slice(col("_res"), i * subDims + 1, subDims))
           .withColumn(s"_sc$i", KMeansQ.scoresExpr(col(s"_rs$i"), cb))
           .withColumn(s"code_$i", KMeansQ.argminExpr(col(s"_sc$i"), cb.length))
           .drop(s"_rs$i", s"_sc$i")
-    }.drop("_res")
-    (IvfPqModel(coarse.map(_.toSeq).toSeq,
-      codebooks.map(_.map(_.toSeq).toSeq).toSeq, dims, scale), codes)
+      }.drop("_res")
   }
 
   /** IVFPQ search half over a codes frame (freshly fit, or reloaded from
@@ -515,6 +539,28 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
     IvfPqModel(coarse, cbs, meta.getInt(0), meta.getLong(1))
+  }
+
+  /** INCREMENTAL APPEND to a persisted IVFPQ layout — the streaming
+    * lane's index-maintenance shape (FAISS's `add` vs `train`
+    * distinction): the model is FROZEN — never refit; [[ivfpqLoad]]'s
+    * artifacts are the contract — so new vectors coarse-assign to the
+    * EXISTING cells and their codes append to the cell-partitioned
+    * codes table. Per micro-batch this costs one narrow encode pass
+    * plus a partitioned append touching only the cells the batch lands
+    * in; queries keep file-level partition pruning over old and new
+    * codes alike. Because [[ivfpqFit]] encodes through the same
+    * [[ivfpqEncode]], build-then-append over a split corpus yields the
+    * IDENTICAL codes table to a one-shot build with the same frozen
+    * model (s43 hash-proves it). A drifted corpus eventually wants a
+    * rebuild — the recall/freshness trade every frozen-quantizer ANN
+    * index makes. */
+  def ivfpqAppend(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val model = ivfpqLoad(spark, path)
+    ivfpqEncode(newVectors, model)
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** Query the persisted IVFPQ layout: identical results to

@@ -257,15 +257,19 @@ object OpsPack extends QueryPack {
        |FROM streams ORDER BY doc_id""".stripMargin
   }
 
-  /** s38/s42 shared oracle: the whole IVFPQ composition (coarse fit,
+  /** s38/s42/s43 shared oracle: the whole IVFPQ composition (coarse fit,
     * residual codebook fits, codes, probes, per-cell ADC tables, exact
     * refine) as one DuckDB CTE chain. The persisted-layout path (s42)
-    * must hash-match it exactly: build+query never changes the math. */
-  private lazy val ivfpqOracleSql: String = {
+    * must hash-match it exactly: build+query never changes the math.
+    * `fitWhere` restricts the FIT inputs (coarse + every residual
+    * codebook) to a subset while assignment/codes still cover the full
+    * corpus — the incremental-append path (s43: build on half, append
+    * the rest under the frozen model) replays as exactly that. */
+  private def ivfpqOracleSql(fitWhere: String = ""): String = {
         val subFits = (0 until 4).map { i =>
           val off = i * 16
           duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
-            subDims = 16, offset = off, sfx = s"_$i",
+            subDims = 16, offset = off, sfx = s"_$i", fitWhere = fitWhere,
             srcSql = s"""  SELECT vec_id, dim - $off AS dim, rv AS qv
                         |  FROM res WHERE dim > $off AND dim <= ${off + 16}"""
               .stripMargin)
@@ -279,7 +283,8 @@ object OpsPack extends QueryPack {
              |  WHERE r.dim > $off AND r.dim <= ${off + 16}
              |  GROUP BY 1, 2, 3)""".stripMargin
         }.mkString(",\n")
-        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L)},
+        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L,
+                fitWhere = fitWhere)},
            |res AS (
            |  SELECT q.vec_id, q.dim, q.qv - c.c AS rv
            |  FROM q JOIN af a USING (vec_id)
@@ -1100,7 +1105,7 @@ object OpsPack extends QueryPack {
             kCand = 10)
           .orderBy(col("q"), col("rank"))
       },
-      Some(ivfpqOracleSql)),
+      Some(ivfpqOracleSql())),
 
     // IVFPQ AS THE PERSISTED LAYOUT (s38's build/query split — the way a
     // real estate runs it): ivfpqBuild writes the codes table PARTITIONED
@@ -1121,7 +1126,34 @@ object OpsPack extends QueryPack {
             k = 5, kCand = 10)
           .orderBy(col("q"), col("rank"))
       },
-      Some(ivfpqOracleSql)),
+      Some(ivfpqOracleSql())),
+
+    // IVFPQ INCREMENTAL APPEND (the streaming half of the persisted
+    // layout — FAISS's `add` vs `train` distinction): build the index on
+    // HALF the corpus, then append the held-out half in two micro-batch
+    // slices under the FROZEN model — new vectors coarse-assign to the
+    // existing cells, their codes land in the same cell-partitioned
+    // layout, nothing refits. The oracle replays the identical math with
+    // the FIT inputs (coarse + residual codebooks) restricted to the
+    // build half while codes cover the full corpus — so the incremental
+    // index hash-matches a one-shot encode under the same frozen model,
+    // and the probe's file-level partition pruning survives appends
+    // (PlanSpec pins PartitionFilters on the appended layout).
+    QueryDef(
+      "s43_ivfpq_incremental",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val ix = Fixtures.tmp(dir, "ivfpq_incr_index")
+        Similarity.ivfpqBuild(e.where(col("vec_id") % 2 === 0), ix)
+        Similarity.ivfpqAppend(
+          e.where(col("vec_id") % 4 === 1), ix)
+        Similarity.ivfpqAppend(
+          e.where(col("vec_id") % 4 === 3), ix)
+        Similarity.ivfpqTopKIndexed(s, ix, e, e.where(col("vec_id") < 5),
+            k = 5, kCand = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(ivfpqOracleSql(fitWhere = "vec_id % 2 = 0"))),
 
     // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
     // cross product (d5) — only same-bucket pairs are scored

@@ -533,6 +533,43 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("ivfpq incremental append keeps partition pruning and the frozen encode") {
+    // s43's claims made structural: appends land NEW files under the
+    // existing cell= partition directories (never refitting), the probe
+    // still prunes the scan at the file level, and the appended layout's
+    // codes are IDENTICAL to a one-shot encode of the full corpus under
+    // the same frozen model
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val ix = java.nio.file.Files.createTempDirectory("ivfpq_incr").toString
+    graft.ops.Similarity.ivfpqBuild(e.where(col("vec_id") % 2 === 0), ix)
+    val modelBefore = graft.ops.Similarity.ivfpqLoad(spark, ix)
+    graft.ops.Similarity.ivfpqAppend(e.where(col("vec_id") % 2 === 1), ix)
+    // the model artifacts are untouched — append never refits
+    assert(graft.ops.Similarity.ivfpqLoad(spark, ix) == modelBefore,
+      "append must leave the frozen model artifacts byte-identical")
+    // appended codes table == one-shot frozen encode of the full corpus
+    val persisted = spark.read.parquet(s"$ix/codes")
+      .orderBy("v").collect().map(_.toString).toSeq
+    val oneShot = graft.ops.Similarity.ivfpqEncode(e, modelBefore)
+      .withColumn("cell", col("cell").cast("int"))
+      .select(persisted.headOption.map(_ => spark.read.parquet(s"$ix/codes")
+        .columns).getOrElse(Array("v")).map(col).toIndexedSeq: _*)
+      .orderBy("v").collect().map(_.toString).toSeq
+    assert(persisted == oneShot,
+      "build+append must equal the one-shot frozen encode")
+    // probe-time partition pruning survives the append
+    val df = graft.ops.Similarity.ivfpqTopKIndexed(spark, ix, e,
+      e.where(col("vec_id") < 1), k = 3, kCand = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan)
+    assert(pf.isDefined && pf.get.group(1).split(",")
+        .map(_.trim).count(_.nonEmpty) == 2,
+      s"appended layout must still prune to the probed cells:\n$plan")
+    assert(df.count() == 3)
+  }
+
   test("hard negatives over a shortlist: broadcast joins, never a cartesian") {
     // s41's contract: with a pre-ranked pool the corpus is scanned once
     // with the shortlist broadcast onto it — the per-anchor exact pass
