@@ -61,6 +61,51 @@ object VectorIndex {
     query.awaitTermination()
   }
 
+  /** Continuously-maintained IVFPQ index — [[run]]'s quantized sibling
+    * (e20 maintains the brute-force/LSH bucket index; this lane maintains
+    * the PERSISTED cell-partitioned IVFPQ layout of s42/s43). The model
+    * must already exist at `indexPath` — built once with
+    * [[Similarity.ivfpqBuild]], typically on a seed corpus — and is
+    * FROZEN: each micro-batch resolves its arriving ids against
+    * `corpus`'s embeddings, drops ids already coded (the id-keyed replay
+    * guard over the compact codes table — a crash-replayed batch appends
+    * nothing), and [[Similarity.ivfpqAppend]]s the rest, which
+    * coarse-assigns to the EXISTING cells and appends into the
+    * partitioned codes table. Queries through
+    * [[Similarity.ivfpqTopKIndexed]] keep file-level partition pruning
+    * over seed and streamed codes alike. Per batch the cost is one
+    * narrow encode of the batch plus one anti-join against the
+    * m-ints-per-vector codes table — the corpus is never rescanned. */
+  def runIvfPq(
+      spark: SparkSession,
+      kfsRoot: String,
+      indexPath: String,
+      checkpointDir: String,
+      corpus: DataFrame,
+      maxSegmentsPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.format("kfs").option("path", kfsRoot)
+    maxSegmentsPerTrigger.foreach(n =>
+      reader.option("max_segments_per_trigger", n.toString))
+    val decoded = reader.load().select(col("_offset"))
+    val query = decoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val ids = batch.select(col("_offset").as("vec_id")).distinct()
+        // batch ids are a micro-batch's worth — broadcast them onto the
+        // corpus instead of shuffling it; ids without an embedding row
+        // (the corpus may be a subset of the id stream) drop here
+        val fresh = corpus.join(broadcast(ids), Seq("vec_id"))
+        val existing = ss.read.parquet(s"$indexPath/codes")
+          .select(col("v").as("vec_id"))
+        val toAdd = fresh.join(existing, Seq("vec_id"), "left_anti")
+        if (!toAdd.isEmpty) Similarity.ivfpqAppend(toAdd, indexPath)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Bucket-pruned top-k retrieval against the maintained index: probe
     * docs join candidates sharing their bucket, cosine on the STORED
     * index vectors (nothing re-embeds at query time), rank-limit per

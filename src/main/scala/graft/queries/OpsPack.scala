@@ -1317,6 +1317,40 @@ object OpsPack extends QueryPack {
            |SELECT q, rank, v2 AS v, round(c, 4) AS cos_sim
            |FROM r WHERE rank <= 5 ORDER BY q, rank""".stripMargin)),
 
+    // STREAMING IVFPQ INDEX MAINTENANCE — e20's quantized sibling: the
+    // persisted cell-partitioned IVFPQ layout (s42) as the STREAMING
+    // lane's index. The model builds once on the even half (frozen);
+    // document ids then stream through the checkpointed drain, each
+    // micro-batch resolves its ids against the embeddings corpus, drops
+    // already-coded ids (the replay guard — it also skips the seed half,
+    // and a crash-replayed batch appends nothing), and appends the rest
+    // into the same partitioned codes table. The query hash-matches the
+    // s43 oracle (fit on the even half, codes over everything): batch
+    // cadence is invisible, and the probe's partition pruning survives.
+    QueryDef(
+      "e46_stream_ivfpq_index",
+      (s, dir) => {
+        val root = graft.kfs.KfsSeed.seededDocsRoot(s, dir)
+        val e = Tables.load(s, dir, "embeddings")
+        val ix = Fixtures.tmp(dir, "ivfpq_stream_ix")
+        val ckpt = Fixtures.tmp(dir, "ivfpq_stream_ckpt")
+        // the build WIPES the codes table, so a stale checkpoint would
+        // replay-skip the streamed half: fresh state, full work, per run
+        graft.etl.TableSink.deleteRecursive(java.nio.file.Paths.get(ix))
+        graft.etl.TableSink.deleteRecursive(java.nio.file.Paths.get(ckpt))
+        Similarity.ivfpqBuild(e.where(col("vec_id") % 2 === 0), ix)
+        val nSegs = math.max(1,
+          math.ceil(Tables.load(s, dir, "documents").count() / 250.0).toInt)
+        graft.streaming.StreamDrive.narrow(s) {
+          graft.etl.VectorIndex.runIvfPq(s, root, ix, ckpt, e,
+            maxSegmentsPerTrigger = Some(math.max(1, (nSegs + 1) / 2)))
+        }
+        Similarity.ivfpqTopKIndexed(s, ix, e, e.where(col("vec_id") < 5),
+            k = 5, kCand = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(ivfpqOracleSql(fitWhere = "vec_id % 2 = 0"))),
+
     // SemDeDup-shaped semantic dedup: LSH buckets bound the candidate set
     // (never an all-pairs cosine), same-bucket pairs >= threshold become
     // edges, transitive closure picks one representative (min id) per
