@@ -51,6 +51,54 @@ object QualityRules {
         lower(text).contains("lorem ipsum")))
   }
 
+  /** WITHIN-DOCUMENT REPETITION SIGNALS — Gopher's repetition filter
+    * family (Rae et al. 2021 Table A1: "fraction of characters in the
+    * most frequent n-gram" / "fraction of characters in duplicated
+    * n-grams"), the curation stage that catches boilerplate loops and
+    * degenerate generations that the [[rules]] bank's corpus-agnostic
+    * thresholds miss. Per document (word tokens, the proven
+    * `split(text, ' ')` tokenization):
+    *
+    *   - `top2_chars` — occurrences × character length (inner space
+    *     included) of the MOST frequent 2-gram, ties to the
+    *     lexicographically smallest;
+    *   - `dup3_chars` — total characters across ALL occurrences of
+    *     3-grams appearing more than once;
+    *
+    * plus `n_tokens` and `text_chars` (the denominators), all BIGINT —
+    * callers flag with cross-multiplied thresholds (Gopher's 0.20 for
+    * the top 2-gram is `top2_chars * 5 > text_chars`), so nothing
+    * divides and the whole stage hash-replays.
+    *
+    * 100 TB shape: one explode per n, each aggregated on (doc, gram) —
+    * shuffle mass ∝ corpus token count with no corpus-wide hot key (the
+    * argmax is a struct-min aggregate per doc, never a window over a
+    * global sort). Documents shorter than n tokens contribute zeros. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+      split(col(textCol), " ").as("_toks"),
+      length(col(textCol)).as("text_chars"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+    def grams(n: Int) = base
+      .where(col("n_tokens") >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), (col("n_tokens") - n).cast("int")),
+        i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val top2 = grams(2).groupBy(col(idCol))
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g"),
+        (col("cnt") * length(col("gram"))).as("chars"))).as("_m"))
+      .select(col(idCol), col("_m.chars").as("top2_chars"))
+    val dup3 = grams(3).where(col("cnt") >= 2).groupBy(col(idCol))
+      .agg(sum(col("cnt") * length(col("gram"))).as("dup3_chars"))
+    base.select(col(idCol), col("n_tokens"), col("text_chars").cast("long"))
+      .join(top2, Seq(idCol), "left")
+      .join(dup3, Seq(idCol), "left")
+      .withColumn("top2_chars", coalesce(col("top2_chars"), lit(0L)))
+      .withColumn("dup3_chars", coalesce(col("dup3_chars"), lit(0L)))
+  }
+
   /** Per-document rule flags: `idCol`, one boolean per rule, and `pass`
     * (no rule fired). One narrow projection — composes with curation
     * pipelines without re-tokenizing per rule. */

@@ -1754,6 +1754,70 @@ object OpsPack extends QueryPack {
            |GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // WITHIN-DOCUMENT REPETITION SIGNALS (Gopher's repetition filter
+    // family, Rae et al. 2021 Table A1): per doc, the character mass of
+    // the most frequent 2-gram and of all duplicated 3-grams — the stage
+    // that catches boilerplate loops and degenerate generations. All
+    // BIGINT (occurrences x gram length; flags by cross-multiplied
+    // thresholds — top-2-gram >20% of chars, dup-3-grams >10%), so the
+    // per-source rollup hash-replays exactly. Shuffle mass ∝ token
+    // count, keyed (doc, gram) — no corpus-wide hot key at 100 TB.
+    QueryDef(
+      "t50_repetition_signals",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sig = graft.ops.QualityRules.repetitionSignals(
+          docs, "doc_id", "text")
+        docs.select(col("doc_id"), col("source"))
+          .join(sig, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("top2_chars")).as("top2_sum"),
+            sum(col("dup3_chars")).as("dup3_sum"),
+            sum((col("top2_chars") * 5 > col("text_chars"))
+              .cast("long")).as("n_top2_flagged"),
+            sum((col("dup3_chars") * 10 > col("text_chars"))
+              .cast("long")).as("n_dup3_flagged"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, source, length(text) AS chars,
+          |         string_split(text, ' ') AS w
+          |  FROM documents),
+          |g2 AS (
+          |  SELECT doc_id, unnest(list_transform(
+          |    generate_series(1, len(w) - 1),
+          |    i -> w[i] || ' ' || w[i + 1])) AS gram
+          |  FROM t WHERE len(w) >= 2),
+          |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+          |top2 AS (
+          |  SELECT doc_id, cnt * length(gram) AS top2_chars FROM (
+          |    SELECT doc_id, gram, cnt,
+          |           row_number() OVER (PARTITION BY doc_id
+          |                              ORDER BY cnt DESC, gram) AS rn
+          |    FROM c2) WHERE rn = 1),
+          |g3 AS (
+          |  SELECT doc_id, unnest(list_transform(
+          |    generate_series(1, len(w) - 2),
+          |    i -> array_to_string(w[i:i+2], ' '))) AS gram
+          |  FROM t WHERE len(w) >= 3),
+          |c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+          |dup3 AS (
+          |  SELECT doc_id,
+          |         CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+          |                       ELSE 0 END) AS BIGINT) AS dup3_chars
+          |  FROM c3 GROUP BY 1)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(SUM(COALESCE(top2_chars, 0)) AS BIGINT) AS top2_sum,
+          |       CAST(SUM(COALESCE(dup3_chars, 0)) AS BIGINT) AS dup3_sum,
+          |       CAST(SUM(CASE WHEN COALESCE(top2_chars, 0) * 5 > chars
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top2_flagged,
+          |       CAST(SUM(CASE WHEN COALESCE(dup3_chars, 0) * 10 > chars
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup3_flagged
+          |FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+          |GROUP BY source ORDER BY source""".stripMargin)),
+
     QueryDef(
       "t13_corpus_mixture",
       (s, dir) => Sampling.mixture(

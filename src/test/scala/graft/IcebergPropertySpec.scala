@@ -118,8 +118,13 @@ class IcebergPropertySpec extends AnyFunSuite {
             doOverwrite(rows(r.nextInt(8) + 1, sub))
           case 2 => doUpsert(rows(r.nextInt(6) + 1, parts))
         }
-        // metadata-only maintenance must be invisible to every read below
+        // maintenance must be invisible to every read below: metadata-only
+        // manifest merging and dangling-delete dropping at coin-flip odds,
+        // plus an occasional full compact (materializes pending deletes,
+        // which makes later delete files dangle — the two interact)
         if (r.nextBoolean()) IcebergSink.rewriteManifests(spark, table)
+        if (r.nextBoolean()) IcebergSink.removeDanglingDeletes(spark, table)
+        if (r.nextInt(4) == 0) IcebergSink.compact(spark, table, targetFiles = 2)
         val got = IcebergSink.read(spark, table).collect()
           .map(row => (row.getAs[Long]("id"), row.getAs[String]("part"),
             row.getAs[Long]("v"))).toSet

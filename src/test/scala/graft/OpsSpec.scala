@@ -1730,6 +1730,27 @@ class OpsSpec extends AnyFunSuite {
       s"expected the conflict guard, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("repetition signals: exact gram char masses, ties, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b" x3 (top2 = 3 * 3 = 9 chars); dup 3-grams "a b a" x2 +
+      // "b a b" x2 = 20 chars
+      (1L, "a b a b a b"),
+      // all 2-grams occur once: tie breaks to the smallest gram ("x y",
+      // 3 chars); no duplicated 3-gram
+      (2L, "x y z"),
+      // shorter than every n: zeros, never an error
+      (3L, "w")).toDF("doc_id", "text")
+    val got = graft.ops.QualityRules.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 11L, 9L, 20L),
+      (2L, 3L, 5L, 3L, 0L),
+      (3L, 1L, 1L, 0L, 0L)), s"got $got")
+  }
+
   test("scd2: drain/arrival order never changes the folded history") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
