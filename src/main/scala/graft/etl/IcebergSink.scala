@@ -1360,6 +1360,54 @@ object IcebergSink {
     }
   }
 
+  /** CONDITIONAL UPSERT — the `MERGE WHEN MATCHED AND incoming-newer`
+    * shape, which is how OUT-OF-ORDER CDC lands safely: a row in `df`
+    * replaces the table row sharing its `keyCols` ONLY when its
+    * `versionCol` is STRICTLY greater than the stored one (a replayed or
+    * late-arriving older change can never regress a key); unmatched keys
+    * insert; within the batch the max-version row per key wins (two rows
+    * tied at a key's max version are ambiguous data and refuse loudly —
+    * hash-replayable results need a total order). Null versions are
+    * never newer. The survivors land as ONE atomic row-delta commit via
+    * [[upsertAtomic]].
+    *
+    * Scale shape: the staleness check broadcasts the batch's keys onto
+    * ONE corpus scan (semi-join + a batch-keys-sized max aggregate) —
+    * the corpus never shuffles, and applying batches in ANY order
+    * converges to the same per-key-max state. */
+  def upsertIfNewer(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String], versionCol: String, maxRetries: Int = 5): Unit = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    require(!keyCols.contains(versionCol),
+      "versionCol must not be a key column")
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, rank}
+    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+      val winners = batch.withColumn("__rk", rank().over(w))
+        .where(col("__rk") === 1).drop("__rk")
+      val ties = winners.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+      if (ties.nonEmpty)
+        throw new IllegalArgumentException(
+          s"ambiguous tie at the max version for key ${ties.head}")
+      load(spark, table) match {
+        case None => append(spark, table, winners, maxRetries)
+        case Some(_) =>
+          val keys = winners.select(keyCols.map(col): _*).distinct()
+          val stored = read(spark, table)
+            .join(broadcast(keys), keyCols)
+            .groupBy(keyCols.map(col): _*)
+            .agg(max(col(versionCol)).as("__cur_v"))
+          val fresh = winners.join(broadcast(stored), keyCols, "left")
+            .where(col("__cur_v").isNull || col(versionCol) > col("__cur_v"))
+            .drop("__cur_v")
+          if (!fresh.isEmpty) upsertAtomic(spark, table, fresh, keyCols, maxRetries)
+      }
+    } finally batch.unpersist(blocking = false)
+  }
+
   /** Spec columns of a POSITION delete file (reserved field ids
     * 2147483546 / 2147483545): the target data file's path and the row's
     * 0-based ordinal within it. */

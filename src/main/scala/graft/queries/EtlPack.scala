@@ -614,6 +614,49 @@ object EtlPack extends QueryPack {
           |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
           |) GROUP BY partition ORDER BY partition""".stripMargin))),
 
+    // CONDITIONAL UPSERT (MERGE WHEN MATCHED AND incoming-newer) — the
+    // OUT-OF-ORDER CDC landing shape: three offset-interleaved batches
+    // apply in an order that is NOT recency order, so every batch carries
+    // rows both newer and staler than what the table already holds; the
+    // version rule (strictly-greater offset per (partition, key) wins,
+    // within batch and against the table) must converge to the same
+    // per-key-max state as the e42 lastrow oracle — application order is
+    // invisible, which is exactly the replay/late-arrival guarantee.
+    // Staleness checks broadcast the batch's keys onto one corpus scan;
+    // each surviving slice lands as one atomic row-delta commit.
+    QueryDef(
+      "e47_versioned_upsert",
+      (s, dir) => {
+        val table = tmp(dir, "versioned_upsert_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_key").as("key"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"))
+        Seq(2L, 1L, 0L).foreach(m =>
+          IcebergSink.upsertIfNewer(s, table,
+            ev.where(col("offset") % 3 === m),
+            Seq("partition", "key"), "offset"))
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("offset")).as("off_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, lastrow AS (
+          |  SELECT _partition, _key, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         row_number() OVER (PARTITION BY _partition, _key
+          |                            ORDER BY _offset DESC) AS rn
+          |  FROM events_topic)
+          |SELECT _partition AS partition, count(*) AS n_keys,
+          |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
+          |       CAST(SUM(k) AS BIGINT) AS k_sum
+          |FROM lastrow WHERE rn = 1
+          |GROUP BY 1 ORDER BY partition""".stripMargin))),
+
     // Iceberg v2 ROW-LEVEL DELETES (equality-delete files, merge-on-read):
     // the opt-out/takedown shape of a 100 TB corpus — delete every 'click'
     // record by key WITHOUT rewriting any data file (the delete commit

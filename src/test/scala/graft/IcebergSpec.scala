@@ -370,6 +370,49 @@ class IcebergSpec extends AnyFunSuite {
       (1 to 5).map(i => (i.toLong, i)))
   }
 
+  test("upsertIfNewer: stale drops, newer wins, equal is stale, ties refuse") {
+    import spark.implicits._
+    val table = tmpTable()
+    // first batch creates; in-batch the max-version row per key wins
+    IcebergSink.upsertIfNewer(spark, table,
+      Seq((1L, "a", 5L), (2L, "b", 3L), (2L, "early", 1L)).toDF("k", "s", "ver"),
+      Seq("k"), "ver")
+    def state = IcebergSink.read(spark, table).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(state == Seq((1L, "a", 5L), (2L, "b", 3L)))
+    // stale (4 < 5) drops, newer (7 > 3) wins, unknown key inserts
+    IcebergSink.upsertIfNewer(spark, table,
+      Seq((1L, "stale", 4L), (2L, "y", 7L), (3L, "z", 1L)).toDF("k", "s", "ver"),
+      Seq("k"), "ver")
+    assert(state == Seq((1L, "a", 5L), (2L, "y", 7L), (3L, "z", 1L)))
+    // EQUAL version is stale too (strictly greater required): replaying
+    // the same change is a no-op, the idempotence a CDC landing needs
+    val v0 = IcebergSink.load(spark, table).get.version
+    IcebergSink.upsertIfNewer(spark, table,
+      Seq((2L, "replay", 7L)).toDF("k", "s", "ver"), Seq("k"), "ver")
+    assert(state == Seq((1L, "a", 5L), (2L, "y", 7L), (3L, "z", 1L)))
+    assert(IcebergSink.load(spark, table).get.version == v0,
+      "an all-stale batch must not commit")
+    // a tie at a key's max version is ambiguous data: refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergSink.upsertIfNewer(spark, table,
+        Seq((5L, "s", 1L), (5L, "t", 1L)).toDF("k", "s", "ver"),
+        Seq("k"), "ver")
+    }
+    assert(e.getMessage.contains("ambiguous tie"))
+    // application order is invisible: replay everything oldest-first
+    // onto a fresh table and land on the same state
+    val t2 = tmpTable()
+    Seq(1L, 3L, 4L, 5L, 7L).foreach { v =>
+      IcebergSink.upsertIfNewer(spark, t2,
+        Seq((1L, s"v$v", v), (2L, s"v$v", v), (3L, s"v$v", v))
+          .toDF("k", "s", "ver").where(col("ver") <= v), Seq("k"), "ver")
+    }
+    val highest = IcebergSink.read(spark, t2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(highest == Seq((1L, 7L), (2L, 7L), (3L, 7L)))
+  }
+
   test("remove_dangling_deletes: drops inapplicable delete files, keeps live ones") {
     import spark.implicits._
     val table = tmpTable()
