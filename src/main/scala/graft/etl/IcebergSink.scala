@@ -1381,12 +1381,17 @@ object IcebergSink {
     require(!keyCols.contains(versionCol),
       "versionCol must not be a key column")
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, rank}
-    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // winners is batch-sized and read three times (tie probe, key set,
+    // staleness join) — cache it, not the raw batch
+    val winners0 = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
-      val winners = batch.withColumn("__rk", rank().over(w))
+      df.withColumn("__rk", rank().over(w))
         .where(col("__rk") === 1).drop("__rk")
+    }
+    val winners = winners0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
       val ties = winners.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
       if (ties.nonEmpty)
@@ -1396,16 +1401,31 @@ object IcebergSink {
         case None => append(spark, table, winners, maxRetries)
         case Some(_) =>
           val keys = winners.select(keyCols.map(col): _*).distinct()
+          // __seen distinguishes "key absent" (insert) from "stored
+          // version is null": a MATCHED key only loses to a STRICTLY
+          // GREATER non-null incoming version — an incoming null version
+          // is never newer (so replaying a null-version change is a
+          // no-op, not a fresh commit every time), and a stored null
+          // version loses to any non-null incoming one
           val stored = read(spark, table)
             .join(broadcast(keys), keyCols)
             .groupBy(keyCols.map(col): _*)
             .agg(max(col(versionCol)).as("__cur_v"))
+            .withColumn("__seen", lit(true))
+          // fresh costs the corpus-scan join: materialize it once for
+          // the commit-decision count AND the delta write
           val fresh = winners.join(broadcast(stored), keyCols, "left")
-            .where(col("__cur_v").isNull || col(versionCol) > col("__cur_v"))
-            .drop("__cur_v")
-          if (!fresh.isEmpty) upsertAtomic(spark, table, fresh, keyCols, maxRetries)
+            .where(col("__seen").isNull ||
+              (col(versionCol).isNotNull &&
+                (col("__cur_v").isNull || col(versionCol) > col("__cur_v"))))
+            .drop("__cur_v", "__seen")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!fresh.isEmpty)
+              upsertAtomic(spark, table, fresh, keyCols, maxRetries)
+          } finally fresh.unpersist(blocking = false)
       }
-    } finally batch.unpersist(blocking = false)
+    } finally winners.unpersist(blocking = false)
   }
 
   /** Spec columns of a POSITION delete file (reserved field ids
@@ -2388,10 +2408,18 @@ object IcebergSink {
         readAvro(spark, manifest)._2.map(
           _.get("data_file").asInstanceOf[GenericRecord]
             .get("file_path").toString)
+      // survivorship compares NORMALIZED paths (deletion uses the raw
+      // ones): a foreign history can reference the same physical file as
+      // `file:///x` in one snapshot's manifests and `/x` in another's —
+      // a raw-string subtraction would then delete data a kept snapshot
+      // still references
       val keptManifests = kept.flatMap(manifestsOf).toSet
-      val keptData = keptManifests.flatMap(dataFilesOf)
-      val expiredManifests = expired.flatMap(manifestsOf).toSet -- keptManifests
-      val expiredData = expiredManifests.flatMap(dataFilesOf) -- keptData
+      val keptManifestsNorm = keptManifests.map(normPathStr)
+      val keptDataNorm = keptManifests.flatMap(dataFilesOf).map(normPathStr)
+      val expiredManifests = expired.flatMap(manifestsOf).toSet
+        .filterNot(p => keptManifestsNorm(normPathStr(p)))
+      val expiredData = expiredManifests.flatMap(dataFilesOf)
+        .filterNot(p => keptDataNorm(normPathStr(p)))
 
       // expired snapshots' PARENT pointers may now dangle; rewrite lineage
       // so each kept snapshot points at its nearest kept ancestor
@@ -2788,8 +2816,19 @@ object IcebergSink {
                 // commit count and the join is a map-side probe of a
                 // files-count-sized relation
                 val fileKey = "__graft_seq_file"
-                val seqLookup = dataFiles.map(f => (normPathStr(f.path), f.seq))
-                  .distinct.toDF(fileKey, seqCol)
+                val seqPairs = dataFiles.map(f => (normPathStr(f.path), f.seq))
+                  .distinct
+                // normalization strips the scheme, so two DISTINCT files
+                // (s3://a/x vs /a/x) could collide onto one key and the
+                // left join below would silently DUPLICATE their rows
+                // with mixed seqs — fail loudly instead, per the same
+                // principle as the null-seq raise
+                seqPairs.groupBy(_._1).find(_._2.size > 1).foreach { case (k, g) =>
+                  throw new IllegalStateException(
+                    s"distinct data files normalize to one path '$k' " +
+                      s"(seqs ${g.map(_._2).mkString(",")}) — cannot scope deletes")
+                }
+                val seqLookup = seqPairs.toDF(fileKey, seqCol)
                 val data0 = readPlannedData(spark, schema, spec, dataFiles,
                   withCoords = true, fileCol, posCol)
                 // LEFT join + raise on a missed lookup: both sides
@@ -3220,18 +3259,24 @@ object IcebergSink {
               import org.apache.spark.sql.functions.broadcast
               val tuples = spark.read.schema(posDeleteSchema)
                 .parquet(posFiles: _*)
+              // paths normalize on BOTH sides (the normPathStr contract):
+              // a foreign delete file can name `file:///x` while the
+              // manifest says `/x` — raw comparison would silently emit
+              // zero pre-images for the snapshot
               val targets = tuples.select(col("file_path")).distinct()
-                .collect().map(_.getString(0)).toSet
+                .collect().map(r => normPathStr(r.getString(0))).toSet
               if (targets.isEmpty) Nil
               else {
                 val targetFiles = planFiles(spark, sn.manifestList, spec)
-                  .filter(p => p.content == 0 && targets(p.path))
-                val pre = readPlannedData(spark, schema, spec, targetFiles,
+                  .filter(p => p.content == 0 && targets(normPathStr(p.path)))
+                val pre0 = readPlannedData(spark, schema, spec, targetFiles,
                   withCoords = true, "__file", "__pos")
-                  .join(broadcast(tuples
-                    .withColumnRenamed("file_path", "__file")
-                    .withColumnRenamed("pos", "__pos")),
-                    Seq("__file", "__pos"), "left_semi")
+                val tup = broadcast(tuples.select(
+                  normPathCol(col("file_path")).as("__dfile"),
+                  col("pos").as("__dpos")))
+                val pre = pre0.join(tup,
+                    normPathCol(pre0("__file")) === tup("__dfile") &&
+                      pre0("__pos") === tup("__dpos"), "left_semi")
                   .drop("__file", "__pos")
                 Seq(meta(pre, "delete", ord, sn))
               }

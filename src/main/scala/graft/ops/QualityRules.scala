@@ -77,7 +77,7 @@ object QualityRules {
   def repetitionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val base = docs.select(col(idCol),
-      split(col(textCol), " ").as("_toks"),
+      TextAnalysis.words(col(textCol)).as("_toks"),
       length(col(textCol)).as("text_chars"))
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
     def grams(n: Int) = base

@@ -314,5 +314,76 @@ class IcebergReaderConformanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == expect,
       s"path-shape divergence must not lose rows: $rows")
+
+    // EXPIRY survivorship also normalizes: the current snapshot names
+    // these files in URI/bare-divergent shape while expired snapshots
+    // name them in the writer's original shape — expire must NOT delete
+    // data files the head still references just because the strings
+    // differ
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000L, retainLast = 1)
+    val after = IcebergSink.read(spark, table).orderBy("id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == expect,
+      s"expiry must normalize path shapes before survivorship: $after")
+  }
+
+  test("foreign manifest: two DISTINCT files colliding after normalization refuse loudly") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "a")).toDF("id", "s"))
+    IcebergSink.append(spark, table, Seq((2L, "b")).toDF("id", "s"))
+    // a delete forces the seq-lookup path on read
+    IcebergSink.deleteWhere(spark, table, col("id") === 1L, Seq("id"))
+
+    // rewrite the second data file's manifest path to a DIFFERENT file's
+    // normalized shape: scheme-stripping would conflate them — the read
+    // must refuse instead of silently duplicating rows with mixed seqs
+    val v = latestVersion(table)
+    val n = metaJson(table, v)
+    val listPath = n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() ==
+        n.path("current-snapshot-id").asLong()).get
+      .path("manifest-list").asText()
+    val (listMeta, listSchema, listRecs) = readAvroRaw(listPath)
+    var firstDataPath: String = null
+    val newListRecs = listRecs.zipWithIndex.map { case (lr, i) =>
+      val mPath = lr.get("manifest_path").toString
+      val (mMeta, mSchema, mRecs) = readAvroRaw(mPath)
+      val reshaped = mRecs.map { e =>
+        val c = copyRecord(mSchema, e)
+        val d = c.get("data_file").asInstanceOf[GenericRecord]
+        val p = d.get("file_path").toString
+        val isDelete = (d.getSchema.getField("content") != null) &&
+          (d.get("content") match {
+            case x: Integer => x.intValue() != 0; case _ => false
+          })
+        if (!isDelete) {
+          if (firstDataPath == null) firstDataPath = p
+          else d.put("file_path",
+            "foreign://" + firstDataPath.stripPrefix("file:").stripPrefix("/"))
+        }
+        c
+      }
+      val np = mPath.stripSuffix(".avro") + s"-collide$i.avro"
+      val len = writeAvroRaw(np, mSchema, mMeta, reshaped)
+      val cl = copyRecord(listSchema, lr)
+      cl.put("manifest_path", np)
+      cl.put("manifest_length", len)
+      cl
+    }
+    val newList = listPath.stripSuffix(".avro") + "-collide.avro"
+    writeAvroRaw(newList, listSchema, listMeta, newListRecs)
+    n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() ==
+        n.path("current-snapshot-id").asLong()).get
+      .asInstanceOf[ObjectNode].put("manifest-list", newList)
+    writeVersion(table, v + 1, n)
+
+    val e = intercept[IllegalStateException] {
+      IcebergSink.read(spark, table).collect()
+    }
+    assert(e.getMessage.contains("normalize to one path"),
+      s"expected the collision refusal, got: ${e.getMessage}")
   }
 }

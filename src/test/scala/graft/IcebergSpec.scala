@@ -400,6 +400,30 @@ class IcebergSpec extends AnyFunSuite {
         Seq("k"), "ver")
     }
     assert(e.getMessage.contains("ambiguous tie"))
+    // NULL versions are never newer: a null-version row inserts when its
+    // key is absent, but REPLAYING it is a no-op (a matched key only
+    // loses to a strictly greater NON-NULL version), and any non-null
+    // version beats a stored null
+    IcebergSink.upsertIfNewer(spark, table,
+      Seq((6L, "nv", Option.empty[Long])).toDF("k", "s", "ver"),
+      Seq("k"), "ver")
+    val v1 = IcebergSink.load(spark, table).get.version
+    IcebergSink.upsertIfNewer(spark, table,
+      Seq((6L, "nv-replay", Option.empty[Long])).toDF("k", "s", "ver"),
+      Seq("k"), "ver")
+    assert(IcebergSink.load(spark, table).get.version == v1,
+      "replaying a null-version change must not commit again")
+    IcebergSink.upsertIfNewer(spark, table,
+      Seq((6L, "versioned", Option(2L))).toDF("k", "s", "ver"),
+      Seq("k"), "ver")
+    assert(state.contains((6L, "versioned", 2L)),
+      "a non-null version must beat a stored null")
+    val v2 = IcebergSink.load(spark, table).get.version
+    IcebergSink.upsertIfNewer(spark, table,
+      Seq((6L, "late-null", Option.empty[Long])).toDF("k", "s", "ver"),
+      Seq("k"), "ver")
+    assert(IcebergSink.load(spark, table).get.version == v2,
+      "a null version must never replace a stored non-null one")
     // application order is invisible: replay everything oldest-first
     // onto a fresh table and land on the same state
     val t2 = tmpTable()
