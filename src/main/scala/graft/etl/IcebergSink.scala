@@ -1327,7 +1327,11 @@ object IcebergSink {
     * structurally; interactive callers wanting the guard use [[upsert]]).
     * A first commit on an absent table is a plain append. */
   def upsertAtomic(spark: SparkSession, table: String, df: DataFrame,
-      keyCols: Seq[String], maxRetries: Int = 5): Unit = {
+      keyCols: Seq[String], maxRetries: Int = 5,
+      /** Extra key tuples the delta's equality-delete half must cover
+        * BEYOND `df`'s own keys — [[applyChanges]]' tombstones. Same
+        * columns as `keyCols`. */
+      extraDeleteKeys: Option[DataFrame] = None): Unit = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     import org.apache.spark.sql.functions.col
     load(spark, table) match {
@@ -1345,19 +1349,70 @@ object IcebergSink {
         val specDecls = m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
         val fileRecords = writeDataFiles(spark, table, df, commitUuid,
           specDecls)
-        if (fileRecords.map(_.records).sum == 0) {
+        if (fileRecords.map(_.records).sum == 0 && extraDeleteKeys.isEmpty) {
           val f = fs(new HPath(table))
           fileRecords.foreach(i => f.delete(i.status.getPath, false))
           return
         }
-        val conformed = df.select(eqFields.map(fl =>
-          col(fl.name).cast(sparkType(fl.typ)).as(fl.name)): _*).distinct()
+        def keyTuples(src: DataFrame) = src.select(eqFields.map(fl =>
+          col(fl.name).cast(sparkType(fl.typ)).as(fl.name)): _*)
+        val conformed = extraDeleteKeys
+          .map(extra => keyTuples(df).unionByName(keyTuples(extra)))
+          .getOrElse(keyTuples(df)).distinct()
         val delRecords = writeDataFiles(spark, table, conformed,
           UUID.randomUUID().toString)
         commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
           carryPrior = true, operation = "overwrite", maxRetries,
           deleteRecords = delRecords, deleteEqIds = eqFields.map(_.id))
     }
+  }
+
+  /** APPLY CHANGES — land a CDC feed that carries UPSERTS AND DELETES
+    * (the compacted-topic-with-tombstones shape; the `APPLY CHANGES
+    * INTO` / upsert-sink pattern): per key the max-`versionCol` change
+    * wins (a tie at the max refuses, as in [[upsertIfNewer]]); a winning
+    * `opCol == deleteOp` change REMOVES the key, any other op replaces
+    * the row (the op column itself never lands in the table). ONE atomic
+    * row-delta snapshot carries the whole batch — its equality-delete
+    * half covers EVERY winning key, tombstoned and replaced alike, its
+    * data half re-inserts only the survivors — so a reader can never
+    * observe a half-applied batch.
+    *
+    * Batches apply IN FEED ORDER (the consumer contract): a later batch
+    * wins over an earlier one unconditionally — cross-batch staleness
+    * protection is [[upsertIfNewer]]'s job and is impossible here anyway
+    * (a delete leaves no stored version to compare against). Scale
+    * shape: one rank window over the batch, zero reads of the table. */
+  def applyChanges(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String], versionCol: String, opCol: String,
+      deleteOp: String = "D", maxRetries: Int = 5): Unit = {
+    require(keyCols.nonEmpty, "applyChanges requires at least one key column")
+    require(!keyCols.contains(opCol) && !keyCols.contains(versionCol),
+      "opCol/versionCol must not be key columns")
+    import org.apache.spark.sql.functions.{col, count, lit, rank}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val winners = df.withColumn("__rk", rank().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ties = winners.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+      if (ties.nonEmpty)
+        throw new IllegalArgumentException(
+          s"ambiguous tie at the max version for key ${ties.head}")
+      val inserts = winners.where(col(opCol) =!= deleteOp).drop(opCol)
+      val delKeys = winners.where(col(opCol) === deleteOp)
+        .select(keyCols.map(col): _*)
+      load(spark, table) match {
+        // tombstones for keys that never existed are no-ops
+        case None => append(spark, table, inserts, maxRetries)
+        case Some(_) =>
+          if (inserts.isEmpty) deleteKeys(spark, table, delKeys, maxRetries)
+          else upsertAtomic(spark, table, inserts, keyCols, maxRetries,
+            extraDeleteKeys = Some(delKeys))
+      }
+    } finally winners.unpersist(blocking = false)
   }
 
   /** CONDITIONAL UPSERT — the `MERGE WHEN MATCHED AND incoming-newer`

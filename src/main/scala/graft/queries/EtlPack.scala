@@ -657,6 +657,53 @@ object EtlPack extends QueryPack {
           |FROM lastrow WHERE rn = 1
           |GROUP BY 1 ORDER BY partition""".stripMargin))),
 
+    // APPLY CHANGES — a CDC feed carrying upserts AND deletes (the
+    // compacted-topic-with-tombstones shape): 'click' events are
+    // tombstones, everything else upserts; three offset-banded batches
+    // apply in feed order, each as ONE atomic row-delta snapshot whose
+    // equality-delete half covers every winning key (tombstoned and
+    // replaced alike) and whose data half re-inserts only survivors. The
+    // final state must equal the per-key max-offset row MINUS the keys
+    // whose last change was a tombstone — the compacted-topic read,
+    // replayed relationally by the oracle.
+    QueryDef(
+      "e48_apply_changes",
+      (s, dir) => {
+        val table = tmp(dir, "apply_changes_table")
+        TableSink.deleteRecursive(Paths.get(table))
+        val ev = Tables.eventsTopic(s, dir).select(
+          col("_partition").as("partition"),
+          col("_key").as("key"),
+          col("_offset").as("offset"),
+          get_json_object(col("_value"), "$.k").cast("long").as("k"),
+          when(col("event_type") === "click", lit("D"))
+            .otherwise(lit("U")).as("op"))
+        val hi = ev.agg(max(col("offset"))).collect().head.getLong(0)
+        val (t1, t2) = (hi / 3, 2 * hi / 3)
+        Seq(col("offset") <= t1,
+            col("offset") > t1 && col("offset") <= t2,
+            col("offset") > t2).foreach(band =>
+          IcebergSink.applyChanges(s, table, ev.where(band),
+            Seq("partition", "key"), "offset", "op"))
+        IcebergSink.read(s, table)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("offset")).as("off_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, lastrow AS (
+          |  SELECT _partition, _key, _offset, event_type,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         row_number() OVER (PARTITION BY _partition, _key
+          |                            ORDER BY _offset DESC) AS rn
+          |  FROM events_topic)
+          |SELECT _partition AS partition, count(*) AS n_keys,
+          |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
+          |       CAST(SUM(k) AS BIGINT) AS k_sum
+          |FROM lastrow WHERE rn = 1 AND event_type <> 'click'
+          |GROUP BY 1 ORDER BY partition""".stripMargin))),
+
     // Iceberg v2 ROW-LEVEL DELETES (equality-delete files, merge-on-read):
     // the opt-out/takedown shape of a 100 TB corpus — delete every 'click'
     // record by key WITHOUT rewriting any data file (the delete commit

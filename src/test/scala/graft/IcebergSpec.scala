@@ -437,6 +437,45 @@ class IcebergSpec extends AnyFunSuite {
     assert(highest == Seq((1L, 7L), (2L, 7L), (3L, 7L)))
   }
 
+  test("applyChanges: tombstones delete, upserts replace, one atomic row delta") {
+    import spark.implicits._
+    val table = tmpTable()
+    // batch 1 creates: tombstones for never-seen keys are no-ops; per key
+    // the max-version change wins ('2' arrives as U@1 then D@2 -> absent)
+    IcebergSink.applyChanges(spark, table,
+      Seq((1L, "a", 1L, "U"), (2L, "b", 1L, "U"), (2L, "x", 2L, "D"),
+        (9L, "ghost", 1L, "D")).toDF("k", "s", "ver", "op"),
+      Seq("k"), "ver", "op")
+    def state = IcebergSink.read(spark, table).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(state == Seq((1L, "a", 1L)))
+    // batch 2: ONE commit deletes key 1 AND inserts key 3 — no
+    // intermediate snapshot where 1 is gone but 3 absent
+    val snapsBefore = IcebergSink.load(spark, table).get.snapshots.size
+    IcebergSink.applyChanges(spark, table,
+      Seq((1L, "t", 3L, "D"), (3L, "c", 3L, "U")).toDF("k", "s", "ver", "op"),
+      Seq("k"), "ver", "op")
+    assert(IcebergSink.load(spark, table).get.snapshots.size ==
+      snapsBefore + 1, "a mixed batch must land as ONE snapshot")
+    assert(state == Seq((3L, "c", 3L)))
+    // a pure-tombstone batch still applies
+    IcebergSink.applyChanges(spark, table,
+      Seq((3L, "t", 4L, "D")).toDF("k", "s", "ver", "op"),
+      Seq("k"), "ver", "op")
+    assert(state.isEmpty)
+    // a key deleted earlier can re-insert later (feed order wins)
+    IcebergSink.applyChanges(spark, table,
+      Seq((3L, "back", 5L, "U")).toDF("k", "s", "ver", "op"),
+      Seq("k"), "ver", "op")
+    assert(state == Seq((3L, "back", 5L)))
+    // ties at the max version refuse, as in upsertIfNewer
+    intercept[IllegalArgumentException] {
+      IcebergSink.applyChanges(spark, table,
+        Seq((7L, "p", 1L, "U"), (7L, "q", 1L, "D")).toDF("k", "s", "ver", "op"),
+        Seq("k"), "ver", "op")
+    }
+  }
+
   test("remove_dangling_deletes: drops inapplicable delete files, keeps live ones") {
     import spark.implicits._
     val table = tmpTable()
