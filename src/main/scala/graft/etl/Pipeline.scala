@@ -299,13 +299,24 @@ object Pipeline {
     * count; the periodic metadata-only merge keeps both O(1). Replay-safe:
     * the maintenance snapshot changes no data, and a crash between commit
     * and maintenance just defers the merge to the next trigger. */
+  /** `deleteWhen = Some(pred)` makes the lane TOMBSTONE-AWARE (the
+    * compacted-topic delete shape — Kafka's canonical form is a null
+    * value: `col("value").isNull`): a key whose LATEST record matches
+    * the predicate is DELETED from the table instead of upserted; both
+    * halves of the batch land in the same single row-delta snapshot
+    * (equality delete covers tombstoned and replaced keys alike), so no
+    * reader observes a half-applied batch and crash-replay stays
+    * idempotent (identical input → identical delete+insert). The
+    * predicate sees the batch columns (topic, partition, key, offset,
+    * ts_ms, value); a null predicate value counts as NOT deleted. */
   def runUpsert(
       spark: SparkSession,
       kfsRoot: String,
       tablePath: String,
       checkpointDir: String,
       maxSegmentsPerTrigger: Option[Int] = None,
-      maintainEvery: Option[Int] = None): Unit = {
+      maintainEvery: Option[Int] = None,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
     val reader = spark.readStream.format("kfs").option("path", kfsRoot)
     maxSegmentsPerTrigger.foreach(n =>
       reader.option("max_segments_per_trigger", n.toString))
@@ -337,8 +348,22 @@ object Pipeline {
         // equality delete and its data, so a reader (or a crash)
         // between them can never observe the keys transiently absent
         try if (!last.isEmpty) {
-          IcebergSink.upsertAtomic(ss, tablePath, last,
-            Seq("topic", "partition", "key"))
+          val keys = Seq("topic", "partition", "key")
+          deleteWhen match {
+            case None =>
+              IcebergSink.upsertAtomic(ss, tablePath, last, keys)
+            case Some(pred) =>
+              val isDel = coalesce(pred, lit(false))
+              val inserts = last.where(!isDel)
+              val dels = last.where(isDel).select(keys.map(col): _*)
+              if (IcebergSink.load(ss, tablePath).isEmpty)
+                IcebergSink.append(ss, tablePath, inserts) // tombstones no-op
+              else if (inserts.isEmpty)
+                IcebergSink.deleteKeys(ss, tablePath, dels)
+              else
+                IcebergSink.upsertAtomic(ss, tablePath, inserts, keys,
+                  extraDeleteKeys = Some(dels))
+          }
           maintainEvery.foreach(k =>
             if (commits.incrementAndGet() % k == 0)
               IcebergSink.rewriteManifests(ss, tablePath))

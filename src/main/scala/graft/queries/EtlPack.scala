@@ -556,6 +556,50 @@ object EtlPack extends QueryPack {
           |GROUP BY 1 ORDER BY partition""".stripMargin)),
       seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
 
+    // TOMBSTONE-AWARE STREAMING UPSERT — the compacted-topic delete
+    // shape through the checkpointed lane: records whose latest value
+    // has k % 7 == 0 are tombstones (Kafka's canonical form is a null
+    // value; the predicate is the seam), every other key LWWs by offset
+    // as in e42. Each micro-batch lands as ONE row-delta snapshot whose
+    // equality-delete half covers tombstoned AND replaced keys; the
+    // final table must equal the per-key max-offset row MINUS keys whose
+    // last record tombstoned — batch cadence invisible, replay
+    // idempotent, and a takedown flows through the SAME lane as data.
+    QueryDef(
+      "e49_stream_upsert_tombstones",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "upsert_tomb_table")
+        val ckpt = tmp(dir, "upsert_tomb_ckpt")
+        val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
+        StreamDrive.narrow(s) {
+          Pipeline.runUpsert(s, root, table, ckpt,
+            maxSegmentsPerTrigger = Some(math.max(1, nSegs / 6)),
+            deleteWhen = Some(
+              get_json_object(col("value"), "$.k").cast("long") % 7 === 0))
+        }
+        IcebergSink.read(s, table)
+          .select(col("partition"), col("offset"),
+            get_json_object(col("value"), "$.k").cast("long").as("k"))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("offset")).as("off_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, lastrow AS (
+          |  SELECT _partition, _key, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         row_number() OVER (PARTITION BY _partition, _key
+          |                            ORDER BY _offset DESC) AS rn
+          |  FROM events_topic)
+          |SELECT _partition AS partition, count(*) AS n_keys,
+          |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
+          |       CAST(SUM(k) AS BIGINT) AS k_sum
+          |FROM lastrow WHERE rn = 1 AND k % 7 <> 0
+          |GROUP BY 1 ORDER BY partition""".stripMargin)),
+      seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
+
     // DANGLING-DELETE MAINTENANCE (Iceberg's remove-dangling-deletes
     // pass): a takedown lands as an equality-delete file; a later
     // partition-wise backfill (the realistic 100 TB compaction shape —
