@@ -11,7 +11,7 @@ tables, loads the Spark result parquet, sorts columns by name and rows by
 value, and compares cell-by-cell. Exact match -> OK. Reports near-miss float
 diffs so unstable queries are caught before the driver sees them.
 """
-import argparse, glob, json, math, os, subprocess, sys
+import argparse, glob, json, math, os, subprocess, sys, time
 
 import duckdb
 import pandas as pd
@@ -84,6 +84,12 @@ def main():
 
     n_ok = n_bad = 0
     results = {}
+    def record(name, status, rows=None, cols=None):
+        results[name] = {"ok": status == "ok", "status": status,
+                         "rows": rows, "cols": cols,
+                         "rows_match": status not in ("row-count-mismatch",),
+                         "schema_match": status not in ("column-mismatch",),
+                         "values_match": status == "ok"}
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
@@ -92,7 +98,7 @@ def main():
         if not parts:
             print(f"FAIL {name}: no spark output at {outdir}")
             n_bad += 1
-            results[name] = "missing-spark-output"
+            record(name, "missing-spark-output")
             continue
         try:
             got = norm(con.sql(
@@ -100,21 +106,24 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_bad += 1
+            record(name, "unreadable-spark-output")
             continue
         try:
             want = norm(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_bad += 1
-            results[name] = "oracle-error"
+            record(name, "oracle-error")
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns spark={list(got.columns)} oracle={list(want.columns)}")
             n_bad += 1
+            record(name, "column-mismatch")
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
             n_bad += 1
+            record(name, "row-count-mismatch", len(got), len(got.columns))
             continue
         bad = []
         for c in got.columns:
@@ -128,9 +137,18 @@ def main():
         if bad:
             print(f"FAIL {name}: {len(bad)}+ cell diffs, e.g. {bad[:3]}")
             n_bad += 1
+            record(name, "value-mismatch", len(got), len(got.columns))
         else:
             print(f"OK   {name} ({len(got)} rows x {len(got.columns)} cols)")
             n_ok += 1
+            record(name, "ok", len(got), len(got.columns))
+    # the in-tree audit record (CORRECTNESS_BUILDER_r{N}.json is a copy of
+    # this file): per-query verdicts + run metadata, written even on failure
+    report = {"n_ok": n_ok, "n_failed": n_bad, "sf": args.sf,
+              "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+              "queries": results}
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)
 
