@@ -44,22 +44,32 @@ object Bench {
   }
 
   /** Per-QUERY noise stamps: a query whose OWN probe median exceeds
-    * `factor` x the quiet norm ran inside a localized load burst even when
-    * the run-level gates pass (a committed quiet-median run carried s15 at
-    * 5.67s vs 2.58s on a quiet re-run, its probes at 0.48/0.55/1.45
-    * against a 0.41 run median). Such numbers are load artifacts: the
-    * flagged queries stay in the artifact — the run is still valid — but
-    * cross-round comparisons must skip them instead of reading them as
-    * regressions. The median (not max) stamps, so one slow probe out of
-    * `reps` — a cache-cold first rep, say — does not flag a query. */
+    * `factor` x the RUN's probe level ran inside a localized load burst
+    * even when the run-level gates pass (a committed quiet-median run
+    * carried s15 at 5.67s vs 2.58s on a quiet re-run, its probes at
+    * 0.48/0.55/1.45 against a 0.41 run median). Such numbers are load
+    * artifacts: the flagged queries stay in the artifact — the run is
+    * still valid — but cross-round comparisons must skip them instead of
+    * reading them as regressions.
+    *
+    * The baseline is `max(normSec, run-wide probe median)`: a stamp
+    * marks a query NOISIER THAN ITS OWN RUN — measuring against the
+    * absolute quiet norm alone mass-stamps half the suite whenever the
+    * whole run drifts a few hundredths above it (uniform drift is the
+    * run-level gate's job, not a per-query signal). The median (not max)
+    * stamps, so one slow probe out of `reps` — a cache-cold first rep,
+    * say — does not flag a query. */
   def noisyQueries(perQuery: Seq[(String, Seq[Double])],
-      normSec: Double = 0.3, factor: Double = 1.5): Seq[String] =
+      normSec: Double = 0.3, factor: Double = 1.5): Seq[String] = {
+    val runMed = probeMedian(perQuery.flatMap(_._2))
+    val base = math.max(normSec, if (runMed >= 0) runMed else normSec)
     perQuery.collect {
       case (name, probes)
           if probeMedian(probes) >= 0 &&
-            probeMedian(probes) > normSec * factor =>
+            probeMedian(probes) > base * factor =>
         name
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,10 +46,23 @@ class BenchGateSpec extends AnyFunSuite {
     // the stamp keys on the query's own MEDIAN: one slow probe out of
     // three (a cache-cold rep) does not flag it
     assert(Bench.noisyQueries(Seq("q" -> Seq(0.30, 2.0, 0.31))).isEmpty)
-    // failure sentinels don't suppress a genuine stamp
-    assert(Bench.noisyQueries(Seq("q" -> Seq(-1.0, 0.9, 0.8))) == Seq("q"))
+    // failure sentinels don't suppress a genuine stamp (inside a quiet
+    // run — the baseline is the run's own probe median)
+    assert(Bench.noisyQueries(
+      (1 to 10).map(i => s"p$i" -> Seq(0.30, 0.31, 0.29)) :+
+        ("q" -> Seq(-1.0, 0.9, 0.8))) == Seq("q"))
     // no probes -> no stamp
     assert(Bench.noisyQueries(Seq("q" -> Nil)).isEmpty)
+    // UNIFORM drift is the run-level gate's business, not a per-query
+    // signal: a whole run at 0.44 (norm 0.30) must stamp NOTHING — the
+    // baseline is the run's own median, so only queries noisier than
+    // their own run flag
+    val drifted = (1 to 20).map(i => s"q$i" -> Seq(0.44, 0.43, 0.45))
+    assert(Bench.noisyQueries(drifted, normSec = 0.3).isEmpty,
+      "uniform drift must not mass-stamp the suite")
+    // ...while a genuine burst inside that drifted run still stamps
+    assert(Bench.noisyQueries(drifted :+ ("qburst" -> Seq(1.5, 1.8, 1.2)),
+      normSec = 0.3) == Seq("qburst"))
   }
 
   test("a localized load burst trips the tail gate even with a quiet median") {
