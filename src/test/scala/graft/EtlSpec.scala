@@ -282,6 +282,51 @@ class EtlSpec extends AnyFunSuite {
     assert(s2("k1") == 21L, "untouched keys keep their previous last write")
   }
 
+  test("tombstone lane: deletes flow through, caught-up and wiped reruns converge") {
+    import graft.etl.IcebergSink
+    val root = Files.createTempDirectory("etl_tmb_kfs").toString
+    // 30 records over 10 keys; values o % 4 == 0 are tombstones
+    val records = (0 until 30).map(i => KfsCodec.Record(i.toLong,
+      1706000000000L + i, s"k${i % 10}".getBytes, s"""{"o":$i}""".getBytes, Nil))
+    KfsLayout.writeSegment(root, "t1", 0, records)
+    val table = Files.createTempDirectory("etl_tmb_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("etl_tmb_ck").toString
+    val tomb = Some(get_json_object(col("value"), "$.o").cast("long") % 4 === 0)
+
+    Pipeline.runUpsert(spark, root, table, ckpt, deleteWhen = tomb)
+    def state(): Map[String, Long] = IcebergSink.read(spark, table)
+      .select(col("key"), col("offset")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each key's LAST offset is 20+i; keys whose last o % 4 == 0 are gone
+    val expect = (0 until 10).map(i => s"k$i" -> (20 + i).toLong)
+      .filter(_._2 % 4 != 0).toMap
+    assert(state() == expect, s"got ${state()}")
+
+    // caught-up rerun: nothing changes
+    Pipeline.runUpsert(spark, root, table, ckpt, deleteWhen = tomb)
+    assert(state() == expect)
+
+    // wiped checkpoint: batch 0 re-applies EVERYTHING — re-deleting the
+    // tombstoned keys and re-upserting survivors converges to the same
+    // state (idempotent for identical input, the lane's replay law)
+    TableSink.deleteRecursive(java.nio.file.Paths.get(ckpt))
+    Pipeline.runUpsert(spark, root, table, ckpt, deleteWhen = tomb)
+    assert(state() == expect, "a wiped-checkpoint replay must converge")
+
+    // a later segment re-inserts a tombstoned key and tombstones a
+    // previously-live one — deletes and upserts flow through one lane
+    val more = Seq(
+      KfsCodec.Record(30L, 1706000100000L, "k0".getBytes,
+        """{"o":33}""".getBytes, Nil), // k0 (last o=20, deleted) revives
+      KfsCodec.Record(31L, 1706000100001L, "k1".getBytes,
+        """{"o":32}""".getBytes, Nil)) // k1 (last o=21, live) tombstones
+    KfsLayout.writeSegment(root, "t1", 0, more)
+    Pipeline.runUpsert(spark, root, table, ckpt, deleteWhen = tomb)
+    val s2 = state()
+    assert(s2.get("k0").contains(30L), s"revived key must re-insert: $s2")
+    assert(!s2.contains("k1"), s"newly tombstoned key must delete: $s2")
+  }
+
   test("upsert lane auto-maintenance bounds the manifest list, state unchanged") {
     import graft.etl.IcebergSink
     val root = Files.createTempDirectory("etl_mnt_kfs").toString
