@@ -328,6 +328,61 @@ class IcebergReaderConformanceSpec extends AnyFunSuite {
       s"expiry must normalize path shapes before survivorship: $after")
   }
 
+  test("changelog pos-delete pre-images survive scheme-divergent manifests") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    // a POSITION delete: its parquet records the data file path in the
+    // shape _metadata reported at delete time
+    IcebergSink.deleteWherePositions(spark, table, col("id") === 2L)
+    val delSnap = IcebergSink.load(spark, table).get.currentSnapshotId.get
+
+    // reshape the delete snapshot's MANIFEST paths (URI <-> bare) so the
+    // changelog's target-file resolution compares divergent shapes of
+    // the same files — pre-normalization it would silently emit ZERO
+    // delete pre-images for the snapshot
+    val v = latestVersion(table)
+    val n = metaJson(table, v)
+    val snapNode = n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() == delSnap).get
+      .asInstanceOf[ObjectNode]
+    val listPath = snapNode.path("manifest-list").asText()
+    val (listMeta, listSchema, listRecs) = readAvroRaw(listPath)
+    val newListRecs = listRecs.zipWithIndex.map { case (lr, i) =>
+      val mPath = lr.get("manifest_path").toString
+      val (mMeta, mSchema, mRecs) = readAvroRaw(mPath)
+      val reshaped = mRecs.map { e =>
+        val c = copyRecord(mSchema, e)
+        val d = c.get("data_file").asInstanceOf[GenericRecord]
+        val p = d.get("file_path").toString
+        d.put("file_path",
+          if (p.startsWith("file:")) p.replaceFirst("^file:/*", "/")
+          else "file://" + p)
+        c
+      }
+      val np = mPath.stripSuffix(".avro") + s"-chg$i.avro"
+      val len = writeAvroRaw(np, mSchema, mMeta, reshaped)
+      val cl = copyRecord(listSchema, lr)
+      cl.put("manifest_path", np)
+      cl.put("manifest_length", len)
+      cl
+    }
+    val newList = listPath.stripSuffix(".avro") + "-chg.avro"
+    writeAvroRaw(newList, listSchema, listMeta, newListRecs)
+    snapNode.put("manifest-list", newList)
+    writeVersion(table, v + 1, n)
+
+    // the changelog must still surface the FULL pre-image of the
+    // positionally deleted row
+    val ch = IcebergSink.readChangelogFrom(spark, table, None)
+      .where(col("_change_type") === "delete")
+      .select(col("id"), col("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ch == Seq((2L, "b")),
+      s"pos-delete pre-images must survive path-shape divergence: $ch")
+  }
+
   test("foreign manifest: two DISTINCT files colliding after normalization refuse loudly") {
     import spark.implicits._
     val table = tmpTable()
