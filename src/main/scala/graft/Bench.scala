@@ -52,17 +52,23 @@ object Bench {
     * still valid — but cross-round comparisons must skip them instead of
     * reading them as regressions.
     *
-    * The baseline is `max(normSec, run-wide probe median)`: a stamp
-    * marks a query NOISIER THAN ITS OWN RUN — measuring against the
-    * absolute quiet norm alone mass-stamps half the suite whenever the
-    * whole run drifts a few hundredths above it (uniform drift is the
-    * run-level gate's job, not a per-query signal). The median (not max)
-    * stamps, so one slow probe out of `reps` — a cache-cold first rep,
-    * say — does not flag a query. */
+    * The baseline is `max(normSec, the run's LOWER-QUARTILE probe)`: a
+    * stamp marks a query noisier than its own run's quiet floor.
+    * Measuring against the absolute norm alone mass-stamps half the
+    * suite whenever the whole run drifts a few hundredths above it
+    * (uniform drift is the run-level gate's job, not a per-query
+    * signal); measuring against the run MEDIAN instead would open a
+    * bimodal blind spot — a sustained burst covering up to half the
+    * suite lifts the median enough to hide itself from both gates. The
+    * p25 floor keeps uniform drift unstamped while a burst over any
+    * minority-to-half slice of the run still flags its queries. The
+    * per-query median (not max) stamps, so one slow probe out of `reps`
+    * — a cache-cold first rep, say — does not flag a query. */
   def noisyQueries(perQuery: Seq[(String, Seq[Double])],
       normSec: Double = 0.3, factor: Double = 1.5): Seq[String] = {
-    val runMed = probeMedian(perQuery.flatMap(_._2))
-    val base = math.max(normSec, if (runMed >= 0) runMed else normSec)
+    val good = perQuery.flatMap(_._2).filter(_ >= 0).sorted
+    val p25 = if (good.isEmpty) normSec else good((good.size - 1) / 4)
+    val base = math.max(normSec, p25)
     perQuery.collect {
       case (name, probes)
           if probeMedian(probes) >= 0 &&

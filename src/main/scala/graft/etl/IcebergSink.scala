@@ -1349,9 +1349,14 @@ object IcebergSink {
         val specDecls = m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
         val fileRecords = writeDataFiles(spark, table, df, commitUuid,
           specDecls)
-        if (fileRecords.map(_.records).sum == 0 && extraDeleteKeys.isEmpty) {
+        if (fileRecords.map(_.records).sum == 0) {
+          // the zero-record staged files are junk either way: never let
+          // them into a manifest
           val f = fs(new HPath(table))
           fileRecords.foreach(i => f.delete(i.status.getPath, false))
+          // an empty batch with extra delete keys is a DELETE-ONLY delta
+          extraDeleteKeys.foreach(extra =>
+            deleteKeys(spark, table, extra, maxRetries))
           return
         }
         def keyTuples(src: DataFrame) = src.select(eqFields.map(fl =>
@@ -1401,16 +1406,24 @@ object IcebergSink {
       if (ties.nonEmpty)
         throw new IllegalArgumentException(
           s"ambiguous tie at the max version for key ${ties.head}")
+      // a null op is malformed data, not a choice: it would fall out of
+      // BOTH halves below (null =!= x and null === x are both null) and
+      // the key's newest change would silently vanish — refuse loudly
+      val nullOps = winners.where(col(opCol).isNull).limit(1).collect()
+      if (nullOps.nonEmpty)
+        throw new IllegalArgumentException(
+          s"null $opCol on a winning change: ${nullOps.head}")
       val inserts = winners.where(col(opCol) =!= deleteOp).drop(opCol)
       val delKeys = winners.where(col(opCol) === deleteOp)
         .select(keyCols.map(col): _*)
       load(spark, table) match {
         // tombstones for keys that never existed are no-ops
         case None => append(spark, table, inserts, maxRetries)
-        case Some(_) =>
-          if (inserts.isEmpty) deleteKeys(spark, table, delKeys, maxRetries)
-          else upsertAtomic(spark, table, inserts, keyCols, maxRetries,
-            extraDeleteKeys = Some(delKeys))
+        // upsertAtomic degrades to a delete-only delta when the insert
+        // half lands zero records, so one call covers mixed,
+        // insert-only, and tombstone-only batches
+        case Some(_) => upsertAtomic(spark, table, inserts, keyCols,
+          maxRetries, extraDeleteKeys = Some(delKeys))
       }
     } finally winners.unpersist(blocking = false)
   }

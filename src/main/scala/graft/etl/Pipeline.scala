@@ -358,9 +358,9 @@ object Pipeline {
               val dels = last.where(isDel).select(keys.map(col): _*)
               if (IcebergSink.load(ss, tablePath).isEmpty)
                 IcebergSink.append(ss, tablePath, inserts) // tombstones no-op
-              else if (inserts.isEmpty)
-                IcebergSink.deleteKeys(ss, tablePath, dels)
               else
+                // upsertAtomic degrades to a delete-only delta on an
+                // empty insert half — one call covers every batch shape
                 IcebergSink.upsertAtomic(ss, tablePath, inserts, keys,
                   extraDeleteKeys = Some(dels))
           }

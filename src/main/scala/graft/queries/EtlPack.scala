@@ -596,7 +596,7 @@ object EtlPack extends QueryPack {
           |SELECT _partition AS partition, count(*) AS n_keys,
           |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
           |       CAST(SUM(k) AS BIGINT) AS k_sum
-          |FROM lastrow WHERE rn = 1 AND k % 7 <> 0
+          |FROM lastrow WHERE rn = 1 AND (k % 7 <> 0 OR k IS NULL)
           |GROUP BY 1 ORDER BY partition""".stripMargin)),
       seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
 

@@ -55,14 +55,23 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.noisyQueries(Seq("q" -> Nil)).isEmpty)
     // UNIFORM drift is the run-level gate's business, not a per-query
     // signal: a whole run at 0.44 (norm 0.30) must stamp NOTHING — the
-    // baseline is the run's own median, so only queries noisier than
-    // their own run flag
+    // baseline is the run's own quiet floor (p25), so only queries
+    // noisier than their own run flag
     val drifted = (1 to 20).map(i => s"q$i" -> Seq(0.44, 0.43, 0.45))
     assert(Bench.noisyQueries(drifted, normSec = 0.3).isEmpty,
       "uniform drift must not mass-stamp the suite")
     // ...while a genuine burst inside that drifted run still stamps
     assert(Bench.noisyQueries(drifted :+ ("qburst" -> Seq(1.5, 1.8, 1.2)),
       normSec = 0.3) == Seq("qburst"))
+    // the p25 floor closes the bimodal blind spot a run-median baseline
+    // would open: a sustained burst over HALF the suite (0.60 vs a 0.28
+    // quiet half, run median 0.44 — under the run gate) must stamp the
+    // loaded half, not hide inside its own lifted median
+    val bimodal = (1 to 10).map(i => s"quiet$i" -> Seq(0.28, 0.28, 0.28)) ++
+      (1 to 10).map(i => s"loaded$i" -> Seq(0.60, 0.61, 0.59))
+    val stamped = Bench.noisyQueries(bimodal, normSec = 0.3)
+    assert(stamped.size == 10 && stamped.forall(_.startsWith("loaded")),
+      s"a half-run burst must stamp exactly the loaded half: $stamped")
   }
 
   test("a localized load burst trips the tail gate even with a quiet median") {

@@ -85,11 +85,22 @@ def main():
     n_ok = n_bad = 0
     results = {}
     def record(name, status, rows=None, cols=None):
-        results[name] = {"ok": status == "ok", "status": status,
-                         "rows": rows, "cols": cols,
-                         "rows_match": status not in ("row-count-mismatch",),
-                         "schema_match": status not in ("column-mismatch",),
-                         "values_match": status == "ok"}
+        # tri-state per comparison stage: True/False only when that stage
+        # actually RAN; None = never compared (a failed query must not
+        # read as "rows matched" downstream)
+        compared_schema = status in ("ok", "column-mismatch",
+                                     "row-count-mismatch", "value-mismatch")
+        compared_rows = status in ("ok", "row-count-mismatch",
+                                   "value-mismatch")
+        compared_values = status in ("ok", "value-mismatch")
+        results[name] = {
+            "ok": status == "ok", "status": status,
+            "rows": rows, "cols": cols,
+            "schema_match": (status != "column-mismatch")
+                            if compared_schema else None,
+            "rows_match": (status != "row-count-mismatch")
+                          if compared_rows else None,
+            "values_match": (status == "ok") if compared_values else None}
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
@@ -145,9 +156,13 @@ def main():
     # the in-tree audit record (CORRECTNESS_BUILDER_r{N}.json is a copy of
     # this file): per-query verdicts + run metadata, written even on failure
     report = {"n_ok": n_ok, "n_failed": n_bad, "sf": args.sf,
+              "only": args.only,
               "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
               "queries": results}
-    with open(os.path.join(args.out, "report.json"), "w") as f:
+    # a targeted --only run writes a SEPARATE file so it can never
+    # clobber the full-run audit record the builder artifact copies
+    report_name = "report_only.json" if only else "report.json"
+    with open(os.path.join(args.out, report_name), "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)
