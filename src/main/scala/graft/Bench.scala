@@ -135,6 +135,19 @@ object Bench {
       (System.nanoTime() - p0) / 1e9
     }
     loadProbe() // untimed first call absorbs the probe's own codegen cost
+    // ambient-load stamps: the Spark probe catches Spark-VISIBLE
+    // contention, but this machine demonstrably carries EXTERNAL load
+    // bursts the probe under-reads (r16's uptick cluster adjudicated to
+    // exactly that); /proc/loadavg at run start and end gives cross-round
+    // readers the OS-level picture without shell archaeology
+    def loadAvg(): Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).map(_.toDouble).toSeq
+      catch { case _: Throwable => Nil }
+    def loadJson(l: Seq[Double]) =
+      l.map(v => "%.2f".formatLocal(java.util.Locale.ROOT, v))
+        .mkString("[", ",", "]")
+    val loadStart = loadAvg()
     // SPARK_GRAFT_WARMUP=0 disables the untimed warm-up rep (on by default:
     // rep-1 times previously carried each query's janino/JIT warm-up, which
     // read as 1.5-2.5x rep spread in BENCH_FULL)
@@ -249,7 +262,7 @@ object Bench {
       println(s"BENCH NOISY QUERIES (own probe median > 1.5x norm — exclude " +
         s"from cross-round comparison): ${qNoisy.mkString(",")}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"noisy_queries":$qNoisyJson,"probe_median":${f3(probeMed)},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"noisy_queries":$qNoisyJson,"probe_median":${f3(probeMed)},"loadavg_start":${loadJson(loadStart)},"queries":$fullQs,"sf":"$sfDir"}"""
     // BENCH_FULL.json additionally carries every repetition's time so a
     // suspicious min can be checked against its spread without a re-run
     val repQs = combined.map { case (k, ts) =>
@@ -283,8 +296,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val loadEnd = loadAvg()
     val fullFile =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","warmup":$warmup,"failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"noisy_queries":$qNoisyJson,"probe_median":${f3(probeMed)},"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"probe_s":$probeQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"agg":"min","warmup":$warmup,"failed":${failed.size},"failed_queries":$failedJson,"noisy":$noisy,"noisy_queries":$qNoisyJson,"probe_median":${f3(probeMed)},"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"errors":$errJson,"queries":$fullQs,"p50":$p50Qs,"p95":$p95Qs,"seed_s":$seedQs,"exec_s":$execQs,"rep_times":$repQs,"probe_s":$probeQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

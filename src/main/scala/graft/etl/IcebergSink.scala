@@ -1442,7 +1442,15 @@ object IcebergSink {
     * Scale shape: the staleness check broadcasts the batch's keys onto
     * ONE corpus scan (semi-join + a batch-keys-sized max aggregate) —
     * the corpus never shuffles, and applying batches in ANY order
-    * converges to the same per-key-max state. */
+    * converges to the same per-key-max state.
+    *
+    * Concurrency: the never-regress guarantee assumes a SINGLE WRITER
+    * per table — the lane discipline every mutation path here makes.
+    * The staleness check runs BEFORE the commit's optimistic-retry
+    * scope, so a concurrent writer landing a newer version between
+    * check and commit could be regressed by this batch's staler row
+    * (the retry loop re-resolves metadata races, not the version
+    * comparison). */
   def upsertIfNewer(spark: SparkSession, table: String, df: DataFrame,
       keyCols: Seq[String], versionCol: String, maxRetries: Int = 5): Unit = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
@@ -2560,8 +2568,14 @@ object IcebergSink {
         }
       }
     }
-    // normalize to qualified URIs so comparisons are representation-proof
-    def qualify(p: HPath): String = f.makeQualified(p).toString
+    // ONE canonicalizer repo-wide: qualify (absolutizes a relative
+    // metadata path against the filesystem) then normPathStr (the same
+    // scheme-stripping contract every other path compare uses). Using
+    // makeQualified ALONE here while reads use normPathStr opened a
+    // divergence window — a foreign shape the two normalize differently
+    // would pass reads yet mis-classify reachability on the ONE op that
+    // deletes files (the conformance matrix pins agreement).
+    def qualify(p: HPath): String = normPathStr(f.makeQualified(p).toString)
     val reachableQ = reachable.map(p => qualify(new HPath(p)))
     var deleted = 0
     var bytes = 0L
@@ -2599,9 +2613,30 @@ object IcebergSink {
     * sides of every path join go through this one helper — and the read
     * path's (file → seq) lookup additionally left-joins and RAISES on a
     * miss — so a path-shape divergence surfaces as an error, never as
-    * silently vanished rows. */
+    * silently vanished rows.
+    *
+    * Known limits (both surface loudly, never as dropped rows): the URI
+    * AUTHORITY is kept in the normalized path (`hdfs://host:8020/x` →
+    * `/host:8020/x`), so the same file named with and without an
+    * authority still diverges after normalization — the left-join raise
+    * fires; a Windows drive path (`C:/x`) would mangle, unreachable on
+    * this platform. */
   private[etl] def normPathStr(p: String): String =
     p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/*", "/")
+
+  /** A MANIFEST-side path mapped into the shape Spark's
+    * `_metadata.file_path` reports — Hadoop Path's RAW URI form, which
+    * percent-encodes characters URI syntax reserves (a literal `%` in a
+    * file name becomes `%25`) — then scheme-normalized. Use whenever a
+    * manifest path string meets a `_metadata`-derived one: the two live
+    * in different shape DOMAINS (manifests carry literal paths,
+    * `_metadata` carries encoded URIs), and comparing them raw raises
+    * spuriously on any file name URI encoding touches (conformance
+    * matrix: pct-literal). Driver-side, per FILE — the per-row Spark
+    * side stays the cheap scheme-strip regexp, since within its domain
+    * equality needs no decoding. */
+  private[etl] def metaShapePath(p: String): String =
+    normPathStr(new HPath(p).toUri.toString)
 
   /** [[normPathStr]] as a codegen'd column expression. */
   private def normPathCol(c: org.apache.spark.sql.Column)
@@ -2884,7 +2919,7 @@ object IcebergSink {
                 // commit count and the join is a map-side probe of a
                 // files-count-sized relation
                 val fileKey = "__graft_seq_file"
-                val seqPairs = dataFiles.map(f => (normPathStr(f.path), f.seq))
+                val seqPairs = dataFiles.map(f => (metaShapePath(f.path), f.seq))
                   .distinct
                 // normalization strips the scheme, so two DISTINCT files
                 // (s3://a/x vs /a/x) could collide onto one key and the
@@ -3336,7 +3371,8 @@ object IcebergSink {
               if (targets.isEmpty) Nil
               else {
                 val targetFiles = planFiles(spark, sn.manifestList, spec)
-                  .filter(p => p.content == 0 && targets(normPathStr(p.path)))
+                  .filter(p => p.content == 0 &&
+                    targets(metaShapePath(p.path)))
                 val pre0 = readPlannedData(spark, schema, spec, targetFiles,
                   withCoords = true, "__file", "__pos")
                 val tup = broadcast(tuples.select(

@@ -298,8 +298,28 @@ object Pipeline {
     * unmaintained lane's planning and commit IO grow linearly with batch
     * count; the periodic metadata-only merge keeps both O(1). Replay-safe:
     * the maintenance snapshot changes no data, and a crash between commit
-    * and maintenance just defers the merge to the next trigger. */
-  /** `deleteWhen = Some(pred)` makes the lane TOMBSTONE-AWARE (the
+    * and maintenance just defers the merge to the next trigger.
+    *
+    * `compactEvery = Some(k)` additionally bounds the PHYSICAL
+    * delete-file count: every micro-batch's row-delta snapshot leaves
+    * one equality-delete file behind, and although the read plans ONE
+    * anti-join at any count, each file is still a parquet read in the
+    * broadcast delete union on every scan — an always-on lane accrues
+    * them forever. Every k-th commit the lane runs
+    * [[IcebergSink.compact]] (the rewrite lifts every live data file
+    * above the accrued deletes' sequence numbers, so they all dangle)
+    * followed by [[IcebergSink.removeDanglingDeletes]] (a metadata-only
+    * replace that drops them from the head snapshot while time travel
+    * keeps applying them — the `rewrite_data_files` +
+    * remove-dangling-deletes maintenance cadence of Iceberg's own docs).
+    * Steady-state delete-file count is then < k regardless of stream
+    * lifetime. At estate scale the same cadence runs partition-scoped
+    * (backfill via [[IcebergSink.overwritePartitions]] per hot
+    * partition rather than a whole-table rewrite); the policy seam is
+    * identical. Crash-safe like `maintainEvery`: both ops commit
+    * atomically and change no query-visible rows.
+    *
+    * `deleteWhen = Some(pred)` makes the lane TOMBSTONE-AWARE (the
     * compacted-topic delete shape — Kafka's canonical form is a null
     * value: `col("value").isNull`): a key whose LATEST record matches
     * the predicate is DELETED from the table instead of upserted; both
@@ -316,7 +336,8 @@ object Pipeline {
       checkpointDir: String,
       maxSegmentsPerTrigger: Option[Int] = None,
       maintainEvery: Option[Int] = None,
-      deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      compactEvery: Option[Int] = None): Unit = {
     val reader = spark.readStream.format("kfs").option("path", kfsRoot)
     maxSegmentsPerTrigger.foreach(n =>
       reader.option("max_segments_per_trigger", n.toString))
@@ -364,8 +385,17 @@ object Pipeline {
                 IcebergSink.upsertAtomic(ss, tablePath, inserts, keys,
                   extraDeleteKeys = Some(dels))
           }
+          val n = commits.incrementAndGet()
+          // compact BEFORE the manifest merge: the rewrite dangles the
+          // accrued deletes, the dangling-drop removes them, and the
+          // manifest pass then folds whatever metadata remains
+          compactEvery.foreach(k =>
+            if (n % k == 0) {
+              IcebergSink.compact(ss, tablePath)
+              IcebergSink.removeDanglingDeletes(ss, tablePath)
+            })
           maintainEvery.foreach(k =>
-            if (commits.incrementAndGet() % k == 0)
+            if (n % k == 0)
               IcebergSink.rewriteManifests(ss, tablePath))
         } finally last.unpersist()
       }

@@ -658,6 +658,114 @@ object EtlPack extends QueryPack {
           |  FROM events_topic WHERE event_type = 'click' AND _offset % 7 = 0
           |) GROUP BY partition ORDER BY partition""".stripMargin))),
 
+    // IN-LANE DELETE-FILE HYGIENE — the always-on upsert stream's
+    // missing maintenance half: every micro-batch's row-delta leaves one
+    // physical equality-delete file, and although the read plans ONE
+    // anti-join at any count, each file is a parquet read in the
+    // broadcast delete union on every scan, forever. `compactEvery`
+    // wires Iceberg's rewrite_data_files + remove-dangling-deletes
+    // cadence INTO the lane: every 4th commit the rewrite materializes
+    // the accrued deletes and the dangling-drop removes anything a
+    // backfill-shaped rewrite left scoped-over-nothing. The requires pin
+    // the law: delete-file count stays BOUNDED (< the cadence) after
+    // the drain no matter how many batches ran, falls to ZERO at the
+    // next boundary, and the read then plans zero anti-joins — while
+    // the hash stays equal to e42's one-shot-merge oracle (maintenance
+    // is invisible to results; IcebergSpec pins that a pre-maintenance
+    // time-travel read still applies the deletes).
+    QueryDef(
+      "e50_stream_upsert_maintained",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "upsert_mx_table")
+        val ckpt = tmp(dir, "upsert_mx_ckpt")
+        val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
+        StreamDrive.narrow(s) {
+          Pipeline.runUpsert(s, root, table, ckpt,
+            maxSegmentsPerTrigger = Some(math.max(1, nSegs / 12)),
+            compactEvery = Some(4))
+        }
+        def delFiles = IcebergSink.metadataTable(s, table, "files")
+          .where(col("content") =!= 0).count()
+        require(delFiles < 4,
+          s"in-lane maintenance must bound delete files below the " +
+            s"cadence: $delFiles")
+        // the next maintenance boundary, exactly as the lane runs it
+        IcebergSink.compact(s, table)
+        IcebergSink.removeDanglingDeletes(s, table)
+        require(delFiles == 0,
+          "maintenance boundary must pin delete-file count back to zero")
+        val out = IcebergSink.read(s, table)
+        require(!out.queryExecution.executedPlan.toString.contains("LeftAnti"),
+          "zero delete files -> zero delete anti-joins in the read plan")
+        out.select(col("partition"), col("offset"),
+            get_json_object(col("value"), "$.k").cast("long").as("k"))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("offset")).as("off_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, lastrow AS (
+          |  SELECT _partition, _key, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         row_number() OVER (PARTITION BY _partition, _key
+          |                            ORDER BY _offset DESC) AS rn
+          |  FROM events_topic)
+          |SELECT _partition AS partition, count(*) AS n_keys,
+          |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
+          |       CAST(SUM(k) AS BIGINT) AS k_sum
+          |FROM lastrow WHERE rn = 1
+          |GROUP BY 1 ORDER BY partition""".stripMargin)),
+      seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
+
+    // THE FULL LANE POLICY — every production knob at once: tombstones
+    // (deleteWhen), metadata maintenance (maintainEvery) and physical
+    // delete-file hygiene (compactEvery) on ONE stream, with cadences
+    // chosen coprime (3, 4) so boundaries interleave — compaction fires
+    // on batches right after tombstone-heavy ones, manifest merges land
+    // between and after compactions, and a delete-only delta can sit
+    // directly under a maintenance boundary. The hash must equal e49's
+    // tombstone oracle exactly: policies compose without touching
+    // results, which is the property an operator would actually rely on
+    // when turning maintenance on under a live takedown stream.
+    QueryDef(
+      "e51_stream_upsert_full_policy",
+      (s, dir) => {
+        val root = KfsSeed.seededRoot(s, dir)
+        val table = tmp(dir, "upsert_full_table")
+        val ckpt = tmp(dir, "upsert_full_ckpt")
+        val nSegs = (Tables.events(s, dir).count() / 1000 + 4).toInt
+        StreamDrive.narrow(s) {
+          Pipeline.runUpsert(s, root, table, ckpt,
+            maxSegmentsPerTrigger = Some(math.max(1, nSegs / 8)),
+            maintainEvery = Some(3),
+            compactEvery = Some(4),
+            deleteWhen = Some(
+              get_json_object(col("value"), "$.k").cast("long") % 7 === 0))
+        }
+        IcebergSink.read(s, table)
+          .select(col("partition"), col("offset"),
+            get_json_object(col("value"), "$.k").cast("long").as("k"))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("offset")).as("off_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("partition"))
+      },
+      Some(Tables.withEventsTopic(
+        """, lastrow AS (
+          |  SELECT _partition, _key, _offset,
+          |         CAST(json_extract_string(_value, '$.k') AS BIGINT) AS k,
+          |         row_number() OVER (PARTITION BY _partition, _key
+          |                            ORDER BY _offset DESC) AS rn
+          |  FROM events_topic)
+          |SELECT _partition AS partition, count(*) AS n_keys,
+          |       CAST(SUM(_offset) AS BIGINT) AS off_sum,
+          |       CAST(SUM(k) AS BIGINT) AS k_sum
+          |FROM lastrow WHERE rn = 1 AND (k % 7 <> 0 OR k IS NULL)
+          |GROUP BY 1 ORDER BY partition""".stripMargin)),
+      seed = Some((s, dir) => { KfsSeed.seededRoot(s, dir); () })),
+
     // CONDITIONAL UPSERT (MERGE WHEN MATCHED AND incoming-newer) — the
     // OUT-OF-ORDER CDC landing shape: three offset-interleaved batches
     // apply in an order that is NOT recency order, so every batch carries

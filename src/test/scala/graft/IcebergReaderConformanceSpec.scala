@@ -383,6 +383,145 @@ class IcebergReaderConformanceSpec extends AnyFunSuite {
       s"pos-delete pre-images must survive path-shape divergence: $ch")
   }
 
+  /** Rewrite the CURRENT snapshot's manifests, mapping every data_file
+    * path through `xform(path, isDeleteFile)` — the shared reshaper the
+    * conformance matrix parameterizes over. */
+  private def reshapePaths(table: String, tag: String)(
+      xform: (String, Boolean) => String): Unit = {
+    val v = latestVersion(table)
+    val n = metaJson(table, v)
+    val snapNode = n.withArray("snapshots").asScala
+      .find(_.path("snapshot-id").asLong() ==
+        n.path("current-snapshot-id").asLong()).get
+      .asInstanceOf[ObjectNode]
+    val listPath = snapNode.path("manifest-list").asText()
+    val (listMeta, listSchema, listRecs) = readAvroRaw(listPath)
+    val newListRecs = listRecs.zipWithIndex.map { case (lr, i) =>
+      val mPath = lr.get("manifest_path").toString
+      val (mMeta, mSchema, mRecs) = readAvroRaw(mPath)
+      val reshaped = mRecs.map { e =>
+        val c = copyRecord(mSchema, e)
+        val d = c.get("data_file").asInstanceOf[GenericRecord]
+        val isDelete = (d.getSchema.getField("content") != null) &&
+          (d.get("content") match {
+            case x: Integer => x.intValue() != 0; case _ => false
+          })
+        d.put("file_path", xform(d.get("file_path").toString, isDelete))
+        c
+      }
+      val np = mPath.stripSuffix(".avro") + s"-$tag$i.avro"
+      val len = writeAvroRaw(np, mSchema, mMeta, reshaped)
+      val cl = copyRecord(listSchema, lr)
+      cl.put("manifest_path", np)
+      cl.put("manifest_length", len)
+      cl
+    }
+    val newList = listPath.stripSuffix(".avro") + s"-$tag.avro"
+    writeAvroRaw(newList, listSchema, listMeta, newListRecs)
+    snapNode.put("manifest-list", newList)
+    writeVersion(table, v + 1, n)
+  }
+
+  // ---- THE FOREIGN-SHAPE × OPERATION CONFORMANCE MATRIX -------------------
+  //
+  // Every metadata operation must behave identically on a table whose
+  // CURRENT snapshot was re-shaped by a foreign writer. Shapes:
+  //   inherited-seq    — entry seqs nulled (spec: Sequence Number
+  //                      Inheritance); legal here because the fixture's
+  //                      manifests are ADDED-only
+  //   scheme-divergent — every data/delete file path flips URI <-> bare
+  //   pct-literal      — data files physically COPIED to names containing
+  //                      a literal `%2D` (spec-legal file name); proves NO
+  //                      canonicalizer percent-DECODES paths — Hadoop Path
+  //                      keeps `%2D` literal, so decoding would conflate
+  //                      distinct files and delete the wrong one
+  // Operations: read, rewrite_manifests, remove-dangling-deletes (a no-op
+  // law: the fixture's delete is NOT dangling — min live data seq 1 < its
+  // seq 2 — so a mis-read of inherited seqs that dropped it would
+  // resurrect rows), compact, expireSnapshots (survivorship normalized:
+  // live files survive), removeOrphanFiles (junk reclaims, referenced
+  // files survive). The changelog half lives in its own pos-delete test
+  // below; the collision refusal in its own test; both share the same
+  // reshaper contract.
+  private val foreignShapes: Seq[(String, String => Unit)] = Seq(
+    "inherited-seq" -> ((t: String) => nullifyEntrySeqs(t, "mx")),
+    "scheme-divergent" -> ((t: String) => reshapePaths(t, "mx") {
+      (p, _) =>
+        if (p.startsWith("file:")) p.replaceFirst("^file:/*", "/")
+        else "file://" + p
+    }),
+    "pct-literal" -> ((t: String) => reshapePaths(t, "mx") {
+      (p, isDelete) =>
+        if (isDelete) p
+        else {
+          val bare = p.replaceFirst("^file:/*", "/")
+          val np = bare.stripSuffix(".parquet") + "-x%2Dy.parquet"
+          Files.copy(Paths.get(bare), Paths.get(np))
+          np
+        }
+    }))
+
+  private def matrixFixture(): (String, Seq[(Long, String)]) = {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // seq 1
+    IcebergSink.deleteWhere(spark, table, col("id") === 1L, Seq("id")) // seq 2
+    IcebergSink.append(spark, table, Seq((1L, "c")).toDF("id", "s")) // seq 3
+    (table, Seq((1L, "c"), (2L, "b")))
+  }
+
+  private def matrixRows(table: String): Seq[(Long, String)] =
+    IcebergSink.read(spark, table).orderBy("id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  for ((shapeName, shape) <- foreignShapes) {
+    test(s"matrix/$shapeName: read + every metadata op preserves results") {
+      // read
+      val (t1, expect) = matrixFixture()
+      shape(t1)
+      assert(matrixRows(t1) == expect, s"[$shapeName × read]")
+
+      // rewrite_manifests (metadata-only; inherited seqs materialize)
+      IcebergSink.rewriteManifests(spark, t1)
+      assert(matrixRows(t1) == expect, s"[$shapeName × rewriteManifests]")
+
+      // remove-dangling-deletes: MUST no-op (the delete still scopes over
+      // the seq-1 data file) — firing here would resurrect (1, "a")
+      val (t2, _) = matrixFixture()
+      shape(t2)
+      val v0 = IcebergSink.load(spark, t2).get.version
+      IcebergSink.removeDanglingDeletes(spark, t2)
+      assert(IcebergSink.load(spark, t2).get.version == v0,
+        s"[$shapeName × removeDanglingDeletes] must not commit")
+      assert(matrixRows(t2) == expect, s"[$shapeName × removeDanglingDeletes]")
+
+      // compact (reads through the shape, materializes the delete)
+      IcebergSink.compact(spark, t2)
+      assert(matrixRows(t2) == expect, s"[$shapeName × compact]")
+
+      // expire: survivorship must normalize shapes — live files survive,
+      // and the head still reads afterwards
+      val (t3, _) = matrixFixture()
+      shape(t3)
+      IcebergSink.expireSnapshots(spark, t3,
+        olderThanMs = System.currentTimeMillis() + 1000L, retainLast = 1)
+      assert(matrixRows(t3) == expect, s"[$shapeName × expireSnapshots]")
+
+      // orphan reclaim: junk goes, every referenced file stays readable
+      val (t4, _) = matrixFixture()
+      shape(t4)
+      val junk = Paths.get(t4, "data", "junk-orphan.parquet")
+      Files.write(junk, Array[Byte](1, 2, 3))
+      Files.setLastModifiedTime(junk,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+      IcebergSink.removeOrphanFiles(spark, t4,
+        olderThanMs = System.currentTimeMillis() + 1000L)
+      assert(!Files.exists(junk), s"[$shapeName × removeOrphanFiles] junk")
+      assert(matrixRows(t4) == expect, s"[$shapeName × removeOrphanFiles]")
+    }
+  }
+
   test("foreign manifest: two DISTINCT files colliding after normalization refuse loudly") {
     import spark.implicits._
     val table = tmpTable()

@@ -545,6 +545,41 @@ class IcebergSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq == expect)
   }
 
+  test("lane maintenance pair: head cleans, pre-maintenance time travel still subtracts") {
+    import spark.implicits._
+    val table = tmpTable()
+    // the streaming upsert lane's shape: N row-delta commits, each
+    // leaving one equality-delete file behind
+    (1 to 4).foreach { b =>
+      val batch = Seq((1L, s"v$b-1", b * 10), (b.toLong + 1, s"v$b-2", b))
+        .toDF("id", "v", "ver")
+      IcebergSink.upsertAtomic(spark, table, batch, Seq("id"))
+    }
+    def delFiles = IcebergSink.metadataTable(spark, table, "files")
+      .where(col("content") =!= 0).count()
+    assert(delFiles >= 3, s"the lane accrues delete files: $delFiles")
+    val preMaint = IcebergSink.load(spark, table).get.currentSnapshotId.get
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = rows(IcebergSink.read(spark, table))
+
+    // the compactEvery boundary, exactly as the lane runs it
+    IcebergSink.compact(spark, table)
+    IcebergSink.removeDanglingDeletes(spark, table)
+    assert(delFiles == 0, "the maintenance pair must clean the head")
+    val head = IcebergSink.read(spark, table)
+    assert(!head.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "clean head plans zero delete anti-joins")
+    assert(rows(head) == expect, "maintenance is invisible to results")
+
+    // pre-maintenance time travel still APPLIES the delete files (old
+    // snapshots keep their own manifest lists): same rows, via anti-join
+    val tt = IcebergSink.read(spark, table, Some(preMaint))
+    assert(tt.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "pre-maintenance snapshot still subtracts its delete files")
+    assert(rows(tt) == expect)
+  }
+
   test("compaction commits a replace snapshot; history stays time-travelable") {
     import spark.implicits._
     val table = tmpTable()
