@@ -74,19 +74,34 @@ object VectorIndex {
     * partitioned codes table. Queries through
     * [[Similarity.ivfpqTopKIndexed]] keep file-level partition pruning
     * over seed and streamed codes alike. Per batch the cost is one
-    * narrow encode of the batch plus one anti-join against the
-    * m-ints-per-vector codes table — the corpus is never rescanned. */
+    * narrow encode of the batch plus one anti-join against a
+    * RANGE-PRUNED slice of the codes table — the replay guard only
+    * matters for ids the batch itself carries, so the existing-codes
+    * scan filters to the batch's [min, max] id range and parquet
+    * row-group stats skip every file outside it; at steady state (fresh
+    * offsets above everything appended before) that is ZERO data pages,
+    * so guard cost is O(batch), not O(index). The corpus is never
+    * rescanned. */
   def runIvfPq(
       spark: SparkSession,
       kfsRoot: String,
       indexPath: String,
       checkpointDir: String,
       corpus: DataFrame,
-      maxSegmentsPerTrigger: Option[Int] = None): Unit = {
+      maxSegmentsPerTrigger: Option[Int] = None,
+      /** Every k-th appending batch runs [[Similarity.ivfpqCompact]] —
+        * the upsert lane's `compactEvery` analog: per-batch appends
+        * accrue one file per touched cell per batch, so an always-on
+        * lane's probe cost grows file-count-bound without this; the
+        * periodic rewrite keeps every cell at O(1) files. Replay-safe:
+        * compaction changes no code row, and a crash mid-swap leaves a
+        * complete old or new layout. */
+      compactEvery: Option[Int] = None): Unit = {
     val reader = spark.readStream.format("kfs").option("path", kfsRoot)
     maxSegmentsPerTrigger.foreach(n =>
       reader.option("max_segments_per_trigger", n.toString))
     val decoded = reader.load().select(col("_offset"))
+    val appends = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -97,14 +112,36 @@ object VectorIndex {
         // corpus instead of shuffling it; ids without an embedding row
         // (the corpus may be a subset of the id stream) drop here
         val fresh = corpus.join(broadcast(ids), Seq("vec_id"))
-        val existing = ss.read.parquet(s"$indexPath/codes")
-          .select(col("v").as("vec_id"))
-        val toAdd = fresh.join(existing, Seq("vec_id"), "left_anti")
-        if (!toAdd.isEmpty) Similarity.ivfpqAppend(toAdd, indexPath)
+        val bounds = ids.agg(min(col("vec_id")), max(col("vec_id"))).head()
+        if (!bounds.isNullAt(0)) {
+          val toAdd = fresh.join(
+            replayGuardExisting(ss, indexPath, bounds.getLong(0),
+              bounds.getLong(1)),
+            Seq("vec_id"), "left_anti")
+          if (!toAdd.isEmpty) {
+            Similarity.ivfpqAppend(toAdd, indexPath)
+            compactEvery.foreach(k =>
+              if (appends.incrementAndGet() % k == 0)
+                Similarity.ivfpqCompact(ss, indexPath))
+          }
+        }
       }
       .start()
     query.awaitTermination()
   }
+
+  /** The replay guard's existing-ids scan, bounded to the batch's id
+    * range: sound because the anti-join can only ever match ids the
+    * batch carries (fresh ⊆ [lo, hi]), and cheap because the filter
+    * pushes to the parquet scan where row-group min/max stats skip every
+    * file whose ids lie outside the range — each append writes only its
+    * own batch's ids, so old files carry tight, disjoint ranges
+    * (PlanSpec pins the pushed filters). */
+  private[graft] def replayGuardExisting(ss: SparkSession,
+      indexPath: String, lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+    ss.read.parquet(s"$indexPath/codes")
+      .where(col("v") >= lo && col("v") <= hi)
+      .select(col("v").as("vec_id"))
 
   /** Bucket-pruned top-k retrieval against the maintained index: probe
     * docs join candidates sharing their bucket, cosine on the STORED

@@ -358,56 +358,52 @@ object Similarity {
   }
 
   /** IVFPQ fit + assign: the build half. Returns the model plus the codes
-    * frame — (v, cell, code_0..code_{m−1}) — one narrow pass over the
-    * corpus (the PQ codebooks fit on residuals, tighter than raw
-    * vectors). */
+    * frame — (v, cell, code_0..code_{m−1}). The coarse assignment is
+    * built ONCE and shared: the codebook fit reads it, and the returned
+    * codes frame extends the same plan (no second assignment subtree),
+    * while build-encoding ≡ append-encoding still holds by construction
+    * because [[ivfpqEncode]] composes the IDENTICAL
+    * [[ivfpqCoarseAssign]] + [[ivfpqCodeResiduals]] pair. */
   private[graft] def ivfpqFit(corpus: DataFrame, kCells: Int,
       coarseIters: Int, m: Int, codebookK: Int, pqIters: Int,
       dims: Int, scale: Long): (IvfPqModel, DataFrame) = {
     val subDims = dims / m
     require(subDims * m == dims, s"dims $dims not divisible by m $m")
-    val qv = org.apache.spark.sql.graft.QuantOps
     // coarse quantizer: one deterministic integer k-means over the corpus
     val coarse = KMeansQ.fitMulti(
       corpus, "embedding", 1, kCells, coarseIters, dims, scale).head
-    val centersLit = array(coarse.map(c => array(c.map(lit(_)): _*)): _*)
-    val cq = corpus.select(col("vec_id").as("v"),
-      qv.quantize(col("embedding"), dims, scale).as("_qv"))
-    val assigned = cq
-      .withColumn("_cs", KMeansQ.scoresExpr(col("_qv"), coarse))
-      .withColumn("cell", KMeansQ.argminExpr(col("_cs"), kCells))
-      .withColumn("_res", zip_with(col("_qv"),
-        element_at(centersLit, col("cell") + 1), (a, b) => a - b))
-      .select(col("v"), col("cell"), col("_res"))
+    val assigned = ivfpqCoarseAssign(corpus, coarse.map(_.toSeq).toSeq,
+      dims, scale)
     val codebooks = KMeansQ.fitMultiQuantized(
       assigned.select(col("v").as("vec_id"), col("_res")), "_res",
       m, codebookK, pqIters, dims, scale)
     val model = IvfPqModel(coarse.map(_.toSeq).toSeq,
       codebooks.map(_.map(_.toSeq).toSeq).toSeq, dims, scale)
-    // codes via the same frozen-model encode the incremental append path
-    // uses — build-encoding ≡ append-encoding by construction
-    (model, ivfpqEncode(corpus, model))
+    (model, ivfpqCodeResiduals(assigned, model))
   }
 
-  /** Encode vectors against a FROZEN model — the assignment half of
-    * [[ivfpqFit]] with no fitting: coarse-assign each vector to its
-    * nearest existing cell, take the residual, code each subspace
-    * against the frozen codebooks. One narrow pass; the shared encode
-    * for the initial build and every incremental append. */
-  private[graft] def ivfpqEncode(df: DataFrame,
-      model: IvfPqModel): DataFrame = {
-    val m = model.m
-    val subDims = model.dims / m
+  /** The shared coarse-assignment prefix of every IVFPQ encode:
+    * (v, cell, _res) — nearest cell by exact integer center distance,
+    * residual against that center. */
+  private def ivfpqCoarseAssign(df: DataFrame, coarseSeq: Seq[Seq[Long]],
+      dims: Int, scale: Long): DataFrame = {
     val qv = org.apache.spark.sql.graft.QuantOps
-    val coarse = model.coarse.map(_.toArray).toArray
+    val coarse = coarseSeq.map(_.toArray).toArray
     val centersLit = array(coarse.map(c => array(c.map(lit(_)): _*)): _*)
-    val assigned = df.select(col("vec_id").as("v"),
-        qv.quantize(col("embedding"), model.dims, model.scale).as("_qv"))
+    df.select(col("vec_id").as("v"),
+        qv.quantize(col("embedding"), dims, scale).as("_qv"))
       .withColumn("_cs", KMeansQ.scoresExpr(col("_qv"), coarse))
-      .withColumn("cell", KMeansQ.argminExpr(col("_cs"), model.kCells))
+      .withColumn("cell", KMeansQ.argminExpr(col("_cs"), coarse.length))
       .withColumn("_res", zip_with(col("_qv"),
         element_at(centersLit, col("cell") + 1), (a, b) => a - b))
       .select(col("v"), col("cell"), col("_res"))
+  }
+
+  /** The shared subspace-coding suffix: code each residual subspace
+    * against the frozen codebooks. */
+  private def ivfpqCodeResiduals(assigned: DataFrame,
+      model: IvfPqModel): DataFrame = {
+    val subDims = model.dims / model.m
     model.codebooks.map(_.map(_.toArray).toArray).zipWithIndex
       .foldLeft(assigned) { case (acc, (cb, i)) =>
         acc.withColumn(s"_rs$i", slice(col("_res"), i * subDims + 1, subDims))
@@ -416,6 +412,16 @@ object Similarity {
           .drop(s"_rs$i", s"_sc$i")
       }.drop("_res")
   }
+
+  /** Encode vectors against a FROZEN model — the assignment half of
+    * [[ivfpqFit]] with no fitting: coarse-assign each vector to its
+    * nearest existing cell, take the residual, code each subspace
+    * against the frozen codebooks. One narrow pass; the shared encode
+    * for the initial build and every incremental append. */
+  private[graft] def ivfpqEncode(df: DataFrame,
+      model: IvfPqModel): DataFrame =
+    ivfpqCodeResiduals(
+      ivfpqCoarseAssign(df, model.coarse, model.dims, model.scale), model)
 
   /** IVFPQ search half over a codes frame (freshly fit, or reloaded from
     * the persisted layout): probe → ADC over probed cells → exact refine.
@@ -561,6 +567,52 @@ object Similarity {
     ivfpqEncode(newVectors, model)
       .withColumn("cell", col("cell").cast("int"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** INDEX-FILE MAINTENANCE for the persisted layout — the third verb
+    * of the index lifecycle (build → append → COMPACT; FAISS merges
+    * inverted lists the same way): every [[ivfpqAppend]] lands one
+    * parquet file per touched cell, so an always-on maintenance lane
+    * accrues files linearly with batch count while per-file bytes
+    * shrink — probe cost at query time becomes file-COUNT-bound
+    * (footers, open/seek) instead of byte-bound. Compaction rewrites
+    * the codes table so each cell partition holds ONE file again; the
+    * model artifacts are untouched (nothing refits) and the codes SET
+    * is identical, so every query result is unchanged (s44 hash-proves
+    * it against s43's oracle) and the probe's file-level partition
+    * pruning survives (PlanSpec pins both).
+    *
+    * Swap discipline: the rewrite lands in a staging dir, the old
+    * codes dir moves aside, staging renames in, the old dir deletes —
+    * a crash leaves either the old or the new COMPLETE layout (plus at
+    * worst a stale staging/trash dir this op clears on its next run),
+    * never a half-written codes table. */
+  def ivfpqCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFilesPerCell: Int = 1): Unit = {
+    require(targetFilesPerCell >= 1, "need targetFilesPerCell >= 1")
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/codes-compacting")
+    val trash = new org.apache.hadoop.fs.Path(s"$path/codes-old")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    fs.delete(trash, true)
+    // hash-repartition ON cell: each cell's rows land in exactly one
+    // task, and partitionBy splits by value within the task — one file
+    // per cell regardless of how many appends preceded. At estate scale
+    // one file per cell is itself unbounded, so targetFilesPerCell > 1
+    // salts the distribution by id — each cell splits into at most that
+    // many files, each written by one task
+    val codesDf = spark.read.parquet(codes.toString)
+    val dist =
+      if (targetFilesPerCell == 1) codesDf.repartition(col("cell"))
+      else codesDf.repartition(col("cell"),
+        pmod(col("v"), lit(targetFilesPerCell)))
+    dist.write.partitionBy("cell").parquet(staging.toString)
+    if (!fs.rename(codes, trash))
+      throw new IllegalStateException(s"compaction could not move $codes aside")
+    if (!fs.rename(staging, codes))
+      throw new IllegalStateException(s"compaction could not publish $staging")
+    fs.delete(trash, true)
   }
 
   /** Query the persisted IVFPQ layout: identical results to

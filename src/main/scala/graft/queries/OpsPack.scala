@@ -1155,6 +1155,48 @@ object OpsPack extends QueryPack {
       },
       Some(ivfpqOracleSql(fitWhere = "vec_id % 2 = 0"))),
 
+    // IVFPQ INDEX COMPACTION — the lifecycle's third verb (build →
+    // append → compact): each append lands one parquet file per touched
+    // cell, so a maintained index accrues files linearly with batch
+    // count; probing becomes file-count-bound (footers, opens) instead
+    // of byte-bound. ivfpqCompact rewrites every cell partition back to
+    // ONE file under a staged atomic swap; the requires pin the file
+    // count falling to 1 per cell and the model artifacts surviving
+    // byte-identical, while the query hash-matches s43's frozen-model
+    // oracle — maintenance invisible to results, pruning preserved
+    // (PlanSpec pins the partition filter on the compacted layout).
+    QueryDef(
+      "s44_ivfpq_compacted",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val ix = Fixtures.tmp(dir, "ivfpq_cmp_index")
+        Similarity.ivfpqBuild(e.where(col("vec_id") % 2 === 0), ix)
+        Similarity.ivfpqAppend(e.where(col("vec_id") % 4 === 1), ix)
+        Similarity.ivfpqAppend(e.where(col("vec_id") % 4 === 3), ix)
+        val modelBefore = Similarity.ivfpqLoad(s, ix)
+        def filesPerCell: Seq[Int] = {
+          val root = java.nio.file.Paths.get(ix, "codes")
+          val cells = java.nio.file.Files.list(root).iterator()
+          import scala.jdk.CollectionConverters._
+          cells.asScala.filter(p =>
+            p.getFileName.toString.startsWith("cell=")).map { c =>
+            java.nio.file.Files.list(c).iterator().asScala
+              .count(_.getFileName.toString.endsWith(".parquet"))
+          }.toSeq
+        }
+        require(filesPerCell.max >= 2,
+          s"appends must accrue files per cell: $filesPerCell")
+        Similarity.ivfpqCompact(s, ix)
+        require(filesPerCell.forall(_ == 1),
+          s"compaction must leave ONE file per cell: $filesPerCell")
+        require(Similarity.ivfpqLoad(s, ix) == modelBefore,
+          "compaction must never touch the model artifacts")
+        Similarity.ivfpqTopKIndexed(s, ix, e, e.where(col("vec_id") < 5),
+            k = 5, kCand = 10)
+          .orderBy(col("q"), col("rank"))
+      },
+      Some(ivfpqOracleSql(fitWhere = "vec_id % 2 = 0"))),
+
     // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
     // cross product (d5) — only same-bucket pairs are scored
     QueryDef(

@@ -362,6 +362,76 @@ class EtlSpec extends AnyFunSuite {
       s"maintained lane's head manifest list must stay bounded: $nMaint")
   }
 
+  test("upsert lane compactEvery bounds delete files; state unchanged") {
+    import graft.etl.IcebergSink
+    val root = Files.createTempDirectory("etl_cmp_kfs").toString
+    (0 until 8).foreach { s0 =>
+      val records = (s0 * 10 until (s0 + 1) * 10).map(i =>
+        KfsCodec.Record(i.toLong, 1706000000000L + i,
+          s"k${i % 7}".getBytes, s"""{"o":$i}""".getBytes, Nil))
+      KfsLayout.writeSegment(root, "t1", 0, records)
+    }
+    def drive(compact: Option[Int]) = {
+      val table = Files.createTempDirectory("etl_cmp_tbl").toString + "/t"
+      val ckpt = Files.createTempDirectory("etl_cmp_ck").toString
+      Pipeline.runUpsert(spark, root, table, ckpt,
+        maxSegmentsPerTrigger = Some(1), compactEvery = compact)
+      val delFiles = IcebergSink.metadataTable(spark, table, "files")
+        .where(col("content") =!= 0).count()
+      val state = IcebergSink.read(spark, table)
+        .select(col("key"), col("offset")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (delFiles, state)
+    }
+    val (delPlain, statePlain) = drive(None)
+    val (delMaint, stateMaint) = drive(Some(2))
+    assert(stateMaint == statePlain,
+      "in-lane compaction must never change query-visible state")
+    // unmaintained: one equality-delete file per upserting micro-batch
+    // accrues forever; the compactEvery=2 lane never carries more than
+    // one batch's worth past a boundary
+    assert(delPlain >= 6,
+      s"unmaintained lane must accrue delete files: $delPlain")
+    assert(delMaint < 2,
+      s"compactEvery must bound the lane's delete files: $delMaint")
+  }
+
+  test("ivfpq lane compactEvery: one file per cell, codes equal the unmaintained lane") {
+    import graft.ops.Similarity
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("etl_ivfc_kfs").toString
+    (0 until 4).foreach { s0 =>
+      val records = (s0 * 10 until (s0 + 1) * 10).map(i =>
+        KfsCodec.Record(i.toLong, 1706000000000L + i,
+          s"d$i".getBytes, s"""{"i":$i}""".getBytes, Nil))
+      KfsLayout.writeSegment(root, "t1", 0, records)
+    }
+    import spark.implicits._
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(16)(j => ((i * 7 + j * 3) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    def drive(compact: Option[Int]): (String, Seq[String]) = {
+      val ix = Files.createTempDirectory("etl_ivfc_ix").toString
+      val ckpt = Files.createTempDirectory("etl_ivfc_ck").toString
+      Similarity.ivfpqBuild(corpus.where(col("vec_id") % 2 === 0), ix,
+        dims = 16)
+      graft.etl.VectorIndex.runIvfPq(spark, root, ix, ckpt, corpus,
+        maxSegmentsPerTrigger = Some(1), compactEvery = compact)
+      (ix, spark.read.parquet(s"$ix/codes")
+        .orderBy("v").collect().map(_.toString).toSeq)
+    }
+    val (_, plain) = drive(None)
+    val (ixM, maintained) = drive(Some(2))
+    assert(maintained == plain,
+      "in-lane compaction must never change a code row")
+    Files.list(java.nio.file.Paths.get(ixM, "codes")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell=")).foreach { c =>
+        val n = Files.list(c).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        assert(n <= 2, s"maintained lane cell ${c.getFileName}: $n files")
+      }
+  }
+
   test("pipeline transform gates records in-stream; replay stays idempotent") {
     val root = Files.createTempDirectory("etl_cur").toString
     val records = (0 until 100).map(i => KfsCodec.Record(i.toLong,

@@ -570,6 +570,65 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("ivfpq compaction: one file per cell, codes identical, pruning survives") {
+    // s44's claims made structural: after appends accrue multiple files
+    // per cell, compaction rewrites each cell partition to ONE file,
+    // the codes CONTENT is unchanged row-for-row, and the probe still
+    // prunes the compacted layout at the partition level
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val ix = java.nio.file.Files.createTempDirectory("ivfpq_cmp").toString
+    graft.ops.Similarity.ivfpqBuild(e.where(col("vec_id") % 2 === 0), ix)
+    graft.ops.Similarity.ivfpqAppend(e.where(col("vec_id") % 2 === 1), ix)
+    val before = spark.read.parquet(s"$ix/codes")
+      .orderBy("v").collect().map(_.toString).toSeq
+    graft.ops.Similarity.ivfpqCompact(spark, ix)
+    val cellDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(ix, "codes")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell=")).toSeq
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { c =>
+      val n = java.nio.file.Files.list(c).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(n == 1, s"cell ${c.getFileName} must compact to one file: $n")
+    }
+    val after = spark.read.parquet(s"$ix/codes")
+      .orderBy("v").collect().map(_.toString).toSeq
+    assert(after == before, "compaction must not change a single code row")
+    val df = graft.ops.Similarity.ivfpqTopKIndexed(spark, ix, e,
+      e.where(col("vec_id") < 1), k = 3, kCand = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).exists(_.group(1).split(",")
+        .map(_.trim).count(_.nonEmpty) == 2),
+      s"compacted layout must still prune to the probed cells:\n$plan")
+    assert(df.count() == 3)
+  }
+
+  test("ivfpq streaming lane's replay guard prunes the codes scan by the batch's id range") {
+    // e46's guard made structural: the existing-ids scan the per-batch
+    // anti-join probes filters to the batch's [min, max] vec_id range,
+    // PUSHED to the parquet scan — so row-group min/max stats skip every
+    // file outside the range and steady-state guard IO is O(batch), not
+    // O(index)
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val ix = java.nio.file.Files.createTempDirectory("ivfpq_guard").toString
+    graft.ops.Similarity.ivfpqBuild(e.where(col("vec_id") < 20), ix)
+    val guard = graft.etl.VectorIndex.replayGuardExisting(spark, ix, 100L, 120L)
+    val plan = guard.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(v,100)") &&
+      plan.contains("LessThanOrEqual(v,120)"),
+      s"the id-range bound must push to the codes scan:\n$plan")
+    // the seed's ids all sit below the range: the guard reads nothing
+    assert(guard.count() == 0)
+    // and a replayed range overlapping the seed still finds its ids
+    assert(graft.etl.VectorIndex.replayGuardExisting(spark, ix, 0L, 5L)
+      .count() == 6)
+  }
+
   test("hard negatives over a shortlist: broadcast joins, never a cartesian") {
     // s41's contract: with a pre-ranked pool the corpus is scanned once
     // with the shortlist broadcast onto it — the per-anchor exact pass
