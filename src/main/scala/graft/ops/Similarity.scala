@@ -615,6 +615,38 @@ object Similarity {
     fs.delete(trash, true)
   }
 
+  /** QUANTIZATION-ERROR DRIFT MONITOR — the refit trigger every
+    * frozen-quantizer index needs (the FAISS operational guidance:
+    * `add` keeps working as the distribution drifts, recall silently
+    * degrades; imbalance/quantization stats are how you notice): per
+    * vector, the EXACT integer squared reconstruction error under the
+    * frozen model — |res − codebook[argmin]|² summed over subspaces,
+    * which per subspace is simply the MINIMUM assignment distance, so
+    * no reconstruction is materialized. Comparing the streamed
+    * cohort's error mass against the build cohort's (s45 aggregates
+    * both) is the drift signal: a frozen model encodes vectors it was
+    * fit on tightly, drifted arrivals loosely. One narrow map-side
+    * pass; everything integer, so the monitor itself hash-replays. */
+  def ivfpqQuantizationError(df: DataFrame,
+      model: IvfPqModel): DataFrame = {
+    val subDims = model.dims / model.m
+    val assigned = ivfpqCoarseAssign(df, model.coarse, model.dims,
+      model.scale)
+    model.codebooks.map(_.map(_.toArray).toArray).zipWithIndex
+      .foldLeft(assigned) { case (acc, (cb, i)) =>
+        // scoresExpr drops the shared |res_sub|² term; adding it back
+        // makes min(score) the true squared distance to the chosen
+        // codebook entry
+        acc.withColumn(s"_rs$i", slice(col("_res"), i * subDims + 1, subDims))
+          .withColumn(s"_e$i",
+            array_min(KMeansQ.scoresExpr(col(s"_rs$i"), cb)) +
+              aggregate(col(s"_rs$i"), lit(0L), (a, x) => a + x * x))
+          .drop(s"_rs$i")
+      }
+      .select(col("v"), col("cell"),
+        (0 until model.m).map(i => col(s"_e$i")).reduce(_ + _).as("err"))
+  }
+
   /** Query the persisted IVFPQ layout: identical results to
     * [[ivfpqTopK]] with the build's parameters, but the index is read,
     * not refit, and the probe prunes the cell-partitioned codes scan at

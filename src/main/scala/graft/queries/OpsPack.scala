@@ -265,15 +265,21 @@ object OpsPack extends QueryPack {
     * codebook) to a subset while assignment/codes still cover the full
     * corpus — the incremental-append path (s43: build on half, append
     * the rest under the frozen model) replays as exactly that. */
+  /** The four residual-subspace codebook fits of the IVFPQ oracle (each
+    * ends in centers `c1_<i>`), shared by the search chain and the s45
+    * drift monitor. */
+  private def ivfpqSubFits(fitWhere: String): String =
+    (0 until 4).map { i =>
+      val off = i * 16
+      duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
+        subDims = 16, offset = off, sfx = s"_$i", fitWhere = fitWhere,
+        srcSql = s"""  SELECT vec_id, dim - $off AS dim, rv AS qv
+                    |  FROM res WHERE dim > $off AND dim <= ${off + 16}"""
+          .stripMargin)
+    }.mkString(",\n")
+
   private def ivfpqOracleSql(fitWhere: String = ""): String = {
-        val subFits = (0 until 4).map { i =>
-          val off = i * 16
-          duckSubKmeansCtes(k = 8, iters = 1, scale = 1000000L,
-            subDims = 16, offset = off, sfx = s"_$i", fitWhere = fitWhere,
-            srcSql = s"""  SELECT vec_id, dim - $off AS dim, rv AS qv
-                        |  FROM res WHERE dim > $off AND dim <= ${off + 16}"""
-              .stripMargin)
-        }.mkString(",\n")
+        val subFits = ivfpqSubFits(fitWhere)
         val qds = (0 until 4).map { i =>
           val off = i * 16
           s"""qd$i AS (
@@ -1196,6 +1202,59 @@ object OpsPack extends QueryPack {
           .orderBy(col("q"), col("rank"))
       },
       Some(ivfpqOracleSql(fitWhere = "vec_id % 2 = 0"))),
+
+    // QUANTIZATION-ERROR DRIFT MONITOR — the refit trigger a frozen
+    // model needs (FAISS's operational stats): the model fits on the
+    // EVEN half only; the exact integer reconstruction error (per
+    // subspace, the MINIMUM assignment distance — no reconstruction
+    // materialized) is then aggregated per cohort. The build cohort
+    // encodes tightly, the streamed cohort loosely — that gap, here as
+    // integer error masses per half, is what an operator alerts on
+    // before recall quietly decays. The oracle replays residuals +
+    // min-distance per subspace against the same fit chain.
+    QueryDef(
+      "s45_ivfpq_drift",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val ix = Fixtures.tmp(dir, "ivfpq_drift_index")
+        Similarity.ivfpqBuild(e.where(col("vec_id") % 2 === 0), ix)
+        val model = Similarity.ivfpqLoad(s, ix)
+        Similarity.ivfpqQuantizationError(e, model)
+          .withColumn("half", (col("v") % 2 === 0).cast("int"))
+          .groupBy(col("half"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("total_err"),
+            max(col("err")).as("max_err"))
+          .orderBy(col("half"))
+      },
+      Some {
+        val errCtes = (0 until 4).map { i =>
+          val off = i * 16
+          s"""err$i AS (
+             |  SELECT vec_id, MIN(d) AS e FROM (
+             |    SELECT r.vec_id, cb.cl,
+             |           CAST(SUM((r.rv - cb.c) * (r.rv - cb.c)) AS BIGINT) AS d
+             |    FROM res r JOIN c1_$i cb ON cb.dim = r.dim - $off
+             |    WHERE r.dim > $off AND r.dim <= ${off + 16}
+             |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckKmeansCtes(k = 4, iters = 2, scale = 1000000L,
+                fitWhere = "vec_id % 2 = 0")},
+           |res AS (
+           |  SELECT q.vec_id, q.dim, q.qv - c.c AS rv
+           |  FROM q JOIN af a USING (vec_id)
+           |  JOIN c2 c ON c.cl = a.cluster AND c.dim = q.dim),
+           |${ivfpqSubFits("vec_id % 2 = 0")},
+           |$errCtes,
+           |errs AS (
+           |  SELECT e0.vec_id, e0.e + e1.e + e2.e + e3.e AS err
+           |  FROM err0 e0 JOIN err1 e1 USING (vec_id)
+           |       JOIN err2 e2 USING (vec_id) JOIN err3 e3 USING (vec_id))
+           |SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS half,
+           |       count(*) AS n_vecs,
+           |       CAST(SUM(err) AS BIGINT) AS total_err,
+           |       CAST(MAX(err) AS BIGINT) AS max_err
+           |FROM errs GROUP BY 1 ORDER BY half""".stripMargin
+      }),
 
     // embedding near-dup, scale path: LSH bucket join instead of the O(n^2)
     // cross product (d5) — only same-bucket pairs are scored
