@@ -3362,22 +3362,46 @@ object IcebergSink {
               import org.apache.spark.sql.functions.broadcast
               val tuples = spark.read.schema(posDeleteSchema)
                 .parquet(posFiles: _*)
-              // paths normalize on BOTH sides (the normPathStr contract):
-              // a foreign delete file can name `file:///x` while the
-              // manifest says `/x` — raw comparison would silently emit
-              // zero pre-images for the snapshot
+              // shape-domain resolution: THIS writer's pos-delete tuples
+              // hold `_metadata`-harvested (URI-encoded) paths; a foreign
+              // writer's hold the manifest's literal shape. Per planned
+              // file, BOTH spec-legal shapes key onto ONE canonical (its
+              // _metadata shape), so either tuple dialect resolves its
+              // target — raw comparison would silently emit zero
+              // pre-images; a cross-file key collision refuses loudly
+              val dataFiles0 = planFiles(spark, sn.manifestList, spec)
+                .filter(_.content == 0)
+              val canonPairs = dataFiles0.flatMap { p =>
+                val canon = metaShapePath(p.path)
+                Seq(normPathStr(p.path) -> canon, canon -> canon)
+              }.distinct
+              canonPairs.groupBy(_._1)
+                .find(_._2.map(_._2).distinct.size > 1).foreach {
+                  case (k, g) => throw new IllegalStateException(
+                    s"distinct data files normalize to one path '$k' " +
+                      s"(${g.map(_._2).mkString(", ")}) — cannot resolve " +
+                      "position-delete targets")
+                }
+              val canonOf = canonPairs.toMap
               val targets = tuples.select(col("file_path")).distinct()
-                .collect().map(r => normPathStr(r.getString(0))).toSet
+                .collect().map(r => normPathStr(r.getString(0)))
+                .flatMap(canonOf.get).toSet
               if (targets.isEmpty) Nil
               else {
-                val targetFiles = planFiles(spark, sn.manifestList, spec)
-                  .filter(p => p.content == 0 &&
-                    targets(metaShapePath(p.path)))
+                val targetFiles =
+                  dataFiles0.filter(p => targets(metaShapePath(p.path)))
                 val pre0 = readPlannedData(spark, schema, spec, targetFiles,
                   withCoords = true, "__file", "__pos")
+                import spark.implicits._
+                // tuples of either dialect map through the same canon
+                // lookup; ones naming files absent from the snapshot
+                // drop (spec-legal: the file may be gone by now)
+                val lookup = broadcast(
+                  canonPairs.toDF("__dkey", "__dfile"))
                 val tup = broadcast(tuples.select(
-                  normPathCol(col("file_path")).as("__dfile"),
-                  col("pos").as("__dpos")))
+                    normPathCol(col("file_path")).as("__dkey"),
+                    col("pos").as("__dpos"))
+                  .join(lookup, Seq("__dkey")).drop("__dkey"))
                 val pre = pre0.join(tup,
                     normPathCol(pre0("__file")) === tup("__dfile") &&
                       pre0("__pos") === tup("__dpos"), "left_semi")

@@ -343,7 +343,6 @@ object Pipeline {
       reader.option("max_segments_per_trigger", n.toString))
     val decoded = reader.load().select(col("_topic"), col("_partition"),
       col("_offset"), col("_ts_ms"), col("_key"), col("_value"))
-    val commits = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -385,18 +384,28 @@ object Pipeline {
                 IcebergSink.upsertAtomic(ss, tablePath, inserts, keys,
                   extraDeleteKeys = Some(dels))
           }
-          val n = commits.incrementAndGet()
-          // compact BEFORE the manifest merge: the rewrite dangles the
-          // accrued deletes, the dangling-drop removes them, and the
-          // manifest pass then folds whatever metadata remains
-          compactEvery.foreach(k =>
-            if (n % k == 0) {
-              IcebergSink.compact(ss, tablePath)
-              IcebergSink.removeDanglingDeletes(ss, tablePath)
-            })
-          maintainEvery.foreach(k =>
-            if (n % k == 0)
-              IcebergSink.rewriteManifests(ss, tablePath))
+          if (maintainEvery.isDefined || compactEvery.isDefined) {
+            // cadence counts DATA commits from the table's own snapshot
+            // history (maintenance commits are "replace" and don't
+            // count), NOT an in-memory counter: a periodically-invoked
+            // AvailableNow lane that drains fewer than k batches per
+            // run would reset a process-local counter every invocation
+            // and never reach a boundary — the durable count makes the
+            // cadence restart-proof
+            val n = IcebergSink.load(ss, tablePath)
+              .map(_.snapshots.count(_.operation != "replace")).getOrElse(0)
+            // compact BEFORE the manifest merge: the rewrite dangles the
+            // accrued deletes, the dangling-drop removes them, and the
+            // manifest pass then folds whatever metadata remains
+            compactEvery.foreach(k =>
+              if (n % k == 0) {
+                IcebergSink.compact(ss, tablePath)
+                IcebergSink.removeDanglingDeletes(ss, tablePath)
+              })
+            maintainEvery.foreach(k =>
+              if (n % k == 0)
+                IcebergSink.rewriteManifests(ss, tablePath))
+          }
         } finally last.unpersist()
       }
       .start()

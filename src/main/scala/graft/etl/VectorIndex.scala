@@ -89,19 +89,21 @@ object VectorIndex {
       checkpointDir: String,
       corpus: DataFrame,
       maxSegmentsPerTrigger: Option[Int] = None,
-      /** Every k-th appending batch runs [[Similarity.ivfpqCompact]] —
-        * the upsert lane's `compactEvery` analog: per-batch appends
-        * accrue one file per touched cell per batch, so an always-on
-        * lane's probe cost grows file-count-bound without this; the
-        * periodic rewrite keeps every cell at O(1) files. Replay-safe:
-        * compaction changes no code row, and a crash mid-swap leaves a
-        * complete old or new layout. */
-      compactEvery: Option[Int] = None): Unit = {
+      /** When any cell partition reaches this many files after an
+        * append, the batch runs [[Similarity.ivfpqCompact]] — the
+        * upsert lane's `compactEvery` analog as a THRESHOLD policy:
+        * per-batch appends accrue one file per touched cell per batch,
+        * so an always-on lane's probe cost grows file-count-bound
+        * without this. Measuring the actual layout (not an in-memory
+        * batch counter) makes the trigger restart-proof — a lane
+        * re-invoked with short backlogs still compacts once any cell
+        * crosses the bound. Replay-safe: compaction changes no code
+        * row, and a crash mid-swap recovers on the next pass. */
+      maxFilesPerCell: Option[Int] = None): Unit = {
     val reader = spark.readStream.format("kfs").option("path", kfsRoot)
     maxSegmentsPerTrigger.foreach(n =>
       reader.option("max_segments_per_trigger", n.toString))
     val decoded = reader.load().select(col("_offset"))
-    val appends = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -120,8 +122,9 @@ object VectorIndex {
             Seq("vec_id"), "left_anti")
           if (!toAdd.isEmpty) {
             Similarity.ivfpqAppend(toAdd, indexPath)
-            compactEvery.foreach(k =>
-              if (appends.incrementAndGet() % k == 0)
+            maxFilesPerCell.foreach(k =>
+              if (Similarity.codesFilesPerCell(indexPath)
+                  .valuesIterator.exists(_ >= k))
                 Similarity.ivfpqCompact(ss, indexPath))
           }
         }

@@ -582,11 +582,22 @@ object Similarity {
     * it against s43's oracle) and the probe's file-level partition
     * pruning survives (PlanSpec pins both).
     *
-    * Swap discipline: the rewrite lands in a staging dir, the old
-    * codes dir moves aside, staging renames in, the old dir deletes —
-    * a crash leaves either the old or the new COMPLETE layout (plus at
-    * worst a stale staging/trash dir this op clears on its next run),
-    * never a half-written codes table. */
+    * Swap discipline: the rewrite lands in a staging dir (with its
+    * `_SUCCESS` marker), the old codes dir moves aside, staging renames
+    * in, the old dir deletes. A crash at any point leaves at least one
+    * COMPLETE copy on disk, and the RECOVERY pass below — which runs
+    * before any cleanup — republishes it: staging with `_SUCCESS` wins
+    * (the rewrite had finished; this completes the interrupted swap),
+    * else the moved-aside original restores. Only after `$path/codes`
+    * provably exists do stale staging/trash dirs clear.
+    *
+    * Single-writer, like every mutation here: the swap is crash-safe,
+    * not concurrent-READER-safe — a query resolving the codes path in
+    * the instant between the two renames fails (loudly; nothing
+    * mis-reads). A serving estate runs maintenance through a layout
+    * with a version pointer (or lands the codes in an Iceberg table)
+    * to get snapshot isolation; this layout trades that for the plain
+    * directory contract s42/s43 established. */
   def ivfpqCompact(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFilesPerCell: Int = 1): Unit = {
     require(targetFilesPerCell >= 1, "need targetFilesPerCell >= 1")
@@ -594,6 +605,21 @@ object Similarity {
     val staging = new org.apache.hadoop.fs.Path(s"$path/codes-compacting")
     val trash = new org.apache.hadoop.fs.Path(s"$path/codes-old")
     val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CRASH RECOVERY FIRST: a previous run that died between its two
+    // renames left the ONLY complete copies aside — deleting staging or
+    // trash before re-homing one of them would destroy the index
+    if (!fs.exists(codes)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+        if (!fs.rename(staging, codes))
+          throw new IllegalStateException(
+            s"compaction recovery could not publish $staging")
+      } else if (fs.exists(trash)) {
+        if (!fs.rename(trash, codes))
+          throw new IllegalStateException(
+            s"compaction recovery could not restore $trash")
+      } else throw new IllegalStateException(
+        s"no codes table at $codes and nothing to recover")
+    }
     fs.delete(staging, true)
     fs.delete(trash, true)
     // hash-repartition ON cell: each cell's rows land in exactly one
@@ -613,6 +639,20 @@ object Similarity {
     if (!fs.rename(staging, codes))
       throw new IllegalStateException(s"compaction could not publish $staging")
     fs.delete(trash, true)
+  }
+
+  /** Parquet file count per `cell=` partition of a persisted layout —
+    * the maintenance introspection [[ivfpqCompact]]'s threshold policy
+    * and the assertion suites share. Local-filesystem listing (the
+    * layout the test estate uses); an object-store estate would read
+    * the same counts from its listing API. */
+  def codesFilesPerCell(path: String): Map[String, Int] = {
+    val root = new java.io.File(s"$path/codes")
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName -> Option(d.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.endsWith(".parquet"))).toMap
   }
 
   /** QUANTIZATION-ERROR DRIFT MONITOR — the refit trigger every

@@ -1180,16 +1180,8 @@ object OpsPack extends QueryPack {
         Similarity.ivfpqAppend(e.where(col("vec_id") % 4 === 1), ix)
         Similarity.ivfpqAppend(e.where(col("vec_id") % 4 === 3), ix)
         val modelBefore = Similarity.ivfpqLoad(s, ix)
-        def filesPerCell: Seq[Int] = {
-          val root = java.nio.file.Paths.get(ix, "codes")
-          val cells = java.nio.file.Files.list(root).iterator()
-          import scala.jdk.CollectionConverters._
-          cells.asScala.filter(p =>
-            p.getFileName.toString.startsWith("cell=")).map { c =>
-            java.nio.file.Files.list(c).iterator().asScala
-              .count(_.getFileName.toString.endsWith(".parquet"))
-          }.toSeq
-        }
+        def filesPerCell: Seq[Int] =
+          Similarity.codesFilesPerCell(ix).values.toSeq
         require(filesPerCell.max >= 2,
           s"appends must accrue files per cell: $filesPerCell")
         Similarity.ivfpqCompact(s, ix)

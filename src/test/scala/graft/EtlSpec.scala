@@ -410,13 +410,13 @@ class EtlSpec extends AnyFunSuite {
     val corpus = (0 until 40).map(i =>
       (i.toLong, Seq.tabulate(16)(j => ((i * 7 + j * 3) % 11).toFloat)))
       .toDF("vec_id", "embedding")
-    def drive(compact: Option[Int]): (String, Seq[String]) = {
+    def drive(threshold: Option[Int]): (String, Seq[String]) = {
       val ix = Files.createTempDirectory("etl_ivfc_ix").toString
       val ckpt = Files.createTempDirectory("etl_ivfc_ck").toString
       Similarity.ivfpqBuild(corpus.where(col("vec_id") % 2 === 0), ix,
         dims = 16)
       graft.etl.VectorIndex.runIvfPq(spark, root, ix, ckpt, corpus,
-        maxSegmentsPerTrigger = Some(1), compactEvery = compact)
+        maxSegmentsPerTrigger = Some(1), maxFilesPerCell = threshold)
       (ix, spark.read.parquet(s"$ix/codes")
         .orderBy("v").collect().map(_.toString).toSeq)
     }
@@ -424,12 +424,11 @@ class EtlSpec extends AnyFunSuite {
     val (ixM, maintained) = drive(Some(2))
     assert(maintained == plain,
       "in-lane compaction must never change a code row")
-    Files.list(java.nio.file.Paths.get(ixM, "codes")).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("cell=")).foreach { c =>
-        val n = Files.list(c).iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet"))
-        assert(n <= 2, s"maintained lane cell ${c.getFileName}: $n files")
-      }
+    val perCell = Similarity.codesFilesPerCell(ixM)
+    assert(perCell.nonEmpty)
+    perCell.foreach { case (c, n) =>
+      assert(n <= 2, s"maintained lane cell $c: $n files")
+    }
   }
 
   test("pipeline transform gates records in-stream; replay stays idempotent") {

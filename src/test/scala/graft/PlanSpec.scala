@@ -584,14 +584,10 @@ class PlanSpec extends AnyFunSuite {
     val before = spark.read.parquet(s"$ix/codes")
       .orderBy("v").collect().map(_.toString).toSeq
     graft.ops.Similarity.ivfpqCompact(spark, ix)
-    val cellDirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(ix, "codes")).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("cell=")).toSeq
-    assert(cellDirs.nonEmpty)
-    cellDirs.foreach { c =>
-      val n = java.nio.file.Files.list(c).iterator().asScala
-        .count(_.getFileName.toString.endsWith(".parquet"))
-      assert(n == 1, s"cell ${c.getFileName} must compact to one file: $n")
+    val perCell = graft.ops.Similarity.codesFilesPerCell(ix)
+    assert(perCell.nonEmpty)
+    perCell.foreach { case (c, n) =>
+      assert(n == 1, s"cell $c must compact to one file: $n")
     }
     val after = spark.read.parquet(s"$ix/codes")
       .orderBy("v").collect().map(_.toString).toSeq
@@ -604,6 +600,33 @@ class PlanSpec extends AnyFunSuite {
         .map(_.trim).count(_.nonEmpty) == 2),
       s"compacted layout must still prune to the probed cells:\n$plan")
     assert(df.count() == 3)
+  }
+
+  test("ivfpq compaction crash recovery republishes a complete copy, never deletes it") {
+    // a compaction that died between its two renames leaves the ONLY
+    // complete copies aside (staging with _SUCCESS, or the moved-aside
+    // original); the next run must re-home one BEFORE its cleanup —
+    // deleting first would destroy the index
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files => NF, Paths => NP}
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val ix = java.nio.file.Files.createTempDirectory("ivfpq_crash").toString
+    graft.ops.Similarity.ivfpqBuild(e.where(col("vec_id") < 30), ix)
+    val want = spark.read.parquet(s"$ix/codes")
+      .orderBy("v").collect().map(_.toString).toSeq
+    def rows = spark.read.parquet(s"$ix/codes")
+      .orderBy("v").collect().map(_.toString).toSeq
+
+    // crash after rename(codes -> trash), staging complete (_SUCCESS
+    // present — the build's own marker stands in for the rewrite's)
+    NF.move(NP.get(ix, "codes"), NP.get(ix, "codes-compacting"))
+    graft.ops.Similarity.ivfpqCompact(spark, ix)
+    assert(rows == want, "recovery must publish the complete staging copy")
+
+    // crash after rename(codes -> trash) with NO staging: restore trash
+    NF.move(NP.get(ix, "codes"), NP.get(ix, "codes-old"))
+    graft.ops.Similarity.ivfpqCompact(spark, ix)
+    assert(rows == want, "recovery must restore the moved-aside original")
   }
 
   test("ivfpq streaming lane's replay guard prunes the codes scan by the batch's id range") {
