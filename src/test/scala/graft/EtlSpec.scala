@@ -396,6 +396,41 @@ class EtlSpec extends AnyFunSuite {
       s"compactEvery must bound the lane's delete files: $delMaint")
   }
 
+  test("upsert lane cadence survives re-invocation: boundaries hit across short runs") {
+    import graft.etl.IcebergSink
+    val root = Files.createTempDirectory("etl_reinv_kfs").toString
+    val table = Files.createTempDirectory("etl_reinv_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("etl_reinv_ck").toString
+    // four separate invocations, TWO batches each, compactEvery=4: a
+    // process-local counter would reset to 0 every run and never reach
+    // a boundary — the snapshot-history cadence must still fire at the
+    // 4th and 8th data commit
+    (0 until 4).foreach { inv =>
+      (0 until 2).foreach { b =>
+        val s0 = inv * 2 + b
+        val records = (s0 * 10 until (s0 + 1) * 10).map(i =>
+          KfsCodec.Record(i.toLong, 1706000000000L + i,
+            s"k${i % 7}".getBytes, s"""{"o":$i}""".getBytes, Nil))
+        KfsLayout.writeSegment(root, "t1", 0, records)
+      }
+      Pipeline.runUpsert(spark, root, table, ckpt,
+        maxSegmentsPerTrigger = Some(1), compactEvery = Some(4))
+    }
+    val delFiles = IcebergSink.metadataTable(spark, table, "files")
+      .where(col("content") =!= 0).count()
+    assert(delFiles == 0,
+      s"the 8th commit is a boundary — the cross-invocation cadence " +
+        s"must have compacted: $delFiles delete files")
+    val m = IcebergSink.load(spark, table).get
+    assert(m.snapshots.count(_.operation == "replace") >= 2,
+      "both boundaries (4th and 8th data commit) must have fired")
+    val state = IcebergSink.read(spark, table)
+      .select(col("key"), col("offset")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == Map("k0" -> 77L, "k1" -> 78L, "k2" -> 79L,
+      "k3" -> 73L, "k4" -> 74L, "k5" -> 75L, "k6" -> 76L))
+  }
+
   test("ivfpq lane compactEvery: one file per cell, codes equal the unmaintained lane") {
     import graft.ops.Similarity
     import scala.jdk.CollectionConverters._
