@@ -265,7 +265,14 @@ object IcebergSink {
         * (file-footer-size-in-bytes, blob-metadata) so external readers
         * parse the framing; [[explainScan]] reports the numbers for the
         * scanned snapshot. */
-      statistics: Seq[StatsFile] = Nil) {
+      statistics: Seq[StatsFile] = Nil,
+      /** Per-ref retention override (spec: snapshot references'
+        * `max-ref-age-ms`): a ref whose referenced snapshot is older
+        * than this at [[expireSnapshots]] time is itself removed — the
+        * expiring-tag shape ("keep this audit pin 30 days"). Absent =
+        * the ref pins forever (this engine's default, spec's
+        * `retain-forever` behavior for tags without an age). */
+      refAges: Map[String, Long] = Map.empty) {
     def currentSchema: StructType = sparkSchemaOf(fields)
     def schemaFor(schemaId: Int): StructType =
       sparkSchemaOf(schemasById.getOrElse(schemaId, fields))
@@ -400,6 +407,12 @@ object IcebergSink {
           e.getValue.path("type").asText("tag"))
       }.toMap
     }.getOrElse(Map.empty[String, (Long, String)])
+    val refAges = Option(n.get("refs")).map { r =>
+      r.properties().asScala.flatMap { e =>
+        Option(e.getValue.get("max-ref-age-ms"))
+          .map(v => e.getKey -> v.asLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, Long])
     val sortOrders = n.path("sort-orders").elements().asScala.map { o =>
       o.path("order-id").asInt() ->
         o.path("fields").elements().asScala.map(sf =>
@@ -429,7 +442,8 @@ object IcebergSink {
         Some(n.path("current-snapshot-id").asLong())
       else None,
       metaLog, schemasById, specFields, refs, specsById, defaultSpecId,
-      sortOrders, n.path("default-sort-order-id").asInt(), statistics)
+      sortOrders, n.path("default-sort-order-id").asInt(), statistics,
+      refAges)
   }
 
   // ---- schema evolution (spec: field ids stable, legal promotions) --------
@@ -734,7 +748,9 @@ object IcebergSink {
     if (m.refs.nonEmpty) {
       val refsNode = n.putObject("refs")
       m.refs.toSeq.sortBy(_._1).foreach { case (name, (id, typ)) =>
-        refsNode.putObject(name).put("snapshot-id", id).put("type", typ)
+        val rn = refsNode.putObject(name)
+        rn.put("snapshot-id", id).put("type", typ)
+        m.refAges.get(name).foreach(a => rn.put("max-ref-age-ms", a))
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
@@ -2401,15 +2417,26 @@ object IcebergSink {
     * model saw. Metadata-only optimistic commit. */
   def setRef(spark: SparkSession, table: String, name: String,
       refType: String = "tag", snapshotId: Option[Long] = None,
-      maxRetries: Int = 5): Unit = {
+      maxRetries: Int = 5,
+      /** Spec `max-ref-age-ms`: after this age (measured from the
+        * referenced snapshot's commit timestamp) the ref itself expires
+        * during [[expireSnapshots]] — "keep this audit pin N days".
+        * None = pin forever. */
+      maxRefAgeMs: Option[Long] = None): Unit = {
     require(refType == "tag" || refType == "branch",
       s"ref type must be tag|branch, got $refType")
+    require(maxRefAgeMs.forall(_ > 0), "maxRefAgeMs must be positive")
     commitMetadataOnly(spark, table, maxRetries) { m =>
       val id = snapshotId.orElse(m.currentSnapshotId).getOrElse(
         throw new IllegalArgumentException("table has no snapshot to ref"))
       require(m.snapshots.exists(_.snapshotId == id), s"unknown snapshot $id")
-      if (m.refs.get(name).contains((id, refType))) None
-      else Some(m.copy(refs = m.refs + (name -> (id, refType))))
+      if (m.refs.get(name).contains((id, refType)) &&
+          m.refAges.get(name) == maxRefAgeMs) None
+      else Some(m.copy(refs = m.refs + (name -> (id, refType)),
+        refAges = maxRefAgeMs match {
+          case Some(a) => m.refAges + (name -> a)
+          case None => m.refAges - name
+        }))
     }
   }
 
@@ -2417,7 +2444,7 @@ object IcebergSink {
       maxRetries: Int = 5): Unit =
     commitMetadataOnly(spark, table, maxRetries) { m =>
       if (!m.refs.contains(name)) None
-      else Some(m.copy(refs = m.refs - name))
+      else Some(m.copy(refs = m.refs - name, refAges = m.refAges - name))
     }
 
   /** Roll the table back to an earlier snapshot (the recovery op after a
@@ -2466,16 +2493,29 @@ object IcebergSink {
         throw new CommitConflictException(
           s"lost $maxRetries commit races expiring $table")
       val m = load(spark, table).getOrElse(return)
+      // per-ref age overrides FIRST (spec: max-ref-age-ms): a ref whose
+      // referenced snapshot's commit time has aged past its override is
+      // itself removed by this expiration, so it no longer pins — the
+      // "keep this audit tag 30 days" retention shape
+      val nowRef = System.currentTimeMillis()
+      val agedOut = m.refAges.collect {
+        case (name, maxAge)
+            if m.refs.get(name).exists { case (id, _) =>
+              m.snapshots.find(_.snapshotId == id)
+                .exists(_.timestampMs < nowRef - maxAge)
+            } => name
+      }.toSet
+      val liveRefs = m.refs -- agedOut
       val keepIds = (m.snapshots.sortBy(_.sequenceNumber).takeRight(
         math.max(1, retainLast)).map(_.snapshotId) ++
         m.currentSnapshotId.toSeq ++
-        // named refs PIN their snapshots: a tagged audit snapshot never
-        // expires until the tag is dropped (spec snapshot-reference
-        // retention semantics, minus per-ref age overrides)
-        m.refs.values.map(_._1) ++
+        // surviving named refs PIN their snapshots: a tagged audit
+        // snapshot never expires until the tag is dropped or ages out
+        // (spec snapshot-reference retention semantics)
+        liveRefs.values.map(_._1) ++
         m.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
       val (kept, expired) = m.snapshots.partition(s => keepIds(s.snapshotId))
-      if (expired.isEmpty) return
+      if (expired.isEmpty && agedOut.isEmpty) return
 
       // reachability: everything a retained snapshot references survives
       def manifestsOf(s: Snapshot): Seq[String] =
@@ -2510,6 +2550,7 @@ object IcebergSink {
         m.statistics.partition(st => keepIds(st.snapshotId))
       val next = m.copy(version = m.version + 1, snapshots = relinked,
         statistics = keptStats,
+        refs = liveRefs, refAges = m.refAges -- agedOut,
         metadataLog = m.metadataLog :+
           ((nowMs, versionFile(table, m.version).toString)))
       val allSchemas = historicalSchemas(f, table, m)

@@ -580,6 +580,38 @@ class IcebergSpec extends AnyFunSuite {
     assert(rows(tt) == expect)
   }
 
+  test("expire honors max-ref-age-ms: aged tags unpin, fresh tags keep holding") {
+    import spark.implicits._
+    val table = tmpTable()
+    (1 to 3).foreach(i =>
+      IcebergSink.append(spark, table, Seq((i.toLong, i * 10)).toDF("id", "v")))
+    val snaps = IcebergSink.load(spark, table).get.snapshots
+    val Seq(s1, s2, _) = snaps.map(_.snapshotId)
+    // an audit pin that expires after 1 ms, and one that holds an hour
+    IcebergSink.setRef(spark, table, "old-pin", snapshotId = Some(s1),
+      maxRefAgeMs = Some(1L))
+    IcebergSink.setRef(spark, table, "fresh-pin", snapshotId = Some(s2),
+      maxRefAgeMs = Some(3600000L))
+    Thread.sleep(50) // age the 1 ms pin past its override
+
+    IcebergSink.expireSnapshots(spark, table,
+      olderThanMs = System.currentTimeMillis() + 1000L, retainLast = 1)
+    val m = IcebergSink.load(spark, table).get
+    assert(!m.refs.contains("old-pin"),
+      "an aged-out ref must be removed by expiration")
+    assert(m.refs.contains("fresh-pin"),
+      "a ref inside its max age must keep pinning")
+    // the unpinned snapshot expired; the pinned one still reads
+    intercept[IllegalArgumentException] {
+      IcebergSink.read(spark, table, Some(s1)).count()
+    }
+    assert(IcebergSink.readRef(spark, table, "fresh-pin").count() == 2)
+    assert(IcebergSink.read(spark, table).count() == 3)
+    // the age override survives serialization for the surviving ref
+    assert(m.refAges.get("fresh-pin").contains(3600000L) &&
+      !m.refAges.contains("old-pin"))
+  }
+
   test("compaction commits a replace snapshot; history stays time-travelable") {
     import spark.implicits._
     val table = tmpTable()
