@@ -1380,7 +1380,14 @@ object IcebergSink {
         val conformed = extraDeleteKeys
           .map(extra => keyTuples(df).unionByName(keyTuples(extra)))
           .getOrElse(keyTuples(df)).distinct()
-        val delRecords = writeDataFiles(spark, table, conformed,
+        // ONE file per delete commit: every later scan reads every live
+        // equality-delete file in the broadcast delete union, so writing
+        // the distinct's shuffle width (one small file per partition, AQE
+        // is off under streaming lineage) multiplies per-scan opens for
+        // nothing — the set is batch-bounded, and coalesce(1) keeps the
+        // partial aggregation parallel while folding the final pass into
+        // a single write task
+        val delRecords = writeDataFiles(spark, table, conformed.coalesce(1),
           UUID.randomUUID().toString)
         commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
           carryPrior = true, operation = "overwrite", maxRetries,
@@ -1585,7 +1592,11 @@ object IcebergSink {
       org.apache.spark.sql.functions.col(f.name)
         .cast(sparkType(f.typ)).as(f.name)): _*).distinct()
     val commitUuid = UUID.randomUUID().toString
-    val fileRecords = writeDataFiles(spark, table, conformed, commitUuid)
+    // single-file delete commits — same rationale as upsertAtomic's delete
+    // half: the set is commit-bounded and every scan opens every live
+    // delete file, so shuffle-width output is pure per-scan overhead
+    val fileRecords = writeDataFiles(spark, table, conformed.coalesce(1),
+      commitUuid)
     if (fileRecords.map(_.records).sum == 0) {
       val f = fs(new HPath(table))
       fileRecords.foreach(i => f.delete(i.status.getPath, false))
