@@ -81,11 +81,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // local-FS fork removal (BareLocalFs doc): without the native hadoop
+    // lib every file create/checkpoint rename forks a chmod/readlink shell
+    graft.core.BareLocalFs.sparkConf.foreach { case (k, v) =>
+      builder.config(k, v)
+    }
+    val spark = builder
       // size-first AQE coalescing (docs-recommended): default
       // parallelismFirst=true pins tiny shuffles at `cpus` tasks; size-first
       // collapses them to the advisory size — same behavior at real scale,

@@ -46,6 +46,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
     clusterConf.foreach { case (k, v) => b.config(k, v) }
+    // harness-only (not in clusterConf): no-fork local FS — see BareLocalFs
+    BareLocalFs.sparkConf.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
