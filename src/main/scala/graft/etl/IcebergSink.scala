@@ -1346,7 +1346,9 @@ object IcebergSink {
       keyCols: Seq[String], maxRetries: Int = 5,
       /** Extra key tuples the delta's equality-delete half must cover
         * BEYOND `df`'s own keys — [[applyChanges]]' tombstones. Same
-        * columns as `keyCols`. */
+        * columns as `keyCols`. Expected key-unique like `df` (both
+        * callers pass rank-1 winners); duplicates would only inflate the
+        * delete file, never change the subtraction. */
       extraDeleteKeys: Option[DataFrame] = None): Unit = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     import org.apache.spark.sql.functions.col
@@ -1377,9 +1379,17 @@ object IcebergSink {
         }
         def keyTuples(src: DataFrame) = src.select(eqFields.map(fl =>
           col(fl.name).cast(sparkType(fl.typ)).as(fl.name)): _*)
+        // no distinct() on the delete half: `df` carries at most one row
+        // per key BY THIS PRIMITIVE'S CONTRACT (see scaladoc) and
+        // extraDeleteKeys are the callers' rank-1 winners, so the union is
+        // already key-unique — and an equality-delete file is a SET
+        // subtraction anyway (a duplicated tuple deletes the same rows), so
+        // uniqueness is a size nicety, not a correctness need. Dropping it
+        // removes one full shuffle of the key set from EVERY row-delta
+        // commit, which at one commit per micro-batch is a per-trigger tax.
         val conformed = extraDeleteKeys
           .map(extra => keyTuples(df).unionByName(keyTuples(extra)))
-          .getOrElse(keyTuples(df)).distinct()
+          .getOrElse(keyTuples(df))
         // ONE file per delete commit: every later scan reads every live
         // equality-delete file in the broadcast delete union, so writing
         // the distinct's shuffle width (one small file per partition, AQE
