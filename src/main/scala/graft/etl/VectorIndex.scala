@@ -104,6 +104,11 @@ object VectorIndex {
     maxSegmentsPerTrigger.foreach(n =>
       reader.option("max_segments_per_trigger", n.toString))
     val decoded = reader.load().select(col("_offset"))
+    // the model is FROZEN for the lane's lifetime (this method's
+    // contract), so load it once on the first non-empty batch and reuse —
+    // re-loading per append costs three parquet-read+collect jobs per
+    // micro-batch for artifacts that cannot change under a single writer
+    var model: Option[Similarity.IvfPqModel] = None
     val query = decoded.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -121,7 +126,9 @@ object VectorIndex {
               bounds.getLong(1)),
             Seq("vec_id"), "left_anti")
           if (!toAdd.isEmpty) {
-            Similarity.ivfpqAppend(toAdd, indexPath)
+            if (model.isEmpty)
+              model = Some(Similarity.ivfpqLoad(ss, indexPath))
+            Similarity.ivfpqAppend(toAdd, indexPath, model)
             maxFilesPerCell.foreach(k =>
               if (Similarity.codesFilesPerCell(indexPath)
                   .valuesIterator.exists(_ >= k))

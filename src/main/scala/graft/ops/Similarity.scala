@@ -561,10 +561,17 @@ object Similarity {
     * model (s43 hash-proves it). A drifted corpus eventually wants a
     * rebuild — the recall/freshness trade every frozen-quantizer ANN
     * index makes. */
-  def ivfpqAppend(newVectors: DataFrame, path: String): Unit = {
+  def ivfpqAppend(newVectors: DataFrame, path: String,
+      /** The layout's model, when the caller already holds it. The model
+        * is FROZEN by this lifecycle's contract, so a maintenance lane
+        * loads it once and reuses it across every batch instead of
+        * paying [[ivfpqLoad]]'s three parquet-read+collect jobs per
+        * append (measured ~6 driver-side jobs per micro-batch on e46).
+        * Callers must pass the model loaded from THIS `path`. */
+      model: Option[IvfPqModel] = None): Unit = {
     val spark = newVectors.sparkSession
-    val model = ivfpqLoad(spark, path)
-    ivfpqEncode(newVectors, model)
+    val m = model.getOrElse(ivfpqLoad(spark, path))
+    ivfpqEncode(newVectors, m)
       .withColumn("cell", col("cell").cast("int"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }

@@ -1151,10 +1151,13 @@ object OpsPack extends QueryPack {
         val e = Tables.load(s, dir, "embeddings")
         val ix = Fixtures.tmp(dir, "ivfpq_incr_index")
         Similarity.ivfpqBuild(e.where(col("vec_id") % 2 === 0), ix)
+        // the maintenance-lane shape: the frozen model loads ONCE and
+        // serves every append (ivfpqAppend's model pass-through)
+        val model = Some(Similarity.ivfpqLoad(s, ix))
         Similarity.ivfpqAppend(
-          e.where(col("vec_id") % 4 === 1), ix)
+          e.where(col("vec_id") % 4 === 1), ix, model)
         Similarity.ivfpqAppend(
-          e.where(col("vec_id") % 4 === 3), ix)
+          e.where(col("vec_id") % 4 === 3), ix, model)
         Similarity.ivfpqTopKIndexed(s, ix, e, e.where(col("vec_id") < 5),
             k = 5, kCand = 10)
           .orderBy(col("q"), col("rank"))
@@ -1177,9 +1180,11 @@ object OpsPack extends QueryPack {
         val e = Tables.load(s, dir, "embeddings")
         val ix = Fixtures.tmp(dir, "ivfpq_cmp_index")
         Similarity.ivfpqBuild(e.where(col("vec_id") % 2 === 0), ix)
-        Similarity.ivfpqAppend(e.where(col("vec_id") % 4 === 1), ix)
-        Similarity.ivfpqAppend(e.where(col("vec_id") % 4 === 3), ix)
         val modelBefore = Similarity.ivfpqLoad(s, ix)
+        Similarity.ivfpqAppend(e.where(col("vec_id") % 4 === 1), ix,
+          Some(modelBefore))
+        Similarity.ivfpqAppend(e.where(col("vec_id") % 4 === 3), ix,
+          Some(modelBefore))
         def filesPerCell: Seq[Int] =
           Similarity.codesFilesPerCell(ix).values.toSeq
         require(filesPerCell.max >= 2,

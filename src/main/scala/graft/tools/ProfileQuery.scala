@@ -51,6 +51,7 @@ object ProfileQuery {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(e.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
             .getOrElse("?")
           jobs(e.jobId) = JobRec(e.jobId, d, e.time, e.time,
             e.stageInfos.size, e.stageInfos.map(_.numTasks).sum)
