@@ -1785,10 +1785,14 @@ object IcebergSink {
     // footer harvesting (record counts + bounds) in parallel: a
     // partition-transformed append can stage hundreds of files, and at
     // commit scale a driver must not serialize one footer RPC per file
+    // capture ONCE on the calling (driver) thread: the pool threads below
+    // have no active session, so a per-file KfsLayout.hadoopConf there
+    // would fall back to vanilla defaults instead of the session's conf
+    val harvestConf = KfsLayout.hadoopConf
     def harvest(st: org.apache.hadoop.fs.FileStatus,
         values: Seq[(String, Any)]): DataFileInfo = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromStatus(st, KfsLayout.hadoopConf)
+        .fromStatus(st, harvestConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try DataFileInfo(st, r.getRecordCount, footerBounds(r, df.schema),
         values)

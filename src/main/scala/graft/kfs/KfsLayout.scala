@@ -51,11 +51,31 @@ object KfsLayout {
   /** Hadoop conf: the active session's (carries `spark.hadoop.*` overrides —
     * s3a credentials, endpoints) when on the driver; vanilla defaults
     * otherwise. Executor-side readers get a [[SerializableHadoopConf]]
-    * instead — this accessor is for driver-side discovery/write paths. */
+    * instead — this accessor is for driver-side discovery/write paths.
+    *
+    * CACHED per session instance, and vanilla defaults cached process-wide:
+    * this accessor sits on per-file driver paths (manifest IO, footer
+    * harvests — the latter on pool threads where `getActiveSession` is
+    * empty), and both `newHadoopConf()` (a full conf copy + SQL-conf
+    * overlay) and `new Configuration()` (an XML resource parse on first
+    * read) are far too heavy per call. Callers must treat the returned
+    * conf as READ-ONLY — every in-repo consumer only reads it or hands it
+    * to `getFileSystem`/[[SerializableHadoopConf]], which copy-serialize. */
+  @volatile private var sessionConfCache
+      : (org.apache.spark.sql.SparkSession, Configuration) = null
+  private lazy val vanillaConf = new Configuration()
   def hadoopConf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        val c = sessionConfCache
+        if (c != null && (c._1 eq s)) c._2
+        else {
+          val nc = s.sessionState.newHadoopConf()
+          sessionConfCache = (s, nc)
+          nc
+        }
+      case None => vanillaConf
+    }
 
   private def fsFor(path: HPath): FileSystem = path.getFileSystem(hadoopConf)
 
