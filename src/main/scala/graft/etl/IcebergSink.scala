@@ -943,11 +943,15 @@ object IcebergSink {
     * separate [[expireSnapshots]] op). */
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
       maxRetries: Int = 5): Unit = {
-    val current = read(spark, table)
-    if (current.isEmpty) return
-    // partitioned tables re-partition the rewrite (the spec is for life);
-    // targetFiles then bounds files PER PARTITION tuple, not per table
+    // emptiness from METADATA, not a full merge-on-read materialization:
+    // the old isEmpty probe ran the entire read pipeline once and the
+    // rewrite below ran it AGAIN — one redundant table scan per compact
+    // call, which an in-lane maintenance cadence pays every boundary. A
+    // table whose deletes cover every row still no-ops: the rewrite then
+    // stages zero records and the zero-record guard below skips the commit.
     val m = load(spark, table)
+    if (m.flatMap(_.currentSnapshotId).isEmpty) return
+    val current = read(spark, table)
     val specDecls = m.map { meta =>
       val byId = meta.fields.map(f => f.id -> f.name).toMap
       meta.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
@@ -970,6 +974,13 @@ object IcebergSink {
     val commitUuid = UUID.randomUUID().toString
     val fileRecords = writeDataFiles(spark, table, rewritten, commitUuid,
       specDecls)
+    if (fileRecords.map(_.records).sum == 0) {
+      // the deletes cover every row: same no-op the old isEmpty probe
+      // produced, minus the extra table scan it cost on every other call
+      val f = fs(new HPath(table))
+      fileRecords.foreach(i => f.delete(i.status.getPath, false))
+      return
+    }
     commitSnapshot(spark, table, current.schema, fileRecords, commitUuid,
       carryPrior = false, operation = "replace", maxRetries)
   }
@@ -1288,10 +1299,12 @@ object IcebergSink {
   def deleteWhere(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column, equalityCols: Seq[String],
       maxRetries: Int = 5): Unit = {
-    val current = read(spark, table)
-    if (current.isEmpty) return
+    // absent/empty table from metadata — the old read+isEmpty probe cost a
+    // full merge-on-read scan before deleteKeys scanned again for the
+    // matching keys; deleteKeys itself no-ops on zero matches
+    if (load(spark, table).flatMap(_.currentSnapshotId).isEmpty) return
     deleteKeys(spark, table,
-      current.where(condition)
+      read(spark, table).where(condition)
         .select(equalityCols.map(org.apache.spark.sql.functions.col): _*),
       maxRetries)
   }
