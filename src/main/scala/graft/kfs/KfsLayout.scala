@@ -610,16 +610,48 @@ object KfsLayout {
 /** Minimal serializable wrapper so executor-side readers carry the driver's
   * Hadoop configuration (s3a credentials, endpoints) — the standard Spark
   * pattern (`org.apache.spark.util.SerializableConfiguration` is
-  * private[spark], so we keep our own 10-line equivalent). */
+  * private[spark], so we keep our own equivalent).
+  *
+  * Deserialization is CACHED per (instance id, JVM): this wrapper rides in
+  * reader/writer-factory task closures, so without the cache every task
+  * re-parses the whole Configuration — hundreds of gzip-compressed string
+  * entries; stack-sampling a bench slice put ~4 % of executor runnable
+  * time in that parse. The conf serializes once into an opaque byte blob;
+  * the first task in a JVM parses it, every later task of the same scan
+  * reads the blob as one array and reuses the parsed instance. Consumers
+  * treat the conf as read-only (they only open FileSystems from it), so
+  * sharing one instance across a JVM's tasks is safe — Configuration reads
+  * are synchronized. */
 class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {
+  private val id: String = java.util.UUID.randomUUID().toString
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
-    value.write(out)
+    val buf = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(buf)
+    value.write(d)
+    d.flush()
+    val arr = buf.toByteArray
+    out.writeInt(arr.length)
+    out.write(arr)
   }
   private def readObject(in: java.io.ObjectInputStream): Unit = {
     in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
+    val arr = new Array[Byte](in.readInt())
+    in.readFully(arr)
+    value = SerializableHadoopConf.cached(id, arr)
   }
+}
+
+object SerializableHadoopConf {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Configuration]()
+  private def cached(id: String, arr: Array[Byte]): Configuration =
+    cache.computeIfAbsent(id, _ => {
+      if (cache.size > 64) cache.clear() // bounded; ids are per-scan
+      val c = new Configuration(false)
+      c.readFields(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(arr)))
+      c
+    })
 }
