@@ -28,31 +28,17 @@ class BareRawLocalFileSystem extends RawLocalFileSystem {
 class BareLocalFileSystem extends LocalFileSystem(new BareRawLocalFileSystem)
 
 object BareLocalFs {
-  /** Session confs that remove LOCAL-HARNESS IO overhead; all three are
-    * inert or strictly conventional on a real cluster. The first two kill
-    * fork+exec storms: the no-chmod local filesystem, and the
-    * FileSystem-based checkpoint manager (the default FileContext-based
-    * manager resolves symlinks through a `readlink` SHELL CALL on every
-    * checkpoint-file rename when the native library is missing — two forks
-    * per micro-batch per metadata log). Rename-based atomicity is
-    * preserved: the FileSystem manager commits checkpoint files through
-    * the same write-temp-then-rename protocol, and local-FS `rename(2)`
-    * is atomic. */
+  /** Session confs that remove local-FS fork+exec overhead: the no-chmod
+    * local filesystem, and the FileSystem-based checkpoint manager (the
+    * default FileContext-based manager resolves symlinks through a
+    * `readlink` SHELL CALL on every checkpoint-file rename when the native
+    * library is missing — two forks per micro-batch per metadata log).
+    * Rename-based atomicity is preserved: the FileSystem manager commits
+    * checkpoint files through the same write-temp-then-rename protocol,
+    * and local-FS `rename(2)` is atomic. */
   val sparkConf: Map[String, String] = Map(
     "spark.hadoop.fs.file.impl" -> classOf[BareLocalFileSystem].getName,
     "spark.sql.streaming.checkpointFileManagerClass" ->
       ("org.apache.spark.sql.execution.streaming.checkpointing." +
-        "FileSystemBasedCheckpointFileManager"),
-    // At the local harness's shuffle width (32 reduce partitions) every
-    // exchange sits under the 200-partition default and takes the
-    // BYPASS-merge shuffle writer: one spill file PER REDUCE PARTITION per
-    // map task plus a merge pass — stack-sampling a bench slice put
-    // FileOutputStream.open0 inside BypassMergeSortShuffleWriter as the
-    // single largest executor frame. The sort-based writer opens two
-    // files per map task regardless of width. On a cluster the same
-    // shuffles run thousands-of-partitions wide, where bypass never
-    // engages and this setting is inert; the 200 default exists for
-    // medium-wide shuffles on disks where the bypass's sequential writes
-    // win — not for many tiny exchanges on a local NVMe.
-    "spark.shuffle.sort.bypassMergeThreshold" -> "2")
+        "FileSystemBasedCheckpointFileManager"))
 }
