@@ -1908,4 +1908,46 @@ class IcebergSpec extends AnyFunSuite {
       Seq((1000, "cat"), (1001, "id_bucket")),
       s"got ${m5.specsById(m5.defaultSpecId)}")
   }
+
+  test("row-delta delete half lands as ONE file at any plan width (r17)") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // a WIDE incoming batch: without the coalesce the delete half wrote
+    // one parquet file per plan partition (AQE is off under streaming
+    // lineage, where this primitive lives) — every later scan opens every
+    // live delete file, and the e50 bound broke at sf0.1 on exactly this
+    val batch = (50L to 80L).map(i => (i, s"n$i")).toDF("id", "v")
+      .repartition(8)
+    IcebergSink.upsertAtomic(spark, table, batch, Seq("id"))
+    val delFiles = IcebergSink.metadataTable(spark, table, "files")
+      .where(col("content") === 2)
+    assert(delFiles.count() == 1,
+      s"equality-delete half must be one file: ${delFiles.collect().toSeq}")
+    // and the merge reads back correctly
+    assert(IcebergSink.read(spark, table).where(col("id") === 60L)
+      .select("v").collect().head.getString(0) == "n60")
+    assert(IcebergSink.read(spark, table).count() == 100)
+  }
+
+  test("compact no-ops when deletes cover every row (metadata emptiness, r17)") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergSink.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergSink.deleteWhere(spark, table, lit(true), Seq("id"))
+    assert(IcebergSink.read(spark, table).count() == 0)
+    val snapsBefore = IcebergSink.load(spark, table).get.snapshots.size
+    // the emptiness gate is now metadata-driven + a zero-record staging
+    // guard; an all-deleted table must still no-op (no replace snapshot,
+    // no junk files), exactly like the old full-scan isEmpty probe
+    IcebergSink.compact(spark, table)
+    val m = IcebergSink.load(spark, table).get
+    assert(m.snapshots.size == snapsBefore,
+      "compact of an all-deleted table must not commit")
+    assert(IcebergSink.read(spark, table).count() == 0)
+    // and on a truly absent table it returns without touching disk
+    IcebergSink.compact(spark, tmpTable())
+  }
 }

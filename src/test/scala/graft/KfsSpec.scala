@@ -954,4 +954,33 @@ class KfsSpec extends AnyFunSuite {
     val r3 = graft.kfs.KfsRetention.enforceSize(root, "t", segBytes * 2)
     assert(r3.deleted == 0)
   }
+
+  test("SerializableHadoopConf round-trips and caches per instance (r17)") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("graft.test.key", "v1")
+    val wrapped = new graft.kfs.SerializableHadoopConf(conf)
+    def roundTrip(w: graft.kfs.SerializableHadoopConf)
+        : graft.kfs.SerializableHadoopConf = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val o = new java.io.ObjectOutputStream(buf)
+      o.writeObject(w); o.flush()
+      new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(buf.toByteArray))
+        .readObject().asInstanceOf[graft.kfs.SerializableHadoopConf]
+    }
+    val a = roundTrip(wrapped)
+    val b = roundTrip(wrapped)
+    // values survive the blob round-trip
+    assert(a.value.get("graft.test.key") == "v1")
+    // per-JVM cache: two tasks of the same scan share ONE parsed conf
+    // instead of each re-parsing hundreds of gzip'd entries
+    assert(a.value eq b.value,
+      "same wrapper instance must deserialize to the cached Configuration")
+    // a DIFFERENT wrapper (different scan) parses its own copy
+    val conf2 = new org.apache.hadoop.conf.Configuration(false)
+    conf2.set("graft.test.key", "v2")
+    val c = roundTrip(new graft.kfs.SerializableHadoopConf(conf2))
+    assert(c.value.get("graft.test.key") == "v2")
+    assert(!(c.value eq a.value))
+  }
 }
