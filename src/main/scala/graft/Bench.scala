@@ -77,6 +77,25 @@ object Bench {
     }
   }
 
+  /** Name-level coverage that SURVIVES the bounded log tail: the compact
+    * line lists only the slowest queries, and r17's PERF diff read the 12
+    * healthy queries that got faster and fell below the cutoff as
+    * "dropped_from_bench". Per family (name prefix before the first
+    * digit): `[count of passed queries, 4-hex MD5 over their sorted
+    * names]` — a dropped, renamed or newly-failing query changes its
+    * family's count or digest, so two consecutive compact lines alone
+    * prove 0 drops without consulting BENCH_FULL (~260 chars for 15
+    * families, well inside the tail budget). */
+  def famDigest(results: Seq[(String, Double)]): String =
+    results.filter(_._2 >= 0)
+      .groupBy(_._1.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
+      .map { case (f, qs) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(qs.map(_._1).sorted.mkString(",").getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        "\"" + f + "\":[" + qs.size + ",\"" + h + "\"]"
+      }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -311,18 +330,19 @@ object Bench {
         (fullFile + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => }
     println(fullLine)
+    val fam = famDigest(results)
     // compact: slowest-first entries until the 1500-char budget is spent
     val sfShort = new java.io.File(sfDir).getName
     val slowFirst = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
-    val budget = 1500 - 120 // prefix/suffix allowance
+    val budget = 1500 - 120 - (fam.length + 8) // prefix/suffix allowance
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     slowFirst.foreach { e =>
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.size},"noisy":$noisy,"noisy_q":${qNoisy.size},"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.size},"noisy":$noisy,"noisy_q":${qNoisy.size},"fam":$fam,"queries":$compactQs,"listed":${kept.size},"sf":"$sfShort"}""")
     spark.stop()
   }
 }

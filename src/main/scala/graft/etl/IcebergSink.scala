@@ -1378,18 +1378,6 @@ object IcebergSink {
         // tuple-less (a global equality delete applies to all partitions)
         val byId = m.fields.map(f => f.id -> f.name).toMap
         val specDecls = m.specFields.map(pf => declOf(pf, byId(pf.sourceId)))
-        val fileRecords = writeDataFiles(spark, table, df, commitUuid,
-          specDecls)
-        if (fileRecords.map(_.records).sum == 0) {
-          // the zero-record staged files are junk either way: never let
-          // them into a manifest
-          val f = fs(new HPath(table))
-          fileRecords.foreach(i => f.delete(i.status.getPath, false))
-          // an empty batch with extra delete keys is a DELETE-ONLY delta
-          extraDeleteKeys.foreach(extra =>
-            deleteKeys(spark, table, extra, maxRetries))
-          return
-        }
         def keyTuples(src: DataFrame) = src.select(eqFields.map(fl =>
           col(fl.name).cast(sparkType(fl.typ)).as(fl.name)): _*)
         // no distinct() on the delete half: `df` carries at most one row
@@ -1405,13 +1393,63 @@ object IcebergSink {
           .getOrElse(keyTuples(df))
         // ONE file per delete commit: every later scan reads every live
         // equality-delete file in the broadcast delete union, so writing
-        // the distinct's shuffle width (one small file per partition, AQE
-        // is off under streaming lineage) multiplies per-scan opens for
-        // nothing — the set is batch-bounded, and coalesce(1) keeps the
-        // partial aggregation parallel while folding the final pass into
-        // a single write task
-        val delRecords = writeDataFiles(spark, table, conformed.coalesce(1),
-          UUID.randomUUID().toString)
+        // at shuffle width (one small file per partition, AQE is off under
+        // streaming lineage) multiplies per-scan opens for nothing — the
+        // set is batch-bounded and coalesce(1) folds it into one write
+        // task (the projection runs inside that task; acceptable because
+        // callers hand a cached/materialized batch, see runUpsert).
+        //
+        // The two halves are INDEPENDENT jobs over the same batch: run
+        // the delete half on a pool thread while the data half writes on
+        // this one (guide §2.6 — overlap independent jobs). Sequential
+        // execution billed both jobs' fixed cost (scheduling, staging
+        // rename, footer harvest) to EVERY micro-batch commit; now the
+        // commit pays max(data, delete) instead of the sum. Both staged
+        // file sets complete before the single atomic commit below.
+        val delFut = java.util.concurrent.CompletableFuture.supplyAsync(() => {
+          // pool threads carry no active session, and writeDataFiles'
+          // conf/FS helpers (KfsLayout.hadoopConf) read it thread-locally
+          // — without this the harvest would run on vanilla Hadoop defaults
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          writeDataFiles(spark, table, conformed.coalesce(1),
+            UUID.randomUUID().toString)
+        })
+        val fileRecords =
+          try writeDataFiles(spark, table, df, commitUuid, specDecls)
+          catch { case t: Throwable =>
+            // the delete half's staged files must not leak when the data
+            // half fails — they were written for a commit that never runs
+            try {
+              val f = fs(new HPath(table))
+              delFut.join().foreach(i => f.delete(i.status.getPath, false))
+            } catch { case _: Throwable => }
+            throw t
+          }
+        val delRecords = delFut.join()
+        if (fileRecords.map(_.records).sum == 0) {
+          // the zero-record staged files are junk either way: never let
+          // them into a manifest
+          val f = fs(new HPath(table))
+          fileRecords.foreach(i => f.delete(i.status.getPath, false))
+          // an empty batch with extra delete keys is a DELETE-ONLY delta:
+          // `conformed` degenerates to keyTuples(extra) (df contributed
+          // zero rows), so the staged delete files ARE that delta — the
+          // same single-snapshot delete deleteKeys would commit, minus
+          // its redundant re-write of the identical key set
+          if (delRecords.map(_.records).sum == 0) {
+            delRecords.foreach(i => f.delete(i.status.getPath, false))
+            return
+          }
+          if (extraDeleteKeys.isEmpty) {
+            // no extras and no data: nothing to delete either
+            delRecords.foreach(i => f.delete(i.status.getPath, false))
+            return
+          }
+          commitSnapshot(spark, table, m.currentSchema, delRecords,
+            commitUuid, carryPrior = true, operation = "delete", maxRetries,
+            equalityIds = eqFields.map(_.id))
+          return
+        }
         commitSnapshot(spark, table, df.schema, fileRecords, commitUuid,
           carryPrior = true, operation = "overwrite", maxRetries,
           deleteRecords = delRecords, deleteEqIds = eqFields.map(_.id))
@@ -1617,9 +1655,22 @@ object IcebergSink {
     val commitUuid = UUID.randomUUID().toString
     // single-file delete commits — same rationale as upsertAtomic's delete
     // half: the set is commit-bounded and every scan opens every live
-    // delete file, so shuffle-width output is pure per-scan overhead
-    val fileRecords = writeDataFiles(spark, table, conformed.coalesce(1),
-      commitUuid)
+    // delete file, so shuffle-width output is pure per-scan overhead.
+    // UNLIKE that half, this interactive path is fed by arbitrary row
+    // selections (deleteWhere over a whole estate), so an unconditional
+    // coalesce(1) would funnel an unbounded key set through one write
+    // task (guide §5 spill): single-file only under the optimizer's size
+    // estimate, bounded small width above it. Both knobs parameterized;
+    // the defaults keep every commit-bounded set at one file.
+    val singleFileMax = spark.conf
+      .get("spark.graft.delete.singleFileMaxBytes", (256L << 20).toString)
+      .toLong
+    val wideWidth = spark.conf
+      .get("spark.graft.delete.wideWidth", "16").toInt
+    val est = conformed.queryExecution.optimizedPlan.stats.sizeInBytes
+    val delWidth = if (est <= singleFileMax) 1 else wideWidth
+    val fileRecords = writeDataFiles(spark, table,
+      conformed.coalesce(delWidth), commitUuid)
     if (fileRecords.map(_.records).sum == 0) {
       val f = fs(new HPath(table))
       fileRecords.foreach(i => f.delete(i.status.getPath, false))

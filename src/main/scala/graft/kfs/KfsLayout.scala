@@ -58,7 +58,11 @@ object KfsLayout {
     * harvests — the latter on pool threads where `getActiveSession` is
     * empty), and both `newHadoopConf()` (a full conf copy + SQL-conf
     * overlay) and `new Configuration()` (an XML resource parse on first
-    * read) are far too heavy per call. Callers must treat the returned
+    * read) are far too heavy per call. The session's conf is FROZEN AT
+    * FIRST USE: a later `spark.conf.set("spark.hadoop.*", ...)` is not
+    * picked up for the session's lifetime (set credentials/endpoints
+    * before the first KFS/Iceberg operation, or start a new session).
+    * Callers must treat the returned
     * conf as READ-ONLY — every in-repo consumer only reads it or hands it
     * to `getFileSystem`/[[SerializableHadoopConf]], which copy-serialize. */
   @volatile private var sessionConfCache
@@ -646,12 +650,18 @@ class SerializableHadoopConf(@transient var value: Configuration)
 object SerializableHadoopConf {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Configuration]()
-  private def cached(id: String, arr: Array[Byte]): Configuration =
+  private def cached(id: String, arr: Array[Byte]): Configuration = {
+    // evict BEFORE computeIfAbsent: the JDK contract forbids the mapping
+    // function from mutating the map it runs inside (undefined behavior /
+    // IllegalStateException once the 65th distinct id lands in a
+    // long-lived executor). Checked-then-cleared outside, the worst race
+    // is a redundant clear — a re-parse, never corruption.
+    if (cache.size > 64) cache.clear() // bounded; ids are per-scan
     cache.computeIfAbsent(id, _ => {
-      if (cache.size > 64) cache.clear() // bounded; ids are per-scan
       val c = new Configuration(false)
       c.readFields(new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(arr)))
       c
     })
+  }
 }

@@ -84,4 +84,20 @@ class BenchGateSpec extends AnyFunSuite {
     val mild = Seq.fill(24)(0.30) ++ Seq.fill(6)(0.5)
     assert(!Bench.isNoisy(mild, normSec = 0.3))
   }
+
+  test("famDigest: detects drops, renames and failures name-level (r18)") {
+    val base = Seq("q1_a" -> 1.0, "q2_b" -> 2.0, "d3_c" -> 0.5, "d7_x" -> 0.1)
+    val same = Bench.famDigest(base)
+    // order-independent: the digest is over sorted names
+    assert(Bench.famDigest(base.reverse) == same)
+    assert(same.contains("\"q\":[2,") && same.contains("\"d\":[2,"))
+    // a query getting FASTER (the r17 false-positive shape) changes nothing
+    assert(Bench.famDigest(base.map { case (k, v) => k -> (v / 10) }) == same)
+    // a dropped query changes its family's count
+    assert(Bench.famDigest(base.take(3)) != same)
+    // a renamed query keeps the count but changes the hash
+    assert(Bench.famDigest(base.updated(3, "d7_y" -> 0.1)) != same)
+    // a FAILED query (sentinel -1.0) leaves the passed set, like a drop
+    assert(Bench.famDigest(base.updated(1, "q2_b" -> -1.0)) != same)
+  }
 }

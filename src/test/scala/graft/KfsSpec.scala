@@ -983,4 +983,40 @@ class KfsSpec extends AnyFunSuite {
     assert(c.value.get("graft.test.key") == "v2")
     assert(!(c.value eq a.value))
   }
+
+  test("SerializableHadoopConf cache eviction survives 100+ distinct ids " +
+      "under concurrency (r18)") {
+    // the r17 eviction cleared the map from INSIDE computeIfAbsent's
+    // mapping function — forbidden by the JDK contract, and triggered
+    // deterministically once the 65th distinct wrapper deserialized in a
+    // JVM. This hammers 100 distinct ids from 8 threads: the fixed code
+    // must neither throw nor lose values.
+    def bytesOf(w: graft.kfs.SerializableHadoopConf): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val o = new java.io.ObjectOutputStream(buf)
+      o.writeObject(w); o.flush()
+      buf.toByteArray
+    }
+    val blobs = (0 until 100).map { i =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.set("graft.test.key", s"v$i")
+      i -> bytesOf(new graft.kfs.SerializableHadoopConf(conf))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = (0 until 4).flatMap(_ => blobs).map { case (i, blob) =>
+        new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val w = new java.io.ObjectInputStream(
+              new java.io.ByteArrayInputStream(blob))
+              .readObject().asInstanceOf[graft.kfs.SerializableHadoopConf]
+            assert(w.value.get("graft.test.key") == s"v$i")
+          }
+        }
+      }
+      // .get() rethrows any IllegalStateException from a contract breach
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+    } finally pool.shutdown()
+  }
 }
