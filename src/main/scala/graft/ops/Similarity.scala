@@ -494,7 +494,13 @@ object Similarity {
       .where(col("rank") <= kCand)
       .select(col("q"), col("v"))
 
-    // exact integer refine over the shortlist — pqRefineTopK's stage 2
+    // exact integer refine over the shortlist — pqRefineTopK's stage 2.
+    // MEASURED NEGATIVE (r18): folding qq into the shortlist's broadcast
+    // subtree (one hash relation carrying (q, v, _qq)) looked like one
+    // Exchange fewer, but serialized the two tiny broadcast builds —
+    // nested inside one subtree they run sequentially where the planner
+    // builds the two independent relations in parallel; the fold cost
+    // +0.2-0.9 s across the ANN family. Keep the two parallel broadcasts.
     val cq = corpus.select(col("vec_id").as("v"),
       qv.quantize(col("embedding"), model.dims, model.scale).as("_qv"))
     val w = Window.partitionBy(col("q")).orderBy(col("d2"), col("v"))
@@ -521,26 +527,55 @@ object Similarity {
     import spark.implicits._
     val (model, codes) = ivfpqFit(corpus, kCells, coarseIters, m,
       codebookK, pqIters, dims, scale)
-    codes.withColumn("cell", col("cell").cast("int"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    model.coarse.zipWithIndex
-      .map { case (c, i) => (i, c) }.toDF("cell", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
-    model.codebooks.zipWithIndex.flatMap { case (cb, s) =>
-      cb.zipWithIndex.map { case (c, code) => (s, code, c) }
-    }.toDF("sub", "code", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((dims, scale)).toDF("dims", "scale")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the four layout writes land on DISJOINT paths with no ordering
+    // between them — overlap them (guide §2.6): sequentially the build
+    // paid four tiny-job walls; a reader only consults the layout after
+    // build returns, so concurrent staging changes nothing observable
+    runConcurrently(spark, Seq(
+      () => codes.withColumn("cell", col("cell").cast("int"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes"),
+      () => model.coarse.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("cell", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse"),
+      () => model.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+          cb.zipWithIndex.map { case (c, code) => (s, code, c) }
+        }.toDF("sub", "code", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks"),
+      () => Seq((dims, scale)).toDF("dims", "scale")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")))
   }
 
-  /** Reload the persisted model artifacts (three tiny parquet reads). */
+  /** Run independent Spark actions concurrently (guide §2.6 — overlap
+    * independent jobs; actions are only sequential because driver code
+    * calls them sequentially). Each thunk gets the caller's session set
+    * active on its pool thread (conf/FS helpers read it thread-locally).
+    * Returns results in input order; rethrows the first failure. */
+  private def runConcurrently[T](spark: org.apache.spark.sql.SparkSession,
+      thunks: Seq[() => T]): Seq[T] = {
+    import scala.jdk.CollectionConverters._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try pool.invokeAll(thunks.map(t =>
+        new java.util.concurrent.Callable[T] {
+          override def call(): T = {
+            org.apache.spark.sql.SparkSession.setActiveSession(spark)
+            t()
+          }
+        }).asJava).asScala.map(_.get()).toSeq
+    finally pool.shutdown()
+  }
+
+  /** Reload the persisted model artifacts — three tiny independent
+    * read+collect jobs, overlapped (guide §2.6). */
   def ivfpqLoad(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqModel = {
-    val meta = spark.read.parquet(s"$path/meta").collect().head
-    val coarse = spark.read.parquet(s"$path/coarse").collect()
+    val parts = runConcurrently[Array[org.apache.spark.sql.Row]](spark, Seq(
+      () => spark.read.parquet(s"$path/meta").collect(),
+      () => spark.read.parquet(s"$path/coarse").collect(),
+      () => spark.read.parquet(s"$path/codebooks").collect()))
+    val meta = parts(0).head
+    val coarse = parts(1)
       .map(r => r.getInt(0) -> r.getSeq[Long](1)).sortBy(_._1).map(_._2).toSeq
-    val cbs = spark.read.parquet(s"$path/codebooks").collect()
+    val cbs = parts(2)
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
